@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.cosine_sim
+import graft.tables.Tables
+
+/** Similarity search over the `embeddings` table (`array<float>`, 64-dim) —
+  * north-star extension (no counterpart in the reference; SURVEY.md §7.4).
+  *
+  * Two tiers:
+  *  - [[knnBruteForce]]: exact top-k, O(Q·N) scored pairs. The baseline and
+  *    the oracle-checkable path. Scales by broadcasting the (small) query
+  *    set and streaming the candidate scan — no shuffle of the big side
+  *    until the per-query top-k reduction.
+  *  - [[knnLsh]]: sign-random-projection LSH (Charikar SimHash family):
+  *    L hash tables × b hyperplane bits; candidates = same bucket in any
+  *    table. At 100 TB this turns O(Q·N) into O(Q·N/2^b·L) with recall
+  *    tunable via (L, b). The bucket join is a plain equi-join Spark
+  *    shuffles/broadcasts like any other — no custom operator needed.
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  /** Deterministic Gaussian hyperplanes (fixed seed — results must be
+    * reproducible across runs and engines). */
+  private def hyperplanes(tables: Int, bits: Int): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(tables, bits, Dim)(rnd.nextGaussian().toFloat)
+  }
+
+  /** Bit-signature column: for one table's hyperplanes, pack sign bits of
+    * dot(embedding, plane_j) into an int. Pure built-in expressions
+    * (aggregate over zip_with) → codegen'd, no UDF. */
+  private def signature(emb: org.apache.spark.sql.Column,
+      planes: Array[Array[Float]]): org.apache.spark.sql.Column = {
+    planes.zipWithIndex.map { case (p, j) =>
+      val dot = aggregate(
+        zip_with(emb, lit(p), (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** q17 — exact kNN: top-3 cosine neighbors for query vectors vec_id<10.
+    * Output is integer-only (ids + rank) so float ULP differences between
+    * engines cannot affect the hash compare. */
+  def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine_sim(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val knnBruteForceSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+      |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> query_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+      |  FROM s)
+      |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** q18 — LSH-bucketed approximate kNN (the scale path; no SQL oracle —
+    * verified against [[knnBruteForce]] recall in SimilaritySpec).
+    * L=4 tables × b=6 bits: each vector lands in 4 buckets; query and
+    * candidate meet if they share any bucket. */
+  def knnLsh(s: SparkSession, dir: String,
+      tables: Int = 4, bits: Int = 6, k: Int = 3): DataFrame = {
+    val planes = hyperplanes(tables, bits)
+    val e = Tables.embeddings(s, dir)
+
+    // explode each vector into (table_idx, bucket) rows — L rows per vector
+    val bucketed = e.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array(planes.zipWithIndex.map { case (tp, t) =>
+        signature(col("embedding"), tp)
+      }: _*)).as(Seq("tbl", "bucket")))
+
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("tbl"), col("bucket"))
+    val cand = bucketed.select(col("vec_id").as("neighbor_id"),
+      col("embedding"), col("tbl"), col("bucket"))
+
+    val pairs = q.join(cand, Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"),
+        col("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = pairs.select(col("query_id"), col("neighbor_id"),
+      cosine_sim(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_knn_brute"  -> (knnBruteForce _),
+    "q18_knn_lsh"    -> ((s: SparkSession, d: String) => knnLsh(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q17_knn_brute" -> knnBruteForceSql)
+}

@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, Shim}
+
+/** User-facing Column API for the custom vector expressions
+  * (implementation in org.apache.spark.sql.graft — see the Scaladoc there
+  * for design + scale rationale). */
+object VectorFunctions {
+  def cosine_sim(a: Column, b: Column): Column =
+    Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
+
+  /** Make the functions SQL-callable on a session:
+    * `SELECT cosine_sim(a.embedding, b.embedding) ...`. */
+  def register(spark: SparkSession): Unit = {
+    Shim.registerFunction(spark, "cosine_sim",
+      es => CosineSimilarity(es(0), es(1)))
+    Shim.registerFunction(spark, "dot_product",
+      es => DotProduct(es(0), es(1)))
+  }
+}

@@ -1,0 +1,116 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling-hash document fingerprint (base-31 over UTF-8 bytes,
+  * mod 2^61-1) as a codegen'd Catalyst expression.
+  *
+  * North-star text-analysis extension (no counterpart in the reference).
+  * Purpose: a cheap 64-bit content fingerprint for exact-dup detection /
+  * shard-local grouping at 100 TB scale — half the width of md5, computed
+  * in one pass over the bytes with no allocation, and prefix-composable
+  * (a rolling hash can be resumed across chunks, unlike md5 here).
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash requires STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L; var i = 0
+    val M = RollingHash.Mod
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % M
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * 31L + ($bytes[$i] & 0xff)) % ${RollingHash.Mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RollingHash {
+  val Mod: Long = (1L << 61) - 1
+}
+
+/** Heuristic language identification by stopword-profile hit counting.
+  *
+  * The classic cheap lang-ID: count occurrences of each language's
+  * high-frequency function words in the token stream; highest scoring
+  * profile wins, ties broken by profile order, score 0 → "und"
+  * (undetermined). Profiles are the standard top function words of each
+  * language — public linguistic knowledge, deterministic.
+  *
+  * Implemented as an interpreted Catalyst expression (no codegen — string
+  * scanning dominates; called once per document, not in a tight join loop).
+  */
+case class LangId(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lang_id requires STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString
+      .toLowerCase.split("\\s+")
+    var best = "und"; var bestScore = 0
+    LangId.Profiles.foreach { case (lang, words) =>
+      var score = 0
+      var i = 0
+      while (i < tokens.length) { if (words(tokens(i))) score += 1; i += 1 }
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    UTF8String.fromString(best)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object LangId {
+  /** Top function words per language (standard frequency lists). Order
+    * fixed → deterministic tie-breaking. */
+  val Profiles: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "of", "and", "to", "a", "in", "is", "it", "that",
+      "was", "for", "on", "are", "with", "as"),
+    "de" -> Set("der", "die", "und", "das", "ist", "nicht", "ein", "mit",
+      "von", "den", "zu", "im", "sich", "auf", "für"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "los", "se",
+      "del", "las", "por", "con", "una", "es"),
+    "fr" -> Set("le", "la", "de", "et", "les", "des", "est", "un", "une",
+      "du", "dans", "que", "pour", "qui", "sur"),
+    "zh" -> Set("的", "是", "在", "了", "有", "和", "人", "这", "中",
+      "大", "为", "上", "个", "国", "我"))
+}
