@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{Shim, SimHash}
+import graft.tables.Tables
+
+/** Near-duplicate detection — north-star extension (SURVEY.md §7.4).
+  *
+  * Three sketch families, all avoiding the O(N²) all-pairs comparison that
+  * is impossible at 100 TB:
+  *
+  *  - MinHash + LSH banding ([[minhashPairs]]): estimate word-shingle
+  *    Jaccard from P permutation-minima; band the signature so only
+  *    documents agreeing on a full band become candidate pairs. All
+  *    built-in codegen'd expressions (xxhash64 + transform + array_min) —
+  *    the signature never leaves Tungsten rows.
+  *  - SimHash ([[simhashPairs]]): 64-bit fingerprint (custom one-pass
+  *    Expression), Hamming-distance candidates via the 4×16-bit chunk
+  *    pigeonhole trick (distance ≤3 ⇒ some chunk equal) — candidate join
+  *    is again an equi-join on a small key.
+  *  - Exact dedup is [[Text.exactDedup]] (md5 groupBy).
+  *
+  * Spark's own MinHashLSH (mllib) requires sparse ML vectors; operating
+  * directly on token arrays with SQL expressions keeps everything inside
+  * whole-stage codegen and off the driver.
+  */
+object Dedup {
+
+  /** Fixed random affine permutations for MinHash (deterministic seed). */
+  private val P = 32 // signature length
+  private val Bands = 8 // 8 bands × 4 rows
+  private val Rows = P / Bands
+  /** 31-bit Mersenne prime domain: with a,h < 2^31, a*h+b < 2^62 — no
+    * 64-bit overflow under ANSI mode (Spark 4 default). */
+  private val MersennePrime = (1L << 31) - 1
+  private val perms: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(1234567)
+    Array.fill(P)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** Word 3-gram shingles of a text column (distinct). Texts shorter than
+    * 3 words fall back to one truncated shingle. */
+  private def shingles(text: Column): Column = {
+    val w = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ",
+        element_at(w, i),
+        element_at(w, least(i + 1, size(w))),
+        element_at(w, least(i + 2, size(w))))))
+  }
+
+  /** MinHash signature: for permutation (a,b), min over shingles of
+    * pmod(a * xxhash64(shingle) + b, p). Array column of P longs. */
+  def minhashSignature(text: Column): Column = {
+    val sh = shingles(text)
+    array(perms.map { case (a, b) =>
+      array_min(transform(sh, s =>
+        pmod(lit(a) * pmod(xxhash64(s), lit(MersennePrime)) + lit(b),
+          lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** Candidate near-dup pairs with MinHash-estimated Jaccard ≥ minEst.
+    * est is k/P (exact rational in double) → deterministic output. */
+  def minhashPairsOf(docs: DataFrame, minEst: Double): DataFrame = {
+    val sig = docs.select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+    // band rows: (band_idx, band_signature=concat of Rows minhashes)
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until Bands).map { bnd =>
+        concat_ws("_", (0 until Rows).map(r =>
+          element_at(col("sig"), bnd * Rows + r + 1)): _*)
+      }: _*)).as(Seq("band", "band_sig")))
+    val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+      col("band"), col("band_sig"))
+    val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+      col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        (aggregate(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / P).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** q24 — MinHash near-dup pairs over the corpus. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.documents(s, dir), 0.5)
+
+  def simhash64(c: Column): Column = Shim.column(SimHash(Shim.expression(c)))
+
+  /** q25 — SimHash near-dup pairs: Hamming distance ≤ maxDist, candidates
+    * via 16-bit chunk equality (pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 chunks
+    * equal). */
+  def simhashPairsOf(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val fp = docs.select(col("doc_id"), simhash64(col("text")).as("fp"))
+    val chunked = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("doc_id").as("a_id"), col("fp").as("a_fp"),
+      col("chunk"), col("chunk_val"))
+    val b = chunked.select(col("doc_id").as("b_id"), col("fp").as("b_fp"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(Tables.documents(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_minhash_pairs" -> (minhashPairs _),
+    "q25_simhash_pairs" -> (simhashPairs _))
+
+  /** MinHash/SimHash use Spark-native hashes (xxhash64 / custom FNV) that
+    * have no DuckDB equivalent → no SQL oracle; correctness is covered by
+    * DedupSpec's planted near-duplicates instead. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Core
+import graft.tables.Tables
+
+class CoreQueriesSpec extends SparkSpec {
+
+  test("every registered query runs and q-with-oracle returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (SparkEntry.oracleSql.contains(name) && name != "q22_exact_dedup")
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q01 groups by (returnflag, linestatus) with exact sums") {
+    val rows = Core.q01Pricing(spark, sf).collect()
+    assert(rows.length === rows.map(r => (r.getString(0), r.getString(1))).distinct.length)
+    // exact decimal sum: total qty across groups == direct sum
+    val total = rows.map(_.getAs[Double]("sum_qty")).sum
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    assert(math.abs(total - direct) < 1e-6)
+  }
+
+  test("q02 top-k is ordered desc and bounded") {
+    val rows = Core.q02TopOrders(spark, sf).collect()
+    assert(rows.length === 5)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("q03 HAVING keeps only groups with count > 1") {
+    Core.q03StatsHaving(spark, sf).collect()
+      .foreach(r => assert(r.getAs[Long]("cnt") > 1))
+  }
+
+  test("q06 window emits at most 2 rows per customer, ranked") {
+    val byCust = Core.q06WindowTopN(spark, sf).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { rs =>
+      assert(rs.length <= 2)
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to rs.length))
+    }
+  }
+
+  test("q10 rollup contains the grand-total row and per-flag subtotals") {
+    val rows = Core.q10Rollup(spark, sf).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1)
+    val n = Tables.lineitem(spark, sf).count()
+    assert(grand(0).getAs[Long]("n") === n)
+  }
+
+  test("q16 sessions partition all events") {
+    val total = Core.q16Sessionize(spark, sf)
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("q16 session gaps respect the 30-minute rule") {
+    val sess = Core.q16Sessionize(spark, sf)
+      .orderBy(col("user_id"), col("session_idx")).collect()
+    sess.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("session_idx"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gap = b.getAs[java.sql.Timestamp]("session_start").getTime -
+            a.getAs[java.sql.Timestamp]("session_end").getTime
+          assert(gap > 30 * 60 * 1000L,
+            s"consecutive sessions closer than 30min for user ${a.get(0)}")
+        case _ =>
+      }
+    }
+  }
+}

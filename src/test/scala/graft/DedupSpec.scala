@@ -1,0 +1,53 @@
+package graft
+
+import graft.ext.Dedup
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions.col
+
+class DedupSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  // 60-word base doc; nearDup differs in 2 words; unrelated shares none
+  private val base = (1 to 60).map(i => s"w${i % 30}").mkString(" ")
+  private val nearDup = base.replace("w5", "x5")
+  private val unrelated = (1 to 60).map(i => s"z$i").mkString(" ")
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("minhash finds the planted near-dup pair and nothing else") {
+    val pairs = Dedup.minhashPairsOf(docs, 0.3).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 0L && pairs(0).getLong(1) === 1L)
+    val est = pairs(0).getAs[Double]("est_jaccard")
+    assert(est > 0.3 && est <= 1.0)
+  }
+
+  test("minhash estimate is exact 1.0 for identical docs") {
+    val d = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsOf(d, 0.9).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getAs[Double]("est_jaccard") === 1.0)
+  }
+
+  test("simhash pairs the near-dup, not the unrelated doc") {
+    val pairs = Dedup.simhashPairsOf(docs, maxDist = 16).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
+  }
+
+  test("simhash is deterministic and order-insensitive to partitioning") {
+    val fp1 = docs.repartition(4).select(simhash64(col("text"))).collect()
+      .map(_.getLong(0)).sorted
+    val fp2 = docs.coalesce(1).select(simhash64(col("text"))).collect()
+      .map(_.getLong(0)).sorted
+    assert(fp1.sameElements(fp2))
+  }
+
+  test("rolling_hash distinguishes different texts, stable for same") {
+    val hs = docs.select(rolling_hash(col("text"))).collect().map(_.getLong(0))
+    assert(hs.distinct.length === 3)
+    val hs2 = docs.select(rolling_hash(col("text"))).collect().map(_.getLong(0))
+    assert(hs.sameElements(hs2))
+  }
+}

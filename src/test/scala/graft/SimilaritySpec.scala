@@ -1,0 +1,35 @@
+package graft
+
+import graft.ext.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force kNN: 3 neighbors per query, no self-matches") {
+    val rows = Similarity.knnBruteForce(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 3)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(Array(1L, 2L, 3L)))
+    }
+  }
+
+  test("LSH kNN structure: ≤3 neighbors per query, no self-matches") {
+    val rows = Similarity.knnLsh(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+  }
+
+  test("LSH recall against brute force is nontrivial") {
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.knnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"LSH recall@3 = $recall%.2f")
+    assert(recall > 0.1, f"recall $recall too low — LSH bucketing broken?")
+  }
+}
