@@ -1,0 +1,142 @@
+package graft
+
+import java.io.{BufferedWriter, OutputStreamWriter, FileOutputStream}
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import graft.catalog.{Catalog, Configuration}
+import graft.ops.Compare
+import graft.parity.Scorecard
+
+/** End-to-end reference-parity test mirroring the reference's DataTest
+  * shape (load → global temp view → 3 queries → ORC tables → read back →
+  * schema + golden asserts) on a synthetic Scorecard fixture
+  * (FIXTURES.md §A: 9 contract columns + extras, literal "NULL" sentinel,
+  * gzip). */
+class ScorecardParitySpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val conf = Configuration(
+    inputDatabase = "global_temp",
+    inputTable = "college_scorecard",
+    outputDatabase = "paritydb",
+    mostExpensiveTable = "most_expensive",
+    highestDebtTable = "highest_debt",
+    completionRateTable = "completion_rate")
+
+  private lazy val csvPath: String = {
+    val f = java.io.File.createTempFile("scorecard", ".csv.gz")
+    f.deleteOnExit()
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(f)), "UTF-8"))
+    // Extra leading/trailing columns prove projection pruning; "NULL"
+    // sentinel exercises nullValue handling.
+    w.write("JUNK1,UNITID,OPEID,INSTNM,CITY,STABBR,COSTT4_A,DEBT_MDN,C100_4,C150_4,JUNK2\n")
+    val rows = Seq(
+      "x,100,1001,Alpha College,Austin,TX,30000,15000,0.5,0.6,y",
+      "x,101,1002,Beta College,Austin,TX,20000,25000,0.3,0.4,y",
+      "x,102,1003,Gamma College,Dallas,TX,40000,NULL,0.7,0.8,y",
+      "x,103,1004,Delta College,Dallas,TX,NULL,12000,0.9,0.9,y",
+      "x,104,1005,Epsilon College,Houston,TX,25000,18000,NULL,0.5,y",
+      "x,105,1006,Zeta College,Providence,RI,50000,30000,0.8,0.85,y",
+      "x,106,1007,Eta College,Providence,RI,52000,31000,0.6,0.7,y",
+      "x,107,1008,Theta College,Boston,MA,48000,29000,0.55,0.65,y",
+      "x,108,1009,Iota College,Burlington,VT,47000,28000,0.45,0.5,y")
+    rows.foreach { r => w.write(r); w.write("\n") }
+    w.close()
+    f.getAbsolutePath
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val df = Scorecard.loadScorecardData(spark, csvPath)
+    Catalog.registerGlobalView(df, conf.inputTable, cache = true)
+    Catalog.createDatabase(spark, conf.outputDatabase)
+    Catalog.createOrcTable(spark, s"paritydb.most_expensive",
+      "STABBR STRING, COSTT4_A_MEAN DOUBLE")
+    Catalog.createOrcTable(spark, s"paritydb.highest_debt",
+      "UNITID INT, OPEID INT, INSTNM STRING, CITY STRING, STABBR STRING, DEBT_MDN DOUBLE")
+    Catalog.createOrcTable(spark, s"paritydb.completion_rate",
+      "CITY STRING, C100_4_MEAN DOUBLE, C100_4_STDDEV DOUBLE, COUNT BIGINT")
+  }
+
+  test("loader pins the 9-column contract schema (projection + casts)") {
+    val df = Scorecard.loadScorecardData(spark, csvPath)
+    val expected = StructType(Seq(
+      StructField("UNITID", IntegerType, true),
+      StructField("OPEID", IntegerType, true),
+      StructField("INSTNM", StringType, true),
+      StructField("CITY", StringType, true),
+      StructField("STABBR", StringType, true),
+      StructField("COSTT4_A", IntegerType, true),
+      StructField("DEBT_MDN", DoubleType, true),
+      StructField("C100_4", DoubleType, true),
+      StructField("C150_4", DoubleType, true)))
+    assert(df.schema === expected)
+    assert(df.count() === 9)
+    // "NULL" sentinel parsed to SQL NULL
+    assert(df.filter("COSTT4_A IS NULL").count() === 1)
+    assert(df.filter("DEBT_MDN IS NULL").count() === 1)
+  }
+
+  test("Q1 five most expensive states writes correct ORC golden") {
+    import SparkSpec.spark.implicits._
+    val result = Scorecard.fiveMostExpensiveStates(spark, conf)
+    assert(result.isSuccess, result)
+    val got = spark.sql("select * from paritydb.most_expensive")
+    val expected = Seq(
+      ("RI", 51000.0), ("MA", 48000.0), ("VT", 47000.0), ("TX", 28750.0))
+      .toDF("STABBR", "COSTT4_A_MEAN")
+    assert(Compare.setEqual(
+      Compare.roundCols(got, Seq("COSTT4_A_MEAN"), 2),
+      Compare.roundCols(expected, Seq("COSTT4_A_MEAN"), 2)))
+    assert(got.count() === 4) // only 4 states exist in fixture
+  }
+
+  test("Q2 highest-debt TX colleges: filter, cast, topk, positional insert") {
+    import SparkSpec.spark.implicits._
+    val result = Scorecard.fiveTexasCollegesWithHighestMedianDebt(spark, conf)
+    assert(result.isSuccess, result)
+    val got = spark.sql("select * from paritydb.highest_debt")
+    assert(got.count() === 4) // 5 TX rows, 1 has NULL debt
+    val expected = Seq(
+      (101, 1002, "Beta College", "Austin", "TX", 25000.0),
+      (104, 1005, "Epsilon College", "Houston", "TX", 18000.0),
+      (100, 1001, "Alpha College", "Austin", "TX", 15000.0),
+      (103, 1004, "Delta College", "Dallas", "TX", 12000.0))
+      .toDF("UNITID", "OPEID", "INSTNM", "CITY", "STABBR", "DEBT_MDN")
+    assert(Compare.setEqual(got, expected))
+  }
+
+  test("Q3 completion-rate stats: stddev_samp + HAVING count>1") {
+    import SparkSpec.spark.implicits._
+    val result = Scorecard.completionRateStatsInTexasByCity(spark, conf)
+    assert(result.isSuccess, result)
+    val got = spark.sql("select * from paritydb.completion_rate")
+    // Austin: mean(0.5,0.3)=0.4 stddev=0.1414; Dallas: mean(0.7,0.9)=0.8
+    // stddev=0.1414; Houston has 1 non-null row → dropped by HAVING
+    val expected = Seq(
+      ("Dallas", 0.8, 0.14, 2L), ("Austin", 0.4, 0.14, 2L))
+      .toDF("CITY", "C100_4_MEAN", "C100_4_STDDEV", "COUNT")
+    assert(Compare.setEqual(
+      Compare.roundCols(got, Seq("C100_4_MEAN", "C100_4_STDDEV"), 2),
+      expected))
+  }
+
+  test("saveAsTable partitioned ORC + read-back") {
+    val df = Scorecard.loadScorecardData(spark, csvPath)
+    Catalog.saveAsOrcTable(df.filter("STABBR IS NOT NULL"),
+      "paritydb.scorecard_by_state", partitionBy = Seq("STABBR"))
+    val back = spark.table("paritydb.scorecard_by_state")
+    assert(back.count() === 9)
+    // partition pruning works through the catalog
+    assert(back.filter("STABBR = 'TX'").count() === 5)
+  }
+
+  test("insertInto width mismatch is rejected, not silently misbound") {
+    val bad = spark.sql("select 'x' as a")
+    val e = intercept[IllegalArgumentException] {
+      Catalog.insertIntoOrc(bad, "paritydb.most_expensive")
+    }
+    assert(e.getMessage.contains("columns"))
+  }
+}

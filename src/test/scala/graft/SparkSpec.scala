@@ -7,12 +7,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * the whole suite too — SparkEnvironment.scala:6-19). */
 object SparkSpec {
   lazy val spark: SparkSession = {
+    // Hive-enabled like the reference harness (SparkEnvironment.scala:6-19),
+    // but via the public builder on a temp warehouse + Derby metastore
+    // instead of Spark-internal TestHiveContext (SURVEY.md §7.5).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-test").toFile
+    System.setProperty("derby.system.home", tmp.getAbsolutePath)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$tmp/metastore_db;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
