@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.Core
-import graft.ext.{Dedup, Similarity, Text}
+import graft.ext.{Dedup, Multimodal, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the query registries of each operator-family module. */
@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries ++ Similarity.queries ++ Text.queries ++ Dedup.queries
+    Core.queries ++ Similarity.queries ++ Text.queries ++ Dedup.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Core.oracles ++ Similarity.oracles ++ Text.oracles ++ Dedup.oracles
+    Core.oracles ++ Similarity.oracles ++ Text.oracles ++ Dedup.oracles ++
+      Multimodal.oracles
 }

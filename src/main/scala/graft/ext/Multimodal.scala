@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Multimodal-column plumbing — north-star extension (SURVEY.md §7.4).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata
+  * alongside; decode/feature-extraction runs as a *batched* per-partition
+  * pass over the binary column (the Scala analogue of `mapInPandas`: one
+  * iterator per partition, vectorizable batch work inside, no per-row
+  * driver involvement).
+  *
+  * The actual codecs (image/audio/video) are NOT in this container, so
+  * [[MediaCodec.decodeStub]] is a clearly-marked deterministic stand-in;
+  * everything around it — schema, binary column handling, partition-local
+  * batching, feature array shape, frame-sampling explode — is real and
+  * tested. Swapping in a real codec touches only the stub body.
+  *
+  * Scale: content bytes stay columnar until the decode pass; partition
+  * counts carry through (no repartition); features are fixed-width
+  * `array<float>` feeding directly into [[Similarity]] operators.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String,
+      width: Int, height: Int, n_frames: Int, feature: Array[Float])
+
+  /** A media table synthesized over the corpus: document text bytes stand
+    * in for the media payload (the harness ships no real binaries). */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("content"))
+
+  /** STUB — deterministic fake decode in place of a real codec.
+    * Real implementation would parse the container format; the fake
+    * derives metadata and a 16-dim feature vector from the bytes alone,
+    * so results are reproducible and schema-faithful. */
+  object MediaCodec {
+    val FeatureDim = 16
+
+    def decodeStub(mediaType: String, content: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val n = content.length
+      val width  = n % 640 + 1
+      val height = (n * 7) % 480 + 1
+      val frames = mediaType match {
+        case "video" => n % 300 + 1
+        case "audio" => n % 16000 + 1
+        case _       => 1
+      }
+      val feat = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < n) {
+        feat(i % FeatureDim) += (content(i) & 0xff) / 255.0f
+        i += 1
+      }
+      (width, height, frames, feat)
+    }
+  }
+
+  /** Batched per-partition decode + feature extraction (mapInPandas
+    * analogue). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, f, feat) = MediaCodec.decodeStub(r.media_type, r.content)
+        MediaFeatures(r.doc_id, r.media_type, w, h, f, feat)
+      }
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame index (every `stride`-th
+    * frame) — the explode pattern used to fan a video row out to
+    * per-frame work items. */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame =
+    features.toDF()
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          lit(stride))).as("frame_idx"))
+
+  /** q26 — media metadata summary (oracle-able: the fake decode's
+    * width/height arithmetic is pure SQL on byte length). */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("media_type"),
+        length(col("content")).cast("long").as("n_bytes"),
+        (length(col("content")) % 640 + 1).cast("long").as("width"),
+        (length(col("content")) * 7 % 480 + 1).cast("long").as("height"))
+      .orderBy(col("doc_id"))
+
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(length(text) % 640 + 1 AS BIGINT) AS width,
+      |  CAST(length(text) * 7 % 480 + 1 AS BIGINT) AS height
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_media_meta" -> (mediaMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q26_media_meta" -> mediaMetaSql)
+}

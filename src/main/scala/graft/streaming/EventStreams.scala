@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.Det
+
+/** Structured Streaming operators over the `events` schema — the streaming
+  * twins of the batch queries q15 (tumbling window) and q16 (sessionize).
+  *
+  * The reference is strictly batch (SURVEY.md §2.9) — this is north-star
+  * extension surface. Design for scale: state is bounded by watermarks
+  * (late data beyond 10 min is dropped, state for closed windows/sessions
+  * is reclaimed), grouping is by user/window key so state shards across
+  * executors, and output is append-mode so downstream sinks see each
+  * result exactly once.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** State-store record for one user's in-progress session (public:
+    * Spark's bean/product encoder requires an accessible constructor). */
+  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+
+  /** File-based event stream with the micro-timestamp schema produced by
+    * [[graft.tables.Tables.events]] (one parquet dir, new files = new
+    * micro-batches). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE"
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 10-minute watermark —
+    * streaming twin of Core.q15Tumbling. Append mode: a window emits once
+    * its end passes the watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with explicit state — streaming twin of
+    * Core.q16Sessionize. One OpenSession per active user in the state
+    * store; event-time timeout closes sessions when the watermark passes
+    * session_end + gap. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, new Timestamp(s.startMs),
+          new Timestamp(s.endMs), s.n))
+      }
+      val sorted = batch.toArray.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var open = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open = open match {
+          case Some(s) if t - s.endMs <= gapMs =>
+            Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= Session(userId, new Timestamp(s.startMs),
+              new Timestamp(s.endMs), s.n)
+            Some(OpenSession(t, t, 1))
+          case None => Some(OpenSession(t, t, 1))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.endMs + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.tables.Tables
+
+/** Streaming twins verified against their batch equivalents: the same
+  * events through readStream + memory sink must reproduce the batch
+  * window/session results (modulo open sessions, which a far-future flush
+  * batch closes). */
+class StreamingSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-events").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming windowed counts match batch q15 after full drain") {
+    val q = EventStreams.windowedCounts(
+      EventStreams.readEventStream(spark, eventsDir))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode holds back windows not yet past the watermark; the
+      // final windows stay open → compare the emitted (closed) subset
+      val streamed = spark.table("win_out")
+        .select("hour_start", "event_type", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.queries.Core.q15Tumbling(spark, sf)
+        .select("hour_start", "event_type", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed.subsetOf(batch))
+      assert(streamed.nonEmpty, "no windows emitted — watermark never advanced?")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization matches batch q16 session count") {
+    val flushDir = eventsDir // second file into the same stream dir
+    val q = EventStreams.sessionize(
+      EventStreams.readEventStream(spark, eventsDir)
+        .as[EventStreams.Event])
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // flush batch: one far-future event per user closes all sessions
+      val users = Tables.events(spark, sf).select("user_id").distinct()
+        .as[Long].collect()
+      import java.sql.Timestamp
+      val far = new Timestamp(4102444800000L) // 2100-01-01
+      users.map(u => (1000000L + u, far, u, "flush", 0.0)).toSeq
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(flushDir)
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_out")
+        .filter(col("session_start") < lit("2090-01-01").cast("timestamp"))
+      val batch = graft.queries.Core.q16Sessionize(spark, sf)
+      assert(streamed.count() === batch.count())
+      val sTotal = streamed.agg(sum("n_events")).collect()(0).getLong(0)
+      val bTotal = batch.agg(sum("n_events")).collect()(0).getLong(0)
+      assert(sTotal === bTotal)
+    } finally q.stop()
+  }
+}
