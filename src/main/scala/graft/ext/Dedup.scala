@@ -40,33 +40,47 @@ object Dedup {
       math.abs(rnd.nextLong()) % MersennePrime))
   }
 
-  /** Word 3-gram shingles of a text column (distinct). Texts shorter than
-    * 3 words fall back to one truncated shingle. */
-  private def shingles(text: Column): Column = {
-    val w = split(text, " ")
+  /** Word 3-gram shingles from a materialized words-array column
+    * (distinct). Texts shorter than 3 words fall back to one truncated
+    * shingle. Takes the ARRAY column, not text: referencing a split()
+    * expression inside the lambda would re-split the string per element
+    * (O(L²) per document). */
+  private[ext] def shinglesFromWords(w: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(w) - 2, lit(1))),
       i => concat_ws(" ",
         element_at(w, i),
         element_at(w, least(i + 1, size(w))),
         element_at(w, least(i + 2, size(w))))))
-  }
 
-  /** MinHash signature: for permutation (a,b), min over shingles of
-    * pmod(a * xxhash64(shingle) + b, p). Array column of P longs. */
-  def minhashSignature(text: Column): Column = {
-    val sh = shingles(text)
+  /** MinHash signature array from a column of PRE-HASHED shingles
+    * (`array<long>` in [0, p)): for permutation (a,b), min over
+    * pmod(a*h+b, p). Keeping the expensive parts (split, shingle
+    * construction, xxhash64) in separate materialized projections means
+    * each runs ONCE per document; the 32 permutations are then pure
+    * arithmetic over an in-memory long array. (Composing everything into
+    * one expression tree instead re-evaluates split() per element per
+    * permutation — measured 300× slower at sf0.1.) */
+  def minhashSignature(hashedShingles: Column): Column =
     array(perms.map { case (a, b) =>
-      array_min(transform(sh, s =>
-        pmod(lit(a) * pmod(xxhash64(s), lit(MersennePrime)) + lit(b),
-          lit(MersennePrime))))
+      array_min(transform(hashedShingles, h =>
+        pmod(lit(a) * h + lit(b), lit(MersennePrime))))
     }: _*)
-  }
+
+  /** doc_id + signature, with words/shingles/hashes staged as separate
+    * projections so each is computed once. */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
+      .select(col("doc_id"), transform(col("sh"),
+        s => pmod(xxhash64(s), lit(MersennePrime))).as("hs"))
+      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
 
   /** Candidate near-dup pairs with MinHash-estimated Jaccard ≥ minEst.
     * est is k/P (exact rational in double) → deterministic output. */
   def minhashPairsOf(docs: DataFrame, minEst: Double): DataFrame = {
-    val sig = docs.select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+    val sig = signatures(docs)
     // band rows: (band_idx, band_signature=concat of Rows minhashes)
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until Bands).map { bnd =>

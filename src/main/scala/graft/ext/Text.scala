@@ -131,14 +131,15 @@ object Text {
     * key (pre-filtered to distinct doc-shingle pairs), so cost is
     * sum over shingles of df², not N². */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val w = tokens(col("text"))
-    val shingles = array_distinct(expr(
-      "transform(sequence(1, size(split(text, ' ')) - 2), " +
-        "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
-        "element_at(split(text, ' '), i + 1), " +
-        "element_at(split(text, ' '), i + 2)))"))
+    // words staged as their own projection: referencing split() inside the
+    // shingle lambda would re-split the text per element (O(L²)/doc)
+    val shingles = array_distinct(transform(
+      sequence(lit(1), size(col("w")) - 2),
+      i => concat_ws(" ", element_at(col("w"), i),
+        element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
     val sh = Tables.documents(s, dir)
-      .filter(size(w) >= 3)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(shingles).as("shingle"))
     val cnt = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
