@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.Det
+import graft.tables.Tables
+
+/** Second operator wave: quantiles, full window-function suite, bag set
+  * ops, pivot, as-of join, range join, JSON extraction, CUBE, and the
+  * pure-SQL interface — breadth the reference lacks but an engine
+  * claiming its capabilities plus north-star scale needs.
+  *
+  * Determinism rules as in [[Core]]: decimal-exact sums, integer-valued
+  * quantile inputs (interpolation at .25/.5/.75 between integers is exact
+  * in IEEE double → engine-independent), epoch-microsecond longs for time
+  * arithmetic. */
+object Advanced {
+
+  /** q27 — exact quantiles per group. l_quantity is integer-valued, so
+    * (1-d)*a + d*b at d ∈ {.25,.5,.75} is exact in both engines. */
+  def q27Quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("q25"),
+        percentile(col("l_quantity"), lit(0.5)).as("q50"),
+        percentile(col("l_quantity"), lit(0.75)).as("q75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q27Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.50) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q28 — window-function suite over orders per customer: rank,
+    * dense_rank, ntile, lag, lead, running decimal-exact sum. One shuffle
+    * on o_custkey serves every window (same partitioning + ordering). */
+  def q28WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(run)
+          .cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  val q28Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  /** q29 — bag-semantics set ops: customers' order-keys under 'F' status
+    * EXCEPT ALL under 'O' status (multiplicity-aware, unlike the
+    * reference's set-semantics idiom — SURVEY.md §5.3). */
+  def q29BagSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val f = o.filter("o_orderstatus == 'F'").select(col("o_custkey"))
+    val open = o.filter("o_orderstatus == 'O'").select(col("o_custkey"))
+    f.exceptAll(open)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("surplus"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q29Sql: String =
+    """SELECT o_custkey, count(*) AS surplus FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus == 'F'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus == 'O')
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q30 — pivot: orders per (year × status), statuses as columns.
+    * Explicit pivot values avoid the extra distinct-scan Spark otherwise
+    * runs to discover them (and keep the output schema static — required
+    * at scale and for the oracle). */
+  def q30Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_year"))
+
+  val q30Sql: String =
+    """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin
+
+  /** q31 — as-of join via running window (the scalable formulation: one
+    * shuffle+sort on user_id, no self-join row explosion): for each
+    * purchase event, the most recent prior-or-same signup of that user.
+    * Gap emitted as exact epoch-microsecond difference. */
+  def q31AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase" && col("signup_ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("signup_ts")))
+          .as("micros_since_signup"))
+      .orderBy(col("event_id"))
+  }
+
+  val q31Sql: String =
+    """SELECT event_id, user_id,
+      |  epoch_us(ts) - epoch_us(signup_ts) AS micros_since_signup
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS signup_ts
+      |  FROM events)
+      |WHERE event_type = 'purchase' AND signup_ts IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  /** q32 — range (interval) join: event pairs across users within 1 second
+    * of each other. Scalable form: bucket each event by epoch second and
+    * equi-join on adjacent buckets (explode ±1), then apply the exact
+    * range predicate — turns an O(N²) theta-join into a bucketed
+    * equi-join, the standard interval-join technique. */
+  def q32RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+    val a = e.select(col("event_id").as("a_id"), col("event_type").as("a_type"),
+      col("us").as("a_us"),
+      explode(array(
+        (col("us") / 1000000L).cast("long") - 1,
+        (col("us") / 1000000L).cast("long"),
+        (col("us") / 1000000L).cast("long") + 1)).as("bucket"))
+    val b = e.select(col("event_id").as("b_id"), col("event_type").as("b_type"),
+      col("us").as("b_us"),
+      (col("us") / 1000000L).cast("long").as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("a_us") - col("b_us")) <= 1000000L)
+      .dropDuplicates("a_id", "b_id")
+      .groupBy(col("a_type"), col("b_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("a_type"), col("b_type"))
+  }
+
+  val q32Sql: String =
+    """SELECT a.event_type AS a_type, b.event_type AS b_type,
+      |  count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.event_id < b.event_id
+      | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+      |GROUP BY 1, 2
+      |ORDER BY a_type, b_type""".stripMargin
+
+  /** q33 — JSON extraction from the props column: mean payload k per
+    * event type (exact long sum / count). */
+  def q33Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("k_sum"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("k_avg"))
+      .orderBy(col("event_type"))
+
+  val q33Sql: String =
+    """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
+      |  CAST(sum(k) AS DOUBLE) / count(k) AS k_avg
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q34 — CUBE grouping sets over order priority × status. */
+  def q34Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy(col("priority"), col("status"))
+
+  val q34Sql: String =
+    s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       |  coalesce(o_orderstatus, 'ALL') AS status,
+       |  count(*) AS n,
+       |  ${Det.sqlSum("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+       |ORDER BY priority, status""".stripMargin
+
+  /** q35 — the reference's name-based SQL interface (SURVEY.md §2.1 S2):
+    * register the corpus as views, run a multi-join aggregation as pure
+    * SQL text through spark.sql. */
+  def q35SqlInterface(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""SELECT n_name,
+         |  count(*) AS n_customers,
+         |  ${Det.sqlSum("c_acctbal")} AS total_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin)
+  }
+
+  val q35Sql: String =
+    s"""SELECT n_name, count(*) AS n_customers,
+       |  ${Det.sqlSum("c_acctbal")} AS total_acctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_quantiles"     -> (q27Quantiles _),
+    "q28_window_suite"  -> (q28WindowSuite _),
+    "q29_bag_setops"    -> (q29BagSetOps _),
+    "q30_pivot"         -> (q30Pivot _),
+    "q31_asof_join"     -> (q31AsofJoin _),
+    "q32_range_join"    -> (q32RangeJoin _),
+    "q33_json"          -> (q33Json _),
+    "q34_cube"          -> (q34Cube _),
+    "q35_sql_interface" -> (q35SqlInterface _))
+
+  val oracles: Map[String, String] = Map(
+    "q27_quantiles"     -> q27Sql,
+    "q28_window_suite"  -> q28Sql,
+    "q29_bag_setops"    -> q29Sql,
+    "q30_pivot"         -> q30Sql,
+    "q31_asof_join"     -> q31Sql,
+    "q32_range_join"    -> q32Sql,
+    "q33_json"          -> q33Sql,
+    "q34_cube"          -> q34Sql,
+    "q35_sql_interface" -> q35Sql)
+}
