@@ -46,21 +46,45 @@ object Similarity {
 
   /** q17 — exact kNN: top-3 cosine neighbors for query vectors vec_id<10.
     * Output is integer-only (ids + rank) so float ULP differences between
-    * engines cannot affect the hash compare. */
+    * engines cannot affect the hash compare.
+    *
+    * Top-k via [[graft.functions.TopK]] partial aggregation: each map task
+    * reduces its candidates to ≤k per query BEFORE the shuffle, so the
+    * exchange carries O(Q·k·partitions) rows — not the O(Q·N) a
+    * row_number window would shuffle ([[knnBruteForceWindow]] keeps the
+    * window formulation for comparison). */
   def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine_sim(col("q_emb"), col("embedding")).as("cos"))
+    val top = scoredPairs(s, dir)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(3)(col("neighbor_id"), col("cos"))
+        .as("top"))
+    top.select(col("query_id"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Window-ranking formulation of q17 (shuffles all scored pairs);
+    * retained as the semantic baseline the aggregator is tested against. */
+  def knnBruteForceWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    scoredPairs(s, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private def scoredPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine_sim(col("q_emb"), col("embedding")).as("cos"))
   }
 
   val knnBruteForceSql: String =

@@ -15,6 +15,14 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("top-k aggregator formulation equals window formulation exactly") {
+    val agg = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val win = Similarity.knnBruteForceWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(agg === win)
+  }
+
   test("LSH kNN structure: ≤3 neighbors per query, no self-matches") {
     val rows = Similarity.knnLsh(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
