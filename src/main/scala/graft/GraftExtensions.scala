@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, LangId, RollingHash, SimHash}
+
+/** Session-build-time registration of the engine's custom Catalyst
+  * expressions (the `SparkSessionExtensions` integration point — SURVEY.md
+  * §7.4 build plan):
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * Unlike the per-session `*Functions.register` helpers, extension-injected
+  * functions exist in every session derived from the builder — the right
+  * mechanism when the engine is deployed as a library on a shared cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, usage: String,
+      builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      builder)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(fn("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float arrays",
+      es => CosineSimilarity(es(0), es(1))))
+    e.injectFunction(fn("dot_product",
+      "dot_product(a, b) - dot product of two float arrays",
+      es => DotProduct(es(0), es(1))))
+    e.injectFunction(fn("rolling_hash",
+      "rolling_hash(s) - 61-bit polynomial content fingerprint",
+      es => RollingHash(es.head)))
+    e.injectFunction(fn("simhash64",
+      "simhash64(s) - 64-bit SimHash near-dup fingerprint",
+      es => SimHash(es.head)))
+    e.injectFunction(fn("lang_id",
+      "lang_id(s) - stopword-profile language identification",
+      es => LangId(es.head)))
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Advanced, Core, Sketches}
+import graft.queries.{Advanced, Core, Sketches, Subqueries}
 import graft.ext.{Dedup, Multimodal, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,13 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Advanced.queries ++ Sketches.queries ++
-      Similarity.queries ++ Text.queries ++ Dedup.queries ++
-      Multimodal.queries
+      Subqueries.queries ++ Similarity.queries ++ Text.queries ++
+      Dedup.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Advanced.oracles ++ Sketches.oracles ++
-      Similarity.oracles ++ Text.oracles ++ Dedup.oracles ++
-      Multimodal.oracles
+      Subqueries.oracles ++ Similarity.oracles ++ Text.oracles ++
+      Dedup.oracles ++ Multimodal.oracles
 }

@@ -7,10 +7,13 @@ import graft.tables.Tables
 class CoreQueriesSpec extends SparkSpec {
 
   test("every registered query runs and q-with-oracle returns rows") {
+    // legitimately empty at sf0.001: q22 has no duplicate docs; q39 has
+    // ≤1 supplier per nation (none above own-nation average)
+    val mayBeEmpty = Set("q22_exact_dedup", "q39_corr_subquery")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")
-      if (SparkEntry.oracleSql.contains(name) && name != "q22_exact_dedup")
+      if (SparkEntry.oracleSql.contains(name) && !mayBeEmpty(name))
         assert(n > 0, s"$name returned no rows")
     }
   }
