@@ -20,14 +20,14 @@ object Subqueries {
     s.sql(
       """SELECT p_partkey, p_brand, p_retailprice
         |FROM part
-        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.5
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin)
   }
 
   val q38Sql: String =
     """SELECT p_partkey, p_brand, p_retailprice
       |FROM part
-      |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.5
+      |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
       |ORDER BY p_partkey""".stripMargin
 
   /** q39 — correlated subquery: suppliers with above-nation-average
