@@ -184,7 +184,34 @@ object Text {
       |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.12
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** q43 — BPE-ish regex token counting: subword-flavored segmentation
+    * (letter runs, digit runs, single punctuation — the GPT-2 pre-tokenizer
+    * shape) via regexp_extract_all. Same RE2-compatible pattern runs in
+    * both engines. */
+  def regexTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_subword_tokens"),
+        max(col("n_tok")).as("max_subword_tokens"))
+      .orderBy(col("lang"))
+
+  val regexTokensSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+      |    AS total_subword_tokens,
+      |  CAST(max(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+      |    AS max_subword_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_regex_tokens"  -> (regexTokens _),
     "q19_token_stats"   -> (tokenStats _),
     "q20_term_freq"     -> (termFrequency _),
     "q21_quality_stats" -> (qualityStats _),
@@ -192,6 +219,7 @@ object Text {
     "q23_ngram_jaccard" -> (ngramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "q43_regex_tokens"  -> regexTokensSql,
     "q19_token_stats"   -> tokenStatsSql,
     "q20_term_freq"     -> termFrequencySql,
     "q21_quality_stats" -> qualityStatsSql,
