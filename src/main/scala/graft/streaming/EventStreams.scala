@@ -48,6 +48,21 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: watermark-bounded dropDuplicates on event_id —
+    * the streaming twin of md5/fingerprint dedup. State holds only ids
+    * within the watermark horizon (old ids are evicted), so memory is
+    * bounded no matter how long the stream runs. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * static dimension (broadcast per batch — no stream-side state). */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"),
+      "left_outer")
+
   /** Gap-based sessionization with explicit state — streaming twin of
     * Core.q16Sessionize. One OpenSession per active user in the state
     * store; event-time timeout closes sessions when the watermark passes

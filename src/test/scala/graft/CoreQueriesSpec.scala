@@ -58,6 +58,32 @@ class CoreQueriesSpec extends SparkSpec {
     assert(grand(0).getAs[Long]("n") === n)
   }
 
+  test("unionByName aligns schemas by name, not position") {
+    import SparkSpec.spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "tag")
+    val b = Seq(("y", 2L)).toDF("tag", "id") // reversed column order
+    val u = a.unionByName(b).orderBy("id").collect()
+    assert(u.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("sortWithinPartitions orders locally without a global exchange") {
+    val df = Tables.lineitem(spark, sf)
+      .repartition(4, col("l_returnflag"))
+      .sortWithinPartitions(col("l_quantity"))
+    // no range-exchange (global sort) in the plan — only the hash repartition
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+    // each partition is locally sorted
+    import SparkSpec.spark.implicits._
+    val ok = df.select(col("l_quantity"))
+      .mapPartitions { it =>
+        val xs = it.map(_.getDouble(0)).toArray
+        Iterator.single(xs.sameElements(xs.sorted))
+      }.collect()
+    assert(ok.forall(identity))
+  }
+
   test("q16 sessions partition all events") {
     val total = Core.q16Sessionize(spark, sf)
       .agg(sum(col("n_events"))).collect()(0).getLong(0)

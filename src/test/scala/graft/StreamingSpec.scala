@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    // stream the same file dir twice would re-read identical event_ids only
+    // if files differed; instead duplicate rows inside one batch
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val base = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").limit(100)
+    base.union(base).coalesce(1).write.mode("overwrite").parquet(dupDir)
+    val q = EventStreams.dedupStream(
+      EventStreams.readEventStream(spark, dupDir))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 100)
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join attaches dimension values") {
+    val dim = Tables.events(spark, sf).select("user_id").distinct()
+      .withColumn("tier", col("user_id") % 3)
+    val q = EventStreams.enrich(
+      EventStreams.readEventStream(spark, eventsDir), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+      assert(out.count() === Tables.events(spark, sf).count())
+      assert(out.filter(col("tier").isNull).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming sessionization matches batch q16 session count") {
     val flushDir = eventsDir // second file into the same stream dir
     val q = EventStreams.sessionize(
