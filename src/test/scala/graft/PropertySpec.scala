@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions.col
+import graft.ext.Dedup
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.ops.Det
+
+/** Property-style tests over scalacheck generators (no scalatestplus
+  * bridge in the offline deps — generators sampled with fixed seeds, so
+  * runs are deterministic). */
+class PropertySpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  private val wordGen = Gen.oneOf((1 to 40).map(i => s"tok$i"))
+  private val docGen: Gen[String] =
+    Gen.chooseNum(20, 80).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+
+  test("minhash estimate tracks true shingle Jaccard (±0.3)") {
+    (1 to 8).foreach { i =>
+      val doc = sample(docGen, i)
+      val edits = sample(Gen.chooseNum(0, 10), i + 100)
+      val words = doc.split(" ")
+      val mutated = words.zipWithIndex.map { case (w, j) =>
+        if (j < edits) s"mut$j" else w
+      }.mkString(" ")
+      def sh(s: String) = {
+        val w = s.split(" ")
+        (1 to math.max(w.length - 2, 1)).map { k =>
+          Seq(w(k - 1), w(math.min(k, w.length - 1)),
+            w(math.min(k + 1, w.length - 1))).mkString(" ")
+        }.toSet
+      }
+      val (a, b) = (sh(doc), sh(mutated))
+      val trueJ = (a & b).size.toDouble / (a | b).size
+      val docs = Seq((0L, doc), (1L, mutated)).toDF("doc_id", "text")
+      val est = Dedup.minhashPairsOf(docs, 0.0).collect()
+        .headOption.map(_.getAs[Double]("est_jaccard")).getOrElse(0.0)
+      // banding can miss low-similarity pairs; assert only where a band
+      // collision is overwhelmingly likely
+      if (trueJ >= 0.4)
+        assert(math.abs(est - trueJ) <= 0.3,
+          s"seed $i: est $est vs true $trueJ (edits=$edits)")
+    }
+  }
+
+  test("simhash: identical text → identical fingerprint") {
+    (1 to 8).foreach { i =>
+      val doc = sample(docGen, i)
+      val fps = Seq((0L, doc), (1L, doc)).toDF("doc_id", "text")
+        .select(simhash64(col("text"))).collect().map(_.getLong(0))
+      assert(fps(0) === fps(1), s"seed $i")
+    }
+  }
+
+  test("cosine_sim is symmetric and in [-1, 1]") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    (1 to 10).foreach { i =>
+      val a = sample(vecGen, i).toArray
+      val b = sample(vecGen, i + 1000).toArray
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(cosine_sim(col("a"), col("b")).as("ab"),
+          cosine_sim(col("b"), col("a")).as("ba")).collect()(0)
+      val (ab, ba) = (r.getDouble(0), r.getDouble(1))
+      assert(ab === ba, s"seed $i")
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9, s"seed $i: $ab")
+    }
+  }
+
+  test("Det.dstddev matches built-in stddev_samp within 1e-9 relative") {
+    val li = graft.tables.Tables.lineitem(spark, sf)
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(Det.dstddev(col("l_quantity")).as("det"),
+        org.apache.spark.sql.functions.stddev_samp(col("l_quantity")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val (det, ref) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(det - ref) / ref < 1e-9, s"$det vs $ref")
+    }
+  }
+}
