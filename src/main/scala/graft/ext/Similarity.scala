@@ -140,9 +140,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** q44 — IVF-style ANN: k-means coarse quantizer (spark-mllib, fixed
+    * seed), vectors inverted-listed by nearest centroid, queries probe the
+    * `nprobe` nearest centroids and exact-rerank only those lists.
+    * At 100 TB: centroids are trained on a sample, the assignment pass is
+    * one map over the data, and the search touches ~nprobe/k of the
+    * corpus — the standard IVF trade (recall vs fraction scanned).
+    * No SQL oracle (k-means is engine-specific); SimilaritySpec bounds
+    * recall against [[knnBruteForce]]. */
+  def knnIvf(s: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 4, topK: Int = 3): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .fit(e.select(col("features")))
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"),
+        col("prediction").as("centroid"))
+
+    // queries probe their nprobe nearest centroids (distance to centroid
+    // computed driver-side: k centroids is tiny by construction)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val probeUdf = udf { (emb: Seq[Float]) =>
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) {
+          val diff = c(j) - emb(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probeUdf(col("embedding"))).as("centroid"))
+
+    val pairs = q.join(assigned, Seq("centroid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine_sim(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_knn_brute"  -> (knnBruteForce _),
-    "q18_knn_lsh"    -> ((s: SparkSession, d: String) => knnLsh(s, d)))
+    "q18_knn_lsh"    -> ((s: SparkSession, d: String) => knnLsh(s, d)),
+    "q44_knn_ivf"    -> ((s: SparkSession, d: String) => knnIvf(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q17_knn_brute" -> knnBruteForceSql)

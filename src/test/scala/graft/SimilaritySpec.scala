@@ -31,6 +31,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF kNN: structure valid and recall beats random scanning") {
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(spark, sf).collect()
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@3 (nprobe=4/16) = $recall%.2f")
+    assert(recall > 0.25, f"recall $recall too low — IVF probing broken?")
+  }
+
   test("LSH recall against brute force is nontrivial") {
     val exact = Similarity.knnBruteForce(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
