@@ -78,6 +78,38 @@ class ScorecardParitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(df.filter("DEBT_MDN IS NULL").count() === 1)
   }
 
+  test("explicit-schema load skips inference and pins types exactly") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("JUNK1", StringType), StructField("UNITID", IntegerType),
+      StructField("OPEID", IntegerType), StructField("INSTNM", StringType),
+      StructField("CITY", StringType), StructField("STABBR", StringType),
+      StructField("COSTT4_A", IntegerType), StructField("DEBT_MDN", DoubleType),
+      StructField("C100_4", DoubleType), StructField("C150_4", DoubleType),
+      StructField("JUNK2", StringType)))
+    val df = graft.io.CsvLoader.load(spark, csvPath, schema = Some(schema))
+    assert(df.schema("DEBT_MDN").dataType === DoubleType)
+    assert(df.count() === 9)
+    // same rows as the inferred path
+    val inferred = Scorecard.loadScorecardData(spark, csvPath)
+    val pinned = graft.io.CsvLoader.project(df,
+      inferred.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq)
+    assert(graft.ops.Compare.bagEqual(pinned, inferred))
+  }
+
+  test("ANSI cast errors are explicit; try_cast opts into null semantics") {
+    import SparkSpec.spark.implicits._
+    val df = Seq("123", "not-a-number").toDF("s")
+    // ANSI on (Spark 4 default): invalid cast throws
+    assertThrows[Exception] {
+      df.selectExpr("CAST(s AS INT)").collect()
+    }
+    // try_cast: the reference-era silent-null behavior, now explicit
+    val r = df.selectExpr("TRY_CAST(s AS INT) AS i").collect()
+      .map(x => if (x.isNullAt(0)) None else Some(x.getInt(0)))
+    assert(r.toSeq === Seq(Some(123), None))
+  }
+
   test("Q1 five most expensive states writes correct ORC golden") {
     import SparkSpec.spark.implicits._
     val result = Scorecard.fiveMostExpensiveStates(spark, conf)
