@@ -137,10 +137,13 @@ object Text {
       sequence(lit(1), size(col("w")) - 2),
       i => concat_ws(" ", element_at(col("w"), i),
         element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+    // cached: the shingle relation feeds three consumers (two join sides
+    // + per-doc counts); without cache Spark recomputes the explode 3×
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(shingles).as("shingle"))
+      .cache()
     val cnt = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("a_id"), col("shingle"))

@@ -54,6 +54,8 @@ object Advanced {
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"),
         ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).over(run)
@@ -66,6 +68,8 @@ object Advanced {
       |  CAST(rank() OVER w AS BIGINT) AS rnk,
       |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
       |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist,
       |  lag(o_totalprice, 1) OVER w AS prev_price,
       |  lead(o_totalprice, 1) OVER w AS next_price,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

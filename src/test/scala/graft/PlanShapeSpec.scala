@@ -1,0 +1,38 @@
+package graft
+
+import graft.queries.Core
+import graft.ext.Similarity
+
+/** Regression locks on the perf-critical physical-plan shapes — a query
+  * can silently keep producing right answers while its plan degrades;
+  * these assertions catch that (the .explain audit, automated). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+
+  test("q01: shipdate predicate and column pruning reach the parquet scan") {
+    val p = plan(Core.q01Pricing(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // 6 needed columns only — never the full 11-column lineitem schema
+    assert(!p.contains("l_orderkey"), s"scan reads unneeded columns:\n$p")
+  }
+
+  test("q02: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan(Core.q02TopOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q05: dimension chain joins are broadcast, fact side not shuffled for the join") {
+    val p = plan(Core.q05RegionStats(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
+  }
+
+  test("q17: kNN aggregates partially before the exchange (no window shuffle of all pairs)") {
+    val p = plan(Similarity.knnBruteForce(spark, sf))
+    assert(p.contains("partial_topkaggregator") || p.contains("ObjectHashAggregate"),
+      s"expected partial top-k aggregation:\n$p")
+    assert(!p.contains("Window"), s"window ranking reappeared:\n$p")
+  }
+}

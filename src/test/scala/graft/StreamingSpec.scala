@@ -72,6 +72,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed stream restarts exactly-once (no dupes, no loss)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(col("event_id") < 500).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+
+    def start() = EventStreams.readEventStream(spark, srcDir)
+      .groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ckpt_out")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // second batch arrives while the query is down
+    ev.filter(col("event_id") >= 500).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("ckpt_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = Tables.events(spark, sf).groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch,
+        s"restart lost or duplicated events: $streamed vs $batch")
+    } finally q2.stop()
+  }
+
   test("streaming sessionization matches batch q16 session count") {
     val flushDir = eventsDir // second file into the same stream dir
     val q = EventStreams.sessionize(
