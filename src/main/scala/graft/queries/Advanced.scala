@@ -253,7 +253,35 @@ object Advanced {
        |GROUP BY n_name
        |ORDER BY n_name""".stripMargin
 
+  /** q45 — array/string function breadth over documents: slice,
+    * array_join, reverse, sorted distinct tokens. Array outputs are
+    * flattened to strings so the comparison stays engine-exact. */
+  def q45ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        array_join(slice(col("w"), 1, 3), "-").as("first3"),
+        array_join(slice(col("w"), -2, 2), "-").as("last2"),
+        reverse(array_join(slice(col("w"), 1, 2), " ")).as("rev2"),
+        array_join(array_sort(array_distinct(slice(col("w"), 1, 10))), ",")
+          .as("sorted_distinct_10"),
+        size(col("w")).cast("long").as("n"))
+      .orderBy(col("doc_id"))
+
+  val q45Sql: String =
+    """SELECT doc_id,
+      |  array_to_string(w[1:3], '-') AS first3,
+      |  array_to_string(w[-2:], '-') AS last2,
+      |  reverse(array_to_string(w[1:2], ' ')) AS rev2,
+      |  array_to_string(list_sort(list_distinct(w[1:10])), ',')
+      |    AS sorted_distinct_10,
+      |  CAST(len(w) AS BIGINT) AS n
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_array_funcs"   -> (q45ArrayFuncs _),
     "q27_quantiles"     -> (q27Quantiles _),
     "q28_window_suite"  -> (q28WindowSuite _),
     "q29_bag_setops"    -> (q29BagSetOps _),
@@ -265,6 +293,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q45_array_funcs"   -> q45Sql,
     "q27_quantiles"     -> q27Sql,
     "q28_window_suite"  -> q28Sql,
     "q29_bag_setops"    -> q29Sql,

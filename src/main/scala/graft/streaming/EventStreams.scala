@@ -63,6 +63,28 @@ object EventStreams {
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"),
       "left_outer")
 
+  /** Stream-stream join: purchases matched to the same user's signups
+    * within one hour before the purchase. Both sides watermarked + an
+    * event-time range bound in the join condition — the two requirements
+    * that let Spark evict join state (without them, state grows forever;
+    * with them, each side buffers only the watermark horizon). */
+  def purchasesWithRecentSignup(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_id"),
+        col("s_ts"))
+  }
+
   /** Gap-based sessionization with explicit state — streaming twin of
     * Core.q16Sessionize. One OpenSession per active user in the state
     * store; event-time timeout closes sessions when the watermark passes

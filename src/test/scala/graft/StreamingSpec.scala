@@ -72,6 +72,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches the equivalent batch join") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.purchasesWithRecentSignup(stream)
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join_out")
+        .select("p_id", "s_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = Tables.events(spark, sf)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val s = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"))
+      val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - org.apache.spark.sql.functions
+            .expr("INTERVAL 1 HOUR"))
+        .select("p_id", "s_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // append-mode holds back pairs inside the final watermark horizon
+      assert(streamed.subsetOf(batch))
+      assert(streamed.nonEmpty, "no joined pairs emitted")
+    } finally q.stop()
+  }
+
   test("checkpointed stream restarts exactly-once (no dupes, no loss)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
