@@ -63,6 +63,20 @@ object Multimodal {
     }
   }
 
+  /** STUB — deterministic fake resize: real implementation would rescale
+    * pixel data; the fake maps metadata through the same arithmetic a
+    * resampler would (aspect-preserving fit into maxDim), so downstream
+    * schema/logic is exercised faithfully. */
+  def resizeMeta(features: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+      f.copy(
+        width = math.max(1, math.round(f.width * scale).toInt),
+        height = math.max(1, math.round(f.height * scale).toInt))
+    }
+  }
+
   /** Batched per-partition decode + feature extraction (mapInPandas
     * analogue). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {

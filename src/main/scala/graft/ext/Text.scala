@@ -213,7 +213,33 @@ object Text {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** q46 — document fingerprints via the custom rolling-hash and SimHash
+    * expressions (rows-only: the hashes are Spark-native; determinism is
+    * covered by DedupSpec/PropertySpec). */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{rolling_hash, simhash64}
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rolling_hash(col("text")).as("roll_fp"),
+        simhash64(col("text")).as("sim_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q47 — heuristic language-ID vs the labeled lang column: confusion
+    * counts (rows-only: LangId is a custom expression). On this synthetic
+    * corpus the text is English-ish for every label, so the value is the
+    * operator mechanics, not accuracy. */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.lang_id
+    Tables.documents(s, dir)
+      .select(col("lang").as("labeled"), lang_id(col("text")).as("predicted"))
+      .groupBy(col("labeled"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("labeled"), col("predicted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_fingerprints"  -> (fingerprints _),
+    "q47_langid"        -> (langIdConfusion _),
     "q43_regex_tokens"  -> (regexTokens _),
     "q19_token_stats"   -> (tokenStats _),
     "q20_term_freq"     -> (termFrequency _),

@@ -49,6 +49,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 
+  test("resize stub preserves aspect ratio within the max dimension") {
+    val feats = Multimodal.extractFeatures(media)
+    val resized = Multimodal.resizeMeta(feats, maxDim = 100).collect()
+    resized.foreach { f =>
+      assert(f.width <= 100 && f.height <= 100)
+      assert(f.width >= 1 && f.height >= 1)
+    }
+    // un-resized metadata unchanged for already-small media
+    val before = feats.collect().map(f => f.doc_id -> f).toMap
+    resized.filter(f => before(f.doc_id).width <= 100 &&
+      before(f.doc_id).height <= 100).foreach { f =>
+      assert(f.width === before(f.doc_id).width)
+      assert(f.height === before(f.doc_id).height)
+    }
+  }
+
   test("features feed the similarity operators (cosine over array<float>)") {
     import graft.functions.VectorFunctions.cosine_sim
     val feats = Multimodal.extractFeatures(media).toDF()
