@@ -107,6 +107,57 @@ object Dedup {
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOf(Tables.documents(s, dir), 0.5)
 
+  /** Engine-portable MinHash signature: shingle hash = first 8 hex chars
+    * of md5 parsed as an integer — identical in Spark
+    * (`conv(substr(md5(s),1,8),16,10)`) and DuckDB
+    * (`('0x'||substr(md5(s),1,8))::BIGINT`) — then the same affine
+    * permutations. Lets the driver's DuckDB oracle verify the ENTIRE
+    * minhash computation, not just row counts (q48). The xxhash64 variant
+    * above stays the production path (no md5 string cost). */
+  def portableSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s =>
+        pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"),
+          lit(MersennePrime))).as("hs"))
+      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
+
+  /** q48 — portable minhash signatures, flattened to CSV for exact
+    * cross-engine comparison. */
+  def minhashPortable(s: SparkSession, dir: String): DataFrame =
+    portableSignatures(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        array_join(transform(col("sig"), x => x.cast("string")), ",")
+          .as("sig_csv"))
+      .orderBy(col("doc_id"))
+
+  /** The DuckDB spelling of [[minhashPortable]], generated from the same
+    * permutation constants so both engines compute identical signatures. */
+  def minhashPortableSql: String = {
+    val p = MersennePrime
+    val mins = perms.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $p))"
+    }.mkString(",\n    ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 2, 1) + 1),
+       |    i -> w[i] || ' ' || w[least(i + 1, len(w))] || ' ' ||
+       |         w[least(i + 2, len(w))])) AS shingles
+       |  FROM words),
+       |hashed AS (
+       |  SELECT doc_id, list_transform(shingles,
+       |    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $p) AS hs
+       |  FROM sh)
+       |SELECT doc_id, array_to_string([
+       |    $mins
+       |  ], ',') AS sig_csv
+       |FROM hashed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def simhash64(c: Column): Column = Shim.column(SimHash(Shim.expression(c)))
 
   /** q25 — SimHash near-dup pairs: Hamming distance ≤ maxDist, candidates
@@ -137,10 +188,13 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_minhash_pairs" -> (minhashPairs _),
-    "q25_simhash_pairs" -> (simhashPairs _))
+    "q25_simhash_pairs" -> (simhashPairs _),
+    "q48_minhash_portable" -> (minhashPortable _))
 
-  /** MinHash/SimHash use Spark-native hashes (xxhash64 / custom FNV) that
-    * have no DuckDB equivalent → no SQL oracle; correctness is covered by
-    * DedupSpec's planted near-duplicates instead. */
-  val oracles: Map[String, String] = Map.empty
+  /** q24/q25 use Spark-native hashes (xxhash64 / custom FNV) with no
+    * DuckDB equivalent → rows-only there; q48 is the md5-portable variant
+    * whose full signature computation the oracle verifies. Planted
+    * near-duplicates in DedupSpec cover pair semantics. */
+  val oracles: Map[String, String] = Map(
+    "q48_minhash_portable" -> minhashPortableSql)
 }
