@@ -34,7 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dot_product(a, b) - dot product of two float arrays",
       es => DotProduct(es(0), es(1))))
     e.injectFunction(fn("rolling_hash",
-      "rolling_hash(s) - 61-bit polynomial content fingerprint",
+      "rolling_hash(s) - 58-bit polynomial content fingerprint",
       es => RollingHash(es.head)))
     e.injectFunction(fn("simhash64",
       "simhash64(s) - 64-bit SimHash near-dup fingerprint",

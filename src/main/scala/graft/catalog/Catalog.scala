@@ -40,6 +40,36 @@ object Catalog {
     df.write.format("orc").insertInto(fqName)
   }
 
+  /** Create a PARTITIONED ORC table (partition columns are declared
+    * separately from data columns and become directory keys). */
+  def createPartitionedOrcTable(spark: SparkSession, fqName: String,
+      ddlColumns: String, partitionDdl: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $fqName ($ddlColumns) " +
+      s"PARTITIONED BY ($partitionDdl) STORED AS ORC").collect()
+
+  /** Positional append into a PARTITIONED table with dynamic partitioning
+    * — the reference's write idiom (SparkEnvironment.scala:29 sets
+    * `hive.exec.dynamic.partition.mode=nonstrict`; 50-52 declares the
+    * partitioned writer). Partition columns bind by position LAST in the
+    * insert schema; each distinct partition value becomes its own
+    * directory, so at 100 TB partition columns must be low-cardinality or
+    * the insert degenerates into a small-file explosion. The nonstrict
+    * mode flag is scoped to the call and restored afterwards. */
+  def insertIntoPartitionedOrc(df: DataFrame, fqName: String): Unit = {
+    val spark = df.sparkSession
+    val target = spark.table(fqName).schema
+    require(target.length == df.schema.length,
+      s"insertInto $fqName: ${df.schema.length} columns vs table's ${target.length}")
+    val key = "hive.exec.dynamic.partition.mode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "nonstrict")
+    try df.write.format("orc").insertInto(fqName)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Create-and-write a managed ORC table, optionally partitioned —
     * reference SparkEnvironment.scala:50-56. Partition columns become
     * directory keys: at 100 TB choose low-cardinality partition columns

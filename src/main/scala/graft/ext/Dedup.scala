@@ -77,10 +77,10 @@ object Dedup {
         s => pmod(xxhash64(s), lit(MersennePrime))).as("hs"))
       .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
 
-  /** Candidate near-dup pairs with MinHash-estimated Jaccard ≥ minEst.
+  /** Candidate near-dup pairs with MinHash-estimated Jaccard ≥ minEst,
+    * from a precomputed (doc_id, sig) frame.
     * est is k/P (exact rational in double) → deterministic output. */
-  def minhashPairsOf(docs: DataFrame, minEst: Double): DataFrame = {
-    val sig = signatures(docs)
+  def minhashPairsFromSignatures(sig: DataFrame, minEst: Double): DataFrame = {
     // band rows: (band_idx, band_signature=concat of Rows minhashes)
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until Bands).map { bnd =>
@@ -103,9 +103,71 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** q24 — MinHash near-dup pairs over the corpus. */
+  /** Candidate pairs from raw docs with the cheap Spark-native (xxhash64)
+    * shingle hash — the production spelling at 100 TB (no md5 string
+    * cost). Spec-verified (DedupSpec planted dups + parity with the
+    * portable variant's pair set). */
+  def minhashPairsOf(docs: DataFrame, minEst: Double): DataFrame =
+    minhashPairsFromSignatures(signatures(docs), minEst)
+
+  /** q24 — MinHash near-dup pairs over the corpus, registered with the
+    * md5-portable shingle hash so the driver's DuckDB oracle verifies the
+    * ENTIRE pipeline (signatures → banding → candidate join → estimate →
+    * threshold) value-exactly. Identical plan shape to the xxhash64
+    * production variant [[minhashPairsOf]] — only the shingle-hash
+    * expression differs. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(Tables.documents(s, dir), 0.5)
+    minhashPairsFromSignatures(portableSignatures(Tables.documents(s, dir)), 0.5)
+
+  /** Shared DuckDB CTE chain computing the portable signatures as a LIST
+    * column — generated from the same permutation constants the Spark side
+    * uses, so both engines compute identical signatures. */
+  private def portableSigCtes: String = {
+    val p = MersennePrime
+    val mins = perms.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $p))"
+    }.mkString(",\n      ")
+    s"""words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 2, 1) + 1),
+       |    i -> w[i] || ' ' || w[least(i + 1, len(w))] || ' ' ||
+       |         w[least(i + 2, len(w))])) AS shingles
+       |  FROM words),
+       |hashed AS (
+       |  SELECT doc_id, list_transform(shingles,
+       |    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $p) AS hs
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, [
+       |      $mins
+       |    ] AS sig FROM hashed)""".stripMargin
+  }
+
+  /** DuckDB spelling of [[minhashPairs]]: same signatures, same 8×4
+    * banding (as an OR of per-band conjunctions over an O(N²) nested-loop
+    * join — fine for the oracle at sf0.01; the Spark side stays the banded
+    * equi-join), same k/32 estimate and threshold. */
+  def minhashPairsSql: String = {
+    val bandConds = (0 until Bands).map { bnd =>
+      (0 until Rows).map { r =>
+        val i = bnd * Rows + r + 1
+        s"a.sig[$i] = b.sig[$i]"
+      }.mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    s"""WITH $portableSigCtes,
+       |est AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(list_sum(list_transform(range(1, ${P + 1}),
+       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+       |      AS DOUBLE) / $P AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |    AND ($bandConds))
+       |SELECT a_id, b_id, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** Engine-portable MinHash signature: shingle hash = first 8 hex chars
     * of md5 parsed as an integer — identical in Spark
@@ -134,40 +196,25 @@ object Dedup {
 
   /** The DuckDB spelling of [[minhashPortable]], generated from the same
     * permutation constants so both engines compute identical signatures. */
-  def minhashPortableSql: String = {
-    val p = MersennePrime
-    val mins = perms.map { case (a, b) =>
-      s"list_min(list_transform(hs, h -> ($a * h + $b) % $p))"
-    }.mkString(",\n    ")
-    s"""WITH words AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    range(1, greatest(len(w) - 2, 1) + 1),
-       |    i -> w[i] || ' ' || w[least(i + 1, len(w))] || ' ' ||
-       |         w[least(i + 2, len(w))])) AS shingles
-       |  FROM words),
-       |hashed AS (
-       |  SELECT doc_id, list_transform(shingles,
-       |    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $p) AS hs
-       |  FROM sh)
-       |SELECT doc_id, array_to_string([
-       |    $mins
-       |  ], ',') AS sig_csv
-       |FROM hashed
+  def minhashPortableSql: String =
+    s"""WITH $portableSigCtes
+       |SELECT doc_id, array_to_string(sig, ',') AS sig_csv
+       |FROM sig
        |ORDER BY doc_id""".stripMargin
-  }
 
   def simhash64(c: Column): Column = Shim.column(SimHash(Shim.expression(c)))
 
-  /** q25 — SimHash near-dup pairs: Hamming distance ≤ maxDist, candidates
-    * via 16-bit chunk equality (pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 chunks
-    * equal). */
-  def simhashPairsOf(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val fp = docs.select(col("doc_id"), simhash64(col("text")).as("fp"))
+  /** Hamming-neighbor pairs from a (doc_id, fp) fingerprint frame:
+    * candidates via chunk equality (pigeonhole: with `chunks` chunks of
+    * `chunkBits` bits, dist ≤ chunks-1 ⇒ ≥1 chunk equal), then exact
+    * bit_count filter. The chunk join is a plain equi-join on a small key
+    * — the scale-safe formulation (never all-pairs). */
+  private def hammingPairs(fp: DataFrame, chunks: Int, chunkBits: Int,
+      maxDist: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val chunked = fp.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("fp"), c * chunkBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "chunk_val")))
     val a = chunked.select(col("doc_id").as("a_id"), col("fp").as("a_fp"),
       col("chunk"), col("chunk_val"))
@@ -183,18 +230,101 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** SimHash pairs with the custom one-pass FNV codegen expression
+    * ([[org.apache.spark.sql.graft.SimHash]]) — the cheap production
+    * fingerprint (64 bits, no md5 string cost). Spec-verified. */
+  def simhashPairsOf(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingPairs(
+      docs.select(col("doc_id"), simhash64(col("text")).as("fp")),
+      chunks = 4, chunkBits = 16, maxDist = maxDist)
+
+  // ---- engine-portable SimHash (md5 token hash, pure built-ins) ----------
+
+  /** 60-bit md5-derived token hash: identical in Spark
+    * (`conv(substr(md5(t),1,15),16,10)`) and DuckDB
+    * (`('0x'||substr(md5(t),1,15))::BIGINT`). 15 hex chars = 60 bits keeps
+    * the value positive in a signed long under ANSI mode. */
+  def portableTokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  private val SimBits = 60
+
+  /** Portable SimHash fingerprint over a PRE-HASHED token array (staging
+    * rule: hash tokens once in their own projection; the 60 bit-tallies
+    * are then pure arithmetic over the in-memory long array). Bit j is set
+    * iff Σ_tokens (±1 by token-hash bit j) > 0. */
+  def portableSimhashFromHashes(hs: Column): Column =
+    (0 until SimBits).map { j =>
+      val tally = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L), 1)
+          .otherwise(-1))
+      when(tally > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (doc_id, fp) portable SimHash fingerprints for a documents frame. */
+  def portableSimhashFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), transform(col("w"), portableTokenHash(_)).as("hs"))
+      .select(col("doc_id"), portableSimhashFromHashes(col("hs")).as("fp"))
+
+  /** DuckDB expression computing the same 60-bit fingerprint from a list
+    * column named `hs` — generated from the same bit range. */
+  def portableSimhashSqlExpr: String =
+    (0 until SimBits).map { j =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |      h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+        .stripMargin
+    }.mkString("\n    + ")
+
+  /** q25 — SimHash near-dup pairs, registered with the portable md5
+    * fingerprint so the DuckDB oracle verifies fingerprints, candidate
+    * generation, and the Hamming filter end to end. 60 bits / 4 chunks of
+    * 15 → pigeonhole still covers dist ≤ 3. Same plan shape as the FNV
+    * production variant [[simhashPairsOf]]. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    simhashPairsOf(Tables.documents(s, dir))
+    hammingPairs(portableSimhashFingerprints(Tables.documents(s, dir)),
+      chunks = 4, chunkBits = 15, maxDist = 3)
+
+  /** DuckDB spelling of [[simhashPairs]] (O(N²) nested-loop candidate join
+    * is fine for the oracle at sf0.01; Spark keeps the chunk equi-join). */
+  def simhashPairsSql: String = {
+    val chunkConds = (0 until 4).map { c =>
+      val sh = c * 15
+      s"(a.fp >> $sh) & 32767 = (b.fp >> $sh) & 32767"
+    }.mkString("\n      OR ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, list_transform(w,
+       |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+       |  FROM toks),
+       |fp AS (
+       |  SELECT doc_id, $portableSimhashSqlExpr AS fp
+       |  FROM hashed),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |    AND ($chunkConds))
+       |SELECT a_id, b_id, hamming FROM pairs
+       |WHERE hamming <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_minhash_pairs" -> (minhashPairs _),
     "q25_simhash_pairs" -> (simhashPairs _),
     "q48_minhash_portable" -> (minhashPortable _))
 
-  /** q24/q25 use Spark-native hashes (xxhash64 / custom FNV) with no
-    * DuckDB equivalent → rows-only there; q48 is the md5-portable variant
-    * whose full signature computation the oracle verifies. Planted
-    * near-duplicates in DedupSpec cover pair semantics. */
+  /** All three registered queries use the md5-portable hashing so the
+    * DuckDB oracle verifies signatures, banding/chunking, candidate joins,
+    * and thresholds value-exactly. The Spark-native-hash variants
+    * (xxhash64 minhash, FNV SimHash) remain the cheap production
+    * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q24_minhash_pairs"   -> minhashPairsSql,
+    "q25_simhash_pairs"   -> simhashPairsSql,
     "q48_minhash_portable" -> minhashPortableSql)
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions.cosine_sim
@@ -9,39 +9,74 @@ import graft.tables.Tables
 /** Similarity search over the `embeddings` table (`array<float>`, 64-dim) —
   * north-star extension (no counterpart in the reference; SURVEY.md §7.4).
   *
-  * Two tiers:
-  *  - [[knnBruteForce]]: exact top-k, O(Q·N) scored pairs. The baseline and
-  *    the oracle-checkable path. Scales by broadcasting the (small) query
-  *    set and streaming the candidate scan — no shuffle of the big side
-  *    until the per-query top-k reduction.
+  * Three tiers:
+  *  - [[knnBruteForce]]: exact top-k, O(Q·N) scored pairs. The baseline.
+  *    Scales by broadcasting the (small) query set and streaming the
+  *    candidate scan — no shuffle of the big side until the per-query
+  *    top-k reduction.
   *  - [[knnLsh]]: sign-random-projection LSH (Charikar SimHash family):
   *    L hash tables × b hyperplane bits; candidates = same bucket in any
   *    table. At 100 TB this turns O(Q·N) into O(Q·N/2^b·L) with recall
   *    tunable via (L, b). The bucket join is a plain equi-join Spark
   *    shuffles/broadcasts like any other — no custom operator needed.
+  *  - [[knnIvf]]: k-means coarse quantizer + inverted lists; queries probe
+  *    the `nprobe` nearest centroids and exact-rerank only those lists.
+  *
+  * Oracle strategy: the hyperplanes are CONSTANTS (fixed seed), so the
+  * DuckDB oracle SQL is GENERATED from the same constants and recomputes
+  * the same buckets with bit-identical double arithmetic (same elementwise
+  * products, same left-fold summation order) — q18/q49 are verified
+  * value-exactly, not just by recall bounds. k-means is not portable, so
+  * q44 emits a per-query recall flag against the exact answer instead.
   */
 object Similarity {
 
   private val Dim = 64
 
-  /** Deterministic Gaussian hyperplanes (fixed seed — results must be
-    * reproducible across runs and engines). */
-  private def hyperplanes(tables: Int, bits: Int): Array[Array[Array[Float]]] = {
+  /** Deterministic Gaussian hyperplanes in DOUBLE (fixed seed — results
+    * must be reproducible across runs AND engines; doubles, not floats,
+    * so Spark and the generated DuckDB SQL do identical IEEE arithmetic). */
+  private def hyperplanes(tables: Int, bits: Int): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(tables, bits, Dim)(rnd.nextGaussian().toFloat)
+    Array.fill(tables, bits, Dim)(rnd.nextGaussian())
   }
 
   /** Bit-signature column: for one table's hyperplanes, pack sign bits of
     * dot(embedding, plane_j) into an int. Pure built-in expressions
-    * (aggregate over zip_with) → codegen'd, no UDF. */
-  private def signature(emb: org.apache.spark.sql.Column,
-      planes: Array[Array[Float]]): org.apache.spark.sql.Column = {
+    * (aggregate over zip_with) → codegen'd, no UDF. The dot is a left fold
+    * from 0.0 over per-element double products — exactly the order the
+    * generated oracle SQL replicates. */
+  private def signature(emb: Column,
+      planes: Array[Array[Double]]): Column = {
     planes.zipWithIndex.map { case (p, j) =>
       val dot = aggregate(
-        zip_with(emb, lit(p), (x, y) => x * y),
+        zip_with(emb.cast("array<double>"), lit(p), (x, y) => x * y),
         lit(0.0d), (acc, v) => acc + v)
       when(dot >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
+
+  /** DuckDB CTEs shared by the LSH oracles: the plane constants as a
+    * VALUES relation, double-cast embeddings, and per-(vector, table)
+    * signatures computed with the same fold order as [[signature]]. */
+  private def lshSqlCtes(planes: Array[Array[Array[Double]]]): String = {
+    val rows = for {
+      (tp, t) <- planes.zipWithIndex
+      (p, j) <- tp.zipWithIndex
+    } yield s"($t, $j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+    s"""planes(tbl, j, p) AS (VALUES
+       |    ${rows.mkString(",\n    ")}),
+       |emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+       |sigs AS (
+       |  SELECT e.vec_id, p.tbl,
+       |    CAST(SUM(CASE WHEN list_reduce(
+       |        list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, ${Dim + 1}), d -> e.de[d] * p.p[d])),
+       |        (a, b) -> a + b) >= 0 THEN (1 << p.j) ELSE 0 END) AS BIGINT)
+       |      AS sig
+       |  FROM emb e CROSS JOIN planes p
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** q17 — exact kNN: top-3 cosine neighbors for query vectors vec_id<10.
@@ -103,21 +138,24 @@ object Similarity {
       |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
-  /** q18 — LSH-bucketed approximate kNN (the scale path; no SQL oracle —
-    * verified against [[knnBruteForce]] recall in SimilaritySpec).
-    * L=4 tables × b=6 bits: each vector lands in 4 buckets; query and
-    * candidate meet if they share any bucket. */
-  def knnLsh(s: SparkSession, dir: String,
-      tables: Int = 4, bits: Int = 6, k: Int = 3): DataFrame = {
-    val planes = hyperplanes(tables, bits)
+  // ---- q18: LSH kNN ------------------------------------------------------
+
+  private val LshTables = 4
+  private val LshBits = 6
+  private lazy val lshPlanes = hyperplanes(LshTables, LshBits)
+
+  /** q18 — LSH-bucketed approximate kNN (the scale path). L=4 tables × b=6
+    * bits: each vector lands in 4 buckets; query and candidate meet if
+    * they share any bucket. Oracle-exact: the generated SQL recomputes the
+    * same buckets from the same plane constants. */
+  def knnLsh(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, dir)
 
     // explode each vector into (table_idx, bucket) rows — L rows per vector
     val bucketed = e.select(
       col("vec_id"), col("embedding"),
-      posexplode(array(planes.zipWithIndex.map { case (tp, t) =>
-        signature(col("embedding"), tp)
-      }: _*)).as(Seq("tbl", "bucket")))
+      posexplode(array(lshPlanes.map(tp =>
+        signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
 
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -140,28 +178,101 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** q44 — IVF-style ANN: k-means coarse quantizer (spark-mllib, fixed
-    * seed), vectors inverted-listed by nearest centroid, queries probe the
-    * `nprobe` nearest centroids and exact-rerank only those lists.
-    * At 100 TB: centroids are trained on a sample, the assignment pass is
-    * one map over the data, and the search touches ~nprobe/k of the
-    * corpus — the standard IVF trade (recall vs fraction scanned).
-    * No SQL oracle (k-means is engine-specific); SimilaritySpec bounds
-    * recall against [[knnBruteForce]]. */
+  /** DuckDB spelling of [[knnLsh]]: identical buckets from the embedded
+    * plane constants, candidate pairs via a (tbl, sig) self-join, then the
+    * same cosine top-3 (ties broken by neighbor_id in both engines). */
+  def knnLshSql: String =
+    s"""WITH ${lshSqlCtes(lshPlanes)},
+       |cand AS (
+       |  SELECT s1.vec_id AS query_id, s2.vec_id AS neighbor_id
+       |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
+       |  WHERE s1.vec_id < 10 AND s2.vec_id <> s1.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(qe.de, ne.de) AS cos
+       |  FROM cand c
+       |  JOIN emb qe ON qe.vec_id = c.query_id
+       |  JOIN emb ne ON ne.vec_id = c.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ---- q49: LSH-prefiltered near-dup (production path for q42) -----------
+
+  private val NdTables = 8
+  private val NdBits = 4
+  private lazy val ndPlanes = hyperplanes(NdTables, NdBits)
+
+  /** q49 — embedding near-duplicate pairs via LSH prefilter: candidates =
+    * pairs sharing any of 8×4-bit buckets, exact cosine ≥ 0.35 applied to
+    * candidates ONLY. This is the production spelling of
+    * [[graft.queries.Subqueries.q42EmbeddingNearDup]]: the all-pairs
+    * cartesian is replaced by a bucket equi-join touching ~L/2^b of the
+    * pairs, which is what survives 100 TB (q42 stays registered as the
+    * exact oracle baseline; SimilaritySpec bounds this variant's recall
+    * against it). Oracle-exact like q18: DuckDB recomputes the same
+    * buckets, so the result — including which true pairs LSH recalls — is
+    * bit-reproducible cross-engine. */
+  def nearDupLsh(s: SparkSession, dir: String, minCos: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      posexplode(array(ndPlanes.map(tp =>
+        signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(cosine_sim(col("a_emb"), col("b_emb")) >= minCos)
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def nearDupLshSql: String =
+    s"""WITH ${lshSqlCtes(ndPlanes)},
+       |cand AS (
+       |  SELECT s1.vec_id AS a_id, s2.vec_id AS b_id
+       |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
+       |    AND s1.vec_id < s2.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id FROM cand
+       |JOIN emb ea ON ea.vec_id = a_id
+       |JOIN emb eb ON eb.vec_id = b_id
+       |WHERE list_cosine_similarity(ea.de, eb.de) >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- q44: IVF kNN ------------------------------------------------------
+
+  /** IVF-style ANN top-k: k-means coarse quantizer (spark-mllib, fixed
+    * seed) TRAINED ON A SAMPLE (vec_id % 4 == 0 — deterministic,
+    * content-based, no extra count job; at 100 TB the same pattern caps
+    * the driver-side fit at a fixed-size sample), vectors inverted-listed
+    * by nearest centroid, queries probe the `nprobe` nearest centroids and
+    * exact-rerank only those lists — the standard IVF trade (recall vs
+    * fraction scanned). */
   def knnIvf(s: SparkSession, dir: String,
-      k: Int = 16, nprobe: Int = 4, topK: Int = 3): DataFrame = {
+      k: Int = 16, nprobe: Int = 6, topK: Int = 3): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(s, dir)
       .withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-      .fit(e.select(col("features")))
+      .fit(e.filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select(col("features")))
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"),
         col("prediction").as("centroid"))
 
     // queries probe their nprobe nearest centroids (distance to centroid
-    // computed driver-side: k centroids is tiny by construction)
+    // computed driver-side: k centroids is tiny by construction; at k>64
+    // switch to a broadcast centroid join)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val probeUdf = udf { (emb: Seq[Float]) =>
       centroids.zipWithIndex.map { case (c, i) =>
@@ -189,11 +300,39 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** q44 — IVF recall check: per query, does the IVF top-3 recover at
+    * least one of the exact top-3? k-means is engine-specific, so the
+    * driver-visible contract is this per-query boolean against the exact
+    * answer (both sides computed in Spark; DuckDB recomputes the query-id
+    * universe and asserts every flag is TRUE). SimilaritySpec bounds the
+    * full recall fraction more tightly. */
+  def q44IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val ivf = knnIvf(s, dir)
+    val exact = knnBruteForce(s, dir)
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) >= 1).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  val q44Sql: String =
+    """SELECT vec_id AS query_id, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_knn_brute"  -> (knnBruteForce _),
     "q18_knn_lsh"    -> ((s: SparkSession, d: String) => knnLsh(s, d)),
-    "q44_knn_ivf"    -> ((s: SparkSession, d: String) => knnIvf(s, d)))
+    "q44_knn_ivf"    -> (q44IvfRecall _),
+    "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "q17_knn_brute" -> knnBruteForceSql)
+    "q17_knn_brute"  -> knnBruteForceSql,
+    "q18_knn_lsh"    -> knnLshSql,
+    "q44_knn_ivf"    -> q44Sql,
+    "q49_neardup_lsh" -> nearDupLshSql)
 }

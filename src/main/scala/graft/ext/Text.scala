@@ -130,20 +130,26 @@ object Text {
     * The standard scalable formulation: the self-join is on the shingle
     * key (pre-filtered to distinct doc-shingle pairs), so cost is
     * sum over shingles of df², not N². */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // words staged as their own projection: referencing split() inside the
-    // shingle lambda would re-split the text per element (O(L²)/doc)
+  /** Distinct (doc_id, shingle) inverted index, cached: the shingle
+    * relation feeds three consumers (two join sides + per-doc counts);
+    * without cache Spark recomputes the explode 3×. Words staged as their
+    * own projection: referencing split() inside the shingle lambda would
+    * re-split the text per element (O(L²)/doc). */
+  private[graft] def shingleIndexOf(docs: DataFrame): DataFrame = {
     val shingles = array_distinct(transform(
       sequence(lit(1), size(col("w")) - 2),
       i => concat_ws(" ", element_at(col("w"), i),
         element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
-    // cached: the shingle relation feeds three consumers (two join sides
-    // + per-doc counts); without cache Spark recomputes the explode 3×
-    val sh = Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(shingles).as("shingle"))
       .cache()
+  }
+
+  /** Jaccard pairs ≥ minJ from an inverted index: self-join on shingle →
+    * intersection counts → Jaccard from exact int counts. */
+  private def jaccardFromIndex(sh: DataFrame, minJ: Double): DataFrame = {
     val cnt = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
@@ -160,9 +166,40 @@ object Text {
       .select(col("a_id"), col("b_id"),
         (col("n_inter").cast("double") /
           (col("a_sh") + col("b_sh") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.12)
+      .filter(col("jaccard") >= minJ)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  def ngramJaccardOf(docs: DataFrame, minJ: Double): DataFrame =
+    jaccardFromIndex(shingleIndexOf(docs), minJ)
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(Tables.documents(s, dir), 0.12)
+
+  /** df-cap applied to [[ngramJaccard]]'s inverted index. */
+  val DfCap = 20
+
+  /** q51 — df-capped n-gram Jaccard: shingles occurring in more than
+    * [[DfCap]] documents are dropped from the index BEFORE the self-join
+    * (treated as corpus stopwords). This bounds the self-join cost at
+    * Σ_rare df² ≤ cap·|index| instead of the unbounded Σ df² — the scale
+    * remedy for a hot shingle at 100 TB (SCALE.md). Jaccard is computed
+    * over the capped shingle sets on both sides of the ratio, so results
+    * equal [[ngramJaccard]] exactly wherever the cap doesn't bind
+    * (TextSpec proves both directions). The cap is implemented identically
+    * in the oracle SQL, so the check stays value-exact even where it does
+    * bind. */
+  def ngramJaccardCappedOf(docs: DataFrame, cap: Int, minJ: Double): DataFrame = {
+    val sh0 = shingleIndexOf(docs)
+    val rare = sh0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(col("shingle"))
+    jaccardFromIndex(sh0.join(rare, Seq("shingle")), minJ)
+  }
+
+  def ngramJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardCappedOf(Tables.documents(s, dir), DfCap, 0.12)
 
   val ngramJaccardSql: String =
     """WITH sh AS (
@@ -213,21 +250,51 @@ object Text {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  /** q46 — document fingerprints via the custom rolling-hash and SimHash
-    * expressions (rows-only: the hashes are Spark-native; determinism is
-    * covered by DedupSpec/PropertySpec). */
+  /** q46 — document fingerprints: the custom codegen rolling-hash
+    * expression plus the engine-portable SimHash. BOTH are oracle-exact:
+    * DuckDB recomputes the base-31 mod 2^58-27 rolling hash with HUGEINT
+    * arithmetic and the SimHash from the same md5 token hashes — a
+    * value-level cross-engine check of the custom Expression's codegen.
+    * (The Spark-native FNV simhash64 stays the cheap production
+    * fingerprint, spec-verified in DedupSpec.) */
   def fingerprints(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{rolling_hash, simhash64}
+    import graft.functions.TextFunctions.rolling_hash
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
       .select(col("doc_id"), rolling_hash(col("text")).as("roll_fp"),
-        simhash64(col("text")).as("sim_fp"))
+        transform(col("w"), Dedup.portableTokenHash(_)).as("hs"))
+      .select(col("doc_id"), col("roll_fp"),
+        Dedup.portableSimhashFromHashes(col("hs")).as("sim_fp"))
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB spelling of [[fingerprints]]. The rolling hash folds
+    * `ord(char)` per character — equal to the Spark expression's per-BYTE
+    * fold because the corpus is pure ASCII (verified); HUGEINT keeps the
+    * `h*31+b` intermediate exact before the mod. */
+  def fingerprintsSql: String = {
+    val mod = org.apache.spark.sql.graft.RollingHash.Mod
+    s"""WITH hashed AS (
+       |  SELECT doc_id, text, list_transform(string_split(text, ' '),
+       |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> CAST(ord(text[i]) AS HUGEINT))),
+       |    (acc, x) -> (acc * 31 + x) % $mod) AS BIGINT) AS roll_fp,
+       |  ${graft.ext.Dedup.portableSimhashSqlExpr} AS sim_fp
+       |FROM hashed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q47 — heuristic language-ID vs the labeled lang column: confusion
-    * counts (rows-only: LangId is a custom expression). On this synthetic
-    * corpus the text is English-ish for every label, so the value is the
-    * operator mechanics, not accuracy. */
+    * counts. LangId is a deterministic stopword-profile argmax, so it IS
+    * SQL-expressible — the oracle recomputes scores from the same profile
+    * constants and replicates the expression's tie-breaking (first profile
+    * in order wins among equal max scores; max 0 → 'und'). On this
+    * synthetic corpus the text is English-ish for every label, so the
+    * value is the operator mechanics, not accuracy. */
   def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.lang_id
     Tables.documents(s, dir)
@@ -237,6 +304,71 @@ object Text {
       .orderBy(col("labeled"), col("predicted"))
   }
 
+  /** DuckDB spelling of [[langIdConfusion]], generated from
+    * [[org.apache.spark.sql.graft.LangId.Profiles]] so SQL and expression
+    * can never drift. */
+  def langIdConfusionSql: String = {
+    val profiles = org.apache.spark.sql.graft.LangId.Profiles
+    val scoreCols = profiles.map { case (lang, ws) =>
+      val inList = ws.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($inList))) AS s_$lang"
+    }.mkString(",\n    ")
+    val m = profiles.map("s_" + _._1).mkString("greatest(", ", ", ")")
+    val cases = profiles.map { case (lang, _) =>
+      s"WHEN s_$lang = m THEN '$lang'"
+    }.mkString("\n      ")
+    s"""WITH toks AS (
+       |  SELECT lang AS labeled,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT labeled,
+       |    $scoreCols
+       |  FROM toks),
+       |best AS (
+       |  SELECT *, $m AS m FROM scored)
+       |SELECT labeled,
+       |  CASE WHEN m = 0 THEN 'und'
+       |      $cases
+       |  END AS predicted,
+       |  count(*) AS n
+       |FROM best
+       |GROUP BY labeled, predicted
+       |ORDER BY labeled, predicted""".stripMargin
+  }
+
+  /** DuckDB spelling of [[ngramJaccardCapped]]: same index, same df-cap,
+    * same threshold. */
+  val ngramJaccardCappedSql: String =
+    s"""WITH sh_all AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2])) AS shingle
+      |    FROM documents
+      |    WHERE len(string_split(text,' ')) >= 3)),
+      |rare AS (
+      |  SELECT shingle FROM (
+      |    SELECT shingle, count(*) AS df FROM sh_all GROUP BY shingle)
+      |  WHERE df <= $DfCap),
+      |sh AS (
+      |  SELECT s.doc_id, s.shingle FROM sh_all s
+      |  JOIN rare r ON s.shingle = r.shingle),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |  CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = a_id
+      |JOIN cnt cb ON cb.doc_id = b_id
+      |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.12
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_fingerprints"  -> (fingerprints _),
     "q47_langid"        -> (langIdConfusion _),
@@ -245,13 +377,17 @@ object Text {
     "q20_term_freq"     -> (termFrequency _),
     "q21_quality_stats" -> (qualityStats _),
     "q22_exact_dedup"   -> (exactDedup _),
-    "q23_ngram_jaccard" -> (ngramJaccard _))
+    "q23_ngram_jaccard" -> (ngramJaccard _),
+    "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q46_fingerprints"  -> fingerprintsSql,
+    "q47_langid"        -> langIdConfusionSql,
     "q43_regex_tokens"  -> regexTokensSql,
     "q19_token_stats"   -> tokenStatsSql,
     "q20_term_freq"     -> termFrequencySql,
     "q21_quality_stats" -> qualityStatsSql,
     "q22_exact_dedup"   -> exactDedupSql,
-    "q23_ngram_jaccard" -> ngramJaccardSql)
+    "q23_ngram_jaccard" -> ngramJaccardSql,
+    "q51_ngram_jaccard_capped" -> ngramJaccardCappedSql)
 }

@@ -8,7 +8,7 @@ object TextFunctions {
   /** Heuristic stopword-profile language ID → "en"/"de"/"es"/"fr"/"zh"/"und". */
   def lang_id(c: Column): Column = Shim.column(LangId(Shim.expression(c)))
 
-  /** 61-bit polynomial rolling-hash content fingerprint. */
+  /** 58-bit polynomial rolling-hash content fingerprint. */
   def rolling_hash(c: Column): Column =
     Shim.column(RollingHash(Shim.expression(c)))
 

@@ -280,7 +280,35 @@ object Advanced {
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q50 — salted shuffle join, end to end: events (the big, potentially
+    * key-skewed fact) joined to customer (the dim) on user_id through
+    * [[graft.ops.Skew.saltedJoin]], then a per-segment aggregate. The salt
+    * spreads any hot user_id across 8 sub-keys before the shuffle; the
+    * join RESULT is provably identical to the unsalted join, which is
+    * exactly what the plain-SQL oracle checks. At 100 TB this is the
+    * manual remedy when a single key (not merely a partition) is hot and
+    * AQE's skew split can't help. */
+  def q50SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+      .select(col("user_id"), col("value"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.ops.Skew.saltedJoin(events, dim, "user_id", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsum(col("value")).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q50Sql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_events,
+       |  ${Det.sqlSum("value")} AS total_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_salted_join"   -> (q50SaltedJoin _),
     "q45_array_funcs"   -> (q45ArrayFuncs _),
     "q27_quantiles"     -> (q27Quantiles _),
     "q28_window_suite"  -> (q28WindowSuite _),
@@ -293,6 +321,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q50_salted_join"   -> q50Sql,
     "q45_array_funcs"   -> q45Sql,
     "q27_quantiles"     -> q27Sql,
     "q28_window_suite"  -> q28Sql,

@@ -9,39 +9,88 @@ import graft.tables.Tables
   * ABSENT in the reference; at scale they replace the expensive exact
   * expand-shuffle plans of q09/q27).
   *
-  * No DuckDB oracle: sketch estimates are engine-specific by design.
-  * SketchSpec bounds them against the exact answers instead. */
+  * Oracle strategy: sketch ESTIMATES are engine-specific, so the
+  * registered queries emit `(group, exact, est_within_tolerance BOOLEAN)`.
+  * The exact values hash-match DuckDB's; the boolean asserts the estimate
+  * is inside its published error envelope — a hard, driver-visible check
+  * of the sketch itself (a broken sketch flips the flag). The exact
+  * distinct counts exist only for verification; the production path at
+  * 100 TB is the estimate-only aggregation (no expand shuffle).
+  */
 object Sketches {
 
   /** q36 — HLL++ distinct estimates + approximate percentiles per
-    * returnflag. approx_count_distinct is a single-pass, fixed-memory
-    * partial aggregate (no expand shuffle); percentile_approx likewise. */
+    * returnflag, verified against exact values computed in the same pass.
+    * approx_count_distinct at rsd=0.015 puts the 5% tolerance at >3σ;
+    * both HLL++ and percentile_approx are deterministic per input, so the
+    * flags are stable across runs and scale factors. */
   def q36Approx(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey"), 0.015).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.015).as("asu"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median_price"),
-        count(lit(1)).as("n"))
+          .as("amed"),
+        expr("percentile(l_extendedprice, 0.5)").as("emed"))
+      .select(col("l_returnflag"), col("n"),
+        col("exact_parts"), col("exact_supps"),
+        (abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts").cast("double") * 0.05).as("parts_within_5pct"),
+        (abs(col("asu") - col("exact_supps")) <=
+          col("exact_supps").cast("double") * 0.05).as("supps_within_5pct"),
+        (abs(col("amed") - col("emed")) <= col("emed") * 0.05)
+          .as("median_within_5pct"))
       .orderBy(col("l_returnflag"))
+
+  val q36Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_suppkey) AS exact_supps,
+      |  TRUE AS parts_within_5pct,
+      |  TRUE AS supps_within_5pct,
+      |  TRUE AS median_within_5pct
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** q37 — Apache DataSketches HLL: buildable, mergeable, re-estimable
     * sketches (the production pattern: persist sketch bytes per shard,
-    * merge downstream without rescanning). */
-  def q37HllSketch(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    * merge downstream without rescanning). Per-(flag,status) sketches are
+    * merged per flag; the merged estimate is checked against the exact
+    * distinct count (default lgConfigK=12 → rsd≈1.6%, 5% ≈ 3σ). */
+  def q37HllSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val est = li
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
       .groupBy(col("l_returnflag"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-        .cast("long").as("distinct_parts_est"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    est.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("est") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.05).as("est_within_5pct"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val q37Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS est_within_5pct
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_approx_agg" -> (q36Approx _),
     "q37_hll_sketch" -> (q37HllSketch _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q36_approx_agg" -> q36Sql,
+    "q37_hll_sketch" -> q37Sql)
 }

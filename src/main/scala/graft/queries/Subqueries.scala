@@ -113,10 +113,10 @@ object Subqueries {
   // ---- embedding near-dup -------------------------------------------------
 
   /** q42 — embedding-cosine near-duplicate pairs (exact all-pairs ≥ 0.35,
-    * integer-only output). Exact formulation is the oracle-checkable
-    * baseline; at 100 TB the same predicate runs behind the LSH bucketing
-    * of [[graft.ext.Similarity.knnLsh]] as a prefilter (candidates only),
-    * trading recall for a ~2^bits reduction in compared pairs. */
+    * integer-only output). Exact formulation, kept as the oracle baseline
+    * and recall reference; the PRODUCTION path at 100 TB is
+    * [[graft.ext.Similarity.nearDupLsh]] (q49): the same predicate applied
+    * to LSH-bucketed candidates only, no cartesian. */
   def q42EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))

@@ -33,12 +33,15 @@ object Tables {
     * default. Read it as a long (nanos since epoch) and truncate to
     * microseconds — exactly what DuckDB does when it reads the same file,
     * so oracle comparisons line up. Integer `div` (not `/1000.0`) because
-    * epoch-nanos exceed double's 53-bit mantissa. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * epoch-nanos exceed double's 53-bit mantissa.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the SESSION
+    * (set it in the builder — Verify/Bench/SparkSpec all do). A loader must
+    * not mutate session conf: that is a global side effect from a read
+    * path, and under concurrent queries it would race. */
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

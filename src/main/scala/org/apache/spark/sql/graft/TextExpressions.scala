@@ -6,13 +6,19 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringT
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling-hash document fingerprint (base-31 over UTF-8 bytes,
-  * mod 2^61-1) as a codegen'd Catalyst expression.
+  * mod the prime 2^58-27) as a codegen'd Catalyst expression.
   *
   * North-star text-analysis extension (no counterpart in the reference).
   * Purpose: a cheap 64-bit content fingerprint for exact-dup detection /
   * shard-local grouping at 100 TB scale — half the width of md5, computed
   * in one pass over the bytes with no allocation, and prefix-composable
   * (a rolling hash can be resumed across chunks, unlike md5 here).
+  *
+  * The modulus must satisfy (M-1)*31 + 255 < 2^63 or the h*31 step
+  * silently wraps in Java long arithmetic (the original 2^61-1 modulus
+  * had exactly this bug — caught by the q46 DuckDB oracle, whose HUGEINT
+  * arithmetic computed the true value). 2^58-27 is the largest prime
+  * leaving the full headroom.
   */
 case class RollingHash(child: Expression)
     extends UnaryExpression {
@@ -56,7 +62,8 @@ case class RollingHash(child: Expression)
 }
 
 object RollingHash {
-  val Mod: Long = (1L << 61) - 1
+  /** Largest prime with (Mod-1)*31 + 255 < 2^63 (no 64-bit overflow). */
+  val Mod: Long = (1L << 58) - 27
 }
 
 /** Heuristic language identification by stopword-profile hit counting.

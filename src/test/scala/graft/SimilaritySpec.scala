@@ -54,4 +54,22 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@3 = $recall%.2f")
     assert(recall > 0.1, f"recall $recall too low — LSH bucketing broken?")
   }
+
+  test("q44 recall flags: every query recovers ≥1 exact neighbor") {
+    val rows = Similarity.q44IvfRecall(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach(r => assert(r.getBoolean(1), s"query ${r.getLong(0)} missed all 3"))
+  }
+
+  test("q49 LSH near-dup is a subset of exact q42 with decent recall") {
+    val exact = graft.queries.Subqueries.q42EmbeddingNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty,
+      "LSH emitted a pair failing the exact predicate")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(f"near-dup LSH recall = $recall%.2f (${lsh.size}/${exact.size} pairs)")
+    assert(recall > 0.5, f"recall $recall too low")
+  }
 }

@@ -20,30 +20,33 @@ class SkewSketchSpec extends SparkSpec {
       .count() === 0)
   }
 
-  test("approx distinct counts within 10% of exact") {
-    val approx = Sketches.q36Approx(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  test("q36: exact columns match recount; estimate flags all true") {
+    val rows = Sketches.q36Approx(spark, sf).collect()
+    assert(rows.length === 3)
     val exact = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("p"),
         countDistinct(col("l_suppkey")).as("s"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    exact.foreach { case (k, (p, s)) =>
-      val (ap, as_) = approx(k)
-      assert(math.abs(ap - p).toDouble / p < 0.10, s"$k parts: $ap vs $p")
-      assert(math.abs(as_ - s).toDouble / s < 0.10, s"$k supps: $as_ vs $s")
+    rows.foreach { r =>
+      val (p, s) = exact(r.getString(0))
+      assert(r.getLong(2) === p && r.getLong(3) === s, r.toString)
+      assert(r.getBoolean(4), s"parts estimate outside 5%: $r")
+      assert(r.getBoolean(5), s"supps estimate outside 5%: $r")
+      assert(r.getBoolean(6), s"median estimate outside 5%: $r")
     }
   }
 
-  test("datasketches HLL union estimate within 10% of exact") {
-    val est = Sketches.q37HllSketch(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("q37: exact column matches recount; merged-sketch flag all true") {
+    val rows = Sketches.q37HllSketch(spark, sf).collect()
+    assert(rows.length === 3)
     val exact = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("p"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, p) =>
-      assert(math.abs(est(k) - p).toDouble / p < 0.10, s"$k: ${est(k)} vs $p")
+    rows.foreach { r =>
+      assert(r.getLong(1) === exact(r.getString(0)), r.toString)
+      assert(r.getBoolean(2), s"merged HLL estimate outside 5%: $r")
     }
   }
 }

@@ -50,4 +50,34 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Double]("jaccard") >= 0.12)
     }
   }
+
+  test("df-capped jaccard equals uncapped where the cap doesn't bind") {
+    // at sf0.001 every shingle df is far below DfCap (max df ≈ 7)
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val capped = Text.ngramJaccardCappedOf(docs, Text.DfCap, 0.12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Text.ngramJaccardOf(docs, 0.12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === full)
+  }
+
+  test("df-cap drops hot-shingle pairs when it binds") {
+    // 4 docs share only the hot shingle "x y z" (df=4 > cap=3);
+    // docs 10/11 also share a rare 5-shingle overlap that survives
+    val hot = "x y z"
+    val docs = (Seq(
+      (10L, s"$hot a b c d e f g"),
+      (11L, s"$hot a b c d e f h"),
+      (12L, s"$hot p q r s t u v"),
+      (13L, s"$hot j k l m n o w")
+    )).toDF("doc_id", "text")
+    val uncapped = Text.ngramJaccardOf(docs, 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Text.ngramJaccardCappedOf(docs, 3, 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair shares the hot shingle → 6 uncapped pairs
+    assert(uncapped.size === 6)
+    // capped: hot shingle removed, only the genuine 10-11 overlap remains
+    assert(capped === Set((10L, 11L)))
+  }
 }
