@@ -191,11 +191,16 @@ object Text {
     * bind. */
   def ngramJaccardCappedOf(docs: DataFrame, cap: Int, minJ: Double): DataFrame = {
     val sh0 = shingleIndexOf(docs)
-    val rare = sh0.groupBy(col("shingle"))
+    // Remove HOT shingles (df > cap) via broadcast anti-join: the hot set
+    // is tiny by construction (heavy-hitters), so the full index never
+    // reshuffles — unlike an inner join against the rare set, which is
+    // nearly the whole vocabulary.
+    val hot = sh0.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
+      .filter(col("df") > cap)
       .select(col("shingle"))
-    jaccardFromIndex(sh0.join(rare, Seq("shingle")), minJ)
+    jaccardFromIndex(
+      sh0.join(broadcast(hot), Seq("shingle"), "left_anti"), minJ)
   }
 
   def ngramJaccardCapped(s: SparkSession, dir: String): DataFrame =

@@ -24,18 +24,29 @@ object Sketches {
     * approx_count_distinct at rsd=0.015 puts the 5% tolerance at >3σ;
     * both HLL++ and percentile_approx are deterministic per input, so the
     * flags are stable across runs and scale factors. */
-  def q36Approx(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  def q36Approx(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // Sketch side: one pass, fixed memory — the production aggregation.
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_suppkey")).as("exact_supps"),
         approx_count_distinct(col("l_partkey"), 0.015).as("ap"),
         approx_count_distinct(col("l_suppkey"), 0.015).as("asu"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("amed"),
-        expr("percentile(l_extendedprice, 0.5)").as("emed"))
+          .as("amed"))
+    // Exact side, verification only. Distinct counts via two-phase
+    // (group, key) pre-aggregation — NOT countDistinct alongside other
+    // aggregates, which would force an Expand multiplying the scan by the
+    // number of distinct clauses (measured 10× slower at sf0.1).
+    def exactDistinct(key: String, as: String): DataFrame =
+      li.groupBy(col("l_returnflag"), col(key)).agg(count(lit(1)))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+    val emed = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("emed"))
+    approx
+      .join(exactDistinct("l_partkey", "exact_parts"), Seq("l_returnflag"))
+      .join(exactDistinct("l_suppkey", "exact_supps"), Seq("l_returnflag"))
+      .join(emed, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n"),
         col("exact_parts"), col("exact_supps"),
         (abs(col("ap") - col("exact_parts")) <=
@@ -45,6 +56,7 @@ object Sketches {
         (abs(col("amed") - col("emed")) <= col("emed") * 0.05)
           .as("median_within_5pct"))
       .orderBy(col("l_returnflag"))
+  }
 
   val q36Sql: String =
     """SELECT l_returnflag, count(*) AS n,
