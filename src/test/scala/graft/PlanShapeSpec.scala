@@ -35,4 +35,21 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partial top-k aggregation:\n$p")
     assert(!p.contains("Window"), s"window ranking reappeared:\n$p")
   }
+
+  test("q49: near-dup candidate generation never plans a cartesian") {
+    val p = plan(Similarity.nearDupLsh(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in production near-dup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join appeared:\n$p")
+  }
+
+  test("q36: exact distincts avoid the Expand-based multi-distinct plan") {
+    val p = plan(graft.queries.Sketches.q36Approx(spark, sf))
+    assert(!p.contains("Expand"), s"Expand reappeared (multi-countDistinct regression):\n$p")
+  }
+
+  test("q51: hot-shingle removal is a broadcast anti-join, not an index reshuffle") {
+    val p = plan(graft.ext.Text.ngramJaccardCapped(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti for the df-cap:\n$p")
+  }
 }
