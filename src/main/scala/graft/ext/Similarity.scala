@@ -331,13 +331,53 @@ object Similarity {
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY query_id""".stripMargin
 
+  // ---- q54: normalization + int8 quantization ----------------------------
+
+  /** q54 — L2-normalize each embedding and quantize to int8
+    * (floor(x/‖x‖·127 + 0.5) — explicit floor-based rounding because
+    * engines disagree on round()'s half-case while floor is exact). The
+    * standard storage/bandwidth trade for vector search at 100 TB: int8
+    * vectors are ¼ the bytes of float32 with ~1% cosine error. One scan,
+    * no shuffle, all arithmetic in correctly-rounded IEEE ops, so the
+    * DuckDB oracle matches the full quantized vector bit-for-bit (emitted
+    * as CSV like q48). The squared-norm fold is STAGED as its own
+    * projection (the lambda re-evaluation rule — see the Dedup scaladoc). */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+      .select(col("vec_id"), col("de"),
+        aggregate(col("de"), lit(0.0d), (acc, x) => acc + x * x).as("ss"))
+      .filter(col("ss") > 0)
+      .select(col("vec_id"),
+        array_join(transform(col("de"),
+          x => floor(x / sqrt(col("ss")) * 127 + 0.5).cast("long")), ",")
+          .as("q_csv"))
+      .orderBy(col("vec_id"))
+
+  val quantizeInt8Sql: String =
+    """WITH d AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, de,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(de, x -> x * x)), (a, b) -> a + b) AS ss
+      |  FROM d)
+      |SELECT vec_id,
+      |  array_to_string(list_transform(de,
+      |    x -> CAST(floor(x / sqrt(ss) * 127 + 0.5) AS BIGINT)), ',')
+      |    AS q_csv
+      |FROM n WHERE ss > 0
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_quantize_int8" -> (quantizeInt8 _),
     "q17_knn_brute"  -> (knnBruteForce _),
     "q18_knn_lsh"    -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "q44_knn_ivf"    -> (q44IvfRecall _),
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q54_quantize_int8" -> quantizeInt8Sql,
     "q17_knn_brute"  -> knnBruteForceSql,
     "q18_knn_lsh"    -> knnLshSql,
     "q44_knn_ivf"    -> q44Sql,

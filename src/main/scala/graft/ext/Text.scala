@@ -374,7 +374,79 @@ object Text {
       |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.12
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** q52 — rarity-weighted term scoring (tf/df — the df-reciprocal
+    * tf-idf variant): top-3 highest-scoring terms per document. The
+    * log-free weighting is deliberate: tf/df is ONE IEEE division of two
+    * exact integers, bit-identical in every engine, whereas ln() is not
+    * correctly-rounded everywhere and would make the oracle flaky at
+    * ties. Two shuffles: (doc, word) tf counts and word df counts; the
+    * df relation joins back on the word key. At 100 TB both aggregations
+    * partial-combine map-side; nothing driver-sided. */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val tf = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, Seq("word"))
+      .select(col("doc_id"), col("word"),
+        (col("tf").cast("double") / col("df")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("word"), col("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val tfidfTopSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      |scored AS (
+      |  SELECT doc_id, tf.word AS word,
+      |    CAST(tf AS DOUBLE) / df AS score
+      |  FROM tf JOIN df ON tf.word = df.word),
+      |r AS (
+      |  SELECT doc_id, word, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, word) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, word, score, rnk FROM r WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  /** q53 — deterministic stratified sampling: md5(doc_id) mod 1000 under a
+    * per-stratum rate (the majority 'en' class undersampled at 5%, other
+    * languages at 15%). Content-keyed hashing makes the sample identical
+    * across engines, runs, partitionings, and retries — the property that
+    * matters when a 100 TB training-set sample must be reproducible and
+    * join-stable (rows never flip in or out on replan, unlike
+    * `TABLESAMPLE`/rand()). One scan, no shuffle before the aggregate. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(1000L))
+    val rate = when(col("lang") === "en", 50L).otherwise(150L)
+    Tables.documents(s, dir)
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000 < (CASE WHEN lang = 'en' THEN 50 ELSE 150 END)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_tfidf_top"     -> (tfidfTop _),
+    "q53_stratified_sample" -> (stratifiedSample _),
     "q46_fingerprints"  -> (fingerprints _),
     "q47_langid"        -> (langIdConfusion _),
     "q43_regex_tokens"  -> (regexTokens _),
@@ -386,6 +458,8 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q52_tfidf_top"     -> tfidfTopSql,
+    "q53_stratified_sample" -> stratifiedSampleSql,
     "q46_fingerprints"  -> fingerprintsSql,
     "q47_langid"        -> langIdConfusionSql,
     "q43_regex_tokens"  -> regexTokensSql,
