@@ -261,12 +261,22 @@ object Dedup {
       when(tally > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** (doc_id, fp) portable SimHash fingerprints for a documents frame. */
-  def portableSimhashFingerprints(docs: DataFrame): DataFrame =
+  /** Declarative (pure built-ins) spelling of the portable fingerprint;
+    * kept as the semantic reference the one-pass expression is tested
+    * against (DedupSpec). */
+  def portableSimhashDeclarative(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), transform(col("w"), portableTokenHash(_)).as("hs"))
       .select(col("doc_id"), portableSimhashFromHashes(col("hs")).as("fp"))
+
+  /** (doc_id, fp) portable SimHash fingerprints for a documents frame —
+    * via the one-pass [[org.apache.spark.sql.graft.PortableSimHash]]
+    * expression (identical values to [[portableSimhashDeclarative]],
+    * ~5× faster: no interpreted per-bit lambda passes). */
+  def portableSimhashFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.portable_simhash(col("text")).as("fp"))
 
   /** DuckDB expression computing the same 60-bit fingerprint from a list
     * column named `hs` — generated from the same bit range. */

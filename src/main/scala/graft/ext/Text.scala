@@ -263,13 +263,10 @@ object Text {
     * (The Spark-native FNV simhash64 stays the cheap production
     * fingerprint, spec-verified in DedupSpec.) */
   def fingerprints(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.rolling_hash
+    import graft.functions.TextFunctions.{portable_simhash, rolling_hash}
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
       .select(col("doc_id"), rolling_hash(col("text")).as("roll_fp"),
-        transform(col("w"), Dedup.portableTokenHash(_)).as("hs"))
-      .select(col("doc_id"), col("roll_fp"),
-        Dedup.portableSimhashFromHashes(col("hs")).as("sim_fp"))
+        portable_simhash(col("text")).as("sim_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{LangId, RollingHash, Shim, SimHash}
+import org.apache.spark.sql.graft.{LangId, PortableSimHash, RollingHash, Shim, SimHash}
 
 /** User-facing Column API for the custom text expressions. */
 object TextFunctions {
@@ -15,10 +15,16 @@ object TextFunctions {
   /** 64-bit SimHash near-dup fingerprint. */
   def simhash64(c: Column): Column = Shim.column(SimHash(Shim.expression(c)))
 
+  /** 60-bit engine-portable SimHash (md5 token hashes) — the
+    * oracle-verifiable fingerprint; see PortableSimHash scaladoc. */
+  def portable_simhash(c: Column): Column =
+    Shim.column(PortableSimHash(Shim.expression(c)))
+
   /** Make the functions SQL-callable on a session. */
   def register(spark: SparkSession): Unit = {
     Shim.registerFunction(spark, "lang_id", es => LangId(es.head))
     Shim.registerFunction(spark, "rolling_hash", es => RollingHash(es.head))
     Shim.registerFunction(spark, "simhash64", es => SimHash(es.head))
+    Shim.registerFunction(spark, "portable_simhash", es => PortableSimHash(es.head))
   }
 }

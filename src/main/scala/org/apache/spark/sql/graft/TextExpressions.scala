@@ -106,6 +106,59 @@ case class LangId(child: Expression) extends UnaryExpression
     copy(child = c)
 }
 
+/** One-pass implementation of the engine-portable SimHash (md5-derived
+  * 60-bit token hashes, bit-tally sign fingerprint).
+  *
+  * Produces values IDENTICAL to the declarative built-in pipeline
+  * `transform(split(text,' '), t -> conv(substr(md5(t),1,15),16,10))`
+  * + 60 aggregate() bit tallies (DedupSpec asserts the equality, and the
+  * q25/q46 DuckDB oracles recompute the same values in SQL) — but ~5×
+  * faster: higher-order functions are interpreted per-lambda-per-element
+  * in Spark, so the 60 tally passes dominated q25/q46. Here the whole
+  * fingerprint is one tight Java loop per document (CodegenFallback: one
+  * virtual call per row is noise next to the md5 work).
+  */
+case class PortableSimHash(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_simhash"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"portable_simhash requires STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any = {
+    // split(" ", -1) replicates Spark's split(): trailing empties kept
+    val tokens = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tally = new Array[Int](60)
+    tokens.foreach { t =>
+      md.reset()
+      val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars of the digest = first 60 bits, big-endian
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+      h = (h << 4) | ((dig(7) & 0xffL) >>> 4)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) tally(j) += 1 else tally(j) -= 1
+        j += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) { if (tally(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object LangId {
   /** Top function words per language (standard frequency lists). Order
     * fixed → deterministic tie-breaking. */

@@ -50,4 +50,16 @@ class DedupSpec extends SparkSpec {
     val hs2 = docs.select(rolling_hash(col("text"))).collect().map(_.getLong(0))
     assert(hs.sameElements(hs2))
   }
+
+  test("one-pass portable_simhash equals the declarative built-in pipeline") {
+    // the oracle contract: the fast expression must compute EXACTLY what
+    // the md5/conv/aggregate built-in formulation (and thus the generated
+    // DuckDB SQL) computes — on real corpus docs, not just synthetics
+    val corpus = graft.tables.Tables.documents(spark, sf)
+    val fast = Dedup.portableSimhashFingerprints(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.portableSimhashDeclarative(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow)
+  }
 }
