@@ -85,6 +85,45 @@ object EventStreams {
         col("s_ts"))
   }
 
+  /** Running per-user totals through a `foreachBatch` sink — the
+    * production pattern for exactly-once upserts into a PLAIN,
+    * non-transactional store. Update-mode aggregation emits each key's
+    * new total whenever it changes; the batch hook writes those rows into
+    * a `batch_id=N` partition using DYNAMIC partition overwrite, so
+    * re-processing batch N after a crash rewrites exactly its own
+    * partition — idempotent, no dupes, no loss. [[latestTotals]] compacts
+    * the changelog to current values (latest batch wins per key). At
+    * 100 TB the identical hook body becomes `MERGE INTO` on a
+    * transactional table format; the streaming side doesn't change.
+    * Aggregation state is bounded by the user-key cardinality (this is
+    * the keyed-state contract; unbounded keys → use windowed totals). */
+  def userTotalsToChangelog(events: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("total_value"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
+  /** Latest-per-key compaction of the changelog written by
+    * [[userTotalsToChangelog]]. */
+  def latestTotals(spark: SparkSession, outDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_id")
+  }
+
   /** Gap-based sessionization with explicit state — streaming twin of
     * Core.q16Sessionize. One OpenSession per active user in the state
     * store; event-time timeout closes sessions when the watermark passes

@@ -135,6 +135,41 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("foreachBatch changelog sink: compacted totals match batch; batch re-run is idempotent") {
+    // fresh source dir: eventsDir gains flush rows in the sessionize test
+    val srcDir = Files.createTempDirectory("graft-fb-src").toString
+    val outDir = Files.createTempDirectory("graft-fb-out").toString + "/changelog"
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val q = EventStreams.userTotalsToChangelog(
+      EventStreams.readEventStream(spark, srcDir), outDir)
+    try q.processAllAvailable() finally q.stop()
+
+    val latest = EventStreams.latestTotals(spark, outDir)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), graft.ops.Det.dsum(col("value")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(latest === batch)
+
+    // idempotence: re-writing a batch partition with the same rows (the
+    // crash-recovery path) leaves the compacted view unchanged
+    val part0 = spark.read.parquet(outDir).filter(col("batch_id") === 0)
+      .cache()
+    part0.count()
+    part0.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+    val after = EventStreams.latestTotals(spark, outDir)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(after === batch, "re-running a batch changed the compacted view")
+  }
+
   test("streaming sessionization matches batch q16 session count") {
     val flushDir = eventsDir // second file into the same stream dir
     val q = EventStreams.sessionize(
