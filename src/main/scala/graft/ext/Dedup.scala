@@ -15,10 +15,12 @@ import graft.tables.Tables
   *    documents agreeing on a full band become candidate pairs. All
   *    built-in codegen'd expressions (xxhash64 + transform + array_min) —
   *    the signature never leaves Tungsten rows.
-  *  - SimHash ([[simhashPairs]]): 64-bit fingerprint (custom one-pass
-  *    Expression), Hamming-distance candidates via the 4×16-bit chunk
-  *    pigeonhole trick (distance ≤3 ⇒ some chunk equal) — candidate join
-  *    is again an equi-join on a small key.
+  *  - SimHash ([[simhashPairs]]): one-pass fingerprint expression,
+  *    Hamming-distance candidates via the bit-chunk pigeonhole trick
+  *    (distance ≤3 ⇒ some chunk equal) — candidate join is again an
+  *    equi-join on a small key. The registered query uses the md5-portable
+  *    60-bit fingerprint (oracle-exact); the 64-bit FNV codegen variant is
+  *    the cheapest production spelling.
   *  - Exact dedup is [[Text.exactDedup]] (md5 groupBy).
   *
   * Spark's own MinHashLSH (mllib) requires sparse ML vectors; operating

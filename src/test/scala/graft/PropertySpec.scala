@@ -74,6 +74,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization preserves cosine similarity (>0.99 to original)") {
+    // dequantized vectors must stay nearly parallel to the originals —
+    // the fidelity contract behind storing embeddings at ¼ the bytes
+    val e = graft.tables.Tables.embeddings(spark, sf).limit(50)
+    val q = graft.ext.Similarity.quantizeInt8(spark, sf)
+      .limit(50).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(",").map(_.toFloat))
+      .toMap
+    val orig = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    q.foreach { case (id, dq) =>
+      val o = orig(id)
+      var dot = 0.0; var n1 = 0.0; var n2 = 0.0
+      o.indices.foreach { i =>
+        dot += o(i) * dq(i); n1 += o(i) * o(i); n2 += dq(i) * dq(i)
+      }
+      val cos = dot / math.sqrt(n1 * n2)
+      assert(cos > 0.99, s"vec $id: quantized cosine $cos")
+    }
+  }
+
   test("Det.dstddev matches built-in stddev_samp within 1e-9 relative") {
     val li = graft.tables.Tables.lineitem(spark, sf)
     val rows = li.groupBy(col("l_returnflag"))
