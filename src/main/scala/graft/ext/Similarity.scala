@@ -385,16 +385,21 @@ object Similarity {
     * DuckDB oracle matches the full quantized vector bit-for-bit (emitted
     * as CSV like q48). The squared-norm fold is STAGED as its own
     * projection (the lambda re-evaluation rule — see the Dedup scaladoc). */
-  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+  /** (vec_id, q: array<long>) int8-quantized normalized vectors — shared
+    * by q54 (CSV dump) and q56 (per-label centroids). */
+  def quantizedVectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
       .select(col("vec_id"), col("de"),
         aggregate(col("de"), lit(0.0d), (acc, x) => acc + x * x).as("ss"))
       .filter(col("ss") > 0)
       .select(col("vec_id"),
-        array_join(transform(col("de"),
-          x => floor(x / sqrt(col("ss")) * 127 + 0.5).cast("long")), ",")
-          .as("q_csv"))
+        transform(col("de"),
+          x => floor(x / sqrt(col("ss")) * 127 + 0.5).cast("long")).as("q"))
+
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    quantizedVectors(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"))
       .orderBy(col("vec_id"))
 
   val quantizeInt8Sql: String =
@@ -412,7 +417,50 @@ object Similarity {
       |FROM n WHERE ss > 0
       |ORDER BY vec_id""".stripMargin
 
+  /** q56 — per-label centroids of quantized vectors: the distributed
+    * k-means-update/class-prototype pattern. posexplode to (label, dim,
+    * q) rows, EXACT integer sums per (label, dim) — quantization makes
+    * the per-dimension aggregation order-independent, which is what lets
+    * a distributed float-vector mean hash-match a single-node engine
+    * (raw float sums would differ in ULPs per partitioning). One shuffle
+    * of (label, dim) keys; partial aggregation collapses map-side. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    quantizedVectors(e)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"), col("qv"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qv")).as("sum_q"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), col("sum_q"), col("n"),
+        (col("sum_q").cast("double") / col("n")).as("mean_q"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  val labelCentroidsSql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, de,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(de, x -> x * x)), (a, b) -> a + b) AS ss
+       |  FROM d),
+       |q AS (
+       |  SELECT vec_id, label, list_transform(de,
+       |    x -> CAST(floor(x / sqrt(ss) * 127 + 0.5) AS BIGINT)) AS q
+       |  FROM n WHERE ss > 0),
+       |ex AS (
+       |  SELECT label, r.range AS dim, q[r.range] AS qv
+       |  FROM q CROSS JOIN range(1, ${Dim + 1}) r)
+       |SELECT label, dim, CAST(sum(qv) AS BIGINT) AS sum_q,
+       |  count(*) AS n, CAST(sum(qv) AS DOUBLE) / count(*) AS mean_q
+       |FROM ex
+       |GROUP BY label, dim
+       |ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_label_centroids" -> (labelCentroids _),
     "q54_quantize_int8" -> (quantizeInt8 _),
     "q17_knn_brute"  -> (knnBruteForce _),
     "q18_knn_lsh"    -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -420,6 +468,7 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q56_label_centroids" -> labelCentroidsSql,
     "q54_quantize_int8" -> quantizeInt8Sql,
     "q17_knn_brute"  -> knnBruteForceSql,
     "q18_knn_lsh"    -> knnLshSql,

@@ -306,16 +306,25 @@ object Text {
       .orderBy(col("labeled"), col("predicted"))
   }
 
-  /** DuckDB spelling of [[langIdConfusion]], generated from
+  /** SQL fragments shared by the lang-ID oracles, generated from
     * [[org.apache.spark.sql.graft.LangId.Profiles]] so SQL and expression
     * can never drift. */
-  def langIdConfusionSql: String = {
+  private def langScoreCols: String = {
     val profiles = org.apache.spark.sql.graft.LangId.Profiles
-    val scoreCols = profiles.map { case (lang, ws) =>
+    profiles.map { case (lang, ws) =>
       val inList = ws.toSeq.sorted.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(toks, t -> t IN ($inList))) AS s_$lang"
     }.mkString(",\n    ")
-    val m = profiles.map("s_" + _._1).mkString("greatest(", ", ", ")")
+  }
+  private def langMaxExpr: String =
+    org.apache.spark.sql.graft.LangId.Profiles.map("s_" + _._1)
+      .mkString("greatest(", ", ", ")")
+
+  /** DuckDB spelling of [[langIdConfusion]]. */
+  def langIdConfusionSql: String = {
+    val profiles = org.apache.spark.sql.graft.LangId.Profiles
+    val scoreCols = langScoreCols
+    val m = langMaxExpr
     val cases = profiles.map { case (lang, _) =>
       s"WHEN s_$lang = m THEN '$lang'"
     }.mkString("\n      ")
@@ -441,7 +450,74 @@ object Text {
       |      % 1000 < (CASE WHEN lang = 'en' THEN 50 ELSE 150 END)
       |ORDER BY doc_id""".stripMargin
 
+  /** q55 — the composed training-data pipeline, end to end in ONE
+    * declarative plan: exact dedup (keep-first by md5 fingerprint, window
+    * formulation) → quality gate (≥20 tokens, stopword ratio < 25%) →
+    * keep documents the heuristic lang-ID classifies as English →
+    * deterministic 50% hash sample. Each stage is an operator family from
+    * this library; composing them declaratively means Catalyst plans the
+    * whole chain (one scan, pruned columns, no materialization between
+    * stages) — the way a real 100 TB curation job should be written. The
+    * oracle recomputes every stage, so the final selected id set is
+    * value-exact across engines. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.lang_id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => t.isin("the", "a"))).cast("long").as("n_stop"))
+      .filter(col("n_tok") >= 20 && col("n_stop") * 4 <= col("n_tok"))
+      .filter(lang_id(col("text")) === "en")
+      .filter(pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(1000L)) < 500)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB spelling of [[curationPipeline]] — every stage recomputed;
+    * "predicted en" = s_en equals a positive max (en is first in profile
+    * order, so it wins ties exactly like the expression). */
+  def curationPipelineSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text, md5(text) AS fp FROM documents),
+       |first AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+       |      AS rn FROM base)
+       |  WHERE rn = 1),
+       |qual AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      len(string_split(text, ' ')) AS n_tok,
+       |      len(list_filter(string_split(text, ' '),
+       |          t -> t IN ('the', 'a'))) AS n_stop
+       |    FROM first)
+       |  WHERE n_tok >= 20 AND n_stop * 4 <= n_tok),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $langScoreCols
+       |  FROM (SELECT doc_id, lang,
+       |          regexp_split_to_array(lower(text), '\\s+') AS toks
+       |        FROM qual)),
+       |en AS (
+       |  SELECT doc_id, lang FROM (
+       |    SELECT *, $langMaxExpr AS m FROM scored)
+       |  WHERE m > 0 AND s_en = m)
+       |SELECT doc_id, lang FROM en
+       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 1000 < 500
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_curation_pipeline" -> (curationPipeline _),
     "q52_tfidf_top"     -> (tfidfTop _),
     "q53_stratified_sample" -> (stratifiedSample _),
     "q46_fingerprints"  -> (fingerprints _),
@@ -455,6 +531,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q55_curation_pipeline" -> curationPipelineSql,
     "q52_tfidf_top"     -> tfidfTopSql,
     "q53_stratified_sample" -> stratifiedSampleSql,
     "q46_fingerprints"  -> fingerprintsSql,
