@@ -112,6 +112,15 @@ object Dedup {
   def minhashPairsOf(docs: DataFrame, minEst: Double): DataFrame =
     minhashPairsFromSignatures(signatures(docs), minEst)
 
+  /** One-pass portable signatures via
+    * [[org.apache.spark.sql.graft.PortableMinHash]] — identical values to
+    * [[portableSignatures]] (DedupSpec asserts it), fused into a single
+    * expression evaluation per document. */
+  def portableSignaturesFast(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Shim.column(
+      org.apache.spark.sql.graft.PortableMinHash(
+        Shim.expression(col("text")), perms.toSeq, MersennePrime)).as("sig"))
+
   /** q24 — MinHash near-dup pairs over the corpus, registered with the
     * md5-portable shingle hash so the driver's DuckDB oracle verifies the
     * ENTIRE pipeline (signatures → banding → candidate join → estimate →
@@ -119,7 +128,8 @@ object Dedup {
     * production variant [[minhashPairsOf]] — only the shingle-hash
     * expression differs. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsFromSignatures(portableSignatures(Tables.documents(s, dir)), 0.5)
+    minhashPairsFromSignatures(
+      portableSignaturesFast(Tables.documents(s, dir)), 0.5)
 
   /** Shared DuckDB CTE chain computing the portable signatures as a LIST
     * column — generated from the same permutation constants the Spark side
@@ -190,7 +200,7 @@ object Dedup {
   /** q48 — portable minhash signatures, flattened to CSV for exact
     * cross-engine comparison. */
   def minhashPortable(s: SparkSession, dir: String): DataFrame =
-    portableSignatures(Tables.documents(s, dir))
+    portableSignaturesFast(Tables.documents(s, dir))
       .select(col("doc_id"),
         array_join(transform(col("sig"), x => x.cast("string")), ",")
           .as("sig_csv"))

@@ -159,6 +159,69 @@ case class PortableSimHash(child: Expression) extends UnaryExpression
     copy(child = c)
 }
 
+/** One-pass implementation of the engine-portable MinHash signature
+  * (word-3-gram shingles, md5-derived 32-bit shingle hashes, P affine
+  * permutation minima).
+  *
+  * Produces values IDENTICAL to the declarative spelling
+  * (`split` → shingle lambda → `conv(substr(md5(s),1,8),16,10) % p` →
+  * P × `array_min(transform(...))`) — DedupSpec asserts the equality and
+  * the q24/q48 DuckDB oracles recompute the same signatures in SQL — but
+  * in one tight loop per document: shingle construction, md5, and all P
+  * permutation minima fused, no intermediate arrays, no interpreted
+  * lambda passes. `array_distinct` in the declarative form is dropped
+  * here because min over a multiset equals min over its distinct set.
+  */
+case class PortableMinHash(child: Expression, perms: Seq[(Long, Long)],
+    prime: Long) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_minhash"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"portable_minhash requires STRING, got ${child.dataType.sql}")
+
+  private lazy val as: Array[Long] = perms.map(_._1).toArray
+  private lazy val bs: Array[Long] = perms.map(_._2).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val L = tokens.length
+    val n = math.max(L - 2, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val P = as.length
+    val mins = Array.fill(P)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      // shingle i (0-based) = w[i], w[min(i+1,L-1)], w[min(i+2,L-1)]
+      val s = tokens(i) + " " + tokens(math.min(i + 1, L - 1)) + " " +
+        tokens(math.min(i + 2, L - 1))
+      md.reset()
+      val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex chars of the digest = first 4 bytes, big-endian
+      var h = 0L; var b = 0
+      while (b < 4) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h %= prime
+      var j = 0
+      while (j < P) {
+        val perm = (as(j) * h + bs(j)) % prime
+        if (perm < mins(j)) mins(j) = perm
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object LangId {
   /** Top function words per language (standard frequency lists). Order
     * fixed → deterministic tie-breaking. */

@@ -51,6 +51,15 @@ class DedupSpec extends SparkSpec {
     assert(hs.sameElements(hs2))
   }
 
+  test("one-pass portable minhash equals the declarative built-in pipeline") {
+    val corpus = graft.tables.Tables.documents(spark, sf)
+    val fast = Dedup.portableSignaturesFast(corpus).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val slow = Dedup.portableSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast === slow)
+  }
+
   test("one-pass portable_simhash equals the declarative built-in pipeline") {
     // the oracle contract: the fast expression must compute EXACTLY what
     // the md5/conv/aggregate built-in formulation (and thus the generated
