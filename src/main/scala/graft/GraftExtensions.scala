@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, LangId, RollingHash, SimHash}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, LangId, PortableSimHash, RollingHash, SimHash}
 
 /** Session-build-time registration of the engine's custom Catalyst
   * expressions (the `SparkSessionExtensions` integration point — SURVEY.md
@@ -42,5 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("lang_id",
       "lang_id(s) - stopword-profile language identification",
       es => LangId(es.head)))
+    e.injectFunction(fn("portable_simhash",
+      "portable_simhash(s) - 60-bit engine-portable SimHash fingerprint",
+      es => PortableSimHash(es.head)))
   }
 }

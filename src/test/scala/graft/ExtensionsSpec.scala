@@ -23,10 +23,12 @@ class ExtensionsSpec extends SparkSpec {
         .collect()(0).getString(0)
       assert(lid === "en")
       val rh = s2.sql("SELECT rolling_hash('abc'), simhash64('a b c'), " +
-        "dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
+        "dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))), " +
+        "portable_simhash('a b c')")
         .collect()(0)
       assert(rh.getLong(0) > 0)
       assert(rh.getDouble(2) === 6.0)
+      assert(rh.getLong(3) > 0)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -36,6 +36,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window ranking reappeared:\n$p")
   }
 
+  test("q01: hot path stays inside whole-stage codegen") {
+    // AQE finalizes the plan only on execution; the executed plan marks
+    // codegen stages with "*(n)" prefixes
+    val df = Core.q01Pricing(spark, sf)
+    df.collect() // runs df's own QueryExecution so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("),
+      s"scan→filter→agg fell out of codegen:\n${p.take(600)}")
+  }
+
   test("q49: near-dup candidate generation never plans a cartesian") {
     val p = plan(Similarity.nearDupLsh(spark, sf))
     assert(!p.contains("CartesianProduct"), s"cartesian in production near-dup:\n$p")
