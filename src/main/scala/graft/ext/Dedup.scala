@@ -335,7 +335,91 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---- q57: near-dup pairs → dedup clusters (connected components) ------
+
+  /** Connected components over an undirected near-dup pair list:
+    * per-node cluster id = MINIMUM doc_id reachable through pairs.
+    * Pipelines dedup by CLUSTER (keep one doc per component), not by
+    * pair — a pair list alone can't answer "which docs do I drop" when
+    * near-dups chain (a~b, b~c but not a~c).
+    *
+    * Iterative min-label propagation as DataFrame joins: each round every
+    * node takes the min of its own and its neighbors' labels; converges
+    * in O(component diameter) rounds (near-dup clusters are shallow —
+    * 2-4 rounds here). Driver-coordinated iteration like any iterative
+    * algorithm (k-means, PageRank); per-round lineage is cut with an
+    * eager localCheckpoint so plans don't snowball. At 100 TB each round
+    * is one shuffle join on (node) — the standard large-graph CC shape.
+    * Deterministic output (min ids), so the DuckDB oracle recomputes the
+    * same components with a recursive CTE. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(labels("node"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("newl"))
+        .localCheckpoint()
+      changed = updated.filter(col("newl") < col("label")).count()
+      labels = updated.select(col("node"), col("newl").as("label"))
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q57 — dedup clusters over the q23 n-gram-Jaccard pair list. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      Text.ngramJaccard(s, dir).select(col("a_id"), col("b_id")))
+
+  /** DuckDB spelling of [[dedupClusters]]: the q23 pair pipeline feeding
+    * a recursive label-propagation CTE (min reachable id per node). */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2])) AS shingle
+      |    FROM documents
+      |    WHERE len(string_split(text,' ')) >= 3)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM inter
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.12),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |cc AS (
+      |  SELECT src AS node, src AS label FROM edges
+      |  UNION
+      |  SELECT e.dst AS node, c.label FROM cc c JOIN edges e ON e.src = c.node)
+      |SELECT node AS doc_id, min(label) AS cluster_id
+      |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_dedup_clusters" -> (dedupClusters _),
     "q24_minhash_pairs" -> (minhashPairs _),
     "q25_simhash_pairs" -> (simhashPairs _),
     "q48_minhash_portable" -> (minhashPortable _))
@@ -346,6 +430,7 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q57_dedup_clusters"  -> dedupClustersSql,
     "q24_minhash_pairs"   -> minhashPairsSql,
     "q25_simhash_pairs"   -> simhashPairsSql,
     "q48_minhash_portable" -> minhashPortableSql)

@@ -51,6 +51,17 @@ class DedupSpec extends SparkSpec {
     assert(hs.sameElements(hs2))
   }
 
+  test("connected components: chains collapse to one cluster, min id wins") {
+    // 1-2-3-4-5 is a 4-hop chain (multiple propagation rounds); 10-11
+    // is a separate component
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("one-pass portable minhash equals the declarative built-in pipeline") {
     val corpus = graft.tables.Tables.documents(spark, sf)
     val fast = Dedup.portableSignaturesFast(corpus).collect()
