@@ -352,7 +352,55 @@ object Dedup {
     * is one shuffle join on (node) — the standard large-graph CC shape.
     * Deterministic output (min ids), so the DuckDB oracle recomputes the
     * same components with a recursive CTE. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+      driverLimit: Long = 1L << 22): DataFrame = {
+    val p = pairs.select(col("a_id"), col("b_id")).cache()
+    val nEdges = p.count()
+    val out =
+      if (nEdges <= driverLimit) ccOnDriver(p)
+      else ccDistributed(p)
+    p.unpersist()
+    out
+  }
+
+  /** Small-graph fast path: union-find on the collected pair list.
+    * The pair graph is orders of magnitude smaller than the corpus (it
+    * only contains near-duplicates), so up to ~4M edges it is cheaper to
+    * solve exactly on the driver — one collect, microseconds of
+    * union-find — than to pay per-round distributed job overhead.
+    * Union-by-min keeps the smaller root, so each final root IS the
+    * component's minimum id (same contract as the distributed loop). */
+  private def ccOnDriver(pairs: DataFrame): DataFrame = {
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val s = pairs.sparkSession
+    import s.implicits._
+    parent.keys.toSeq.sorted.map(k => (k, find(k)))
+      .toDF("doc_id", "cluster_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Large-graph path: iterative min-label propagation as DataFrame
+    * joins — each round every node takes the min of its own and its
+    * neighbors' labels; converges in O(component diameter) rounds
+    * (near-dup clusters are shallow). One shuffle join per round,
+    * lineage cut with an eager localCheckpoint per round — the standard
+    * big-graph CC shape at 100 TB. */
+  private def ccDistributed(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))

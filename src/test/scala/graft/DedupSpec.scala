@@ -56,10 +56,16 @@ class DedupSpec extends SparkSpec {
     // is a separate component
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("a_id", "b_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // driver union-find fast path
     val cc = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(cc === expected)
+    // distributed label-propagation path (forced via driverLimit = 0)
+    val ccDist = Dedup.connectedComponents(pairs, driverLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDist === expected)
   }
 
   test("one-pass portable minhash equals the declarative built-in pipeline") {
