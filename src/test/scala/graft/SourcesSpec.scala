@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.CsvLoader
+import graft.tables.Tables
+
+/** Source/sink round-trips beyond the reference's CSV-in/ORC-out pair:
+  * CSV and JSON-lines writers, malformed-record policies, and parquet
+  * schema evolution — the ingestion surface a long-lived 100 TB corpus
+  * actually exercises (files written by different pipeline versions). */
+class SourcesSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/out"
+
+  test("CSV round-trip with explicit schema preserves values and NULLs") {
+    val dir = tmp("graft-csv")
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("lang", when(col("doc_id") % 7 === 0, lit(null))
+        .otherwise(col("lang")))
+    src.write.option("header", "true").option("nullValue", "NULL").csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = CsvLoader.load(spark, dir, schema = Some(schema))
+    assert(back.count() === src.count())
+    assert(back.filter(col("lang").isNull).count() ===
+      src.filter(col("lang").isNull).count())
+    assert(back.exceptAll(src).count() === 0)
+  }
+
+  test("JSON-lines round-trip preserves nested structure") {
+    val dir = tmp("graft-json")
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        struct(col("lang"), col("source")).as("meta"),
+        split(col("text"), " ").as("first_words"))
+      .withColumn("first_words", slice(col("first_words"), 1, 3))
+    src.write.json(dir)
+    val back = spark.read.json(dir)
+      .select(col("doc_id"), col("meta"), col("first_words"))
+    assert(back.count() === src.count())
+    val b = back.orderBy("doc_id").collect()
+    val s = src.orderBy("doc_id").collect()
+    b.zip(s).foreach { case (br, sr) =>
+      assert(br.getStruct(1).getString(0) === sr.getStruct(1).getString(0))
+      assert(br.getSeq[String](2) === sr.getSeq[String](2))
+    }
+  }
+
+  test("malformed CSV rows: PERMISSIVE nulls them, FAILFAST raises") {
+    val dir = Files.createTempDirectory("graft-badcsv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id,n\n1,10\n2,notanumber\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType)))
+    val permissive = spark.read.schema(schema)
+      .option("header", "true").csv(dir)
+    assert(permissive.count() === 3)
+    assert(permissive.filter(col("n").isNull).count() === 1)
+    val failfast = spark.read.schema(schema)
+      .option("header", "true").option("mode", "FAILFAST").csv(dir)
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    val dir = tmp("graft-evolve")
+    // v1 files lack the column a later pipeline version added
+    Seq((1L, "a")).toDF("id", "v1col").write.parquet(s"$dir/p=1")
+    Seq((2L, "b", 42L)).toDF("id", "v1col", "v2col")
+      .write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "v1col", "v2col", "p"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getAs[Any]("v2col") === null) // old file: evolved col is null
+    assert(rows(1).getAs[Long]("v2col") === 42L)
+  }
+}
