@@ -1,0 +1,30 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.queries.{Advanced, Core, Sketches, Subqueries}
+
+/** Guards on the driver contract itself: the round-2 invariant is that
+  * EVERY registered query is oracle-checked, and module maps are merged
+  * with `++`, which would silently drop a query on a duplicate key. */
+class RegistrySpec extends SparkSpec {
+
+  test("every registered query has an oracle (no rows-only entries)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle SQL without a query: $orphaned")
+  }
+
+  test("no module silently overwrites another module's query key") {
+    val perModule = Seq(
+      Core.queries, Advanced.queries, Sketches.queries, Subqueries.queries,
+      Similarity.queries, Text.queries, Dedup.queries, Multimodal.queries)
+    assert(perModule.map(_.size).sum === SparkEntry.queries.size,
+      "duplicate query key across modules (Map ++ dropped one)")
+  }
+
+  test("query keys follow the qNN_name convention") {
+    val bad = SparkEntry.queries.keySet.filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))
+    assert(bad.isEmpty, s"non-conforming keys: $bad")
+  }
+}
