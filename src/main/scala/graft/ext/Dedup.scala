@@ -353,25 +353,31 @@ object Dedup {
     * Deterministic output (min ids), so the DuckDB oracle recomputes the
     * same components with a recursive CTE. */
   def connectedComponents(pairs: DataFrame,
-      driverLimit: Long = 1L << 22): DataFrame = {
+      driverLimit: Long = 1L << 21, maxRounds: Int = 50): DataFrame = {
     val p = pairs.select(col("a_id"), col("b_id")).cache()
     val nEdges = p.count()
     val out =
       if (nEdges <= driverLimit) ccOnDriver(p)
-      else ccDistributed(p)
+      else ccDistributed(p, maxRounds)
     p.unpersist()
     out
   }
 
   /** Small-graph fast path: union-find on the collected pair list.
     * The pair graph is orders of magnitude smaller than the corpus (it
-    * only contains near-duplicates), so up to ~4M edges it is cheaper to
+    * only contains near-duplicates), so up to ~2M edges it is cheaper to
     * solve exactly on the driver — one collect, microseconds of
     * union-find — than to pay per-round distributed job overhead.
+    * Collected through the (Long, Long) tuple encoder, not generic Rows:
+    * ~32 B/edge on the driver instead of several× that in Row overhead.
     * Union-by-min keeps the smaller root, so each final root IS the
     * component's minimum id (same contract as the distributed loop). */
   private def ccOnDriver(pairs: DataFrame): DataFrame = {
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sess = pairs.sparkSession
+    import sess.implicits._
+    val edges = pairs
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -387,8 +393,6 @@ object Dedup {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
-    val s = pairs.sparkSession
-    import s.implicits._
     parent.keys.toSeq.sorted.map(k => (k, find(k)))
       .toDF("doc_id", "cluster_id")
       .orderBy(col("doc_id"))
@@ -400,7 +404,8 @@ object Dedup {
     * (near-dup clusters are shallow). One shuffle join per round,
     * lineage cut with an eager localCheckpoint per round — the standard
     * big-graph CC shape at 100 TB. */
-  private def ccDistributed(pairs: DataFrame): DataFrame = {
+  private def ccDistributed(pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -410,7 +415,7 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
@@ -425,19 +430,45 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    // Returning unconverged labels would be SILENTLY wrong (split
+    // components); a chain-shaped dup graph deeper than maxRounds must
+    // fail loudly, not plausibly.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components not converged after $rounds rounds " +
+          s"($changed labels still improving): component diameter exceeds " +
+          s"maxRounds=$maxRounds — raise it for chain-shaped dup graphs")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
 
-  /** q57 — dedup clusters over the q23 n-gram-Jaccard pair list. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      Text.ngramJaccard(s, dir).select(col("a_id"), col("b_id")))
+  /** Pair feed shared by the cluster queries: the DF-CAPPED n-gram
+    * Jaccard pipeline (q51's formulation, same cap and threshold). The
+    * cap matters HERE even more than in q51: cluster input is the most
+    * expensive stage in the suite, and an uncapped self-join inherits the
+    * unbounded Σdf² blowup of a corpus-hot boilerplate shingle. */
+  private[graft] def dedupClusterPairs(s: SparkSession, dir: String): DataFrame =
+    Text.ngramJaccardCapped(s, dir).select(col("a_id"), col("b_id"))
 
-  /** DuckDB spelling of [[dedupClusters]]: the q23 pair pipeline feeding
-    * a recursive label-propagation CTE (min reachable id per node). */
+  /** q57 — dedup clusters over the df-capped n-gram-Jaccard pair list. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupClusterPairs(s, dir))
+
+  /** q58 — identical clusters forced through the DISTRIBUTED
+    * label-propagation path (driverLimit = -1), so the big-graph CC shape
+    * — the iterative min-label join — is timed by the bench and
+    * oracle-checked on real corpus pairs, not only spec-checked on toy
+    * graphs. Shares [[dedupClustersSql]]'s oracle: both paths must
+    * produce the same components. */
+  def dedupClustersDistributed(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupClusterPairs(s, dir), driverLimit = -1L)
+
+  /** DuckDB spelling of [[dedupClusters]] (and [[dedupClustersDistributed]]):
+    * the DF-CAPPED q51 pair pipeline feeding a recursive label-propagation
+    * CTE (min reachable id per node). The cap is mirrored exactly so the
+    * check stays value-exact even where the cap binds. */
   val dedupClustersSql: String =
-    """WITH RECURSIVE sh AS (
+    s"""WITH RECURSIVE sh_all AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id,
       |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -446,6 +477,13 @@ object Dedup {
       |             string_split(text,' ')[i+2])) AS shingle
       |    FROM documents
       |    WHERE len(string_split(text,' ')) >= 3)),
+      |rare AS (
+      |  SELECT shingle FROM (
+      |    SELECT shingle, count(*) AS df FROM sh_all GROUP BY shingle)
+      |  WHERE df <= ${Text.DfCap}),
+      |sh AS (
+      |  SELECT s.doc_id, s.shingle FROM sh_all s
+      |  JOIN rare r ON s.shingle = r.shingle),
       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
@@ -468,6 +506,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_dedup_clusters" -> (dedupClusters _),
+    "q58_cc_distributed" -> (dedupClustersDistributed _),
     "q24_minhash_pairs" -> (minhashPairs _),
     "q25_simhash_pairs" -> (simhashPairs _),
     "q48_minhash_portable" -> (minhashPortable _))
@@ -479,6 +518,7 @@ object Dedup {
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
     "q57_dedup_clusters"  -> dedupClustersSql,
+    "q58_cc_distributed"  -> dedupClustersSql,
     "q24_minhash_pairs"   -> minhashPairsSql,
     "q25_simhash_pairs"   -> simhashPairsSql,
     "q48_minhash_portable" -> minhashPortableSql)

@@ -304,23 +304,61 @@ object Similarity {
     centroids
   }
 
+  /** Hard bound on the k-means training sample: the driver collect is
+    * O(IvfSampleCap) rows (~1 MB of 64-dim floats) at ANY corpus size. */
+  val IvfSampleCap = 1024
+
+  /** Top-n nearest centroids per vector via a BROADCAST centroid relation
+    * — the probe shape for centroid counts past the constant-closure UDF's
+    * comfort zone (k > 64). The crossJoin against the broadcast k-row
+    * relation never shuffles the vectors; the top-n reduction is the
+    * bounded [[graft.functions.TopK]] partial aggregation, so the exchange
+    * carries O(N·n·partitions) rows — never the N·k scored pairs. */
+  private def probeCentroids(vecs: DataFrame,
+      centroids: Array[Array[Float]], n: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val cdf = broadcast(centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toDouble).toSeq) }
+      .toSeq.toDF("centroid", "c_emb"))
+    val d2 = aggregate(
+      zip_with(col("embedding").cast("array<double>"), col("c_emb"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+    vecs.select(col("vec_id"), col("embedding")).crossJoin(cdf)
+      .select(col("vec_id"), col("centroid"), d2.as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopK.top_k(n)(col("centroid"), -col("d2")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("sc"))
+      .select(col("vec_id"), col("sc.id").as("centroid"))
+  }
+
   /** IVF-style ANN top-k: k-means coarse quantizer trained on a
-    * deterministic sample (vec_id % 4 == 0, collected to the driver —
-    * a FIXED-SIZE sample by design, so the collect is bounded at any
-    * corpus size), vectors inverted-listed by nearest centroid, queries
-    * probe the `nprobe` nearest centroids and exact-rerank only those
-    * lists — the standard IVF trade (recall vs fraction scanned). */
+    * FIXED-SIZE sample — the `sampleCap` hash-smallest vectors, collected
+    * to the driver. TakeOrderedAndProject keeps ≤cap rows per partition
+    * and the driver merge is a bounded priority queue, so the collect is
+    * O(cap) at any corpus size (a keep-RATE filter would grow linearly
+    * with N). Deterministic: xxhash64 order with vec_id tie-break,
+    * re-sorted on the driver so farthest-point init sees a stable order.
+    * Vectors are inverted-listed by nearest centroid; queries probe the
+    * `nprobe` nearest centroids and exact-rerank only those lists — the
+    * standard IVF trade (recall vs fraction scanned). */
   def knnIvf(s: SparkSession, dir: String,
-      k: Int = 16, nprobe: Int = 8, topK: Int = 3): DataFrame = {
+      k: Int = 16, nprobe: Int = 8, topK: Int = 3,
+      sampleCap: Int = IvfSampleCap): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val sample = e.filter(pmod(col("vec_id"), lit(4)) === 0)
-      .orderBy(col("vec_id"))
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = e
+      .select(xxhash64(col("vec_id")).as("h"), col("vec_id"), col("embedding"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(sampleCap)
+      .collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+      .map(_.getSeq[Float](2).toArray)
     val centroids = lloyds(sample, k, iters = 10)
 
-    // nearest-centroid probe over k≤64 constant centroids; at larger k
-    // switch to a broadcast centroid join
+    // nearest-centroid probe: over ≤64 centroids a closure UDF on the
+    // constant array is cheapest (no join, no extra shuffle); above that
+    // the centroids become a broadcast relation ([[probeCentroids]])
     val probeUdf = udf { (emb: Seq[Float], n: Int) =>
       centroids.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
@@ -328,14 +366,26 @@ object Similarity {
           val diff = c(j) - emb(j); d += diff * diff; j += 1
         }
         (d, i)
-      }.sortBy(_._1).take(n).map(_._2)
+      }.sortBy(_._1).take(n).map(_._2.toLong)
     }
-    val assigned = e.select(col("vec_id"), col("embedding"),
-      explode(probeUdf(col("embedding"), lit(1))).as("centroid"))
-
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(probeUdf(col("embedding"), lit(nprobe))).as("centroid"))
+    val (assigned, q) =
+      if (k <= 64) {
+        val a = e.select(col("vec_id"), col("embedding"),
+          explode(probeUdf(col("embedding"), lit(1))).as("centroid"))
+        val qq = a.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            explode(probeUdf(col("embedding"), lit(nprobe))).as("centroid"))
+        (a, qq)
+      } else {
+        val a = e.join(probeCentroids(e, centroids, 1), Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("centroid"))
+        val qvecs = e.filter(col("vec_id") < 10)
+        val qq = qvecs
+          .join(probeCentroids(qvecs, centroids, nprobe), Seq("vec_id"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("centroid"))
+        (a, qq)
+      }
 
     val pairs = q.join(assigned, Seq("centroid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -352,26 +402,50 @@ object Similarity {
 
   /** q44 — IVF recall check: per query, does the IVF top-3 recover at
     * least one of the exact top-3? k-means is engine-specific, so the
-    * driver-visible contract is this per-query boolean against the exact
-    * answer (both sides computed in Spark; DuckDB recomputes the query-id
-    * universe and asserts every flag is TRUE). SimilaritySpec bounds the
-    * full recall fraction more tightly. */
+    * contract on the IVF side is a per-query boolean against the exact
+    * answer; the EXACT side is emitted as an ordered id CSV that DuckDB
+    * recomputes value-exactly (the q17 formulation) — so the oracle pins
+    * the exact-neighbor ground truth, not just the query-id universe.
+    * SimilaritySpec bounds the full recall fraction more tightly. */
   def q44IvfRecall(s: SparkSession, dir: String): DataFrame = {
     val ivf = knnIvf(s, dir)
     val exact = knnBruteForce(s, dir)
     val hits = ivf.join(exact, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_hit"))
-    exact.select(col("query_id")).distinct()
+    val exactTop = exact.groupBy(col("query_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rnk"), col("neighbor_id")))),
+        x => x.getField("neighbor_id").cast("string")), ",").as("exact_top3"))
+    exactTop
       .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"),
+      .select(col("query_id"), col("exact_top3"),
         (coalesce(col("n_hit"), lit(0L)) >= 1).as("recall_ok"))
       .orderBy(col("query_id"))
   }
 
+  /** DuckDB spelling of q44: the exact top-3 recomputed via the q17 body
+    * (value-exact), plus the tolerance-flag TRUE for the Spark-only IVF
+    * side. */
   val q44Sql: String =
-    """SELECT vec_id AS query_id, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id < 10
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+      |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> query_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM s)
+      |SELECT query_id,
+      |  string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rnk)
+      |    AS exact_top3,
+      |  TRUE AS recall_ok
+      |FROM r WHERE rnk <= 3
+      |GROUP BY query_id
       |ORDER BY query_id""".stripMargin
 
   // ---- q54: normalization + int8 quantization ----------------------------

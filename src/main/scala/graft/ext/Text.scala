@@ -130,11 +130,18 @@ object Text {
     * The standard scalable formulation: the self-join is on the shingle
     * key (pre-filtered to distinct doc-shingle pairs), so cost is
     * sum over shingles of df², not N². */
-  /** Distinct (doc_id, shingle) inverted index, cached: the shingle
-    * relation feeds three consumers (two join sides + per-doc counts);
-    * without cache Spark recomputes the explode 3×. Words staged as their
-    * own projection: referencing split() inside the shingle lambda would
-    * re-split the text per element (O(L²)/doc). */
+  /** Distinct (doc_id, shingle) inverted index, materialized ONCE via a
+    * lazy localCheckpoint: the shingle relation feeds three consumers
+    * (two join sides + per-doc counts); without materialization Spark
+    * recomputes the explode 3×. localCheckpoint, not cache(): cache
+    * registers the plan in the session CacheManager and nothing in a lazy
+    * query API can unpersist it after the (caller-side) action, so a
+    * session running q23+q51+q57 accumulates pinned copies of the index.
+    * Checkpoint blocks are scoped to the query's RDD instead and are
+    * GC-cleaned by the ContextCleaner once the consuming DataFrame is
+    * dropped — the cache lifecycle follows the caller automatically.
+    * Words staged as their own projection: referencing split() inside the
+    * shingle lambda would re-split the text per element (O(L²)/doc). */
   private[graft] def shingleIndexOf(docs: DataFrame): DataFrame = {
     val shingles = array_distinct(transform(
       sequence(lit(1), size(col("w")) - 2),
@@ -144,7 +151,7 @@ object Text {
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(shingles).as("shingle"))
-      .cache()
+      .localCheckpoint(eager = false)
   }
 
   /** Jaccard pairs ≥ minJ from an inverted index: self-join on shingle →
@@ -272,14 +279,25 @@ object Text {
 
   /** DuckDB spelling of [[fingerprints]]. The rolling hash folds
     * `ord(char)` per character — equal to the Spark expression's per-BYTE
-    * fold because the corpus is pure ASCII (verified); HUGEINT keeps the
-    * `h*31+b` intermediate exact before the mod. */
+    * fold ONLY for ASCII text, so the generated SQL asserts that
+    * precondition itself (byte length = char length per document) and
+    * fails with an explicit error() instead of a confusing hash mismatch
+    * if a non-ASCII corpus ever feeds it. HUGEINT keeps the `h*31+b`
+    * intermediate exact before the mod. */
   def fingerprintsSql: String = {
     val mod = org.apache.spark.sql.graft.RollingHash.Mod
-    s"""WITH hashed AS (
+    s"""WITH checked AS (
+       |  SELECT doc_id,
+       |    CASE WHEN strlen(text) <> length(text)
+       |      THEN error('q46 oracle precondition violated: non-ASCII text '
+       |        || 'in doc_id=' || doc_id || ' (this SQL folds per CHARACTER; '
+       |        || 'the Spark RollingHash folds per UTF-8 BYTE)')
+       |      ELSE text END AS text
+       |  FROM documents),
+       |hashed AS (
        |  SELECT doc_id, text, list_transform(string_split(text, ' '),
        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
-       |  FROM documents)
+       |  FROM checked)
        |SELECT doc_id,
        |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
        |    list_transform(range(1, length(text) + 1),

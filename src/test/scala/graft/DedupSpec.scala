@@ -68,6 +68,25 @@ class DedupSpec extends SparkSpec {
     assert(ccDist === expected)
   }
 
+  test("distributed CC fails loudly when the round cap is hit unconverged") {
+    // diameter-10 chain, round cap 3: returning the half-propagated labels
+    // would be silently wrong, so the loop must throw instead
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, driverLimit = -1L, maxRounds = 3)
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
+  test("q57 driver path and q58 distributed path agree on real corpus pairs") {
+    val viaDriver = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLabelProp = Dedup.dedupClustersDistributed(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver === viaLabelProp)
+    assert(viaDriver.nonEmpty)
+  }
+
   test("one-pass portable minhash equals the declarative built-in pipeline") {
     val corpus = graft.tables.Tables.documents(spark, sf)
     val fast = Dedup.portableSignaturesFast(corpus).collect()

@@ -62,4 +62,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"expected broadcast left-anti for the df-cap:\n$p")
   }
+
+  test("q57/q58: the cluster pair feed keeps the df-cap anti-join, no cartesian") {
+    val p = plan(graft.ext.Dedup.dedupClusterPairs(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"df-cap anti-join missing from the cluster pair feed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cluster feed:\n$p")
+  }
+
+  test("q55: the composed curation pipeline reads documents exactly once") {
+    val p = plan(graft.ext.Text.curationPipeline(spark, sf))
+    val scans = "FileScan".r.findAllIn(p).length
+    assert(scans == 1, s"expected ONE documents scan, found $scans:\n$p")
+  }
 }

@@ -55,10 +55,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, f"recall $recall too low — LSH bucketing broken?")
   }
 
+  test("IVF broadcast-probe path (k=128): structure valid, recall holds") {
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(spark, sf, k = 128, nprobe = 32).collect()
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@3 (nprobe=32/128, broadcast probe) = $recall%.2f")
+    assert(recall > 0.25, f"recall $recall too low — broadcast probe broken?")
+  }
+
+  test("IVF with a binding sample cap still recalls (fixed-size fit)") {
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(spark, sf, sampleCap = 64).collect()
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@3 (64-vector training sample) = $recall%.2f")
+    assert(recall > 0.25, f"recall $recall too low — capped fit broken?")
+  }
+
   test("q44 recall flags: every query recovers ≥1 exact neighbor") {
     val rows = Similarity.q44IvfRecall(spark, sf).collect()
     assert(rows.length === 10)
-    rows.foreach(r => assert(r.getBoolean(1), s"query ${r.getLong(0)} missed all 3"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok"), s"query ${r.getLong(0)} missed all 3")
+      assert(r.getAs[String]("exact_top3").split(",").length === 3)
+    }
   }
 
   test("q49 LSH near-dup is a subset of exact q42 with decent recall") {
