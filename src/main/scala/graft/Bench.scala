@@ -29,11 +29,18 @@ object Bench {
     // Untimed warmup: JIT/codegen/parquet-footer costs shouldn't be
     // attributed to whichever query the map happens to order first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Min of 2 repetitions per query: single-shot timings on a shared box
+    // showed ±40% noise round-over-round (r2's phantom q10/q34
+    // "regressions"); the min is the stable signal.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
