@@ -463,12 +463,55 @@ object Dedup {
   def dedupClustersDistributed(s: SparkSession, dir: String): DataFrame =
     connectedComponents(dedupClusterPairs(s, dir), driverLimit = -1L)
 
-  /** DuckDB spelling of [[dedupClusters]] (and [[dedupClustersDistributed]]):
-    * the DF-CAPPED q51 pair pipeline feeding a recursive label-propagation
-    * CTE (min reachable id per node). The cap is mirrored exactly so the
-    * check stays value-exact even where the cap binds. */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE sh_all AS (
+  /** q60 — cluster-aware keep-best dedup: ONE surviving document per
+    * near-dup cluster, chosen by token count (longest wins, doc_id as the
+    * tie-break) — the representative-selection pass a curation pipeline
+    * runs after clustering, where keep-FIRST (q22's policy) would throw
+    * away the best copy. Composes q57's components with per-doc token
+    * stats: one join on doc_id, one tiny window per cluster (clusters are
+    * near-dup groups — bounded fan-in), one aggregation. */
+  def clusterKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    clusters.join(toks, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(min(when(col("rn") === 1, col("doc_id"))).as("keep_doc_id"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** DuckDB spelling of [[clusterKeepBest]]: the shared cluster CTEs plus
+    * the same (n_tok DESC, doc_id) ranking. */
+  val clusterKeepBestSql: String =
+    s"""WITH RECURSIVE $ccCtes,
+      |toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT c.cluster_id, c.doc_id,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY t.n_tok DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN toks t ON t.doc_id = c.doc_id)
+      |SELECT cluster_id,
+      |  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+      |  count(*) AS n_members
+      |FROM ranked
+      |GROUP BY cluster_id
+      |ORDER BY cluster_id""".stripMargin
+
+  /** Shared DuckDB CTE chain for the cluster oracles: the DF-CAPPED q51
+    * pair pipeline feeding a recursive label-propagation CTE, ending in
+    * `comp(doc_id, cluster_id)` — min reachable id per node. The cap is
+    * mirrored exactly so the checks stay value-exact even where it
+    * binds. */
+  private def ccCtes: String =
+    s"""sh_all AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id,
       |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -500,13 +543,20 @@ object Dedup {
       |cc AS (
       |  SELECT src AS node, src AS label FROM edges
       |  UNION
-      |  SELECT e.dst AS node, c.label FROM cc c JOIN edges e ON e.src = c.node)
-      |SELECT node AS doc_id, min(label) AS cluster_id
-      |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
+      |  SELECT e.dst AS node, c.label FROM cc c JOIN edges e ON e.src = c.node),
+      |comp AS (
+      |  SELECT node AS doc_id, min(label) AS cluster_id
+      |  FROM cc GROUP BY node)""".stripMargin
+
+  /** DuckDB spelling of [[dedupClusters]] / [[dedupClustersDistributed]]. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ccCtes
+      |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_dedup_clusters" -> (dedupClusters _),
     "q58_cc_distributed" -> (dedupClustersDistributed _),
+    "q60_cluster_keep_best" -> (clusterKeepBest _),
     "q24_minhash_pairs" -> (minhashPairs _),
     "q25_simhash_pairs" -> (simhashPairs _),
     "q48_minhash_portable" -> (minhashPortable _))
@@ -519,6 +569,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q57_dedup_clusters"  -> dedupClustersSql,
     "q58_cc_distributed"  -> dedupClustersSql,
+    "q60_cluster_keep_best" -> clusterKeepBestSql,
     "q24_minhash_pairs"   -> minhashPairsSql,
     "q25_simhash_pairs"   -> simhashPairsSql,
     "q48_minhash_portable" -> minhashPortableSql)

@@ -533,7 +533,94 @@ object Similarity {
        |GROUP BY label, dim
        |ORDER BY label, dim""".stripMargin
 
+  /** q61 — prototype classification: assign EVERY embedding to its
+    * nearest per-label centroid (the q56 centroids — exact integer
+    * dimension sums make them engine-portable) and report the
+    * (true label, assigned label) confusion counts. The centroid relation
+    * is tiny (labels × dims) and BROADCAST — the embeddings never
+    * shuffle for the assignment; the only exchange is the final
+    * confusion-count aggregation. Distances are a fixed left fold over
+    * dims of (q_d − mean_d)² in double — mean_d = exact-int sum / count
+    * is one IEEE division — so the argmin (ties broken by label) is
+    * bit-reproducible in the generated DuckDB oracle. At 100 TB with
+    * large k this is the same shape as the IVF probe: swap the
+    * interpreted fold for the codegen distance expression; the plan
+    * (broadcast + partial agg) is unchanged. */
+  def nearestCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cent = quantizedVectors(e)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("label").as("c_label"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        (col("s").cast("double") / col("n")).as("m")))),
+        x => x.getField("m")).as("c_emb"))
+    val d2 = aggregate(
+      zip_with(col("q").cast("array<double>"), col("c_emb"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+    // argmin as min(struct(d2, label)) — lexicographic struct ordering IS
+    // "nearest distance, label tie-break", and unlike a window ranking it
+    // partial-aggregates map-side: the exchange never carries the N·k
+    // scored rows, only one best-so-far per vector per partition.
+    quantizedVectors(e)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .groupBy(col("label").cast("long").as("label"),
+        col("best.c_label").cast("long").as("assigned_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned_label"))
+  }
+
+  /** DuckDB spelling of [[nearestCentroid]]: same quantization, same
+    * exact-integer centroid sums, same fold order for the distances. */
+  val nearestCentroidSql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de
+       |  FROM embeddings),
+       |nn AS (
+       |  SELECT vec_id, label, de,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(de, x -> x * x)), (a, b) -> a + b) AS ss
+       |  FROM d),
+       |q AS (
+       |  SELECT vec_id, label, list_transform(de,
+       |    x -> CAST(floor(x / sqrt(ss) * 127 + 0.5) AS BIGINT)) AS q
+       |  FROM nn WHERE ss > 0),
+       |ex AS (
+       |  SELECT label, r.range AS dim, q[r.range] AS qv
+       |  FROM q CROSS JOIN range(1, ${Dim + 1}) r),
+       |cent0 AS (
+       |  SELECT label AS c_label, dim,
+       |    CAST(sum(qv) AS DOUBLE) / count(*) AS m
+       |  FROM ex GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT c_label, list(m ORDER BY dim) AS c_emb
+       |  FROM cent0 GROUP BY c_label),
+       |dist AS (
+       |  SELECT q.vec_id, q.label, c.c_label,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${Dim + 1}),
+       |        i -> (q.q[i] - c.c_emb[i]) * (q.q[i] - c.c_emb[i]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM q CROSS JOIN cent c),
+       |r AS (
+       |  SELECT vec_id, label, c_label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+       |  FROM dist)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |  CAST(c_label AS BIGINT) AS assigned_label, count(*) AS n
+       |FROM r WHERE rn = 1
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_nearest_centroid" -> (nearestCentroid _),
     "q56_label_centroids" -> (labelCentroids _),
     "q54_quantize_int8" -> (quantizeInt8 _),
     "q17_knn_brute"  -> (knnBruteForce _),
@@ -542,6 +629,7 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q61_nearest_centroid" -> nearestCentroidSql,
     "q56_label_centroids" -> labelCentroidsSql,
     "q54_quantize_int8" -> quantizeInt8Sql,
     "q17_knn_brute"  -> knnBruteForceSql,

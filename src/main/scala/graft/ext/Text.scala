@@ -142,17 +142,20 @@ object Text {
     * dropped — the cache lifecycle follows the caller automatically.
     * Words staged as their own projection: referencing split() inside the
     * shingle lambda would re-split the text per element (O(L²)/doc). */
-  private[graft] def shingleIndexOf(docs: DataFrame): DataFrame = {
+  private[graft] def ngramIndexOf(docs: DataFrame, n: Int): DataFrame = {
     val shingles = array_distinct(transform(
-      sequence(lit(1), size(col("w")) - 2),
-      i => concat_ws(" ", element_at(col("w"), i),
-        element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+      sequence(lit(1), size(col("w")) - (n - 1)),
+      i => concat_ws(" ",
+        (0 until n).map(o => element_at(col("w"), i + o)): _*)))
     docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
+      .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(shingles).as("shingle"))
       .localCheckpoint(eager = false)
   }
+
+  private[graft] def shingleIndexOf(docs: DataFrame): DataFrame =
+    ngramIndexOf(docs, 3)
 
   /** Jaccard pairs ≥ minJ from an inverted index: self-join on shingle →
     * intersection counts → Jaccard from exact int counts. */
@@ -534,7 +537,127 @@ object Text {
        |      % 1000 < 500
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q59: benchmark decontamination -------------------------------------
+
+  /** Documents below this id play the "held-out eval set" role. */
+  val EvalSetMax = 50L
+  private val DecontamMinShingles = 3
+
+  /** q59 — benchmark decontamination: per TRAINING document, how many
+    * distinct word 5-grams it shares with any EVAL document, flagging
+    * docs at ≥ 3 shared shingles — the standard n-gram-overlap
+    * decontamination pass every LLM training pipeline runs before
+    * training. Scale shape: the eval set is tiny next to a 100 TB corpus,
+    * so its (distinct) shingle set is BROADCAST and the corpus joins
+    * against the broadcast hash relation — the training index never
+    * reshuffles on the shingle key, and the per-doc count partial-aggs
+    * map-side. */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = ngramIndexOf(docs, 5)
+    val evalSh = sh.filter(col("doc_id") < EvalSetMax)
+      .select(col("shingle")).distinct()
+    val shared = sh.filter(col("doc_id") >= EvalSetMax)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("doc_id") >= EvalSetMax)
+      .select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= DecontamMinShingles)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(string_split(text,' ')) - 3),
+       |        i -> string_split(text,' ')[i] || ' ' ||
+       |             string_split(text,' ')[i+1] || ' ' ||
+       |             string_split(text,' ')[i+2] || ' ' ||
+       |             string_split(text,' ')[i+3] || ' ' ||
+       |             string_split(text,' ')[i+4])) AS shingle
+       |    FROM documents
+       |    WHERE len(string_split(text,' ')) >= 5)),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $EvalSetMax),
+       |shared AS (
+       |  SELECT s.doc_id, count(*) AS n_shared
+       |  FROM sh s JOIN ev USING (shingle)
+       |  WHERE s.doc_id >= $EvalSetMax
+       |  GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
+       |  coalesce(n_shared, 0) >= $DecontamMinShingles AS contaminated
+       |FROM documents d LEFT JOIN shared USING (doc_id)
+       |WHERE d.doc_id >= $EvalSetMax
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q62: collocation mining (log-free PMI) -----------------------------
+
+  /** q62 — collocation mining: bigram association scores. The score is
+    * the log-free PMI variant n_xy·N / (n_x·n_y) — numerator and
+    * denominator are each ONE double multiply of exact integers and the
+    * score ONE IEEE division, so the value (and therefore the top-20
+    * ordering) is bit-identical cross-engine, where ln()-based PMI would
+    * not be correctly-rounded everywhere. Marginals and the total come
+    * from the bigram counts themselves (one explode + one shuffle; the
+    * marginal joins are on word keys; the 1-row total is a broadcast
+    * cross join). min-count 5 culls the noise tail before ranking. */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(s, dir)
+      .select(tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = w.select(explode(transform(
+      sequence(lit(1), size(col("w")) - 1),
+      i => struct(element_at(col("w"), i).as("w1"),
+        element_at(col("w"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val nBi = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+    val left = nBi.groupBy(col("w1")).agg(sum(col("n_xy")).as("n_x"))
+    val right = nBi.groupBy(col("w2")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = nBi.agg(sum(col("n_xy")).as("n_tot"))
+    nBi.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_xy") >= 5)
+      .select(col("w1"), col("w2"), col("n_xy"),
+        ((col("n_xy").cast("double") * col("n_tot")) /
+          (col("n_x").cast("double") * col("n_y"))).as("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val collocationsSql: String =
+    """WITH w AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+      |  FROM w),
+      |nbi AS (
+      |  SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_xy
+      |  FROM bg GROUP BY 1, 2),
+      |lm AS (SELECT w1, sum(n_xy) AS n_x FROM nbi GROUP BY w1),
+      |rm AS (SELECT w2, sum(n_xy) AS n_y FROM nbi GROUP BY w2),
+      |tot AS (SELECT sum(n_xy) AS n_tot FROM nbi)
+      |SELECT n.w1, n.w2, n.n_xy,
+      |  (CAST(n.n_xy AS DOUBLE) * n_tot) /
+      |    (CAST(n_x AS DOUBLE) * n_y) AS score
+      |FROM nbi n
+      |JOIN lm ON lm.w1 = n.w1
+      |JOIN rm ON rm.w2 = n.w2
+      |CROSS JOIN tot
+      |WHERE n.n_xy >= 5
+      |ORDER BY score DESC, n.w1, n.w2
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_decontamination" -> (decontamination _),
+    "q62_collocations"  -> (collocations _),
     "q55_curation_pipeline" -> (curationPipeline _),
     "q52_tfidf_top"     -> (tfidfTop _),
     "q53_stratified_sample" -> (stratifiedSample _),
@@ -549,6 +672,8 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q59_decontamination" -> decontaminationSql,
+    "q62_collocations"  -> collocationsSql,
     "q55_curation_pipeline" -> curationPipelineSql,
     "q52_tfidf_top"     -> tfidfTopSql,
     "q53_stratified_sample" -> stratifiedSampleSql,

@@ -87,6 +87,28 @@ class DedupSpec extends SparkSpec {
     assert(viaDriver.nonEmpty)
   }
 
+  test("cluster keep-best keeps the longest member of every cluster") {
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nTok = graft.tables.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val rows = Dedup.clusterKeepBest(spark, sf).collect()
+    assert(rows.length === byCluster.size)
+    rows.foreach { r =>
+      val (cid, keep, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val members = byCluster(cid)
+      assert(n === members.length.toLong)
+      // keep = argmax by (n_tok desc, doc_id asc) over the cluster
+      val expected = members.map(d => (-nTok(d), d)).min._2
+      assert(keep === expected, s"cluster $cid kept $keep, expected $expected")
+    }
+  }
+
   test("one-pass portable minhash equals the declarative built-in pipeline") {
     val corpus = graft.tables.Tables.documents(spark, sf)
     val fast = Dedup.portableSignaturesFast(corpus).collect()

@@ -88,6 +88,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearest-centroid assignment covers every vector; diagonal dominates") {
+    val rows = Similarity.nearestCentroid(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val nVec = graft.tables.Tables.embeddings(spark, sf).count()
+    assert(total === nVec, "every embedding must be assigned exactly once")
+    // the synthetic labels are only loosely clustered (~0.37 measured),
+    // but a working assignment must beat random (0.1 for 10 labels) by a
+    // wide margin
+    val diag = rows.filter(r => r.getLong(0) == r.getLong(1))
+      .map(_.getLong(2)).sum
+    info(f"prototype-classification accuracy = ${diag.toDouble / total}%.2f")
+    assert(diag.toDouble / total > 0.2, "centroid assignment broken?")
+  }
+
   test("q49 LSH near-dup is a subset of exact q42 with decent recall") {
     val exact = graft.queries.Subqueries.q42EmbeddingNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

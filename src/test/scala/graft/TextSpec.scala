@@ -80,4 +80,28 @@ class TextSpec extends SparkSpec {
     // capped: hot shingle removed, only the genuine 10-11 overlap remains
     assert(capped === Set((10L, 11L)))
   }
+
+  test("decontamination covers every training doc and flags real overlap") {
+    val rows = Text.decontamination(spark, sf).collect()
+    val nTrain = graft.tables.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= Text.EvalSetMax)
+      .count()
+    assert(rows.length.toLong === nTrain, "one row per training doc")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= Text.EvalSetMax)
+      assert(r.getBoolean(2) === (r.getLong(1) >= 3),
+        "flag must derive from n_shared")
+    }
+    // the corpus plants near-dups across the eval/train split
+    assert(rows.count(_.getBoolean(2)) > 0, "expected contaminated docs")
+  }
+
+  test("collocations: top-20, min-count respected, score is n_xy*N/(n_x*n_y)") {
+    val rows = Text.collocations(spark, sf).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-_)), "sorted by score desc")
+    assert(rows.forall(_.getLong(2) >= 5), "min-count filter")
+  }
 }
