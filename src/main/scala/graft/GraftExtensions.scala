@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, LangId, PortableSimHash, RollingHash, SimHash}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, LangId, PortableSimHash, RollingHash, SimHash, SquaredDistance}
 
 /** Session-build-time registration of the engine's custom Catalyst
   * expressions (the `SparkSessionExtensions` integration point — SURVEY.md
@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("dot_product",
       "dot_product(a, b) - dot product of two float arrays",
       es => DotProduct(es(0), es(1))))
+    e.injectFunction(fn("squared_distance",
+      "squared_distance(a, b) - squared Euclidean distance of two double arrays",
+      es => SquaredDistance(es(0), es(1))))
     e.injectFunction(fn("rolling_hash",
       "rolling_hash(s) - 58-bit polynomial content fingerprint",
       es => RollingHash(es.head)))

@@ -321,10 +321,8 @@ object Similarity {
     val cdf = broadcast(centroids.zipWithIndex
       .map { case (c, i) => (i.toLong, c.map(_.toDouble).toSeq) }
       .toSeq.toDF("centroid", "c_emb"))
-    val d2 = aggregate(
-      zip_with(col("embedding").cast("array<double>"), col("c_emb"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, v) => acc + v)
+    val d2 = graft.functions.VectorFunctions.squared_distance(
+      col("embedding").cast("array<double>"), col("c_emb"))
     vecs.select(col("vec_id"), col("embedding")).crossJoin(cdf)
       .select(col("vec_id"), col("centroid"), d2.as("d2"))
       .groupBy(col("vec_id"))
@@ -557,10 +555,12 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"),
         (col("s").cast("double") / col("n")).as("m")))),
         x => x.getField("m")).as("c_emb"))
-    val d2 = aggregate(
-      zip_with(col("q").cast("array<double>"), col("c_emb"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, v) => acc + v)
+    // codegen inner loop; its left fold of (x−y)² is the IDENTICAL IEEE
+    // sequence to the declarative aggregate(zip_with(...)) spelling and
+    // to the generated DuckDB SQL, so the oracle hash is unchanged
+    // (VectorSpec locks the equality)
+    val d2 = graft.functions.VectorFunctions.squared_distance(
+      col("q").cast("array<double>"), col("c_emb"))
     // argmin as min(struct(d2, label)) — lexicographic struct ordering IS
     // "nearest distance, label tie-break", and unlike a window ranking it
     // partial-aggregates map-side: the exchange never carries the N·k

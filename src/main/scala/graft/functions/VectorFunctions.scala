@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, Shim}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, Shim, SquaredDistance}
 
 /** User-facing Column API for the custom vector expressions
   * (implementation in org.apache.spark.sql.graft — see the Scaladoc there
@@ -13,6 +13,9 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
 
+  def squared_distance(a: Column, b: Column): Column =
+    Shim.column(SquaredDistance(Shim.expression(a), Shim.expression(b)))
+
   /** Make the functions SQL-callable on a session:
     * `SELECT cosine_sim(a.embedding, b.embedding) ...`. */
   def register(spark: SparkSession): Unit = {
@@ -20,5 +23,7 @@ object VectorFunctions {
       es => CosineSimilarity(es(0), es(1)))
     Shim.registerFunction(spark, "dot_product",
       es => DotProduct(es(0), es(1)))
+    Shim.registerFunction(spark, "squared_distance",
+      es => SquaredDistance(es(0), es(1)))
   }
 }

@@ -72,6 +72,57 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance over two `array<double>` columns — the
+  * centroid-assignment / IVF-probe inner loop as native codegen.
+  *
+  * The accumulation is a LEFT fold of (x−y)² in double, element order —
+  * exactly the IEEE operation sequence of the declarative
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)*(x−y)), 0.0, +)` spelling
+  * (and of DuckDB's `list_reduce(list_prepend(0.0, …), +)`), so swapping
+  * this expression into an oracle-checked query changes no result bit —
+  * only removes the interpreted per-element lambda cost (the re-eval
+  * pitfall measured ~5× on portable simhash). Double inputs (not float):
+  * the callers feed already-widened or quantized-integer arrays. */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "squared_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var i = 0
+    while (i < n) {
+      val diff = x.getDouble(i) - y.getDouble(i)
+      d += diff * diff; i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $d = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $diff = $x.getDouble($i) - $y.getDouble($i);
+         |  $d += $diff * $diff;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Dot product over two `array<float>` columns (double accumulation),
   * same codegen rationale as [[CosineSimilarity]]. */
 case class DotProduct(left: Expression, right: Expression)

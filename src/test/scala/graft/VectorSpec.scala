@@ -44,6 +44,29 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(viaSql - expected) < 1e-12)
   }
 
+  test("squared_distance equals the declarative fold bit-for-bit on corpus vectors") {
+    // the q61 oracle contract: the codegen loop must produce the EXACT
+    // IEEE sequence of aggregate(zip_with(...)) — on real embeddings,
+    // not just synthetics
+    val e = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("de").as("qe"))
+    val both = e.crossJoin(q).select(
+      graft.functions.VectorFunctions.squared_distance(col("de"), col("qe"))
+        .as("fast"),
+      org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with(col("de"), col("qe"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v).as("slow"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}"))
+  }
+
   test("null input propagates") {
     val r = df.select(cosine_sim(lit(null).cast("array<float>"), col("b")))
       .collect()
