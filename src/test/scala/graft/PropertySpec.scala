@@ -95,6 +95,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components: both paths equal brute-force reachability on random graphs") {
+    val edgeGen = for {
+      n <- Gen.chooseNum(5, 30)
+      m <- Gen.chooseNum(1, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong) if b != a
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    (1 to 6).foreach { i =>
+      val edges = sample(edgeGen, 9000 + i)
+      // brute-force oracle: iterate min-label to a fixpoint in plain Scala
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var lbl = nodes.map(x => x -> x).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lbl(a), lbl(b))
+          if (lbl(a) != m || lbl(b) != m) {
+            lbl += a -> m; lbl += b -> m; changed = true
+          }
+        }
+      }
+      val df = edges.toDF("a_id", "b_id")
+      val viaDriver = Dedup.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaDist = Dedup.connectedComponents(df, driverLimit = -1L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver === lbl, s"seed $i driver path diverged")
+      assert(viaDist === lbl, s"seed $i distributed path diverged")
+    }
+  }
+
   test("Det.dstddev matches built-in stddev_samp within 1e-9 relative") {
     val li = graft.tables.Tables.lineitem(spark, sf)
     val rows = li.groupBy(col("l_returnflag"))
