@@ -655,9 +655,110 @@ object Text {
       |ORDER BY score DESC, n.w1, n.w2
       |LIMIT 20""".stripMargin
 
+  // ---- q63: sequence packing ----------------------------------------------
+
+  private val PackBudget = 256L
+
+  /** q63 — training-sequence packing: concatenate documents (in doc_id
+    * order WITHIN each source shard) into ~256-token sequences; a doc
+    * joins the sequence its cumulative prefix starts in. Packing is
+    * per-shard BY DESIGN: a 100 TB corpus has no global order, and
+    * per-source windows parallelize across shards while a global window
+    * would serialize onto one partition. Running-sum window + exact
+    * integer floor-division → deterministic, oracle-exact sequence
+    * assignment. Output: per (source, seq_id) the packed doc count,
+    * token total, and first doc. */
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tok")) / lit(PackBudget.toDouble))
+          .cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  val sequencePackingSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    len(string_split(text, ' ')) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source,
+       |  CAST(floor((cum - n_tok) / ${PackBudget}.0) AS BIGINT) AS seq_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+       |  min(doc_id) AS first_doc
+       |FROM c
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- q64: n-gram diversity ----------------------------------------------
+
+  /** q64 — corpus diversity: per source, distinct word-3-gram types over
+    * total 3-gram instances (n-gram type-token ratio — the standard
+    * repetitiveness/memorization signal for training data). The distinct
+    * count is TWO-PHASE — (source, shingle) pre-aggregation, then
+    * per-source counts — never `countDistinct` mixed into the wider
+    * aggregate, which would plan an Expand multiplying the scan
+    * (measured 10× on q36; locked out in PlanShapeSpec there). */
+  def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("source"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+        .as("shingle"))
+    grams.groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("cnt")).as("n_total"))
+      .select(col("source"), col("n_distinct"), col("n_total"),
+        (col("n_distinct").cast("double") / col("n_total"))
+          .as("diversity"))
+      .orderBy(col("source"))
+  }
+
+  val ngramDiversitySql: String =
+    """WITH g AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |      i -> string_split(text,' ')[i] || ' ' ||
+      |           string_split(text,' ')[i+1] || ' ' ||
+      |           string_split(text,' ')[i+2])) AS shingle
+      |  FROM documents
+      |  WHERE len(string_split(text,' ')) >= 3),
+      |c AS (
+      |  SELECT source, shingle, count(*) AS cnt
+      |  FROM g GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_distinct,
+      |  CAST(sum(cnt) AS BIGINT) AS n_total,
+      |  CAST(count(*) AS DOUBLE) / sum(cnt) AS diversity
+      |FROM c
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_decontamination" -> (decontamination _),
     "q62_collocations"  -> (collocations _),
+    "q63_sequence_packing" -> (sequencePacking _),
+    "q64_ngram_diversity" -> (ngramDiversity _),
     "q55_curation_pipeline" -> (curationPipeline _),
     "q52_tfidf_top"     -> (tfidfTop _),
     "q53_stratified_sample" -> (stratifiedSample _),
@@ -674,6 +775,8 @@ object Text {
   val oracles: Map[String, String] = Map(
     "q59_decontamination" -> decontaminationSql,
     "q62_collocations"  -> collocationsSql,
+    "q63_sequence_packing" -> sequencePackingSql,
+    "q64_ngram_diversity" -> ngramDiversitySql,
     "q55_curation_pipeline" -> curationPipelineSql,
     "q52_tfidf_top"     -> tfidfTopSql,
     "q53_stratified_sample" -> stratifiedSampleSql,

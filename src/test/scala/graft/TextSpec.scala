@@ -96,6 +96,31 @@ class TextSpec extends SparkSpec {
     assert(rows.count(_.getBoolean(2)) > 0, "expected contaminated docs")
   }
 
+  test("sequence packing conserves tokens and respects the budget boundary") {
+    import org.apache.spark.sql.functions.{col => c, size => sz, split => sp}
+    val rows = Text.sequencePacking(spark, sf).collect()
+    val totalPacked = rows.map(_.getLong(3)).sum
+    val totalTokens = graft.tables.Tables.documents(spark, sf)
+      .select(sz(sp(c("text"), " ")).cast("long")).collect().map(_.getLong(0)).sum
+    assert(totalPacked === totalTokens, "every token lands in exactly one sequence")
+    // per source, seq ids are dense from 0
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head === 0L && ids.sameElements(ids.head to ids.last))
+    }
+  }
+
+  test("ngram diversity: ratio in (0,1], distinct <= total") {
+    val rows = Text.ngramDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))
+      val div = r.getDouble(3)
+      assert(div > 0 && div <= 1.0)
+      assert(div === r.getLong(1).toDouble / r.getLong(2))
+    }
+  }
+
   test("collocations: top-20, min-count respected, score is n_xy*N/(n_x*n_y)") {
     val rows = Text.collocations(spark, sf).collect()
     assert(rows.length === 20)
