@@ -75,4 +75,23 @@ class PlanShapeSpec extends SparkSpec {
     val scans = "FileScan".r.findAllIn(p).length
     assert(scans == 1, s"expected ONE documents scan, found $scans:\n$p")
   }
+
+  test("q59: the eval shingle set joins broadcast — corpus never reshuffles on shingle") {
+    val p = plan(graft.ext.Text.decontamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"eval-set join degraded:\n$p")
+    assert(!p.contains("SortMergeJoin [shingle"),
+      s"shingle-key SMJ appeared:\n$p")
+  }
+
+  test("q61: centroid argmin is a partial aggregation, not a window ranking") {
+    val p = plan(graft.ext.Similarity.nearestCentroid(spark, sf))
+    assert(!p.contains("Window"), s"window ranking would shuffle N*k rows:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid relation must broadcast:\n$p")
+  }
+
+  test("q64: the two-phase distinct never plans an Expand") {
+    val p = plan(graft.ext.Text.ngramDiversity(spark, sf))
+    assert(!p.contains("Expand"), s"Expand appeared in diversity ratio:\n$p")
+  }
 }
