@@ -307,7 +307,30 @@ object Advanced {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** q65 — skyline of `part` under (minimize retail price, minimize
+    * size): "the cheapest part at every size class one could not shrink
+    * without paying more". Distributed two-phase Pareto pruning in
+    * [[graft.ops.Skyline]] (partition-local sweep → broadcast dominance
+    * anti-join over the tiny candidate set); the oracle runs the naive
+    * O(N²) NOT-EXISTS spelling — same rows, quadratic plan. */
+  def q65Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val keys = graft.ops.Skyline.skyline2dKeys(
+      p, "p_partkey", "p_retailprice", "p_size")
+    p.join(broadcast(keys), Seq("p_partkey"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q65Sql: String =
+    """SELECT p_partkey, p_retailprice, p_size FROM part a
+      |WHERE NOT EXISTS (SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_skyline"       -> (q65Skyline _),
     "q50_salted_join"   -> (q50SaltedJoin _),
     "q45_array_funcs"   -> (q45ArrayFuncs _),
     "q27_quantiles"     -> (q27Quantiles _),
@@ -321,6 +344,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q65_skyline"       -> q65Sql,
     "q50_salted_join"   -> q50Sql,
     "q45_array_funcs"   -> q45Sql,
     "q27_quantiles"     -> q27Sql,

@@ -129,6 +129,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skyline equals brute-force dominance filter on random points") {
+    val ptsGen = for {
+      n <- Gen.chooseNum(10, 80)
+      ps <- Gen.listOfN(n, for {
+        x <- Gen.chooseNum(0, 30); y <- Gen.chooseNum(0, 30)
+      } yield (x.toDouble, y.toDouble))
+    } yield ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    (1 to 6).foreach { i =>
+      val pts = sample(ptsGen, 7000 + i)
+      def dom(b: (Long, Double, Double), a: (Long, Double, Double)) =
+        b._2 <= a._2 && b._3 <= a._3 && (b._2 < a._2 || b._3 < a._3)
+      val expected = pts.filterNot(a => pts.exists(b => dom(b, a)))
+        .map(_._1).toSet
+      val df = pts.toDF("k", "x", "y").repartition(5)
+      val got = graft.ops.Skyline.skyline2dKeys(df, "k", "x", "y")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"seed $i")
+    }
+  }
+
   test("Det.dstddev matches built-in stddev_samp within 1e-9 relative") {
     val li = graft.tables.Tables.lineitem(spark, sf)
     val rows = li.groupBy(col("l_returnflag"))
