@@ -754,7 +754,62 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---- q66: lexicon sentiment scoring -------------------------------------
+
+  /** Polarity lexicon — fixed constants, so the oracle SQL is GENERATED
+    * from the same lists (the q47 lang-ID pattern). On this synthetic
+    * corpus the "sentiment" reads as query-health (fast/slow…); the
+    * operator mechanics are what's exercised: broadcast-free token
+    * scoring in one scan, exact integer tallies, one division per group. */
+  private val PosWords = Seq("fast", "small", "merge")
+  private val NegWords = Seq("slow", "big", "dup")
+
+  /** q66 — lexicon-based sentiment (the EDBT 2016 large-scale-sentiment
+    * shape, PAPERS.md): per-doc polarity = #positive − #negative tokens
+    * via codegen'd size(filter(...)), aggregated per source to mean
+    * polarity and pos/neg doc counts. Single scan, one small exchange;
+    * integer counts aggregate exactly, one double division at the end
+    * (the [[qualityStats]] determinism rule). */
+  def sentiment(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val score = (size(filter(toks, t => t.isin(PosWords: _*))) -
+      size(filter(toks, t => t.isin(NegWords: _*))))
+      .cast("long")
+    Tables.documents(s, dir)
+      .select(col("source"), score.as("polarity"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("polarity")).as("polarity_sum"),
+        (sum(col("polarity")).cast("double") / count(lit(1)))
+          .as("mean_polarity"),
+        sum(when(col("polarity") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("polarity") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .orderBy(col("source"))
+  }
+
+  def sentimentSql: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |        t -> t IN (${inList(PosWords)}))) -
+       |      len(list_filter(string_split(text, ' '),
+       |        t -> t IN (${inList(NegWords)}))) AS BIGINT) AS polarity
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(polarity) AS BIGINT) AS polarity_sum,
+       |  CAST(sum(polarity) AS DOUBLE) / count(*) AS mean_polarity,
+       |  CAST(sum(CASE WHEN polarity > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pos,
+       |  CAST(sum(CASE WHEN polarity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_neg
+       |FROM d
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_sentiment"     -> (sentiment _),
     "q59_decontamination" -> (decontamination _),
     "q62_collocations"  -> (collocations _),
     "q63_sequence_packing" -> (sequencePacking _),
@@ -773,6 +828,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q66_sentiment"     -> sentimentSql,
     "q59_decontamination" -> decontaminationSql,
     "q62_collocations"  -> collocationsSql,
     "q63_sequence_packing" -> sequencePackingSql,

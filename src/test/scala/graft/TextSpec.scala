@@ -121,6 +121,16 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("sentiment: counts consistent and mean derives from the sum") {
+    val rows = Text.sentiment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s, mean) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(mean === s.toDouble / n)
+      assert(r.getLong(4) + r.getLong(5) <= n, "pos+neg cannot exceed docs")
+    }
+  }
+
   test("collocations: top-20, min-count respected, score is n_xy*N/(n_x*n_y)") {
     val rows = Text.collocations(spark, sf).collect()
     assert(rows.length === 20)
