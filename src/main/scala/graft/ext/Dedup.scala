@@ -510,7 +510,10 @@ object Dedup {
     * `comp(doc_id, cluster_id)` — min reachable id per node. The cap is
     * mirrored exactly so the checks stay value-exact even where it
     * binds. */
-  private def ccCtes: String =
+  /** CTE chain through `pairs` — the df-capped q51 pair pipeline; shared
+    * by the cluster oracles (which append the recursive CC part) and the
+    * triangle census. */
+  private def pairCtes: String =
     s"""sh_all AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id,
@@ -536,7 +539,12 @@ object Dedup {
       |  SELECT a_id, b_id FROM inter
       |  JOIN cnt ca ON ca.doc_id = a_id
       |  JOIN cnt cb ON cb.doc_id = b_id
-      |  WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.12),
+      |  WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.12)""".stripMargin
+
+  /** [[pairCtes]] plus the recursive label-propagation CC, ending in
+    * `comp(doc_id, cluster_id)`. */
+  private def ccCtes: String =
+    s"""$pairCtes,
       |edges AS (
       |  SELECT a_id AS src, b_id AS dst FROM pairs
       |  UNION ALL SELECT b_id, a_id FROM pairs),
@@ -553,10 +561,46 @@ object Dedup {
     s"""WITH RECURSIVE $ccCtes
       |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
 
+  /** q68 — duplicate-graph triangle census: node/edge counts and the
+    * number of triangles in the df-capped near-dup pair graph. Triangle
+    * density distinguishes genuine duplicate CLUSTERS (cliquish — a~b,
+    * b~c usually implies a~c) from chains of borderline matches — a
+    * cheap structural health check on the dedup graph before trusting
+    * its components. The canonical edge orientation (a < b) means each
+    * triangle a<b<c is counted exactly once by the two equi-joins; the
+    * pair graph is df-cap-bounded, so the joins stay small (at extreme
+    * scale the standard refinement orders edges by degree first). */
+  def dupTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = dedupClusterPairs(s, dir)
+    val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
+    val e2 = e.select(col("a_id").as("b"), col("b_id").as("c"))
+    val e3 = e.select(col("a_id").as("a"), col("b_id").as("c"))
+    val tris = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = e.select(col("a_id").as("n"))
+      .union(e.select(col("b_id").as("n"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val edgesN = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(edgesN).crossJoin(tris)
+  }
+
+  val dupTrianglesSql: String =
+    s"""WITH $pairCtes
+      |SELECT
+      |  (SELECT count(*) FROM (
+      |     SELECT a_id AS n FROM pairs UNION SELECT b_id FROM pairs))
+      |    AS n_nodes,
+      |  (SELECT count(*) FROM pairs) AS n_edges,
+      |  (SELECT count(*) FROM pairs e1
+      |     JOIN pairs e2 ON e2.a_id = e1.b_id
+      |     JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+      |    AS n_triangles""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_dedup_clusters" -> (dedupClusters _),
     "q58_cc_distributed" -> (dedupClustersDistributed _),
     "q60_cluster_keep_best" -> (clusterKeepBest _),
+    "q68_dup_triangles" -> (dupTriangles _),
     "q24_minhash_pairs" -> (minhashPairs _),
     "q25_simhash_pairs" -> (simhashPairs _),
     "q48_minhash_portable" -> (minhashPortable _))
@@ -570,6 +614,7 @@ object Dedup {
     "q57_dedup_clusters"  -> dedupClustersSql,
     "q58_cc_distributed"  -> dedupClustersSql,
     "q60_cluster_keep_best" -> clusterKeepBestSql,
+    "q68_dup_triangles"   -> dupTrianglesSql,
     "q24_minhash_pairs"   -> minhashPairsSql,
     "q25_simhash_pairs"   -> simhashPairsSql,
     "q48_minhash_portable" -> minhashPortableSql)

@@ -329,7 +329,42 @@ object Advanced {
       |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
       |ORDER BY p_partkey""".stripMargin
 
+  /** q67 — incremental top-k (the EDBT 2020 interactive-session shape,
+    * PAPERS.md): yesterday's materialized top-100 unioned with only the
+    * NEW events, re-topped. Correct for insert-only deltas because a
+    * global top-k is a semilattice: topK(all) = topK(topK(old) ∪ delta).
+    * Both branches plan TakeOrderedAndProject (bounded, no global sort),
+    * and at 100 TB the old branch is a 100-row cached artifact while the
+    * scan touches ONLY the delta partition — the whole point of
+    * incremental refresh. The oracle recomputes the from-scratch top-100;
+    * hash equality IS the incremental-equivalence proof. The final
+    * ranking window runs over exactly 100 rows (post-limit), so its
+    * single-partition sort is bounded, not a scale hazard. */
+  def q67IncrementalTopK(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts"), col("value"))
+    val prevTop = ev.filter(col("ts") < cutoff)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("value").desc, col("event_id")).limit(100)
+    val delta = ev.filter(col("ts") >= cutoff)
+      .select(col("event_id"), col("value"))
+    val top = prevTop.union(delta)
+      .orderBy(col("value").desc, col("event_id")).limit(100)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("value").desc, col("event_id"))).cast("long"))
+      .orderBy(col("rnk"))
+  }
+
+  val q67Sql: String =
+    """SELECT event_id, value,
+      |  CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT)
+      |    AS rnk
+      |FROM events
+      |ORDER BY value DESC, event_id
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_incremental_topk" -> (q67IncrementalTopK _),
     "q65_skyline"       -> (q65Skyline _),
     "q50_salted_join"   -> (q50SaltedJoin _),
     "q45_array_funcs"   -> (q45ArrayFuncs _),
@@ -344,6 +379,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q67_incremental_topk" -> q67Sql,
     "q65_skyline"       -> q65Sql,
     "q50_salted_join"   -> q50Sql,
     "q45_array_funcs"   -> q45Sql,

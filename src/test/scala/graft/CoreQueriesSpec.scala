@@ -58,6 +58,33 @@ class CoreQueriesSpec extends SparkSpec {
     assert(grand(0).getAs[Long]("n") === n)
   }
 
+  test("q67 incremental top-k equals the from-scratch top-k") {
+    import org.apache.spark.sql.functions.col
+    val incremental = graft.queries.Advanced.q67IncrementalTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val scratch = graft.tables.Tables.events(spark, sf)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("value").desc, col("event_id")).limit(100)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getDouble(1), i + 1L) }
+    assert(incremental.sameElements(scratch))
+  }
+
+  test("q68 triangle census matches brute force over the pair graph") {
+    val row = graft.ext.Dedup.dupTriangles(spark, sf).collect()(0)
+    val pairs = graft.ext.Dedup.dedupClusterPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val tris = (for {
+      (a, b) <- pairs; c <- nodes if b < c
+      if edgeSet.contains((b, c)) && edgeSet.contains((a, c))
+    } yield 1).size.toLong
+    assert(row.getLong(0) === nodes.length.toLong)
+    assert(row.getLong(1) === pairs.length.toLong)
+    assert(row.getLong(2) === tris)
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")
