@@ -34,13 +34,21 @@ object Bench {
     // "regressions"); the min is the stable signal.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // min over SUCCESSFUL reps only: a rep that aborts early would
+      // otherwise win the min with its (fast) failure time and silently
+      // under-report the query
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name rep failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = times.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -429,15 +429,28 @@ object Dedup {
       labels = updated.select(col("node"), col("newl").as("label"))
       rounds += 1
     }
+    // The cap can fire on the round that APPLIED the final improvement
+    // (converged-at-cap), so distinguish that from truly-unconverged with
+    // one confirming round before failing. Returning unconverged labels
+    // would be SILENTLY wrong (split components); a dup graph deeper than
+    // maxRounds must fail loudly, not plausibly.
+    if (changed > 0) {
+      val confirm = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        .join(labels, labels("node") === col("src"))
+        .filter(col("nlabel") < col("label"))
+        .count()
+      if (confirm > 0) {
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"connected components not converged after $rounds rounds " +
+            s"($confirm labels still improving): component diameter " +
+            s"exceeds maxRounds=$maxRounds — raise it for chain-shaped " +
+            "dup graphs")
+      }
+    }
     edges.unpersist()
-    // Returning unconverged labels would be SILENTLY wrong (split
-    // components); a chain-shaped dup graph deeper than maxRounds must
-    // fail loudly, not plausibly.
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connected components not converged after $rounds rounds " +
-          s"($changed labels still improving): component diameter exceeds " +
-          s"maxRounds=$maxRounds — raise it for chain-shaped dup graphs")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -505,14 +518,10 @@ object Dedup {
       |GROUP BY cluster_id
       |ORDER BY cluster_id""".stripMargin
 
-  /** Shared DuckDB CTE chain for the cluster oracles: the DF-CAPPED q51
-    * pair pipeline feeding a recursive label-propagation CTE, ending in
-    * `comp(doc_id, cluster_id)` — min reachable id per node. The cap is
-    * mirrored exactly so the checks stay value-exact even where it
-    * binds. */
-  /** CTE chain through `pairs` — the df-capped q51 pair pipeline; shared
-    * by the cluster oracles (which append the recursive CC part) and the
-    * triangle census. */
+  /** CTE chain through `pairs` — the df-capped q51 pair pipeline (cap
+    * mirrored exactly, so checks stay value-exact even where it binds);
+    * shared by the cluster oracles (which append the recursive CC part)
+    * and the triangle census. */
   private def pairCtes: String =
     s"""sh_all AS (
       |  SELECT DISTINCT doc_id, shingle FROM (

@@ -546,8 +546,13 @@ object Similarity {
     * (broadcast + partial agg) is unchanged. */
   def nearestCentroid(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val cent = quantizedVectors(e)
+    // quantized+labeled relation materialized once (lazy localCheckpoint):
+    // it feeds both the centroid aggregate and the assignment side —
+    // without it the scan + quantization fold runs twice
+    val qlab = quantizedVectors(e)
       .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .localCheckpoint(eager = false)
+    val cent = qlab
       .select(col("label").as("c_label"), posexplode(col("q")).as(Seq("pos", "qv")))
       .groupBy(col("c_label"), col("pos"))
       .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
@@ -565,8 +570,7 @@ object Similarity {
     // "nearest distance, label tie-break", and unlike a window ranking it
     // partial-aggregates map-side: the exchange never carries the N·k
     // scored rows, only one best-so-far per vector per partition.
-    quantizedVectors(e)
-      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+    qlab
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"), col("c_label"), d2.as("d2"))
       .groupBy(col("vec_id"), col("label"))

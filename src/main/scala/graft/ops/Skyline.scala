@@ -52,12 +52,16 @@ object Skyline {
       xCol: String, yCol: String): DataFrame = {
     val sess = points.sparkSession
     import sess.implicits._
+    // materialized once (lazy localCheckpoint): the candidate set feeds
+    // BOTH sides of the dominance anti-join — without it the full scan +
+    // sweep would run twice (the shingle-index multi-consumer rule)
     val cand = points
       .select(col(keyCol).cast("long"), col(xCol).cast("double"),
         col(yCol).cast("double"))
       .as[(Long, Double, Double)]
       .mapPartitions(sweep)
       .toDF(keyCol, "x", "y")
+      .localCheckpoint(eager = false)
     val b = cand.select(col("x").as("bx"), col("y").as("by"))
     cand.join(broadcast(b),
         col("bx") <= col("x") && col("by") <= col("y") &&

@@ -89,12 +89,17 @@ case class SquaredDistance(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "squared_distance"
 
+  // Length mismatch → NULL, matching the declarative spelling exactly:
+  // zip_with pads the short side with null, so the fold yields NULL —
+  // a truncated partial sum would be a plausible-looking wrong answer.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var d = 0.0; var i = 0
     while (i < n) {
       val diff = x.getDouble(i) - y.getDouble(i)
@@ -108,13 +113,17 @@ case class SquaredDistance(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $d = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $diff = $x.getDouble($i) - $y.getDouble($i);
-         |  $d += $diff * $diff;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = $x.getDouble($i) - $y.getDouble($i);
+         |    $d += $diff * $diff;
+         |  }
+         |  ${ev.value} = $d;
          |}
-         |${ev.value} = $d;
        """.stripMargin
     })
 

@@ -67,6 +67,14 @@ class VectorSpec extends SparkSpec {
       s"${r.getDouble(0)} != ${r.getDouble(1)}"))
   }
 
+  test("squared_distance: length mismatch is NULL, like the declarative fold") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    val r = df.select(
+      graft.functions.VectorFunctions.squared_distance(col("a"), col("b")))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("null input propagates") {
     val r = df.select(cosine_sim(lit(null).cast("array<float>"), col("b")))
       .collect()
