@@ -623,7 +623,84 @@ object Similarity {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** q69 — per-label embedding diversity: MEAN PAIRWISE dot product of
+    * the int8-quantized vectors, computed WITHOUT any pairwise join via
+    * the algebraic identity Σᵢ≠ⱼ qᵢ·qⱼ = |Σᵢqᵢ|² − Σᵢ|qᵢ|². One scan +
+    * one (label, dim) shuffle where the naive spelling is an O(n²)
+    * self-join per label — the reason a 100 TB diversity audit is
+    * feasible at all. Quantization makes every term an EXACT integer
+    * (per-dim sums ≤ 127·n; squares within long headroom under ANSI),
+    * so the single final double division is bit-identical cross-engine.
+    * Low mean pairwise similarity = diverse label; high = near-duplicate
+    * cluster — the embedding-space twin of q64's n-gram diversity.
+    * (Long headroom for s² holds to n ≈ 7·10⁸ per label under ANSI; past
+    * that, widen `s` to decimal(38,0) — the identity is unchanged.) */
+  def embeddingDiversity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val qlab = quantizedVectors(e)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .localCheckpoint(eager = false)
+    // per-label, per-dim integer sums → |Σq|² = Σ_d (Σᵢ q_{i,d})²
+    val sumSq = qlab
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv")).as("s"))
+      .groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("s2"))
+    // per-label Σᵢ|qᵢ|² and n
+    val norms = qlab
+      .select(col("label"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("nn"))
+      .groupBy(col("label"))
+      .agg(sum(col("nn")).as("ss"), count(lit(1)).as("n"))
+    sumSq.join(norms, Seq("label"))
+      .filter(col("n") > 1)
+      .select(col("label").cast("long").as("label"), col("n"),
+        col("s2"), col("ss"),
+        ((col("s2") - col("ss")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1).cast("double")))
+          .as("mean_pair_dot"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB spelling of [[embeddingDiversity]] — same quantization CTEs,
+    * same integer identity, same single division. */
+  val embeddingDiversitySql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de
+       |  FROM embeddings),
+       |nn0 AS (
+       |  SELECT vec_id, label, de,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(de, x -> x * x)), (a, b) -> a + b) AS ssq
+       |  FROM d),
+       |q AS (
+       |  SELECT vec_id, label, list_transform(de,
+       |    x -> CAST(floor(x / sqrt(ssq) * 127 + 0.5) AS BIGINT)) AS q
+       |  FROM nn0 WHERE ssq > 0),
+       |ex AS (
+       |  SELECT label, r.range AS dim, q[r.range] AS qv
+       |  FROM q CROSS JOIN range(1, ${Dim + 1}) r),
+       |s2 AS (
+       |  SELECT label, CAST(sum(s * s) AS BIGINT) AS s2 FROM (
+       |    SELECT label, dim, sum(qv) AS s FROM ex GROUP BY 1, 2)
+       |  GROUP BY label),
+       |norms AS (
+       |  SELECT label,
+       |    CAST(sum(nrm) AS BIGINT) AS ss, count(*) AS n FROM (
+       |    SELECT label, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS nrm
+       |    FROM q)
+       |  GROUP BY label)
+       |SELECT CAST(s2.label AS BIGINT) AS label, n, s2.s2 AS s2, ss,
+       |  CAST(s2.s2 - ss AS DOUBLE) /
+       |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS mean_pair_dot
+       |FROM s2 JOIN norms ON norms.label = s2.label
+       |WHERE n > 1
+       |ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_embedding_diversity" -> (embeddingDiversity _),
     "q61_nearest_centroid" -> (nearestCentroid _),
     "q56_label_centroids" -> (labelCentroids _),
     "q54_quantize_int8" -> (quantizeInt8 _),
@@ -633,6 +710,7 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q69_embedding_diversity" -> embeddingDiversitySql,
     "q61_nearest_centroid" -> nearestCentroidSql,
     "q56_label_centroids" -> labelCentroidsSql,
     "q54_quantize_int8" -> quantizeInt8Sql,

@@ -102,6 +102,28 @@ class SimilaritySpec extends SparkSpec {
     assert(diag.toDouble / total > 0.2, "centroid assignment broken?")
   }
 
+  test("embedding diversity equals the brute-force mean pairwise dot") {
+    val rows = Similarity.embeddingDiversity(spark, sf).collect()
+    // brute force: quantize on the driver, average all ordered pairs
+    val qs = Similarity.quantizedVectors(
+        graft.tables.Tables.embeddings(spark, sf))
+      .join(graft.tables.Tables.embeddings(spark, sf)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("label")), Seq("vec_id"))
+      .collect()
+      .map(r => (r.getAs[Int]("label"), r.getSeq[Long](1).toArray))
+    rows.foreach { r =>
+      val (label, n, got) = (r.getLong(0), r.getLong(1), r.getDouble(4))
+      val vs = qs.filter(_._1 == label).map(_._2)
+      assert(vs.length.toLong === n)
+      val pairSum = (for {
+        i <- vs.indices; j <- vs.indices if i != j
+      } yield vs(i).zip(vs(j)).map { case (a, b) => a * b }.sum).sum
+      val expected = pairSum.toDouble / (n * (n - 1))
+      assert(math.abs(got - expected) < 1e-9, s"label $label: $got vs $expected")
+    }
+  }
+
   test("q49 LSH near-dup is a subset of exact q42 with decent recall") {
     val exact = graft.queries.Subqueries.q42EmbeddingNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
