@@ -119,9 +119,38 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q70 — frame sampling end to end THROUGH the typed decode path
+    * (mediaTable → mapPartitions decode → explode every-30th frame), so
+    * the oracle pins the whole plumbing chain, not just the metadata
+    * projection: the stub's frame count is byte-length arithmetic the
+    * SQL recomputes (corpus is ASCII, so DuckDB's char length equals
+    * the binary payload length — the same precondition q26 uses). */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir).as[MediaRow]
+    sampleFrames(extractFeatures(media), stride = 30)
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** DuckDB spelling: same video selection, same n%300+1 frame count,
+    * same stride-30 sampling (range stop-exclusive ≡ sequence to
+    * n_frames−1 inclusive). */
+  val frameSampleSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, CAST(length(text) % 300 + 1 AS BIGINT) AS n_frames
+      |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2)
+      |SELECT doc_id, n_frames,
+      |  CAST(unnest(range(0, n_frames, 30)) AS BIGINT) AS frame_idx
+      |FROM v
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q26_media_meta" -> (mediaMeta _))
+    "q26_media_meta" -> (mediaMeta _),
+    "q70_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
-    "q26_media_meta" -> mediaMetaSql)
+    "q26_media_meta" -> mediaMetaSql,
+    "q70_frame_sample" -> frameSampleSql)
 }
