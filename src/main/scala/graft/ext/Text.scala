@@ -808,7 +808,43 @@ object Text {
        |ORDER BY source""".stripMargin
   }
 
+  /** q71 — length-weighted deterministic sampling: keep each document
+    * with probability ∝ its token count (importance sampling by length —
+    * the curation move that keeps long documents while thinning
+    * boilerplate). Same content-keyed md5 bucket as q53, but the
+    * per-doc threshold is `n_tok · 1000 div max_tok` — ALL integer
+    * arithmetic (one corpus-max scalar, broadcast), so inclusion is
+    * bit-deterministic across engines, runs, partitionings, and
+    * retries. The max aggregate is one tiny all-reduce; everything else
+    * is a single scan. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    val mx = docs.agg(max(col("n_tok")).as("max_tok"))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(1000L))
+    // `div`, not `/`: Spark's / on integers is DOUBLE division; the
+    // threshold must stay integral to match DuckDB's `//` exactly
+    docs.crossJoin(broadcast(mx))
+      .filter(bucket < expr("n_tok * 1000 div max_tok"))
+      .select(col("doc_id"), col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |mx AS (SELECT max(n_tok) AS max_tok FROM t)
+      |SELECT doc_id, n_tok FROM t CROSS JOIN mx
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000 < n_tok * 1000 // max_tok
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_weighted_sample" -> (weightedSample _),
     "q66_sentiment"     -> (sentiment _),
     "q59_decontamination" -> (decontamination _),
     "q62_collocations"  -> (collocations _),
@@ -828,6 +864,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q71_weighted_sample" -> weightedSampleSql,
     "q66_sentiment"     -> sentimentSql,
     "q59_decontamination" -> decontaminationSql,
     "q62_collocations"  -> collocationsSql,

@@ -363,7 +363,30 @@ object Advanced {
       |ORDER BY value DESC, event_id
       |LIMIT 100""".stripMargin
 
+  /** q72 — fixed-width histogram of event values per event type: the
+    * bucketed-distribution idiom (floor(value / width) keys). One scan,
+    * one partial-agg shuffle on (type, bucket); floor of an IEEE
+    * division is bit-deterministic, so buckets agree cross-engine. The
+    * declarative spelling is what lets a 100 TB histogram be one
+    * map-side-combined aggregation instead of a collect-and-bin. */
+  def q72Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") / 10.0d).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  val q72Sql: String =
+    """SELECT event_type,
+      |  CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_histogram"     -> (q72Histogram _),
     "q67_incremental_topk" -> (q67IncrementalTopK _),
     "q65_skyline"       -> (q65Skyline _),
     "q50_salted_join"   -> (q50SaltedJoin _),
@@ -379,6 +402,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q72_histogram"     -> q72Sql,
     "q67_incremental_topk" -> q67Sql,
     "q65_skyline"       -> q65Sql,
     "q50_salted_join"   -> q50Sql,

@@ -121,6 +121,27 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: inclusion recomputes from the hash threshold") {
+    import org.apache.spark.sql.functions.{col => c, size => sz, split => sp}
+    val toks = graft.tables.Tables.documents(spark, sf)
+      .select(c("doc_id"), sz(sp(c("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxTok = toks.values.max
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    val expected = toks.filter { case (id, n) =>
+      bucket(id) < n * 1000 / maxTok
+    }.keySet
+    val got = Text.weightedSample(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < toks.size)
+  }
+
   test("sentiment: counts consistent and mean derives from the sum") {
     val rows = Text.sentiment(spark, sf).collect()
     assert(rows.nonEmpty)
