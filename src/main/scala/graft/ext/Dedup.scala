@@ -580,7 +580,10 @@ object Dedup {
     * pair graph is df-cap-bounded, so the joins stay small (at extreme
     * scale the standard refinement orders edges by degree first). */
   def dupTriangles(s: SparkSession, dir: String): DataFrame = {
-    val e = dedupClusterPairs(s, dir)
+    // materialized once: FIVE consumers below (three join copies + the
+    // node and edge counts) would each recompute the capped-jaccard
+    // pipeline otherwise
+    val e = dedupClusterPairs(s, dir).localCheckpoint(eager = false)
     val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
     val e2 = e.select(col("a_id").as("b"), col("b_id").as("c"))
     val e3 = e.select(col("a_id").as("a"), col("b_id").as("c"))

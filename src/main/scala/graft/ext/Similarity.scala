@@ -468,6 +468,33 @@ object Similarity {
         transform(col("de"),
           x => floor(x / sqrt(col("ss")) * 127 + 0.5).cast("long")).as("q"))
 
+  /** (vec_id, q, label), materialized once via lazy localCheckpoint —
+    * the quantized+labeled relation q61 and q69 each feed to TWO
+    * consumers (an aggregate and a per-vector side); without the
+    * checkpoint the scan + quantization fold would run twice per
+    * query. */
+  private def quantizedLabeled(e: DataFrame): DataFrame =
+    quantizedVectors(e)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .localCheckpoint(eager = false)
+
+  /** Shared DuckDB CTE chain ending in `q(vec_id, label, q)` — the int8
+    * quantization both engines agree on bit-for-bit; feeds the q56, q61
+    * and q69 oracles. */
+  private def quantCtes: String =
+    """d AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de
+      |  FROM embeddings),
+      |nrm AS (
+      |  SELECT vec_id, label, de,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(de, x -> x * x)), (a, b) -> a + b) AS ss
+      |  FROM d),
+      |q AS (
+      |  SELECT vec_id, label, list_transform(de,
+      |    x -> CAST(floor(x / sqrt(ss) * 127 + 0.5) AS BIGINT)) AS q
+      |  FROM nrm WHERE ss > 0)""".stripMargin
+
   def quantizeInt8(s: SparkSession, dir: String): DataFrame =
     quantizedVectors(Tables.embeddings(s, dir))
       .select(col("vec_id"),
@@ -510,18 +537,7 @@ object Similarity {
   }
 
   val labelCentroidsSql: String =
-    s"""WITH d AS (
-       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de
-       |  FROM embeddings),
-       |n AS (
-       |  SELECT vec_id, label, de,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(de, x -> x * x)), (a, b) -> a + b) AS ss
-       |  FROM d),
-       |q AS (
-       |  SELECT vec_id, label, list_transform(de,
-       |    x -> CAST(floor(x / sqrt(ss) * 127 + 0.5) AS BIGINT)) AS q
-       |  FROM n WHERE ss > 0),
+    s"""WITH $quantCtes,
        |ex AS (
        |  SELECT label, r.range AS dim, q[r.range] AS qv
        |  FROM q CROSS JOIN range(1, ${Dim + 1}) r)
@@ -545,13 +561,7 @@ object Similarity {
     * interpreted fold for the codegen distance expression; the plan
     * (broadcast + partial agg) is unchanged. */
   def nearestCentroid(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    // quantized+labeled relation materialized once (lazy localCheckpoint):
-    // it feeds both the centroid aggregate and the assignment side —
-    // without it the scan + quantization fold runs twice
-    val qlab = quantizedVectors(e)
-      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .localCheckpoint(eager = false)
+    val qlab = quantizedLabeled(Tables.embeddings(s, dir))
     val cent = qlab
       .select(col("label").as("c_label"), posexplode(col("q")).as(Seq("pos", "qv")))
       .groupBy(col("c_label"), col("pos"))
@@ -584,18 +594,7 @@ object Similarity {
   /** DuckDB spelling of [[nearestCentroid]]: same quantization, same
     * exact-integer centroid sums, same fold order for the distances. */
   val nearestCentroidSql: String =
-    s"""WITH d AS (
-       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de
-       |  FROM embeddings),
-       |nn AS (
-       |  SELECT vec_id, label, de,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(de, x -> x * x)), (a, b) -> a + b) AS ss
-       |  FROM d),
-       |q AS (
-       |  SELECT vec_id, label, list_transform(de,
-       |    x -> CAST(floor(x / sqrt(ss) * 127 + 0.5) AS BIGINT)) AS q
-       |  FROM nn WHERE ss > 0),
+    s"""WITH $quantCtes,
        |ex AS (
        |  SELECT label, r.range AS dim, q[r.range] AS qv
        |  FROM q CROSS JOIN range(1, ${Dim + 1}) r),
@@ -636,10 +635,7 @@ object Similarity {
     * (Long headroom for s² holds to n ≈ 7·10⁸ per label under ANSI; past
     * that, widen `s` to decimal(38,0) — the identity is unchanged.) */
   def embeddingDiversity(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val qlab = quantizedVectors(e)
-      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .localCheckpoint(eager = false)
+    val qlab = quantizedLabeled(Tables.embeddings(s, dir))
     // per-label, per-dim integer sums → |Σq|² = Σ_d (Σᵢ q_{i,d})²
     val sumSq = qlab
       .select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
@@ -666,18 +662,7 @@ object Similarity {
   /** DuckDB spelling of [[embeddingDiversity]] — same quantization CTEs,
     * same integer identity, same single division. */
   val embeddingDiversitySql: String =
-    s"""WITH d AS (
-       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de
-       |  FROM embeddings),
-       |nn0 AS (
-       |  SELECT vec_id, label, de,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(de, x -> x * x)), (a, b) -> a + b) AS ssq
-       |  FROM d),
-       |q AS (
-       |  SELECT vec_id, label, list_transform(de,
-       |    x -> CAST(floor(x / sqrt(ssq) * 127 + 0.5) AS BIGINT)) AS q
-       |  FROM nn0 WHERE ssq > 0),
+    s"""WITH $quantCtes,
        |ex AS (
        |  SELECT label, r.range AS dim, q[r.range] AS qv
        |  FROM q CROSS JOIN range(1, ${Dim + 1}) r),

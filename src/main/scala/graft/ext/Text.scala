@@ -142,17 +142,20 @@ object Text {
     * dropped — the cache lifecycle follows the caller automatically.
     * Words staged as their own projection: referencing split() inside the
     * shingle lambda would re-split the text per element (O(L²)/doc). */
-  private[graft] def ngramIndexOf(docs: DataFrame, n: Int): DataFrame = {
-    val shingles = array_distinct(transform(
-      sequence(lit(1), size(col("w")) - (n - 1)),
-      i => concat_ws(" ",
-        (0 until n).map(o => element_at(col("w"), i + o)): _*)))
+  /** Word n-grams of a words-array column as an array column (one
+    * space-joined string per position; NOT distinct). */
+  private def ngramsCol(w: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))
+
+  private[graft] def ngramIndexOf(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"),
+        explode(array_distinct(ngramsCol(col("w"), n))).as("shingle"))
       .localCheckpoint(eager = false)
-  }
 
   private[graft] def shingleIndexOf(docs: DataFrame): DataFrame =
     ngramIndexOf(docs, 3)
@@ -454,10 +457,15 @@ object Text {
     * matters when a 100 TB training-set sample must be reproducible and
     * join-stable (rows never flip in or out on replan, unlike
     * `TABLESAMPLE`/rand()). One scan, no shuffle before the aggregate. */
+  /** Content-keyed md5 bucket in [0, 1000) — the deterministic sampling
+    * key shared by q53 and q71 (identical in DuckDB as
+    * `('0x'||substr(md5(x),1,8))::BIGINT % 1000`). */
+  private def md5Bucket1000(c: Column): Column = pmod(
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+    lit(1000L))
+
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(1000L))
+    val bucket = md5Bucket1000(col("doc_id"))
     val rate = when(col("lang") === "en", 50L).otherwise(150L)
     Tables.documents(s, dir)
       .filter(bucket < rate)
@@ -496,9 +504,7 @@ object Text {
         size(filter(toks, t => t.isin("the", "a"))).cast("long").as("n_stop"))
       .filter(col("n_tok") >= 20 && col("n_stop") * 4 <= col("n_tok"))
       .filter(lang_id(col("text")) === "en")
-      .filter(pmod(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"), lit(1000L)) < 500)
+      .filter(md5Bucket1000(col("doc_id")) < 500)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
@@ -719,11 +725,7 @@ object Text {
     val grams = Tables.documents(s, dir)
       .select(col("source"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("source"), explode(transform(
-        sequence(lit(1), size(col("w")) - 2),
-        i => concat_ws(" ", element_at(col("w"), i),
-          element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
-        .as("shingle"))
+      .select(col("source"), explode(ngramsCol(col("w"), 3)).as("shingle"))
     grams.groupBy(col("source"), col("shingle"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("source"))
@@ -821,9 +823,7 @@ object Text {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
     val mx = docs.agg(max(col("n_tok")).as("max_tok"))
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(1000L))
+    val bucket = md5Bucket1000(col("doc_id"))
     // `div`, not `/`: Spark's / on integers is DOUBLE division; the
     // threshold must stay integral to match DuckDB's `//` exactly
     docs.crossJoin(broadcast(mx))
