@@ -385,7 +385,85 @@ object Advanced {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** q73 — ordered conversion funnel view → click → purchase: per user,
+    * the first view, the first click AFTER that view, the first purchase
+    * AFTER that click; funnel counts per stage. Each stage is one
+    * filtered aggregation on the user key joined to the previous
+    * stage's (small) per-user min — never a window over the full event
+    * stream, so at 100 TB each stage is a partial-agg shuffle of user
+    * keys. Strictly-after comparisons run on epoch-microsecond longs
+    * (`unix_micros` ≡ DuckDB `epoch_us`, the q31/q32 convention). */
+  def q73Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    def firstAfter(tpe: String, prev: DataFrame, prevCol: String,
+        outCol: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .join(prev, Seq("user_id"))
+        .filter(col("us") > col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("us")).as(outCol))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val c = firstAfter("click", v, "t_view", "t_click")
+    val p = firstAfter("purchase", c, "t_click", "t_buy")
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val q73Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (
+      |  SELECT user_id, min(us) AS t_view FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(us) AS t_click FROM e
+      |  JOIN v ON v.user_id = e.user_id
+      |  WHERE event_type = 'click' AND us > t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(us) AS t_buy FROM e
+      |  JOIN c ON c.user_id = e.user_id
+      |  WHERE event_type = 'purchase' AND us > t_click
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_view_click,
+      |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
+
+  /** q74 — weekly retention cohorts: users grouped by their first active
+    * epoch-week; for each (cohort, week offset), how many distinct users
+    * were active. Two-phase distinct — dedupe (user, week) first, then
+    * count — so no countDistinct Expand; both shuffles are on user/week
+    * keys with map-side partial aggregation. All-integer epoch-week
+    * arithmetic (`div` ≡ DuckDB `//`) keeps the cohort assignment
+    * bit-deterministic. */
+  def q74Retention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L // 7 * 86400 * 1e6
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $weekUs").as("week"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    uw.join(first, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val q74Sql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      |  FROM events),
+      |f AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+      |SELECT cohort, week - cohort AS week_offset, count(*) AS n_users
+      |FROM uw JOIN f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_funnel"        -> (q73Funnel _),
+    "q74_retention"     -> (q74Retention _),
     "q72_histogram"     -> (q72Histogram _),
     "q67_incremental_topk" -> (q67IncrementalTopK _),
     "q65_skyline"       -> (q65Skyline _),
@@ -402,6 +480,8 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q73_funnel"        -> q73Sql,
+    "q74_retention"     -> q74Sql,
     "q72_histogram"     -> q72Sql,
     "q67_incremental_topk" -> q67Sql,
     "q65_skyline"       -> q65Sql,

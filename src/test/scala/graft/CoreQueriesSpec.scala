@@ -85,6 +85,25 @@ class CoreQueriesSpec extends SparkSpec {
     assert(row.getLong(2) === tris)
   }
 
+  test("q73 funnel stages are monotonically non-increasing") {
+    val r = graft.queries.Advanced.q73Funnel(spark, sf).collect()(0)
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel must narrow: $v >= $c >= $p")
+    assert(v > 0)
+  }
+
+  test("q74 retention: offset-0 row per cohort covers every cohort user") {
+    val rows = graft.queries.Advanced.q74Retention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (cohort, rs) =>
+      val atZero = rs.find(_._2 == 0L).map(_._3).getOrElse(0L)
+      // week-0 activity defines the cohort, so offset 0 is its max row
+      assert(atZero > 0 && rs.forall(_._3 <= atZero),
+        s"cohort $cohort: offset-0 must dominate")
+    }
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")
