@@ -461,7 +461,42 @@ object Advanced {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** q75 — z-score outlier counts per event type: the two-pass anomaly
+    * scan (aggregate stats, re-scan and flag |value − mean| > 3σ). The
+    * stats relation is tiny (one row per type) and broadcasts; both
+    * passes are partial-agg shuffles on the type key. Determinism at the
+    * 3σ boundary: mean and σ come from [[Det]]'s exact decimal sums, so
+    * both engines compare against bit-identical doubles — a raw
+    * stddev_samp would flip flags in ULP-distance cases. */
+  def q75Anomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(Det.davg(col("value")).as("mean"),
+        Det.dstddev(col("value")).as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("mean")).as("mean_value"),
+        sum(when(abs(col("value") - col("mean")) > col("sd") * 3, 1L)
+          .otherwise(0L)).as("n_anomalies"))
+      .orderBy(col("event_type"))
+  }
+
+  val q75Sql: String =
+    s"""WITH s AS (
+       |  SELECT event_type, ${Det.sqlAvg("value")} AS mean,
+       |    ${Det.sqlStddev("value")} AS sd
+       |  FROM events GROUP BY event_type)
+       |SELECT e.event_type, count(*) AS n,
+       |  max(mean) AS mean_value,
+       |  CAST(sum(CASE WHEN abs(value - mean) > 3 * sd THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_anomalies
+       |FROM events e JOIN s USING (event_type)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
     "q72_histogram"     -> (q72Histogram _),
@@ -480,6 +515,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q75_anomaly"       -> q75Sql,
     "q73_funnel"        -> q73Sql,
     "q74_retention"     -> q74Sql,
     "q72_histogram"     -> q72Sql,
