@@ -124,31 +124,27 @@ object Text {
       |GROUP BY md5(text)
       |ORDER BY keep_doc_id""".stripMargin
 
-  /** q23 — word-3-gram Jaccard near-dup pairs.
-    * shingle → inverted index (explode) → self-join on shingle →
-    * intersection counts → Jaccard from exact int counts.
-    * The standard scalable formulation: the self-join is on the shingle
-    * key (pre-filtered to distinct doc-shingle pairs), so cost is
-    * sum over shingles of df², not N². */
-  /** Distinct (doc_id, shingle) inverted index, materialized ONCE via a
-    * lazy localCheckpoint: the shingle relation feeds three consumers
-    * (two join sides + per-doc counts); without materialization Spark
-    * recomputes the explode 3×. localCheckpoint, not cache(): cache
-    * registers the plan in the session CacheManager and nothing in a lazy
-    * query API can unpersist it after the (caller-side) action, so a
-    * session running q23+q51+q57 accumulates pinned copies of the index.
-    * Checkpoint blocks are scoped to the query's RDD instead and are
-    * GC-cleaned by the ContextCleaner once the consuming DataFrame is
-    * dropped — the cache lifecycle follows the caller automatically.
-    * Words staged as their own projection: referencing split() inside the
-    * shingle lambda would re-split the text per element (O(L²)/doc). */
   /** Word n-grams of a words-array column as an array column (one
-    * space-joined string per position; NOT distinct). */
+    * space-joined string per position; NOT distinct). Takes the ARRAY
+    * column, not text: referencing split() inside the lambda would
+    * re-split the string per element (O(L²)/doc). */
   private def ngramsCol(w: Column, n: Int): Column =
     transform(
       sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))
 
+  /** Distinct (doc_id, shingle) inverted index — the q23 near-dup core
+    * (shingle → inverted index → self-join on shingle → Jaccard from
+    * exact int counts; self-join cost is Σdf², not N²) — materialized
+    * ONCE via a lazy localCheckpoint: the shingle relation feeds three
+    * consumers (two join sides + per-doc counts); without materialization
+    * Spark recomputes the explode 3×. localCheckpoint, not cache():
+    * cache registers the plan in the session CacheManager and nothing in
+    * a lazy query API can unpersist it after the (caller-side) action,
+    * so a session running q23+q51+q57 accumulates pinned copies of the
+    * index. Checkpoint blocks are scoped to the query's RDD instead and
+    * are GC-cleaned by the ContextCleaner once the consuming DataFrame
+    * is dropped — the cache lifecycle follows the caller automatically. */
   private[graft] def ngramIndexOf(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
@@ -450,6 +446,13 @@ object Text {
       |SELECT doc_id, word, score, rnk FROM r WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Content-keyed md5 bucket in [0, 1000) — the deterministic sampling
+    * key shared by q53, q55 and q71 (identical in DuckDB as
+    * `('0x'||substr(md5(x),1,8))::BIGINT % 1000`). */
+  private def md5Bucket1000(c: Column): Column = pmod(
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+    lit(1000L))
+
   /** q53 — deterministic stratified sampling: md5(doc_id) mod 1000 under a
     * per-stratum rate (the majority 'en' class undersampled at 5%, other
     * languages at 15%). Content-keyed hashing makes the sample identical
@@ -457,13 +460,6 @@ object Text {
     * matters when a 100 TB training-set sample must be reproducible and
     * join-stable (rows never flip in or out on replan, unlike
     * `TABLESAMPLE`/rand()). One scan, no shuffle before the aggregate. */
-  /** Content-keyed md5 bucket in [0, 1000) — the deterministic sampling
-    * key shared by q53 and q71 (identical in DuckDB as
-    * `('0x'||substr(md5(x),1,8))::BIGINT % 1000`). */
-  private def md5Bucket1000(c: Column): Column = pmod(
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
-    lit(1000L))
-
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val bucket = md5Bucket1000(col("doc_id"))
     val rate = when(col("lang") === "en", 50L).otherwise(150L)

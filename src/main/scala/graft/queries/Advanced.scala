@@ -394,16 +394,23 @@ object Advanced {
     * keys. Strictly-after comparisons run on epoch-microsecond longs
     * (`unix_micros` ≡ DuckDB `epoch_us`, the q31/q32 convention). */
   def q73Funnel(s: SparkSession, dir: String): DataFrame = {
+    // ev feeds three stage filters, and each stage frame is consumed
+    // twice (next stage's join + its own count) — materialize once per
+    // relation (the multi-consumer localCheckpoint rule), or one run
+    // scans the events table ~6 times
     val ev = Tables.events(s, dir).select(col("user_id"),
       col("event_type"), unix_micros(col("ts")).as("us"))
+      .localCheckpoint(eager = false)
     def firstAfter(tpe: String, prev: DataFrame, prevCol: String,
         outCol: String): DataFrame =
       ev.filter(col("event_type") === tpe)
         .join(prev, Seq("user_id"))
         .filter(col("us") > col(prevCol))
         .groupBy(col("user_id")).agg(min(col("us")).as(outCol))
+        .localCheckpoint(eager = false)
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      .localCheckpoint(eager = false)
     val c = firstAfter("click", v, "t_view", "t_click")
     val p = firstAfter("purchase", c, "t_click", "t_buy")
     v.agg(count(lit(1)).as("n_view"))
@@ -440,10 +447,12 @@ object Advanced {
     * bit-deterministic. */
   def q74Retention(s: SparkSession, dir: String): DataFrame = {
     val weekUs = 604800000000L // 7 * 86400 * 1e6
+    // uw feeds both the first-week aggregate and the join side
     val uw = Tables.events(s, dir)
       .select(col("user_id"),
         expr(s"unix_micros(ts) div $weekUs").as("week"))
       .distinct()
+      .localCheckpoint(eager = false)
     val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
     uw.join(first, Seq("user_id"))
       .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
@@ -469,7 +478,9 @@ object Advanced {
     * both engines compare against bit-identical doubles — a raw
     * stddev_samp would flip flags in ULP-distance cases. */
   def q75Anomaly(s: SparkSession, dir: String): DataFrame = {
+    // ev feeds the stats aggregate and the flagging pass
     val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      .localCheckpoint(eager = false)
     val stats = ev.groupBy(col("event_type"))
       .agg(Det.davg(col("value")).as("mean"),
         Det.dstddev(col("value")).as("sd"))
