@@ -94,4 +94,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(graft.ext.Text.ngramDiversity(spark, sf))
     assert(!p.contains("Expand"), s"Expand appeared in diversity ratio:\n$p")
   }
+
+  test("q67: both incremental branches plan bounded top-k, never a global sort") {
+    val p = plan(graft.queries.Advanced.q67IncrementalTopK(spark, sf))
+    val topks = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(topks >= 2, s"expected bounded top-k on both branches:\n$p")
+  }
+
+  test("q75: the per-type stats relation joins broadcast") {
+    val p = plan(graft.queries.Advanced.q75Anomaly(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"stats join degraded:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ for a 5-row stats side:\n$p")
+  }
 }
