@@ -839,7 +839,66 @@ object Text {
       |      % 1000 < n_tok * 1000 // max_tok
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q76: training-window chunking --------------------------------------
+
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** q76 — context-window chunking: split every document into 64-token
+    * windows at stride 48 (16-token overlap) — the standard prep step
+    * that turns variable-length documents into model-context training
+    * rows. Chunk boundaries are pure integer arithmetic exploded from a
+    * sequence (no UDF, no per-row driver logic), and each chunk is
+    * emitted as its md5 fingerprint rather than its text — the id-sized
+    * output a 100 TB chunking pass shuffles, while remaining value-exact
+    * for the oracle (both engines hash the identical space-joined token
+    * slice). Single scan; output grows ~n_tok/stride per doc. */
+  def chunking(s: SparkSession, dir: String): DataFrame = {
+    val L = ChunkLen.toLong
+    val S = ChunkStride.toLong
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"), col("w"))
+      .select(col("doc_id"), col("n_tok"), col("w"),
+        explode(sequence(lit(0L),
+          when(col("n_tok") <= L, lit(0L))
+            .otherwise(expr(s"(n_tok - $L + ${S - 1}) div $S"))))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(L), col("n_tok") - col("chunk_idx") * S).as("chunk_tok"),
+        md5(array_join(
+          slice(col("w"), (col("chunk_idx") * S + 1).cast("int"),
+            least(lit(L), col("n_tok") - col("chunk_idx") * S).cast("int")),
+          " ")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** DuckDB spelling: same boundaries (`//` ≡ `div`), same slices
+    * (list_slice is 1-based inclusive ≡ slice(start, len)), same md5 of
+    * the space-joined window. */
+  val chunkingSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok, w,
+       |    unnest(range(0, CASE WHEN n_tok <= $ChunkLen THEN 1
+       |      ELSE 1 + (n_tok - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride
+       |      END)) AS chunk_idx
+       |  FROM w)
+       |SELECT doc_id, chunk_idx,
+       |  least($ChunkLen, n_tok - chunk_idx * $ChunkStride) AS chunk_tok,
+       |  md5(array_to_string(list_slice(w,
+       |    chunk_idx * $ChunkStride + 1,
+       |    chunk_idx * $ChunkStride +
+       |      least($ChunkLen, n_tok - chunk_idx * $ChunkStride)), ' '))
+       |    AS chunk_fp
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_chunking"      -> (chunking _),
     "q71_weighted_sample" -> (weightedSample _),
     "q66_sentiment"     -> (sentiment _),
     "q59_decontamination" -> (decontamination _),
@@ -860,6 +919,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q76_chunking"      -> chunkingSql,
     "q71_weighted_sample" -> weightedSampleSql,
     "q66_sentiment"     -> sentimentSql,
     "q59_decontamination" -> decontaminationSql,

@@ -121,6 +121,26 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every document exactly to its last token") {
+    import org.apache.spark.sql.functions.{col => c, size => sz, split => sp}
+    val nTok = graft.tables.Tables.documents(spark, sf)
+      .select(c("doc_id"), sz(sp(c("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = Text.chunking(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet === nTok.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // dense indices from 0; stride-48 starts; last chunk ends at n_tok
+      assert(sorted.map(_._2).sameElements(sorted.indices.map(_.toLong)))
+      val (_, lastIdx, lastLen) = sorted.last
+      assert(lastIdx * 48 + lastLen === nTok(doc),
+        s"doc $doc: chunks end at ${lastIdx * 48 + lastLen}, not ${nTok(doc)}")
+      assert(sorted.forall(_._3 <= 64) && sorted.forall(_._3 >= 1))
+    }
+  }
+
   test("weighted sample: inclusion recomputes from the hash threshold") {
     import org.apache.spark.sql.functions.{col => c, size => sz, split => sp}
     val toks = graft.tables.Tables.documents(spark, sf)
