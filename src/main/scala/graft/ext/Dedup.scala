@@ -570,6 +570,39 @@ object Dedup {
     s"""WITH RECURSIVE $ccCtes
       |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
 
+  /** q77 — leakage-free train/eval split: assign documents to splits by
+    * NEAR-DUP CLUSTER, not by document — a per-doc hash split leaks
+    * whenever near-duplicates straddle the boundary (the contamination
+    * q59 exists to detect; this op prevents it at split time). Split
+    * key = the doc's q57 cluster id (its own id for singletons), split =
+    * deterministic md5 bucket of that key at 90/10 — so every member of
+    * a duplicate cluster lands on the SAME side, reproducibly across
+    * engines/runs/partitionings. One left join against the (small)
+    * cluster relation; everything else is per-row hashing. */
+  def leakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+      .select(col("doc_id"), col("split_key"),
+        when(Text.md5Bucket1000(col("split_key")) < 900, "train")
+          .otherwise("eval").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB spelling: the shared cluster CTEs, the same singleton
+    * fallback, the same md5 bucket. */
+  val leakFreeSplitSql: String =
+    s"""WITH RECURSIVE $ccCtes
+      |SELECT d.doc_id,
+      |  coalesce(cluster_id, d.doc_id) AS split_key,
+      |  CASE WHEN ('0x' || substr(md5(CAST(coalesce(cluster_id, d.doc_id)
+      |        AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900
+      |    THEN 'train' ELSE 'eval' END AS split
+      |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q68 — duplicate-graph triangle census: node/edge counts and the
     * number of triangles in the df-capped near-dup pair graph. Triangle
     * density distinguishes genuine duplicate CLUSTERS (cliquish — a~b,
@@ -613,6 +646,7 @@ object Dedup {
     "q58_cc_distributed" -> (dedupClustersDistributed _),
     "q60_cluster_keep_best" -> (clusterKeepBest _),
     "q68_dup_triangles" -> (dupTriangles _),
+    "q77_leakfree_split" -> (leakFreeSplit _),
     "q24_minhash_pairs" -> (minhashPairs _),
     "q25_simhash_pairs" -> (simhashPairs _),
     "q48_minhash_portable" -> (minhashPortable _))
@@ -627,6 +661,7 @@ object Dedup {
     "q58_cc_distributed"  -> dedupClustersSql,
     "q60_cluster_keep_best" -> clusterKeepBestSql,
     "q68_dup_triangles"   -> dupTrianglesSql,
+    "q77_leakfree_split"  -> leakFreeSplitSql,
     "q24_minhash_pairs"   -> minhashPairsSql,
     "q25_simhash_pairs"   -> simhashPairsSql,
     "q48_minhash_portable" -> minhashPortableSql)

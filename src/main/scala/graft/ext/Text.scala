@@ -449,7 +449,7 @@ object Text {
   /** Content-keyed md5 bucket in [0, 1000) — the deterministic sampling
     * key shared by q53, q55 and q71 (identical in DuckDB as
     * `('0x'||substr(md5(x),1,8))::BIGINT % 1000`). */
-  private def md5Bucket1000(c: Column): Column = pmod(
+  private[ext] def md5Bucket1000(c: Column): Column = pmod(
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
     lit(1000L))
 

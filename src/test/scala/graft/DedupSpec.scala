@@ -109,6 +109,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("leak-free split: no near-dup cluster straddles the train/eval boundary") {
+    val splits = Dedup.leakFreeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(splits.length.toLong ===
+      graft.tables.Tables.documents(spark, sf).count())
+    // the leakage-free property: every cluster wholly on one side
+    splits.groupBy(_._2).foreach { case (key, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"split key $key straddles train/eval")
+    }
+    // clustered docs use their cluster id as the key
+    splits.foreach { case (doc, key, _) =>
+      assert(key === clusters.getOrElse(doc, doc))
+    }
+    val sides = splits.map(_._3).distinct.sorted
+    assert(sides.sameElements(Array("eval", "train")), "both splits present")
+  }
+
   test("one-pass portable minhash equals the declarative built-in pipeline") {
     val corpus = graft.tables.Tables.documents(spark, sf)
     val fast = Dedup.portableSignaturesFast(corpus).collect()
