@@ -33,7 +33,7 @@ object Bench {
     // showed ±40% noise round-over-round (r2's phantom q10/q34
     // "regressions"); the min is the stable signal.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results: Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       // min over SUCCESSFUL reps only: a rep that aborts early would
       // otherwise win the min with its (fast) failure time and silently
       // under-report the query
@@ -48,13 +48,22 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val good = times.filter(_._2).map(_._1)
-      name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
+      // All reps failed → JSON null (explicit failure marker), never a
+      // plausible-looking timing a ratio tool could silently compare against
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding: with 77 queries a 9-decimal line exceeds 4 KB and
+    // overflows the driver's stdout tail window — the whole line must stay
+    // parseable from a bounded tail. (Double.toString of a 3-dp-rounded
+    // value prints the shortest round-trip form, e.g. "23.093".)
+    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(r3) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = r3(results.values.flatten.sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get(outFile), line + "\n")
     catch { case _: Throwable => () }

@@ -109,14 +109,33 @@ object Multimodal {
         (length(col("content")) * 7 % 480 + 1).cast("long").as("height"))
       .orderBy(col("doc_id"))
 
+  /** The oracle equates DuckDB CHARACTER length(text) with the binary
+    * payload's BYTE length — true only for ASCII. Asserted in the SQL
+    * itself (the fingerprintsSql pattern): a non-ASCII corpus fails with
+    * an explicit error() instead of a confusing hash mismatch.
+    *
+    * This snippet is interpolated into SQL that gets stripMargin'd AGAIN,
+    * so no line may start with `|` — a leading `||` concat would lose its
+    * first pipe and become bitwise-or. Concats stay at line ends. */
+  private def asciiCheckedDocs(q: String): String =
+    s"""checked AS (
+       |  SELECT doc_id,
+       |    CASE WHEN strlen(text) <> length(text)
+       |      THEN error('$q oracle precondition violated: non-ASCII text in doc_id=' ||
+       |        doc_id ||
+       |        ' (this SQL equates char length with the binary payload byte length)')
+       |      ELSE text END AS text
+       |  FROM documents)""".stripMargin
+
   val mediaMetaSql: String =
-    """SELECT doc_id,
+    s"""WITH ${asciiCheckedDocs("q26")}
+      |SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
       |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |  CAST(length(text) AS BIGINT) AS n_bytes,
       |  CAST(length(text) % 640 + 1 AS BIGINT) AS width,
       |  CAST(length(text) * 7 % 480 + 1 AS BIGINT) AS height
-      |FROM documents
+      |FROM checked
       |ORDER BY doc_id""".stripMargin
 
   /** q70 — frame sampling end to end THROUGH the typed decode path
@@ -138,9 +157,10 @@ object Multimodal {
     * same stride-30 sampling (range stop-exclusive ≡ sequence to
     * n_frames−1 inclusive). */
   val frameSampleSql: String =
-    """WITH v AS (
+    s"""WITH ${asciiCheckedDocs("q70")},
+      |v AS (
       |  SELECT doc_id, CAST(length(text) % 300 + 1 AS BIGINT) AS n_frames
-      |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2)
+      |  FROM checked WHERE CAST(doc_id % 3 AS INTEGER) = 2)
       |SELECT doc_id, n_frames,
       |  CAST(unnest(range(0, n_frames, 30)) AS BIGINT) AS frame_idx
       |FROM v

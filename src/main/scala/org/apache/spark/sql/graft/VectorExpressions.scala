@@ -32,12 +32,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  // Null ELEMENTS → NULL result (not a 0.0-contaminated partial sum):
+  // registered in SQL as cosine_sim, so arbitrary arrays can arrive.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
@@ -55,13 +58,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xi = (double) $x.getFloat($i);
          |  double $yi = (double) $y.getFloat($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |if ($nx == 0.0 || $ny == 0.0) {
          |  ${ev.isNull} = true;
-         |} else {
+         |}
+         |if (!${ev.isNull}) {
          |  ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
          |}
        """.stripMargin
@@ -95,6 +100,9 @@ case class SquaredDistance(left: Expression, right: Expression)
   // Length mismatch → NULL, matching the declarative spelling exactly:
   // zip_with pads the short side with null, so the fold yields NULL —
   // a truncated partial sum would be a plausible-looking wrong answer.
+  // A null ELEMENT likewise poisons the declarative fold to NULL, so both
+  // eval and codegen check isNullAt per element (the expression is
+  // SQL-registered as squared_distance, where arbitrary arrays arrive).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -102,6 +110,7 @@ case class SquaredDistance(left: Expression, right: Expression)
     val n = x.numElements()
     var d = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val diff = x.getDouble(i) - y.getDouble(i)
       d += diff * diff; i += 1
     }
@@ -119,10 +128,11 @@ case class SquaredDistance(left: Expression, right: Expression)
          |  int $n = $x.numElements();
          |  double $d = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $diff = $x.getDouble($i) - $y.getDouble($i);
          |    $d += $diff * $diff;
          |  }
-         |  ${ev.value} = $d;
+         |  if (!${ev.isNull}) { ${ev.value} = $d; }
          |}
        """.stripMargin
     })
@@ -142,12 +152,18 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  override def nullable: Boolean = true
+
+  // Null ELEMENTS → NULL, same rationale as CosineSimilarity.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     dot
   }
 
@@ -159,9 +175,10 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |}
-         |${ev.value} = $dot;
+         |if (!${ev.isNull}) { ${ev.value} = $dot; }
        """.stripMargin
     })
 

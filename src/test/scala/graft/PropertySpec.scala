@@ -146,6 +146,12 @@ class PropertySpec extends SparkSpec {
       val got = graft.ops.Skyline.skyline2dKeys(df, "k", "x", "y")
         .collect().map(_.getLong(0)).toSet
       assert(got === expected, s"seed $i")
+      // guard=0 forces the anti-correlated sort-sweep fallback: both
+      // global dominance paths must agree (the dual-path rule)
+      val gotSweep = graft.ops.Skyline
+        .skyline2dKeys(df, "k", "x", "y", broadcastGuard = 0L)
+        .collect().map(_.getLong(0)).toSet
+      assert(gotSweep === expected, s"seed $i sweep-fallback path diverged")
     }
   }
 

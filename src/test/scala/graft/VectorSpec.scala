@@ -75,6 +75,25 @@ class VectorSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("null ELEMENT is NULL, like the declarative fold (all three exprs)") {
+    // SQL-registered functions see arbitrary arrays: a null element must
+    // poison the result to NULL (matching aggregate(zip_with(...))), not
+    // contribute an arbitrary 0.0 to the partial sum
+    register(spark)
+    val rows = spark.sql(
+      "SELECT squared_distance(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)), " +
+        "  array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))), " +
+        "cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))), " +
+        "dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "  array(CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT))), " +
+        "aggregate(zip_with(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)), " +
+        "  array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)), " +
+        "  (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      .collect()(0)
+    (0 to 3).foreach(i => assert(rows.isNullAt(i), s"col $i should be NULL"))
+  }
+
   test("null input propagates") {
     val r = df.select(cosine_sim(lit(null).cast("array<float>"), col("b")))
       .collect()
