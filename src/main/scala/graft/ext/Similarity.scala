@@ -684,7 +684,131 @@ object Similarity {
        |WHERE n > 1
        |ORDER BY label""".stripMargin
 
+  // ---- q80: distributed k-means (Lloyd's, fixed iterations) ---------------
+
+  private val KmK = 8
+
+  /** q80 — portable distributed k-means over the int8-quantized embedding
+    * space: deterministic seeding (the K hash-smallest vectors — the q53
+    * content-keyed md5 bucket, so the seed set is identical across
+    * engines, runs, and partitionings), then two full Lloyd iterations,
+    * each = broadcast-centroid assignment (the q61 argmin shape:
+    * codegen [[org.apache.spark.sql.graft.SquaredDistance]] +
+    * `min(struct(d2, c_id))` partial-agg — the exchange carries one
+    * best-so-far per vector per partition, never the N·K scored rows)
+    * + exact-integer centroid update (the q56 shape: per-(cluster, dim)
+    * long sums → one double division each). Output is cluster cardinality
+    * + exact id sums — integer-only, so the oracle hash pins every
+    * assignment without comparing any float.
+    *
+    * 100 TB design: per iteration ONE broadcast of K·d doubles out, ONE
+    * (cluster, dim) partial-agg shuffle back — centroids never live on
+    * the driver and the corpus never reshuffles. Iteration count is fixed
+    * (not convergence-tested) BY DESIGN: a bounded declarative plan, and
+    * the determinism contract an oracle can replay. Exact integer sums
+    * make the update order-independent — the property that lets a
+    * 32-partition Spark run hash-match a single-threaded engine
+    * (float centroids would drift ULPs per partitioning and flip argmin
+    * ties). */
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    // (vec_id, q long-array, qd double-array): feeds seeding + 2
+    // assignment passes + the centroid update — materialized once
+    val qv = quantizedVectors(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("q"), col("q").cast("array<double>").as("qd"))
+      .localCheckpoint(eager = false)
+    val hk = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(1000L))
+    // K hash-smallest vectors, ranked → (c_id, c_emb). The limit(K)
+    // relation is K rows, so the ranking window is trivial.
+    val seeds = qv.select(col("vec_id"), col("qd"), hk.as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(KmK)
+    val cent1 = seeds.select(
+      row_number().over(Window.orderBy(col("hk"), col("vec_id")))
+        .cast("long").as("c_id"),
+      col("qd").as("c_emb"))
+    def assign(cent: DataFrame): DataFrame = {
+      val d2 = graft.functions.VectorFunctions.squared_distance(
+        col("qd"), col("c_emb"))
+      qv.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_id"), d2.as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("c_id"))).as("best"))
+        .select(col("vec_id"), col("best.c_id").as("c_id"))
+    }
+    val cent2 = assign(cent1).join(qv, Seq("vec_id"))
+      .select(col("c_id"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        (col("sq").cast("double") / col("n")).as("m")))),
+        x => x.getField("m")).as("c_emb"))
+    assign(cent2)
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).as("id_sum"),
+        min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("c_id"))
+  }
+
+  /** DuckDB spelling of [[kmeans]]: same quantization, same md5 seeding,
+    * same fold order for distances, same exact-int centroid update. */
+  val kmeansSql: String =
+    s"""WITH $quantCtes,
+       |qd AS (
+       |  SELECT vec_id, q, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd
+       |  FROM q),
+       |hk AS (
+       |  SELECT vec_id, qd,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 1000 AS hk
+       |  FROM qd),
+       |cent1 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) AS BIGINT)
+       |    AS c_id, qd AS c_emb
+       |  FROM hk ORDER BY hk, vec_id LIMIT $KmK),
+       |d1 AS (
+       |  SELECT v.vec_id, c.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${Dim + 1}),
+       |        i -> (v.qd[i] - c.c_emb[i]) * (v.qd[i] - c.c_emb[i]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM qd v CROSS JOIN cent1 c),
+       |a1 AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, c_id) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |ex AS (
+       |  SELECT a1.c_id, r.range AS dim, v.q[r.range] AS qval
+       |  FROM a1 JOIN qd v USING (vec_id)
+       |  CROSS JOIN range(1, ${Dim + 1}) r),
+       |cent2 AS (
+       |  SELECT c_id, list(m ORDER BY dim) AS c_emb FROM (
+       |    SELECT c_id, dim, CAST(sum(qval) AS DOUBLE) / count(*) AS m
+       |    FROM ex GROUP BY 1, 2)
+       |  GROUP BY c_id),
+       |d2_ AS (
+       |  SELECT v.vec_id, c.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${Dim + 1}),
+       |        i -> (v.qd[i] - c.c_emb[i]) * (v.qd[i] - c.c_emb[i]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM qd v CROSS JOIN cent2 c),
+       |a2 AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, c_id) AS rn FROM d2_)
+       |  WHERE rn = 1)
+       |SELECT c_id, count(*) AS n_members,
+       |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       |  min(vec_id) AS min_vec_id
+       |FROM a2
+       |GROUP BY c_id
+       |ORDER BY c_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_kmeans" -> (kmeans _),
     "q69_embedding_diversity" -> (embeddingDiversity _),
     "q61_nearest_centroid" -> (nearestCentroid _),
     "q56_label_centroids" -> (labelCentroids _),
@@ -695,6 +819,7 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q80_kmeans" -> kmeansSql,
     "q69_embedding_diversity" -> embeddingDiversitySql,
     "q61_nearest_centroid" -> nearestCentroidSql,
     "q56_label_centroids" -> labelCentroidsSql,

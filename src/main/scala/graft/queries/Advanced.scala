@@ -506,7 +506,148 @@ object Advanced {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** q81 — GROUPING SETS with explicit grouping flags: the third member
+    * of the grouping family next to q10's ROLLUP and q34's CUBE, but with
+    * a hand-picked set list — (flag, status), (flag), () — the shape a
+    * reporting layer uses when the full cube is wasteful. One Expand over
+    * exactly the 3 requested groupings (vs 4 for the cube), then one
+    * partial-agg shuffle; at 100 TB the saving over CUBE is proportional
+    * to the sets omitted. Per-grouping flags are emitted as separate
+    * `grouping(col)` ints (engine-portable; grouping_id bit orders are
+    * not guaranteed to agree across engines). */
+  def q81GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+        col("l_linestatus"))
+
+  val q81Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       |  count(*) AS n,
+       |  ${Det.sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+       |  (l_returnflag), ())
+       |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  /** q82 — per-group linear regression + correlation of extendedprice on
+    * quantity, Det-exact: the five sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²) aggregate as EXACT decimals (associative/commutative →
+    * partitioning-independent), then slope/intercept/corr are one fixed
+    * IEEE expression tree over the final scalars — the same order in the
+    * generated SQL, so even sqrt() is applied to bit-identical inputs.
+    * Spark's builtin regr_slope/corr sum doubles and would differ in ULPs
+    * per partitioning (the Det rationale). One partial-agg shuffle on the
+    * (flag, year) key; nothing driver-side. Grouping by (flag, year)
+    * keeps per-group decimal sums within double's 2^53 mantissa after the
+    * final cast at any bench SF. */
+  def q82Regression(s: SparkSession, dir: String): DataFrame = {
+    // INTEGER units (quantity counts, price cents): every sufficient
+    // statistic is an exact scale-0 decimal, so the decimal→double cast
+    // is ONE correctly-rounded integer conversion in both engines. A
+    // scaled decimal (e.g. sum of (18,2)² products) exceeds 2^53 UNITS at
+    // bench SF, and DuckDB's two-step scaled cast (int→double, then
+    // /10^scale) then differs from Spark's correctly-rounded BigDecimal
+    // conversion by an ULP — which the `n·Σy²−(Σy)²` cancellation
+    // amplifies ~10 ULPs into corr. Integer units have no divide step to
+    // disagree on. The cents scaling cancels in corr; slope/intercept
+    // convert back via one exact /100 at the end.
+    // DECIMAL(18,0), not (38,0): both engines type a product at w1+w2
+    // digits, and DuckDB hard-errors past 38 — 18+18=36 leaves room,
+    // while the actual values (quantity ≤ 50, cents ≤ 10^7) fit easily.
+    val D0 = DecimalType(18, 0)
+    val x = col("l_quantity").cast("long").cast(D0)
+    val y = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").cast(D0)
+    val n = count(lit(1)).cast("double")
+    val sx = sum(x).cast("double"); val sy = sum(y).cast("double")
+    val sxy = sum(x * y).cast("double")
+    val sxx = sum(x * x).cast("double")
+    val syy = sum(y * y).cast("double")
+    val num = n * sxy - sx * sy
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        ((num / denx) / 100.0).as("slope"),
+        (((sy - (num / denx) * sx) / n) / 100.0).as("intercept"),
+        (num / (sqrt(denx) * sqrt(deny))).as("corr"))
+      .orderBy(col("l_returnflag"), col("yr"))
+  }
+
+  val q82Sql: String = {
+    val x = "CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0))"
+    val y = "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(18,0))"
+    val n = "CAST(count(*) AS DOUBLE)"
+    val sx = s"CAST(sum($x) AS DOUBLE)"
+    val sy = s"CAST(sum($y) AS DOUBLE)"
+    val sxy = s"CAST(sum($x * $y) AS DOUBLE)"
+    val sxx = s"CAST(sum($x * $x) AS DOUBLE)"
+    val syy = s"CAST(sum($y * $y) AS DOUBLE)"
+    val num = s"($n * $sxy - $sx * $sy)"
+    val denx = s"($n * $sxx - $sx * $sx)"
+    val deny = s"($n * $syy - $sy * $sy)"
+    s"""SELECT l_returnflag, year(l_shipdate) AS yr,
+       |  count(*) AS n,
+       |  ($num / $denx) / 100.0 AS slope,
+       |  (($sy - ($num / $denx) * $sx) / $n) / 100.0 AS intercept,
+       |  $num / (sqrt($denx) * sqrt($deny)) AS corr
+       |FROM lineitem
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q83 — time-RANGE window frames over the event stream: per event, how
+    * many events the same user produced in the preceding hour (value-based
+    * frame — peers at the boundary included, per the SQL standard) and in
+    * the following 5 minutes. RANGE frames complete the frame surface next
+    * to q28's ROWS frames. Ordering is the epoch-MICROSECOND long (the
+    * nanosAsLong read path truncated by `div 1000` — µs is the precision
+    * DuckDB actually keeps when it reads parquet TIMESTAMP(NANOS), so µs
+    * is what both engines share), and the frame bounds are exact integer
+    * comparisons. Scale: one shuffle on user_id,
+    * per-partition sorted frame scan — the standard windowed-stream shape;
+    * counts and long sums only (order-free), no float accumulation. */
+  def q83RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val fiveMinUs = 300L * 1000 * 1000
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(0, fiveMinUs)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("n_prev_1h", count(lit(1)).over(wPrev))
+      .withColumn("n_next_5m", count(lit(1)).over(wNext))
+      .orderBy(col("event_id"))
+  }
+
+  val q83Sql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |    AS n_prev_1h,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN CURRENT ROW AND 300000000 FOLLOWING)
+      |    AS n_next_5m
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_grouping_sets" -> (q81GroupingSets _),
+    "q82_regression"    -> (q82Regression _),
+    "q83_range_frame"   -> (q83RangeFrame _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -526,6 +667,9 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q81_grouping_sets" -> q81Sql,
+    "q82_regression"    -> q82Sql,
+    "q83_range_frame"   -> q83Sql,
     "q75_anomaly"       -> q75Sql,
     "q73_funnel"        -> q73Sql,
     "q74_retention"     -> q74Sql,
