@@ -14,6 +14,10 @@ run / fork := true
 // Forked-run stdout passes through RAW (no "[info] " prefix): the
 // driver's bench parser reads the Bench JSON line from stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." summary line: the
+// driver's bench parser reads the LAST stdout line, and the summary
+// otherwise lands after the Bench JSON (BENCH_r03..r05 parsed:null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

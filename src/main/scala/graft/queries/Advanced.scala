@@ -547,9 +547,11 @@ object Advanced {
     * generated SQL, so even sqrt() is applied to bit-identical inputs.
     * Spark's builtin regr_slope/corr sum doubles and would differ in ULPs
     * per partitioning (the Det rationale). One partial-agg shuffle on the
-    * (flag, year) key; nothing driver-side. Grouping by (flag, year)
-    * keeps per-group decimal sums within double's 2^53 mantissa after the
-    * final cast at any bench SF. */
+    * (flag, year) key; nothing driver-side. The per-group sums (Σy² is
+    * ~3e18 at sf0.1) EXCEED double's 2^53 mantissa — exactness ends at the
+    * decimal sums; cross-engine agreement past that rests on both engines
+    * applying the same correctly-rounded scale-0 decimal→double cast to
+    * the same exact integer (see the inline integer-units rationale). */
   def q82Regression(s: SparkSession, dir: String): DataFrame = {
     // INTEGER units (quantity counts, price cents): every sufficient
     // statistic is an exact scale-0 decimal, so the decimal→double cast
@@ -576,12 +578,23 @@ object Advanced {
     val num = n * sxy - sx * sy
     val denx = n * sxx - sx * sx
     val deny = n * syy - sy * sy
+    // Degenerate-group guard: constant x (or y) makes denx (deny) exactly
+    // 0.0 — both engines compute it with the same IEEE ops on the same
+    // exact inputs, so the zero test agrees. Unguarded, Spark emits
+    // NaN/±Inf while DuckDB's double 0/0 handling is version-dependent;
+    // NULL is the portable answer (mirrored with NULLIF in the oracle).
+    val nullD = lit(null).cast("double")
+    val slope = when(denx === 0.0, nullD).otherwise((num / denx) / 100.0)
+    val intercept = when(denx === 0.0, nullD)
+      .otherwise(((sy - (num / denx) * sx) / n) / 100.0)
+    val corrE = when(denx === 0.0 || deny === 0.0, nullD)
+      .otherwise(num / (sqrt(denx) * sqrt(deny)))
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
       .agg(count(lit(1)).as("n"),
-        ((num / denx) / 100.0).as("slope"),
-        (((sy - (num / denx) * sx) / n) / 100.0).as("intercept"),
-        (num / (sqrt(denx) * sqrt(deny))).as("corr"))
+        slope.as("slope"),
+        intercept.as("intercept"),
+        corrE.as("corr"))
       .orderBy(col("l_returnflag"), col("yr"))
   }
 
@@ -599,9 +612,9 @@ object Advanced {
     val deny = s"($n * $syy - $sy * $sy)"
     s"""SELECT l_returnflag, year(l_shipdate) AS yr,
        |  count(*) AS n,
-       |  ($num / $denx) / 100.0 AS slope,
-       |  (($sy - ($num / $denx) * $sx) / $n) / 100.0 AS intercept,
-       |  $num / (sqrt($denx) * sqrt($deny)) AS corr
+       |  ($num / NULLIF($denx, 0)) / 100.0 AS slope,
+       |  (($sy - ($num / NULLIF($denx, 0)) * $sx) / $n) / 100.0 AS intercept,
+       |  $num / (sqrt(NULLIF($denx, 0)) * sqrt(NULLIF($deny, 0))) AS corr
        |FROM lineitem
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
@@ -625,9 +638,11 @@ object Advanced {
       .rangeBetween(-hourUs, 0)
     val wNext = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(0, fiveMinUs)
-    Tables.load(s, dir, "events")
+    // Canonical events read path (Tables.events owns the ns→µs truncation);
+    // unix_micros recovers the epoch-µs long the frame bounds need.
+    Tables.events(s, dir)
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"))
+        unix_micros(col("ts")).as("ts_us"))
       .withColumn("n_prev_1h", count(lit(1)).over(wPrev))
       .withColumn("n_next_5m", count(lit(1)).over(wNext))
       .orderBy(col("event_id"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.ext.{Corpus, Dedup, Multimodal, Similarity, Text}
 import graft.queries.{Advanced, Core, Sketches, Subqueries}
 
 /** Guards on the driver contract itself: the round-2 invariant is that
@@ -18,7 +18,8 @@ class RegistrySpec extends SparkSpec {
   test("no module silently overwrites another module's query key") {
     val perModule = Seq(
       Core.queries, Advanced.queries, Sketches.queries, Subqueries.queries,
-      Similarity.queries, Text.queries, Dedup.queries, Multimodal.queries)
+      Similarity.queries, Text.queries, Dedup.queries, Multimodal.queries,
+      Corpus.queries)
     assert(perModule.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules (Map ++ dropped one)")
   }
