@@ -18,6 +18,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // driver's bench parser reads the LAST stdout line, and the summary
 // otherwise lands after the Bench JSON (BENCH_r03..r05 parsed:null).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

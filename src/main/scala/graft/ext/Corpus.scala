@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -184,11 +185,147 @@ object Corpus {
        |FROM w LEFT JOIN kept USING (doc_id)
        |ORDER BY w.doc_id""".stripMargin
 
+  // ---- q84: bloom-prefiltered decontamination -----------------------------
+
+  /** Documents below this id play the "held-out eval set" role (a larger
+    * set than q59's, so the two decontamination paths are distinct
+    * registry entries). */
+  val BloomEvalMax = 100L
+  val BloomMinShingles = 2
+  val BloomFpp = 0.01
+
+  /** q84 — decontamination with a Bloom-filter prefilter: the production
+    * path when the eval set's exact shingle set is too large to broadcast
+    * (q59's plan). A Bloom filter over the eval 5-grams is ~10 bits per
+    * element regardless of string length, so it broadcasts at eval-set
+    * sizes where the exact string set cannot; the corpus-side index is
+    * prefiltered executor-locally and only the surviving candidates —
+    * true overlaps + the fpp·N false positives — reach the exact-confirm
+    * equi-join. The confirm join is deliberately NOT broadcast-hinted:
+    * at scale it is a keyed shuffle of the (tiny) candidate set; AQE
+    * upgrades it to broadcast when the local data allows.
+    *
+    * Correctness is EXACT, not approximate: Bloom filters have no false
+    * negatives, and the confirm join removes the false positives — so the
+    * oracle is the plain exact SQL, and a green hash proves the sketch
+    * path end-to-end. The filter itself is built with
+    * `df.stat.bloomFilter` — a driver-side sketch whose size is set by
+    * (expectedNumItems, fpp), NOT by corpus size. */
+  def bloomDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = Text.ngramIndexOf(docs, 5)
+    val evalSh = sh.filter(col("doc_id") < BloomEvalMax)
+      .select(col("shingle")).distinct()
+      .localCheckpoint(eager = false) // feeds the bloom build AND the confirm
+    val bloom = evalSh.stat.bloomFilter(
+      "shingle", math.max(evalSh.count(), 1L), BloomFpp)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    // non-codegen UDF is acceptable here BY DESIGN: it is a prefilter on
+    // the already-exploded index, and the exact confirm restores exactness
+    val mightContain = udf((x: String) =>
+      x != null && bloomB.value.mightContainString(x))
+    val candidates = sh.filter(col("doc_id") >= BloomEvalMax)
+      .filter(mightContain(col("shingle")))
+    val shared = candidates.join(evalSh, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("doc_id") >= BloomEvalMax)
+      .select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= BloomMinShingles)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact decontamination SQL (q59's shape at this query's eval split):
+    * the Bloom stage must be INVISIBLE in the result — prefilter plus
+    * exact confirm ≡ exact join. */
+  val bloomDecontaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(string_split(text,' ')) - 3),
+       |        i -> string_split(text,' ')[i] || ' ' ||
+       |             string_split(text,' ')[i+1] || ' ' ||
+       |             string_split(text,' ')[i+2] || ' ' ||
+       |             string_split(text,' ')[i+3] || ' ' ||
+       |             string_split(text,' ')[i+4])) AS shingle
+       |    FROM documents
+       |    WHERE len(string_split(text,' ')) >= 5)),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $BloomEvalMax),
+       |shared AS (
+       |  SELECT s.doc_id, count(*) AS n_shared
+       |  FROM sh s JOIN ev USING (shingle)
+       |  WHERE s.doc_id >= $BloomEvalMax
+       |  GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
+       |  coalesce(n_shared, 0) >= $BloomMinShingles AS contaminated
+       |FROM documents d LEFT JOIN shared USING (doc_id)
+       |WHERE d.doc_id >= $BloomEvalMax
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q85: stable global sequence ids ------------------------------------
+
+  /** Shard count for the two-phase global numbering — the offset relation
+    * is exactly this many rows at ANY corpus size. */
+  val IdShards = 64L
+
+  /** q85 — stable global sequence ids (the `zipWithIndex` a training
+    * pipeline needs for example numbering, done relationally): a global
+    * `row_number() OVER (ORDER BY …)` plans as a SINGLE-partition sort —
+    * the one-executor bottleneck that cannot work at 100 TB. The scalable
+    * shape is two-phase: (1) shard every row by a content hash and number
+    * rows per shard (parallel windows), (2) compute per-shard offsets with
+    * a prefix sum over the [[IdShards]]-row count relation (constant-size
+    * — ITS single-partition window is 64 rows, not the corpus) and add.
+    * The md5 shard key makes ids reproducible across engines, runs, and
+    * partitionings; the oracle recomputes the same numbering with the
+    * naive global window, proving the two-phase ids identical. */
+  def globalIds(s: SparkSession, dir: String): DataFrame = {
+    val shard = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(IdShards))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shard.as("shard"))
+      .localCheckpoint(eager = false) // feeds per-shard ranks AND offsets
+    val rn = row_number().over(
+      Window.partitionBy(col("shard")).orderBy(col("doc_id")))
+    val offsets = docs.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("off"))
+    docs.withColumn("rn", rn)
+      .join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), col("shard"),
+        (col("off") + col("rn")).as("global_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The naive global-window spelling — fine in DuckDB at oracle SF,
+    * and exactly the ordering contract the two-phase plan implements. */
+  val globalIdsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % $IdShards AS shard
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (ORDER BY shard, doc_id) AS BIGINT)
+       |    AS global_id
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_repetition" -> (repetition _),
-    "q79_boilerplate_scrub" -> (boilerplateScrub _))
+    "q79_boilerplate_scrub" -> (boilerplateScrub _),
+    "q84_bloom_decontam" -> (bloomDecontamination _),
+    "q85_global_ids" -> (globalIds _))
 
   val oracles: Map[String, String] = Map(
     "q78_repetition" -> repetitionSql,
-    "q79_boilerplate_scrub" -> boilerplateScrubSql)
+    "q79_boilerplate_scrub" -> boilerplateScrubSql,
+    "q84_bloom_decontam" -> bloomDecontaminationSql,
+    "q85_global_ids" -> globalIdsSql)
 }

@@ -641,7 +641,96 @@ object Dedup {
       |     JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
       |    AS n_triangles""".stripMargin
 
+  // ---- q86: link-analysis quality prior over the dup graph ---------------
+
+  /** Rank fixed-point scale: ranks are integers in units of 1e-6. The
+    * invariant Σ ranks ≤ N·[[PrScale]] bounds every intermediate at
+    * N·1e6·85 — overflow-free in a signed long up to N ≈ 10^11 nodes
+    * (far past a 100 TB corpus's document count). */
+  val PrScale = 1000000L
+  /** Fixed iteration count: a PRIOR needs a stable ordering signal, not
+    * convergence — 3 damped rounds separate hub documents from chain ends,
+    * and a FIXED count keeps the value deterministic and the oracle
+    * expressible as 3 chained CTEs (no recursion / no epsilon test). */
+  val PrIters = 3
+
+  /** q86 — link-analysis quality prior (damped PageRank, 3 fixed rounds)
+    * over the df-capped near-dup pair graph — the web-graph centrality
+    * prior corpus curation pipelines attach to documents (CommonCrawl
+    * publishes harmonic centrality for the same purpose): a document whose
+    * near-dup neighborhood is star-shaped (template hub) ranks above chain
+    * ends, a structural quality signal q60's keep-best can consume.
+    *
+    * Determinism: ranks are INTEGER fixed-point ([[PrScale]] units).
+    * Every step is exact long arithmetic — `div` share splitting, exact
+    * integer sums (order-independent), `(x*85) div 100` damping — so the
+    * result is bit-identical across engines, partitionings, and retries;
+    * float PageRank would drift in ULPs per round.
+    *
+    * Scale shape: one keyed shuffle per round (contributions grouped by
+    * destination, partial-agg map-side) over an edge relation materialized
+    * ONCE — the standard distributed-PageRank plan. Nothing driver-side;
+    * rounds are a fixed constant, not data-dependent. */
+  def linkPrior(s: SparkSession, dir: String): DataFrame =
+    linkPriorOf(dedupClusterPairs(s, dir).localCheckpoint(eager = false))
+
+  /** [[linkPrior]]'s core over an explicit (a_id, b_id) pair relation. */
+  private[graft] def linkPriorOf(pairs: DataFrame): DataFrame = {
+    // undirected graph: each pair contributes both directions; the edge
+    // relation feeds deg + one join per round — materialized once
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(eager = false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+      .localCheckpoint(eager = false)
+    var rank = deg.select(col("id"), lit(PrScale).as("rank"))
+    for (_ <- 1 to PrIters) {
+      // each node splits its rank equally over its neighbors (integer
+      // share; the ≤deg−1 unit truncation loss is identical cross-engine)
+      val share = rank.join(deg, Seq("id"))
+        .select(col("id"), expr("rank div deg").as("share"))
+      val inSum = edges.join(share, edges("src") === share("id"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("in_sum"))
+      // every node of the undirected graph has ≥1 in-neighbor, so the
+      // aggregated relation covers all nodes — no outer join needed
+      rank = inSum.select(col("dst").as("id"),
+        (lit(PrScale * 15 / 100) + expr("in_sum * 85 div 100")).as("rank"))
+    }
+    rank.join(deg, Seq("id"))
+      .select(col("id").as("doc_id"), col("deg"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB spelling of [[linkPrior]]: the shared pair CTEs, then the 3
+    * rounds unrolled as chained CTEs. `//` ≡ Spark `div` on BIGINT; the
+    * sum is CAST back to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT). */
+  val linkPriorSql: String = {
+    def round(n: Int): String = {
+      val prev = if (n == 1) "r0" else s"r${n - 1}"
+      s"""r$n AS (
+         |  SELECT e.dst AS id,
+         |    150000 + (CAST(sum(p.rank // dg.deg) AS BIGINT) * 85) // 100
+         |      AS rank
+         |  FROM edges e
+         |  JOIN $prev p ON e.src = p.id
+         |  JOIN deg dg ON e.src = dg.id
+         |  GROUP BY e.dst)"""
+    }
+    s"""WITH $pairCtes,
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+      |r0 AS (SELECT id, CAST($PrScale AS BIGINT) AS rank FROM deg),
+      |${(1 to PrIters).map(round).mkString(",\n")}
+      |SELECT r.id AS doc_id, d.deg, r.rank
+      |FROM r$PrIters r JOIN deg d ON d.id = r.id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_link_prior" -> (linkPrior _),
     "q57_dedup_clusters" -> (dedupClusters _),
     "q58_cc_distributed" -> (dedupClustersDistributed _),
     "q60_cluster_keep_best" -> (clusterKeepBest _),
@@ -657,6 +746,7 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q86_link_prior"      -> linkPriorSql,
     "q57_dedup_clusters"  -> dedupClustersSql,
     "q58_cc_distributed"  -> dedupClustersSql,
     "q60_cluster_keep_best" -> clusterKeepBestSql,

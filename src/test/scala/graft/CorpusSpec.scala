@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Corpus, Text}
+import graft.tables.Tables
+
+/** Corpus-hygiene operators: the Bloom decontamination path and the
+  * two-phase global numbering (q84/q85 semantics the oracle alone can't
+  * pin — sketch-path equivalence and the permutation contract). */
+class CorpusSpec extends SparkSpec {
+  import SparkSpec.{spark, sf}
+
+  test("q84: bloom prefilter + exact confirm equals the exact-set plan") {
+    // The Bloom stage must be invisible: no false negatives exist, and
+    // the confirm join removes the false positives — so the sketch path
+    // must produce byte-identical rows to the q59-style exact broadcast
+    // formulation at the same eval split.
+    val docs = Tables.documents(spark, sf)
+    val sh = Text.ngramIndexOf(docs, 5)
+    val evalSh = sh.filter(col("doc_id") < Corpus.BloomEvalMax)
+      .select(col("shingle")).distinct()
+    val shared = sh.filter(col("doc_id") >= Corpus.BloomEvalMax)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val exact = docs.filter(col("doc_id") >= Corpus.BloomEvalMax)
+      .select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= Corpus.BloomMinShingles)
+          .as("contaminated"))
+    val bloomed = Corpus.bloomDecontamination(spark, sf)
+    assert(bloomed.exceptAll(exact).isEmpty && exact.exceptAll(bloomed).isEmpty,
+      "bloom path diverged from the exact formulation")
+  }
+
+  test("q84: at least one document shares shingles with the eval set") {
+    // guards against a vacuously-green oracle (all n_shared = 0 would
+    // pass the hash check without exercising the bloom or the confirm)
+    val n = Corpus.bloomDecontamination(spark, sf)
+      .filter(col("n_shared") > 0).count()
+    assert(n > 0, "no overlap at all — the decontamination path is untested")
+  }
+
+  test("q85: global ids are exactly the permutation 1..N in (shard, doc_id) order") {
+    val rows = Corpus.globalIds(spark, sf).collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to n).toSeq,
+      "global_id is not a 1..N permutation")
+    val inOrder = rows.sortBy(r => (r.getLong(1), r.getLong(0)))
+    assert(inOrder.map(_.getLong(2)).toSeq == (1L to n).toSeq,
+      "ids do not follow the (shard, doc_id) ordering contract")
+  }
+
+  test("q85: sharding actually spreads the corpus (no empty-offset degenerate)") {
+    // the two-phase plan only beats a global sort if rows land on many
+    // shards; a broken hash (all rows on one shard) would still pass the
+    // permutation test while silently recreating the single-partition sort
+    val df = Corpus.globalIds(spark, sf)
+    val shards = df.select(col("shard")).distinct().count()
+    assert(shards > Corpus.IdShards / 2,
+      s"only $shards of ${Corpus.IdShards} shards used — hash is degenerate")
+    assert(df.filter(col("shard") < 0 || col("shard") >= Corpus.IdShards)
+      .isEmpty, "shard outside [0, IdShards)")
+  }
+}

@@ -78,6 +78,36 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("not converged"))
   }
 
+  test("link prior: the hub of a star outranks the leaves, exactly") {
+    // star 1-{2,3,4,5}: hand-computed 1-round values — hub receives the
+    // leaves' whole ranks (4·10^6), leaves receive a quarter share each;
+    // after round 1: hub = 150000 + (4e6·85)//100 = 3550000,
+    // leaf = 150000 + (250000·85)//100 = 362500. Rounds 2-3 keep the
+    // hub strictly on top; all leaves stay identical by symmetry.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("a_id", "b_id")
+    val ranks = Dedup.linkPriorOf(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ranks(1L)._1 === 4L) // hub degree
+    val leafRanks = Seq(2L, 3L, 4L, 5L).map(ranks(_)._2).distinct
+    assert(leafRanks.size === 1, s"leaves diverged: $ranks")
+    assert(ranks(1L)._2 > leafRanks.head, s"hub not on top: $ranks")
+  }
+
+  test("link prior: integer ranks conserve total mass within div truncation") {
+    // Σ ranks stays within N·(Scale·15//100 drift + per-node div loss) of
+    // N·Scale — the guarantee that makes the long-arithmetic bound in the
+    // scaladoc (N·Scale·85) real rather than aspirational
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+      .toDF("a_id", "b_id")
+    val rs = Dedup.linkPriorOf(pairs).collect().map(_.getLong(2))
+    val n = rs.length
+    assert(rs.sum <= n * Dedup.PrScale,
+      s"rank mass grew past N*Scale: ${rs.sum} > ${n * Dedup.PrScale}")
+    assert(rs.sum > (n * Dedup.PrScale * 9) / 10,
+      s"rank mass collapsed: ${rs.sum}")
+  }
+
   test("q57 driver path and q58 distributed path agree on real corpus pairs") {
     val viaDriver = Dedup.dedupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
