@@ -106,4 +106,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"stats join degraded:\n$p")
     assert(!p.contains("SortMergeJoin"), s"SMJ for a 5-row stats side:\n$p")
   }
+
+  test("q84: the bloom prefilter sits in-plan and nothing goes cartesian") {
+    val p = plan(graft.ext.Corpus.bloomDecontamination(spark, sf))
+    // the executor-local UDF prefilter must survive into the physical plan
+    // (it is the stage that keeps the corpus index off the confirm shuffle)
+    assert(p.contains("UDF"), s"bloom prefilter optimized away:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unkeyed join appeared:\n$p")
+  }
+
+  test("q85: the shard-offset join broadcasts; ranks never sort-merge") {
+    val p = plan(graft.ext.Corpus.globalIds(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"64-row offset relation should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ for the offset join:\n$p")
+  }
+
+  test("q86: every PageRank round is a keyed join — no cartesian, no nested loop") {
+    val p = plan(graft.ext.Dedup.linkPrior(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unkeyed join in a round:\n$p")
+  }
 }
