@@ -218,7 +218,13 @@ object Similarity {
     * against it). Oracle-exact like q18: DuckDB recomputes the same
     * buckets, so the result — including which true pairs LSH recalls — is
     * bit-reproducible cross-engine. */
-  def nearDupLsh(s: SparkSession, dir: String, minCos: Double = 0.35): DataFrame = {
+  def nearDupLsh(s: SparkSession, dir: String, minCos: Double = 0.35): DataFrame =
+    nearDupLshPairs(s, dir, minCos).orderBy(col("a_id"), col("b_id"))
+
+  /** [[nearDupLsh]] without the presentation sort — the pair feed for
+    * consumers that aggregate anyway (q88's clustering). */
+  private[graft] def nearDupLshPairs(s: SparkSession, dir: String,
+      minCos: Double = 0.35): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // The candidate join carries IDS ONLY: shipping both 64-float
     // embeddings through the (tbl, bucket) shuffle and the dedup
@@ -239,20 +245,26 @@ object Similarity {
         Seq("b_id"))
       .filter(cosine_sim(col("a_emb"), col("b_emb")) >= minCos)
       .select(col("a_id"), col("b_id"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
-  def nearDupLshSql: String =
-    s"""WITH ${lshSqlCtes(ndPlanes)},
+  /** The near-dup pair CTE chain ending in `pairs(a_id, b_id)` — shared
+    * by the q49 oracle and the q88 clustering oracle. */
+  private def nearDupPairCtes: String =
+    s"""${lshSqlCtes(ndPlanes)},
        |cand AS (
        |  SELECT s1.vec_id AS a_id, s2.vec_id AS b_id
        |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
        |    AND s1.vec_id < s2.vec_id
-       |  GROUP BY 1, 2)
-       |SELECT a_id, b_id FROM cand
-       |JOIN emb ea ON ea.vec_id = a_id
-       |JOIN emb eb ON eb.vec_id = b_id
-       |WHERE list_cosine_similarity(ea.de, eb.de) >= 0.35
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM cand
+       |  JOIN emb ea ON ea.vec_id = a_id
+       |  JOIN emb eb ON eb.vec_id = b_id
+       |  WHERE list_cosine_similarity(ea.de, eb.de) >= 0.35)""".stripMargin
+
+  def nearDupLshSql: String =
+    s"""WITH $nearDupPairCtes
+       |SELECT a_id, b_id FROM pairs
        |ORDER BY a_id, b_id""".stripMargin
 
   // ---- q44: IVF kNN ------------------------------------------------------
@@ -807,7 +819,188 @@ object Similarity {
        |GROUP BY c_id
        |ORDER BY c_id""".stripMargin
 
+  // ---- q87: product-quantization encode -----------------------------------
+
+  /** PQ subspace count: the [[Dim]]-dim vector splits into this many
+    * contiguous subvectors, each encoded independently. */
+  val PqM = 4
+
+  /** q87 — product-quantization encode: the compression half of IVF-PQ,
+    * the architecture that makes billion-vector ANN feasible — a 100 TB
+    * embedding store keeps [[PqM]] small codes per vector (here 4 bytes)
+    * instead of [[Dim]] floats (256 bytes), and distance evaluation
+    * becomes table lookups. Codebook per subspace = the per-label
+    * centroids of that subvector (exact integer dimension sums over the
+    * int8-quantized vectors — the q56 trick, so the codebook is
+    * engine-portable); encode = per (vector, subspace) argmin of the
+    * squared distance to each code, ties broken by code id.
+    *
+    * Scale shape: the codebook is PqM·labels·(Dim/PqM) doubles — trivially
+    * broadcast; vectors never shuffle to encode. The argmin is
+    * min(struct(d2, code)) — partial-aggregated map-side, so the exchange
+    * carries one best-so-far per (vector, subspace) per partition, never
+    * the ×codes scored rows. The left-fold distance order matches the
+    * generated DuckDB SQL exactly (the [[nearestCentroid]] guarantee,
+    * per subspace). */
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val sub = Dim / PqM
+    val qlab = quantizedLabeled(Tables.embeddings(s, dir))
+    // codebook: per (subspace m, label) centroid of the subvector slice
+    val cent = qlab
+      .select(col("label").as("code"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy((col("pos") / sub).cast("int").as("m"), col("code"), col("pos"))
+      .agg(sum(col("qv")).as("sd"), count(lit(1)).as("n"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        (col("sd").cast("double") / col("n")).as("mu")))),
+        x => x.getField("mu")).as("c_sub"))
+    // each vector explodes to its PqM subvector slices
+    val subv = qlab.select(col("vec_id"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("q"), m * sub + 1, sub).cast("array<double>").as("sq"))): _*))
+        .as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sq").as("sq"))
+    subv.join(broadcast(cent), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        graft.functions.VectorFunctions.squared_distance(
+          col("sq"), col("c_sub")).as("d2"), col("code"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        col("best.code").cast("long").as("code"))
+      .orderBy(col("vec_id"), col("m"))
+  }
+
+  /** DuckDB spelling of [[pqEncode]]: same quantization, same exact-int
+    * codebook sums, same per-subspace fold order and (d2, code) tie-break. */
+  val pqEncodeSql: String = {
+    val sub = Dim / PqM
+    s"""WITH $quantCtes,
+       |ex AS (
+       |  SELECT vec_id, label, r.range AS pos, q[r.range] AS qv,
+       |    (r.range - 1) // $sub AS m
+       |  FROM q CROSS JOIN range(1, ${Dim + 1}) r),
+       |cent0 AS (
+       |  SELECT m, label AS code, pos,
+       |    CAST(sum(qv) AS DOUBLE) / count(*) AS mu
+       |  FROM ex GROUP BY 1, 2, 3),
+       |cent AS (
+       |  SELECT m, code, list(mu ORDER BY pos) AS c_sub
+       |  FROM cent0 GROUP BY 1, 2),
+       |sv AS (
+       |  SELECT vec_id, m, list(CAST(qv AS DOUBLE) ORDER BY pos) AS sq
+       |  FROM ex GROUP BY vec_id, m),
+       |dist AS (
+       |  SELECT sv.vec_id, sv.m, c.code,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${sub + 1}),
+       |        i -> (sv.sq[i] - c.c_sub[i]) * (sv.sq[i] - c.c_sub[i]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM sv JOIN cent c ON c.m = sv.m),
+       |r AS (
+       |  SELECT vec_id, m, code,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+       |  FROM dist)
+       |SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+       |FROM r WHERE rn = 1
+       |ORDER BY vec_id, m""".stripMargin
+  }
+
+  // ---- q88: semantic dedup (SemDeDup-style) --------------------------------
+
+  /** q88 — semantic dedup: cluster the q49 embedding near-dup pairs into
+    * connected components and pick each cluster's REPRESENTATIVE — the
+    * member nearest the cluster centroid (the SemDeDup policy; q60 is the
+    * text-side twin with a length policy). The centroid-nearest argmin is
+    * computed WITHOUT a float division: minimizing Σ_d (q_d − S_d/n)² over
+    * members is equivalent to minimizing the EXACT-INTEGER
+    * Σ_d (n·q_d − S_d)², so the choice is bit-reproducible cross-engine
+    * (ANSI mode hard-fails rather than silently wraps past the documented
+    * bound: |n·q_d − S_d| ≤ 254·n keeps the sum in long headroom to
+    * n ≈ 1.5M members per cluster — far beyond near-dup cluster sizes;
+    * widen to decimal(38,0) past that).
+    *
+    * Scale shape: LSH-bucketed pair generation (q49's plan, no cartesian),
+    * dual-path CC (driver union-find under the cap, iterative label
+    * propagation above it), then two keyed shuffles on cluster_id — sums
+    * and argmin both partial-aggregate map-side. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val members = Dedup.connectedComponents(
+        nearDupLshPairs(s, dir).localCheckpoint(eager = false))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    // quantized member vectors feed the centroid sums AND the per-member
+    // scoring — materialized once
+    val mq = members
+      .join(quantizedVectors(Tables.embeddings(s, dir)), Seq("vec_id"))
+      .localCheckpoint(eager = false)
+    val sums = mq
+      .select(col("cluster_id"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(sum(col("qv")).as("sd"))
+      .groupBy(col("cluster_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sd")))),
+        x => x.getField("sd")).as("sums"))
+    val nRel = mq.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+    mq.join(sums, Seq("cluster_id"))
+      .join(nRel, Seq("cluster_id"))
+      .select(col("cluster_id"), col("vec_id"), col("n"),
+        aggregate(zip_with(col("q"), col("sums"),
+            (qd, sd) => (col("n") * qd - sd) * (col("n") * qd - sd)),
+          lit(0L), (acc, x) => acc + x).as("dist_s"))
+      .groupBy(col("cluster_id"))
+      .agg(min(struct(col("dist_s"), col("vec_id"))).as("best"),
+        max(col("n")).as("n_members"))
+      .select(col("cluster_id"), col("best.vec_id").as("keep_vec_id"),
+        col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** DuckDB spelling of [[semanticDedup]]: the shared near-dup pair CTEs,
+    * recursive label-propagation CC, and the same integer argmin. */
+  def semanticDedupSql: String =
+    s"""WITH RECURSIVE $nearDupPairCtes,
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |cc AS (
+       |  SELECT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, c.label FROM cc c JOIN edges e ON e.src = c.node),
+       |comp AS (
+       |  SELECT node AS vec_id, min(label) AS cluster_id
+       |  FROM cc GROUP BY node),
+       |$quantCtes,
+       |mq AS (
+       |  SELECT c.vec_id, c.cluster_id, q.q FROM comp c JOIN q USING (vec_id)),
+       |sums0 AS (
+       |  SELECT cluster_id, r.range AS pos,
+       |    CAST(sum(q[r.range]) AS BIGINT) AS sd
+       |  FROM mq CROSS JOIN range(1, ${Dim + 1}) r
+       |  GROUP BY 1, 2),
+       |sums AS (
+       |  SELECT cluster_id, list(sd ORDER BY pos) AS sums
+       |  FROM sums0 GROUP BY 1),
+       |nrel AS (SELECT cluster_id, count(*) AS n FROM mq GROUP BY 1),
+       |scored AS (
+       |  SELECT m.cluster_id, m.vec_id, nrel.n,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${Dim + 1}),
+       |        i -> (nrel.n * m.q[i] - s.sums[i]) *
+       |             (nrel.n * m.q[i] - s.sums[i]))),
+       |      (a, b) -> a + b) AS dist_s
+       |  FROM mq m JOIN sums s USING (cluster_id) JOIN nrel USING (cluster_id)),
+       |r AS (
+       |  SELECT cluster_id, vec_id, n,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY dist_s, vec_id) AS rn
+       |  FROM scored)
+       |SELECT cluster_id, vec_id AS keep_vec_id, n AS n_members
+       |FROM r WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_pq_encode" -> (pqEncode _),
+    "q88_semantic_dedup" -> (semanticDedup _),
     "q80_kmeans" -> (kmeans _),
     "q69_embedding_diversity" -> (embeddingDiversity _),
     "q61_nearest_centroid" -> (nearestCentroid _),
@@ -819,6 +1012,8 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q87_pq_encode" -> pqEncodeSql,
+    "q88_semantic_dedup" -> semanticDedupSql,
     "q80_kmeans" -> kmeansSql,
     "q69_embedding_diversity" -> embeddingDiversitySql,
     "q61_nearest_centroid" -> nearestCentroidSql,

@@ -128,4 +128,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"unkeyed join in a round:\n$p")
   }
+
+  test("q87: the PQ codebook broadcasts; vectors never sort-merge to encode") {
+    val p = plan(graft.ext.Similarity.pqEncode(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"codebook join degraded:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ for a constant-size codebook:\n$p")
+  }
+
+  test("q88: semantic dedup never plans a cartesian") {
+    val p = plan(graft.ext.Similarity.semanticDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unkeyed join appeared:\n$p")
+  }
 }

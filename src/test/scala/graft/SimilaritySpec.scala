@@ -135,4 +135,30 @@ class SimilaritySpec extends SparkSpec {
     info(f"near-dup LSH recall = $recall%.2f (${lsh.size}/${exact.size} pairs)")
     assert(recall > 0.5, f"recall $recall too low")
   }
+
+  test("PQ encode: every vector gets one code per subspace, codes non-degenerate") {
+    import org.apache.spark.sql.functions._
+    val codes = Similarity.pqEncode(SparkSpec.spark, SparkSpec.sf)
+    val perVec = codes.groupBy("vec_id").count()
+      .filter(col("count") =!= Similarity.PqM).count()
+    assert(perVec === 0, s"vectors without exactly ${Similarity.PqM} codes")
+    // a broken distance (constant 0) would assign everything the lowest
+    // code id and still satisfy the structure check above
+    val distinctCodes = codes.select("code").distinct().count()
+    assert(distinctCodes > 1, "all subvectors encoded to one code")
+  }
+
+  test("semantic dedup: the representative is a member of its own cluster") {
+    import org.apache.spark.sql.functions._
+    val reps = Similarity.semanticDedup(SparkSpec.spark, SparkSpec.sf)
+    val members = graft.ext.Dedup.connectedComponents(
+        Similarity.nearDupLshPairs(SparkSpec.spark, SparkSpec.sf))
+      .select(col("doc_id").as("keep_vec_id"), col("cluster_id"))
+    val orphans = reps.join(members, Seq("cluster_id", "keep_vec_id"),
+      "left_anti").count()
+    assert(orphans === 0, "a representative is not in its cluster")
+    assert(reps.filter(col("n_members") < 2).count() === 0,
+      "pair-derived clusters must have ≥2 members")
+    assert(reps.count() > 0, "no clusters at all — dedup path untested")
+  }
 }
