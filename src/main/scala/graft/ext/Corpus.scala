@@ -105,13 +105,19 @@ object Corpus {
     *    set — an equi-join on the gram key (broadcast when small, shuffle
     *    when boilerplate is pervasive; Spark/AQE picks at runtime);
     *  - coverage: each hot occurrence explodes to its ≤5 covered
-    *    positions — output ∝ boilerplate volume, not corpus size;
-    *  - reassembly: anti-join word positions against covered positions on
-    *    (doc, pos), then one per-doc sort-and-hash aggregation.
-    * Every stage is a keyed shuffle with partial aggregation; nothing is
-    * driver-side and nothing is quadratic. */
+    *    positions, collapsed to ONE sorted position-array row per
+    *    affected doc — output ∝ boilerplate volume, not corpus size;
+    *  - scrub: one doc_id equi-join of the corpus against that (small)
+    *    coverage relation, then the removal happens INSIDE the row —
+    *    `array_except(positions, covered)` + element_at reassembly.
+    * The corpus itself is never exploded to word granularity and never
+    * reshuffled: the only corpus-wide movement is the final presentation
+    * sort. (A per-position anti-join formulation — the obvious spelling —
+    * shuffles every token of every document twice; at 100 TB that is the
+    * whole corpus through the wire, replaced here by boilerplate-bounded
+    * shuffles only.) */
   def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
-    // words feeds grams, word positions, and the per-doc base — 3 consumers
+    // words feeds grams and the final scrub — 2 consumers
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_tok"))
@@ -128,25 +134,23 @@ object Corpus {
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerplateDf)
       .select(col("gram"))
+    // one row per doc with boilerplate: the sorted set of covered positions
+    // (collect_set dedups overlapping gram spans — no pre-distinct shuffle)
     val covered = grams.join(hot, Seq("gram"), "left_semi")
       .select(col("doc_id"), explode(sequence(col("s"),
         col("s") + (GramN - 1))).as("p"))
-      .distinct()
-    val kept = words
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "word")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("word"))
-      .join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("kept_tok"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("p"), col("word")))),
-          x => x.getField("word")), " ")).as("scrub_fp"))
-    words.select(col("doc_id"), col("n_tok"))
-      .join(kept, Seq("doc_id"), "left")
+      .agg(array_sort(collect_set(col("p"))).as("cov"))
+    val keptPos = array_except(
+      sequence(lit(1L), col("n_tok")),
+      coalesce(col("cov"), array().cast("array<long>")))
+    words.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("w"), keptPos.as("kp"))
       .select(col("doc_id"), col("n_tok"),
-        coalesce(col("kept_tok"), lit(0L)).as("kept_tok"),
-        (col("n_tok") - coalesce(col("kept_tok"), lit(0L))).as("n_scrubbed"),
-        coalesce(col("scrub_fp"), md5(lit(""))).as("scrub_fp"))
+        size(col("kp")).cast("long").as("kept_tok"),
+        (col("n_tok") - size(col("kp"))).as("n_scrubbed"),
+        md5(array_join(transform(col("kp"),
+          p => element_at(col("w"), p.cast("int"))), " ")).as("scrub_fp"))
       .orderBy(col("doc_id"))
   }
 
