@@ -116,7 +116,12 @@ object Corpus {
     * shuffles every token of every document twice; at 100 TB that is the
     * whole corpus through the wire, replaced here by boilerplate-bounded
     * shuffles only.) */
-  def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+  def boilerplateScrub(s: SparkSession, dir: String): DataFrame =
+    scrubbed(s, dir).orderBy(col("doc_id"))
+
+  /** [[boilerplateScrub]] without the presentation sort — the feed for
+    * q89's reconciliation join. */
+  private[graft] def scrubbed(s: SparkSession, dir: String): DataFrame = {
     // words feeds grams and the final scrub — 2 consumers
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("w"))
@@ -151,18 +156,20 @@ object Corpus {
         (col("n_tok") - size(col("kp"))).as("n_scrubbed"),
         md5(array_join(transform(col("kp"),
           p => element_at(col("w"), p.cast("int"))), " ")).as("scrub_fp"))
-      .orderBy(col("doc_id"))
   }
 
-  val boilerplateScrubSql: String =
-    s"""WITH w AS (
+  /** The scrub CTE chain ending in
+    * `scrub(doc_id, n_tok, kept_tok, n_scrubbed, scrub_fp)` — shared by
+    * the q79 oracle and q89's reconciliation oracle. */
+  private def scrubSqlCtes: String =
+    s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS w,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
-       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-       |      || ' ' || w[i+4] AS gram
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+       |      ' ' || w[i+4] AS gram
        |  FROM w, unnest(range(1, len(w) - 3)) AS t(i)
        |  WHERE len(w) >= 5),
        |hot AS (
@@ -181,13 +188,18 @@ object Corpus {
        |  SELECT pos.doc_id, count(*) AS kept_tok,
        |    md5(string_agg(word, ' ' ORDER BY p)) AS scrub_fp
        |  FROM pos ANTI JOIN cov USING (doc_id, p)
-       |  GROUP BY pos.doc_id)
-       |SELECT w.doc_id, n_tok,
-       |  coalesce(kept_tok, 0) AS kept_tok,
-       |  n_tok - coalesce(kept_tok, 0) AS n_scrubbed,
-       |  coalesce(scrub_fp, md5('')) AS scrub_fp
-       |FROM w LEFT JOIN kept USING (doc_id)
-       |ORDER BY w.doc_id""".stripMargin
+       |  GROUP BY pos.doc_id),
+       |scrub AS (
+       |  SELECT w.doc_id, n_tok,
+       |    coalesce(kept_tok, 0) AS kept_tok,
+       |    n_tok - coalesce(kept_tok, 0) AS n_scrubbed,
+       |    coalesce(scrub_fp, md5('')) AS scrub_fp
+       |  FROM w LEFT JOIN kept USING (doc_id))""".stripMargin
+
+  val boilerplateScrubSql: String =
+    s"""WITH $scrubSqlCtes
+       |SELECT doc_id, n_tok, kept_tok, n_scrubbed, scrub_fp FROM scrub
+       |ORDER BY doc_id""".stripMargin
 
   // ---- q84: bloom-prefiltered decontamination -----------------------------
 
@@ -321,15 +333,76 @@ object Corpus {
        |FROM d
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q89: snapshot reconciliation (release-over-release diff) -----------
+
+  /** New-release quality gate: scrubbed docs keeping fewer tokens than
+    * this are dropped from the release. */
+  val DiffMinKept = 10L
+
+  /** q89 — corpus release reconciliation: FULL OUTER join of the previous
+    * release (a deterministic 90% of the raw corpus — simulating the
+    * docs the last crawl had) against the new release (the q79-scrubbed
+    * corpus under a kept-token quality gate), emitting per-document
+    * added / removed / changed / unchanged status — the snapshot-diff /
+    * CDC audit a pipeline publishes release-over-release so consumers can
+    * retrain incrementally instead of re-ingesting 100 TB.
+    *
+    * "Changed" compares content FINGERPRINTS (16 bytes/doc), never text:
+    * the old side hashes the token-rejoined document with exactly the
+    * same construction the scrub fingerprint uses, so unscrubbed docs
+    * compare equal by value, not by convention. Scale shape: one keyed
+    * shuffle per side into the full-outer join (the standard
+    * sort-merge reconciliation at any N); the scrub feed's shuffles are
+    * boilerplate-bounded (q79). */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val oldSnap = Tables.documents(s, dir)
+      .filter(Text.md5Bucket1000(col("doc_id")) < 900)
+      .select(col("doc_id"),
+        md5(array_join(tokens(col("text")), " ")).as("fp"))
+    val newSnap = scrubbed(s, dir)
+      .filter(col("kept_tok") >= DiffMinKept)
+      .select(col("doc_id"), col("scrub_fp"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp").isNull, "added")
+          .when(col("scrub_fp").isNull, "removed")
+          .when(col("fp") === col("scrub_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB spelling of [[snapshotDiff]]: the shared scrub CTEs, the same
+    * md5 bucket, the same fingerprint construction. */
+  def snapshotDiffSql: String =
+    s"""WITH $scrubSqlCtes,
+       |snap_old AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(string_split(text, ' '), ' ')) AS fp
+       |  FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 1000 < 900),
+       |snap_new AS (
+       |  SELECT doc_id, scrub_fp FROM scrub
+       |  WHERE kept_tok >= $DiffMinKept)
+       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |  CASE WHEN o.doc_id IS NULL THEN 'added'
+       |       WHEN n.doc_id IS NULL THEN 'removed'
+       |       WHEN o.fp = n.scrub_fp THEN 'unchanged'
+       |       ELSE 'changed' END AS status
+       |FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_repetition" -> (repetition _),
     "q79_boilerplate_scrub" -> (boilerplateScrub _),
     "q84_bloom_decontam" -> (bloomDecontamination _),
-    "q85_global_ids" -> (globalIds _))
+    "q85_global_ids" -> (globalIds _),
+    "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "q78_repetition" -> repetitionSql,
     "q79_boilerplate_scrub" -> boilerplateScrubSql,
     "q84_bloom_decontam" -> bloomDecontaminationSql,
-    "q85_global_ids" -> globalIdsSql)
+    "q85_global_ids" -> globalIdsSql,
+    "q89_snapshot_diff" -> snapshotDiffSql)
 }

@@ -52,6 +52,19 @@ class CorpusSpec extends SparkSpec {
       "ids do not follow the (shard, doc_id) ordering contract")
   }
 
+  test("q89: every reconciliation status occurs and statuses partition the union") {
+    val rows = Corpus.snapshotDiff(spark, sf).collect()
+    val byStatus = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // a gate/fingerprint bug typically silences one status (e.g. a fp
+    // construction mismatch turns every 'unchanged' into 'changed')
+    for (st <- Seq("added", "removed", "changed", "unchanged"))
+      assert(byStatus.getOrElse(st, 0) > 0, s"no '$st' rows: $byStatus")
+    assert(byStatus("unchanged") > byStatus("changed"),
+      s"most docs have no boilerplate — 'changed' should be the minority: $byStatus")
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length,
+      "a doc_id appears twice in the diff")
+  }
+
   test("q85: sharding actually spreads the corpus (no empty-offset degenerate)") {
     // the two-phase plan only beats a global sort if rows land on many
     // shards; a broken hash (all rows on one shard) would still pass the
