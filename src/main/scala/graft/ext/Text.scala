@@ -897,7 +897,77 @@ object Text {
        |FROM c
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- q90: exact-quota stratified sampling --------------------------------
+
+  /** Per-stratum quota: the sample takes exactly min(quota, |stratum|)
+    * documents per language. */
+  val QuotaK = 25L
+
+  /** q90 — exact-QUOTA stratified sampling ("exactly K docs per
+    * language", vs q53's per-stratum RATE): the K hash-smallest documents
+    * of each stratum, i.e. a deterministic uniform sample of fixed size.
+    *
+    * The naive spelling — row_number over each full stratum — shuffles
+    * the whole corpus into per-stratum sort partitions; a majority
+    * stratum (en) lands on ONE task at 100 TB. Instead, a per-stratum
+    * hash-threshold PREFILTER keeps ~4·K expected candidates (threshold =
+    * 4000·K/n on the md5 bucket, derived from the per-stratum counts —
+    * one partial-agg pass + a broadcast join), and the exact window runs
+    * over survivors only. The bucket is the LEADING sort key, so every
+    * row the prefilter drops (bucket ≥ rate) ranks after every survivor
+    * — the per-stratum top-K is inside the survivor set whenever ≥ K
+    * rows survive; at a 4× expected margin the shortfall probability is
+    * Chernoff-negligible, and TextSpec proves prefiltered ≡ unfiltered
+    * on real data. The oracle mirrors the prefilter exactly, so the
+    * check stays value-exact regardless. */
+  def quotaSample(s: SparkSession, dir: String): DataFrame = {
+    // doc hash relation feeds the stratum counts AND the prefilter
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5Bucket1000(col("doc_id")).as("bk"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .localCheckpoint(eager = false)
+    val thresh = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"),
+        least(lit(1000L), expr(s"(${4000 * QuotaK} + n - 1) div n"))
+          .as("rate"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("bk"), col("hk"), col("doc_id"))
+    docs.join(broadcast(thresh), Seq("lang"))
+      .filter(col("bk") < col("rate"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= QuotaK)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** DuckDB spelling of [[quotaSample]] — same counts, same threshold,
+    * same bucket prefilter, same (bk, hk, doc_id) ranking. */
+  val quotaSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 1000 AS bk
+       |  FROM documents),
+       |nper AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+       |t AS (
+       |  SELECT lang, least(1000, (${4000 * QuotaK} + n - 1) // n) AS rate
+       |  FROM nper),
+       |surv AS (
+       |  SELECT d.doc_id, d.lang, d.bk, d.hk FROM d JOIN t USING (lang)
+       |  WHERE bk < rate),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY bk, hk, doc_id) AS BIGINT) AS rn
+       |  FROM surv)
+       |SELECT doc_id, lang, rn FROM r WHERE rn <= $QuotaK
+       |ORDER BY lang, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_quota_sample"  -> (quotaSample _),
     "q76_chunking"      -> (chunking _),
     "q71_weighted_sample" -> (weightedSample _),
     "q66_sentiment"     -> (sentiment _),
@@ -919,6 +989,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q90_quota_sample"  -> quotaSampleSql,
     "q76_chunking"      -> chunkingSql,
     "q71_weighted_sample" -> weightedSampleSql,
     "q66_sentiment"     -> sentimentSql,

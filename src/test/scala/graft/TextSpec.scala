@@ -180,4 +180,37 @@ class TextSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy(-_)), "sorted by score desc")
     assert(rows.forall(_.getLong(2) >= 5), "min-count filter")
   }
+
+  test("q90: the hash-threshold prefilter is lossless vs the full-stratum window") {
+    import org.apache.spark.sql.functions._
+    // the naive formulation this operator exists to avoid at scale —
+    // row_number over every full stratum
+    val docs = graft.tables.Tables.documents(SparkSpec.spark, SparkSpec.sf)
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(1000L)).as("bk"),
+        md5(col("doc_id").cast("string")).as("hk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("bk"), col("hk"), col("doc_id"))
+    val full = docs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= Text.QuotaK)
+      .select(col("doc_id"), col("lang"), col("rn"))
+    val fast = Text.quotaSample(SparkSpec.spark, SparkSpec.sf)
+    assert(fast.exceptAll(full).isEmpty && full.exceptAll(fast).isEmpty,
+      "prefiltered quota sample diverged from the full-window formulation")
+  }
+
+  test("q90: exactly min(K, |stratum|) rows per stratum") {
+    import org.apache.spark.sql.functions._
+    val perStratum = Text.quotaSample(SparkSpec.spark, SparkSpec.sf)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = graft.tables.Tables.documents(SparkSpec.spark, SparkSpec.sf)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum.keySet === sizes.keySet, "a stratum is missing")
+    for ((lang, n) <- sizes)
+      assert(perStratum(lang) === math.min(Text.QuotaK, n),
+        s"$lang quota: got ${perStratum(lang)}, stratum size $n")
+  }
 }
