@@ -254,32 +254,11 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact decontamination SQL (q59's shape at this query's eval split):
-    * the Bloom stage must be INVISIBLE in the result — prefilter plus
-    * exact confirm ≡ exact join. */
+  /** Exact decontamination SQL (q59's generator at this query's eval
+    * split): the Bloom stage must be INVISIBLE in the result — prefilter
+    * plus exact confirm ≡ exact join. */
   val bloomDecontaminationSql: String =
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, shingle FROM (
-       |    SELECT doc_id,
-       |      unnest(list_transform(range(1, len(string_split(text,' ')) - 3),
-       |        i -> string_split(text,' ')[i] || ' ' ||
-       |             string_split(text,' ')[i+1] || ' ' ||
-       |             string_split(text,' ')[i+2] || ' ' ||
-       |             string_split(text,' ')[i+3] || ' ' ||
-       |             string_split(text,' ')[i+4])) AS shingle
-       |    FROM documents
-       |    WHERE len(string_split(text,' ')) >= 5)),
-       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $BloomEvalMax),
-       |shared AS (
-       |  SELECT s.doc_id, count(*) AS n_shared
-       |  FROM sh s JOIN ev USING (shingle)
-       |  WHERE s.doc_id >= $BloomEvalMax
-       |  GROUP BY 1)
-       |SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
-       |  coalesce(n_shared, 0) >= $BloomMinShingles AS contaminated
-       |FROM documents d LEFT JOIN shared USING (doc_id)
-       |WHERE d.doc_id >= $BloomEvalMax
-       |ORDER BY d.doc_id""".stripMargin
+    Text.decontaminationSqlFor(BloomEvalMax, BloomMinShingles)
 
   // ---- q85: stable global sequence ids ------------------------------------
 
@@ -299,9 +278,7 @@ object Corpus {
     * partitionings; the oracle recomputes the same numbering with the
     * naive global window, proving the two-phase ids identical. */
   def globalIds(s: SparkSession, dir: String): DataFrame = {
-    val shard = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(IdShards))
+    val shard = Text.md5Bucket(col("doc_id"), IdShards)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shard.as("shard"))
       .localCheckpoint(eager = false) // feeds per-shard ranks AND offsets
@@ -355,17 +332,21 @@ object Corpus {
     * sort-merge reconciliation at any N); the scrub feed's shuffles are
     * boilerplate-bounded (q79). */
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    // presence is tested via explicit markers, NOT fingerprint nullness:
+    // a present-but-NULL fingerprint (e.g. a NULL-text doc) must compare
+    // like the oracle's `o.doc_id IS NULL` key test, not like absence
     val oldSnap = Tables.documents(s, dir)
       .filter(Text.md5Bucket1000(col("doc_id")) < 900)
       .select(col("doc_id"),
-        md5(array_join(tokens(col("text")), " ")).as("fp"))
+        md5(array_join(tokens(col("text")), " ")).as("fp"),
+        lit(true).as("in_old"))
     val newSnap = scrubbed(s, dir)
       .filter(col("kept_tok") >= DiffMinKept)
-      .select(col("doc_id"), col("scrub_fp"))
+      .select(col("doc_id"), col("scrub_fp"), lit(true).as("in_new"))
     oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("fp").isNull, "added")
-          .when(col("scrub_fp").isNull, "removed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
           .when(col("fp") === col("scrub_fp"), "unchanged")
           .otherwise("changed").as("status"))
       .orderBy(col("doc_id"))

@@ -710,7 +710,8 @@ object Dedup {
       val prev = if (n == 1) "r0" else s"r${n - 1}"
       s"""r$n AS (
          |  SELECT e.dst AS id,
-         |    150000 + (CAST(sum(p.rank // dg.deg) AS BIGINT) * 85) // 100
+         |    ${PrScale * 15 / 100} +
+         |      (CAST(sum(p.rank // dg.deg) AS BIGINT) * 85) // 100
          |      AS rank
          |  FROM edges e
          |  JOIN $prev p ON e.src = p.id

@@ -446,12 +446,17 @@ object Text {
       |SELECT doc_id, word, score, rnk FROM r WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
-  /** Content-keyed md5 bucket in [0, 1000) — the deterministic sampling
-    * key shared by q53, q55 and q71 (identical in DuckDB as
-    * `('0x'||substr(md5(x),1,8))::BIGINT % 1000`). */
-  private[ext] def md5Bucket1000(c: Column): Column = pmod(
+  /** Content-keyed md5 bucket in [0, m) — THE portable-hash idiom of this
+    * library (identical in DuckDB as
+    * `('0x'||substr(md5(x),1,8))::BIGINT % m`); any change to the
+    * convention (digit count, modulus handling) lives here once. */
+  private[ext] def md5Bucket(c: Column, m: Long): Column = pmod(
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
-    lit(1000L))
+    lit(m))
+
+  /** [[md5Bucket]] at the per-mille modulus shared by q53, q55, q71, q77,
+    * q89 and q90. */
+  private[ext] def md5Bucket1000(c: Column): Column = md5Bucket(c, 1000L)
 
   /** q53 — deterministic stratified sampling: md5(doc_id) mod 1000 under a
     * per-stratum rate (the majority 'en' class undersampled at 5%, other
@@ -573,7 +578,12 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  val decontaminationSql: String =
+  /** Exact word-5-gram decontamination SQL at a given eval split /
+    * threshold — shared by the q59 oracle and the q84 oracle (whose
+    * Bloom prefilter must be INVISIBLE in the result, so its oracle is
+    * this same exact SQL at its own constants). */
+  private[ext] def decontaminationSqlFor(evalMax: Long,
+      minShingles: Int): String =
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id,
@@ -585,17 +595,20 @@ object Text {
        |             string_split(text,' ')[i+4])) AS shingle
        |    FROM documents
        |    WHERE len(string_split(text,' ')) >= 5)),
-       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $EvalSetMax),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $evalMax),
        |shared AS (
        |  SELECT s.doc_id, count(*) AS n_shared
        |  FROM sh s JOIN ev USING (shingle)
-       |  WHERE s.doc_id >= $EvalSetMax
+       |  WHERE s.doc_id >= $evalMax
        |  GROUP BY 1)
        |SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
-       |  coalesce(n_shared, 0) >= $DecontamMinShingles AS contaminated
+       |  coalesce(n_shared, 0) >= $minShingles AS contaminated
        |FROM documents d LEFT JOIN shared USING (doc_id)
-       |WHERE d.doc_id >= $EvalSetMax
+       |WHERE d.doc_id >= $evalMax
        |ORDER BY d.doc_id""".stripMargin
+
+  val decontaminationSql: String =
+    decontaminationSqlFor(EvalSetMax, DecontamMinShingles)
 
   // ---- q62: collocation mining (log-free PMI) -----------------------------
 
