@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Advanced, Core, Sketches, Subqueries}
-import graft.ext.{Corpus, Dedup, Multimodal, Similarity, Text}
+import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Multimodal,
+  Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the query registries of each operator-family module. */
@@ -14,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Advanced.queries ++ Sketches.queries ++
       Subqueries.queries ++ Similarity.queries ++ Text.queries ++
-      Dedup.queries ++ Multimodal.queries ++ Corpus.queries
+      Dedup.queries ++ Multimodal.queries ++ Corpus.queries ++
+      Linkage.queries ++ Index.queries ++ Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Advanced.oracles ++ Sketches.oracles ++
       Subqueries.oracles ++ Similarity.oracles ++ Text.oracles ++
-      Dedup.oracles ++ Multimodal.oracles ++ Corpus.oracles
+      Dedup.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
+      Linkage.oracles ++ Index.oracles ++ Layout.oracles
 }

@@ -133,26 +133,28 @@ object Dedup {
 
   /** Shared DuckDB CTE chain computing the portable signatures as a LIST
     * column — generated from the same permutation constants the Spark side
-    * uses, so both engines compute identical signatures. */
-  private def portableSigCtes: String = {
+    * uses, so both engines compute identical signatures. `key` is the
+    * carried id column (doc_id for per-document signatures; source for
+    * the q96 shard-level roll-up). */
+  private def portableSigCtes(key: String = "doc_id"): String = {
     val p = MersennePrime
     val mins = perms.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $p))"
     }.mkString(",\n      ")
     s"""words AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |  SELECT $key, string_split(text, ' ') AS w FROM documents),
        |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(
+       |  SELECT $key, list_distinct(list_transform(
        |    range(1, greatest(len(w) - 2, 1) + 1),
        |    i -> w[i] || ' ' || w[least(i + 1, len(w))] || ' ' ||
        |         w[least(i + 2, len(w))])) AS shingles
        |  FROM words),
        |hashed AS (
-       |  SELECT doc_id, list_transform(shingles,
+       |  SELECT $key, list_transform(shingles,
        |    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $p) AS hs
        |  FROM sh),
        |sig AS (
-       |  SELECT doc_id, [
+       |  SELECT $key, [
        |      $mins
        |    ] AS sig FROM hashed)""".stripMargin
   }
@@ -168,7 +170,7 @@ object Dedup {
         s"a.sig[$i] = b.sig[$i]"
       }.mkString("(", " AND ", ")")
     }.mkString("\n      OR ")
-    s"""WITH $portableSigCtes,
+    s"""WITH ${portableSigCtes()},
        |est AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |    CAST(list_sum(list_transform(range(1, ${P + 1}),
@@ -209,7 +211,7 @@ object Dedup {
   /** The DuckDB spelling of [[minhashPortable]], generated from the same
     * permutation constants so both engines compute identical signatures. */
   def minhashPortableSql: String =
-    s"""WITH $portableSigCtes
+    s"""WITH ${portableSigCtes()}
        |SELECT doc_id, array_to_string(sig, ',') AS sig_csv
        |FROM sig
        |ORDER BY doc_id""".stripMargin
@@ -730,7 +732,71 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q96: shard-level MinHash similarity --------------------------------
+
+  /** q96 — corpus-shard similarity: a MinHash signature PER SOURCE
+    * (element-wise min of its documents' signatures — the union
+    * semilattice: min over docs of min over shingles = min over the
+    * shard's shingle UNION, so the roll-up estimates true shard-level
+    * Jaccard), then pairwise signature agreement between sources. The
+    * dataset-mixing diagnostic a pipeline runs before weighting sources:
+    * near-identical shards are candidates for merging or down-weighting.
+    *
+    * Scale shape: per-document signatures reduce map-side into one
+    * 32-long vector per (source, position) — the exchange carries
+    * #sources × 32 rows regardless of corpus size. The pairwise stage is
+    * quadratic in #SOURCES only (domains/dumps: thousands at web scale,
+    * not billions); its input is KBs. No document text, id, or shingle
+    * ever crosses the wire. */
+  def shardSimilarity(s: SparkSession, dir: String): DataFrame =
+    shardSimilarityOf(Tables.documents(s, dir))
+
+  /** [[shardSimilarity]] over any (source, text) frame — split out so the
+    * spec can plant known-identical and known-disjoint shards. */
+  def shardSimilarityOf(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("source"), Shim.column(
+      org.apache.spark.sql.graft.PortableMinHash(
+        Shim.expression(col("text")), perms.toSeq, MersennePrime)).as("sig"))
+    val shard = sigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
+      .groupBy(col("source"), col("pos"))
+      .agg(min(col("v")).as("mv"))
+    val a = shard.select(col("source").as("src_a"), col("pos"),
+      col("mv").as("va"))
+    val b = shard.select(col("source").as("src_b"), col("pos"),
+      col("mv").as("vb"))
+    a.join(b, Seq("pos"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("va") === col("vb"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .select(col("src_a"), col("src_b"), col("n_agree"),
+        (col("n_agree").cast("double") / P).as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** DuckDB spelling of [[shardSimilarity]]: the same portable per-doc
+    * signatures keyed by source, the same element-wise min roll-up
+    * (0-based positions to match posexplode), the same agreement count. */
+  def shardSimilaritySql: String =
+    s"""WITH ${portableSigCtes("source")},
+       |shard AS (
+       |  SELECT source, i - 1 AS pos, min(sig[CAST(i AS INT)]) AS mv
+       |  FROM sig CROSS JOIN (SELECT unnest(range(1, ${P + 1})) AS i) r
+       |  GROUP BY source, i),
+       |agree AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_agree
+       |  FROM shard a JOIN shard b
+       |    ON a.pos = b.pos AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_agree,
+       |  CAST(n_agree AS DOUBLE) / $P AS est_jaccard
+       |FROM agree ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_shard_similarity" -> (shardSimilarity _),
     "q86_link_prior" -> (linkPrior _),
     "q57_dedup_clusters" -> (dedupClusters _),
     "q58_cc_distributed" -> (dedupClustersDistributed _),
@@ -747,6 +813,7 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q96_shard_similarity" -> shardSimilaritySql,
     "q86_link_prior"      -> linkPriorSql,
     "q57_dedup_clusters"  -> dedupClustersSql,
     "q58_cc_distributed"  -> dedupClustersSql,

@@ -1,0 +1,202 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Corpus indexing operators: inverted-index construction, skip-gram
+  * co-occurrence counting, and tokenizer-vocabulary induction — the
+  * index/statistics artifacts an LLM-data pipeline derives FROM the
+  * curated corpus (vs [[Text]]/[[Corpus]], which filter it). North-star
+  * extensions (no counterpart in the reference's 3-query surface).
+  *
+  * Determinism rules as elsewhere: exact integer counts, sorted array
+  * joins for list-valued output, at most one double division at the end.
+  */
+object Index {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  // ---- q92: capped inverted index -----------------------------------------
+
+  /** Max doc ids materialized per posting list. */
+  val PostingsCap = 64
+
+  /** q92 — inverted-index construction with capped posting lists: for
+    * every term, its exact document frequency plus the first
+    * [[PostingsCap]] doc ids (ascending) of its posting list.
+    *
+    * Scale shape: per-doc DISTINCT terms come from one in-row
+    * `array_distinct` (no pre-explode dedup shuffle); the (term, doc_id)
+    * explosion partial-aggregates map-side into per-term partials. The
+    * CAP is the load-bearing scale decision: a hot term in a 100 TB
+    * corpus has a posting list of billions — materializing it whole makes
+    * one reducer row of gigabytes (the classic index-build straggler).
+    * Real engines segment or impact-order hot postings; here the list is
+    * truncated to the cap (deterministically: lowest doc ids) while `df`
+    * stays exact, so selectivity estimation still has the true count.
+    * `slice` AFTER `sort_array` on the collected array is safe because
+    * collect_list's input is already the per-term group — the sort is
+    * per-row over ≤ group-size elements, and only the cap survives. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ids"))
+      .select(col("term"), col("df"),
+        least(col("df"), lit(PostingsCap.toLong)).as("n_emitted"),
+        array_join(slice(sort_array(col("ids")), 1, PostingsCap), ",")
+          .as("postings_csv"))
+      .orderBy(col("term"))
+
+  /** DuckDB spelling of [[invertedIndex]]: same distinct-terms explode,
+    * same ascending-doc-id truncation. */
+  val invertedIndexSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, chr(32))))
+       |    AS term
+       |  FROM documents),
+       |p AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |    list_sort(list(doc_id)) AS ids
+       |  FROM t GROUP BY term)
+       |SELECT term, df, least(df, $PostingsCap) AS n_emitted,
+       |  array_to_string(ids[1:$PostingsCap], ',') AS postings_csv
+       |FROM p ORDER BY term""".stripMargin
+
+  // ---- q93: skip-gram co-occurrence ---------------------------------------
+
+  /** Max token offset for a co-occurrence (word2vec-style context
+    * window: offsets 1..MaxSkip). */
+  val MaxSkip = 2
+  /** Minimum pair count to keep (support threshold). */
+  val MinSupport = 10L
+
+  /** q93 — skip-gram co-occurrence counts: every ordered token pair at
+    * offset 1..[[MaxSkip]], counted corpus-wide, kept above
+    * [[MinSupport]] — the co-occurrence matrix feeding word-vector
+    * training and compound-phrase detection.
+    *
+    * Scale shape: pairs are generated IN-ROW — `transform` over a
+    * position `sequence` per offset, concatenated — so the corpus is
+    * never exploded to token granularity before pairing and never
+    * windowed (the lag/lead spelling shuffles every token of every
+    * document by doc_id first; at 100 TB that is the whole corpus
+    * through the wire). The only exchange carries (pair, partial count),
+    * bounded by distinct-pair cardinality ≤ V²·[[MaxSkip]] — vocabulary-
+    * squared, independent of corpus size. The support filter then cuts
+    * the long tail, exactly like a count-based phrase-table prune. */
+  def skipgramPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val pairsAtOffsets = flatten(array((1 to MaxSkip).map { off =>
+      transform(sequence(lit(1), greatest(size(w) - off, lit(0))),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + off)))
+    }: _*))
+    Tables.documents(s, dir)
+      .select(tokens(col("text")).as("w"))
+      .filter(size(w) > MaxSkip)
+      .select(explode(pairsAtOffsets).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= MinSupport)
+      .select(element_at(split(col("pair"), " "), 1).as("w1"),
+        element_at(split(col("pair"), " "), 2).as("w2"),
+        col("cnt"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  /** DuckDB spelling of [[skipgramPairs]]: same in-row pair generation
+    * per offset, same support threshold. */
+  val skipgramPairsSql: String = {
+    val offs = (1 to MaxSkip).map { off =>
+      s"""SELECT unnest(list_transform(range(1, greatest(len(w) - $off, 0) + 1),
+         |    i -> w[i] || chr(32) || w[i + $off])) AS pair
+         |  FROM words""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH words AS (
+       |  SELECT string_split(text, chr(32)) AS w FROM documents
+       |  WHERE len(string_split(text, chr(32))) > $MaxSkip),
+       |pairs AS (
+       |  $offs),
+       |counted AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs
+       |  GROUP BY pair HAVING count(*) >= $MinSupport)
+       |SELECT string_split(pair, chr(32))[1] AS w1,
+       |  string_split(pair, chr(32))[2] AS w2, cnt
+       |FROM counted ORDER BY w1, w2""".stripMargin
+  }
+
+  // ---- q95: tokenizer vocabulary induction --------------------------------
+
+  /** Token-mass coverage target: the vocabulary is the shortest
+    * frequency-ranked prefix covering ≥ 90% of all token occurrences. */
+  val CoverageNum = 9L
+  val CoverageDen = 10L
+
+  /** q95 — tokenizer vocabulary induction: rank terms by corpus token
+    * count (ties broken by term), keep the shortest prefix whose
+    * cumulative mass reaches 90%, and report each kept term's rank,
+    * count, and running cumulative count. The inclusion predicate
+    * compares exact integers (`cum_before · 10 < total · 9`), never a
+    * rounded double, so the vocabulary boundary is engine-exact.
+    *
+    * Scale shape: the corpus-wide term counting partial-aggregates
+    * map-side (the only corpus-sized stage); ranking and the cumulative
+    * window then run over the AGGREGATED term table — vocabulary-sized,
+    * millions of rows at web scale, not corpus-sized — where a global
+    * window is the honest plan (were the term table itself huge, the
+    * q85 two-phase shard/offset numbering applies verbatim). */
+  def vocabInduction(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy(col("cnt").desc, col("term"))
+    counts
+      .withColumn("total", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter((col("cum_cnt") - col("cnt")) * CoverageDen <
+        col("total") * CoverageNum)
+      .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+        col("total").as("total_cnt"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB spelling of [[vocabInduction]]: same ranking, same exact-
+    * integer coverage predicate. */
+  val vocabInductionSql: String =
+    s"""WITH counts AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, chr(32))) AS term
+       |    FROM documents)
+       |  GROUP BY term),
+       |ranked AS (
+       |  SELECT term, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+       |      AS rank,
+       |    sum(cnt) OVER (ORDER BY cnt DESC, term
+       |      ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+       |    sum(cnt) OVER () AS total
+       |  FROM counts)
+       |SELECT rank, term, cnt, CAST(cum_cnt AS BIGINT) AS cum_cnt,
+       |  CAST(total AS BIGINT) AS total_cnt
+       |FROM ranked
+       |WHERE (cum_cnt - cnt) * $CoverageDen < total * $CoverageNum
+       |ORDER BY rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_inverted_index" -> (invertedIndex _),
+    "q93_skipgram_pairs" -> (skipgramPairs _),
+    "q95_vocab_induction" -> (vocabInduction _))
+
+  val oracles: Map[String, String] = Map(
+    "q92_inverted_index" -> invertedIndexSql,
+    "q93_skipgram_pairs" -> skipgramPairsSql,
+    "q95_vocab_induction" -> vocabInductionSql)
+}

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Data-layout operators: Z-order (Morton) clustering keys and the
+  * per-file min/max statistics a multi-dimensional data-skipping scan
+  * consults. North-star extension (no counterpart in the reference's
+  * 3-query surface).
+  *
+  * Why this is a first-class 100 TB operator: a table laid out in
+  * insertion order answers `WHERE custkey BETWEEN … AND orderdate
+  * BETWEEN …` by reading everything — per-file min/max cover the whole
+  * domain on at least one dimension. Writing the same rows sorted by the
+  * bit-interleaved Z-value of both dimensions makes every run of
+  * consecutive Z-values a small axis-aligned tile, so per-file min/max
+  * are tight on BOTH dimensions at once and the scan prunes
+  * multidimensionally (Delta/Iceberg `OPTIMIZE ZORDER BY`; the
+  * technique is Orenstein & Merrett 1984). This module computes the
+  * Z-key and the per-Z-range stats — i.e. exactly the pruning metadata
+  * the layout would publish — so the tile-tightness property is
+  * oracle-checkable.
+  */
+object Layout {
+
+  /** Bits per dimension (16 buckets per dim, 256 Z-values). */
+  val Bits = 4
+  /** Z-values per emitted range ("file"): 2^Bits ranges overall, each an
+    * aligned 4×4 tile of (x-bucket, y-bucket) space. */
+  val RangeSize = 1 << Bits
+
+  /** q94 — Z-order layout stats over orders on dimensions (o_custkey,
+    * order day): equi-width integer bucketing of both dims to
+    * 2^[[Bits]] buckets (widths derived from in-query min/max — all
+    * integer arithmetic, `div`-exact in both engines), Morton
+    * interleave, then per-Z-range row counts and min/max of both bucket
+    * coordinates. The invariant a skipping scan relies on — and the spec
+    * asserts — is that each Z-range spans ≤ a 4×4 tile (spread ≤ 3 on
+    * each axis), versus a spread of 15 for an unclustered layout.
+    *
+    * Scale shape: one scan, one broadcast of the 1-row bounds aggregate,
+    * one partial-agg exchange keyed by the 8-bit Z-range — the stats
+    * relation is O(#files), never O(rows). At 100 TB the same Z
+    * expression becomes the `repartitionByRange`/write-sort key; the
+    * stats here are what the writer would publish per file. */
+  def zorderStats(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select(
+      col("o_custkey").as("x"),
+      datediff(to_date(col("o_orderdate")),
+        to_date(lit("1970-01-01"))).cast("long").as("y"))
+    val bounds = base.agg(
+      min(col("x")).as("minx"), max(col("x")).as("maxx"),
+      min(col("y")).as("miny"), max(col("y")).as("maxy"))
+    val nb = RangeSize // buckets per dimension
+    // bit i of xb → Z bit 2i; bit i of yb → Z bit 2i+1 (integer-only)
+    val zTerms = (0 until Bits).map { i =>
+      val w = 1L << (2 * i)
+      s"(((xb div ${1L << i}) % 2) * $w + ((yb div ${1L << i}) % 2) * ${2 * w})"
+    }.mkString(" + ")
+    base.join(broadcast(bounds))
+      .selectExpr(
+        s"(x - minx) div (((maxx - minx) div $nb) + 1) AS xb",
+        s"(y - miny) div (((maxy - miny) div $nb) + 1) AS yb")
+      .selectExpr("xb", "yb", s"($zTerms) AS z")
+      .groupBy(expr(s"z div $RangeSize").as("z_range"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xb")).as("min_xb"), max(col("xb")).as("max_xb"),
+        min(col("yb")).as("min_yb"), max(col("yb")).as("max_yb"))
+      .orderBy(col("z_range"))
+  }
+
+  /** DuckDB spelling of [[zorderStats]]: same integer bucketing (`//` is
+    * DuckDB's integer division), same interleave terms, same ranges. */
+  val zorderStatsSql: String = {
+    val nb = RangeSize
+    val zTerms = (0 until Bits).map { i =>
+      val w = 1L << (2 * i)
+      s"(((xb // ${1L << i}) % 2) * $w + ((yb // ${1L << i}) % 2) * ${2 * w})"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT o_custkey AS x,
+       |    CAST(date_diff('day', DATE '1970-01-01',
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+       |  FROM orders),
+       |bounds AS (
+       |  SELECT min(x) AS minx, max(x) AS maxx,
+       |         min(y) AS miny, max(y) AS maxy
+       |  FROM base),
+       |bucketed AS (
+       |  SELECT (x - minx) // (((maxx - minx) // $nb) + 1) AS xb,
+       |         (y - miny) // (((maxy - miny) // $nb) + 1) AS yb
+       |  FROM base, bounds),
+       |zed AS (
+       |  SELECT xb, yb, ($zTerms) AS z FROM bucketed)
+       |SELECT z // $RangeSize AS z_range,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(xb) AS min_xb, max(xb) AS max_xb,
+       |  min(yb) AS min_yb, max(yb) AS max_yb
+       |FROM zed GROUP BY 1 ORDER BY z_range""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_zorder_stats" -> (zorderStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q94_zorder_stats" -> zorderStatsSql)
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Index, Layout, Linkage}
+import graft.tables.Tables
+
+/** Invariants for the round-6 indexing/layout/linkage operators
+  * (q91–q96) that the value-exact oracle alone can't pin: blocking
+  * recall, posting-cap semantics, the in-row-vs-window equivalence, the
+  * Z-order tile-tightness property, the minimal-prefix vocabulary
+  * contract, and the shard-signature semilattice. */
+class IndexLayoutSpec extends SparkSpec {
+  import SparkSpec.{spark, sf}
+
+  // ---- q91 -----------------------------------------------------------------
+
+  test("q91: blocked fuzzy join finds EXACTLY the unblocked lev<=2 pairs") {
+    // recall check for the blocking key: on this dictionary, no pair
+    // within the edit threshold straddles blocks, so blocked == all-pairs
+    val dict = Tables.part(spark, sf).select(col("p_name")).distinct()
+    val full = dict.as("a").crossJoin(dict.as("b"))
+      .filter(col("a.p_name") < col("b.p_name"))
+      .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= Linkage.MaxEdit)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+    val blocked = Linkage.fuzzyLinkage(spark, sf)
+      .select(col("name_a"), col("name_b"))
+    assert(blocked.exceptAll(full).isEmpty && full.exceptAll(blocked).isEmpty,
+      "blocked join diverges from the exhaustive comparison")
+    assert(blocked.count() > 0, "no fuzzy matches at all — threshold untested")
+  }
+
+  // ---- q92 -----------------------------------------------------------------
+
+  test("q92: df is exact and postings are the capped ascending prefix") {
+    val idx = Index.invertedIndex(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val truth = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("term"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).sorted) }
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val (term, df, nEmitted, csv) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val ids = truth(term)
+      assert(df == ids.length, s"$term: df $df != ${ids.length}")
+      assert(nEmitted == math.min(df, Index.PostingsCap.toLong))
+      val emitted = csv.split(",").map(_.toLong).toSeq
+      assert(emitted == ids.take(Index.PostingsCap).toSeq,
+        s"$term: postings are not the ascending prefix")
+    }
+    assert(idx.exists(_.getLong(1) > Index.PostingsCap),
+      "no term exceeds the cap — truncation path untested")
+  }
+
+  // ---- q93 -----------------------------------------------------------------
+
+  test("q93: in-row pair generation equals the lag/lead window spelling") {
+    // the scale-shape claim: the registered query never windows the token
+    // table; this asserts it computes the same relation as the naive
+    // window formulation it replaces
+    val docs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) > Index.MaxSkip)
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "w1")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val expected = (1 to Index.MaxSkip).map { off =>
+      toks.withColumn("w2", lead(col("w1"), off).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("w1"), col("w2"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= Index.MinSupport)
+    val got = Index.skipgramPairs(spark, sf)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "in-row skip-gram counts diverge from the window formulation")
+    assert(got.count() > 0)
+  }
+
+  // ---- q94 -----------------------------------------------------------------
+
+  test("q94: every z-range is a tight tile (spread <= 3 on both axes)") {
+    val rows = Layout.zorderStats(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Layout.RangeSize)
+    rows.foreach { r =>
+      val (zr, minx, maxx, miny, maxy) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(maxx - minx <= 3, s"z_range $zr: x spread ${maxx - minx} > 3")
+      assert(maxy - miny <= 3, s"z_range $zr: y spread ${maxy - miny} > 3")
+      // ranges are aligned 4x4 tiles: zr's even bits are x's high bits,
+      // odd bits y's (bit 0 of zr = z bit 4 = x bit 2, etc.)
+      val xTile = (((zr >> 2) & 1) * 2 + (zr & 1)) * 4
+      val yTile = (((zr >> 3) & 1) * 2 + ((zr >> 1) & 1)) * 4
+      assert(minx >= xTile && maxx < xTile + 4, s"z_range $zr: x outside tile")
+      assert(miny >= yTile && maxy < yTile + 4, s"z_range $zr: y outside tile")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.orders(spark, sf).count(),
+      "z-range stats do not partition the table")
+  }
+
+  // ---- q95 -----------------------------------------------------------------
+
+  test("q95: vocabulary is the MINIMAL ranked prefix reaching 90% mass") {
+    val rows = Index.vocabInduction(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getLong(4)
+    // ranks are the contiguous prefix 1..V
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    // every kept term was needed: mass BEFORE it was under the target
+    rows.foreach { r =>
+      assert((r.getLong(3) - r.getLong(2)) * Index.CoverageDen <
+        total * Index.CoverageNum, s"rank ${r.getLong(0)} kept but not needed")
+    }
+    // and the prefix suffices: the last kept term reaches the target
+    assert(rows.last.getLong(3) * Index.CoverageDen >=
+      total * Index.CoverageNum, "kept prefix does not reach 90% coverage")
+  }
+
+  // ---- q96 -----------------------------------------------------------------
+
+  test("q96: identical shards estimate Jaccard 1.0; disjoint shards near 0") {
+    import SparkSpec.spark.implicits._
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().take(40)
+    val planted = (
+      base.take(20).map { case (_, t) => ("sA", t) } ++
+      base.take(20).map { case (_, t) => ("sB", t) } ++ // sB == sA
+      base.drop(20).map { case (_, t) => ("sC", t) }    // sC disjoint docs
+    ).toSeq.toDF("source", "text")
+    val sim = Dedup.shardSimilarityOf(planted).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(sim(("sA", "sB")) == 32L, "identical shards must agree on all minima")
+    assert(sim(("sA", "sC")) < 32L, "distinct shards should not fully agree")
+  }
+
+  test("q96: covers all source pairs with agreement in [0, 32]") {
+    val rows = Dedup.shardSimilarity(spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "missing source pairs")
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      assert(n >= 0 && n <= 32)
+      assert(r.getDouble(3) == n.toDouble / 32)
+    }
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 
-import graft.ext.{Corpus, Dedup, Multimodal, Similarity, Text}
+import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Multimodal,
+  Similarity, Text}
 import graft.queries.{Advanced, Core, Sketches, Subqueries}
 
 /** Guards on the driver contract itself: the round-2 invariant is that
@@ -19,7 +20,7 @@ class RegistrySpec extends SparkSpec {
     val perModule = Seq(
       Core.queries, Advanced.queries, Sketches.queries, Subqueries.queries,
       Similarity.queries, Text.queries, Dedup.queries, Multimodal.queries,
-      Corpus.queries)
+      Corpus.queries, Linkage.queries, Index.queries, Layout.queries)
     assert(perModule.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules (Map ++ dropped one)")
   }
