@@ -140,4 +140,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"unkeyed join appeared:\n$p")
   }
+
+  test("q91: the fuzzy join is an equi-join on the block key, never all-pairs") {
+    val p = plan(graft.ext.Linkage.fuzzyLinkage(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking degraded to an unkeyed join:\n$p")
+  }
+
+  test("q93: skip-gram counting never windows the token table") {
+    val p = plan(graft.ext.Index.skipgramPairs(spark, sf))
+    assert(!p.contains("Window"), s"window shuffle of all tokens:\n$p")
+  }
+
+  test("q94: the 1-row bounds relation broadcasts; no sort-merge join") {
+    val p = plan(graft.ext.Layout.zorderStats(spark, sf))
+    assert(!p.contains("SortMergeJoin"), s"SMJ against a 1-row bounds:\n$p")
+  }
+
+  test("q96: shard minima partial-aggregate before the exchange") {
+    val p = plan(graft.ext.Dedup.shardSimilarity(spark, sf))
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"no map-side combine for the (source, pos) minima:\n$p")
+  }
 }
