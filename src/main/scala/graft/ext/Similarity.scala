@@ -843,10 +843,19 @@ object Similarity {
     * generated DuckDB SQL exactly (the [[nearestCentroid]] guarantee,
     * per subspace). */
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
-    val sub = Dim / PqM
     val qlab = quantizedLabeled(Tables.embeddings(s, dir))
-    // codebook: per (subspace m, label) centroid of the subvector slice
-    val cent = qlab
+    pqCodes(qlab)
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        col("code").cast("long").as("code"))
+      .orderBy(col("vec_id"), col("m"))
+  }
+
+  /** PQ codebook: per (subspace m, label-as-code) centroid of the
+    * subvector slice — exact integer dimension sums (the q56 trick), one
+    * IEEE division per entry, engine-portable. Shared by q87 and q97. */
+  private def pqCodebook(qlab: DataFrame): DataFrame = {
+    val sub = Dim / PqM
+    qlab
       .select(col("label").as("code"), posexplode(col("q")).as(Seq("pos", "qv")))
       .groupBy((col("pos") / sub).cast("int").as("m"), col("code"), col("pos"))
       .agg(sum(col("qv")).as("sd"), count(lit(1)).as("n"))
@@ -854,22 +863,29 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"),
         (col("sd").cast("double") / col("n")).as("mu")))),
         x => x.getField("mu")).as("c_sub"))
-    // each vector explodes to its PqM subvector slices
-    val subv = qlab.select(col("vec_id"), explode(array((0 until PqM).map(m =>
+  }
+
+  /** Each vector exploded to its PqM subvector slices (as doubles). */
+  private def pqSubvectors(qlab: DataFrame): DataFrame = {
+    val sub = Dim / PqM
+    qlab.select(col("vec_id"), explode(array((0 until PqM).map(m =>
         struct(lit(m).as("m"),
           slice(col("q"), m * sub + 1, sub).cast("array<double>").as("sq"))): _*))
         .as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sq").as("sq"))
-    subv.join(broadcast(cent), Seq("m"))
+  }
+
+  /** Per-(vector, subspace) PQ code: argmin over codebook entries as
+    * min(struct(d2, code)) — partial-aggregated, same fold order and
+    * tie-break as the generated SQL. */
+  private def pqCodes(qlab: DataFrame): DataFrame =
+    pqSubvectors(qlab).join(broadcast(pqCodebook(qlab)), Seq("m"))
       .select(col("vec_id"), col("m"),
         graft.functions.VectorFunctions.squared_distance(
           col("sq"), col("c_sub")).as("d2"), col("code"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("d2"), col("code"))).as("best"))
-      .select(col("vec_id"), col("m").cast("long").as("m"),
-        col("best.code").cast("long").as("code"))
-      .orderBy(col("vec_id"), col("m"))
-  }
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
 
   /** DuckDB spelling of [[pqEncode]]: same quantization, same exact-int
     * codebook sums, same per-subspace fold order and (d2, code) tie-break. */
@@ -998,7 +1014,258 @@ object Similarity {
        |FROM r WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
 
+  // ---- q97: IVF-PQ ANN search ----------------------------------------------
+
+  /** Coarse-quantizer hash bits: 2^IvfBits inverted lists. */
+  val IvfBits = 4
+  private lazy val ivfPlanes: Array[Array[Double]] = {
+    // fresh seed, NOT the q18 planes: the coarse partition and any
+    // downstream LSH filter must not be correlated
+    val rnd = new scala.util.Random(4242)
+    Array.fill(IvfBits, Dim)(rnd.nextGaussian())
+  }
+  /** PQ codebook size per subspace. */
+  val PqCodes = 8
+  /** ADC shortlist size fed to the exact rerank. */
+  val ShortR = 20
+  /** Neighbors returned per query. */
+  val PqTopK = 3
+
+  /** q97 — IVF-PQ search, the architecture of billion-scale ANN (Jégou
+    * et al., "Product Quantization for Nearest Neighbor Search"; every
+    * FAISS-style system since). Four stages, each engine-portable:
+    *
+    *  1. '''Coarse quantizer''' (inverted lists): sign-LSH bucket over
+    *     [[IvfBits]] fixed hyperplanes — 2^4 lists. A query MULTI-PROBES
+    *     its own list plus the [[IvfBits]] Hamming-1 neighbors (flip one
+    *     sign bit): 5/16 of the corpus, deterministically, with no
+    *     distance ranking at probe time.
+    *  2. '''PQ codebooks''': per-subspace k-means over the int8-quantized
+    *     subvectors — deterministic hash-smallest seeding + one full
+    *     Lloyd update (the q80 recipe: broadcast assignment argmin,
+    *     exact-integer centroid sums), giving [[PqCodes]] codes per
+    *     subspace. Every vector compresses to [[PqM]] small codes.
+    *  3. '''ADC shortlist''': per query, a [[PqM]]×[[PqCodes]] lookup
+    *     table of subspace distances (KBs, broadcast); candidate distance
+    *     = [[PqM]] array lookups summed in fixed order — no floats move,
+    *     nothing recomputed from raw vectors. Bounded TopK keeps
+    *     [[ShortR]] per query.
+    *  4. '''Exact rerank''': the shortlist re-attaches quantized vectors
+    *     by id (the q49 re-attach pattern) and reranks by EXACT INTEGER
+    *     squared distance — bit-reproducible, so the final top-
+    *     [[PqTopK]] is oracle-exact end-to-end.
+    *
+    * Scale shape: the index build (buckets + codes: 4 + [[PqM]] bytes a
+    * vector — what you'd persist at 100 TB) never shuffles vectors; the
+    * probe is an equi-join on bucket delivering ~5/16 of the corpus; ADC
+    * scoring partial-aggregates through bounded TopK (exchange =
+    * O(Q·R·partitions)); only [[ShortR]] rows per query ever touch full
+    * vectors again. Recall is dialed by (bits, probe radius, R) —
+    * SimilaritySpec measures it against the exact q17 answer. */
+  def ivfPqSearch(s: SparkSession, dir: String): DataFrame =
+    ivfPqSearchOf(Tables.embeddings(s, dir))
+
+  /** [[ivfPqSearch]] over any (vec_id, embedding) frame — split out so
+    * the spec can plant known near-duplicates and measure recall. */
+  def ivfPqSearchOf(e: DataFrame): DataFrame = {
+    val sub = Dim / PqM
+    val qv = quantizedVectors(e).localCheckpoint(eager = false)
+    val bkt = e.select(col("vec_id"),
+        signature(col("embedding"), ivfPlanes).cast("long").as("bucket"))
+      .localCheckpoint(eager = false) // feeds probe side AND candidate side
+    // per-vector subvector slices, int (exact) and double (distance) views
+    val sv = qv.select(col("vec_id"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("q"), m * sub + 1, sub).as("sqi"))): _*))
+        .as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sqi").as("sqi"),
+        col("e.sqi").cast("array<double>").as("sq"))
+      .localCheckpoint(eager = false) // feeds seeding, 2 assignments, update
+    // deterministic seeding: the PqCodes hash-smallest vectors' slices
+    val hk = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(1000L))
+    val seedIds = qv.select(col("vec_id"), hk.as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(PqCodes)
+      .select(col("vec_id"), row_number().over(
+        Window.orderBy(col("hk"), col("vec_id"))).as("c_id"))
+    val cent1 = seedIds.join(sv, Seq("vec_id"))
+      .select(col("m"), col("c_id"), col("sq").as("c_sub"))
+    // broadcast-assignment argmin (fixed fold, c_id tie-break)
+    def assignSub(cent: DataFrame): DataFrame =
+      sv.join(broadcast(cent), Seq("m"))
+        .select(col("vec_id"), col("m"), col("c_id"),
+          graft.functions.VectorFunctions.squared_distance(
+            col("sq"), col("c_sub")).as("d2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("c_id"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.c_id").as("c_id"))
+    // one Lloyd update: exact-integer per-(m, code, dim) sums
+    val cent2 = assignSub(cent1).join(sv, Seq("vec_id", "m"))
+      .select(col("m"), col("c_id"), posexplode(col("sqi")).as(Seq("sp", "qv")))
+      .groupBy(col("m"), col("c_id"), col("sp"))
+      .agg(sum(col("qv")).as("sd"), count(lit(1)).as("n"))
+      .groupBy(col("m"), col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sp"),
+        (col("sd").cast("double") / col("n")).as("mu")))),
+        x => x.getField("mu")).as("c_sub"))
+      .localCheckpoint(eager = false) // feeds codes AND the query LUTs
+    val codes = assignSub(cent2)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("c_id")))),
+        x => x.getField("c_id")).as("codes"))
+    // per-query ADC lookup tables, nested [m][code] in fixed order
+    val lutd = sv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("sq"))
+      .join(broadcast(cent2), Seq("m"))
+      .select(col("qid"), col("m"), col("c_id"),
+        graft.functions.VectorFunctions.squared_distance(
+          col("sq"), col("c_sub")).as("d2"))
+    val luts = lutd
+      .groupBy(col("qid"), col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("c_id"), col("d2")))),
+        x => x.getField("d2")).as("lm"))
+      .groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("lm")))),
+        x => x.getField("lm")).as("lut"))
+    // multi-probe: own bucket + all Hamming-1 flips
+    val probed = bkt.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), explode(array(
+        col("bucket") +: (0 until IvfBits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    val adc = (1 to PqM).map { m =>
+      expr(s"element_at(element_at(lut, $m), " +
+        s"cast(element_at(codes, $m) as int))")
+    }.reduceLeft(_ + _)
+    val short = probed.join(bkt, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(luts), Seq("qid"))
+      .select(col("qid"), col("vec_id"), adc.as("adc"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k(ShortR)(col("vec_id"), -col("adc"))
+        .as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    // exact integer rerank of the shortlist (order-independent sums)
+    val qints = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    short.join(qv, Seq("vec_id"))
+      .join(broadcast(qints), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("q"), col("qq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, x) => a + x).as("d2i"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2i"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rnk") <= PqTopK)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB spelling of [[ivfPqSearch]]: same planes (embedded
+    * constants), same seeding, same Lloyd update, same LUTs, same probe
+    * set, same ADC lookups and integer rerank. */
+  val ivfPqSearchSql: String = {
+    val sub = Dim / PqM
+    val adcTerms = (1 to PqM)
+      .map(m => s"l.lut[$m][CAST(co.codes[$m] AS INT)]").mkString(" + ")
+    val probeList = ("b.bucket" +: (0 until IvfBits).map(j =>
+      s"xor(b.bucket, ${1L << j})")).mkString(", ")
+    s"""WITH ${lshSqlCtes(Array(ivfPlanes))},
+       |bkt AS (SELECT vec_id, sig AS bucket FROM sigs WHERE tbl = 0),
+       |$quantCtes,
+       |ex AS (
+       |  SELECT vec_id, (r.range - 1) // $sub AS m,
+       |    ((r.range - 1) % $sub) + 1 AS sp, q[r.range] AS qv
+       |  FROM q CROSS JOIN range(1, ${Dim + 1}) r),
+       |sv AS (
+       |  SELECT vec_id, m, list(CAST(qv AS DOUBLE) ORDER BY sp) AS sq
+       |  FROM ex GROUP BY 1, 2),
+       |hk AS (
+       |  SELECT vec_id,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 1000 AS hk
+       |  FROM q),
+       |seedids AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY hk, vec_id) AS c_id
+       |  FROM hk ORDER BY hk, vec_id LIMIT $PqCodes),
+       |cent1 AS (
+       |  SELECT v.m, s.c_id, v.sq AS c_sub
+       |  FROM seedids s JOIN sv v ON v.vec_id = s.vec_id),
+       |d1 AS (
+       |  SELECT v.vec_id, v.m, c.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${sub + 1}),
+       |        i -> (v.sq[i] - c.c_sub[i]) * (v.sq[i] - c.c_sub[i]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM sv v JOIN cent1 c ON c.m = v.m),
+       |a1 AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT vec_id, m, c_id, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |upd AS (
+       |  SELECT a1.m, a1.c_id, ex.sp,
+       |    CAST(sum(ex.qv) AS DOUBLE) / count(*) AS mu
+       |  FROM a1 JOIN ex ON ex.vec_id = a1.vec_id AND ex.m = a1.m
+       |  GROUP BY 1, 2, 3),
+       |cent2 AS (
+       |  SELECT m, c_id, list(mu ORDER BY sp) AS c_sub
+       |  FROM upd GROUP BY 1, 2),
+       |d2_ AS (
+       |  SELECT v.vec_id, v.m, c.c_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${sub + 1}),
+       |        i -> (v.sq[i] - c.c_sub[i]) * (v.sq[i] - c.c_sub[i]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM sv v JOIN cent2 c ON c.m = v.m),
+       |codesr AS (
+       |  SELECT vec_id, m, c_id FROM (
+       |    SELECT vec_id, m, c_id, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn FROM d2_)
+       |  WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, list(c_id ORDER BY m) AS codes
+       |  FROM codesr GROUP BY vec_id),
+       |lutd AS (SELECT vec_id AS qid, m, c_id, d2 FROM d2_ WHERE vec_id < 10),
+       |lut1 AS (
+       |  SELECT qid, m, list(d2 ORDER BY c_id) AS lm
+       |  FROM lutd GROUP BY 1, 2),
+       |luts AS (SELECT qid, list(lm ORDER BY m) AS lut FROM lut1 GROUP BY 1),
+       |probed AS (
+       |  SELECT b.vec_id AS qid, unnest([$probeList]) AS bucket
+       |  FROM bkt b WHERE b.vec_id < 10),
+       |adc AS (
+       |  SELECT p.qid, b.vec_id, ($adcTerms) AS adc
+       |  FROM probed p
+       |  JOIN bkt b ON b.bucket = p.bucket AND b.vec_id <> p.qid
+       |  JOIN codes co ON co.vec_id = b.vec_id
+       |  JOIN luts l ON l.qid = p.qid),
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM adc)
+       |  WHERE rn <= $ShortR),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${Dim + 1}),
+       |        i -> (cq.q[i] - qq.q[i]) * (cq.q[i] - qq.q[i]))),
+       |      (a, b) -> a + b) AS d2i
+       |  FROM short s
+       |  JOIN q cq ON cq.vec_id = s.vec_id
+       |  JOIN q qq ON qq.vec_id = s.qid)
+       |SELECT qid AS query_id, vec_id AS neighbor_id,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM (
+       |  SELECT qid, vec_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY d2i, vec_id) AS rnk FROM rr)
+       |WHERE rnk <= $PqTopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_ivfpq_search" -> (ivfPqSearch _),
     "q87_pq_encode" -> (pqEncode _),
     "q88_semantic_dedup" -> (semanticDedup _),
     "q80_kmeans" -> (kmeans _),
@@ -1012,6 +1279,7 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q97_ivfpq_search" -> ivfPqSearchSql,
     "q87_pq_encode" -> pqEncodeSql,
     "q88_semantic_dedup" -> semanticDedupSql,
     "q80_kmeans" -> kmeansSql,

@@ -161,4 +161,37 @@ class SimilaritySpec extends SparkSpec {
       "pair-derived clusters must have ≥2 members")
     assert(reps.count() > 0, "no clusters at all — dedup path untested")
   }
+
+  test("q97 IVF-PQ: valid structure and nontrivial recall vs exact kNN") {
+    val ivf = Similarity.ivfPqSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.forall { case (q, n) => q != n }, "self-match in results")
+    // the harness embeddings are STRUCTURELESS random unit vectors — the
+    // exact top-3 sit at noise-level cosine (~0.3), where the Hamming-1
+    // probe's geometric ceiling is ~50%; this floor guards the machinery,
+    // the planted test below guards the case ANN exists for
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF-PQ recall $recall below floor")
+  }
+
+  test("q97 IVF-PQ: planted near-duplicates are found at rank 1") {
+    import org.apache.spark.sql.functions._
+    import SparkSpec.spark.implicits._
+    val base = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").orderBy("vec_id")
+      .as[(Long, Array[Float])].collect()
+    // plant: for each query id q<10, a copy at id q+10000 with one
+    // component nudged — cosine ≈ 0.999, the case IVF-PQ exists for
+    val planted = base.take(10).map { case (id, e) =>
+      val c = e.clone(); c(0) = c(0) + 0.02f
+      (id + 10000L, c)
+    }
+    val df = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val hits = Similarity.ivfPqSearchOf(df).collect()
+      .filter(r => r.getLong(2) == 1L) // rank-1 hits
+      .count(r => r.getLong(1) == r.getLong(0) + 10000L)
+    assert(hits >= 8, s"only $hits/10 planted near-dups found at rank 1")
+  }
 }
