@@ -373,7 +373,94 @@ object Corpus {
        |FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q99: incremental-ingest admission gate ------------------------------
+
+  /** Existing-corpus share of the md5-1000 bucket space (the q89 release
+    * convention): buckets < 900 are already ingested, ≥ 900 arrive as the
+    * incremental batch. */
+  val IngestOldMax = 900
+  /** Quality gate: incoming docs below this token count are rejected. */
+  val IngestMinTok = 20L
+  /** Near-dup gate: sharing ≥ this many distinct word-5-grams with the
+    * existing corpus rejects the incoming doc. */
+  val IngestMinShared = 3L
+
+  /** q99 — incremental-ingest admission gate: the per-batch decision a
+    * pipeline runs on every new crawl drop so it never re-processes the
+    * corpus it already has. Each incoming document (md5 bucket ≥
+    * [[IngestOldMax]]) is gated in precedence order: `too_short` (token
+    * count < [[IngestMinTok]] — the cheap in-row check runs first),
+    * `near_dup` (shares ≥ [[IngestMinShared]] distinct word-5-grams with
+    * the EXISTING corpus — q59's overlap semantics pointed at ingest),
+    * else `accepted`. Output carries the evidence (n_tok, n_shared), not
+    * just the verdict.
+    *
+    * Scale shape: the batch is small next to the corpus, and the corpus
+    * side contributes ONLY its distinct-shingle relation through an
+    * equi-join keyed by shingle — per-doc overlap counts partial-agg
+    * map-side; the corpus text itself never moves or reshuffles. At
+    * 100 TB the corpus shingle index is what a pipeline PERSISTS between
+    * drops (it grows by accepted docs only), and the q84 Bloom prefilter
+    * composes in front of this exact join unchanged when even the index
+    * side is too hot to shuffle. */
+  def ingestGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bucket = Text.md5Bucket1000(col("doc_id"))
+    val sh = Text.ngramIndexOf(docs, 5)
+    val existing = sh.filter(Text.md5Bucket1000(col("doc_id")) < IngestOldMax)
+      .select(col("shingle")).distinct()
+    val shared = sh.filter(Text.md5Bucket1000(col("doc_id")) >= IngestOldMax)
+      .join(existing, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    docs.filter(bucket >= IngestOldMax)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_tok") < IngestMinTok, "too_short")
+          .when(coalesce(col("n_shared"), lit(0L)) >= IngestMinShared,
+            "near_dup")
+          .otherwise("accepted").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB spelling of [[ingestGate]]: same bucket split, same shingle
+    * construction, same precedence. */
+  val ingestGateSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 1000 AS bucket,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, bucket, shingle FROM (
+       |    SELECT doc_id, bucket,
+       |      unnest(list_transform(range(1, len(string_split(text,' ')) - 3),
+       |        i -> string_split(text,' ')[i] || ' ' ||
+       |             string_split(text,' ')[i+1] || ' ' ||
+       |             string_split(text,' ')[i+2] || ' ' ||
+       |             string_split(text,' ')[i+3] || ' ' ||
+       |             string_split(text,' ')[i+4])) AS shingle
+       |    FROM b
+       |    WHERE len(string_split(text,' ')) >= 5)),
+       |ex AS (SELECT DISTINCT shingle FROM sh WHERE bucket < $IngestOldMax),
+       |shared AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM sh s JOIN ex USING (shingle)
+       |  WHERE s.bucket >= $IngestOldMax
+       |  GROUP BY 1)
+       |SELECT b.doc_id, b.n_tok, coalesce(n_shared, 0) AS n_shared,
+       |  CASE WHEN b.n_tok < $IngestMinTok THEN 'too_short'
+       |       WHEN coalesce(n_shared, 0) >= $IngestMinShared THEN 'near_dup'
+       |       ELSE 'accepted' END AS status
+       |FROM b LEFT JOIN shared USING (doc_id)
+       |WHERE b.bucket >= $IngestOldMax
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_ingest_gate" -> (ingestGate _),
     "q78_repetition" -> (repetition _),
     "q79_boilerplate_scrub" -> (boilerplateScrub _),
     "q84_bloom_decontam" -> (bloomDecontamination _),
@@ -381,6 +468,7 @@ object Corpus {
     "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q99_ingest_gate" -> ingestGateSql,
     "q78_repetition" -> repetitionSql,
     "q79_boilerplate_scrub" -> boilerplateScrubSql,
     "q84_bloom_decontam" -> bloomDecontaminationSql,

@@ -47,7 +47,7 @@ object Dedup {
     * shingle. Takes the ARRAY column, not text: referencing a split()
     * expression inside the lambda would re-split the string per element
     * (O(L²) per document). */
-  private[ext] def shinglesFromWords(w: Column): Column =
+  private[graft] def shinglesFromWords(w: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(w) - 2, lit(1))),
       i => concat_ws(" ",
@@ -795,7 +795,115 @@ object Dedup {
        |  CAST(n_agree AS DOUBLE) / $P AS est_jaccard
        |FROM agree ORDER BY src_a, src_b""".stripMargin
 
+  // ---- q98: prefix-filtered exact set-similarity join ---------------------
+
+  /** Jaccard threshold for q98 as an exact rational (≥ 6/10). */
+  val PfJacNum = 6L
+  val PfJacDen = 10L
+
+  /** q98 — EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs family — Chaudhuri et al. "A Primitive Operator for
+    * Similarity Joins", Xiao et al. PPJoin): all document pairs whose
+    * word-3-shingle sets have Jaccard ≥ [[PfJacNum]]/[[PfJacDen]],
+    * PROVABLY complete — the lossless counterpart to the MinHash (q24)
+    * estimate and the df-capped (q51) heuristic.
+    *
+    * The filter: order every document's shingles by global rarity
+    * (ascending df, shingle tie-break) and index only the first
+    * |d| − ⌈t·|d|⌉ + 1 of them. Two sets with Jaccard ≥ t must overlap in
+    * ≥ ⌈t·|d|⌉ elements, so by pigeonhole they share at least one PREFIX
+    * element — candidates = an equi-join on prefix shingles only, and the
+    * prefix holds the RAREST shingles, exactly the ones with the smallest
+    * df — so Σdf² over the index is driven by df of rare tokens, not hot
+    * ones. The verify stage recomputes exact intersection/union sizes
+    * in-row and keeps `inter·10 ≥ union·6` — an exact integer predicate,
+    * no float Jaccard anywhere.
+    *
+    * Scale shape: df counts partial-aggregate map-side; the per-doc
+    * rarity sort is in-row (`array_sort` over (df, shingle) structs — no
+    * global rank window, the df value itself is the sort key); the
+    * candidate join is bounded by prefix-token df (rare by
+    * construction); verification re-attaches the two shingle ARRAYS by
+    * doc id — the q49 re-attach pattern — and computes the intersection
+    * inside the row. */
+  def prefixFilterJoin(s: SparkSession, dir: String): DataFrame =
+    prefixFilterJoinOf(Tables.documents(s, dir))
+
+  /** [[prefixFilterJoin]] over any (doc_id, text) frame — split out so
+    * the spec can assert completeness against brute force. */
+  def prefixFilterJoinOf(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
+    val df = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sorted = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .join(df, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+        x => x.getField("tok")).as("toks"), count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // feeds prefix AND both verify sides
+    // prefix length |d| − ⌈t·|d|⌉ + 1, all integer arithmetic
+    val plen = (col("n") -
+      expr(s"(n * $PfJacNum + ${PfJacDen - 1}) div $PfJacDen") + lit(1))
+      .cast("int")
+    val pref = sorted.select(col("doc_id"),
+      explode(slice(col("toks"), lit(1), plen)).as("tok"))
+    val cand = pref.select(col("doc_id").as("a_id"), col("tok"))
+      .join(pref.select(col("doc_id").as("b_id"), col("tok")), Seq("tok"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sorted.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+        col("n").as("na")), Seq("a_id"))
+      .join(sorted.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+        col("n").as("nb")), Seq("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * PfJacDen >=
+        (col("na") + col("nb") - col("inter")) * PfJacNum)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB spelling of [[prefixFilterJoin]]: same shingles, same rarity
+    * order, same prefix length, same integer threshold predicate. */
+  val prefixFilterJoinSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 2, 1) + 1),
+       |    i -> w[i] || ' ' || w[least(i + 1, len(w))] || ' ' ||
+       |         w[least(i + 2, len(w))]))) AS tok
+       |  FROM w),
+       |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+       |sorted AS (
+       |  SELECT doc_id, list(s.tok ORDER BY df, s.tok) AS toks,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM sh s JOIN df USING (tok) GROUP BY doc_id),
+       |pref AS (
+       |  SELECT doc_id, unnest(toks[1 : CAST(n -
+       |    (n * $PfJacNum + ${PfJacDen - 1}) // $PfJacDen + 1 AS INT)]) AS tok
+       |  FROM sorted),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS inter,
+       |    da.n + db.n AS nsum
+       |  FROM cand c
+       |  JOIN sorted da ON da.doc_id = c.a_id
+       |  JOIN sorted db ON db.doc_id = c.b_id)
+       |SELECT a_id, b_id, inter, nsum - inter AS uni
+       |FROM ver
+       |WHERE inter * $PfJacDen >= (nsum - inter) * $PfJacNum
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_prefix_filter_join" -> (prefixFilterJoin _),
     "q96_shard_similarity" -> (shardSimilarity _),
     "q86_link_prior" -> (linkPrior _),
     "q57_dedup_clusters" -> (dedupClusters _),
@@ -813,6 +921,7 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q98_prefix_filter_join" -> prefixFilterJoinSql,
     "q96_shard_similarity" -> shardSimilaritySql,
     "q86_link_prior"      -> linkPriorSql,
     "q57_dedup_clusters"  -> dedupClustersSql,

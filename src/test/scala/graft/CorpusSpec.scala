@@ -76,4 +76,28 @@ class CorpusSpec extends SparkSpec {
     assert(df.filter(col("shard") < 0 || col("shard") >= Corpus.IdShards)
       .isEmpty, "shard outside [0, IdShards)")
   }
+
+  test("q99: gate covers the whole batch and every status fires") {
+    val rows = Corpus.ingestGate(spark, sf).collect()
+    val batchSize = Tables.documents(spark, sf)
+      .filter(expr("pmod(conv(substring(md5(cast(doc_id as string)), 1, 8)," +
+        s" 16, 10), 1000) >= ${Corpus.IngestOldMax}"))
+      .count()
+    assert(rows.length == batchSize, "gate dropped or invented batch rows")
+    val statuses = rows.map(_.getString(3)).toSet
+    assert(statuses == Set("too_short", "near_dup", "accepted"),
+      s"vacuous gate: only $statuses fired")
+    // precedence: any too_short row must be short regardless of overlap
+    rows.filter(_.getString(3) == "too_short").foreach { r =>
+      assert(r.getLong(1) < Corpus.IngestMinTok)
+    }
+    rows.filter(_.getString(3) == "near_dup").foreach { r =>
+      assert(r.getLong(1) >= Corpus.IngestMinTok &&
+        r.getLong(2) >= Corpus.IngestMinShared)
+    }
+    rows.filter(_.getString(3) == "accepted").foreach { r =>
+      assert(r.getLong(1) >= Corpus.IngestMinTok &&
+        r.getLong(2) < Corpus.IngestMinShared)
+    }
+  }
 }

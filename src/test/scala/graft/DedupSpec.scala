@@ -5,6 +5,30 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions.col
 
 class DedupSpec extends SparkSpec {
+
+  test("q98: prefix filter finds EXACTLY the brute-force Jaccard>=0.6 pairs") {
+    import org.apache.spark.sql.functions._
+    // completeness is the algorithm's whole claim (unlike q24's estimate
+    // or q51's cap): prefix-filtered == exhaustive all-pairs, both ways
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        graft.ext.Dedup.shinglesFromWords(col("w")).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("ta"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("tb"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .filter(col("inter") * graft.ext.Dedup.PfJacDen >=
+        col("uni") * graft.ext.Dedup.PfJacNum)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+    val got = graft.ext.Dedup.prefixFilterJoin(spark, sf)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "prefix-filtered join diverges from brute force")
+    assert(got.count() > 0, "no similar pairs at all — join untested")
+  }
   import SparkSpec.spark.implicits._
 
   // 60-word base doc; nearDup differs in 2 words; unrelated shares none

@@ -158,6 +158,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"SMJ against a 1-row bounds:\n$p")
   }
 
+  test("q98: prefix-filter candidates are a keyed join, never all-pairs") {
+    val p = plan(graft.ext.Dedup.prefixFilterJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filter degraded to an unkeyed join:\n$p")
+  }
+
+  test("q99: ingest overlap counts partial-aggregate before the exchange") {
+    val p = plan(graft.ext.Corpus.ingestGate(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side combine for per-doc overlap counts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the gate:\n$p")
+  }
+
   test("q96: shard minima partial-aggregate before the exchange") {
     val p = plan(graft.ext.Dedup.shardSimilarity(spark, sf))
     assert(p.contains("partial_min") || p.contains("partial min"),
