@@ -33,7 +33,12 @@ object Bench {
     // showed ±40% noise round-over-round (r2's phantom q10/q34
     // "regressions"); the min is the stable signal.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results: Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated name-prefix filter (local iteration only;
+    // the driver never sets it, so driver rounds always bench everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    val results: Map[String, Option[Double]] = selected.map { case (name, fn) =>
       // min over SUCCESSFUL reps only: a rep that aborts early would
       // otherwise win the min with its (fast) failure time and silently
       // under-report the query

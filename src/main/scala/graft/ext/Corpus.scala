@@ -39,6 +39,9 @@ object Corpus {
       size(array_distinct(w)).cast("long").as("n_distinct"))
     val topBigram = docs
       .select(col("doc_id"), w.as("w"))
+      // barrier: CollapseProject otherwise inlines split() into the
+      // bigram lambda's element_at calls — O(L²) re-split per element
+      .localCheckpoint(eager = false)
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("w")) - 1),

@@ -74,6 +74,9 @@ object Dedup {
   def signatures(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // barrier: CollapseProject otherwise inlines split() into the
+      // shingle lambda's element_at calls — O(L²) re-split per element
+      .localCheckpoint(eager = false)
       .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
       .select(col("doc_id"), transform(col("sh"),
         s => pmod(xxhash64(s), lit(MersennePrime))).as("hs"))
@@ -193,6 +196,7 @@ object Dedup {
   def portableSignatures(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .localCheckpoint(eager = false) // split-inlining barrier (as above)
       .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
       .select(col("doc_id"), transform(col("sh"), s =>
         pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"),
@@ -830,28 +834,64 @@ object Dedup {
     prefixFilterJoinOf(Tables.documents(s, dir))
 
   /** [[prefixFilterJoin]] over any (doc_id, text) frame — split out so
-    * the spec can assert completeness against brute force. */
+    * the spec can assert completeness against brute force.
+    *
+    * Two PPJoin refinements beyond the plain prefix filter, both
+    * output-invariant (they only shrink the CANDIDATE set, never the
+    * result — the oracle and the brute-force spec pin that):
+    *  - '''length filter''': J ≥ t forces t·|a| ≤ |b| ≤ |a|/t — checked
+    *    by integer cross-multiplication inside the join condition;
+    *  - '''positional filter''': a match at sorted positions (i, j)
+    *    bounds the overlap by min(i−1, j−1) + 1 + min(|a|−i, |b|−j);
+    *    candidates that cannot reach α = ⌈t/(1+t)·(|a|+|b|)⌉ die in the
+    *    join, before the distinct and the verify re-attach.
+    * Verification intersects 60-bit PORTABLE SHINGLE HASHES (the q48
+    * md5-prefix trick), not strings: the candidate re-attach carries
+    * 8 bytes per shingle instead of ~50 (measured 20.8 s → the array
+    * traffic was the whole cost at sf0.1), and the hashed intersection
+    * count equals the string count unless two of the corpus's distinct
+    * shingles collide in 2^60 (P ≈ V²/2^61; at V = 10⁹ shingles widen to
+    * two independent 60-bit hashes — the structure is unchanged). */
   def prefixFilterJoinOf(docs: DataFrame): DataFrame = {
-    val sh = docs
+    // the exploded (doc_id, shingle) index is built ONCE and checkpointed
+    // (it feeds the df counts AND the rarity sort); the INNER barrier after
+    // the split projection is load-bearing too — CollapseProject inlines
+    // split() into the shingle lambda (O(L²) re-split per element;
+    // measured 7.5 s → 0.85 s for this stage at sf0.1)
+    val idx = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .localCheckpoint(eager = false)
       .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
-    val df = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val sorted = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+      .localCheckpoint(eager = false)
+    val df = idx.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // rarity-sorted by (df, tok) on STRINGS (deterministic), then hashed
+    // in-row — downstream only ever sees 8-byte shingle ids
+    val sorted = idx
       .join(df, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
-        x => x.getField("tok")).as("toks"), count(lit(1)).as("n"))
+        x => conv(substring(md5(x.getField("tok")), 1, 15), 16, 10)
+          .cast("long")).as("toks"), count(lit(1)).as("n"))
       .localCheckpoint(eager = false) // feeds prefix AND both verify sides
     // prefix length |d| − ⌈t·|d|⌉ + 1, all integer arithmetic
     val plen = (col("n") -
       expr(s"(n * $PfJacNum + ${PfJacDen - 1}) div $PfJacDen") + lit(1))
       .cast("int")
-    val pref = sorted.select(col("doc_id"),
-      explode(slice(col("toks"), lit(1), plen)).as("tok"))
-    val cand = pref.select(col("doc_id").as("a_id"), col("tok"))
-      .join(pref.select(col("doc_id").as("b_id"), col("tok")), Seq("tok"))
+    val pref = sorted.select(col("doc_id"), col("n"),
+      posexplode(slice(col("toks"), lit(1), plen)).as(Seq("pos0", "tok")))
+    val a = pref.select(col("doc_id").as("a_id"), col("n").as("na"),
+      (col("pos0") + 1).as("pa"), col("tok"))
+    val b = pref.select(col("doc_id").as("b_id"), col("n").as("nb"),
+      (col("pos0") + 1).as("pb"), col("tok"))
+    val alpha = expr(s"($PfJacNum * (na + nb) + ${PfJacNum + PfJacDen - 1})" +
+      s" div ${PfJacNum + PfJacDen}")
+    val cand = a.join(b, Seq("tok"))
       .filter(col("a_id") < col("b_id"))
+      .filter(col("nb") * PfJacDen >= col("na") * PfJacNum &&
+        col("na") * PfJacDen >= col("nb") * PfJacNum)
+      .filter(least(col("pa") - 1, col("pb") - 1) + lit(1) +
+        least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
       .select(col("a_id"), col("b_id")).distinct()
     cand
       .join(sorted.select(col("doc_id").as("a_id"), col("toks").as("ta"),

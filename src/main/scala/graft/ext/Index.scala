@@ -96,6 +96,9 @@ object Index {
     }: _*))
     Tables.documents(s, dir)
       .select(tokens(col("text")).as("w"))
+      // barrier: CollapseProject otherwise inlines split() into the
+      // pair lambdas' element_at calls — O(L²) re-split per element
+      .localCheckpoint(eager = false)
       .filter(size(w) > MaxSkip)
       .select(explode(pairsAtOffsets).as("pair"))
       .groupBy(col("pair"))

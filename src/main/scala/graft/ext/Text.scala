@@ -148,6 +148,10 @@ object Text {
   private[graft] def ngramIndexOf(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
+      // barrier BEFORE the n-gram lambda: CollapseProject otherwise
+      // inlines split() into every element_at of the transform — an
+      // O(L²) re-split per element (measured ~8× on this stage at sf0.1)
+      .localCheckpoint(eager = false)
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(ngramsCol(col("w"), n))).as("shingle"))
@@ -624,6 +628,9 @@ object Text {
   def collocations(s: SparkSession, dir: String): DataFrame = {
     val w = Tables.documents(s, dir)
       .select(tokens(col("text")).as("w"))
+      // barrier: CollapseProject otherwise inlines split() into the
+      // bigram lambda's element_at calls — O(L²) re-split per element
+      .localCheckpoint(eager = false)
       .filter(size(col("w")) >= 2)
     val bigrams = w.select(explode(transform(
       sequence(lit(1), size(col("w")) - 1),
@@ -733,6 +740,7 @@ object Text {
   def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(s, dir)
       .select(col("source"), tokens(col("text")).as("w"))
+      .localCheckpoint(eager = false) // split-inlining barrier (see ngramIndexOf)
       .filter(size(col("w")) >= 3)
       .select(col("source"), explode(ngramsCol(col("w"), 3)).as("shingle"))
     grams.groupBy(col("source"), col("shingle"))

@@ -307,6 +307,51 @@ object Advanced {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** Heavy hitters reported by the skew audit. */
+  val SkewTopK = 20
+  /** A key is flagged hot when its count exceeds this multiple of the
+    * mean per-key count — compared by exact integer cross-multiplication
+    * (cnt · n_keys > HotFactor · total), never a rounded average. */
+  val SkewHotFactor = 4L
+
+  /** q100 — shuffle-skew audit over the q50 join key: exact per-key
+    * counts, the [[SkewTopK]] heaviest keys, and a hot flag at
+    * [[SkewHotFactor]]× the mean — the diagnostic a pipeline runs BEFORE
+    * picking q50's salt factor (or trusting AQE's skew split). A hot key
+    * is invisible in partition-size metrics until the job stalls; this
+    * makes it a queryable relation instead.
+    *
+    * Scale shape: the per-key count partial-aggregates map-side (the only
+    * corpus-sized stage); the top-k runs on the AGGREGATED key relation
+    * via sort+limit — Catalyst plans TakeOrderedAndProject, never a
+    * global sort (the q02 plan lock pattern); the 1-row totals relation
+    * broadcasts. */
+  def q100SkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.join(broadcast(totals))
+      .select(col("user_id"), col("cnt"),
+        (col("cnt") * col("n_keys") > lit(SkewHotFactor) * col("total"))
+          .as("hot"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(SkewTopK)
+  }
+
+  val q100Sql: String =
+    s"""WITH counts AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS n_keys
+       |  FROM counts)
+       |SELECT user_id, cnt, cnt * n_keys > $SkewHotFactor * total AS hot
+       |FROM counts, totals
+       |ORDER BY cnt DESC, user_id
+       |LIMIT $SkewTopK""".stripMargin
+
   /** q65 — skyline of `part` under (minimize retail price, minimize
     * size): "the cheapest part at every size class one could not shrink
     * without paying more". Distributed two-phase Pareto pruning in
@@ -663,6 +708,7 @@ object Advanced {
     "q81_grouping_sets" -> (q81GroupingSets _),
     "q82_regression"    -> (q82Regression _),
     "q83_range_frame"   -> (q83RangeFrame _),
+    "q100_skew_audit"   -> (q100SkewAudit _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -682,6 +728,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q100_skew_audit"   -> q100Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

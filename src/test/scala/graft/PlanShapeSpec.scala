@@ -172,6 +172,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in the gate:\n$p")
   }
 
+  test("q100: heavy-hitter top-k plans as TakeOrderedAndProject over aggregated keys") {
+    val p = plan(graft.queries.Advanced.q100SkewAudit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side combine for key counts:\n$p")
+  }
+
   test("q96: shard minima partial-aggregate before the exchange") {
     val p = plan(graft.ext.Dedup.shardSimilarity(spark, sf))
     assert(p.contains("partial_min") || p.contains("partial min"),

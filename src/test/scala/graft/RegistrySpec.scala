@@ -26,7 +26,7 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("query keys follow the qNN_name convention") {
-    val bad = SparkEntry.queries.keySet.filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))
+    val bad = SparkEntry.queries.keySet.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-conforming keys: $bad")
   }
 }
