@@ -475,6 +475,11 @@ object Similarity {
     e.select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
       .select(col("vec_id"), col("de"),
         aggregate(col("de"), lit(0.0d), (acc, x) => acc + x * x).as("ss"))
+      // barrier: `ss` is referenced inside the quantization lambda, and
+      // CollapseProject otherwise inlines the whole norm FOLD there —
+      // re-summing all D elements per element, O(D²) per vector
+      // (measured 3× at D=64; grows with D)
+      .localCheckpoint(eager = false)
       .filter(col("ss") > 0)
       .select(col("vec_id"),
         transform(col("de"),
