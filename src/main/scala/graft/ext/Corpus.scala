@@ -409,13 +409,23 @@ object Corpus {
   def ingestGate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val bucket = Text.md5Bucket1000(col("doc_id"))
-    val sh = Text.ngramIndexOf(docs, 5)
-    val existing = sh.filter(Text.md5Bucket1000(col("doc_id")) < IngestOldMax)
+    val corpusShingles = Text.ngramIndexOf(
+        docs.filter(bucket < IngestOldMax), 5)
       .select(col("shingle")).distinct()
-    val shared = sh.filter(Text.md5Bucket1000(col("doc_id")) >= IngestOldMax)
-      .join(existing, Seq("shingle"))
+    ingestGateOf(docs.filter(bucket >= IngestOldMax), corpusShingles)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The gate core over explicit relations: an incoming (doc_id, text)
+    * batch against the existing corpus's distinct-shingle index. Split
+    * out so the STREAMING twin (graft.streaming.DocStreams) can run the
+    * identical logic per micro-batch inside foreachBatch — incremental
+    * ingestion is naturally a stream of crawl drops. */
+  def ingestGateOf(batch: DataFrame, corpusShingles: DataFrame): DataFrame = {
+    val shared = Text.ngramIndexOf(batch, 5)
+      .join(corpusShingles, Seq("shingle"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    docs.filter(bucket >= IngestOldMax)
+    batch
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .join(shared, Seq("doc_id"), "left")
@@ -425,7 +435,6 @@ object Corpus {
           .when(coalesce(col("n_shared"), lit(0L)) >= IngestMinShared,
             "near_dup")
           .otherwise("accepted").as("status"))
-      .orderBy(col("doc_id"))
   }
 
   /** DuckDB spelling of [[ingestGate]]: same bucket split, same shingle

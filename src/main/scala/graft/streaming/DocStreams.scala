@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming document-pipeline operators — the streaming twins of the
+  * corpus-hygiene batch queries, for pipelines that ingest crawl drops
+  * continuously instead of in nightly batches.
+  *
+  * Shape: `foreachBatch`. The admission decision (graft.ext.Corpus
+  * ingestGateOf, q99) is a PER-DOCUMENT verdict against a STATIC
+  * existing-corpus index, so the natural streaming execution is the
+  * micro-batch itself — each arriving file set runs the identical batch
+  * logic (joins, partial-agg overlap counts, the lot) against the
+  * static shingle relation, with NO stream-side state at all: memory is
+  * constant no matter how long the stream runs, and the gate's batch
+  * and streaming answers are equal BY CONSTRUCTION (StreamingSpec
+  * asserts it). This is the standard Spark pattern for "run this
+  * arbitrary batch transformation on every drop": watermarked stateful
+  * operators are for when per-KEY state must persist ACROSS batches
+  * (sessions, dedup windows — see [[EventStreams]]); an admission gate
+  * does not.
+  */
+object DocStreams {
+
+  /** File-based document stream (one parquet dir; new files = new
+    * micro-batches = new crawl drops), schema of TESTDATA.md documents. */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "doc_id BIGINT, text STRING, lang STRING, " +
+      "source STRING, n_chars BIGINT"
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Start the streaming ingest gate: every micro-batch of incoming
+    * documents is gated against the (static) existing-corpus shingle
+    * index and the per-batch verdict relation is handed to `sink`.
+    * At 100 TB the sink appends to the corpus table AND unions the
+    * accepted docs' shingles into the persisted index between drops —
+    * here it is parameterized so the spec can collect the verdicts. */
+  def gatedIngest(docStream: DataFrame, corpusShingles: DataFrame,
+      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Corpus.ingestGateOf(batch, corpusShingles), batchId)
+      }
+      .start()
+}

@@ -170,6 +170,40 @@ class StreamingSpec extends SparkSpec {
     assert(after === batch, "re-running a batch changed the compacted view")
   }
 
+  test("streaming ingest gate over micro-batched drops equals batch q99") {
+    import graft.ext.Corpus
+    import graft.streaming.DocStreams
+    // incoming docs split into 3 "crawl drops" (3 files = 3 micro-batches)
+    val bucket = expr("pmod(conv(substring(md5(cast(doc_id as string))," +
+      " 1, 8), 16, 10), 1000)")
+    val docs = Tables.documents(spark, sf)
+    val incoming = docs.filter(bucket >= Corpus.IngestOldMax)
+    val dropsDir = Files.createTempDirectory("graft-drops").toString
+    incoming.withColumn("drop", pmod(col("doc_id"), lit(3)))
+      .repartition(3, col("drop")).drop("drop")
+      .write.mode("overwrite").parquet(dropsDir)
+    val corpusShingles = graft.ext.Text.ngramIndexOf(
+        docs.filter(bucket < Corpus.IngestOldMax), 5)
+      .select(col("shingle")).distinct()
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    val q = DocStreams.gatedIngest(
+      DocStreams.readDocStream(spark, dropsDir), corpusShingles, ckpt) {
+      (verdicts, _) =>
+        collected.synchronized {
+          collected ++= verdicts.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        }
+    }
+    try q.processAllAvailable() finally q.stop()
+    val batch = Corpus.ingestGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(collected.toSet === batch.toSet,
+      "streaming gate verdicts diverge from batch q99")
+    assert(collected.size === batch.length, "dupes across micro-batches")
+  }
+
   test("streaming sessionization matches batch q16 session count") {
     val flushDir = eventsDir // second file into the same stream dir
     val q = EventStreams.sessionize(
