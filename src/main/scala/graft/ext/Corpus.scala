@@ -152,13 +152,19 @@ object Corpus {
     val keptPos = array_except(
       sequence(lit(1L), col("n_tok")),
       coalesce(col("cov"), array().cast("array<long>")))
+    // NULL-text guards mirror the oracle's `coalesce(kept_tok, 0)` /
+    // `coalesce(scrub_fp, md5(''))`: a NULL text makes kp NULL here while
+    // the SQL side's kept CTE simply has no row — both must land on
+    // (0, md5('')) or the value hash diverges on the first NULL document
     words.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"), col("w"), keptPos.as("kp"))
       .select(col("doc_id"), col("n_tok"),
-        size(col("kp")).cast("long").as("kept_tok"),
-        (col("n_tok") - size(col("kp"))).as("n_scrubbed"),
-        md5(array_join(transform(col("kp"),
-          p => element_at(col("w"), p.cast("int"))), " ")).as("scrub_fp"))
+        coalesce(size(col("kp")).cast("long"), lit(0L)).as("kept_tok"),
+        (col("n_tok") - coalesce(size(col("kp")).cast("long"), lit(0L)))
+          .as("n_scrubbed"),
+        coalesce(md5(array_join(transform(col("kp"),
+          p => element_at(col("w"), p.cast("int"))), " ")), md5(lit("")))
+          .as("scrub_fp"))
   }
 
   /** The scrub CTE chain ending in

@@ -33,21 +33,24 @@ object Index {
     * CAP is the load-bearing scale decision: a hot term in a 100 TB
     * corpus has a posting list of billions — materializing it whole makes
     * one reducer row of gigabytes (the classic index-build straggler).
-    * Real engines segment or impact-order hot postings; here the list is
-    * truncated to the cap (deterministically: lowest doc ids) while `df`
-    * stays exact, so selectivity estimation still has the true count.
-    * `slice` AFTER `sort_array` on the collected array is safe because
-    * collect_list's input is already the per-term group — the sort is
-    * per-row over ≤ group-size elements, and only the cap survives. */
+    * Real engines segment or impact-order hot postings; here the
+    * truncation happens INSIDE the aggregation — the bounded
+    * [[graft.functions.TopK]] aggregator (score = −doc_id, so it keeps
+    * the lowest ids) caps every partial buffer AND the merged state at
+    * ≤ cap·slack entries, so the hot term's reducer row is bounded by
+    * construction, not trimmed after the fact — while `df` stays exact,
+    * so selectivity estimation still has the true count. */
   def invertedIndex(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ids"))
+      .agg(count(lit(1)).as("df"),
+        graft.functions.TopK.top_k(PostingsCap)(
+          col("doc_id"), -col("doc_id").cast("double")).as("top"))
       .select(col("term"), col("df"),
         least(col("df"), lit(PostingsCap.toLong)).as("n_emitted"),
-        array_join(slice(sort_array(col("ids")), 1, PostingsCap), ",")
+        array_join(transform(col("top.id"), x => x.cast("string")), ",")
           .as("postings_csv"))
       .orderBy(col("term"))
 
@@ -99,7 +102,10 @@ object Index {
       // barrier: CollapseProject otherwise inlines split() into the
       // pair lambdas' element_at calls — O(L²) re-split per element
       .localCheckpoint(eager = false)
-      .filter(size(w) > MaxSkip)
+      // >= 2, not > MaxSkip: a 2-token doc still owns a valid offset-1
+      // pair; the per-offset sequence already emits nothing for offsets
+      // past a doc's length (greatest(size − off, 0))
+      .filter(size(w) >= 2)
       .select(explode(pairsAtOffsets).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("cnt"))
@@ -120,7 +126,7 @@ object Index {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH words AS (
        |  SELECT string_split(text, chr(32)) AS w FROM documents
-       |  WHERE len(string_split(text, chr(32))) > $MaxSkip),
+       |  WHERE len(string_split(text, chr(32))) >= 2),
        |pairs AS (
        |  $offs),
        |counted AS (

@@ -733,8 +733,7 @@ object Similarity {
     val qv = quantizedVectors(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("q"), col("q").cast("array<double>").as("qd"))
       .localCheckpoint(eager = false)
-    val hk = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
-      16, 10).cast("long"), lit(1000L))
+    val hk = Text.md5Bucket1000(col("vec_id"))
     // K hash-smallest vectors, ranked → (c_id, c_emb). The limit(K)
     // relation is K rows, so the ranking window is trivial.
     val seeds = qv.select(col("vec_id"), col("qd"), hk.as("hk"))
@@ -1086,9 +1085,8 @@ object Similarity {
         col("e.sqi").cast("array<double>").as("sq"))
       .localCheckpoint(eager = false) // feeds seeding, 2 assignments, update
     // deterministic seeding: the PqCodes hash-smallest vectors' slices
-    val hk = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
-      16, 10).cast("long"), lit(1000L))
-    val seedIds = qv.select(col("vec_id"), hk.as("hk"))
+    val seedIds = qv.select(col("vec_id"),
+        Text.md5Bucket1000(col("vec_id")).as("hk"))
       .orderBy(col("hk"), col("vec_id")).limit(PqCodes)
       .select(col("vec_id"), row_number().over(
         Window.orderBy(col("hk"), col("vec_id"))).as("c_id"))
@@ -1103,7 +1101,11 @@ object Similarity {
         .groupBy(col("vec_id"), col("m"))
         .agg(min(struct(col("d2"), col("c_id"))).as("best"))
         .select(col("vec_id"), col("m"), col("best.c_id").as("c_id"))
-    // one Lloyd update: exact-integer per-(m, code, dim) sums
+    // one Lloyd update: exact-integer per-(m, code, dim) sums. c_id is
+    // then RE-RANKED DENSE per subspace: a seed code that won zero
+    // assignments vanishes from cent2, and the ADC lookup below indexes
+    // the per-subspace LUT list POSITIONALLY — a gap would silently
+    // shift every later code's slot (or overrun the list under ANSI)
     val cent2 = assignSub(cent1).join(sv, Seq("vec_id", "m"))
       .select(col("m"), col("c_id"), posexplode(col("sqi")).as(Seq("sp", "qv")))
       .groupBy(col("m"), col("c_id"), col("sp"))
@@ -1112,6 +1114,8 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("sp"),
         (col("sd").cast("double") / col("n")).as("mu")))),
         x => x.getField("mu")).as("c_sub"))
+      .withColumn("c_id", row_number().over(
+        Window.partitionBy(col("m")).orderBy(col("c_id"))))
       .localCheckpoint(eager = false) // feeds codes AND the query LUTs
     val codes = assignSub(cent2)
       .groupBy(col("vec_id"))
@@ -1214,9 +1218,13 @@ object Similarity {
        |    CAST(sum(ex.qv) AS DOUBLE) / count(*) AS mu
        |  FROM a1 JOIN ex ON ex.vec_id = a1.vec_id AND ex.m = a1.m
        |  GROUP BY 1, 2, 3),
-       |cent2 AS (
+       |cent2raw AS (
        |  SELECT m, c_id, list(mu ORDER BY sp) AS c_sub
        |  FROM upd GROUP BY 1, 2),
+       |cent2 AS (
+       |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY c_id) AS c_id,
+       |    c_sub
+       |  FROM cent2raw),
        |d2_ AS (
        |  SELECT v.vec_id, v.m, c.c_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),

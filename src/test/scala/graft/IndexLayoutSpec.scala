@@ -62,7 +62,7 @@ class IndexLayoutSpec extends SparkSpec {
     // table; this asserts it computes the same relation as the naive
     // window formulation it replaces
     val docs = Tables.documents(spark, sf)
-      .filter(size(split(col("text"), " ")) > Index.MaxSkip)
+      .filter(size(split(col("text"), " ")) >= 2)
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "w1")))
