@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Advanced, Core, Sketches, Subqueries}
 import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Multimodal,
-  Similarity, Text}
+  Report, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the query registries of each operator-family module. */
@@ -16,7 +16,7 @@ object SparkEntry {
     Core.queries ++ Advanced.queries ++ Sketches.queries ++
       Subqueries.queries ++ Similarity.queries ++ Text.queries ++
       Dedup.queries ++ Multimodal.queries ++ Corpus.queries ++
-      Linkage.queries ++ Index.queries ++ Layout.queries
+      Linkage.queries ++ Index.queries ++ Layout.queries ++ Report.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +24,5 @@ object SparkEntry {
     Core.oracles ++ Advanced.oracles ++ Sketches.oracles ++
       Subqueries.oracles ++ Similarity.oracles ++ Text.oracles ++
       Dedup.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
-      Linkage.oracles ++ Index.oracles ++ Layout.oracles
+      Linkage.oracles ++ Index.oracles ++ Layout.oracles ++ Report.oracles
 }

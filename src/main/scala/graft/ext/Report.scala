@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Corpus reporting operators: the per-shard "dataset card" relation a
+  * pipeline publishes with every release, and bitmap-index distinct
+  * counting — north-star extensions (no counterpart in the reference's
+  * 3-query surface).
+  */
+object Report {
+
+  /** Short-document threshold shared with the q99 ingest gate. */
+  private val ShortTok = Corpus.IngestMinTok
+
+  /** q101 — per-source dataset card: the one relation a data consumer
+    * reads before mixing sources — volume (docs, tokens), quality
+    * (short-doc count), language mix (English doc count), and lexical
+    * diversity (distinct 3-gram types, total 3-gram instances, and the
+    * type-token ratio — q64's signal, here as one column of the card).
+    * Every column is an exact integer except the single final ratio
+    * division, so the whole card is engine-exact.
+    *
+    * Scale shape: one corpus scan feeds BOTH halves — the per-source
+    * integer counts partial-agg map-side into #sources rows, and the
+    * diversity half runs q64's two-phase distinct ((source, shingle)
+    * pre-aggregation, never a countDistinct Expand). The join at the end
+    * is #sources × #sources — dataset cards are always tiny relations
+    * over huge inputs. */
+  def sourceReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("lang"), split(col("text"), " ").as("w"))
+      .localCheckpoint(eager = false) // one scan feeds counts + diversity
+    val base = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("w")).cast("long")).as("n_tokens"),
+      sum(when(size(col("w")) < ShortTok, 1L).otherwise(0L)).as("n_short"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val grams = d.filter(size(col("w")) >= 3)
+      .select(col("source"), explode(Text.ngramsCol(col("w"), 3)).as("sh"))
+      .groupBy(col("source"), col("sh"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_grams"))
+    base.join(grams, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_short"),
+        col("n_en"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        (coalesce(col("n_types"), lit(0L)).cast("double") /
+          coalesce(col("n_grams"), lit(1L))).as("type_token_ratio"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling of [[sourceReport]]: same token split, same 3-gram
+    * construction, same two-phase distinct, same single division. */
+  val sourceReportSql: String =
+    s"""WITH d AS (
+       |  SELECT source, lang, string_split(text, ' ') AS w FROM documents),
+       |base AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN len(w) < $ShortTok THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_short,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_en
+       |  FROM d GROUP BY 1),
+       |g AS (
+       |  SELECT source, unnest(list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM d WHERE len(w) >= 3),
+       |pre AS (
+       |  SELECT source, sh, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM g GROUP BY 1, 2),
+       |gd AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(cnt) AS BIGINT) AS n_grams
+       |  FROM pre GROUP BY 1)
+       |SELECT b.source, n_docs, n_tokens, n_short, n_en,
+       |  coalesce(n_types, 0) AS n_types,
+       |  coalesce(n_grams, 0) AS n_grams,
+       |  CAST(coalesce(n_types, 0) AS DOUBLE) / coalesce(n_grams, 1)
+       |    AS type_token_ratio
+       |FROM base b LEFT JOIN gd USING (source)
+       |ORDER BY source""".stripMargin
+
+  // ---- q103: bitmap-index distinct counting --------------------------------
+
+  /** Bitmap domain: content hashes land in [0, BitmapBuckets). */
+  val BitmapBuckets = 4096L
+  private val WordBits = 32L
+
+  /** q103 — EXACT distinct counting via bitmap indexes: per source, hash
+    * every document's content into a [[BitmapBuckets]]-bucket domain,
+    * OR the per-bucket bits into 32-bit words, and count set bits — the
+    * Druid/ClickHouse bitmap-index pattern, relationally.
+    *
+    * Why this matters at 100 TB: a plain `countDistinct` shuffles every
+    * distinct VALUE; the HLL sketch (q37) fixes memory but is
+    * approximate. The bitmap is BOTH exact (within the hashed domain)
+    * and fixed-size: per group the whole aggregation state is
+    * [[BitmapBuckets]]/32 words (512 B here), the merge operator is
+    * bitwise OR — a semilattice, so partial aggregation is lossless and
+    * map-side combine reduces each partition to ≤ #groups·128 rows
+    * regardless of row count. (32-bit words, not 64: `1 << 63` overflows
+    * a signed BIGINT in ANSI SQL on both engines.) */
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        Text.md5Bucket(col("text"), BitmapBuckets).as("bucket"))
+      .groupBy(col("source"), expr(s"bucket div $WordBits").as("widx"))
+      .agg(expr(s"bit_or(shiftleft(1L, cast(bucket % $WordBits as int)))")
+        .as("word"))
+      .groupBy(col("source"))
+      .agg(sum(bit_count(col("word")).cast("long")).as("n_distinct_buckets"))
+      .orderBy(col("source"))
+
+  /** DuckDB spelling of [[bitmapDistinct]]: same hash, same words, same
+    * popcount. */
+  val bitmapDistinctSql: String =
+    s"""WITH b AS (
+       |  SELECT source,
+       |    ('0x' || substr(md5(text), 1, 8))::BIGINT % $BitmapBuckets
+       |      AS bucket
+       |  FROM documents),
+       |words AS (
+       |  SELECT source, bucket // $WordBits AS widx,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(bucket % $WordBits AS INT))
+       |      AS word
+       |  FROM b GROUP BY 1, 2)
+       |SELECT source, CAST(sum(bit_count(word)) AS BIGINT)
+       |  AS n_distinct_buckets
+       |FROM words GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_source_report" -> (sourceReport _),
+    "q103_bitmap_distinct" -> (bitmapDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q101_source_report" -> sourceReportSql,
+    "q103_bitmap_distinct" -> bitmapDistinctSql)
+}

@@ -128,7 +128,7 @@ object Text {
     * space-joined string per position; NOT distinct). Takes the ARRAY
     * column, not text: referencing split() inside the lambda would
     * re-split the string per element (O(L²)/doc). */
-  private def ngramsCol(w: Column, n: Int): Column =
+  private[ext] def ngramsCol(w: Column, n: Int): Column =
     transform(
       sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))
@@ -454,7 +454,7 @@ object Text {
     * library (identical in DuckDB as
     * `('0x'||substr(md5(x),1,8))::BIGINT % m`); any change to the
     * convention (digit count, modulus handling) lives here once. */
-  private[ext] def md5Bucket(c: Column, m: Long): Column = pmod(
+  private[graft] def md5Bucket(c: Column, m: Long): Column = pmod(
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
     lit(m))
 

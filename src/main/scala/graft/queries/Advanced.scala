@@ -307,6 +307,41 @@ object Advanced {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** q102 — correlated LATERAL subquery (SQL surface): for every region,
+    * the two alphabetically-first nations with their customer counts —
+    * the "top-N related rows per outer row" idiom users write directly
+    * when the window spelling is less natural. Catalyst decorrelates the
+    * lateral subquery into a join + per-key ranking (DecorrelateInnerQuery
+    * → RewriteLateralSubquery), so the executed plan is the same shape as
+    * the q06 window top-N — no per-outer-row re-execution survives into
+    * the physical plan at any scale. */
+  def q102LateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT r.r_name, t.n_name, t.n_customers
+        |FROM region r,
+        |  LATERAL (
+        |    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+        |    FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |    WHERE n_regionkey = r.r_regionkey
+        |    GROUP BY n_name
+        |    ORDER BY n_name
+        |    LIMIT 2) t
+        |ORDER BY r.r_name, t.n_name""".stripMargin)
+  }
+
+  val q102Sql: String =
+    """SELECT r.r_name, t.n_name, t.n_customers
+      |FROM region r,
+      |  LATERAL (
+      |    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+      |    FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |    WHERE n_regionkey = r.r_regionkey
+      |    GROUP BY n_name
+      |    ORDER BY n_name
+      |    LIMIT 2) t
+      |ORDER BY r.r_name, t.n_name""".stripMargin
+
   /** Heavy hitters reported by the skew audit. */
   val SkewTopK = 20
   /** A key is flagged hot when its count exceeds this multiple of the
@@ -709,6 +744,7 @@ object Advanced {
     "q82_regression"    -> (q82Regression _),
     "q83_range_frame"   -> (q83RangeFrame _),
     "q100_skew_audit"   -> (q100SkewAudit _),
+    "q102_lateral_topn" -> (q102LateralTopN _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -729,6 +765,7 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     "q100_skew_audit"   -> q100Sql,
+    "q102_lateral_topn" -> q102Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

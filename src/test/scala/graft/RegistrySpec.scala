@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Multimodal,
-  Similarity, Text}
+  Report, Similarity, Text}
 import graft.queries.{Advanced, Core, Sketches, Subqueries}
 
 /** Guards on the driver contract itself: the round-2 invariant is that
@@ -20,7 +20,8 @@ class RegistrySpec extends SparkSpec {
     val perModule = Seq(
       Core.queries, Advanced.queries, Sketches.queries, Subqueries.queries,
       Similarity.queries, Text.queries, Dedup.queries, Multimodal.queries,
-      Corpus.queries, Linkage.queries, Index.queries, Layout.queries)
+      Corpus.queries, Linkage.queries, Index.queries, Layout.queries,
+      Report.queries)
     assert(perModule.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules (Map ++ dropped one)")
   }

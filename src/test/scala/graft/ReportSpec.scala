@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Report
+import graft.queries.Advanced
+import graft.tables.Tables
+
+/** Invariants for the reporting operators (q101–q103) beyond the
+  * value-exact oracle: card totals reconcile with the corpus, the bitmap
+  * count IS the exact distinct count, and the lateral decorrelation
+  * equals the window spelling. */
+class ReportSpec extends SparkSpec {
+  import SparkSpec.{spark, sf}
+
+  test("q101: card totals reconcile with whole-corpus counts") {
+    val rows = Report.sourceReport(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "n_docs mismatch")
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalTokens, "n_tokens mismatch")
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(6), "types cannot exceed instances")
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(1))
+    }
+  }
+
+  test("q103: bitmap popcount equals exact countDistinct of the buckets") {
+    val bitmap = Report.bitmapDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = Tables.documents(spark, sf)
+      .select(col("source"), graft.ext.Text.md5Bucket(col("text"),
+        Report.BitmapBuckets).as("bucket"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("bucket")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bitmap === exact,
+      "bitmap distinct diverges from countDistinct — the exactness claim")
+  }
+
+  test("q102: lateral subquery equals the window top-N formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val lateral = Advanced.q102LateralTopN(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val counts = Tables.nation(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_name"))
+    val windowed = counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .join(Tables.region(spark, sf),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("r_name"), col("n_name"), col("n_customers"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(lateral === windowed, "lateral decorrelation diverges from window")
+  }
+}
