@@ -134,11 +134,57 @@ object Report {
        |FROM words GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---- q104: self-join size prediction --------------------------------------
+
+  /** q104 — predict the shingle self-join's output size WITHOUT running
+    * it: per-shingle document frequencies, then Σ df·(df−1)/2 — the exact
+    * candidate-pair count the q23 inverted-index self-join would
+    * generate, plus the hottest shingle. This is the planning query every
+    * similarity-join run starts with: it decides between the uncapped
+    * (q23), df-capped (q51), and prefix-filtered (q98) strategies BEFORE
+    * any quadratic work happens (this round's q98 sizing was literally
+    * this query, run by hand).
+    *
+    * Scale shape: the df counts partial-agg map-side; the final aggregate
+    * reduces to ONE row, and the hot-shingle argmax is min/max(struct) —
+    * partial-aggregated, no window, no sort. df·(df−1) stays in long
+    * headroom to df ≈ 4.3·10⁹ documents sharing one shingle; widen to
+    * decimal(38,0) past that. */
+  def selfJoinSize(s: SparkSession, dir: String): DataFrame =
+    Text.shingleIndexOf(Tables.documents(s, dir))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_shingles"),
+        expr("sum(df * (df - 1) div 2)").as("candidate_pairs"),
+        max(col("df")).as("max_df"),
+        max(struct(col("df"), col("shingle"))).getField("shingle")
+          .as("hot_shingle"))
+
+  /** DuckDB spelling of [[selfJoinSize]]: same 3-gram index, same exact
+    * pair arithmetic, same (df, shingle) argmax tie-break. */
+  val selfJoinSizeSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |    FROM w WHERE len(w) >= 3)),
+       |df AS (
+       |  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(df * (df - 1) // 2) AS BIGINT) AS candidate_pairs,
+       |  max(df) AS max_df,
+       |  (SELECT shingle FROM df ORDER BY df DESC, shingle DESC LIMIT 1)
+       |    AS hot_shingle
+       |FROM df""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_source_report" -> (sourceReport _),
-    "q103_bitmap_distinct" -> (bitmapDistinct _))
+    "q103_bitmap_distinct" -> (bitmapDistinct _),
+    "q104_selfjoin_size" -> (selfJoinSize _))
 
   val oracles: Map[String, String] = Map(
     "q101_source_report" -> sourceReportSql,
-    "q103_bitmap_distinct" -> bitmapDistinctSql)
+    "q103_bitmap_distinct" -> bitmapDistinctSql,
+    "q104_selfjoin_size" -> selfJoinSizeSql)
 }

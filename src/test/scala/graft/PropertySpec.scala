@@ -155,6 +155,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q98 prefix filter is complete on random mutated corpora") {
+    // the PPJoin completeness THEOREM, exercised generatively: on random
+    // corpora with planted mutations, prefix-filtered output must equal
+    // the brute-force all-pairs Jaccard join exactly — both directions
+    (1 to 3).foreach { round =>
+      val docs = (1 to 30).map { i =>
+        val base = sample(docGen, round * 1000 + i)
+        if (i % 3 == 0) {
+          // mutate a previous doc lightly → likely J >= 0.6 pair
+          val w = sample(docGen, round * 1000 + i - 1).split(" ")
+          w.updated(0, "mutA").updated(1, "mutB").mkString(" ")
+        } else base
+      }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.prefixFilterJoinOf(df)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def shingles(s: String): Set[String] = {
+        val w = s.split(" ")
+        (1 to math.max(w.length - 2, 1)).map { k =>
+          Seq(w(k - 1), w(math.min(k, w.length - 1)),
+            w(math.min(k + 1, w.length - 1))).mkString(" ")
+        }.toSet
+      }
+      val sh = docs.map { case (id, t) => (id, shingles(t)) }
+      val brute = (for {
+        (ai, as) <- sh; (bi, bs) <- sh if ai < bi
+        inter = (as & bs).size
+        uni = as.size + bs.size - inter
+        if inter * Dedup.PfJacDen >= uni * Dedup.PfJacNum
+      } yield (ai, bi)).toSet
+      assert(got == brute,
+        s"round $round: prefix filter missed ${brute -- got} / extra ${got -- brute}")
+    }
+  }
+
+  test("q94 Morton interleave is a bijection on the 4-bit grid") {
+    // every (x, y) in [0,16)² maps to a unique z in [0,256) and the
+    // tile property holds: z div 16 determines (x div 4, y div 4)
+    def z(x: Int, y: Int): Int = (0 until 4).map { i =>
+      (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))
+    }.sum
+    val all = for { x <- 0 until 16; y <- 0 until 16 } yield (x, y, z(x, y))
+    assert(all.map(_._3).distinct.size == 256, "interleave not injective")
+    all.foreach { case (x, y, zz) =>
+      val zr = zz / 16
+      val xt = (((zr >> 2) & 1) * 2 + (zr & 1)) * 4
+      val yt = (((zr >> 3) & 1) * 2 + ((zr >> 1) & 1)) * 4
+      assert(x >= xt && x < xt + 4 && y >= yt && y < yt + 4,
+        s"($x,$y)→$zz escapes its tile")
+    }
+  }
+
+  test("q96 shard roll-up is the min-semilattice of its member shards") {
+    // Every position of shard (A ∪ B)'s signature is the min over both
+    // members' minima, so it must EQUAL A's value or B's value there —
+    // hence agreement(AB, A) + agreement(AB, B) >= 32 (positions where
+    // both achieve the min count twice, never zero). Random corpora.
+    (1 to 3).foreach { round =>
+      val a = (1 to 6).map(i => sample(docGen, round * 100 + i))
+      val b = (1 to 6).map(i => sample(docGen, round * 100 + 50 + i))
+      val df = (a.map(("A", _)) ++ b.map(("B", _)) ++
+        (a ++ b).map(("AB", _))).toDF("source", "text")
+      val rows = Dedup.shardSimilarityOf(df).collect().map(r =>
+        ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      def agree(x: String, y: String): Long =
+        rows.getOrElse((x, y), rows((y, x)))
+      assert(agree("AB", "A") + agree("AB", "B") >= 32,
+        s"round $round: union shard's minima achieved by neither member")
+    }
+  }
+
   test("Det.dstddev matches built-in stddev_samp within 1e-9 relative") {
     val li = graft.tables.Tables.lineitem(spark, sf)
     val rows = li.groupBy(col("l_returnflag"))

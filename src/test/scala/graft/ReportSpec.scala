@@ -38,6 +38,17 @@ class ReportSpec extends SparkSpec {
       "bitmap distinct diverges from countDistinct — the exactness claim")
   }
 
+  test("q104: predicted candidate pairs equals the join actually run") {
+    val predicted = Report.selfJoinSize(spark, sf).head.getLong(1)
+    val idx = graft.ext.Text.shingleIndexOf(Tables.documents(spark, sf))
+    val actual = idx.select(col("doc_id").as("a"), col("shingle"))
+      .join(idx.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .count()
+    assert(predicted == actual,
+      s"predicted $predicted != actual self-join output $actual")
+  }
+
   test("q102: lateral subquery equals the window top-N formulation") {
     import org.apache.spark.sql.expressions.Window
     val lateral = Advanced.q102LateralTopN(spark, sf).collect()
