@@ -212,6 +212,34 @@ object Advanced {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q105 — VARIANT-typed semi-structured access (Spark 4's native
+    * open-schema type): `parse_json` encodes the payload ONCE into the
+    * binary variant form; every field access is then a typed binary path
+    * lookup (`variant_get`), not a per-access string re-parse — the
+    * difference between q33's `get_json_object` (re-tokenizes the JSON
+    * text on every extraction) and a columnar semi-structured store. At
+    * 100 TB the variant encoding happens at INGEST and persists in
+    * parquet; this query exercises the full parse → typed-extract →
+    * aggregate path. The oracle recomputes the same values from the raw
+    * JSON — the variant layer must be value-invisible. */
+  def q105Variant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  val q105Sql: String =
+    """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
+      |  min(k) AS k_min, max(k) AS k_max
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -745,6 +773,7 @@ object Advanced {
     "q83_range_frame"   -> (q83RangeFrame _),
     "q100_skew_audit"   -> (q100SkewAudit _),
     "q102_lateral_topn" -> (q102LateralTopN _),
+    "q105_variant"      -> (q105Variant _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -766,6 +795,7 @@ object Advanced {
   val oracles: Map[String, String] = Map(
     "q100_skew_audit"   -> q100Sql,
     "q102_lateral_topn" -> q102Sql,
+    "q105_variant"      -> q105Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

@@ -151,4 +151,19 @@ class CoreQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q105: variant-typed extraction agrees with the string-JSON path") {
+    import org.apache.spark.sql.functions._
+    val viaVariant = graft.queries.Advanced.q105Variant(spark, sf)
+      .select("event_type", "n", "k_sum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaString = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("k_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaVariant === viaString,
+      "variant binary path diverges from get_json_object")
+  }
 }
