@@ -240,6 +240,67 @@ object Advanced {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q106 — rank-based winsorization audit: per event type, the exact
+    * 1%-tail order statistics — how many rows each tail clips (k = n/100
+    * by integer division) and the clip boundary values (the (k+1)-th
+    * order statistic from each end, ties broken by event_id). Rank-based
+    * rather than interpolated percentiles BY DESIGN: an interpolated
+    * p1/p99 is a float whose cross-engine equality is accidental, while
+    * "the k-th smallest value" is a single stored double — engine-exact.
+    *
+    * Scale: exact tail statistics require one sort per type partition —
+    * the honest cost of exactness (no prefilter can bound it without
+    * knowing the value distribution first; contrast q90, where the
+    * ranking key is a content hash known in advance). The production
+    * 100 TB path uses approx_percentile thresholds (q27) for the
+    * clipping itself and runs THIS query as the exactness audit on
+    * samples or at release gates. */
+  def q106Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val wLo = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wHi = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").desc)
+    val wN = Window.partitionBy(col("event_type"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn_lo", row_number().over(wLo))
+      .withColumn("rn_hi", row_number().over(wHi))
+      .withColumn("n", count(lit(1)).over(wN))
+      .groupBy(col("event_type"), expr("n div 100").as("k"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("rn_lo") <= expr("n div 100"), 1L).otherwise(0L))
+          .as("n_lo"),
+        sum(when(col("rn_hi") <= expr("n div 100"), 1L).otherwise(0L))
+          .as("n_hi"),
+        min(when(col("rn_lo") === expr("n div 100") + 1, col("value")))
+          .as("lo_val"),
+        max(when(col("rn_hi") === expr("n div 100") + 1, col("value")))
+          .as("hi_val"))
+      .select(col("event_type"), col("n"), col("k"), col("n_lo"),
+        col("n_hi"), col("lo_val"), col("hi_val"))
+      .orderBy(col("event_type"))
+  }
+
+  val q106Sql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn_lo,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id DESC) AS rn_hi,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(n // 100 AS BIGINT) AS k,
+      |  CAST(sum(CASE WHEN rn_lo <= n // 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_lo,
+      |  CAST(sum(CASE WHEN rn_hi <= n // 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hi,
+      |  min(CASE WHEN rn_lo = n // 100 + 1 THEN value END) AS lo_val,
+      |  max(CASE WHEN rn_hi = n // 100 + 1 THEN value END) AS hi_val
+      |FROM r GROUP BY event_type, n // 100
+      |ORDER BY event_type""".stripMargin
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -774,6 +835,7 @@ object Advanced {
     "q100_skew_audit"   -> (q100SkewAudit _),
     "q102_lateral_topn" -> (q102LateralTopN _),
     "q105_variant"      -> (q105Variant _),
+    "q106_winsorize"    -> (q106Winsorize _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -796,6 +858,7 @@ object Advanced {
     "q100_skew_audit"   -> q100Sql,
     "q102_lateral_topn" -> q102Sql,
     "q105_variant"      -> q105Sql,
+    "q106_winsorize"    -> q106Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

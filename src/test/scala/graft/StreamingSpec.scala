@@ -204,6 +204,40 @@ class StreamingSpec extends SparkSpec {
     assert(collected.size === batch.length, "dupes across micro-batches")
   }
 
+  test("streaming ingest gate restart: drops arriving while down are gated exactly once") {
+    import graft.ext.Corpus
+    import graft.streaming.DocStreams
+    val bucket = expr("pmod(conv(substring(md5(cast(doc_id as string))," +
+      " 1, 8), 16, 10), 1000)")
+    val docs = Tables.documents(spark, sf)
+    val incoming = docs.filter(bucket >= Corpus.IngestOldMax)
+      .localCheckpoint(eager = false) // two filtered writes below
+    val corpusShingles = graft.ext.Text.ngramIndexOf(
+        docs.filter(bucket < Corpus.IngestOldMax), 5)
+      .select(col("shingle")).distinct()
+    val dropsDir = Files.createTempDirectory("graft-drops2").toString
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt2").toString
+    incoming.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dropsDir)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = DocStreams.gatedIngest(
+      DocStreams.readDocStream(spark, dropsDir), corpusShingles, ckpt) {
+      (verdicts, _) =>
+        collected.synchronized {
+          collected ++= verdicts.select("doc_id").collect().map(_.getLong(0))
+        }
+    }
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // the next crawl drop lands while the gate is DOWN
+    incoming.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dropsDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val expected = incoming.select("doc_id").collect().map(_.getLong(0))
+    assert(collected.sorted.toSeq === expected.sorted.toSeq,
+      "restart lost or re-gated documents")
+  }
+
   test("streaming sessionization matches batch q16 session count") {
     val flushDir = eventsDir // second file into the same stream dir
     val q = EventStreams.sessionize(
