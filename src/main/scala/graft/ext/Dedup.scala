@@ -942,7 +942,51 @@ object Dedup {
        |WHERE inter * $PfJacDen >= (nsum - inter) * $PfJacNum
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- q107: cross-source duplication matrix -------------------------------
+
+  /** q107 — cross-source duplication matrix: the df-capped near-dup
+    * pairs (the q51 pipeline) rolled up to unordered source pairs — the
+    * EXACT pair-level companion to q96's signature-level shard estimate.
+    * Off-diagonal entries expose sources copying from each other
+    * (mirrors, syndication — candidates for source-level dedup before
+    * doc-level); diagonal entries are each source's internal duplication
+    * load. This is the relation that decides SOURCE-level curation
+    * (drop/merge a mirror) before any per-document work.
+    *
+    * Scale shape: rides the capped pair feed (Σdf² bounded by the q51
+    * cap); the source lookup re-attaches by doc id (two keyed joins of
+    * an id-only pair relation against an id→source projection); the
+    * matrix itself is ≤ #sources² rows. */
+  def sourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    Text.ngramJaccardCapped(s, dir)
+      .select(col("a_id"), col("b_id"))
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+        Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+        Seq("b_id"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** DuckDB spelling of [[sourceDupMatrix]]: the shared capped pair CTEs
+    * plus the same unordered source roll-up. */
+  def sourceDupMatrixSql: String =
+    s"""WITH $pairCtes,
+       |d AS (SELECT doc_id, source FROM documents)
+       |SELECT least(da.source, db.source) AS src_a,
+       |  greatest(da.source, db.source) AS src_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pairs
+       |JOIN d da ON da.doc_id = a_id
+       |JOIN d db ON db.doc_id = b_id
+       |GROUP BY 1, 2
+       |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_source_dup_matrix" -> (sourceDupMatrix _),
     "q98_prefix_filter_join" -> (prefixFilterJoin _),
     "q96_shard_similarity" -> (shardSimilarity _),
     "q86_link_prior" -> (linkPrior _),
@@ -961,6 +1005,7 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q107_source_dup_matrix" -> sourceDupMatrixSql,
     "q98_prefix_filter_join" -> prefixFilterJoinSql,
     "q96_shard_similarity" -> shardSimilaritySql,
     "q86_link_prior"      -> linkPriorSql,

@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions.col
 
 class DedupSpec extends SparkSpec {
 
+  test("q107: matrix cells partition the capped pair set exactly") {
+    val matrixTotal = graft.ext.Dedup.sourceDupMatrix(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).head.getLong(0)
+    val pairTotal = graft.ext.Text.ngramJaccardCapped(spark, sf).count()
+    assert(matrixTotal == pairTotal,
+      s"matrix counts $matrixTotal pairs but the feed has $pairTotal")
+  }
+
   test("q98: prefix filter finds EXACTLY the brute-force Jaccard>=0.6 pairs") {
     import org.apache.spark.sql.functions._
     // completeness is the algorithm's whole claim (unlike q24's estimate
