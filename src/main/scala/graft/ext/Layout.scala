@@ -44,11 +44,16 @@ object Layout {
     * relation is O(#files), never O(rows). At 100 TB the same Z
     * expression becomes the `repartitionByRange`/write-sort key; the
     * stats here are what the writer would publish per file. */
-  def zorderStats(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir).select(
+  def zorderStats(s: SparkSession, dir: String): DataFrame =
+    zorderStatsOf(Tables.orders(s, dir).select(
       col("o_custkey").as("x"),
       datediff(to_date(col("o_orderdate")),
-        to_date(lit("1970-01-01"))).cast("long").as("y"))
+        to_date(lit("1970-01-01"))).cast("long").as("y")))
+
+  /** [[zorderStats]] over any (x, y) long frame — split out so the
+    * property spec exercises the PRODUCTION interleave expression on the
+    * full grid, not a re-derivation of it. */
+  private[graft] def zorderStatsOf(base: DataFrame): DataFrame = {
     val bounds = base.agg(
       min(col("x")).as("minx"), max(col("x")).as("maxx"),
       min(col("y")).as("miny"), max(col("y")).as("maxy"))

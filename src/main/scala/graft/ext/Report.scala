@@ -148,8 +148,10 @@ object Report {
     * Scale shape: the df counts partial-agg map-side; the final aggregate
     * reduces to ONE row, and the hot-shingle argmax is min/max(struct) —
     * partial-aggregated, no window, no sort. df·(df−1) stays in long
-    * headroom to df ≈ 4.3·10⁹ documents sharing one shingle; widen to
-    * decimal(38,0) past that. */
+    * headroom to df ≈ 3.0·10⁹ (√Long.MaxValue), and the SUM across many
+    * hot shingles overflows earlier still — ANSI mode fails loudly
+    * rather than wrapping; widen the arithmetic to decimal(38,0) for
+    * corpora anywhere near that regime. */
   def selfJoinSize(s: SparkSession, dir: String): DataFrame =
     Text.shingleIndexOf(Tables.documents(s, dir))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))

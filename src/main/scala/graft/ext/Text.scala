@@ -460,7 +460,7 @@ object Text {
 
   /** [[md5Bucket]] at the per-mille modulus shared by q53, q55, q71, q77,
     * q89 and q90. */
-  private[ext] def md5Bucket1000(c: Column): Column = md5Bucket(c, 1000L)
+  private[graft] def md5Bucket1000(c: Column): Column = md5Bucket(c, 1000L)
 
   /** q53 — deterministic stratified sampling: md5(doc_id) mod 1000 under a
     * per-stratum rate (the majority 'en' class undersampled at 5%, other

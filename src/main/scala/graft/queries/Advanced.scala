@@ -256,26 +256,27 @@ object Advanced {
     * clipping itself and runs THIS query as the exactness audit on
     * samples or at release gates. */
   def q106Winsorize(s: SparkSession, dir: String): DataFrame = {
+    // ONE window sort: (value, event_id) is a total order (event_id
+    // unique), so the rank from the high end is exactly n + 1 − rn_lo —
+    // a second reversed window would re-sort every partition for a
+    // value that is already determined
     val wLo = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
-    val wHi = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").desc, col("event_id").desc)
     val wN = Window.partitionBy(col("event_type"))
     Tables.events(s, dir)
       .select(col("event_type"), col("value"), col("event_id"))
       .withColumn("rn_lo", row_number().over(wLo))
-      .withColumn("rn_hi", row_number().over(wHi))
       .withColumn("n", count(lit(1)).over(wN))
       .groupBy(col("event_type"), expr("n div 100").as("k"))
       .agg(max(col("n")).as("n"),
         sum(when(col("rn_lo") <= expr("n div 100"), 1L).otherwise(0L))
           .as("n_lo"),
-        sum(when(col("rn_hi") <= expr("n div 100"), 1L).otherwise(0L))
-          .as("n_hi"),
+        sum(when(col("rn_lo") > col("n") - expr("n div 100"), 1L)
+          .otherwise(0L)).as("n_hi"),
         min(when(col("rn_lo") === expr("n div 100") + 1, col("value")))
           .as("lo_val"),
-        max(when(col("rn_hi") === expr("n div 100") + 1, col("value")))
-          .as("hi_val"))
+        max(when(col("rn_lo") === col("n") - expr("n div 100"),
+          col("value"))).as("hi_val"))
       .select(col("event_type"), col("n"), col("k"), col("n_lo"),
         col("n_hi"), col("lo_val"), col("hi_val"))
       .orderBy(col("event_type"))
@@ -286,18 +287,16 @@ object Advanced {
       |  SELECT event_type, value,
       |    row_number() OVER (PARTITION BY event_type
       |      ORDER BY value, event_id) AS rn_lo,
-      |    row_number() OVER (PARTITION BY event_type
-      |      ORDER BY value DESC, event_id DESC) AS rn_hi,
       |    count(*) OVER (PARTITION BY event_type) AS n
       |  FROM events)
       |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
       |  CAST(n // 100 AS BIGINT) AS k,
       |  CAST(sum(CASE WHEN rn_lo <= n // 100 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_lo,
-      |  CAST(sum(CASE WHEN rn_hi <= n // 100 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_hi,
+      |  CAST(sum(CASE WHEN rn_lo > n - n // 100 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hi,
       |  min(CASE WHEN rn_lo = n // 100 + 1 THEN value END) AS lo_val,
-      |  max(CASE WHEN rn_hi = n // 100 + 1 THEN value END) AS hi_val
+      |  max(CASE WHEN rn_lo = n - n // 100 THEN value END) AS hi_val
       |FROM r GROUP BY event_type, n // 100
       |ORDER BY event_type""".stripMargin
 

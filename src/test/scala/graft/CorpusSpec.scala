@@ -80,8 +80,8 @@ class CorpusSpec extends SparkSpec {
   test("q99: gate covers the whole batch and every status fires") {
     val rows = Corpus.ingestGate(spark, sf).collect()
     val batchSize = Tables.documents(spark, sf)
-      .filter(expr("pmod(conv(substring(md5(cast(doc_id as string)), 1, 8)," +
-        s" 16, 10), 1000) >= ${Corpus.IngestOldMax}"))
+      .filter(graft.ext.Text.md5Bucket1000(col("doc_id")) >=
+        Corpus.IngestOldMax)
       .count()
     assert(rows.length == batchSize, "gate dropped or invented batch rows")
     val statuses = rows.map(_.getString(3)).toSet

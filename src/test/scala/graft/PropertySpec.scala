@@ -191,20 +191,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("q94 Morton interleave is a bijection on the 4-bit grid") {
-    // every (x, y) in [0,16)² maps to a unique z in [0,256) and the
-    // tile property holds: z div 16 determines (x div 4, y div 4)
-    def z(x: Int, y: Int): Int = (0 until 4).map { i =>
-      (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))
-    }.sum
-    val all = for { x <- 0 until 16; y <- 0 until 16 } yield (x, y, z(x, y))
-    assert(all.map(_._3).distinct.size == 256, "interleave not injective")
-    all.foreach { case (x, y, zz) =>
-      val zr = zz / 16
+  test("q94 Morton interleave is a bijection on the 4-bit grid (production expr)") {
+    // run the PRODUCTION zorderStatsOf on the full 16×16 grid (min 0,
+    // max 15 → bucket width 1, so buckets ARE coordinates): a correct
+    // interleave yields exactly 16 ranges × 16 rows, each an aligned
+    // 4×4 tile (min==tile corner, max==corner+3 on both axes)
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
+      .toDF("x", "y")
+    val rows = graft.ext.Layout.zorderStatsOf(grid).collect()
+    assert(rows.length == 16, s"${rows.length} z-ranges, expected 16")
+    assert(rows.map(_.getLong(1)).forall(_ == 16L),
+      "a z-range does not hold exactly one 4x4 tile — not a bijection")
+    rows.foreach { r =>
+      val zr = r.getLong(0)
       val xt = (((zr >> 2) & 1) * 2 + (zr & 1)) * 4
       val yt = (((zr >> 3) & 1) * 2 + ((zr >> 1) & 1)) * 4
-      assert(x >= xt && x < xt + 4 && y >= yt && y < yt + 4,
-        s"($x,$y)→$zz escapes its tile")
+      assert(r.getLong(2) == xt && r.getLong(3) == xt + 3 &&
+        r.getLong(4) == yt && r.getLong(5) == yt + 3,
+        s"z_range $zr is not the aligned tile at ($xt, $yt)")
     }
   }
 

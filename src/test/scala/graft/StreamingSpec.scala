@@ -174,8 +174,7 @@ class StreamingSpec extends SparkSpec {
     import graft.ext.Corpus
     import graft.streaming.DocStreams
     // incoming docs split into 3 "crawl drops" (3 files = 3 micro-batches)
-    val bucket = expr("pmod(conv(substring(md5(cast(doc_id as string))," +
-      " 1, 8), 16, 10), 1000)")
+    val bucket = graft.ext.Text.md5Bucket1000(col("doc_id"))
     val docs = Tables.documents(spark, sf)
     val incoming = docs.filter(bucket >= Corpus.IngestOldMax)
     val dropsDir = Files.createTempDirectory("graft-drops").toString
@@ -207,8 +206,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming ingest gate restart: drops arriving while down are gated exactly once") {
     import graft.ext.Corpus
     import graft.streaming.DocStreams
-    val bucket = expr("pmod(conv(substring(md5(cast(doc_id as string))," +
-      " 1, 8), 16, 10), 1000)")
+    val bucket = graft.ext.Text.md5Bucket1000(col("doc_id"))
     val docs = Tables.documents(spark, sf)
     val incoming = docs.filter(bucket >= Corpus.IngestOldMax)
       .localCheckpoint(eager = false) // two filtered writes below
@@ -227,7 +225,8 @@ class StreamingSpec extends SparkSpec {
           collected ++= verdicts.select("doc_id").collect().map(_.getLong(0))
         }
     }
-    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
     // the next crawl drop lands while the gate is DOWN
     incoming.filter(col("doc_id") % 2 === 1).coalesce(1)
       .write.mode("append").parquet(dropsDir)
