@@ -180,13 +180,82 @@ object Report {
        |    AS hot_shingle
        |FROM df""".stripMargin
 
+  // ---- q108: declarative data-quality rule suite ----------------------------
+
+  /** q108 — data-quality rule evaluation (the Deequ/dbt-test shape): a
+    * declarative rule set — range checks, referential integrity via
+    * anti-joins, key uniqueness — evaluated in one submission, emitting
+    * per-rule violation counts plus a deterministic sample key (the
+    * minimum violating key; NULL when the rule holds). Two rules fire on
+    * this corpus by design (negative account balances; the quantity-cap
+    * warn), so both the pass and fail paths are oracle-exercised.
+    *
+    * Scale shape: each rule is an independent aggregate over its own
+    * scan — counts partial-agg map-side, FK checks are keyed anti-joins
+    * (broadcast when the parent side is small), uniqueness is a
+    * group-HAVING; the union of 1-row results is free. At 100 TB the
+    * rules share scans via the usual multi-aggregate trick if submitted
+    * together — Catalyst already merges the three `orders` scans here
+    * under one exchange reuse. */
+  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val customer = Tables.customer(s, dir)
+    def rule(name: String, violations: DataFrame, key: String): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"),
+        min(col(key)).as("sample_key"))
+        .select(lit(name).as("rule"), col("n_violations"), col("sample_key"))
+    rule("customer_acctbal_nonnegative",
+        customer.filter(col("c_acctbal") < 0), "c_custkey")
+      .unionAll(rule("lineitem_orderkey_fk",
+        lineitem.join(orders, col("l_orderkey") === col("o_orderkey"),
+          "left_anti"), "l_orderkey"))
+      .unionAll(rule("lineitem_quantity_cap",
+        lineitem.filter(col("l_quantity") > 45), "l_orderkey"))
+      .unionAll(rule("orders_custkey_fk",
+        orders.join(customer, col("o_custkey") === col("c_custkey"),
+          "left_anti"), "o_orderkey"))
+      .unionAll(rule("orders_orderkey_unique",
+        orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1), "o_orderkey"))
+      .orderBy(col("rule"))
+  }
+
+  /** DuckDB spelling of [[qualityRules]]: the same rules as UNION ALL of
+    * scalar aggregates. */
+  val qualityRulesSql: String =
+    """SELECT 'customer_acctbal_nonnegative' AS rule,
+      |  CAST(count(*) AS BIGINT) AS n_violations,
+      |  min(c_custkey) AS sample_key
+      |FROM customer WHERE c_acctbal < 0
+      |UNION ALL
+      |SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT),
+      |  min(l_orderkey)
+      |FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'lineitem_quantity_cap', CAST(count(*) AS BIGINT),
+      |  min(l_orderkey)
+      |FROM lineitem WHERE l_quantity > 45
+      |UNION ALL
+      |SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT),
+      |  min(o_orderkey)
+      |FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'orders_orderkey_unique', CAST(count(*) AS BIGINT),
+      |  min(o_orderkey)
+      |FROM (SELECT o_orderkey FROM orders
+      |      GROUP BY o_orderkey HAVING count(*) > 1) t
+      |ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_source_report" -> (sourceReport _),
     "q103_bitmap_distinct" -> (bitmapDistinct _),
-    "q104_selfjoin_size" -> (selfJoinSize _))
+    "q104_selfjoin_size" -> (selfJoinSize _),
+    "q108_quality_rules" -> (qualityRules _))
 
   val oracles: Map[String, String] = Map(
     "q101_source_report" -> sourceReportSql,
     "q103_bitmap_distinct" -> bitmapDistinctSql,
-    "q104_selfjoin_size" -> selfJoinSizeSql)
+    "q104_selfjoin_size" -> selfJoinSizeSql,
+    "q108_quality_rules" -> qualityRulesSql)
 }
