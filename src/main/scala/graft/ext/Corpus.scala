@@ -477,7 +477,54 @@ object Corpus {
        |WHERE b.bucket >= $IngestOldMax
        |ORDER BY b.doc_id""".stripMargin
 
+  // ---- q109: delta-maintained aggregates ----------------------------------
+
+  /** q109 — incremental aggregate maintenance: the per-source stats
+    * relation maintained as (previous release's aggregate) ⊕ (delta
+    * batch's aggregate), where ⊕ is a full-outer merge over the group
+    * key with sums added and counts added — never a recompute over the
+    * already-aggregated 90%. The query registers the MERGED result; the
+    * oracle computes the same relation from the full corpus in one pass,
+    * so the maintenance algebra must be value-invisible (sums/counts are
+    * a commutative monoid — the same property that makes partial
+    * aggregation correct makes release-over-release maintenance
+    * correct).
+    *
+    * Scale shape: at 100 TB the "old" side is a persisted #sources-row
+    * relation read back in milliseconds; only the delta batch is
+    * scanned. The merge is a join of two #sources-row relations. This
+    * completes the incremental family: q67 (top-k refresh), q89
+    * (snapshot diff), q99 (ingest gate), q109 (stats maintenance). */
+  def deltaAggMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bucket = Text.md5Bucket1000(col("doc_id"))
+    def aggOf(part: DataFrame): DataFrame = part
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val old = aggOf(docs.filter(bucket < IngestOldMax))
+      .withColumnsRenamed(Map("n_docs" -> "od", "n_tokens" -> "ot"))
+    val delta = aggOf(docs.filter(bucket >= IngestOldMax))
+      .withColumnsRenamed(Map("n_docs" -> "dd", "n_tokens" -> "dt"))
+    old.join(delta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("od"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("ot"), lit(0L)) + coalesce(col("dt"), lit(0L)))
+          .as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** The oracle recomputes from scratch — maintenance must be invisible. */
+  val deltaAggMaintenanceSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_delta_agg" -> (deltaAggMaintenance _),
     "q99_ingest_gate" -> (ingestGate _),
     "q78_repetition" -> (repetition _),
     "q79_boilerplate_scrub" -> (boilerplateScrub _),
@@ -486,6 +533,7 @@ object Corpus {
     "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q109_delta_agg" -> deltaAggMaintenanceSql,
     "q99_ingest_gate" -> ingestGateSql,
     "q78_repetition" -> repetitionSql,
     "q79_boilerplate_scrub" -> boilerplateScrubSql,
