@@ -300,6 +300,77 @@ object Advanced {
       |FROM r GROUP BY event_type, n // 100
       |ORDER BY event_type""".stripMargin
 
+  /** q110 — frequent itemset pairs (the first level of market-basket /
+    * FP-growth mining): baskets are the DISTINCT event types a user
+    * exhibits per day; every unordered type pair's support is counted
+    * corpus-wide. Pairs are generated IN-ROW from each basket's sorted
+    * type set (nested transform over index pairs) — baskets are tiny
+    * (≤ #types), so the pair explosion is basket-local and the only
+    * exchange carries (pair, partial count), bounded by #types² — the
+    * q93 shape applied to sets instead of sequences. The oracle uses
+    * the equivalent self-join spelling. */
+  def q110ItemsetPairs(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct()
+      .groupBy(col("user_id"), col("d"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    baskets
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => transform(sequence(i + 1, size(col("ts"))),
+          j => struct(element_at(col("ts"), i).as("ta"),
+            element_at(col("ts"), j).as("tb")))))).as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val q110Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      |  FROM events)
+      |SELECT a.event_type AS ta, b.event_type AS tb,
+      |  CAST(count(*) AS BIGINT) AS support
+      |FROM t a JOIN t b
+      |  ON a.user_id = b.user_id AND a.d = b.d
+      |  AND a.event_type < b.event_type
+      |GROUP BY 1, 2
+      |ORDER BY ta, tb""".stripMargin
+
+  /** q111 — behavioral transition matrix (first-order Markov counts):
+    * for each user's event sequence in (ts, event_id) order, count every
+    * consecutive (from_type → to_type) transition corpus-wide — the
+    * relation session-flow and funnel-discovery analyses start from
+    * (q73's funnel checks ONE fixed path; this materializes all edges).
+    * One shuffle by user for the sequence window — inherent to
+    * order-sensitive analytics — then the transition counts
+    * partial-aggregate into ≤ #types² rows. */
+  def q111Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q111Sql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events)
+      |SELECT event_type AS from_type, nxt AS to_type,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM s WHERE nxt IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY from_type, to_type""".stripMargin
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -835,6 +906,8 @@ object Advanced {
     "q102_lateral_topn" -> (q102LateralTopN _),
     "q105_variant"      -> (q105Variant _),
     "q106_winsorize"    -> (q106Winsorize _),
+    "q110_itemset_pairs" -> (q110ItemsetPairs _),
+    "q111_transitions"  -> (q111Transitions _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -858,6 +931,8 @@ object Advanced {
     "q102_lateral_topn" -> q102Sql,
     "q105_variant"      -> q105Sql,
     "q106_winsorize"    -> q106Sql,
+    "q110_itemset_pairs" -> q110Sql,
+    "q111_transitions"  -> q111Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,
