@@ -179,6 +179,19 @@ class PlanShapeSpec extends SparkSpec {
       s"no map-side combine for key counts:\n$p")
   }
 
+  test("q110: itemset pairs never self-join or window the basket index") {
+    val p = plan(graft.queries.Advanced.q110ItemsetPairs(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"in-row pair generation degraded to a join:\n$p")
+    assert(!p.contains("Window"), s"window appeared in basket mining:\n$p")
+  }
+
+  test("q111: transition counts partial-aggregate after the one sequence window") {
+    val p = plan(graft.queries.Advanced.q111Transitions(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side combine for transition counts:\n$p")
+  }
+
   test("q96: shard minima partial-aggregate before the exchange") {
     val p = plan(graft.ext.Dedup.shardSimilarity(spark, sf))
     assert(p.contains("partial_min") || p.contains("partial min"),
