@@ -144,8 +144,12 @@ object Dedup {
     val mins = perms.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $p))"
     }.mkString(",\n      ")
+    // WHERE text IS NOT NULL matches Spark's null-dropping: PortableMinHash
+    // of a NULL text is a NULL signature and posexplode drops the row, so a
+    // source whose docs are ALL NULL must vanish from BOTH engines alike
     s"""words AS (
-       |  SELECT $key, string_split(text, ' ') AS w FROM documents),
+       |  SELECT $key, string_split(text, ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL),
        |sh AS (
        |  SELECT $key, list_distinct(list_transform(
        |    range(1, greatest(len(w) - 2, 1) + 1),
@@ -851,7 +855,9 @@ object Dedup {
     * traffic was the whole cost at sf0.1), and the hashed intersection
     * count equals the string count unless two of the corpus's distinct
     * shingles collide in 2^60 (P ≈ V²/2^61; at V = 10⁹ shingles widen to
-    * two independent 60-bit hashes — the structure is unchanged). */
+    * two independent 60-bit hashes — the structure is unchanged). The
+    * DuckDB oracle hashes with the SAME md5 prefix, so even a collision
+    * cannot make the engines diverge — both see identical values. */
   def prefixFilterJoinOf(docs: DataFrame): DataFrame = {
     // the exploded (doc_id, shingle) index is built ONCE and checkpointed
     // (it feeds the df counts AND the rarity sort); the INNER barrier after
@@ -920,7 +926,9 @@ object Dedup {
        |  FROM w),
        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
        |sorted AS (
-       |  SELECT doc_id, list(s.tok ORDER BY df, s.tok) AS toks,
+       |  SELECT doc_id,
+       |    list(('0x' || substr(md5(s.tok), 1, 15))::BIGINT
+       |      ORDER BY df, s.tok) AS toks,
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM sh s JOIN df USING (tok) GROUP BY doc_id),
        |pref AS (

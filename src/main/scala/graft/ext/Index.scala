@@ -91,20 +91,32 @@ object Index {
     * bounded by distinct-pair cardinality ≤ V²·[[MaxSkip]] — vocabulary-
     * squared, independent of corpus size. The support filter then cuts
     * the long tail, exactly like a count-based phrase-table prune. */
-  def skipgramPairs(s: SparkSession, dir: String): DataFrame = {
+  def skipgramPairs(s: SparkSession, dir: String): DataFrame =
+    skipgramPairsOf(Tables.documents(s, dir))
+
+  /** [[skipgramPairs]] over any frame with a `text` column — split out so
+    * the spec can plant short (2-token) documents, where the per-offset
+    * guard below is load-bearing. */
+  def skipgramPairsOf(docs: DataFrame): DataFrame = {
     val w = col("w")
     val pairsAtOffsets = flatten(array((1 to MaxSkip).map { off =>
-      transform(sequence(lit(1), greatest(size(w) - off, lit(0))),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + off)))
+      // guard: sequence(1, 0) is DESCENDING [1, 0] in Spark (default
+      // step −1), so an unguarded stop of size−off would evaluate
+      // element_at(w, 0) — a runtime error — on docs shorter than
+      // off+1 tokens; the branch only runs when stop >= 1
+      when(size(w) > off,
+        transform(sequence(lit(1), size(w) - off),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + off))))
+        .otherwise(array().cast("array<string>"))
     }: _*))
-    Tables.documents(s, dir)
+    docs
       .select(tokens(col("text")).as("w"))
       // barrier: CollapseProject otherwise inlines split() into the
       // pair lambdas' element_at calls — O(L²) re-split per element
       .localCheckpoint(eager = false)
       // >= 2, not > MaxSkip: a 2-token doc still owns a valid offset-1
-      // pair; the per-offset sequence already emits nothing for offsets
-      // past a doc's length (greatest(size − off, 0))
+      // pair; offsets past a doc's length yield an empty array via the
+      // size(w) > off guard above
       .filter(size(w) >= 2)
       .select(explode(pairsAtOffsets).as("pair"))
       .groupBy(col("pair"))

@@ -80,6 +80,23 @@ class IndexLayoutSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("q93: 2-token docs survive the per-offset guard (no sequence(1,0))") {
+    // regression pin: for a 2-token doc at offset 2, an unguarded
+    // sequence(1, size-off) is sequence(1, 0) = DESCENDING [1, 0] and
+    // element_at(w, 0) throws at runtime; the guard must emit nothing
+    // for offsets past the doc's length instead
+    import SparkSpec.spark.implicits._
+    val docs = (Seq.fill(Index.MinSupport.toInt)("a b") ++
+      Seq.fill(Index.MinSupport.toInt)("c d e")).toDF("text")
+    val got = Index.skipgramPairsOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // "a b" docs own exactly one offset-1 pair; "c d e" adds (c,d),(d,e)
+    // at offset 1 and (c,e) at offset 2 — all at support = MinSupport
+    assert(got.toSet == Set(
+      ("a", "b", Index.MinSupport), ("c", "d", Index.MinSupport),
+      ("c", "e", Index.MinSupport), ("d", "e", Index.MinSupport)))
+  }
+
   // ---- q94 -----------------------------------------------------------------
 
   test("q94: every z-range is a tight tile (spread <= 3 on both axes)") {
@@ -135,6 +152,20 @@ class IndexLayoutSpec extends SparkSpec {
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(sim(("sA", "sB")) == 32L, "identical shards must agree on all minima")
     assert(sim(("sA", "sC")) < 32L, "distinct shards should not fully agree")
+  }
+
+  test("q96: a source whose docs are ALL NULL-text vanishes (both engines)") {
+    // engine-divergence pin: PortableMinHash of NULL text is a NULL
+    // signature and posexplode drops the row — the oracle's words CTE
+    // filters text IS NOT NULL to match, so both engines drop the source
+    import SparkSpec.spark.implicits._
+    val planted = (
+      Seq(("sA", "x y z w v"), ("sB", "x y z w v")) ++
+      Seq(("sNull", null: String), ("sNull", null: String))
+    ).toDF("source", "text")
+    val srcs = Dedup.shardSimilarityOf(planted).collect()
+      .flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(srcs == Set("sA", "sB"), s"NULL-text source leaked into: $srcs")
   }
 
   test("q96: covers all source pairs with agreement in [0, 32]") {
