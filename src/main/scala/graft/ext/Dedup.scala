@@ -613,6 +613,87 @@ object Dedup {
       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q112: incremental dedup-cluster maintenance ------------------------
+
+  /** q112 — incremental dedup-cluster maintenance: a new crawl drop's
+    * near-dup pairs merged into the PREVIOUS release's stored
+    * (doc_id, cluster_id) labels, never a CC recompute over the whole
+    * corpus — the operation a continuously-ingesting pipeline runs per
+    * drop, where q57's from-scratch clustering is a release-time job.
+    * The drop here is q99's ingest batch (doc_id md5-bucket ≥
+    * [[Corpus.IngestOldMax]]); the "stored" relation is the previous
+    * release's clustering of everything older.
+    *
+    * The merge is CC over a CONTRACTED graph: each drop pair's endpoints
+    * map through the stored labels (an old doc is represented by its
+    * cluster id; a doc the previous release never saw represents
+    * itself), so existing clusters become super-nodes and the graph
+    * solved per drop is |touched clusters| + |drop docs| — NOT corpus-
+    * sized. Because stored cluster ids are their clusters' min doc ids,
+    * the contracted component minimum IS the merged component's global
+    * min doc id: the output is bit-identical to a full recompute —
+    * including the hard case where one new doc BRIDGES two existing
+    * clusters (both super-nodes land in one contracted component and
+    * every member of both clusters relabels to the joint min).
+    *
+    * Scale shape: at 100 TB the stored labels are a persisted relation
+    * read back, not recomputed (recomputed here only because a query
+    * takes one input dir); the drop's pairs come from the q99-shape join
+    * of the drop against the persisted shingle index — drop-sized, not
+    * corpus-sized. The contracted CC input is tiny (near-dup pairs of
+    * one drop), and re-labeling the stored relation is ONE broadcast-
+    * sized left join (untouched clusters coalesce to their old label) —
+    * the only corpus-sized relation in the whole maintenance pass is
+    * scanned once, shuffled never. */
+  def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    def isNew(c: Column) = Text.md5Bucket1000(c) >= Corpus.IngestOldMax
+    // one pair-pipeline pass, split by drop membership in-row (newness is
+    // a pure function of the id — no membership join)
+    val pairs = dedupClusterPairs(s, dir).localCheckpoint(eager = false)
+    val oldPairs = pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val dropPairs = pairs.filter(isNew(col("a_id")) || isNew(col("b_id")))
+    // the previous release's stored labels (persisted in production)
+    val stored = connectedComponents(oldPairs)
+    incrementalClusterMerge(stored, dropPairs).orderBy(col("doc_id"))
+  }
+
+  /** The maintenance algebra of [[incrementalClusters]] over explicit
+    * relations — stored (doc_id, cluster_id) labels ⊕ a drop's
+    * (a_id, b_id) near-dup pairs — split out so the spec can drive
+    * multi-drop sequences and assert each release equals the
+    * from-scratch clustering of everything seen so far. */
+  def incrementalClusterMerge(stored: DataFrame,
+      dropPairs: DataFrame): DataFrame = {
+    val la = stored.select(col("doc_id").as("a_id"), col("cluster_id").as("la"))
+    val lb = stored.select(col("doc_id").as("b_id"), col("cluster_id").as("lb"))
+    // contract: endpoint → its stored cluster id; docs unknown to the
+    // previous release (the drop's docs, and old docs that never had a
+    // pair) represent themselves. Same-cluster pairs collapse to loops
+    // and are dropped — they cannot change connectivity.
+    val contracted = dropPairs
+      .join(la, Seq("a_id"), "left")
+      .join(lb, Seq("b_id"), "left")
+      .select(coalesce(col("la"), col("a_id")).as("a_id"),
+        coalesce(col("lb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    // CC over the contracted graph only: labels = merged component mins
+    val merged = connectedComponents(contracted)
+    val relabel = merged
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("newl"))
+    // stored docs: relabel through their cluster's super-node; clusters
+    // the drop never touched coalesce to their old label (≡ broadcasting
+    // only the changed-cluster delta against the persisted relation)
+    val oldSide = stored.join(relabel, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newl"), col("cluster_id")).as("cluster_id"))
+    // contracted nodes that are NOT stored cluster ids are docs new to
+    // the clustering (drop docs, previously-unpaired old docs)
+    val newSide = merged.join(
+      stored.select(col("cluster_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    oldSide.unionByName(newSide)
+  }
+
   /** q68 — duplicate-graph triangle census: node/edge counts and the
     * number of triangles in the df-capped near-dup pair graph. Triangle
     * density distinguishes genuine duplicate CLUSTERS (cliquish — a~b,
@@ -994,6 +1075,7 @@ object Dedup {
        |ORDER BY src_a, src_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_incremental_clusters" -> (incrementalClusters _),
     "q107_source_dup_matrix" -> (sourceDupMatrix _),
     "q98_prefix_filter_join" -> (prefixFilterJoin _),
     "q96_shard_similarity" -> (shardSimilarity _),
@@ -1013,6 +1095,10 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    // q112's oracle is q57's FULL-recompute CC: incremental maintenance
+    // must be value-invisible (the q109 pattern) — the merged labels are
+    // only right if they equal clustering the whole corpus from scratch
+    "q112_incremental_clusters" -> dedupClustersSql,
     "q107_source_dup_matrix" -> sourceDupMatrixSql,
     "q98_prefix_filter_join" -> prefixFilterJoinSql,
     "q96_shard_similarity" -> shardSimilaritySql,

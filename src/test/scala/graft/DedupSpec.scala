@@ -100,6 +100,40 @@ class DedupSpec extends SparkSpec {
     assert(ccDist === expected)
   }
 
+  test("q112: multi-drop incremental merge equals from-scratch CC each release") {
+    // full pair universe: {1,2,3} and {4,5} are clusters among the base
+    // docs; drop 1 (docs 6,7) extends {4,5} and starts {6? no — 7~6};
+    // drop 2 (doc 0) BRIDGES {1,2,3} and {4,...} through 3~0~5 — the
+    // hard case, where one new doc merges two existing clusters and
+    // every member of both must relabel to the joint min (0)
+    val base = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+    val drop1 = Seq((5L, 6L), (6L, 7L))
+    val drop2 = Seq((3L, 0L), (0L, 5L))
+    def cc(ps: Seq[(Long, Long)]) =
+      Dedup.connectedComponents(ps.toDF("a_id", "b_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored0 = Dedup.connectedComponents(base.toDF("a_id", "b_id"))
+    val rel1 = Dedup.incrementalClusterMerge(stored0, drop1.toDF("a_id", "b_id"))
+    val got1 = rel1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 === cc(base ++ drop1), "release 1 diverges from recompute")
+    // second drop seeds from release 1's MERGED labels, not from scratch
+    val rel2 = Dedup.incrementalClusterMerge(rel1, drop2.toDF("a_id", "b_id"))
+    val got2 = rel2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === cc(base ++ drop1 ++ drop2),
+      "release 2 diverges from recompute")
+    // the bridge really merged: everything except the untouched pair is 0
+    assert(got2 === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
+  test("q112: registered query equals q57's from-scratch clustering") {
+    val inc = Dedup.incrementalClusters(spark, sf)
+    val full = Dedup.dedupClusters(spark, sf)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental maintenance is not value-invisible")
+    assert(inc.count() > 0)
+  }
+
   test("distributed CC fails loudly when the round cap is hit unconverged") {
     // diameter-10 chain, round cap 3: returning the half-propagated labels
     // would be silently wrong, so the loop must throw instead
