@@ -18,6 +18,17 @@ object SparkEntry {
       Dedup.queries ++ Multimodal.queries ++ Corpus.queries ++
       Linkage.queries ++ Index.queries ++ Layout.queries ++ Report.queries
 
+  /** Keys in [[queries]] that are deliberate EXACTNESS BASELINES, not
+    * production paths: quadratic all-pairs formulations kept as the
+    * oracle/recall reference for their scalable twins. Do not run these
+    * raw at scale — use the twin instead:
+    *   - q23 (uncapped Σdf² shingle self-join) → q51 df-capped or q98
+    *     prefix-filtered; q23 additionally refuses to run when q104's
+    *     candidate-pair prediction exceeds [[graft.ext.Text.UncappedPairBound]]
+    *   - q42 (embedding crossJoin) → q49 LSH-bucketed near-dup */
+  val baselines: Set[String] =
+    Set("q23_ngram_jaccard", "q42_embedding_neardup")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

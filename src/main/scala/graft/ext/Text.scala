@@ -186,8 +186,45 @@ object Text {
   def ngramJaccardOf(docs: DataFrame, minJ: Double): DataFrame =
     jaccardFromIndex(shingleIndexOf(docs), minJ)
 
+  /** Candidate pairs above which [[ngramJaccard]] refuses to run raw.
+    * 2³¹ pairs ≈ the point where the uncapped Σdf² self-join stops being
+    * an affordable exactness baseline on any single cluster. */
+  val UncappedPairBound: Long = 1L << 31
+
+  /** Σ df·(df−1)/2 over the shingle index — q104's prediction as a
+    * pre-flight scalar: the EXACT number of candidate pairs the uncapped
+    * self-join would generate, computed by one partial-aggregated scan
+    * before any quadratic work. */
+  private[graft] def predictedCandidatePairs(docs: DataFrame): Long = {
+    val r = shingleIndexOf(docs)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(expr("sum(df * (df - 1) div 2)").as("p")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** q23 — UNCAPPED n-gram Jaccard: the exactness BASELINE
+    * ([[SparkEntry.baselines]]) beside the production twins q51
+    * (df-capped) and q98 (prefix-filtered exact). Its Σdf² self-join is
+    * unbounded on a corpus with a hot shingle, so it GUARDS itself: the
+    * q104 candidate-pair prediction runs first (one cheap aggregated
+    * scan) and the query refuses to start the quadratic stage past
+    * [[UncappedPairBound]], naming the twins to use instead. At test
+    * scale the prediction is ~10⁴, so the oracle path never trips. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardOf(Tables.documents(s, dir), 0.12)
+    ngramJaccardGuardedOf(Tables.documents(s, dir), 0.12, UncappedPairBound)
+
+  /** [[ngramJaccard]] with an explicit bound, so the spec can force the
+    * refusal on a small corpus. */
+  def ngramJaccardGuardedOf(docs: DataFrame, minJ: Double,
+      bound: Long): DataFrame = {
+    val predicted = predictedCandidatePairs(docs)
+    if (predicted > bound) throw new IllegalStateException(
+      s"uncapped n-gram Jaccard (q23) would generate $predicted candidate " +
+        s"pairs (> $bound): this query is an exactness baseline — use the " +
+        "df-capped path (q51/ngramJaccardCapped) or the prefix-filtered " +
+        "exact join (q98/prefixFilterJoin) at this scale")
+    ngramJaccardOf(docs, minJ)
+  }
 
   /** df-cap applied to [[ngramJaccard]]'s inverted index. */
   val DfCap = 20

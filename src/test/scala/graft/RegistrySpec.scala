@@ -30,4 +30,20 @@ class RegistrySpec extends SparkSpec {
     val bad = SparkEntry.queries.keySet.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-conforming keys: $bad")
   }
+
+  test("baselines are registered queries and their production twins exist") {
+    assert(SparkEntry.baselines.subsetOf(SparkEntry.queries.keySet),
+      "baseline flag names an unregistered query")
+    // exactly the two deliberate quadratic formulations, nothing else
+    assert(SparkEntry.baselines ===
+      Set("q23_ngram_jaccard", "q42_embedding_neardup"))
+    // each baseline's scalable twin is itself registered
+    assert(SparkEntry.queries.contains("q51_jaccard_capped") ||
+      SparkEntry.queries.keySet.exists(_.startsWith("q51_")),
+      "q23's df-capped twin missing")
+    assert(SparkEntry.queries.keySet.exists(_.startsWith("q98_")),
+      "q23's prefix-filtered twin missing")
+    assert(SparkEntry.queries.keySet.exists(_.startsWith("q49_")),
+      "q42's LSH twin missing")
+  }
 }

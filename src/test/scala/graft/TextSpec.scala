@@ -213,4 +213,19 @@ class TextSpec extends SparkSpec {
       assert(perStratum(lang) === math.min(Text.QuotaK, n),
         s"$lang quota: got ${perStratum(lang)}, stratum size $n")
   }
+
+  test("q23 guard: refuses the quadratic stage past the pair bound") {
+    // 30 identical 5-token docs: 3 distinct shingles, each df = 30 →
+    // predicted pairs = 3 · 30·29/2 = 1305
+    val docs = Seq.tabulate(30)(i => (i.toLong, "x y z w v"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      Text.ngramJaccardGuardedOf(docs, 0.12, bound = 100L)
+    }
+    // the refusal must point at BOTH production twins
+    assert(ex.getMessage.contains("q51") && ex.getMessage.contains("q98"))
+    // under the bound the guard is invisible: all 435 identical pairs
+    val ok = Text.ngramJaccardGuardedOf(docs, 0.12, bound = 10000L)
+    assert(ok.count() === 30L * 29 / 2)
+  }
 }
