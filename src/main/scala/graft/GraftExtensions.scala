@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, LangId, PortableSimHash, RollingHash, SimHash, SquaredDistance}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, LangId, PortableSimHash, RollingHash, SimHash, SortedIntersectCount, SquaredDistance}
 
 /** Session-build-time registration of the engine's custom Catalyst
   * expressions (the `SparkSessionExtensions` integration point — SURVEY.md
@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("lang_id",
       "lang_id(s) - stopword-profile language identification",
       es => LangId(es.head)))
+    e.injectFunction(fn("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - intersection size of two value-sorted long arrays",
+      es => SortedIntersectCount(es(0), es(1))))
     e.injectFunction(fn("portable_simhash",
       "portable_simhash(s) - 60-bit engine-portable SimHash fingerprint",
       es => PortableSimHash(es.head)))

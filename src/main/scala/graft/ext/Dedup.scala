@@ -960,6 +960,9 @@ object Dedup {
       .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
         x => conv(substring(md5(x.getField("tok")), 1, 15), 16, 10)
           .cast("long")).as("toks"), count(lit(1)).as("n"))
+      // vt = the same hashes VALUE-sorted, for the two-pointer verify
+      // kernel (toks stays rarity-sorted — the prefix slice needs it)
+      .withColumn("vt", array_sort(col("toks")))
       .localCheckpoint(eager = false) // feeds prefix AND both verify sides
     // prefix length |d| − ⌈t·|d|⌉ + 1, all integer arithmetic
     val plen = (col("n") -
@@ -981,12 +984,17 @@ object Dedup {
         least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
       .select(col("a_id"), col("b_id")).distinct()
     cand
-      .join(sorted.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+      .join(sorted.select(col("doc_id").as("a_id"), col("vt").as("ta"),
         col("n").as("na")), Seq("a_id"))
-      .join(sorted.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+      .join(sorted.select(col("doc_id").as("b_id"), col("vt").as("tb"),
         col("n").as("nb")), Seq("b_id"))
-      .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      // allocation-free two-pointer merge instead of
+      // size(array_intersect(...)): no per-pair hash set, no intersection
+      // array materialized just to measure its length (2.3 s → the merge
+      // is the verify at sf0.1)
+      .withColumn("inter", Shim.column(org.apache.spark.sql.graft
+        .SortedIntersectCount(Shim.expression(col("ta")),
+          Shim.expression(col("tb")))))
       .filter(col("inter") * PfJacDen >=
         (col("na") + col("nb") - col("inter")) * PfJacNum)
       .select(col("a_id"), col("b_id"), col("inter"),

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Cosine similarity over two `array<float>` embedding columns as a native
   * Catalyst expression with whole-stage codegen.
@@ -134,6 +134,81 @@ case class SquaredDistance(left: Expression, right: Expression)
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $d; }
          |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection SIZE of two value-sorted `array<long>` columns as a
+  * two-pointer merge — the q98 verify kernel.
+  *
+  * `size(array_intersect(a, b))` builds a hash set and materializes the
+  * intersection ARRAY per row pair, only to take its length; over the
+  * ~190k candidate pairs of a prefix-filter join that allocation is the
+  * whole verify cost (measured 2.3 s of q98's 5.2 s at sf0.1). The merge
+  * needs no allocation at all: one linear pass, whole-stage-codegen'd.
+  *
+  * PRECONDITION: both arrays sorted ascending (the caller attaches
+  * `array_sort`ed hashed-shingle arrays). Equal-value RUNS are skipped
+  * past on a match, so duplicate elements count once — identical to
+  * `array_intersect`'s set semantics, making the swap value-invisible
+  * even if a caller feeds non-distinct arrays. NULL array → NULL; a NULL
+  * element (impossible for the md5-hash arrays, possible via SQL) → NULL
+  * rather than a plausible partial count. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        c += 1
+        val v = xv
+        while (i < nx && !x.isNullAt(i) && x.getLong(i) == v) i += 1
+        while (j < ny && !y.isNullAt(j) && y.getLong(j) == v) j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val v = ctx.freshName("v")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else {
+         |    $c++;
+         |    long $v = $xv;
+         |    while ($i < $nx && !$x.isNullAt($i) && $x.getLong($i) == $v) $i++;
+         |    while ($j < $ny && !$y.isNullAt($j) && $y.getLong($j) == $v) $j++;
+         |  }
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $c; }
        """.stripMargin
     })
 

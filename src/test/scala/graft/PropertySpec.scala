@@ -231,6 +231,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on random arrays") {
+    // the q98 verify kernel must be value-invisible vs the built-in it
+    // replaces — including DUPLICATE elements (counted once, set
+    // semantics) and empty arrays; arrays arrive value-sorted as in q98
+    import org.apache.spark.sql.functions._
+    val arrGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 20L))).map(_.sorted)
+    val pairs = (1 to 40).map(i =>
+      (sample(arrGen, i.toLong), sample(arrGen, i + 1000L)))
+    import org.apache.spark.sql.graft.{Shim, SortedIntersectCount}
+    val df = pairs.toDF("a", "b")
+      .withColumn("fast", Shim.column(SortedIntersectCount(
+        Shim.expression(col("a")), Shim.expression(col("b")))))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))).cast("long"))
+    val bad = df.filter(col("fast") =!= col("ref")).collect()
+    assert(bad.isEmpty, s"kernel diverges from array_intersect: ${bad.toSeq}")
+  }
+
   test("Det.dstddev matches built-in stddev_samp within 1e-9 relative") {
     val li = graft.tables.Tables.lineitem(spark, sf)
     val rows = li.groupBy(col("l_returnflag"))
