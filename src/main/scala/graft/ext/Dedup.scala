@@ -85,13 +85,19 @@ object Dedup {
   /** Candidate near-dup pairs with MinHash-estimated Jaccard ≥ minEst,
     * from a precomputed (doc_id, sig) frame.
     * est is k/P (exact rational in double) → deterministic output. */
-  def minhashPairsFromSignatures(sig: DataFrame, minEst: Double): DataFrame = {
-    // band rows: (band_idx, band_signature=concat of Rows minhashes)
-    val banded = sig.select(col("doc_id"), col("sig"),
+  /** (doc_id, sig, band, band_sig) band rows of a (doc_id, sig) frame:
+    * band_sig = "_"-joined minhashes of the band's [[Rows]] rows. Shared
+    * by the pair join (q24) and the admission gate (q113). */
+  private def bandedOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until Bands).map { bnd =>
         concat_ws("_", (0 until Rows).map(r =>
           element_at(col("sig"), bnd * Rows + r + 1)): _*)
       }: _*)).as(Seq("band", "band_sig")))
+
+  def minhashPairsFromSignatures(sig: DataFrame, minEst: Double): DataFrame = {
+    // band rows: (band_idx, band_signature=concat of Rows minhashes)
+    val banded = bandedOf(sig)
     val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
       col("band"), col("band_sig"))
     val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
@@ -694,6 +700,86 @@ object Dedup {
     oldSide.unionByName(newSide)
   }
 
+  // ---- q113: MinHash-banding admission gate --------------------------------
+
+  /** q113 — near-dup ADMISSION gate by MinHash banding: each incoming
+    * document is checked against the existing corpus's persisted BAND
+    * index (distinct (band, band_sig) buckets of the corpus signatures)
+    * and flagged `near_dup` on any band collision, else `accepted` —
+    * q99's ingest gate with LSH economics. The q99 shingle-overlap gate
+    * ships every distinct corpus shingle into the join; this one ships
+    * [[Bands]] fixed-size keys per corpus DOC at most (fewer after
+    * dedup) — the index a pipeline actually persists when the corpus is
+    * 100 TB but its signature table must stay cheap to store and join.
+    * Evidence (n_hit_bands) is carried, not just the verdict, so the
+    * downstream exact-verify (q24's estimate or q98's exact join) can
+    * prioritize.
+    *
+    * Scale shape: incoming batch is drop-sized; the corpus side is the
+    * band index ONLY (8 keys/doc, distinct-collapsed), equi-joined and
+    * partial-aggregated; no signature, shingle, or text of the corpus
+    * moves. Stream twin: [[graft.streaming.DocStreams.gatedNearDup]]
+    * runs this relation per micro-batch with zero stream-side state. */
+  def minhashGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bucket = Text.md5Bucket1000(col("doc_id"))
+    minhashGateOf(docs.filter(bucket >= Corpus.IngestOldMax),
+      corpusBandIndexOf(docs.filter(bucket < Corpus.IngestOldMax)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The persisted-index side of [[minhashGate]]: distinct band buckets
+    * of a corpus — in production written once per release and read back
+    * per drop (it grows by accepted docs only, like q99's shingle
+    * index). */
+  def corpusBandIndexOf(docs: DataFrame): DataFrame =
+    bandedOf(portableSignaturesFast(docs))
+      .select(col("band"), col("band_sig")).distinct()
+
+  /** The gate core over explicit relations, [[Corpus.ingestGateOf]]'s
+    * shape: incoming (doc_id, text) batch vs the corpus band index. A
+    * NULL-text doc has a NULL signature (no band rows), so it reports 0
+    * hits and is accepted — the left join from the batch keeps it. */
+  def minhashGateOf(batch: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val hits = bandedOf(portableSignaturesFast(batch))
+      .join(corpusBands, Seq("band", "band_sig"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_bands"))
+    batch.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+        when(coalesce(col("n_hit_bands"), lit(0L)) >= 1L, "near_dup")
+          .otherwise("accepted").as("status"))
+  }
+
+  /** DuckDB spelling of [[minhashGate]]: same portable signatures, same
+    * band keys, same bucket split, same left-join verdict. */
+  def minhashGateSql: String = {
+    val bandSig = (0 until Rows).map(r =>
+      s"CAST(sig[CAST(bnd * $Rows + ${r + 1} AS INT)] AS VARCHAR)")
+      .mkString(" || '_' || ")
+    def bucket(q: String) = s"('0x' || substr(md5(CAST($q.doc_id AS " +
+      "VARCHAR)), 1, 8))::BIGINT % 1000"
+    s"""WITH ${portableSigCtes()},
+       |bands AS (
+       |  SELECT doc_id, bnd, $bandSig AS bsig
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS bnd) r),
+       |old AS (
+       |  SELECT DISTINCT bnd, bsig FROM bands o
+       |  WHERE ${bucket("o")} < ${Corpus.IngestOldMax}),
+       |hits AS (
+       |  SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands
+       |  FROM bands n JOIN old USING (bnd, bsig)
+       |  WHERE ${bucket("n")} >= ${Corpus.IngestOldMax}
+       |  GROUP BY 1)
+       |SELECT d.doc_id, coalesce(h.n_hit_bands, 0) AS n_hit_bands,
+       |  CASE WHEN coalesce(h.n_hit_bands, 0) >= 1 THEN 'near_dup'
+       |       ELSE 'accepted' END AS status
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE ${bucket("d")} >= ${Corpus.IngestOldMax}
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q68 — duplicate-graph triangle census: node/edge counts and the
     * number of triangles in the df-capped near-dup pair graph. Triangle
     * density distinguishes genuine duplicate CLUSTERS (cliquish — a~b,
@@ -1083,6 +1169,7 @@ object Dedup {
        |ORDER BY src_a, src_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_minhash_gate" -> (minhashGate _),
     "q112_incremental_clusters" -> (incrementalClusters _),
     "q107_source_dup_matrix" -> (sourceDupMatrix _),
     "q98_prefix_filter_join" -> (prefixFilterJoin _),
@@ -1107,6 +1194,7 @@ object Dedup {
     // must be value-invisible (the q109 pattern) — the merged labels are
     // only right if they equal clustering the whole corpus from scratch
     "q112_incremental_clusters" -> dedupClustersSql,
+    "q113_minhash_gate" -> minhashGateSql,
     "q107_source_dup_matrix" -> sourceDupMatrixSql,
     "q98_prefix_filter_join" -> prefixFilterJoinSql,
     "q96_shard_similarity" -> shardSimilaritySql,

@@ -25,10 +25,14 @@ object DocStreams {
 
   /** File-based document stream (one parquet dir; new files = new
     * micro-batches = new crawl drops), schema of TESTDATA.md documents. */
-  def readDocStream(spark: SparkSession, dir: String): DataFrame = {
+  def readDocStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     val schema = "doc_id BIGINT, text STRING, lang STRING, " +
       "source STRING, n_chars BIGINT"
-    spark.readStream.schema(schema).parquet(dir)
+    val r = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else r).parquet(dir)
   }
 
   /** Start the streaming ingest gate: every micro-batch of incoming
@@ -43,6 +47,23 @@ object DocStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(graft.ext.Corpus.ingestGateOf(batch, corpusShingles), batchId)
+      }
+      .start()
+
+  /** Start the streaming MinHash-banding admission gate — q113's twin
+    * (graft.ext.Dedup.minhashGate): each micro-batch of incoming docs is
+    * signed, banded, and checked against the STATIC corpus band index;
+    * the per-batch verdict relation goes to `sink`. Same zero-state
+    * rationale as [[gatedIngest]] — the band index only changes between
+    * releases (accepted docs' bands union in), so the stream side holds
+    * nothing and survives any restart trivially (StreamingSpec drops a
+    * wave while the gate is down). */
+  def gatedNearDup(docStream: DataFrame, corpusBands: DataFrame,
+      checkpointDir: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Dedup.minhashGateOf(batch, corpusBands), batchId)
       }
       .start()
 }

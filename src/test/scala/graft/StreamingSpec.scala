@@ -237,6 +237,52 @@ class StreamingSpec extends SparkSpec {
       "restart lost or re-gated documents")
   }
 
+  test("streaming minhash gate: 3 micro-batched drops + restart equal batch q113") {
+    import graft.ext.{Corpus, Dedup}
+    import graft.streaming.DocStreams
+    val bucket = graft.ext.Text.md5Bucket1000(col("doc_id"))
+    val docs = Tables.documents(spark, sf)
+    val incoming = docs.filter(bucket >= Corpus.IngestOldMax)
+      .localCheckpoint(eager = false) // three filtered writes below
+    // the static persisted index side, computed once like a release would
+    val bandIndex = Dedup.corpusBandIndexOf(
+        docs.filter(bucket < Corpus.IngestOldMax))
+      .localCheckpoint(eager = false)
+    val dropsDir = Files.createTempDirectory("graft-mh-drops").toString
+    val ckpt = Files.createTempDirectory("graft-mh-ckpt").toString
+    // wave 1: two drop files; maxFilesPerTrigger=1 forces one micro-batch
+    // per drop, so the equality is genuinely across >=3 micro-batches
+    incoming.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dropsDir)
+    incoming.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(dropsDir)
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String)]
+    val batchIds = scala.collection.mutable.Set.empty[Long]
+    def start() = DocStreams.gatedNearDup(
+      DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+      bandIndex, ckpt) { (verdicts, id) =>
+      collected.synchronized {
+        collected ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2)))
+        batchIds += id
+      }
+    }
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // wave 2 lands while the gate is DOWN; restart must gate it once
+    incoming.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(dropsDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchIds.size >= 3, s"expected >=3 micro-batches, got $batchIds")
+    val batch = Dedup.minhashGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(collected.toSet === batch.toSet,
+      "streaming minhash gate verdicts diverge from batch q113")
+    assert(collected.size === batch.length, "dupes across micro-batches")
+  }
+
   test("streaming sessionization matches batch q16 session count") {
     val flushDir = eventsDir // second file into the same stream dir
     val q = EventStreams.sessionize(
