@@ -164,29 +164,69 @@ object Index {
     * rounded double, so the vocabulary boundary is engine-exact.
     *
     * Scale shape: the corpus-wide term counting partial-aggregates
-    * map-side (the only corpus-sized stage); ranking and the cumulative
-    * window then run over the AGGREGATED term table — vocabulary-sized,
-    * millions of rows at web scale, not corpus-sized — where a global
-    * window is the honest plan (were the term table itself huge, the
-    * q85 two-phase shard/offset numbering applies verbatim). */
+    * map-side (the only corpus-sized stage). Ranking is TWO-PHASE over
+    * the aggregated term table (q85's shard/offset shape, adapted to a
+    * VALUE order): range-repartition by the ranking key
+    * (cnt desc, term), rank and accumulate mass per range shard with
+    * PARTITIONED windows, then add per-shard offsets computed by a
+    * prefix sum over the [[VocabShards]]-row shard-stats relation —
+    * whose single-partition window is constant-size at any vocabulary.
+    * No partition ever sorts the whole term table, so web-scale V
+    * (10⁸+ terms) spreads across the cluster. Range shards follow the
+    * global order by construction, and (cnt, term) is a total order, so
+    * the two-phase ranks equal the global window's EXACTLY regardless of
+    * where the sampled range boundaries fall (IndexLayoutSpec proves ≡
+    * against the naive spelling; the oracle is the naive spelling). */
   def vocabInduction(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val ord = Window.orderBy(col("cnt").desc, col("term"))
-    counts
-      .withColumn("total", sum(col("cnt")).over(
+    vocabRankOf(counts)
+      .filter((col("cum_cnt") - col("cnt")) * CoverageDen <
+        col("total_cnt") * CoverageNum)
+      .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+        col("total_cnt"))
+      .orderBy(col("rank"))
+  }
+
+  /** Shard count for the two-phase vocabulary ranking — the shard-stats
+    * relation is at most this many rows at ANY vocabulary size. */
+  val VocabShards = 64
+
+  /** The two-phase (rank, cum_cnt, total_cnt) attachment over any
+    * (term, cnt) relation — split out so the spec can prove it equals
+    * the naive global-window spelling on the same input. */
+  private[graft] def vocabRankOf(counts: DataFrame): DataFrame = {
+    // phase 1: range shards follow (cnt desc, term); the part id is
+    // frozen by the checkpoint (it feeds per-shard windows AND offsets)
+    val sharded = counts
+      .repartitionByRange(VocabShards, col("cnt").desc, col("term"))
+      .withColumn("part", spark_partition_id().cast("long"))
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("cnt").desc, col("term"))
+    val ranked = sharded
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_in", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // phase 2: per-shard offsets — the ONLY unpartitioned windows run
+    // over this <= VocabShards-row relation, never the term table
+    val prior = Window.orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("mass"))
+      .withColumn("rank_off", coalesce(sum(col("n_terms")).over(prior), lit(0L)))
+      .withColumn("mass_off", coalesce(sum(col("mass")).over(prior), lit(0L)))
+      .withColumn("total", sum(col("mass")).over(
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-      .withColumn("rank", row_number().over(ord).cast("long"))
-      .withColumn("cum_cnt", sum(col("cnt")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter((col("cum_cnt") - col("cnt")) * CoverageDen <
-        col("total") * CoverageNum)
-      .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+      .select(col("part"), col("rank_off"), col("mass_off"), col("total"))
+    ranked.join(broadcast(offsets), Seq("part"))
+      .select(col("term"), col("cnt"),
+        (col("rank_off") + col("rn")).as("rank"),
+        (col("mass_off") + col("cum_in")).as("cum_cnt"),
         col("total").as("total_cnt"))
-      .orderBy(col("rank"))
   }
 
   /** DuckDB spelling of [[vocabInduction]]: same ranking, same exact-

@@ -137,6 +137,28 @@ class IndexLayoutSpec extends SparkSpec {
       total * Index.CoverageNum, "kept prefix does not reach 90% coverage")
   }
 
+  test("q95: two-phase range-shard ranking equals the naive global window") {
+    // the scale-shape claim: the registered query never sorts the whole
+    // term table in one partition; this proves the sharded ranks, running
+    // mass, and total are bit-equal to the single-window formulation
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy(col("cnt").desc, col("term"))
+    val naive = counts
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_cnt", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("term"), col("cnt"), col("rank"), col("cum_cnt"),
+        col("total_cnt"))
+    val fast = Index.vocabRankOf(counts)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+      "two-phase vocabulary ranking diverges from the global window")
+  }
+
   // ---- q96 -----------------------------------------------------------------
 
   test("q96: identical shards estimate Jaccard 1.0; disjoint shards near 0") {

@@ -179,6 +179,14 @@ class PlanShapeSpec extends SparkSpec {
       s"no map-side combine for key counts:\n$p")
   }
 
+  test("q95: vocab ranking range-shards the term table; its windows are partitioned") {
+    val p = plan(graft.ext.Index.vocabInduction(spark, sf))
+    assert(p.contains("rangepartitioning"),
+      s"two-phase range repartition missing:\n$p")
+    assert(p.contains("windowspecdefinition(part#"),
+      s"term-table window not shard-partitioned:\n$p")
+  }
+
   test("q110: itemset pairs never self-join or window the basket index") {
     val p = plan(graft.queries.Advanced.q110ItemsetPairs(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
