@@ -12,11 +12,14 @@ import graft.tables.Tables
   * iterator per partition, vectorizable batch work inside, no per-row
   * driver involvement).
   *
-  * The actual codecs (image/audio/video) are NOT in this container, so
-  * [[MediaCodec.decodeStub]] is a clearly-marked deterministic stand-in;
-  * everything around it — schema, binary column handling, partition-local
-  * batching, feature array shape, frame-sampling explode — is real and
-  * tested. Swapping in a real codec touches only the stub body.
+  * IMAGE decode is REAL ([[MediaCodec.decodeImage]], via the JDK's
+  * `javax.imageio` — PNG/BMP/GIF/JPEG, offline-safe); audio/video codecs
+  * are NOT in this container, so [[MediaCodec.decodeStub]] is their
+  * clearly-marked deterministic stand-in, and unrecognizable image bytes
+  * fall back to it too. Everything around the codec — schema, binary
+  * column handling, partition-local batching, feature array shape,
+  * frame-sampling explode — is real and tested; swapping in an
+  * audio/video codec touches only [[MediaCodec.decode]]'s dispatch.
   *
   * Scale: content bytes stay columnar until the decode pass; partition
   * counts carry through (no repartition); features are fixed-width
@@ -61,6 +64,53 @@ object Multimodal {
       }
       (width, height, frames, feat)
     }
+
+    /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/
+      * JPEG — any format a registered ImageReader recognizes; JDK-
+      * builtin, offline-safe, no native libs). Returns None when the
+      * bytes are not a recognizable image, so callers fall back to the
+      * stub — the synthesized corpus (text bytes as payload) keeps
+      * flowing the stub path while genuine image bytes decode for real.
+      *
+      * Feature vector = 4×4 grid of mean luminance (Rec. 601 weights) in
+      * [0, 1] — deterministic for lossless formats, fixed
+      * [[FeatureDim]]-wide like the stub's, so everything downstream
+      * (similarity ops over `array<float>`) is shape-compatible. */
+    def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        val sums = new Array[Float](FeatureDim)
+        val counts = new Array[Int](FeatureDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val lum = (0.299f * ((rgb >> 16) & 0xff) +
+              0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)) / 255.0f
+            sums((y * 4 / h) * 4 + (x * 4 / w)) += lum
+            counts((y * 4 / h) * 4 + (x * 4 / w)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < FeatureDim) { if (counts(i) > 0) sums(i) /= counts(i); i += 1 }
+        (w, h, 1, sums)
+      }
+    }
+
+    /** Decode dispatch: image payloads try the REAL decoder first and
+      * fall back to the stub for unrecognized bytes; audio/video have no
+      * JDK codec, so they stay on the documented stub. */
+    def decode(mediaType: String, content: Array[Byte]): (Int, Int, Int, Array[Float]) =
+      if (mediaType == "image")
+        decodeImage(content).getOrElse(decodeStub(mediaType, content))
+      else decodeStub(mediaType, content)
   }
 
   /** STUB — deterministic fake resize: real implementation would rescale
@@ -83,7 +133,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, f, feat) = MediaCodec.decodeStub(r.media_type, r.content)
+        val (w, h, f, feat) = MediaCodec.decode(r.media_type, r.content)
         MediaFeatures(r.doc_id, r.media_type, w, h, f, feat)
       }
     }

@@ -65,6 +65,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def imageBytes(format: String): Array[Byte] = {
+    // 8x4, left half black, right half white
+    val im = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      im.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(im, format, bos), s"no $format writer")
+    bos.toByteArray
+  }
+
+  test("real decode: PNG and BMP bytes yield true dimensions and luminance grid") {
+    for (fmt <- Seq("png", "bmp")) {
+      val Some((w, h, f, feat)) =
+        Multimodal.MediaCodec.decodeImage(imageBytes(fmt))
+      assert((w, h, f) === ((8, 4, 1)), s"$fmt metadata wrong")
+      // 4x4 luminance grid: columns 0-1 cover the black half, 2-3 the white
+      for (cy <- 0 until 4; cx <- 0 until 4) {
+        val lum = feat(cy * 4 + cx)
+        if (cx < 2) assert(lum < 0.01, s"$fmt cell ($cx,$cy) not black: $lum")
+        else assert(lum > 0.99, s"$fmt cell ($cx,$cy) not white: $lum")
+      }
+    }
+    // unrecognizable bytes are NOT an image: caller falls back to the stub
+    assert(Multimodal.MediaCodec.decodeImage(
+      "definitely not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractFeatures routes real image bytes through the real decoder") {
+    val png = imageBytes("png")
+    val textBytes = "plain text payload".getBytes("UTF-8")
+    val rows = Seq(
+      MediaRow(1L, "image", png), // real decode
+      MediaRow(2L, "image", textBytes), // image-typed but not an image → stub
+      MediaRow(3L, "video", textBytes)) // no JDK codec → stub
+      .toDS()
+    val out = Multimodal.extractFeatures(rows).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert((out(1L).width, out(1L).height, out(1L).n_frames) === ((8, 4, 1)))
+    assert(out(2L).width === textBytes.length % 640 + 1, "stub fallback lost")
+    assert(out(3L).n_frames === textBytes.length % 300 + 1)
+    // the real-decoded feature flows the same downstream frame sampler
+    val frames = Multimodal.sampleFrames(
+      Multimodal.extractFeatures(rows), stride = 2)
+    assert(frames.filter(col("doc_id") === 3L).count() ===
+      (out(3L).n_frames + 1) / 2)
+  }
+
   test("features feed the similarity operators (cosine over array<float>)") {
     import graft.functions.VectorFunctions.cosine_sim
     val feats = Multimodal.extractFeatures(media).toDF()
