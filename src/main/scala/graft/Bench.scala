@@ -67,8 +67,29 @@ object Bench {
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = r3(results.values.flatten.sum)
+    // Paired DuckDB comparator (scripts/duckdb_bench.py writes
+    // duckdb_bench.json from the same oracle suite at the same SF): embed
+    // its recorded total so every BENCH_rN.json carries both sides of the
+    // 2x gate. Only embedded when the recorded SF matches this run's —
+    // a stale different-SF recording would be a misleading ratio.
+    val duck = try {
+      val txt = Files.readString(Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_DUCKDB_JSON", "duckdb_bench.json")))
+      val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      val tot = """"total"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1))
+      val nq = """"n_queries"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1))
+      if (sfOk) (tot, nq) else (None, None)
+    } catch { case _: Throwable => (None, None) }
+    val duckPart = duck match {
+      case (Some(t), nq) =>
+        s""","duckdb_total":$t,"duckdb_queries":${nq.getOrElse("null")}"""
+      case _ => ""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"$duckPart}"""
     println(line)
     try Files.writeString(Paths.get(outFile), line + "\n")
     catch { case _: Throwable => () }
