@@ -387,9 +387,13 @@ object Corpus {
   /** Existing-corpus share of the md5-1000 bucket space (the q89 release
     * convention): buckets < 900 are already ingested, ≥ 900 arrive as the
     * incremental batch. */
-  val IngestOldMax = 900
+  // final + literal → compile-time constants, inlined at reference sites:
+  // other modules read these while building their oracle-SQL vals, and a
+  // non-constant val is 0 mid-initialization when object init cycles
+  // (Similarity → Corpus → … → Dedup.oracles observed exactly that)
+  final val IngestOldMax = 900
   /** Quality gate: incoming docs below this token count are rejected. */
-  val IngestMinTok = 20L
+  final val IngestMinTok = 20L
   /** Near-dup gate: sharing ≥ this many distinct word-5-grams with the
     * existing corpus rejects the incoming doc. */
   val IngestMinShared = 3L

@@ -1277,7 +1277,92 @@ object Similarity {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---- q115: release-over-release centroid drift ---------------------------
+
+  /** q115 — embedding-centroid drift between releases: per label, the
+    * cosine between the PREVIOUS release's centroid (md5 bucket of
+    * vec_id < [[Corpus.IngestOldMax]] — the q99/q109/q112 release-split
+    * convention) and the new drop's centroid, plus both member counts
+    * and the exact integer moments. This is the distribution-shift
+    * monitor a pipeline runs per crawl drop: a label whose incoming
+    * centroid swings away from the corpus signals topic drift or a
+    * broken upstream embedder BEFORE the drop is mixed in.
+    *
+    * Exactness: cosine is scale-invariant, so the cosine of the MEAN
+    * vectors equals the cosine of the integer SUM vectors of the int8-
+    * quantized embeddings — dot and both norms are exact BIGINT
+    * aggregates, and the only floating point is three terminal IEEE ops
+    * (one multiply, one sqrt, one divide), identical in both engines.
+    * Long headroom: |so_d| ≤ 127·n, so dot terms stay within int64 to
+    * n ≈ 8.5·10⁶ docs per label per dim-sum — past that widen the
+    * moment sums to decimal(38,0) (the q104 note's remedy).
+    *
+    * Scale shape: one posexplode into (label, dim) partial aggregation
+    * — map-side combine collapses the exchange to labels × dims rows;
+    * the label-level roll-up is k rows. Nothing else moves. */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame =
+    centroidDriftOf(Tables.embeddings(s, dir))
+
+  /** [[centroidDrift]] over any (vec_id, embedding, label) frame — split
+    * out so the spec can plant parallel and anti-parallel releases. */
+  def centroidDriftOf(e: DataFrame): DataFrame = {
+    val isNew = Text.md5Bucket1000(col("vec_id")) >= Corpus.IngestOldMax
+    val byDim = quantizedLabeled(e)
+      .select(col("label"), isNew.as("is_new"),
+        posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(when(!col("is_new"), col("qv")).otherwise(0L)).as("so"),
+        sum(when(col("is_new"), col("qv")).otherwise(0L)).as("sn"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("co"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("cn"))
+    byDim.groupBy(col("label"))
+      // every dim of a label has the same member counts; max picks them
+      // without a second scan of the base table
+      .agg(max(col("co")).as("n_old"), max(col("cn")).as("n_new"),
+        sum(col("so") * col("sn")).as("dot"),
+        sum(col("so") * col("so")).as("norm_old"),
+        sum(col("sn") * col("sn")).as("norm_new"))
+      .select(col("label"), col("n_old"), col("n_new"), col("dot"),
+        col("norm_old"), col("norm_new"),
+        when(col("norm_old") > 0 && col("norm_new") > 0,
+          col("dot").cast("double") /
+            sqrt(col("norm_old").cast("double") *
+              col("norm_new").cast("double")))
+          .as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB spelling of [[centroidDrift]]: same quantization, same
+    * bucket split, same integer moments, same three terminal IEEE ops. */
+  def centroidDriftSql: String = {
+    val bucket = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))" +
+      "::BIGINT % 1000"
+    s"""WITH $quantCtes,
+       |ex AS (
+       |  SELECT label, $bucket >= ${Corpus.IngestOldMax} AS is_new,
+       |    r.range AS dim, q[r.range] AS qv
+       |  FROM q CROSS JOIN range(1, ${Dim + 1}) r),
+       |bydim AS (
+       |  SELECT label, dim,
+       |    sum(CASE WHEN NOT is_new THEN qv ELSE 0 END) AS so,
+       |    sum(CASE WHEN is_new THEN qv ELSE 0 END) AS sn,
+       |    sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS co,
+       |    sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS cn
+       |  FROM ex GROUP BY 1, 2)
+       |SELECT label, CAST(max(co) AS BIGINT) AS n_old,
+       |  CAST(max(cn) AS BIGINT) AS n_new,
+       |  CAST(sum(so * sn) AS BIGINT) AS dot,
+       |  CAST(sum(so * so) AS BIGINT) AS norm_old,
+       |  CAST(sum(sn * sn) AS BIGINT) AS norm_new,
+       |  CASE WHEN sum(so * so) > 0 AND sum(sn * sn) > 0 THEN
+       |    CAST(sum(so * sn) AS DOUBLE) /
+       |      sqrt(CAST(sum(so * so) AS DOUBLE) * CAST(sum(sn * sn) AS DOUBLE))
+       |  END AS drift_cos
+       |FROM bydim GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_centroid_drift" -> (centroidDrift _),
     "q97_ivfpq_search" -> (ivfPqSearch _),
     "q87_pq_encode" -> (pqEncode _),
     "q88_semantic_dedup" -> (semanticDedup _),
@@ -1292,6 +1377,7 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q115_centroid_drift" -> centroidDriftSql,
     "q97_ivfpq_search" -> ivfPqSearchSql,
     "q87_pq_encode" -> pqEncodeSql,
     "q88_semantic_dedup" -> semanticDedupSql,

@@ -226,8 +226,9 @@ object Text {
     ngramJaccardOf(docs, minJ)
   }
 
-  /** df-cap applied to [[ngramJaccard]]'s inverted index. */
-  val DfCap = 20
+  /** df-cap applied to [[ngramJaccard]]'s inverted index. Compile-time
+    * constant (final + literal): read cross-module during object init. */
+  final val DfCap = 20
 
   /** q51 — df-capped n-gram Jaccard: shingles occurring in more than
     * [[DfCap]] documents are dropped from the index BEFORE the self-join
@@ -1024,7 +1025,110 @@ object Text {
        |SELECT doc_id, lang, rn FROM r WHERE rn <= $QuotaK
        |ORDER BY lang, rn""".stripMargin
 
+  // ---- q114: duplicated-substring spans -----------------------------------
+
+  /** Span n-gram width, and the distinct-document frequency at which an
+    * n-gram counts as corpus-duplicated. */
+  val SpanN = 4
+  val SpanMinDf = 3L
+
+  /** q114 — duplicated-substring span detection (the substring-level
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", re-expressed relationally): a token position is
+    * DUPLICATED when its word [[SpanN]]-gram occurs in ≥ [[SpanMinDf]]
+    * distinct documents; maximal contiguously-covered runs merge into
+    * spans (start, end, length, matched-gram count). This is the
+    * relation a scrubber consumes to cut repeated boilerplate
+    * SUBSTRINGS out of otherwise-unique documents — the duplication
+    * q22 (whole-doc) and q57 (near-whole-doc) cannot act on.
+    *
+    * Scale shape: positional grams explode once and partial-aggregate
+    * into the (gram → distinct-doc df) relation; the duplicated-gram
+    * set joins back KEYED BY GRAM (never broadcast — at web scale the
+    * dup set is vocabulary-sized); island detection windows per
+    * DOCUMENT — bounded fan-in, no global sort anywhere. Gaps-and-
+    * islands: a span breaks where the next matched position starts
+    * past the previous gram's reach (gap > [[SpanN]]); the island id
+    * is the running break count, the standard relational spelling. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansOf(Tables.documents(s, dir))
+
+  /** [[dupSpans]] over any (doc_id, text) frame — split out so the spec
+    * can plant known shared substrings and hole positions. */
+  def dupSpansOf(docs: DataFrame): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      // barrier: CollapseProject would inline split() into the gram
+      // lambda (O(L²) re-split per element)
+      .localCheckpoint(eager = false)
+      .filter(size(col("w")) >= SpanN)
+      .select(col("doc_id"),
+        posexplode(ngramsCol(col("w"), SpanN)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        col("gram"))
+      .localCheckpoint(eager = false) // feeds df AND the match join
+    val dup = pos.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= SpanMinDf)
+      .select(col("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    pos.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("p"))
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w) <= SpanN, 0L).otherwise(1L))
+      .withColumn("span_id", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("p")).as("span_start"), max(col("p")).as("maxp"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"),
+        (col("maxp") + (SpanN - 1)).as("span_end"),
+        (col("maxp") + (SpanN - 1) - col("span_start") + 1).as("span_len"),
+        col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** DuckDB spelling of [[dupSpans]]: same positional grams, same
+    * distinct-doc df threshold, same gaps-and-islands break rule. */
+  val dupSpansSql: String = {
+    val gram = (1 until SpanN).map(k => s"w[i+$k]")
+      .mkString("w[i] || ' ' || ", " || ' ' || ", "")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, s['p'] AS p, s['gram'] AS gram FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, len(w) - ${SpanN - 2}),
+       |      i -> {'p': i, 'gram': $gram})) AS s
+       |    FROM w WHERE len(w) >= $SpanN) t(doc_id, s)),
+       |df AS (
+       |  SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+       |m AS (
+       |  SELECT g.doc_id, g.p FROM g
+       |  JOIN (SELECT gram FROM df WHERE df >= $SpanMinDf) d USING (gram)),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+       |        <= $SpanN THEN 0 ELSE 1 END AS brk
+       |  FROM m),
+       |sp AS (
+       |  SELECT doc_id, p,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM isl)
+       |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       |  CAST(max(p) + ${SpanN - 1} AS BIGINT) AS span_end,
+       |  CAST(max(p) + ${SpanN - 1} - min(p) + 1 AS BIGINT) AS span_len,
+       |  CAST(count(*) AS BIGINT) AS n_grams
+       |FROM sp
+       |GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_dup_spans"    -> (dupSpans _),
     "q90_quota_sample"  -> (quotaSample _),
     "q76_chunking"      -> (chunking _),
     "q71_weighted_sample" -> (weightedSample _),
@@ -1047,6 +1151,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q114_dup_spans"    -> dupSpansSql,
     "q90_quota_sample"  -> quotaSampleSql,
     "q76_chunking"      -> chunkingSql,
     "q71_weighted_sample" -> weightedSampleSql,

@@ -46,4 +46,18 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.queries.keySet.exists(_.startsWith("q49_")),
       "q42's LSH twin missing")
   }
+
+  test("oracle SQL embeds the release-split constant, never a zeroed init") {
+    // Cross-module constants read while building oracle-SQL vals must be
+    // compile-time constants (final + literal): a plain val reads 0 when
+    // object initialization cycles (Similarity → Corpus → Dedup.oracles
+    // regressed exactly this way — q113's WHERE became `% 1000 >= 0`).
+    for (q <- Seq("q113_minhash_gate", "q99_ingest_gate", "q115_centroid_drift")) {
+      assert(SparkEntry.oracleSql(q).contains("900"),
+        s"$q oracle lost IngestOldMax=900")
+    }
+    for ((q, sql) <- SparkEntry.oracleSql)
+      assert(!sql.matches("(?s).*% 1000\\s*[<>]=? 0\\b.*"),
+        s"$q oracle compares the md5 bucket against 0 — zeroed constant")
+  }
 }

@@ -194,4 +194,36 @@ class SimilaritySpec extends SparkSpec {
       .count(r => r.getLong(1) == r.getLong(0) + 10000L)
     assert(hits >= 8, s"only $hits/10 planted near-dups found at rank 1")
   }
+
+  test("q115: parallel releases drift 1.0, anti-parallel -1.0, exactly") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // find vec_ids on each side of the release split (same md5 bucket
+    // rule the production query uses)
+    val ids = (1L to 200L).toDF("vec_id")
+      .select(col("vec_id"),
+        (graft.ext.Text.md5Bucket1000(col("vec_id")) >=
+          graft.ext.Corpus.IngestOldMax).as("is_new"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val allOld = ids.filterNot(_._2).map(_._1)
+    val allNew = ids.filter(_._2).map(_._1)
+    assert(allOld.length >= 12 && allNew.length >= 8, "split not represented")
+    val v = Array.tabulate(64)(i => (0.1f * ((i % 7) + 1)))
+    val neg = v.map(-_)
+    // label 1: both releases share direction v; label 2 (disjoint ids):
+    // the new release flips sign
+    val planted = (
+      allOld.take(6).map(id => (id, v, 1)) ++
+      allNew.take(4).map(id => (id, v, 1)) ++
+      allOld.slice(6, 12).map(id => (id, v, 2)) ++
+      allNew.slice(4, 8).map(id => (id, neg, 2))
+    ).toSeq.toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDriftOf(planted).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getLong(1) === 6L && out(1).getLong(2) === 4L)
+    assert(out(1).getDouble(6) === 1.0,
+      s"parallel releases must drift exactly 1.0, got ${out(1).getDouble(6)}")
+    assert(out(2).getDouble(6) === -1.0,
+      s"anti-parallel releases must drift exactly -1.0, got ${out(2).getDouble(6)}")
+  }
 }

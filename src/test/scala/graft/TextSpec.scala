@@ -214,6 +214,28 @@ class TextSpec extends SparkSpec {
         s"$lang quota: got ${perStratum(lang)}, stratum size $n")
   }
 
+  test("q114: planted shared substrings merge into maximal spans with holes") {
+    // phrase A (5 tokens -> two overlapping 4-grams) sits at the START,
+    // phrase B at the END of doc 1, separated by unique filler wider
+    // than SpanN -> exactly two spans; docs 2..4 supply the df >= 3
+    val A = "alpha beta gamma delta epsilon"
+    val B = "omega psi chi phi"
+    val docs = Seq(
+      (1L, s"$A u1 u2 u3 u4 u5 u6 u7 $B"),
+      (2L, s"x1 $A x2 x3 x4 x5 $B"),
+      (3L, s"$A y2 y3 y4 y5 $B"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8")) // no duplicated grams at all
+      .toDF("doc_id", "text")
+    val spans = Text.dupSpansOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val doc1 = spans.filter(_._1 == 1L)
+    // span 1: positions 1-5 (two overlapping grams merged); span 2: B
+    assert(doc1.toSet === Set((1L, 1L, 5L, 5L, 2L), (1L, 13L, 16L, 4L, 1L)),
+      s"doc 1 spans wrong: ${doc1.toSeq}")
+    assert(!spans.exists(_._1 == 4L), "undupped doc grew a span")
+  }
+
   test("q23 guard: refuses the quadratic stage past the pair bound") {
     // 30 identical 5-token docs: 3 distinct shingles, each df = 30 →
     // predicted pairs = 3 · 30·29/2 = 1305
