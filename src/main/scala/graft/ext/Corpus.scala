@@ -527,7 +527,110 @@ object Corpus {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---- q116: hashed-n-gram importance weights (DSIR shape) ----------------
+
+  /** Hashed feature space for [[importanceWeights]] (DSIR uses 2¹⁶;
+    * compile-time constant — read while building oracle SQL). */
+  final val DsirBuckets = 512L
+
+  /** q116 — data-selection importance weights, the DSIR shape (Xie et
+    * al., "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how target-like its hashed
+    * bigram features are, where the target distribution is the `en`
+    * slice and the raw distribution is the whole corpus. Feature
+    * probabilities are add-1-smoothed counts over [[DsirBuckets]]
+    * hashed buckets; each feature's weight is the target/raw
+    * likelihood ratio λ_f = ((tc_f+1)·(S+B)) / ((T+B)·(sc_f+1)), and a
+    * document scores the per-occurrence mean Σ n_f·λ_f / Σ n_f.
+    *
+    * DSIR proper multiplies feature probabilities (sums logs); the
+    * RATIO-MEAN spelling here keeps the oracle engine-exact — ln() is
+    * not correctly rounded everywhere (q52's rule), whereas each λ_f is
+    * one IEEE division of two exact BIGINT products and the per-doc sum
+    * folds in fixed bucket order. Int64 headroom: (tc+1)·(S+B) tops out
+    * at ~occurrences², safe to ~3·10⁹ token occurrences — past that
+    * widen the products to decimal(38,0) (the q104 note's remedy).
+    *
+    * Scale shape: one explode into (doc, bucket) partial counts; the
+    * λ table is exactly B rows (constant — B is the FEATURE SPACE, not
+    * the vocabulary) and broadcasts; the per-doc fold is array-native.
+    * Nothing corpus-sized shuffles twice. */
+  def importanceWeights(s: SparkSession, dir: String): DataFrame =
+    importanceWeightsOf(Tables.documents(s, dir))
+
+  /** [[importanceWeights]] over any (doc_id, text, lang) frame — split
+    * out so the spec can plant target-only and offtarget-only docs. */
+  def importanceWeightsOf(docs: DataFrame): DataFrame = {
+    val f = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      // barrier: CollapseProject would inline split() into the gram
+      // lambda (O(L²) re-split per element)
+      .localCheckpoint(eager = false)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(Text.ngramsCol(col("w"), 2)).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        Text.md5Bucket(col("gram"), DsirBuckets).as("b"))
+      .localCheckpoint(eager = false) // feeds n, tgt, raw AND the totals
+    val n = f.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+    val tgt = f.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val raw = f.groupBy(col("b")).agg(count(lit(1)).as("sc"))
+    val tot = f.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"),
+      count(lit(1)).as("s"))
+    val lam = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        (((coalesce(col("tc"), lit(0L)) + 1L) * (col("s") + DsirBuckets))
+          .cast("double") /
+          ((col("t") + DsirBuckets) * (col("sc") + 1L))).as("lam"))
+    n.join(broadcast(lam), Seq("b"))
+      .select(col("doc_id"), col("b"), col("n"),
+        (col("n") * col("lam")).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("n")).as("n_tot"),
+        sort_array(collect_list(struct(col("b"), col("term")))).as("arr"))
+      .select(col("doc_id"), col("n_feat"), col("n_tot"),
+        (aggregate(transform(col("arr"), x => x.getField("term")),
+          lit(0.0), (acc, x) => acc + x) / col("n_tot")).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB spelling of [[importanceWeights]]: same hashed buckets, same
+    * smoothed integer products, same fixed-order fold. */
+  val importanceWeightsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL),
+       |g AS (
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1])) AS gram
+       |  FROM w WHERE len(w) >= 2),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM g),
+       |n AS (SELECT doc_id, b, count(*) AS n FROM f GROUP BY 1, 2),
+       |tgt AS (SELECT b, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY 1),
+       |raw AS (SELECT b, count(*) AS sc FROM f GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM f WHERE lang = 'en') AS t,
+       |               (SELECT count(*) FROM f) AS s),
+       |lam AS (
+       |  SELECT r.b,
+       |    CAST((coalesce(tc, 0) + 1) * (s + $DsirBuckets) AS DOUBLE) /
+       |      ((t + $DsirBuckets) * (sc + 1)) AS lam
+       |  FROM raw r LEFT JOIN tgt USING (b) CROSS JOIN tot),
+       |terms AS (
+       |  SELECT n.doc_id, n.b, n.n, n.n * lam AS term FROM n JOIN lam USING (b))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       |  CAST(sum(n) AS BIGINT) AS n_tot,
+       |  list_reduce(list_prepend(0.0, list_transform(
+       |    list_sort(list({'b': b, 'term': term})), x -> x.term)),
+       |    (acc, x) -> acc + x) / sum(n) AS score
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_importance_weights" -> (importanceWeights _),
     "q109_delta_agg" -> (deltaAggMaintenance _),
     "q99_ingest_gate" -> (ingestGate _),
     "q78_repetition" -> (repetition _),
@@ -537,6 +640,7 @@ object Corpus {
     "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q116_importance_weights" -> importanceWeightsSql,
     "q109_delta_agg" -> deltaAggMaintenanceSql,
     "q99_ingest_gate" -> ingestGateSql,
     "q78_repetition" -> repetitionSql,

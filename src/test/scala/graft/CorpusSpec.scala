@@ -100,4 +100,25 @@ class CorpusSpec extends SparkSpec {
         r.getLong(2) < Corpus.IngestMinShared)
     }
   }
+
+  test("q116: target-only bigrams score above 1, offtarget-only below") {
+    import SparkSpec.spark.implicits._
+    // phrase P lives only in en (target) docs, phrase Q only in de docs;
+    // probes 100/101 carry purely P/Q features, so their smoothed
+    // target/raw ratio means land on opposite sides of 1
+    val P = "pp qq rr ss tt uu"
+    val Q = "kk ll mm nn oo ww"
+    // 200 docs per phrase so the real counts dominate the +B=512
+    // smoothing (with counts ≪ B, add-1 smoothing pulls every λ to ~1)
+    val docs = (
+      (1L to 200L).map(i => (i, P, "en")) ++
+      (201L to 400L).map(i => (i, Q, "de")) ++
+      Seq((1000L, P, "zh"), (1001L, Q, "zh"))
+    ).toDF("doc_id", "text", "lang")
+    val out = Corpus.importanceWeightsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1000L) > 1.0, s"target-like probe scored ${out(1000L)}")
+    assert(out(1001L) < 1.0, s"offtarget probe scored ${out(1001L)}")
+    assert(out(1000L) > out(1001L) * 1.5, "separation too weak to be real")
+  }
 }
