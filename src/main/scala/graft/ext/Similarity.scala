@@ -1361,7 +1361,82 @@ object Similarity {
        |FROM bydim GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ---- q117: ANN recall audit (LSH vs exact ground truth) ----------------
+
+  /** q117 — recall\@3 of the LSH index ([[knnLsh]], q18) against exact
+    * brute-force ground truth ([[knnBruteForce]], q17), per probe query
+    * plus the macro total (`query_id = -1`). This is the index-quality
+    * audit an ANN deployment runs per index release: the exact arm is the
+    * deliberately-quadratic ground truth — the audit is what CONSUMES the
+    * baseline, so "exact baseline" means "input to a measurement", not
+    * dead weight in the registry.
+    *
+    * Output is integer-derived only (k, hits, and their one-division
+    * ratio), so the cross-engine hash cannot be disturbed by float ULPs —
+    * same contract as q17/q18.
+    *
+    * Scale shape: the probe set is FIXED (vec_id < 10 here; a sampled
+    * probe set at 100 TB) so the exact arm is O(Q·N) with per-partition
+    * TopK partial aggregation — linear in the corpus, never pairwise in
+    * it. The approx arm is the production bucket join. Recall audits run
+    * on Q ≈ 10³ probes regardless of corpus size; Q is the cost knob. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteForce(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .rollup(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(col("hit")).as("hits"))
+      .select(coalesce(col("query_id"), lit(-1L)).as("query_id"),
+        col("k"), col("hits"),
+        (col("hits").cast("double") / col("k")).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB spelling of [[annRecall]]: both arms re-derived from the same
+    * plane constants / cosine top-3 as the q17/q18 oracles, then the same
+    * left-join hit count under ROLLUP. */
+  def annRecallSql: String =
+    s"""WITH ${lshSqlCtes(lshPlanes)},
+       |cand AS (
+       |  SELECT s1.vec_id AS query_id, s2.vec_id AS neighbor_id
+       |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
+       |  WHERE s1.vec_id < 10 AND s2.vec_id <> s1.vec_id
+       |  GROUP BY 1, 2),
+       |ascored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(qe.de, ne.de) AS cos
+       |  FROM cand c
+       |  JOIN emb qe ON qe.vec_id = c.query_id
+       |  JOIN emb ne ON ne.vec_id = c.neighbor_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM ascored) WHERE rnk <= 3),
+       |escored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.de, e.de) AS cos
+       |  FROM emb q JOIN emb e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |    FROM escored) WHERE rnk <= 3),
+       |j AS (
+       |  SELECT e.query_id,
+       |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM exact e LEFT JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+       |SELECT coalesce(query_id, -1) AS query_id,
+       |  CAST(count(*) AS BIGINT) AS k, CAST(sum(hit) AS BIGINT) AS hits,
+       |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+       |FROM j GROUP BY ROLLUP (query_id) ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_ann_recall" -> (annRecall _),
     "q115_centroid_drift" -> (centroidDrift _),
     "q97_ivfpq_search" -> (ivfPqSearch _),
     "q87_pq_encode" -> (pqEncode _),
@@ -1377,6 +1452,7 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q117_ann_recall" -> annRecallSql,
     "q115_centroid_drift" -> centroidDriftSql,
     "q97_ivfpq_search" -> ivfPqSearchSql,
     "q87_pq_encode" -> pqEncodeSql,

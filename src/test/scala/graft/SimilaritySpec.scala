@@ -226,4 +226,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2).getDouble(6) === -1.0,
       s"anti-parallel releases must drift exactly -1.0, got ${out(2).getDouble(6)}")
   }
+
+  test("q117: recall audit sums per-query hits into the macro row") {
+    val rows = Similarity.annRecall(spark, sf).collect()
+    val (total, perQ) = rows.partition(_.getLong(0) == -1L)
+    assert(total.length === 1 && perQ.length === 10)
+    perQ.foreach { r =>
+      assert(r.getLong(1) === 3L, "k must be 3 per probe query")
+      assert(r.getDouble(3) === r.getLong(2).toDouble / 3.0)
+    }
+    val t = total.head
+    assert(t.getLong(1) === 30L)
+    assert(t.getLong(2) === perQ.map(_.getLong(2)).sum,
+      "macro hits must equal the sum of per-query hits")
+    // random unit vectors at dim 64: LSH recall is genuinely partial —
+    // both the hit and the miss branch of the audit must fire
+    assert(t.getLong(2) >= 1L && t.getLong(2) <= 29L,
+      s"degenerate recall ${t.getLong(2)}/30 — audit branches not exercised")
+  }
 }
