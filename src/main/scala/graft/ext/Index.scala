@@ -251,12 +251,124 @@ object Index {
        |WHERE (cum_cnt - cnt) * $CoverageDen < total * $CoverageNum
        |ORDER BY rank""".stripMargin
 
+  // ---- q118: BM25 retrieval (rational idf, engine-exact) ------------------
+
+  /** Results per probe query. */
+  val Bm25K = 5
+
+  /** Fixed probe workload: (query_id, term) — one rare-term query
+    * (`dup` is the planted-duplicate marker, df ≈ N/20) and two
+    * common-term queries, so idf discrimination and tf saturation both
+    * show up in the ranking. */
+  private val bm25Probes: Seq[(Long, String)] = Seq(
+    0L -> "dup", 0L -> "scan",
+    1L -> "spark", 1L -> "hash", 1L -> "join",
+    2L -> "window", 2L -> "sort")
+
+  /** q118 — BM25 top-[[Bm25K]] retrieval over the corpus for a fixed
+    * probe workload, with the standard constants k1=1.2, b=0.75 and the
+    * log-free RATIONAL idf `(N − df + ½)/(df + ½)` (Robertson's idf
+    * without the ln — the same engine-exactness trade q116 makes: ln is
+    * not correctly rounded everywhere, division is). Clearing
+    * denominators turns each matched term's contribution into a ratio of
+    * two exact BIGINT polynomials,
+    *
+    *   sc(t,d) = (2(N−df)+1) · 22·tf·S
+    *           / [ (2df+1) · (10·S·tf + 3·S + 9·dl·N) ]
+    *
+    * (S = total token occurrences, dl = |d|; multiply idf by 2/2 and the
+    * tf-part by 10S/10S) — ONE IEEE division per term, then a fixed
+    * term-order fold per (query, doc). Int64 headroom: both polynomials
+    * stay < 2⁵³ while df,N ≲ 10⁶ and tf·S ≲ 10¹¹; past that widen the
+    * products to decimal(38,0) and the ratio stays one exact division.
+    *
+    * Scale shape: tf/df/dl are the standard one-scan partial aggregates;
+    * the probe relation and the vocab-sized df table broadcast; ranking
+    * is the bounded [[graft.functions.TopK]] partial aggregation — every
+    * map task reduces to ≤k candidates per query BEFORE the shuffle, so
+    * the exchange carries O(Q·k·partitions), never the matched-doc set
+    * (with common terms that set is effectively the corpus). */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      // barrier: CollapseProject would inline split() into consumers
+      .localCheckpoint(eager = false)
+    val lens = docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val tfc = docs.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val probes = bm25Probes.toDF("query_id", "term")
+    val terms = tfc.join(broadcast(probes), Seq("term"))
+      .join(broadcast(dfc), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (((lit(2L) * (col("n") - col("df")) + 1L) * 22L * col("tf") * col("s"))
+          .cast("double") /
+          ((lit(2L) * col("df") + 1L) *
+            (lit(10L) * col("s") * col("tf") + lit(3L) * col("s") +
+              lit(9L) * col("dl") * col("n")))).as("sc"))
+    val scored = terms
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("arr"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(transform(col("arr"), x => x.getField("sc")),
+          lit(0.0), (a, x) => a + x).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(Bm25K)(col("doc_id"), col("score"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "st")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("st.id").as("doc_id"), col("st.score").as("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB spelling of [[bm25TopK]]: same integer polynomials, same
+    * term-order fold, same (score desc, doc_id) tie-break. */
+  val bm25TopKSql: String = {
+    val values = bm25Probes.zipWithIndex.map { case ((q, t), i) =>
+      if (i == 0) s"(CAST($q AS BIGINT), '$t')" else s"($q, '$t')"
+    }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL),
+       |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+       |tfx AS (SELECT doc_id, unnest(w) AS term FROM d),
+       |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tfx GROUP BY 1, 2),
+       |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, sum(dl) AS s FROM lens),
+       |probes(query_id, term) AS (VALUES $values),
+       |terms AS (
+       |  SELECT p.query_id, t.doc_id, t.term,
+       |    CAST((2 * (n - df) + 1) * 22 * tf * s AS DOUBLE) /
+       |      ((2 * df + 1) * (10 * s * tf + 3 * s + 9 * dl * n)) AS sc
+       |  FROM probes p JOIN tfc t USING (term) JOIN dfc USING (term)
+       |  JOIN lens USING (doc_id) CROSS JOIN tot),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(0.0, list_transform(
+       |      list_sort(list({'term': term, 'sc': sc})), x -> x.sc)),
+       |      (a, b) -> a + b) AS score
+       |  FROM terms GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT)
+       |    AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, doc_id, score FROM r WHERE rnk <= $Bm25K
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_bm25_topk" -> (bm25TopK _),
     "q92_inverted_index" -> (invertedIndex _),
     "q93_skipgram_pairs" -> (skipgramPairs _),
     "q95_vocab_induction" -> (vocabInduction _))
 
   val oracles: Map[String, String] = Map(
+    "q118_bm25_topk" -> bm25TopKSql,
     "q92_inverted_index" -> invertedIndexSql,
     "q93_skipgram_pairs" -> skipgramPairsSql,
     "q95_vocab_induction" -> vocabInductionSql)

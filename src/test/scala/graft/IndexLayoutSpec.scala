@@ -200,4 +200,30 @@ class IndexLayoutSpec extends SparkSpec {
       assert(r.getDouble(3) == n.toDouble / 32)
     }
   }
+
+  // ---- q118 ----------------------------------------------------------------
+
+  test("q118: valid rankings; rare-term idf dominates the dup query") {
+    val rows = Index.bm25TopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+      val ordered = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rank")
+      assert(ordered.forall(_ > 0.0))
+    }
+    // 'dup' has df ≈ N/20: its rational idf ≈ 39 crushes the common
+    // terms' ≈ 0.3, so every top-5 doc for query 0 must contain 'dup'
+    val dupDocs = Tables.documents(spark, sf)
+      .filter(col("text").contains("dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val top0 = byQ(0L).map(_.getLong(2))
+    assert(top0.forall(dupDocs.contains),
+      "idf discrimination failed: a dup-free doc outranked dup docs")
+    // and the rare-term query's scores dwarf the common-term queries'
+    assert(byQ(0L).map(_.getDouble(3)).min >
+      byQ(1L).map(_.getDouble(3)).max * 5)
+  }
 }
