@@ -361,13 +361,90 @@ object Index {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---- q119: token-mass coverage curve ------------------------------------
+
+  /** Curve sample points (k most frequent terms). */
+  val CoverageCurveKs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+
+  /** q119 — per-language token-mass coverage curve: for each k in
+    * [[CoverageCurveKs]], the fraction of that language's token
+    * occurrences covered by its k most frequent terms (ties by term
+    * hash). The log-free Zipf diagnostic: how steep each language's
+    * head is drives tokenizer-vocabulary and stopword budgets per
+    * language — a language whose top-32 terms carry 80% of mass wants a
+    * different filter config than one at 20%. Exact integer masses; the
+    * terminal division is the only IEEE op.
+    *
+    * Scale shape: ONE corpus-sized scan partial-aggregates to
+    * (lang, term) counts; per-language top-32 selection is the bounded
+    * [[graft.functions.TopK]] aggregation (per-partition state ≤ 32·slack
+    * entries — never a vocabulary-sized window, the q95 criticism this
+    * operator avoids by construction because the curve only needs the
+    * head). Everything downstream is O(#langs · 32) rows. Term identity
+    * inside TopK is the 60-bit md5 prefix (the registry-wide portable
+    * hash): a collision would merge two terms' tie-break, not their
+    * counts, and the oracle hashes identically either way. */
+  def coverageCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+      // feeds both the totals and the head selection
+      .localCheckpoint(eager = false)
+    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("total_cnt"))
+    // head: top-32 counts per language, ranked (cnt desc, hash60 asc) —
+    // TopK maximizes score with id-ascending tie-break, so score = cnt
+    val head = counts
+      .select(col("lang"),
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("tid"),
+        col("cnt"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopK.top_k(CoverageCurveKs.max.toInt)(
+        col("tid"), col("cnt").cast("double")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "st")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+        col("st.score").cast("long").as("cnt"))
+    val ks = CoverageCurveKs.toDF("k")
+    head.join(broadcast(ks), col("rn") <= col("k"))
+      .groupBy(col("lang"), col("k"))
+      .agg(sum(col("cnt")).as("cum_cnt"))
+      .join(totals, Seq("lang"))
+      .select(col("lang"), col("k"), col("cum_cnt"), col("total_cnt"),
+        (col("cum_cnt").cast("double") / col("total_cnt")).as("coverage"))
+      .orderBy(col("lang"), col("k"))
+  }
+
+  /** DuckDB spelling of [[coverageCurve]]: same per-language ranking
+    * (cnt desc, 60-bit md5-prefix tie-break), same curve points. */
+  val coverageCurveSql: String = {
+    val ks = CoverageCurveKs.zipWithIndex.map { case (k, i) =>
+      if (i == 0) s"(CAST($k AS BIGINT))" else s"($k)"
+    }.mkString(", ")
+    s"""WITH tx AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+       |  WHERE text IS NOT NULL),
+       |c AS (SELECT lang, term, count(*) AS cnt FROM tx GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total_cnt FROM c GROUP BY 1),
+       |r AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+       |  ORDER BY cnt DESC, ('0x' || substr(md5(term), 1, 15))::BIGINT)
+       |  AS rn FROM c),
+       |ks(k) AS (VALUES $ks),
+       |cum AS (SELECT lang, k, CAST(sum(cnt) AS BIGINT) AS cum_cnt FROM r
+       |  JOIN ks ON r.rn <= ks.k GROUP BY 1, 2)
+       |SELECT c.lang, k, cum_cnt, total_cnt,
+       |  CAST(cum_cnt AS DOUBLE) / total_cnt AS coverage
+       |FROM cum c JOIN tot USING (lang) ORDER BY lang, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_coverage_curve" -> (coverageCurve _),
     "q118_bm25_topk" -> (bm25TopK _),
     "q92_inverted_index" -> (invertedIndex _),
     "q93_skipgram_pairs" -> (skipgramPairs _),
     "q95_vocab_induction" -> (vocabInduction _))
 
   val oracles: Map[String, String] = Map(
+    "q119_coverage_curve" -> coverageCurveSql,
     "q118_bm25_topk" -> bm25TopKSql,
     "q92_inverted_index" -> invertedIndexSql,
     "q93_skipgram_pairs" -> skipgramPairsSql,

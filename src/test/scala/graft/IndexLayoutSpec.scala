@@ -226,4 +226,27 @@ class IndexLayoutSpec extends SparkSpec {
     assert(byQ(0L).map(_.getDouble(3)).min >
       byQ(1L).map(_.getDouble(3)).max * 5)
   }
+
+  // ---- q119 ----------------------------------------------------------------
+
+  test("q119: coverage is monotone in k and saturates past the vocab") {
+    val rows = Index.coverageCurve(spark, sf).collect()
+    val langs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select("lang").distinct().count()
+    assert(rows.length === langs * Index.CoverageCurveKs.length)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val byK = rs.sortBy(_.getLong(1))
+      val cov = byK.map(_.getDouble(4))
+      assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+        s"$lang: coverage not monotone in k")
+      assert(cov.head > 0.0 && cov.head < 1.0,
+        s"$lang: k=1 coverage degenerate (${cov.head})")
+      // the fixture vocabulary has 31 terms, so k=32 covers everything
+      assert(byK.last.getDouble(4) === 1.0 &&
+        byK.last.getLong(2) === byK.last.getLong(3),
+        s"$lang: k=32 must saturate at total mass")
+      assert(rs.forall(r => r.getDouble(4) ==
+        r.getLong(2).toDouble / r.getLong(3)))
+    }
+  }
 }
