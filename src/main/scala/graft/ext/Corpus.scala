@@ -629,7 +629,108 @@ object Corpus {
        |    (acc, x) -> acc + x) / sum(n) AS score
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q120: token-budget waterfill allocation ----------------------------
+
+  /** Training-token budget as a fraction of total corpus tokens
+    * (exact integer arithmetic; compile-time constants — read while
+    * building oracle SQL). */
+  final val WaterfillNum = 3L
+  final val WaterfillDen = 5L
+
+  /** q120 — token-budget waterfill across (source, lang) domains: given
+    * a global training-token budget of [[WaterfillNum]]/[[WaterfillDen]]
+    * of the corpus, allocate per-domain quotas by waterfilling — every
+    * domain whose capacity sits below the water level is taken whole
+    * (saturated), and the remaining budget splits evenly across the
+    * rest. This is the mixture-construction step between q101's dataset
+    * card and q90's exact-quota sampler: the allocation it emits is
+    * exactly the quota vector a per-domain sampler consumes.
+    *
+    * Entirely integer: with domains sorted by capacity (md5 tie-break),
+    * f(j) = pfx_j + cap_j·(n−j) is nondecreasing, so the saturated
+    * count s = #{j : f(j) ≤ budget}; the unsaturated level is spelled
+    * floor + remainder (first `rem mod nu` ranks get +1) instead of a
+    * rational, so Σ alloc = budget EXACTLY and the oracle hash cannot
+    * see an ULP. The only IEEE op is the terminal `share` division.
+    *
+    * Scale shape: ONE corpus scan partial-aggregates to per-domain
+    * capacities; everything after runs on #sources·#langs rows — the
+    * unpartitioned windows are bounded by the domain count by
+    * construction (domains are data sources, not vocabulary), and the
+    * two scalar passes broadcast. */
+  def waterfillBudget(s: SparkSession, dir: String): DataFrame = {
+    val caps = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(size(tokens(col("text")))).as("cap"))
+    val ord = Window.orderBy(col("cap"), col("tid"))
+    val r = caps
+      .withColumn("tid", conv(substring(
+        md5(concat_ws("|", col("source"), col("lang"))), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("pfx", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // feeds the scalar saturation pass AND the final allocation
+      .localCheckpoint(eager = false)
+    val b = r.agg(
+      expr(s"sum(cap) * $WaterfillNum div $WaterfillDen").as("budget"),
+      count(lit(1)).as("n"))
+    val satRow = col("pfx") + col("cap") * (col("n") - col("rnk")) <=
+      col("budget")
+    val scal = r.crossJoin(broadcast(b)).agg(
+      max(col("budget")).as("budget"), max(col("n")).as("n"),
+      sum(when(satRow, 1L).otherwise(0L)).as("sat"),
+      max(when(satRow, col("pfx")).otherwise(lit(0L))).as("pfx_s"))
+    r.crossJoin(broadcast(scal))
+      .withColumn("rem", col("budget") - col("pfx_s"))
+      .withColumn("nu", col("n") - col("sat"))
+      .select(col("source"), col("lang"), col("cap"), col("rnk"),
+        (col("rnk") <= col("sat")).as("saturated"),
+        when(col("rnk") <= col("sat"), col("cap"))
+          .otherwise(expr("rem div nu") +
+            when(col("rnk") - col("sat") <= pmod(col("rem"), col("nu")),
+              1L).otherwise(0L)).as("alloc"),
+        col("budget"))
+      .withColumn("share", col("alloc").cast("double") / col("budget"))
+      .drop("budget")
+      .orderBy(col("rnk"))
+  }
+
+  /** DuckDB spelling of [[waterfillBudget]]: same ranking, same integer
+    * saturation predicate, same floor+remainder split. */
+  val waterfillBudgetSql: String =
+    s"""WITH caps AS (
+       |  SELECT source, lang,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+       |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+       |b AS (SELECT CAST(sum(cap) * $WaterfillNum AS BIGINT) // $WaterfillDen
+       |        AS budget, CAST(count(*) AS BIGINT) AS n FROM caps),
+       |r AS (SELECT source, lang, cap,
+       |    CAST(row_number() OVER ord AS BIGINT) AS rnk,
+       |    CAST(sum(cap) OVER (ord ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+       |  FROM caps WINDOW ord AS (ORDER BY cap,
+       |    ('0x' || substr(md5(source || '|' || lang), 1, 15))::BIGINT)),
+       |s AS (SELECT
+       |    CAST(count(*) FILTER (
+       |      WHERE pfx + cap*(n-rnk) <= budget) AS BIGINT) AS sat,
+       |    coalesce(max(pfx) FILTER (
+       |      WHERE pfx + cap*(n-rnk) <= budget), 0) AS pfx_s
+       |  FROM r, b)
+       |SELECT source, lang, cap, rnk, rnk <= sat AS saturated,
+       |  CAST(CASE WHEN rnk <= sat THEN cap
+       |    ELSE (budget - pfx_s) // (n - sat) +
+       |      CASE WHEN rnk - sat <= (budget - pfx_s) % (n - sat)
+       |           THEN 1 ELSE 0 END
+       |  END AS BIGINT) AS alloc,
+       |  CAST(CASE WHEN rnk <= sat THEN cap
+       |    ELSE (budget - pfx_s) // (n - sat) +
+       |      CASE WHEN rnk - sat <= (budget - pfx_s) % (n - sat)
+       |           THEN 1 ELSE 0 END
+       |  END AS DOUBLE) / budget AS share
+       |FROM r, b, s ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_waterfill_budget" -> (waterfillBudget _),
     "q116_importance_weights" -> (importanceWeights _),
     "q109_delta_agg" -> (deltaAggMaintenance _),
     "q99_ingest_gate" -> (ingestGate _),
@@ -640,6 +741,7 @@ object Corpus {
     "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q120_waterfill_budget" -> waterfillBudgetSql,
     "q116_importance_weights" -> importanceWeightsSql,
     "q109_delta_agg" -> deltaAggMaintenanceSql,
     "q99_ingest_gate" -> ingestGateSql,

@@ -121,4 +121,25 @@ class CorpusSpec extends SparkSpec {
     assert(out(1001L) < 1.0, s"offtarget probe scored ${out(1001L)}")
     assert(out(1000L) > out(1001L) * 1.5, "separation too weak to be real")
   }
+
+  test("q120: waterfill exhausts the budget exactly, never over-allocates") {
+    val rows = Corpus.waterfillBudget(SparkSpec.spark, sf).collect()
+    val caps = rows.map(_.getLong(2))
+    val budget = caps.sum * Corpus.WaterfillNum / Corpus.WaterfillDen
+    // Σ alloc = budget EXACTLY — the floor+remainder split loses nothing
+    assert(rows.map(_.getLong(5)).sum === budget)
+    rows.foreach { r =>
+      val (cap, saturated, alloc) = (r.getLong(2), r.getBoolean(4), r.getLong(5))
+      assert(alloc <= cap, s"${r.getString(0)}/${r.getString(1)} over-allocated")
+      assert(!saturated || alloc === cap, "saturated domain must be taken whole")
+    }
+    // both branches fire on the fixture; unsaturated allocs differ by <= 1
+    val (satd, unsat) = rows.partition(_.getBoolean(4))
+    assert(satd.nonEmpty && unsat.nonEmpty)
+    val ua = unsat.map(_.getLong(5))
+    assert(ua.max - ua.min <= 1, "water level must be flat across unsaturated")
+    // every saturated capacity sits at or below every unsaturated alloc:
+    // that IS the waterfill property
+    if (satd.nonEmpty) assert(satd.map(_.getLong(2)).max <= ua.min)
+  }
 }
