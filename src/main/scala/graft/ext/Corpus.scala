@@ -729,7 +729,86 @@ object Corpus {
        |  END AS DOUBLE) / budget AS share
        |FROM r, b, s ORDER BY rnk""".stripMargin
 
+  // ---- q121: greedy quota sample consuming the waterfill ------------------
+
+  /** q121 — the sampler that CONSUMES [[waterfillBudget]]: within each
+    * (source, lang) domain, take documents in content-keyed hash order
+    * (replan-stable, q90's rule) greedily while the running token count
+    * stays inside the domain's waterfill allocation. Emits the kept
+    * documents with their pick rank and cumulative tokens — the actual
+    * training-mixture manifest a 100 TB pipeline writes after q120
+    * decides the quotas.
+    *
+    * Greedy semantics: a document is kept iff the cumulative count
+    * INCLUDING it is ≤ alloc, so a saturated domain (alloc = capacity)
+    * keeps everything and an unsaturated one under-fills by less than
+    * one document — maximal under the keep-whole-documents constraint.
+    *
+    * Scale shape: the per-domain window is PARTITIONED by domain (never
+    * a global sort); the allocation table is #domains rows and
+    * broadcasts onto the doc scan. One shuffle by domain key total. */
+  def quotaSample(s: SparkSession, dir: String): DataFrame = {
+    val alloc = waterfillBudget(s, dir)
+      .select(col("source"), col("lang"), col("alloc"))
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("pick_key"))
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("pick_key"))
+      .withColumn("pick_rn", row_number().over(w).cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(alloc), Seq("source", "lang"))
+      .filter(col("cum_tok") <= col("alloc"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+        col("pick_rn"), col("cum_tok"), col("alloc"))
+      .orderBy(col("source"), col("lang"), col("pick_rn"))
+  }
+
+  /** DuckDB spelling of [[quotaSample]]: the full [[waterfillBudgetSql]]
+    * allocation pipeline as CTEs + the same per-domain greedy cumsum. */
+  val quotaSampleSql: String =
+    s"""WITH caps AS (
+       |  SELECT source, lang,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+       |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+       |b AS (SELECT CAST(sum(cap) * $WaterfillNum AS BIGINT) // $WaterfillDen
+       |        AS budget, CAST(count(*) AS BIGINT) AS n FROM caps),
+       |r AS (SELECT source, lang, cap,
+       |    CAST(row_number() OVER ord AS BIGINT) AS rnk,
+       |    CAST(sum(cap) OVER (ord ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+       |  FROM caps WINDOW ord AS (ORDER BY cap,
+       |    ('0x' || substr(md5(source || '|' || lang), 1, 15))::BIGINT)),
+       |s AS (SELECT
+       |    CAST(count(*) FILTER (
+       |      WHERE pfx + cap*(n-rnk) <= budget) AS BIGINT) AS sat,
+       |    coalesce(max(pfx) FILTER (
+       |      WHERE pfx + cap*(n-rnk) <= budget), 0) AS pfx_s
+       |  FROM r, b),
+       |alloc AS (SELECT source, lang,
+       |    CAST(CASE WHEN rnk <= sat THEN cap
+       |      ELSE (budget - pfx_s) // (n - sat) +
+       |        CASE WHEN rnk - sat <= (budget - pfx_s) % (n - sat)
+       |             THEN 1 ELSE 0 END
+       |    END AS BIGINT) AS alloc
+       |  FROM r, b, s),
+       |d AS (SELECT doc_id, source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(row_number() OVER w AS BIGINT) AS pick_rn,
+       |    CAST(sum(len(string_split(text, ' '))) OVER
+       |      (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM documents WHERE text IS NOT NULL
+       |  WINDOW w AS (PARTITION BY source, lang ORDER BY
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT))
+       |SELECT doc_id, d.source, d.lang, n_tok, pick_rn, cum_tok, alloc
+       |FROM d JOIN alloc USING (source, lang)
+       |WHERE cum_tok <= alloc
+       |ORDER BY d.source, d.lang, pick_rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_budget_sample" -> (quotaSample _),
     "q120_waterfill_budget" -> (waterfillBudget _),
     "q116_importance_weights" -> (importanceWeights _),
     "q109_delta_agg" -> (deltaAggMaintenance _),
@@ -741,6 +820,7 @@ object Corpus {
     "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q121_budget_sample" -> quotaSampleSql,
     "q120_waterfill_budget" -> waterfillBudgetSql,
     "q116_importance_weights" -> importanceWeightsSql,
     "q109_delta_agg" -> deltaAggMaintenanceSql,
