@@ -121,6 +121,33 @@ object Dedup {
   def minhashPairsOf(docs: DataFrame, minEst: Double): DataFrame =
     minhashPairsFromSignatures(signatures(docs), minEst)
 
+  /** Near-dup pairs TOUCHING a batch: the batch's band rows equi-join the
+    * full index's band rows (index ⊇ batch, so batch-batch and batch-old
+    * pairs both surface; old-old pairs NEVER do) — the per-drop pair
+    * discovery of continuous-ingest cluster maintenance
+    * ([[graft.streaming.DocStreams.maintainClusters]]). Work is
+    * |batch bands| × bucket matches, independent of corpus size; the
+    * canonical (least, greatest) orientation dedups the two join orders
+    * of a batch-batch pair. */
+  def minhashPairsAgainst(batchSigs: DataFrame, indexSigs: DataFrame,
+      minEst: Double): DataFrame = {
+    val a = bandedOf(batchSigs).select(col("doc_id").as("a_id"),
+      col("sig").as("a_sig"), col("band"), col("band_sig"))
+    val b = bandedOf(indexSigs).select(col("doc_id").as("b_id"),
+      col("sig").as("b_sig"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("lid"),
+        greatest(col("a_id"), col("b_id")).as("gid"),
+        col("a_sig"), col("b_sig"))
+      .dropDuplicates("lid", "gid")
+      .select(col("lid").as("a_id"), col("gid").as("b_id"),
+        (aggregate(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / P).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
   /** One-pass portable signatures via
     * [[org.apache.spark.sql.graft.PortableMinHash]] — identical values to
     * [[portableSignatures]] (DedupSpec asserts it), fused into a single

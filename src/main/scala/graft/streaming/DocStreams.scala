@@ -66,4 +66,45 @@ object DocStreams {
         sink(graft.ext.Dedup.minhashGateOf(batch, corpusBands), batchId)
       }
       .start()
+
+  /** Start streaming incremental dedup-cluster maintenance — q112's
+    * continuous-ingest twin. Unlike the stateless gates above, this
+    * operator CARRIES state between micro-batches: the corpus signature
+    * index and the (doc_id, cluster_id) labels, both evolving per drop.
+    * Each batch (1) signs its documents, (2) discovers only the pairs
+    * TOUCHING the batch via [[graft.ext.Dedup.minhashPairsAgainst]]
+    * (drop-sized work — old×old pairs never recompute), and (3) merges
+    * them into the stored labels through the contracted-graph algebra of
+    * [[graft.ext.Dedup.incrementalClusterMerge]], so after every batch
+    * the labels are bit-identical to a from-scratch clustering of
+    * everything seen so far (StreamingSpec asserts it per wave).
+    *
+    * The merge is IDEMPOTENT (re-merging a replayed batch's pairs
+    * contracts them to loops, which drop), so foreachBatch's
+    * at-least-once replay after a mid-batch crash still converges to
+    * the exact answer. At 100 TB both state relations are persisted
+    * tables the sink maintains between drops (the spec's restart path
+    * re-seeds them the same way); here they live as eagerly
+    * localCheckpointed frames so lineage cannot grow across an
+    * unbounded stream. */
+  def maintainClusters(docStream: DataFrame, initialSigs: DataFrame,
+      initialLabels: DataFrame, checkpointDir: String,
+      minEst: Double = 0.5)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var sigs = initialSigs.localCheckpoint()
+    var labels = initialLabels.localCheckpoint()
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchSigs = graft.ext.Dedup.signatures(batch).localCheckpoint()
+        val index = sigs.unionByName(batchSigs).localCheckpoint()
+        val dropPairs =
+          graft.ext.Dedup.minhashPairsAgainst(batchSigs, index, minEst)
+        labels = graft.ext.Dedup.incrementalClusterMerge(labels, dropPairs)
+          .localCheckpoint()
+        sigs = index
+        sink(labels, batchId)
+      }
+      .start()
+  }
 }

@@ -283,6 +283,55 @@ class StreamingSpec extends SparkSpec {
     assert(collected.size === batch.length, "dupes across micro-batches")
   }
 
+  test("streaming incremental clusters: each drop's merge equals full recompute; restart re-seeds") {
+    import graft.ext.Dedup
+    import graft.streaming.DocStreams
+    // seed corpus = doc_id%4==0 (7 internal near-dup pairs at sf0.001);
+    // three waves from the other residues, each its own micro-batch
+    val docs = Tables.documents(spark, sf).localCheckpoint(eager = false)
+    def slice(r: Int) = docs.filter(col("doc_id") % 4 === r)
+    def fullRecompute(upTo: Int): Set[(Long, Long)] =
+      Dedup.connectedComponents(
+        Dedup.minhashPairsOf(docs.filter(col("doc_id") % 4 <= upTo), 0.5))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dropsDir = Files.createTempDirectory("graft-cc-drops").toString
+    val ckpt = Files.createTempDirectory("graft-cc-ckpt").toString
+    slice(1).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    slice(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    @volatile var latest = Array.empty[(Long, Long)]
+    val batchIds = scala.collection.mutable.Set.empty[Long]
+    def start(sigs: org.apache.spark.sql.DataFrame,
+        labels: org.apache.spark.sql.DataFrame) =
+      DocStreams.maintainClusters(
+        DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+        sigs, labels, ckpt) { (lab, id) =>
+        this.synchronized {
+          latest = lab.collect().map(r => (r.getLong(0), r.getLong(1)))
+          batchIds += id
+        }
+      }
+    // release state: the previous clustering + its signature index
+    val seedSigs = Dedup.signatures(slice(0))
+    val q1 = start(seedSigs,
+      Dedup.connectedComponents(
+        Dedup.minhashPairsFromSignatures(seedSigs, 0.5)))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(latest.toSet === fullRecompute(2),
+      "incremental labels after waves 1+2 diverge from full recompute")
+    // wave 3 lands while the maintainer is DOWN; the restart re-seeds
+    // state from the persisted artifacts (labels from the sink's last
+    // write, signatures from the ingested corpus) and must catch up
+    slice(3).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start(
+      Dedup.signatures(docs.filter(col("doc_id") % 4 <= 2)),
+      latest.toSeq.toDF("doc_id", "cluster_id"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchIds.size >= 3, s"expected >=3 micro-batches, got $batchIds")
+    assert(latest.toSet === fullRecompute(3),
+      "post-restart labels diverge from full recompute")
+    assert(latest.nonEmpty, "fixture must produce clusters")
+  }
+
   test("streaming sessionization matches batch q16 session count") {
     val flushDir = eventsDir // second file into the same stream dir
     val q = EventStreams.sessionize(
