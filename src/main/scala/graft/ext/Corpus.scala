@@ -807,7 +807,85 @@ object Corpus {
        |WHERE cum_tok <= alloc
        |ORDER BY d.source, d.lang, pick_rn""".stripMargin
 
+  // ---- q122: typed JSON document ingest with malformed quarantine ---------
+
+  /** Every doc_id ≡ 0 (mod this) gets its serialized form truncated —
+    * the deterministic stand-in for transport corruption. */
+  final val JsonCorruptMod = 7L
+
+  /** q122 — the JSONL ingest codec: crawl drops arrive as JSON lines,
+    * and the first pipeline stage is a TYPED parse (`from_json` with an
+    * explicit schema — one tokenizer pass into typed columns, unlike
+    * q33's per-path `get_json_object` re-parse) plus a quarantine lane
+    * for malformed rows. Each document is serialized to a nested JSON
+    * line in-engine (the driver supplies only parquet; byte-identical
+    * construction in both engines makes the codec oracle-checkable),
+    * rows hitting [[JsonCorruptMod]] are truncated mid-object, and the
+    * parse emits: the quarantine flag (whole-struct NULL on malformed —
+    * Spark's PERMISSIVE mode and the oracle's `json_valid` guard agree
+    * by construction), nested-path fields, a typed BIGINT, an array
+    * element, and the roundtrip check against the source column.
+    *
+    * Scale shape: pure per-row map — no shuffle but the presentation
+    * sort; the parse is one codegen'd JsonToStructs per row. At 100 TB
+    * this runs as the scan-attached projection of the ingest job, and
+    * the quarantine flag is the split predicate for the dead-letter
+    * sink. */
+  def jsonIngest(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, meta STRUCT<lang:STRING, source:STRING>, " +
+        "n_chars BIGINT, tags ARRAY<STRING>")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        concat(
+          lit("{\"doc_id\":"), col("doc_id"),
+          lit(",\"meta\":{\"lang\":\""), col("lang"),
+          lit("\",\"source\":\""), col("source"),
+          lit("\"},\"n_chars\":"), col("n_chars"),
+          lit(",\"tags\":[\""), col("lang"), lit("\",\""), col("source"),
+          lit("\"]}")).as("js0"))
+      .withColumn("js",
+        when(pmod(col("doc_id"), lit(JsonCorruptMod)) === 0,
+          expr("substring(js0, 1, length(js0) - 1)")).otherwise(col("js0")))
+      .select(col("doc_id"), col("lang"),
+        from_json(col("js"), schema).as("p"))
+      .select(col("doc_id"),
+        col("p.doc_id").isNotNull.as("parse_ok"),
+        col("p.meta.lang").as("lang_js"),
+        col("p.meta.source").as("source_js"),
+        col("p.n_chars").as("n_chars_js"),
+        element_at(col("p.tags"), 2).as("tag1"),
+        (col("p.meta.lang") <=> col("lang")).as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB spelling of [[jsonIngest]]: byte-identical serialization,
+    * `json_valid` quarantine (≡ Spark's whole-struct-NULL on malformed),
+    * same paths. */
+  val jsonIngestSql: String =
+    s"""WITH built AS (
+       |  SELECT doc_id, lang,
+       |    '{"doc_id":' || doc_id || ',"meta":{"lang":"' || lang ||
+       |    '","source":"' || source || '"},"n_chars":' || n_chars ||
+       |    ',"tags":["' || lang || '","' || source || '"]}' AS js0
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang,
+       |    CASE WHEN doc_id % $JsonCorruptMod = 0
+       |         THEN substr(js0, 1, length(js0) - 1) ELSE js0 END AS raw
+       |  FROM built),
+       |v AS (SELECT doc_id, lang,
+       |    CASE WHEN json_valid(raw) THEN raw END AS js FROM c)
+       |SELECT doc_id, js IS NOT NULL AS parse_ok,
+       |  json_extract_string(js, '$$.meta.lang') AS lang_js,
+       |  json_extract_string(js, '$$.meta.source') AS source_js,
+       |  CAST(json_extract(js, '$$.n_chars') AS BIGINT) AS n_chars_js,
+       |  json_extract_string(js, '$$.tags[1]') AS tag1,
+       |  json_extract_string(js, '$$.meta.lang') IS NOT DISTINCT FROM lang
+       |    AS roundtrip_ok
+       |FROM v ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_json_ingest" -> (jsonIngest _),
     "q121_budget_sample" -> (quotaSample _),
     "q120_waterfill_budget" -> (waterfillBudget _),
     "q116_importance_weights" -> (importanceWeights _),
@@ -820,6 +898,7 @@ object Corpus {
     "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q122_json_ingest" -> jsonIngestSql,
     "q121_budget_sample" -> quotaSampleSql,
     "q120_waterfill_budget" -> waterfillBudgetSql,
     "q116_importance_weights" -> importanceWeightsSql,

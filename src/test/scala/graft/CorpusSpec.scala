@@ -165,4 +165,26 @@ class CorpusSpec extends SparkSpec {
       rs.map(_.getLong(3)).sum < alloc(dom)._1 }
     assert(partial.nonEmpty && partial.size < kept.size)
   }
+
+  test("q122: malformed rows quarantine exactly; parsed rows roundtrip") {
+    val docs = graft.tables.Tables.documents(SparkSpec.spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val rows = Corpus.jsonIngest(SparkSpec.spark, sf).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ok = r.getBoolean(1)
+      assert(ok === (id % Corpus.JsonCorruptMod != 0),
+        s"doc $id: quarantine flag wrong")
+      if (ok) {
+        assert(r.getString(2) === docs(id)._1, s"doc $id lang mismatch")
+        assert(r.getLong(4) === docs(id)._2, s"doc $id n_chars mismatch")
+        assert(r.getBoolean(6), s"doc $id roundtrip failed")
+      } else {
+        assert(r.isNullAt(2) && r.isNullAt(4), s"doc $id leaked past quarantine")
+        assert(!r.getBoolean(6))
+      }
+    }
+  }
 }
