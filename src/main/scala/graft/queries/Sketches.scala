@@ -98,11 +98,108 @@ object Sketches {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q123: Count-Min sketch heavy-hitter estimation ---------------------
+
+  /** CMS geometry: [[CmsDepth]] independent hash rows × [[CmsWidth]]
+    * buckets (compile-time constants — read while building oracle SQL).
+    * Width is deliberately SMALLER than the fixture vocabulary so
+    * collisions — the thing a CMS exists to bound — actually occur and
+    * the overestimates are visible (13/20, 10/20, 12/20 probes exact at
+    * the three SFs). */
+  final val CmsDepth = 4
+  final val CmsWidth = 16L
+
+  /** q123 — Count-Min sketch over corpus token frequencies, probed at
+    * the true top-20 terms: the fixed-size frequency summary a streaming
+    * ingest keeps when the vocabulary doesn't fit anywhere (beside
+    * q37's HLL for distinct counts and q103's bitmap for exact small
+    * domains). Emits per-probe exact count, CMS estimate, and the
+    * overestimate — `est ≥ exact` ALWAYS (one-sided error is the CMS
+    * contract; SketchesSpec asserts it), with equality whenever some
+    * row isolates the term.
+    *
+    * Portable hashing: row i of the sketch hashes md5("i|term") into
+    * [[CmsWidth]] buckets — both engines fold identical bytes, so every
+    * cell value and every estimate matches the oracle bit-for-bit.
+    *
+    * Scale shape: the sketch is (depth·width) = 64 cells — token
+    * occurrences partial-aggregate per (row, bucket) map-side, ONE
+    * constant-size exchange; the top-20 probe set is sort+limit
+    * (TakeOrderedAndProject — never a vocabulary-wide window), and the
+    * probe-vs-cell join broadcasts the 64-cell relation. At 100 TB the
+    * sketch update stream is the only corpus-sized pass. */
+  def q123CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      // feeds the cells AND the probe set
+      .localCheckpoint(eager = false)
+    val depths = exact.sparkSession.range(CmsDepth)
+      .select(col("id").cast("int").as("d"))
+    def bucket(d: org.apache.spark.sql.Column,
+        term: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(d.cast("string"), lit("|"), term)),
+        1, 8), 16, 10).cast("long"), lit(CmsWidth))
+    val cells = exact.crossJoin(depths)
+      .groupBy(col("d"), bucket(col("d"), col("term")).as("h"))
+      .agg(sum(col("cnt")).as("cell"))
+    val probes = exact
+      .withColumn("tid", conv(substring(md5(col("term")), 1, 15), 16, 10)
+        .cast("long"))
+      .orderBy(col("cnt").desc, col("tid")).limit(20)
+      // bounded 20-row window AFTER the limit (q67's pattern)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tid"))).cast("long"))
+    val pd = probes.crossJoin(depths)
+    pd.join(broadcast(cells),
+        pd("d") === cells("d") && bucket(pd("d"), pd("term")) === cells("h"))
+      .groupBy(pd("term"), pd("cnt"), pd("rnk"))
+      .agg(min(col("cell")).as("est"))
+      .select(col("term"), col("rnk"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("over"))
+      .orderBy(col("rnk"))
+  }
+
+  /** DuckDB spelling of [[q123CmsHeavyHitters]]: same md5 row hashes,
+    * same geometry, same probe ranking. */
+  val q123Sql: String = {
+    val depthRows = (0 until CmsDepth).map(i => s"SELECT $i AS d")
+      .mkString(" UNION ALL ")
+    s"""WITH tx AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+       |  WHERE text IS NOT NULL),
+       |exact AS (SELECT term, count(*) AS cnt FROM tx GROUP BY 1),
+       |depths AS ($depthRows),
+       |cells AS (
+       |  SELECT d,
+       |    ('0x' || substr(md5(d || '|' || term), 1, 8))::BIGINT % $CmsWidth
+       |      AS h,
+       |    CAST(sum(cnt) AS BIGINT) AS cell
+       |  FROM exact CROSS JOIN depths GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT term, cnt, CAST(row_number() OVER (ORDER BY cnt DESC,
+       |    ('0x' || substr(md5(term), 1, 15))::BIGINT) AS BIGINT) AS rnk
+       |  FROM exact QUALIFY rnk <= 20),
+       |est AS (
+       |  SELECT p.term, p.rnk, CAST(p.cnt AS BIGINT) AS cnt,
+       |    min(c.cell) AS est
+       |  FROM probes p CROSS JOIN depths d
+       |  JOIN cells c ON c.d = d.d
+       |    AND c.h = ('0x' || substr(md5(d.d || '|' || p.term), 1, 8))::BIGINT
+       |      % $CmsWidth
+       |  GROUP BY 1, 2, 3)
+       |SELECT term, rnk, cnt, est, est - cnt AS over
+       |FROM est ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_cms_heavy_hitters" -> (q123CmsHeavyHitters _),
     "q36_approx_agg" -> (q36Approx _),
     "q37_hll_sketch" -> (q37HllSketch _))
 
   val oracles: Map[String, String] = Map(
+    "q123_cms_heavy_hitters" -> q123Sql,
     "q36_approx_agg" -> q36Sql,
     "q37_hll_sketch" -> q37Sql)
 }

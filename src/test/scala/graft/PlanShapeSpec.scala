@@ -205,4 +205,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("partial min"),
       s"no map-side combine for the (source, pos) minima:\n$p")
   }
+
+  test("q119: the coverage head is the bounded TopK agg, never a vocab window") {
+    val p = plan(graft.ext.Index.coverageCurve(spark, sf))
+    assert(p.contains("partial_topkaggregator"),
+      s"bounded TopK partial aggregation missing:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"vocabulary-sized window appeared in the head selection:\n$p")
+  }
+
+  test("q121: the allocation joins broadcast onto the doc scan; window is domain-partitioned") {
+    val p = plan(graft.ext.Corpus.quotaSample(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("windowspecdefinition(source#"),
+      s"per-doc window not partitioned by domain:\n$p")
+  }
+
+  test("q123: probes plan as TakeOrderedAndProject; the cell probe join broadcasts") {
+    val p = plan(graft.queries.Sketches.q123CmsHeavyHitters(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"probe set degraded to a global sort or window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"64-cell sketch relation sort-merged:\n$p")
+  }
 }

@@ -49,4 +49,23 @@ class SkewSketchSpec extends SparkSpec {
       assert(r.getBoolean(2), s"merged HLL estimate outside 5%: $r")
     }
   }
+
+  test("q123: CMS never underestimates; exact count column is exact") {
+    val rows = Sketches.q123CmsHeavyHitters(spark, sf).collect()
+    assert(rows.length === 20)
+    val exact = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === exact(r.getString(0)), r.toString)
+      // one-sided error: est >= exact, always — THE CMS contract
+      assert(r.getLong(3) >= r.getLong(2), s"CMS underestimated: $r")
+      assert(r.getLong(4) === r.getLong(3) - r.getLong(2))
+    }
+    // width < vocabulary forces collisions: some probes overestimate,
+    // and depth-4 row isolation keeps others exact — both branches live
+    assert(rows.exists(_.getLong(4) > 0), "no collision — sketch degenerate")
+    assert(rows.exists(_.getLong(4) === 0), "every probe collided everywhere")
+  }
 }
