@@ -105,9 +105,81 @@ object Layout {
        |FROM zed GROUP BY 1 ORDER BY z_range""".stripMargin
   }
 
+  // ---- q124: bucketed-table co-located join (exchange-free) ---------------
+
+  /** Buckets per table — both sides MUST agree for bucket-wise joins. */
+  val Buckets = 8
+
+  /** Stable per-dataset table-name tag so tests (which touch several SF
+    * dirs in one session) and Verify (fresh JVM over a leftover
+    * warehouse) never cross-contaminate bucketed tables. */
+  private def dirTag(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    d.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** q124 — bucketed-table co-located join: `orders` and `customer` are
+    * written ONCE as parquet tables bucketed (and sort-ordered) by their
+    * join key (`bucketBy(`[[Buckets]]`, custkey)`), then the fact-dim
+    * join AND the per-customer aggregation both run with ZERO exchanges:
+    * the scan's hash-bucketed layout already satisfies the join's
+    * clustering requirement, and grouping on the same key reuses it
+    * (PlanShapeSpec locks "no Exchange anywhere in the plan").
+    *
+    * Why this is THE 100 TB join shape: a fact table joined on the same
+    * key daily (orders⋈customer, events⋈user, doc⋈cluster) pays its
+    * shuffle once at write time and never again — every subsequent join
+    * or aggregation on the bucket key is exchange-free, which at 100 TB
+    * turns the dominant network cost of the pipeline into a local
+    * sort-merge per bucket. The `.hint("merge")` pins sort-merge (a
+    * broadcast would hide the co-location being demonstrated).
+    *
+    * The bucketed tables are pure LAYOUT: the oracle recomputes the same
+    * aggregate from the raw parquet, so bucketing must be value-invisible
+    * (the q109 "maintenance is value-invisible" discipline, applied to
+    * storage). Writes are skipped when the tables already exist, so
+    * steady-state cost is join-only. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = dirTag(dir)
+    val ordT  = s"graft_bkt_orders_$tag"
+    val custT = s"graft_bkt_customer_$tag"
+    if (!s.catalog.tableExists(ordT))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ordT)
+    if (!s.catalog.tableExists(custT))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(custT)
+    val o = s.table(ordT).hint("merge")
+    val c = s.table(custT).hint("merge")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.ops.Det.dsum(col("o_totalprice")).as("revenue"))
+    // no orderBy: any sort would add the exchange this query exists to
+    // avoid, and the driver's compare is order-insensitive
+  }
+
+  /** Oracle for [[bucketedJoin]] recomputes from the RAW parquet — the
+    * bucketed layout must not change a single value. */
+  val bucketedJoinSql: String =
+    s"""SELECT c_custkey, c_mktsegment,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  ${graft.ops.Det.sqlSum("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q94_zorder_stats" -> (zorderStats _))
+    "q94_zorder_stats" -> (zorderStats _),
+    "q124_bucketed_join" -> (bucketedJoin _))
 
   val oracles: Map[String, String] = Map(
-    "q94_zorder_stats" -> zorderStatsSql)
+    "q94_zorder_stats" -> zorderStatsSql,
+    "q124_bucketed_join" -> bucketedJoinSql)
 }

@@ -221,6 +221,15 @@ class PlanShapeSpec extends SparkSpec {
       s"per-doc window not partitioned by domain:\n$p")
   }
 
+  test("q124: bucketed join + bucket-key agg run with ZERO exchanges") {
+    val p = plan(graft.ext.Layout.bucketedJoin(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"merge hint not honored:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed layout failed to satisfy join/agg clustering:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"scan did not recognize the bucketed layout:\n$p")
+  }
+
   test("q123: probes plan as TakeOrderedAndProject; the cell probe join broadcasts") {
     val p = plan(graft.queries.Sketches.q123CmsHeavyHitters(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
