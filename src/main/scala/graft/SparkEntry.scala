@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Advanced, Core, Sketches, Subqueries}
-import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Multimodal,
+import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Model, Multimodal,
   Report, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,8 @@ object SparkEntry {
     Core.queries ++ Advanced.queries ++ Sketches.queries ++
       Subqueries.queries ++ Similarity.queries ++ Text.queries ++
       Dedup.queries ++ Multimodal.queries ++ Corpus.queries ++
-      Linkage.queries ++ Index.queries ++ Layout.queries ++ Report.queries
+      Linkage.queries ++ Index.queries ++ Layout.queries ++
+      Model.queries ++ Report.queries
 
   /** Keys in [[queries]] that are deliberate EXACTNESS BASELINES, not
     * production paths: quadratic all-pairs formulations kept as the
@@ -35,5 +36,6 @@ object SparkEntry {
     Core.oracles ++ Advanced.oracles ++ Sketches.oracles ++
       Subqueries.oracles ++ Similarity.oracles ++ Text.oracles ++
       Dedup.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
-      Linkage.oracles ++ Index.oracles ++ Layout.oracles ++ Report.oracles
+      Linkage.oracles ++ Index.oracles ++ Layout.oracles ++
+      Model.oracles ++ Report.oracles
 }

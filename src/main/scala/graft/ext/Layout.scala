@@ -140,22 +140,34 @@ object Layout {
     * (the q109 "maintenance is value-invisible" discipline, applied to
     * storage). Writes are skipped when the tables already exist, so
     * steady-state cost is join-only. */
+  /** Write `df` as a bucket-sorted managed table unless this session
+    * already has it. A PREVIOUS JVM's managed location may survive in
+    * the warehouse dir while the fresh in-memory catalog knows nothing
+    * of the table — Spark 4 then rejects even overwrite-mode
+    * `saveAsTable` (LOCATION_ALREADY_EXISTS), so the stale location is
+    * deleted first. */
+  private def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
+    val s = df.sparkSession
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(Buckets, key).sortBy(key).saveAsTable(table)
+    }
+  }
+
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val tag = dirTag(dir)
     val ordT  = s"graft_bkt_orders_$tag"
     val custT = s"graft_bkt_customer_$tag"
-    if (!s.catalog.tableExists(ordT))
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
-        .saveAsTable(ordT)
-    if (!s.catalog.tableExists(custT))
-      Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
-        .saveAsTable(custT)
+    writeBucketed(Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      ordT, "o_custkey")
+    writeBucketed(Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment")),
+      custT, "c_custkey")
     val o = s.table(ordT).hint("merge")
     val c = s.table(custT).hint("merge")
     o.join(c, o("o_custkey") === c("c_custkey"))

@@ -1,0 +1,353 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Models trained IN-QUERY from the corpus and applied corpus-wide —
+  * the model-based filtering layer of an LLM data pipeline (quality
+  * classification, LM-perplexity filtering, tokenizer induction).
+  * North-star extension (no counterpart in the reference's 3-query
+  * surface; the shapes are the public CCNet/fastText/BPE pipeline
+  * stages re-expressed as Spark plans).
+  *
+  * Cross-engine exactness discipline: every learned parameter is
+  * QUANTIZED to an integer (`floor(1e6 · ln(rational))` of an exact
+  * integer ratio — the fastText-quantization idea used for
+  * determinism), so scores are BIGINT sums and the oracle compare is
+  * bit-exact. The only doubles that survive into results are single
+  * final IEEE divisions of identical integers.
+  */
+object Model {
+  /** Label threshold for the q125 supervision signal: a doc is "long"
+    * (≈ kept-quality proxy) iff n_chars ≥ this. */
+  final val LongDocChars = 250L
+  /** Training split: md5(doc_id) ‰ below this → seed (train) set. */
+  final val SeedPerMille = 500L
+  /** Log-odds quantization scale (µ-nats). */
+  final val Scale = 1000000L
+  /** BPE merge rounds for q127. */
+  final val BpeRounds = 6
+
+  private def seedCol: Column = Text.md5Bucket1000(col("doc_id")) < SeedPerMille
+  private val seedSqlPred =
+    s"(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000) < $SeedPerMille"
+
+  // ---- q125: Naive-Bayes quality classifier --------------------------------
+
+  /** q125 — Naive-Bayes quality classifier trained in-query and applied
+    * to the held-out corpus (the fastText/CCNet "model-based quality
+    * filter" stage). Supervision is a deterministic label (doc is
+    * "long": n_chars ≥ [[LongDocChars]]); the model is multinomial NB
+    * over bag-of-words PLUS a Poisson document-length channel
+    * (`n·ln(λ⁺/λ⁻) − (λ⁺−λ⁻)`) — on this corpus the word channel is
+    * near-uninformative (text is length-independent) and the length
+    * channel carries the signal: held-out accuracy ≈ 0.98 vs a 0.6
+    * majority class (ModelSpec pins it).
+    *
+    * All weights are quantized integers (µ-nats): per-word log-odds
+    * `⌊S·ln((c⁺+1)(T⁻+V) / ((c⁻+1)(T⁺+V)))⌋` from exact integer
+    * counts, so per-doc scores are exact BIGINT sums and the decision
+    * boundary (`score > 0`) is engine-exact.
+    *
+    * Scale shape: training is one seed scan + a vocab-sized exchange;
+    * the fitted model collapses to ONE row (a vocab-sized map + 4
+    * scalars) broadcast to every scoring task — scoring is a single
+    * corpus scan with ZERO corpus shuffle (exactly how a fastText
+    * filter deploys: model in executor RAM, stream the corpus
+    * through). For a model too big to broadcast (10⁸⁺ n-gram rows) the
+    * spelling flips to explode + broadcast-hash-join on the weight
+    * relation + re-agg by doc_id — one bounded shuffle; this corpus's
+    * vocab makes the broadcast form the honest choice. */
+  def nbQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("source"),
+        (col("n_chars") >= LongDocChars).cast("int").as("is_long"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        seedCol.as("seed"))
+    val seedTok = docs.filter(col("seed"))
+      .select(col("is_long"), explode(split(col("text"), " ")).as("w"))
+    val cnts = seedTok.groupBy(col("w")).agg(
+      sum(col("is_long")).as("cp"),
+      sum(lit(1) - col("is_long")).as("cn"))
+    val tot = cnts.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+      count(lit(1)).as("v"))
+    val pri = docs.filter(col("seed")).agg(
+      sum(col("is_long")).as("np"), sum(lit(1) - col("is_long")).as("nn"))
+    def qlog(num: Column, den: Column): Column =
+      floor(lit(Scale) * log(num.cast("double") / den)).cast("long")
+    val wts = cnts.crossJoin(broadcast(tot)).select(col("w"),
+      qlog((col("cp") + 1) * (col("tn") + col("v")),
+           (col("cn") + 1) * (col("tp") + col("v"))).as("wt"))
+    // the whole fitted model as ONE broadcastable row
+    val model = wts
+      .agg(map_from_entries(collect_list(struct(col("w"), col("wt")))).as("m"))
+      .crossJoin(tot).crossJoin(pri)
+      .select(col("m"),
+        qlog(col("tn") + col("v"), col("tp") + col("v")).as("w0"),
+        qlog(col("np") + 1, col("nn") + 1).as("prior"),
+        log((col("tp") * col("nn")).cast("double") / (col("tn") * col("np")))
+          .as("lnlam"),
+        floor(lit(Scale) * (col("tp").cast("double") / col("np")
+          - col("tn").cast("double") / col("nn"))).cast("long").as("lamdiff"))
+    val scored = docs.filter(!col("seed")).crossJoin(broadcast(model))
+      .select(col("source"), col("is_long"),
+        (col("prior")
+          + aggregate(split(col("text"), " "), lit(0L),
+              (acc, t) => acc + coalesce(element_at(col("m"), t), col("w0")))
+          + floor(lit(Scale) * col("n_tok") * col("lnlam")).cast("long")
+          - col("lamdiff")).as("score"))
+    scored.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("is_long")).as("n_long"),
+      sum((col("score") > 0).cast("int")).as("n_pred_long"),
+      sum(((col("score") > 0) && col("is_long") === 1).cast("int")).as("tp"),
+      sum(col("score")).as("score_sum"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling of [[nbQualityFilter]]: same integer counts, same
+    * quantized weights (identical double division → ln → floor), scoring
+    * via unnest + weight join (value-identical to the broadcast-map
+    * form). */
+  val nbQualityFilterSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, source,
+       |    CASE WHEN n_chars >= $LongDocChars THEN 1 ELSE 0 END AS is_long,
+       |    len(string_split(text,' ')) AS n_tok,
+       |    $seedSqlPred AS seed
+       |  FROM documents WHERE text IS NOT NULL),
+       |seedtok AS (
+       |  SELECT is_long, unnest(string_split(text,' ')) AS w
+       |  FROM docs WHERE seed),
+       |cnts AS (SELECT w, sum(is_long) AS cp, sum(1-is_long) AS cn
+       |  FROM seedtok GROUP BY 1),
+       |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM cnts),
+       |pri AS (SELECT sum(is_long) AS np, sum(1-is_long) AS nn
+       |  FROM docs WHERE seed),
+       |wts AS (SELECT w, CAST(floor($Scale * ln(
+       |    CAST((cp+1)*(tn+v) AS DOUBLE)/((cn+1)*(tp+v)))) AS BIGINT) AS wt
+       |  FROM cnts, tot),
+       |con AS (SELECT
+       |    CAST(floor($Scale * ln(CAST(tn+v AS DOUBLE)/(tp+v))) AS BIGINT) AS w0,
+       |    CAST(floor($Scale * ln(CAST(np+1 AS DOUBLE)/(nn+1))) AS BIGINT) AS prior,
+       |    ln(CAST(tp*nn AS DOUBLE)/(tn*np)) AS lnlam,
+       |    CAST(floor($Scale * (CAST(tp AS DOUBLE)/np - CAST(tn AS DOUBLE)/nn))
+       |      AS BIGINT) AS lamdiff
+       |  FROM tot, pri),
+       |tokens AS (
+       |  SELECT doc_id, source, is_long, n_tok,
+       |    unnest(string_split(text,' ')) AS w
+       |  FROM docs WHERE NOT seed),
+       |dsc AS (
+       |  SELECT t.doc_id, any_value(t.source) AS source,
+       |    any_value(t.is_long) AS is_long, any_value(t.n_tok) AS n_tok,
+       |    sum(coalesce(wt, w0)) AS tokscore
+       |  FROM tokens t LEFT JOIN wts ON t.w = wts.w CROSS JOIN con
+       |  GROUP BY t.doc_id),
+       |scored AS (
+       |  SELECT source, is_long,
+       |    prior + tokscore
+       |      + CAST(floor($Scale * n_tok * lnlam) AS BIGINT) - lamdiff AS score
+       |  FROM dsc CROSS JOIN con)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(is_long) AS BIGINT) AS n_long,
+       |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pred_long,
+       |  CAST(sum(CASE WHEN score > 0 AND is_long=1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS tp,
+       |  CAST(sum(score) AS BIGINT) AS score_sum
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q126: bigram-LM perplexity filter -----------------------------------
+
+  /** Adjacent-pair strings ("w1 w2") of a token array, in-row; empty for
+    * 0/1-token docs (guarded — sequence(1,0) would DESCEND, the q93
+    * lesson). */
+  private def pairList(l: Column): Column =
+    when(size(l) >= 2,
+      transform(sequence(lit(1), size(l) - 1),
+        i => concat(element_at(l, i), lit(" "), element_at(l, i + 1))))
+      .otherwise(array())
+
+  /** q126 — bigram-LM perplexity filter (the CCNet "train a small LM,
+    * drop the tail" stage): an add-one-smoothed bigram model is fit on
+    * the seed split, every held-out document is scored by total negative
+    * log-likelihood, and the 20 most-perplexing documents surface (the
+    * ones a perplexity gate would drop). Per-bigram cost is the
+    * quantized integer `⌊S·ln((c(w₁)+V)/(c(w₁,w₂)+1))⌋ ≥ 0` — so NLLs
+    * are exact BIGINT sums; the reported avg is the single final IEEE
+    * division `nll/n_bigrams` (identical in both engines).
+    *
+    * Scale shape: fitting is one seed scan + a bigram-vocab exchange;
+    * the fitted LM collapses to one row (bigram map + unigram map + V)
+    * broadcast to the scoring scan — per-doc scoring is in-row lambda
+    * arithmetic, zero corpus shuffle, and the final top-20 is a
+    * TakeOrderedAndProject, never a corpus-wide sort. A web-scale LM
+    * that outgrows broadcast flips to the explode + broadcast-join +
+    * re-agg spelling (one bounded shuffle), exactly like q125. */
+  def lmPerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), seedCol.as("seed"),
+        split(col("text"), " ").as("l"))
+    val sp = docs
+      .select(col("doc_id"), col("seed"), explode(pairList(col("l"))).as("pr"))
+      .select(col("doc_id"), col("seed"),
+        split(col("pr"), " ").getItem(0).as("w1"),
+        split(col("pr"), " ").getItem(1).as("w2"))
+    val bic = sp.filter(col("seed")).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val unic = bic.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // fitted LM as one broadcastable row: bigram map, unigram map, V
+    val model = bic
+      .agg(map_from_entries(collect_list(struct(
+        concat(col("w1"), lit(" "), col("w2")), col("c12")))).as("bim"))
+      .crossJoin(unic.agg(
+        map_from_entries(collect_list(struct(col("w1"), col("c1")))).as("unm"),
+        count(lit(1)).as("v")))
+    val scored = docs.filter(!col("seed")).crossJoin(broadcast(model))
+      .select(col("doc_id"), col("source"),
+        greatest(size(col("l")) - 1, lit(0)).cast("long").as("n_bigrams"),
+        aggregate(pairList(col("l")), lit(0L), (acc, p) =>
+          acc + floor(lit(Scale) * log(
+            (coalesce(element_at(col("unm"), split(p, " ").getItem(0)), lit(0L))
+              + col("v")).cast("double")
+            / (coalesce(element_at(col("bim"), p), lit(0L)) + 1)))
+            .cast("long")).as("nll"))
+    scored.filter(col("n_bigrams") >= 1)
+      .select(col("doc_id"), col("source"), col("n_bigrams"), col("nll"),
+        (col("nll").cast("double") / col("n_bigrams")).as("avg_nll"))
+      .orderBy(col("avg_nll").desc, col("doc_id")).limit(20)
+  }
+
+  /** DuckDB spelling of [[lmPerplexityFilter]]: same split, same counts,
+    * same quantized per-pair costs via joins (value-identical to the
+    * broadcast-map form). */
+  val lmPerplexityFilterSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, $seedSqlPred AS seed,
+       |    string_split(text,' ') AS l
+       |  FROM documents WHERE text IS NOT NULL),
+       |pairs AS (
+       |  SELECT doc_id, seed,
+       |    unnest(list_transform(range(1, greatest(len(l)-1,0)+1),
+       |      i -> l[i] || ' ' || l[i+1])) AS pr
+       |  FROM docs),
+       |sp AS (SELECT doc_id, seed, string_split(pr,' ')[1] AS w1,
+       |    string_split(pr,' ')[2] AS w2 FROM pairs),
+       |bic AS (SELECT w1, w2, count(*) AS c12 FROM sp WHERE seed GROUP BY 1,2),
+       |unic AS (SELECT w1, sum(c12) AS c1 FROM bic GROUP BY 1),
+       |voc AS (SELECT count(*) AS v FROM unic),
+       |costs AS (
+       |  SELECT p.doc_id,
+       |    CAST(floor($Scale * ln(CAST(coalesce(c1,0)+v AS DOUBLE)
+       |      /(coalesce(c12,0)+1))) AS BIGINT) AS cost
+       |  FROM sp p
+       |  LEFT JOIN bic ON p.w1 = bic.w1 AND p.w2 = bic.w2
+       |  LEFT JOIN unic ON p.w1 = unic.w1
+       |  CROSS JOIN voc
+       |  WHERE NOT p.seed),
+       |dsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(cost) AS BIGINT) AS nll FROM costs GROUP BY 1),
+       |fin AS (
+       |  SELECT d.doc_id, any_value(t.source) AS source, n_bigrams, nll,
+       |    CAST(nll AS DOUBLE)/n_bigrams AS avg_nll
+       |  FROM dsc d JOIN docs t ON d.doc_id = t.doc_id
+       |  WHERE n_bigrams >= 1 GROUP BY d.doc_id, n_bigrams, nll)
+       |SELECT doc_id, source, n_bigrams, nll, avg_nll
+       |FROM fin ORDER BY avg_nll DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---- q127: BPE merge induction -------------------------------------------
+
+  /** q127 — byte-pair-encoding merge induction over the corpus (the
+    * tokenizer-training stage, Sennrich et al. 2016, at word
+    * granularity): [[BpeRounds]] rounds of "count all adjacent symbol
+    * pairs corpus-wide, merge the most frequent everywhere", emitting
+    * the learned merge table (round, pair, frequency).
+    *
+    * In-row merge trick: each doc is carried as a `|tok||tok||tok|`
+    * string, so merging pair (x,y) is the plain non-overlapping
+    * left-to-right `replace('|x||y|' → '|x@y|')` — every token owns its
+    * OWN delimiters, so adjacent occurrences never share a boundary
+    * character and greedy-left BPE semantics fall out of String.replace
+    * in both engines (a space-separated spelling would drop every
+    * second adjacent occurrence — the match consumes the shared space).
+    *
+    * Scale shape: each round is one corpus scan + one pair-vocab
+    * exchange + a TakeOrdered(1) best-pair broadcast (never a driver
+    * collect); per-round `localCheckpoint` keeps the k-round lineage
+    * flat (the q58 discipline). k corpus passes is the honest
+    * distributed BPE cost — production trainers run the same passes on
+    * a sampled corpus; sampling here is one `md5Bucket` filter away. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("text")), BpeRounds)
+
+  /** [[bpeMerges]] over any (text) frame — split out so ModelSpec can
+    * prove merged-token recursion (round r+1 merging a round-r token)
+    * on a crafted corpus, driving the PRODUCTION loop body. */
+  private[graft] def bpeMergesOf(texts: DataFrame, rounds: Int): DataFrame = {
+    var cur = texts.select(concat(lit("|"),
+      replace(col("text"), lit(" "), lit("||")), lit("|")).as("w"))
+    var merges: Seq[DataFrame] = Nil
+    for (r <- 0 until rounds) {
+      val toks = cur.select(
+        split(expr("substring(w, 2, length(w)-2)"), "\\|\\|").as("l"))
+      val best = toks
+        .select(explode(pairList(col("l"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(split(col("pair"), " ").getItem(0).as("w1"),
+          split(col("pair"), " ").getItem(1).as("w2"), col("cnt"))
+        .localCheckpoint(eager = false)
+      merges = merges :+ best.select(lit(r.toLong).as("round"),
+        col("w1"), col("w2"), col("cnt"))
+      if (r < rounds - 1)
+        cur = cur.crossJoin(broadcast(best)).select(replace(col("w"),
+          concat(lit("|"), col("w1"), lit("||"), col("w2"), lit("|")),
+          concat(lit("|"), col("w1"), lit("@"), col("w2"), lit("|"))).as("w"))
+          .localCheckpoint(eager = false)
+    }
+    merges.reduce(_.unionAll(_)).orderBy(col("round"))
+  }
+
+  /** DuckDB spelling of [[bpeMerges]]: the k rounds UNROLLED as chained
+    * CTEs — same wrapping, same tie-break, same replace semantics. */
+  val bpeMergesSql: String = {
+    val ctes = new StringBuilder(
+      """d0 AS (SELECT '|' || replace(text,' ','||') || '|' AS w
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin)
+    for (r <- 0 until BpeRounds) {
+      ctes ++= s""",
+        |t$r AS (SELECT string_split(substr(w, 2, length(w)-2), '||') AS l
+        |  FROM d$r),
+        |p$r AS (SELECT unnest(list_transform(range(1, greatest(len(l)-1,0)+1),
+        |    i -> l[i] || ' ' || l[i+1])) AS pair FROM t$r),
+        |b$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+      if (r < BpeRounds - 1)
+        ctes ++= s""",
+          |d${r + 1} AS (SELECT replace(w,
+          |    '|' || string_split(pair,' ')[1] || '||'
+          |        || string_split(pair,' ')[2] || '|',
+          |    '|' || string_split(pair,' ')[1] || '@'
+          |        || string_split(pair,' ')[2] || '|') AS w
+          |  FROM d$r CROSS JOIN b$r)""".stripMargin
+    }
+    val sel = (0 until BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, string_split(pair,' ')[1] AS w1,
+         |  string_split(pair,' ')[2] AS w2, cnt FROM b$r""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"WITH $ctes\nSELECT * FROM (\n  $sel\n) ORDER BY round"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_nb_quality" -> (nbQualityFilter _),
+    "q126_lm_perplexity" -> (lmPerplexityFilter _),
+    "q127_bpe_merges" -> (bpeMerges _))
+
+  val oracles: Map[String, String] = Map(
+    "q125_nb_quality" -> nbQualityFilterSql,
+    "q126_lm_perplexity" -> lmPerplexityFilterSql,
+    "q127_bpe_merges" -> bpeMergesSql)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Model
+import SparkSpec.spark.implicits._
+
+/** In-query-trained model stages (q125 NB filter, q126 LM perplexity,
+  * q127 BPE): classifier signal, score exactness, and the BPE merge
+  * semantics the wrapped-replace trick must honor. */
+class ModelSpec extends SparkSpec {
+
+  test("q125: held-out confusion counts are consistent and the classifier beats majority") {
+    val rows = Model.nbQualityFilter(spark, sf).collect()
+    assert(rows.length === 20)
+    var n = 0L; var long = 0L; var pred = 0L; var tp = 0L
+    rows.foreach { r =>
+      val (nd, nl, np_, t) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(t <= math.min(np_, nl), s"tp exceeds predictions or positives: $r")
+      assert(np_ <= nd && nl <= nd)
+      n += nd; long += nl; pred += np_; tp += t
+    }
+    // accuracy = (TP + TN) / n; majority class is ~60% long — the
+    // Poisson length channel must do far better (measured ≈ 0.98)
+    val tn = n - long - (pred - tp)
+    val acc = (tp + tn).toDouble / n
+    assert(acc > 0.9, s"held-out accuracy $acc — length channel lost")
+    // both predicted classes must be live
+    assert(pred > 0 && pred < n)
+  }
+
+  test("q126: NLLs are nonnegative exact sums; top-20 ordered by avg descending") {
+    val rows = Model.lmPerplexityFilter(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0, s"negative NLL: $r")
+      // avg is THE single final division of the exact integers
+      assert(r.getDouble(4) === r.getLong(3).toDouble / r.getLong(2), r.toString)
+    }
+    val avgs = rows.map(_.getDouble(4))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a >= b },
+      "top-20 not ordered by avg_nll descending")
+  }
+
+  test("q127: BPE merges recursively (a later round merges an earlier round's token)") {
+    // "a b" wins round 0 (3 occurrences); the MERGED token a@b then
+    // pairs with c twice — round 1 must pick (a@b, c), proving the
+    // wrapped-replace carries merged tokens into later rounds
+    val corpus = Seq("a b a b c", "a b c").toDF("text")
+    val m = Model.bpeMergesOf(corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) === ((0L, "a", "b", 3L)), m.mkString(", "))
+    assert(m(1) === ((1L, "a@b", "c", 2L)), m.mkString(", "))
+    // round 2 over ["a@b a@b@c", "a@b@c"]: the only pair left
+    assert(m(2) === ((2L, "a@b", "a@b@c", 1L)), m.mkString(", "))
+  }
+
+  test("q127: adjacent occurrences all merge in one round (no shared-boundary dropout)") {
+    // "x x x x" — greedy-left BPE merges positions (1,2) and (3,4) in
+    // ONE pass; a space-separated replace would merge only the first
+    val corpus = Seq("x x x x").toDF("text")
+    val m = Model.bpeMergesOf(corpus, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) === ((0L, "x", "x", 3L)), m.mkString(", "))
+    // after round 0 the doc is "x@x x@x" → round 1 sees exactly one pair
+    assert(m(1) === ((1L, "x@x", "x@x", 1L)), m.mkString(", "))
+  }
+
+  test("q127: corpus merge table has the configured rounds, positive counts") {
+    val m = Model.bpeMerges(spark, sf).collect()
+    assert(m.map(_.getLong(0)).toSeq === (0 until Model.BpeRounds).map(_.toLong))
+    m.foreach { r =>
+      assert(r.getLong(3) > 0)
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+    }
+  }
+}

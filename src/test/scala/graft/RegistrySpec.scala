@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Multimodal,
+import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Model, Multimodal,
   Report, Similarity, Text}
 import graft.queries.{Advanced, Core, Sketches, Subqueries}
 
@@ -21,7 +21,7 @@ class RegistrySpec extends SparkSpec {
       Core.queries, Advanced.queries, Sketches.queries, Subqueries.queries,
       Similarity.queries, Text.queries, Dedup.queries, Multimodal.queries,
       Corpus.queries, Linkage.queries, Index.queries, Layout.queries,
-      Report.queries)
+      Model.queries, Report.queries)
     assert(perModule.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules (Map ++ dropped one)")
   }
