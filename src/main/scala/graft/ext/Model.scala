@@ -283,13 +283,23 @@ object Model {
     bpeMergesOf(Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("text")), BpeRounds)
 
-  /** [[bpeMerges]] over any (text) frame — split out so ModelSpec can
-    * prove merged-token recursion (round r+1 merging a round-r token)
-    * on a crafted corpus, driving the PRODUCTION loop body. */
-  private[graft] def bpeMergesOf(texts: DataFrame, rounds: Int): DataFrame = {
-    var cur = texts.select(concat(lit("|"),
-      replace(col("text"), lit(" "), lit("||")), lit("|")).as("w"))
-    var merges: Seq[DataFrame] = Nil
+  /** Wrap space-joined text as a `|tok||tok|` delimiter string. */
+  private def wrapToks(text: Column): Column =
+    concat(lit("|"), replace(text, lit(" "), lit("||")), lit("|"))
+
+  /** One BPE merge application: every `|w1||w2|` → `|w1@w2|`. */
+  private def applyMerge(w: Column, w1: Column, w2: Column): Column =
+    replace(w,
+      concat(lit("|"), w1, lit("||"), w2, lit("|")),
+      concat(lit("|"), w1, lit("@"), w2, lit("|")))
+
+  /** Fit [[BpeRounds]]-style merges on a wrapped frame: returns the
+    * per-round best-pair 1-row frames (each localCheckpointed, so
+    * downstream consumers — the merge table AND any apply chain —
+    * never re-run training). */
+  private def bpeFit(wrapped: DataFrame, rounds: Int): Seq[DataFrame] = {
+    var cur = wrapped
+    var bests: Seq[DataFrame] = Nil
     for (r <- 0 until rounds) {
       val toks = cur.select(
         split(expr("substring(w, 2, length(w)-2)"), "\\|\\|").as("l"))
@@ -300,15 +310,116 @@ object Model {
         .select(split(col("pair"), " ").getItem(0).as("w1"),
           split(col("pair"), " ").getItem(1).as("w2"), col("cnt"))
         .localCheckpoint(eager = false)
-      merges = merges :+ best.select(lit(r.toLong).as("round"),
-        col("w1"), col("w2"), col("cnt"))
+      bests = bests :+ best
       if (r < rounds - 1)
-        cur = cur.crossJoin(broadcast(best)).select(replace(col("w"),
-          concat(lit("|"), col("w1"), lit("||"), col("w2"), lit("|")),
-          concat(lit("|"), col("w1"), lit("@"), col("w2"), lit("|"))).as("w"))
+        cur = cur.crossJoin(broadcast(best))
+          .select(applyMerge(col("w"), col("w1"), col("w2")).as("w"))
           .localCheckpoint(eager = false)
     }
-    merges.reduce(_.unionAll(_)).orderBy(col("round"))
+    bests
+  }
+
+  /** [[bpeMerges]] over any (text) frame — split out so ModelSpec can
+    * prove merged-token recursion (round r+1 merging a round-r token)
+    * on a crafted corpus, driving the PRODUCTION loop body. */
+  private[graft] def bpeMergesOf(texts: DataFrame, rounds: Int): DataFrame = {
+    val bests = bpeFit(texts.select(wrapToks(col("text")).as("w")), rounds)
+    bests.zipWithIndex.map { case (b, r) =>
+      b.select(lit(r.toLong).as("round"), col("w1"), col("w2"), col("cnt"))
+    }.reduce(_.unionAll(_)).orderBy(col("round"))
+  }
+
+  // ---- q128: BPE train/apply split -----------------------------------------
+
+  /** q128 — the tokenizer ARTIFACT-REUSE stage: merges are fit on the
+    * seed split only, then applied (in merge order — BPE application is
+    * order-sensitive) to the HELD-OUT corpus, reporting per-source
+    * token counts before/after and the compression ratio. This is the
+    * train/apply discipline every production tokenizer follows: the
+    * merge table is the model artifact; application never re-reads the
+    * training corpus.
+    *
+    * Scale shape: fitting is k seed passes (q127's cost on the seed
+    * half); application is ONE held-out scan through k chained
+    * 1-row-broadcast replaces — no shuffle at all until the final
+    * per-source partial agg. The compression column is the single final
+    * IEEE division of two exact BIGINTs. */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("source"), col("text"), seedCol.as("seed"))
+    val bests = bpeFit(
+      docs.filter(col("seed")).select(wrapToks(col("text")).as("w")),
+      BpeRounds)
+    var hold = docs.filter(!col("seed"))
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok_before"),
+        wrapToks(col("text")).as("w"))
+    for (b <- bests)
+      hold = hold.crossJoin(broadcast(b))
+        .select(col("source"), col("tok_before"),
+          applyMerge(col("w"), col("w1"), col("w2")).as("w"))
+    hold
+      .select(col("source"), col("tok_before"),
+        size(split(expr("substring(w, 2, length(w)-2)"), "\\|\\|"))
+          .cast("long").as("tok_after"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok_before")).as("tok_before"),
+        sum(col("tok_after")).as("tok_after"))
+      .select(col("source"), col("n_docs"), col("tok_before"),
+        col("tok_after"),
+        (col("tok_before").cast("double") / col("tok_after"))
+          .as("compression"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling of [[bpeApply]]: training CTEs over the seed split
+    * (unrolled, as in [[bpeMergesSql]]), one held-out application chain,
+    * same final aggregate. */
+  val bpeApplySql: String = {
+    val ctes = new StringBuilder(
+      s"""docs AS (SELECT source, text, $seedSqlPred AS seed
+         |  FROM documents WHERE text IS NOT NULL),
+         |d0 AS (SELECT '|' || replace(text,' ','||') || '|' AS w
+         |  FROM docs WHERE seed),
+         |h0 AS (SELECT source, len(string_split(text,' ')) AS tok_before,
+         |    '|' || replace(text,' ','||') || '|' AS w
+         |  FROM docs WHERE NOT seed)""".stripMargin)
+    for (r <- 0 until BpeRounds) {
+      ctes ++= s""",
+        |t$r AS (SELECT string_split(substr(w, 2, length(w)-2), '||') AS l
+        |  FROM d$r),
+        |p$r AS (SELECT unnest(list_transform(range(1, greatest(len(l)-1,0)+1),
+        |    i -> l[i] || ' ' || l[i+1])) AS pair FROM t$r),
+        |b$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r
+        |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+        |h${r + 1} AS (SELECT source, tok_before, replace(w,
+        |    '|' || string_split(pair,' ')[1] || '||'
+        |        || string_split(pair,' ')[2] || '|',
+        |    '|' || string_split(pair,' ')[1] || '@'
+        |        || string_split(pair,' ')[2] || '|') AS w
+        |  FROM h$r CROSS JOIN b$r)""".stripMargin
+      if (r < BpeRounds - 1)
+        ctes ++= s""",
+          |d${r + 1} AS (SELECT replace(w,
+          |    '|' || string_split(pair,' ')[1] || '||'
+          |        || string_split(pair,' ')[2] || '|',
+          |    '|' || string_split(pair,' ')[1] || '@'
+          |        || string_split(pair,' ')[2] || '|') AS w
+          |  FROM d$r CROSS JOIN b$r)""".stripMargin
+    }
+    // NB: the assembled string must NOT be stripMargin'd again — $ctes
+    // contains `||` continuation lines that a second pass would mangle
+    val tail =
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok_before) AS BIGINT) AS tok_before,
+         |  CAST(sum(len(string_split(substr(w, 2, length(w)-2), '||')))
+         |    AS BIGINT) AS tok_after,
+         |  CAST(sum(tok_before) AS DOUBLE)
+         |    / sum(len(string_split(substr(w, 2, length(w)-2), '||')))
+         |    AS compression
+         |FROM h$BpeRounds GROUP BY source ORDER BY source""".stripMargin
+    s"WITH $ctes\n$tail"
   }
 
   /** DuckDB spelling of [[bpeMerges]]: the k rounds UNROLLED as chained
@@ -344,10 +455,12 @@ object Model {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_nb_quality" -> (nbQualityFilter _),
     "q126_lm_perplexity" -> (lmPerplexityFilter _),
-    "q127_bpe_merges" -> (bpeMerges _))
+    "q127_bpe_merges" -> (bpeMerges _),
+    "q128_bpe_apply" -> (bpeApply _))
 
   val oracles: Map[String, String] = Map(
     "q125_nb_quality" -> nbQualityFilterSql,
     "q126_lm_perplexity" -> lmPerplexityFilterSql,
-    "q127_bpe_merges" -> bpeMergesSql)
+    "q127_bpe_merges" -> bpeMergesSql,
+    "q128_bpe_apply" -> bpeApplySql)
 }

@@ -66,6 +66,18 @@ class ModelSpec extends SparkSpec {
     assert(m(1) === ((1L, "x@x", "x@x", 1L)), m.mkString(", "))
   }
 
+  test("q128: applying seed-fit merges compresses the held-out corpus") {
+    val rows = Model.bpeApply(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"tok_after > tok_before: $r")
+      assert(r.getDouble(4) === r.getLong(2).toDouble / r.getLong(3))
+    }
+    // the seed merges must actually fire on held-out text
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)),
+      "no merge applied to any held-out doc")
+  }
+
   test("q127: corpus merge table has the configured rounds, positive counts") {
     val m = Model.bpeMerges(spark, sf).collect()
     assert(m.map(_.getLong(0)).toSeq === (0 until Model.BpeRounds).map(_.toLong))
