@@ -59,7 +59,20 @@ object Model {
     * spelling flips to explode + broadcast-hash-join on the weight
     * relation + re-agg by doc_id — one bounded shuffle; this corpus's
     * vocab makes the broadcast form the honest choice. */
-  def nbQualityFilter(s: SparkSession, dir: String): DataFrame = {
+  def nbQualityFilter(s: SparkSession, dir: String): DataFrame =
+    nbScoredHoldout(s, dir).groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("is_long")).as("n_long"),
+      sum((col("score") > 0).cast("int")).as("n_pred_long"),
+      sum(((col("score") > 0) && col("is_long") === 1).cast("int")).as("tp"),
+      sum(col("score")).as("score_sum"))
+      .orderBy(col("source"))
+
+  /** The shared q125/q129 scoring pipeline: fit the NB model on the
+    * seed split, score every HELD-OUT doc, return one row per held-out
+    * doc `(source, is_long, score)`. Scoring is a single corpus scan
+    * against the one-row broadcast model — zero corpus shuffle. */
+  private[graft] def nbScoredHoldout(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), col("source"),
         (col("n_chars") >= LongDocChars).cast("int").as("is_long"),
@@ -90,28 +103,22 @@ object Model {
           .as("lnlam"),
         floor(lit(Scale) * (col("tp").cast("double") / col("np")
           - col("tn").cast("double") / col("nn"))).cast("long").as("lamdiff"))
-    val scored = docs.filter(!col("seed")).crossJoin(broadcast(model))
+    docs.filter(!col("seed")).crossJoin(broadcast(model))
       .select(col("source"), col("is_long"),
         (col("prior")
           + aggregate(split(col("text"), " "), lit(0L),
               (acc, t) => acc + coalesce(element_at(col("m"), t), col("w0")))
           + floor(lit(Scale) * col("n_tok") * col("lnlam")).cast("long")
           - col("lamdiff")).as("score"))
-    scored.groupBy(col("source")).agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("is_long")).as("n_long"),
-      sum((col("score") > 0).cast("int")).as("n_pred_long"),
-      sum(((col("score") > 0) && col("is_long") === 1).cast("int")).as("tp"),
-      sum(col("score")).as("score_sum"))
-      .orderBy(col("source"))
   }
 
-  /** DuckDB spelling of [[nbQualityFilter]]: same integer counts, same
-    * quantized weights (identical double division → ln → floor), scoring
-    * via unnest + weight join (value-identical to the broadcast-map
-    * form). */
-  val nbQualityFilterSql: String =
-    s"""WITH docs AS (
+  /** DuckDB spelling of the shared q125/q129 scoring pipeline (CTEs up
+    * to the per-held-out-doc `scored(source, is_long, score)` relation):
+    * same integer counts, same quantized weights (identical double
+    * division → ln → floor), scoring via unnest + weight join
+    * (value-identical to the broadcast-map form). */
+  private val nbScoredCtes: String =
+    s"""docs AS (
        |  SELECT doc_id, text, source,
        |    CASE WHEN n_chars >= $LongDocChars THEN 1 ELSE 0 END AS is_long,
        |    len(string_split(text,' ')) AS n_tok,
@@ -149,7 +156,11 @@ object Model {
        |  SELECT source, is_long,
        |    prior + tokscore
        |      + CAST(floor($Scale * n_tok * lnlam) AS BIGINT) - lamdiff AS score
-       |  FROM dsc CROSS JOIN con)
+       |  FROM dsc CROSS JOIN con)""".stripMargin
+
+  /** DuckDB spelling of [[nbQualityFilter]]. */
+  val nbQualityFilterSql: String =
+    s"""WITH $nbScoredCtes
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(is_long) AS BIGINT) AS n_long,
        |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -158,6 +169,58 @@ object Model {
        |    AS BIGINT) AS tp,
        |  CAST(sum(score) AS BIGINT) AS score_sum
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q129: classifier calibration audit ----------------------------------
+
+  /** Reliability-diagram bin width in µ-nats (2 nats of quantized
+    * log-odds per bin) and the clamp range — 16 fixed bins total. */
+  final val CalBinWidth = 2000000L
+  final val CalBinLo = -8L
+  final val CalBinHi = 7L
+
+  /** q129 — calibration audit of the q125 quality classifier (the
+    * reliability diagram every model-based filter needs before its
+    * scores gate data): held-out docs are binned by FIXED-WIDTH bins of
+    * the quantized integer log-odds score and each bin reports its
+    * empirical positive rate. A well-calibrated filter shows a monotone
+    * rate curve (ModelSpec pins monotonicity plus 0→1 saturation at the
+    * extremes).
+    *
+    * Scale discipline: bins are fixed-width in SCORE space, not score
+    * quantiles — an ntile/percentile binning is a corpus-wide sort (the
+    * single-partition trap), while `floor(score/W)` is in-row
+    * arithmetic and the whole report is one 16-group partial agg on top
+    * of q125's zero-shuffle scoring scan. Bin ids stay engine-exact
+    * because score is an exact BIGINT and the boundary `floor(s/W)`
+    * (one IEEE division ≫ an ulp away from every integer) is identical
+    * in both engines; the only other double is the final rate division
+    * of two exact counts. */
+  def nbCalibration(s: SparkSession, dir: String): DataFrame =
+    nbScoredHoldout(s, dir)
+      .select(greatest(least(
+          floor(col("score").cast("double") / CalBinWidth), lit(CalBinHi)),
+          lit(CalBinLo)).cast("long").as("bin"),
+        col("is_long"), col("score"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_long")).cast("long").as("n_long"),
+        sum(col("score")).as("score_sum"))
+      .select(col("bin"), col("n_docs"), col("n_long"), col("score_sum"),
+        (col("n_long").cast("double") / col("n_docs")).as("long_rate"))
+      .orderBy(col("bin"))
+
+  /** DuckDB spelling of [[nbCalibration]]: identical scoring CTEs,
+    * identical fixed-width binning. */
+  val nbCalibrationSql: String =
+    s"""WITH $nbScoredCtes
+       |SELECT
+       |  greatest(least(CAST(floor(CAST(score AS DOUBLE) / $CalBinWidth)
+       |    AS BIGINT), $CalBinHi), $CalBinLo) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(is_long) AS BIGINT) AS n_long,
+       |  CAST(sum(score) AS BIGINT) AS score_sum,
+       |  CAST(sum(is_long) AS DOUBLE) / count(*) AS long_rate
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- q126: bigram-LM perplexity filter -----------------------------------
 
@@ -456,11 +519,13 @@ object Model {
     "q125_nb_quality" -> (nbQualityFilter _),
     "q126_lm_perplexity" -> (lmPerplexityFilter _),
     "q127_bpe_merges" -> (bpeMerges _),
-    "q128_bpe_apply" -> (bpeApply _))
+    "q128_bpe_apply" -> (bpeApply _),
+    "q129_nb_calibration" -> (nbCalibration _))
 
   val oracles: Map[String, String] = Map(
     "q125_nb_quality" -> nbQualityFilterSql,
     "q126_lm_perplexity" -> lmPerplexityFilterSql,
     "q127_bpe_merges" -> bpeMergesSql,
-    "q128_bpe_apply" -> bpeApplySql)
+    "q128_bpe_apply" -> bpeApplySql,
+    "q129_nb_calibration" -> nbCalibrationSql)
 }

@@ -66,6 +66,22 @@ class ModelSpec extends SparkSpec {
     assert(m(1) === ((1L, "x@x", "x@x", 1L)), m.mkString(", "))
   }
 
+  test("q129: calibration curve is monotone and saturates 0 -> 1") {
+    val rows = Model.nbCalibration(spark, sf).collect()
+    assert(rows.length ===
+      (Model.CalBinHi - Model.CalBinLo + 1).toInt, rows.mkString(", "))
+    assert(rows.map(_.getLong(0)).toSeq ===
+      (Model.CalBinLo to Model.CalBinHi).toSeq)
+    val rates = rows.map(_.getDouble(4)).toSeq
+    assert(rates.head === 0.0 && rates.last === 1.0, rates.mkString(", "))
+    rates.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b, s"non-monotone calibration: $rates")
+    }
+    // bins partition the held-out set exactly
+    assert(rows.map(_.getLong(1)).sum ===
+      Model.nbScoredHoldout(spark, sf).count())
+  }
+
   test("q128: applying seed-fit merges compresses the held-out corpus") {
     val rows = Model.bpeApply(spark, sf).collect()
     assert(rows.length === 20)
