@@ -884,7 +884,103 @@ object Corpus {
        |    AS roundtrip_ok
        |FROM v ORDER BY doc_id""".stripMargin
 
+  // ---- q130: interleaved training-order schedule ---------------------------
+
+  /** Range-shard count for both numbering phases of [[interleave]] —
+    * each offset relation is bounded by this (× #sources for phase A)
+    * at ANY corpus size. */
+  val InterleaveShards = 64
+
+  /** q130 — deterministic interleaved training order (the epoch
+    * scheduler): every doc gets a global position such that each
+    * source's docs spread uniformly through the epoch — source s with
+    * cnt_s docs occupies positions ≈ (i−½)·N/cnt_s — via the classic
+    * fractional-position key `(rank_in_source − ½)/cnt_s`, totally
+    * ordered by (key, source, doc_id). Training-order interleave is
+    * what keeps a mixture's gradient stream stationary; a source-block
+    * concatenation (all of src0, then src1 …) is the failure mode.
+    *
+    * Scale shape — NO global sort and NO per-source single partition,
+    * at either phase:
+    *  - phase A (rank within source): range-repartition by (source,
+    *    doc_id), rank per (part, source) in parallel windows, then add
+    *    per-(source, part) offsets — the offset relation is ≤
+    *    shards·#sources rows and its prefix sum partitions BY source,
+    *    so a 10-source 100 TB corpus never funnels a source through
+    *    one task (the grouped generalization of q85/q95's numbering).
+    *  - phase B (global position): range-repartition by the interleave
+    *    key, rank per part, add ≤[[InterleaveShards]]-row offsets.
+    * The key is one IEEE division of exact integers (identical in both
+    * engines); ties across equal-size sources break on (source,
+    * doc_id) deterministically. */
+  def interleave(s: SparkSession, dir: String): DataFrame =
+    interleaveOf(Tables.documents(s, dir).select(col("doc_id"), col("source")))
+
+  /** [[interleave]] over any (doc_id, source) frame — split out so
+    * CorpusSpec can prove the two-phase positions equal the naive
+    * global-window spelling on UNEQUAL source sizes (the harness corpus
+    * is degenerate: all sources equal-sized). */
+  private[graft] def interleaveOf(docs: DataFrame): DataFrame = {
+    // phase A: rank within source, range-sharded
+    val shardedA = docs
+      .repartitionByRange(InterleaveShards, col("source"), col("doc_id"))
+      .withColumn("part", spark_partition_id().cast("long"))
+      .localCheckpoint(eager = false) // freezes part for ranks AND offsets
+    val rnA = row_number().over(
+      Window.partitionBy(col("part"), col("source")).orderBy(col("doc_id")))
+    val offA = shardedA.groupBy(col("source"), col("part"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("part"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("src_cnt", sum(col("cnt")).over(
+        Window.partitionBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("source"), col("part"), col("off"), col("src_cnt"))
+    val ranked = shardedA.withColumn("rn", rnA.cast("long"))
+      .join(broadcast(offA), Seq("source", "part"))
+      .select(col("doc_id"), col("source"),
+        (col("off") + col("rn")).as("src_rank"), col("src_cnt"))
+      .withColumn("ikey",
+        (col("src_rank") - lit(0.5)) / col("src_cnt"))
+    // phase B: global position over the interleave key, range-sharded
+    val shardedB = ranked
+      .repartitionByRange(InterleaveShards,
+        col("ikey"), col("source"), col("doc_id"))
+      .withColumn("part", spark_partition_id().cast("long"))
+      .localCheckpoint(eager = false)
+    val rnB = row_number().over(Window.partitionBy(col("part"))
+      .orderBy(col("ikey"), col("source"), col("doc_id")))
+    val offB = shardedB.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("part"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("part"), col("off"))
+    shardedB.withColumn("rn", rnB.cast("long"))
+      .join(broadcast(offB), Seq("part"))
+      .select(col("doc_id"), col("source"), col("src_rank"), col("src_cnt"),
+        col("ikey"), (col("off") + col("rn")).as("pos"))
+      .orderBy(col("pos"))
+  }
+
+  /** The naive global-window spelling — the ordering contract the
+    * two-phase plan implements exactly. */
+  val interleaveSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS src_rank,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS src_cnt
+      |  FROM documents),
+      |k AS (SELECT *, (src_rank - 0.5)/src_cnt AS ikey FROM r)
+      |SELECT doc_id, source, src_rank, src_cnt, ikey,
+      |  CAST(row_number() OVER (ORDER BY ikey, source, doc_id) AS BIGINT)
+      |    AS pos
+      |FROM k ORDER BY pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_interleave" -> (interleave _),
     "q122_json_ingest" -> (jsonIngest _),
     "q121_budget_sample" -> (quotaSample _),
     "q120_waterfill_budget" -> (waterfillBudget _),
@@ -898,6 +994,7 @@ object Corpus {
     "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q130_interleave" -> interleaveSql,
     "q122_json_ingest" -> jsonIngestSql,
     "q121_budget_sample" -> quotaSampleSql,
     "q120_waterfill_budget" -> waterfillBudgetSql,

@@ -10,6 +10,42 @@ import graft.tables.Tables
 class CorpusSpec extends SparkSpec {
   import SparkSpec.{spark, sf}
 
+  test("q130: two-phase interleave equals the naive global window on " +
+    "unequal sources") {
+    import SparkSpec.spark.implicits._
+    // unequal source sizes (the harness corpus is degenerate: all equal)
+    val docs = ((1L to 50L).map(i => (i, "big")) ++
+      (51L to 63L).map(i => (i, "mid")) ++
+      (64L to 66L).map(i => (i, "tiny")))
+      .toDF("doc_id", "source")
+    val got = Corpus.interleaveOf(docs).collect()
+    val w = org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .withColumn("src_rank", row_number().over(
+        w.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+      .withColumn("src_cnt", count(lit(1)).over(
+        w.partitionBy(col("source"))))
+      .withColumn("ikey", (col("src_rank") - lit(0.5)) / col("src_cnt"))
+      .withColumn("pos", row_number().over(
+        w.orderBy(col("ikey"), col("source"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("src_rank"), col("src_cnt"),
+        col("ikey"), col("pos"))
+      .orderBy(col("pos")).collect()
+    assert(got.toSeq === naive.toSeq)
+    // positions are a permutation of 1..N
+    assert(got.map(_.getLong(5)).toSeq === (1L to 66L).toSeq)
+    // uniform spread: each source's consecutive positions are never more
+    // than ~2·N/cnt apart (a source-block concatenation would show N-cnt)
+    got.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val ps = rs.map(_.getLong(5)).sorted
+      val cnt = rs.length
+      val maxGap = (ps.head +: ps.sliding(2).collect {
+        case Array(a, b) => b - a }.toSeq).max
+      assert(maxGap <= 2L * 66L / cnt + 1,
+        s"uneven interleave: gaps ${ps.mkString(",")}")
+    }
+  }
+
   test("q84: bloom prefilter + exact confirm equals the exact-set plan") {
     // The Bloom stage must be invisible: no false negatives exist, and
     // the confirm join removes the false positives — so the sketch path
