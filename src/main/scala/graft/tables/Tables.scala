@@ -29,19 +29,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as a long (nanos since epoch) and truncate to
-    * microseconds — exactly what DuckDB does when it reads the same file,
-    * so oracle comparisons line up. Integer `div` (not `/1000.0`) because
-    * epoch-nanos exceed double's 53-bit mantissa.
+  /** `events.ts` normalized to session-zone TIMESTAMP regardless of how the
+    * corpus generator encoded it. Two vintages exist:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the SESSION
-    * (set it in the builder — Verify/Bench/SparkSpec all do). A loader must
-    * not mutate session conf: that is a global side effect from a read
-    * path, and under concurrent queries it would race. */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    *  - parquet TIMESTAMP(NANOS): Spark 4 rejects it unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in every builder —
+    *    Verify/Bench/SparkSpec), which surfaces it as a LONG of epoch-nanos.
+    *    Truncate to microseconds with integer `div` (epoch-nanos exceed
+    *    double's 53-bit mantissa) — exactly what DuckDB does reading the
+    *    same file, so oracle comparisons line up.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+    *    TIMESTAMP_NTZ. Cast to TIMESTAMP — value-identical under the UTC
+    *    session zone every entry point pins, and DuckDB's naive TIMESTAMP
+    *    read of the same file matches.
+    *
+    * Branching on the OBSERVED type (not session conf) keeps one binary
+    * correct across both corpus vintages. A loader must not mutate session
+    * conf: that is a global side effect from a read path, and under
+    * concurrent queries it would race. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
