@@ -371,6 +371,108 @@ object Advanced {
       |GROUP BY 1, 2
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** q131 — SCD type-2 dimension build (Kimball slowly-changing
+    * dimension): each user's observed "tier" (floor(value/50) at each
+    * event) becomes a history of validity intervals — consecutive
+    * same-tier observations collapse into one version row carrying
+    * (valid_from, valid_to, n_obs, is_current), the
+    * gaps-and-islands spelling every warehouse uses to load a
+    * dimension from an observation changelog. q133 is the type-1
+    * companion (current state only); this keeps full history.
+    *
+    * Scale shape: both windows partition by user_id — one shuffle by
+    * the dimension's natural key, per-user fan-in bounded by that
+    * user's event count; the version roll-up partial-aggregates and
+    * the valid_to lead runs over the already-collapsed ≤#versions
+    * rows. No global sort, nothing corpus-wide in one partition. */
+  def q131Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("tier"), 1).over(w)
+    val versions = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / lit(50.0d)).cast("int").as("tier"))
+      .withColumn("chg",
+        when(prev.isNull.or(prev =!= col("tier")), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("tier")).as("tier"), min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .select(col("user_id"), col("version"), col("tier"),
+        col("valid_from"), col("valid_to"), col("n_obs"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q131Sql: String =
+    """WITH flag AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(value / 50) AS INT) AS tier,
+      |    CASE WHEN lag(CAST(floor(value / 50) AS INT)) OVER w IS NULL
+      |           OR lag(CAST(floor(value / 50) AS INT)) OVER w
+      |              <> CAST(floor(value / 50) AS INT)
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ver AS (
+      |  SELECT user_id, tier, ts,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS version
+      |  FROM flag),
+      |coll AS (
+      |  SELECT user_id, version, min(tier) AS tier, min(ts) AS valid_from,
+      |    CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM ver GROUP BY user_id, version)
+      |SELECT user_id, version, tier, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to,
+      |  n_obs,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |    IS NULL AS is_current
+      |FROM coll
+      |ORDER BY user_id, version""".stripMargin
+
+  /** q133 — CDC changelog apply (SCD type-1 / MERGE INTO semantics):
+    * events are a change stream keyed by user_id — `error` rows are
+    * DELETE markers, everything else an UPSERT — and the query
+    * materializes the current-state table under last-writer-wins by
+    * (ts, event_id). A key whose LAST change is a delete is absent
+    * from the result; otherwise the newest change's attributes win.
+    * This is the batch apply step of every CDC ingestion pipeline
+    * (Debezium→warehouse, lakehouse MERGE), and the type-1 companion
+    * to q131's full-history type-2 build.
+    *
+    * Scale shape: ONE partial-aggregable max(struct) — the changelog
+    * never windows, never sorts, never self-joins; map-side combine
+    * collapses each partition to ≤#keys rows before the single
+    * key-hash exchange. The delete filter runs on the aggregated
+    * #keys-row relation. */
+  def q133CdcMerge(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+      .orderBy(col("user_id"))
+
+  val q133Sql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, ts, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, ts AS last_ts, event_type AS last_type,
+      |  value AS last_value
+      |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -908,6 +1010,8 @@ object Advanced {
     "q106_winsorize"    -> (q106Winsorize _),
     "q110_itemset_pairs" -> (q110ItemsetPairs _),
     "q111_transitions"  -> (q111Transitions _),
+    "q131_scd2"         -> (q131Scd2 _),
+    "q133_cdc_merge"    -> (q133CdcMerge _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -933,6 +1037,8 @@ object Advanced {
     "q106_winsorize"    -> q106Sql,
     "q110_itemset_pairs" -> q110Sql,
     "q111_transitions"  -> q111Sql,
+    "q131_scd2"         -> q131Sql,
+    "q133_cdc_merge"    -> q133Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

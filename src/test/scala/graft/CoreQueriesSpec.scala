@@ -104,6 +104,58 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q131 SCD2: intervals chain per user, versions partition all events") {
+    val rows = graft.queries.Advanced.q131Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getLong(5),
+        r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..k dense
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length.toLong),
+        s"user $uid: versions must be dense from 1")
+      // exactly one current version, and it is the last
+      assert(sorted.count(_._7) === 1 && sorted.last._7,
+        s"user $uid: exactly the last version is current")
+      // valid_to of version i equals valid_from of version i+1 (chained)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $uid: intervals must chain")
+          assert(a._3 !== b._3, s"user $uid: adjacent versions same tier")
+        case _ =>
+      }
+    }
+    // observation counts partition the event set
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_._6).sum === nEvents, "n_obs must partition all events")
+  }
+
+  test("q133 CDC merge: last-writer-wins state matches a per-key replay") {
+    val got = graft.queries.Advanced.q133CdcMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val replay = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (uid, es) =>
+        val last = es.maxBy(e => (e._2.getTime, e._3))
+        (uid, last._2, last._4)
+      }
+      .filter(_._3 != "error")
+    assert(got.toSet === replay.toSet,
+      "aggregated state must equal the driver-side changelog replay")
+    // deleted keys (last op = error) are genuinely absent
+    val deleted = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2)), r.getString(3)))
+      .groupBy(_._1).filter { case (_, es) => es.maxBy(_._2)._3 == "error" }
+    assert(deleted.keySet.intersect(got.map(_._1).toSet).isEmpty,
+      "keys whose last change is a delete must not appear")
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")
