@@ -979,7 +979,68 @@ object Corpus {
       |    AS pos
       |FROM k ORDER BY pos""".stripMargin
 
+  // ---- q132: delta-join incremental view maintenance ----------------------
+
+  /** Per-mille md5-bucket split points partitioning each join side into
+    * its stored base and its delta batch (content-keyed, replan-stable —
+    * the q53 convention). */
+  final val IvmOrdersOldMax = 900L
+  final val IvmCustOldMax   = 950L
+
+  /** q132 — incremental maintenance of a JOIN view (the classical
+    * delta-join algebra): the revenue-by-segment view over
+    * orders ⋈ customer, maintained as
+    *
+    *   V_new = V_old ∪ (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)
+    *
+    * where ΔA is the new order batch (10% of orders by md5 bucket) and
+    * ΔB the new customer batch (5% of customers) — the identity
+    * (A+ΔA)⋈(B+ΔB) = A⋈B + ΔA⋈(B+ΔB) + A⋈ΔB, each term an equi-join
+    * that never touches the full×full product again. q109 maintains an
+    * AGGREGATE incrementally; this maintains a JOIN — together they are
+    * the two halves of incremental view maintenance (every SPJA view
+    * composes them). The oracle recomputes the view from the full
+    * tables in one pass, so the maintenance algebra must be
+    * value-invisible, q109's discipline.
+    *
+    * Scale shape: at 100 TB V_old is a persisted #segments-row
+    * aggregate read back in milliseconds (recomputed here because a
+    * query takes no stored state — q77's honesty note) and only the
+    * delta terms run: ΔA ⋈ B_new keys on the join column with the small
+    * delta driving, A_old ⋈ ΔB turns a 5% customer drop into a
+    * broadcast-able probe. The three terms union BEFORE one partial
+    * aggregation, so nothing shuffles twice and the exchange carries
+    * ≤3·#segments partial rows per partition. */
+  def deltaJoinMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (Text.md5Bucket1000(col("o_orderkey")) < IvmOrdersOldMax).as("o_old"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (Text.md5Bucket1000(col("c_custkey")) < IvmCustOldMax).as("c_old"))
+    def term(a: DataFrame, b: DataFrame): DataFrame = a
+      .join(b, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    term(orders.filter(col("o_old")), cust.filter(col("c_old")))
+      .unionAll(term(orders.filter(!col("o_old")), cust))
+      .unionAll(term(orders.filter(col("o_old")), cust.filter(!col("c_old"))))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.ops.Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The oracle recomputes the view from the FULL join — q109's
+    * "maintenance must be invisible" rule applied to the join delta. */
+  val deltaJoinMaintenanceSql: String =
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       |  ${graft.ops.Det.sqlSum("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_delta_join" -> (deltaJoinMaintenance _),
     "q130_interleave" -> (interleave _),
     "q122_json_ingest" -> (jsonIngest _),
     "q121_budget_sample" -> (quotaSample _),
@@ -994,6 +1055,7 @@ object Corpus {
     "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q132_delta_join" -> deltaJoinMaintenanceSql,
     "q130_interleave" -> interleaveSql,
     "q122_json_ingest" -> jsonIngestSql,
     "q121_budget_sample" -> quotaSampleSql,

@@ -202,6 +202,35 @@ class CorpusSpec extends SparkSpec {
     assert(partial.nonEmpty && partial.size < kept.size)
   }
 
+  test("q132: delta-join maintenance equals the full-join recompute and " +
+      "the three delta terms partition the join") {
+    import org.apache.spark.sql.functions._
+    val s = SparkSpec.spark
+    val maintained = Corpus.deltaJoinMaintenance(s, sf)
+    val direct = graft.tables.Tables.orders(s, sf)
+      .join(graft.tables.Tables.customer(s, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.ops.Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+    assert(maintained.exceptAll(direct).isEmpty &&
+      direct.exceptAll(maintained).isEmpty,
+      "maintained view must equal the from-scratch recompute")
+    // the three terms are disjoint and cover the join: row counts add up
+    val full = direct.agg(sum(col("n_orders"))).collect()(0).getLong(0)
+    assert(maintained.agg(sum(col("n_orders"))).collect()(0).getLong(0)
+      === full, "delta terms must partition the joined row set")
+    // both deltas are genuinely non-empty at this SF (else the test is vacuous)
+    val oDelta = graft.tables.Tables.orders(s, sf)
+      .filter(graft.ext.Text.md5Bucket1000(col("o_orderkey"))
+        >= Corpus.IvmOrdersOldMax).count()
+    val cDelta = graft.tables.Tables.customer(s, sf)
+      .filter(graft.ext.Text.md5Bucket1000(col("c_custkey"))
+        >= Corpus.IvmCustOldMax).count()
+    assert(oDelta > 0 && cDelta > 0, "fixture deltas must be non-empty")
+  }
+
   test("q122: malformed rows quarantine exactly; parsed rows roundtrip") {
     val docs = graft.tables.Tables.documents(SparkSpec.spark, sf)
       .select("doc_id", "lang", "n_chars").collect()
