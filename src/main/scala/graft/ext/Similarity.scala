@@ -1435,7 +1435,137 @@ object Similarity {
        |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
        |FROM j GROUP BY ROLLUP (query_id) ORDER BY query_id""".stripMargin
 
+  // ---- q134: top principal component via exact-integer power iteration ----
+
+  /** q134 dimensions: quantization scale, power-iteration rounds, and the
+    * per-round magnitude cap the iterate renormalizes to. Compile-time
+    * constants — read while unrolling the oracle CTE chain. */
+  final val PcaScale  = 1000L
+  final val PcaRounds = 6
+  final val PcaVCap   = 512L
+
+  /** q134 — top principal component of the embedding corpus by power
+    * iteration on an exactly-aggregated Gram matrix (the first step of
+    * PCA whitening / dimensionality reduction an embedding pipeline
+    * runs before ANN indexing). Everything is integer-exact so the
+    * DuckDB oracle hash-matches bit-for-bit:
+    *
+    *  1. quantize x → ⌊x·[[PcaScale]] + 0.5⌋ (q54's floor convention);
+    *  2. Gram G = Σ q·qᵀ as exact BIGINT sums — only the j ≤ k upper
+    *     triangle is generated (the lower mirrors by symmetry), so the
+    *     explode carries N·d(d+1)/2 rows, not N·d²;
+    *  3. [[PcaRounds]] rounds of v ← normalize(G·v) where the matvec is
+    *     a d²-row join + partial agg and normalize rescales to
+    *     ‖v‖∞ = [[PcaVCap]] with sign·(|w|·cap div max) — trunc-division
+    *     on NON-NEGATIVE operands, the one integer-division spelling
+    *     Spark `div` and DuckDB `//` agree on;
+    *  4. the Rayleigh quotient vᵀGv / vᵀv of the final iterate is the
+    *     top-eigenvalue estimate — two exact BIGINT dot products and ONE
+    *     IEEE division at the very end (q116's rule). Units: λ of the
+    *     quantized Gram ≈ λ of Σxxᵀ · [[PcaScale]]².
+    *
+    * Scale shape: the corpus is touched ONCE (the triangle explode
+    * partial-aggregates map-side to ≤ d(d+1)/2 rows per partition);
+    * every later join/agg runs on d²-row relations regardless of N, and
+    * the localCheckpoint barrier materializes G once for all rounds.
+    * Int64 headroom: each Rayleigh term is bounded by d²·cap²·max|g|
+    * with max|g| ≤ N·(scale·max|x|)² — safe past 10⁷ vectors at these
+    * constants; beyond that widen the Gram to decimal(38,0) (q104's
+    * remedy).
+    *
+    * Determinism: fixed all-ones start, fixed round count, exact
+    * integer arithmetic throughout — no convergence test, no float
+    * accumulation, no sign ambiguity. */
+  def pcaTopComponent(s: SparkSession, dir: String): DataFrame = {
+    val quant = Tables.embeddings(s, dir)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * PcaScale + lit(0.5d)).cast("long"))
+        .as("q"))
+      // barrier: CollapseProject would inline the quantize lambda into
+      // both downstream posexplodes (recomputing it per element)
+      .localCheckpoint(eager = false)
+    val upper = quant
+      .select(posexplode(col("q")).as(Seq("j", "qj")), col("q"))
+      .select(col("j"), col("qj"),
+        posexplode(slice(col("q"), col("j") + 1, lit(Dim) - col("j")))
+          .as(Seq("i2", "qk")))
+      .groupBy(col("j"), (col("j") + col("i2")).as("k"))
+      .agg(sum(col("qj") * col("qk")).as("g"))
+    val gram = upper
+      .unionAll(upper.filter(col("k") > col("j"))
+        .select(col("k").as("j"), col("j").as("k"), col("g")))
+      .localCheckpoint(eager = false) // one Gram, PcaRounds+1 consumers
+    val v0 = s.range(Dim).select(col("id").as("k"), lit(PcaVCap).as("v"))
+    def matvec(v: DataFrame): DataFrame = gram
+      .join(v, Seq("k"))
+      .groupBy(col("j"))
+      .agg(sum(col("g") * col("v")).as("w"))
+    def renorm(w: DataFrame): DataFrame = w
+      .crossJoin(broadcast(w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))))
+      .select(col("j").as("k"),
+        (signum(col("w")).cast("long") *
+          expr(s"(abs(w) * $PcaVCap) div m")).as("v"))
+    val vFinal = (1 to PcaRounds).foldLeft(v0)((v, _) => renorm(matvec(v)))
+      .localCheckpoint(eager = false) // feeds the matvec AND two dots
+    val wFinal = matvec(vFinal)
+    val rayleigh = wFinal.join(vFinal, col("j") === col("k"))
+      .agg(sum(col("v") * col("w")).as("eig_num"),
+        sum(col("v") * col("v")).as("eig_den"))
+    vFinal
+      .crossJoin(broadcast(rayleigh))
+      .select(col("k").cast("long").as("dim"), col("v").as("loading"),
+        col("eig_num"), col("eig_den"),
+        (col("eig_num").cast("double") / col("eig_den")).as("eig_est"))
+      .orderBy(col("dim"))
+  }
+
+  /** The oracle unrolls the same [[PcaRounds]] rounds as chained CTEs —
+    * q127's discipline for in-query iterative algorithms. */
+  val pcaTopComponentSql: String = {
+    val rounds = (1 to PcaRounds).map { r =>
+      s"""w$r AS (
+         |  SELECT gram.j AS j, CAST(sum(g * v) AS BIGINT) AS w
+         |  FROM gram JOIN v${r - 1} ON gram.k = v${r - 1}.k GROUP BY 1),
+         |m$r AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$r),
+         |v$r AS (
+         |  SELECT j AS k,
+         |    CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+         |      * ((abs(w) * $PcaVCap) // m) AS BIGINT) AS v
+         |  FROM w$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH quant AS (
+       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * $PcaScale + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |gram_u AS (
+       |  SELECT j.j AS j, k.k AS k,
+       |    CAST(sum(q[j.j + 1] * q[k.k + 1]) AS BIGINT) AS g
+       |  FROM quant, range($Dim) j(j), range($Dim) k(k)
+       |  WHERE k.k >= j.j
+       |  GROUP BY 1, 2),
+       |gram AS (
+       |  SELECT j, k, g FROM gram_u
+       |  UNION ALL
+       |  SELECT k AS j, j AS k, g FROM gram_u WHERE k > j),
+       |v0 AS (SELECT j AS k, CAST($PcaVCap AS BIGINT) AS v
+       |       FROM range($Dim) t(j)),
+       |$rounds,
+       |wf AS (
+       |  SELECT gram.j AS j, CAST(sum(g * v) AS BIGINT) AS w
+       |  FROM gram JOIN v$PcaRounds ON gram.k = v$PcaRounds.k GROUP BY 1),
+       |ray AS (
+       |  SELECT CAST(sum(v * w) AS BIGINT) AS eig_num,
+       |    CAST(sum(v * v) AS BIGINT) AS eig_den
+       |  FROM wf JOIN v$PcaRounds ON wf.j = v$PcaRounds.k)
+       |SELECT CAST(t.k AS BIGINT) AS dim, t.v AS loading,
+       |  eig_num, eig_den,
+       |  CAST(eig_num AS DOUBLE) / eig_den AS eig_est
+       |FROM v$PcaRounds t, ray
+       |ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_pca_power" -> (pcaTopComponent _),
     "q117_ann_recall" -> (annRecall _),
     "q115_centroid_drift" -> (centroidDrift _),
     "q97_ivfpq_search" -> (ivfPqSearch _),
@@ -1452,6 +1582,7 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q134_pca_power" -> pcaTopComponentSql,
     "q117_ann_recall" -> annRecallSql,
     "q115_centroid_drift" -> centroidDriftSql,
     "q97_ivfpq_search" -> ivfPqSearchSql,

@@ -244,4 +244,36 @@ class SimilaritySpec extends SparkSpec {
     assert(t.getLong(2) >= 1L && t.getLong(2) <= 29L,
       s"degenerate recall ${t.getLong(2)}/30 — audit branches not exercised")
   }
+
+  test("q134: power iterate converges to an eigendirection of the exact Gram") {
+    val rows = Similarity.pcaTopComponent(SparkSpec.spark, sf).collect()
+    assert(rows.length === 64)
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 64L))
+    val v = rows.map(_.getLong(1))
+    assert(v.exists(_ != 0L), "iterate must be nonzero")
+    assert(v.map(math.abs).max === 512L, "renorm must cap ||v||inf at PcaVCap")
+    // Rayleigh quotient of a PSD Gram is nonnegative and here positive
+    val (num, den) = (rows.head.getLong(2), rows.head.getLong(3))
+    assert(den > 0L && num > 0L)
+    assert(rows.head.getDouble(4) === num.toDouble / den)
+    // exact-integer convergence check: w = G v must be near-parallel to v,
+    // i.e. cos^2(v, w) = (v·w)^2 / (v·v)(w·w) >= 0.98 after PcaRounds
+    val emb = graft.tables.Tables.embeddings(SparkSpec.spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x =>
+        math.floor(x.toDouble * Similarity.PcaScale + 0.5).toLong).toArray)
+    val g = Array.ofDim[Long](64, 64)
+    emb.foreach { q =>
+      var j = 0
+      while (j < 64) { var k = 0
+        while (k < 64) { g(j)(k) += q(j) * q(k); k += 1 }; j += 1 } }
+    val w = Array.tabulate(64)(j => (0 until 64).map(k => g(j)(k) * v(k)).sum)
+    val vw = v.indices.map(i => BigInt(v(i)) * BigInt(w(i))).sum
+    val vv = v.map(x => BigInt(x) * BigInt(x)).sum
+    val ww = w.map(x => BigInt(x) * BigInt(x)).sum
+    assert(vw * vw * 100 >= vv * ww * 98,
+      s"cos^2 below 0.98 after ${Similarity.PcaRounds} rounds")
+    // and the Rayleigh columns are exactly v·w / v·v of that same Gram
+    assert(BigInt(num) === vw && BigInt(den) === vv)
+  }
 }
