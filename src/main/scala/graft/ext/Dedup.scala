@@ -264,7 +264,7 @@ object Dedup {
     * `chunkBits` bits, dist ≤ chunks-1 ⇒ ≥1 chunk equal), then exact
     * bit_count filter. The chunk join is a plain equi-join on a small key
     * — the scale-safe formulation (never all-pairs). */
-  private def hammingPairs(fp: DataFrame, chunks: Int, chunkBits: Int,
+  private[ext] def hammingPairs(fp: DataFrame, chunks: Int, chunkBits: Int,
       maxDist: Int): DataFrame = {
     val mask = (1L << chunkBits) - 1
     val chunked = fp.select(col("doc_id"), col("fp"),

@@ -216,11 +216,140 @@ object Multimodal {
       |FROM v
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- q135: perceptual-hash image near-dup through the REAL decoder ------
+
+  /** q135 image geometry: 8×8 grayscale BMPs, so the difference hash
+    * compares 7 adjacent-pixel pairs per row × 8 rows = 56 bits. */
+  final val ImgSide = 8
+  final val DHashBits = 56
+
+  /** Deterministic pixel value for (doc, raster position): documents in
+    * the same group of 4 (doc_id div 4) share a base pattern; the
+    * doc_id mod 4 low raster positions are brightened by +128 — so each
+    * group holds genuine NEAR-duplicate images (identical but for ≤3
+    * perturbed pixels) while distinct groups are unrelated. The SAME
+    * closed form is what the DuckDB oracle evaluates, which is exactly
+    * what makes the REAL decode path oracle-checkable: any disagreement
+    * between this arithmetic and what `ImageIO` hands back (row order,
+    * channel order, padding) breaks the hash match. */
+  private[graft] def gPixel(id: Long, pos: Long): Long = {
+    val base = ((id / 4) * 37 + pos) * 97 % 256
+    if (pos < id % 4) (base + 128) % 256 else base
+  }
+
+  /** One [[ImgSide]]² 24-bit uncompressed BMP for doc `id` — rows
+    * bottom-up per the format, 8·3 = 24-byte rows need no padding,
+    * B=G=R=[[gPixel]] makes every channel carry the gray value. */
+  private[graft] def makeBmp(id: Long): Array[Byte] = {
+    val rowBytes = ImgSide * 3
+    val dataSize = rowBytes * ImgSide
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(ImgSide).putInt(ImgSide)
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = 0
+    while (r < ImgSide) {
+      val y = ImgSide - 1 - r // BMP rows are bottom-up
+      var x = 0
+      while (x < ImgSide) {
+        val g = gPixel(id, y.toLong * ImgSide + x).toByte
+        out.put(g).put(g).put(g)
+        x += 1
+      }
+      r += 1
+    }
+    out.array()
+  }
+
+  /** Difference hash of a decoded image: bit y·7+x is set iff
+    * pixel(x,y) < pixel(x+1,y) — the standard dHash, reading the gray
+    * value from the low channel (B=G=R here). */
+  private[graft] def dhash(im: java.awt.image.BufferedImage): Long = {
+    var fp = 0L
+    var y = 0
+    while (y < ImgSide) {
+      var x = 0
+      while (x < ImgSide - 1) {
+        if ((im.getRGB(x, y) & 0xff) < (im.getRGB(x + 1, y) & 0xff))
+          fp |= 1L << (y * (ImgSide - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** (doc_id, fp) difference hashes computed THROUGH the real
+    * `javax.imageio` decode of per-doc generated BMPs — partition-local
+    * batch work, the q70 plumbing shape with a real codec in the
+    * middle. */
+  def imageHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val im = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(makeBmp(id)))
+          require(im != null, s"BMP decode failed for doc $id")
+          (id, dhash(im))
+        }
+      }.toDF("doc_id", "fp")
+  }
+
+  /** q135 — perceptual near-duplicate image detection: dHash
+    * fingerprints from the REAL image decode, then Hamming-≤3 pairs via
+    * the q25 chunk-pigeonhole equi-join (4×14-bit chunks: ≤3 differing
+    * bits leave ≥1 chunk intact, so the banded join is provably
+    * complete — no pairwise scan). The oracle recomputes the hash from
+    * [[gPixel]]'s closed form WITHOUT any codec, so the gate fails
+    * loudly if the writer/decoder/hash chain disagrees with the
+    * specified pixels in any way.
+    *
+    * Scale shape: images decode partition-local (bytes never shuffle);
+    * only (doc_id, 8-byte fp) leaves the scan, and the candidate join
+    * is chunk-keyed — the q24/q25 banding story applied to pixels
+    * instead of tokens. */
+  def imageNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairs(imageHashes(s, dir),
+      chunks = 4, chunkBits = DHashBits / 4, maxDist = 3)
+
+  /** DuckDB spelling: dHash bits from the same closed-form pixels
+    * (no decoding — that is the point), O(N²) verify join as in q25's
+    * oracle. */
+  val imageNearDupSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, p.p AS pos,
+       |    ((((doc_id // 4) * 37 + p.p) * 97) % 256 +
+       |      CASE WHEN p.p < doc_id % 4 THEN 128 ELSE 0 END) % 256 AS g
+       |  FROM documents, range(${ImgSide * ImgSide}) p(p)),
+       |bits AS (
+       |  SELECT a.doc_id,
+       |    (a.pos // $ImgSide) * ${ImgSide - 1} + (a.pos % $ImgSide) AS bit
+       |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  WHERE a.pos % $ImgSide < ${ImgSide - 1} AND a.g < b.g),
+       |fp AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(sum(1::BIGINT << CAST(bit AS INTEGER)), 0)
+       |      AS BIGINT) AS fp
+       |  FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_media_meta" -> (mediaMeta _),
-    "q70_frame_sample" -> (frameSample _))
+    "q70_frame_sample" -> (frameSample _),
+    "q135_image_neardup" -> (imageNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q26_media_meta" -> mediaMetaSql,
-    "q70_frame_sample" -> frameSampleSql)
+    "q70_frame_sample" -> frameSampleSql,
+    "q135_image_neardup" -> imageNearDupSql)
 }

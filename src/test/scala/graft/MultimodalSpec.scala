@@ -121,4 +121,41 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(self.getDouble(0) - 1.0) < 1e-9)
     assert(math.abs(self.getDouble(1) - 1.0) < 1e-9)
   }
+
+  test("q135: generated BMPs decode to exactly the specified pixels") {
+    // the oracle never decodes — it trusts gPixel's closed form; this is
+    // the test that pins the writer → ImageIO → raster chain to it
+    Seq(0L, 1L, 3L, 17L, 122L).foreach { id =>
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.makeBmp(id)))
+      assert(im != null && im.getWidth === 8 && im.getHeight === 8)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val got = im.getRGB(x, y) & 0xff
+        assert(got === Multimodal.gPixel(id, y * 8L + x),
+          s"doc $id pixel ($x,$y): decode disagrees with the closed form")
+        // gray: all three channels carry the same value
+        assert(((im.getRGB(x, y) >> 8) & 0xff) === got)
+        assert(((im.getRGB(x, y) >> 16) & 0xff) === got)
+      }
+    }
+  }
+
+  test("q135: chunk-pigeonhole pairs equal the exhaustive Hamming scan") {
+    val fps = Multimodal.imageHashes(SparkSpec.spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every fingerprint stays within the 56-bit budget
+    assert(fps.forall { case (_, fp) => (fp >> Multimodal.DHashBits) === 0L })
+    val exhaustive = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.imageNearDup(SparkSpec.spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exhaustive,
+      "banded join must be exactly the exhaustive Hamming-<=3 pair set")
+    assert(got.nonEmpty, "fixture groups must contain near-duplicate images")
+    // in-group perturbations are near-dups; sanity: some pair from group 0
+    assert(got.exists { case (a, b, _) => a / 4 === b / 4 },
+      "same-group images must collide")
+  }
 }
