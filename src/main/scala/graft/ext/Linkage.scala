@@ -72,8 +72,70 @@ object Linkage {
        |ORDER BY a.blk, name_a, name_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q91_fuzzy_linkage" -> (fuzzyLinkage _))
+    "q91_fuzzy_linkage" -> (fuzzyLinkage _),
+    "q136_fastss_join" -> (fastssJoin _))
+
+  // ---- q136: deletion-neighborhood edit-distance join (FastSS) ------------
+
+  /** q136 — PROVABLY COMPLETE Levenshtein-≤1 self-join via deletion
+    * neighborhoods (FastSS, Bocek et al. 2007): every name emits itself
+    * plus its |s| single-character deletions; two names are within edit
+    * distance 1 IFF their neighborhoods intersect (substitution at i ⇒
+    * both drop position i to the same string; insert/delete ⇒ one IS a
+    * deletion of the other; equality ⇒ the identity variant). The
+    * candidate join is a plain equi-join on the variant string and —
+    * unlike q91's last-token blocking, which silently misses pairs whose
+    * typo is IN the blocking token — provably loses nothing. levenshtein
+    * then discards the false positives the intersection admits (e.g.
+    * transpositions).
+    *
+    * Scale shape: the neighborhood explode is dictionary-sized
+    * (|D|·(len+1) short strings), never row-sized — stage-1 dictionary
+    * dedup does the 10⁶× volume reduction exactly as in q91; the
+    * candidate join keys on variant (no all-pairs, no skew beyond
+    * variant df, and a df cap like q51's would bound even that). */
+  def fastssJoin(s: SparkSession, dir: String): DataFrame = {
+    val dict = Tables.part(s, dir)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      // i == length ⇒ the identity variant; else drop 1-based position i+1
+      .select(col("p_name"), col("n_parts"),
+        explode(array_distinct(transform(
+          sequence(lit(0), length(col("p_name"))),
+          i => when(i === length(col("p_name")), col("p_name"))
+            .otherwise(concat(
+              substring(col("p_name"), lit(1), i),
+              substring(col("p_name"), i + 2, length(col("p_name"))))))))
+          .as("variant"))
+    val a = dict.select(col("variant"), col("p_name").as("name_a"),
+      col("n_parts").as("n_a"))
+    val b = dict.select(col("variant"), col("p_name").as("name_b"),
+      col("n_parts").as("n_b"))
+    a.join(b, Seq("variant"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"))
+      .dropDuplicates("name_a", "name_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** The oracle is the exhaustive O(|D|²) levenshtein join — the
+    * completeness claim is exactly what it checks. */
+  val fastssJoinSql: String =
+    """WITH dict AS (
+      |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      |  FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+      |  a.n_parts AS n_a, b.n_parts AS n_b
+      |FROM dict a JOIN dict b ON a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 1
+      |ORDER BY name_a, name_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q91_fuzzy_linkage" -> fuzzyLinkageSql)
+    "q91_fuzzy_linkage" -> fuzzyLinkageSql,
+    "q136_fastss_join" -> fastssJoinSql)
 }

@@ -30,6 +30,44 @@ class IndexLayoutSpec extends SparkSpec {
     assert(blocked.count() > 0, "no fuzzy matches at all — threshold untested")
   }
 
+  // ---- q136 ----------------------------------------------------------------
+
+  test("q136: deletion neighborhoods find EXACTLY the exhaustive lev<=1 pairs") {
+    val dict = Tables.part(spark, sf).select(col("p_name")).distinct()
+    val full = dict.as("a").crossJoin(dict.as("b"))
+      .filter(col("a.p_name") < col("b.p_name"))
+      .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 1)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+    val fastss = Linkage.fastssJoin(spark, sf).select("name_a", "name_b")
+    assert(fastss.exceptAll(full).isEmpty && full.exceptAll(fastss).isEmpty,
+      "FastSS candidate set diverges from the exhaustive lev<=1 comparison")
+    assert(fastss.count() > 0, "no distance-1 pairs — completeness untested")
+    // the completeness theorem on adversarial micro-cases: substitution,
+    // deletion, transposition (must be excluded), distance-2 (excluded)
+    import SparkSpec.spark.implicits._
+    val probe = Seq("abc", "axc", "ab", "bac", "xyc", "abcd")
+      .toDF("p_name").withColumn("p_partkey", lit(1L))
+    val vdict = probe.groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .select(col("p_name"), col("n_parts"),
+        explode(array_distinct(transform(
+          sequence(lit(0), length(col("p_name"))),
+          i => when(i === length(col("p_name")), col("p_name"))
+            .otherwise(concat(
+              substring(col("p_name"), lit(1), i),
+              substring(col("p_name"), i + 2, length(col("p_name"))))))))
+          .as("variant"))
+    val got = vdict.as("a").join(vdict.as("b"), "variant")
+      .filter(col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name"), col("b.p_name")).distinct()
+      .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("abc", "axc")), "substitution pair missed")
+    assert(got.contains(("ab", "abc")), "deletion pair missed")
+    assert(got.contains(("abc", "abcd")), "insertion pair missed")
+    assert(!got.contains(("abc", "bac")), "transposition (lev 2) leaked")
+    assert(!got.contains(("abc", "xyc")), "distance-2 pair leaked")
+  }
+
   // ---- q92 -----------------------------------------------------------------
 
   test("q92: df is exact and postings are the capped ascending prefix") {
