@@ -187,11 +187,79 @@ object Layout {
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- q137: target-size file packing planner -----------------------------
+
+  /** q137 packing constants: output-file byte target, and the fixed
+    * doc_id range width each prefix-sum shard covers. */
+  final val PackTargetBytes = 65536L
+  final val PackRangeWidth  = 256L
+
+  /** q137 — write-layout packing manifest: assign documents (in doc_id
+    * order) to output files of ≈[[PackTargetBytes]] each via an
+    * EXCLUSIVE cumulative byte sum — file_id = bytes_before div target —
+    * and emit the per-file manifest (doc range, doc count, bytes). This
+    * is the planner behind "write the corpus as uniform ~1 GiB files":
+    * repartitionByRange sizes by ROW count; real layout needs BYTE
+    * budgets, and the div of the running total is the standard spelling
+    * (a file boundary falls wherever the cumulative bytes cross a
+    * target multiple; oversized docs overflow their file exactly once,
+    * never split).
+    *
+    * Scale shape: the q85/q95 two-phase prefix sum — per-shard running
+    * sums inside fixed doc_id ranges of [[PackRangeWidth]] (grouped
+    * windows, bounded fan-in), plus ONE ≤#shards-row exclusive offset
+    * window — no global sort, no corpus-wide single partition. The
+    * per-file roll-up partial-aggregates. At truly web-scale shard
+    * counts the offset window recurses one more level (q85's note);
+    * everything else is unchanged. */
+  def filePacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("n_bytes"),
+        expr(s"doc_id div $PackRangeWidth").as("rng")) // integer div: exact at any id
+      .localCheckpoint(eager = false) // feeds in-range cumsums AND offsets
+    val inRange = sum(col("n_bytes")).over(
+      Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val offsets = docs.groupBy(col("rng"))
+      .agg(sum(col("n_bytes")).as("rb"))
+      .withColumn("off", coalesce(sum(col("rb")).over(
+        Window.orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rng"), col("off"))
+    docs
+      .withColumn("before", coalesce(inRange, lit(0L)))
+      .join(broadcast(offsets), Seq("rng"))
+      .select(col("doc_id"), col("n_bytes"),
+        expr(s"(off + before) div $PackTargetBytes").as("file_id"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("file_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("file_id"))
+  }
+
+  /** Oracle: the naive single-window global cumulative sum — the
+    * ordering contract the two-phase plan implements. */
+  val filePackingSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, n_chars AS n_bytes,
+       |    CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $PackTargetBytes AS BIGINT) AS file_id
+       |  FROM documents)
+       |SELECT file_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bytes) AS BIGINT) AS file_bytes,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY file_id
+       |ORDER BY file_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_zorder_stats" -> (zorderStats _),
-    "q124_bucketed_join" -> (bucketedJoin _))
+    "q124_bucketed_join" -> (bucketedJoin _),
+    "q137_file_packing" -> (filePacking _))
 
   val oracles: Map[String, String] = Map(
     "q94_zorder_stats" -> zorderStatsSql,
-    "q124_bucketed_join" -> bucketedJoinSql)
+    "q124_bucketed_join" -> bucketedJoinSql,
+    "q137_file_packing" -> filePackingSql)
 }

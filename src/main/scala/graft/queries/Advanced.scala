@@ -473,6 +473,61 @@ object Advanced {
       |FROM ranked WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** q138 — time-grid resample with forward fill: each user's event
+    * stream resampled onto a dense hourly grid between their first and
+    * last active hour; hours with activity carry that hour's LAST
+    * observed value (by ts, event_id — the q133 last-writer rule at
+    * hour granularity), silent hours forward-fill the most recent
+    * observation. The missing-data-repair step every per-entity
+    * time-series feature pipeline runs before modeling.
+    *
+    * Scale shape: one shuffle by user for the per-(user, hour) argmax
+    * partial agg; the grid explode is bounded by each user's active
+    * span (never the corpus time range × all users — inactive spans
+    * outside a user's own range generate nothing); the fill window
+    * partitions by user with bounded fan-in. No global sort. */
+  def q138GapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .getField("value").as("obs"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        last(col("obs"), ignoreNulls = true).over(w).as("value_filled"),
+        col("obs").isNotNull.as("is_observed"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val q138Sql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |hourly AS (
+      |  SELECT user_id, hour, value AS obs FROM ranked WHERE rn = 1),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(hour), max(hour),
+      |      INTERVAL 1 HOUR)) AS hour
+      |  FROM hourly GROUP BY user_id),
+      |joined AS (
+      |  SELECT g.user_id, g.hour, h.obs,
+      |    count(h.obs) OVER (PARTITION BY g.user_id ORDER BY g.hour) AS grp
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON g.user_id = h.user_id AND g.hour = h.hour)
+      |SELECT user_id, hour,
+      |  max(obs) OVER (PARTITION BY user_id, grp) AS value_filled,
+      |  obs IS NOT NULL AS is_observed
+      |FROM joined
+      |ORDER BY user_id, hour""".stripMargin
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1012,6 +1067,7 @@ object Advanced {
     "q111_transitions"  -> (q111Transitions _),
     "q131_scd2"         -> (q131Scd2 _),
     "q133_cdc_merge"    -> (q133CdcMerge _),
+    "q138_gap_fill"     -> (q138GapFill _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -1039,6 +1095,7 @@ object Advanced {
     "q111_transitions"  -> q111Sql,
     "q131_scd2"         -> q131Sql,
     "q133_cdc_merge"    -> q133Sql,
+    "q138_gap_fill"     -> q138Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

@@ -156,6 +156,59 @@ class CoreQueriesSpec extends SparkSpec {
       "keys whose last change is a delete must not appear")
   }
 
+  test("q138 gap fill: grid dense per user, observed hours exact, fills carry last") {
+    val rows = graft.queries.Advanced.q138GapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_._2.getTime)
+      // dense hourly grid: consecutive rows exactly 1h apart
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2.getTime - a._2.getTime === 3600000L,
+            s"user $uid: grid must be dense hourly")
+        case _ =>
+      }
+      assert(sorted.head._4, s"user $uid: first grid hour must be observed")
+      // forward fill: every unobserved hour repeats the previous value
+      sorted.sliding(2).foreach {
+        case Array(a, b) if !b._4 =>
+          assert(b._3 === a._3, s"user $uid: fill must carry last value")
+        case _ =>
+      }
+    }
+    // at least one gap actually exercised the fill path
+    assert(rows.exists(!_._4), "fixture has no silent hours — fill untested")
+  }
+
+  test("q137 file packing: files partition the corpus in order within budget") {
+    val rows = graft.ext.Layout.filePacking(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length > 1, "target must produce multiple files at this SF")
+    val sorted = rows.sortBy(_._1)
+    // file ids dense from 0; doc ranges chain without gaps or overlap
+    assert(sorted.map(_._1).toSeq === (0L until sorted.length.toLong))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 === a._5 + 1,
+        s"file ${b._1}: doc ranges must chain contiguously")
+      case _ =>
+    }
+    val total = graft.tables.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_chars"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).collect()(0)
+    assert(sorted.map(_._3).sum === total.getLong(0), "bytes must partition")
+    assert(sorted.map(_._2).sum === total.getLong(1), "docs must partition")
+    // exact boundary law of the exclusive-cumsum div: file i+1 opens only
+    // once the running total has crossed (i+1)·target, so every non-final
+    // file's cumulative bytes meet the budget line exactly when it closes
+    val prefix = sorted.map(_._3).scanLeft(0L)(_ + _).drop(1)
+    sorted.init.zipWithIndex.foreach { case (_, i) =>
+      assert(prefix(i) >= (i + 1).toLong * graft.ext.Layout.PackTargetBytes,
+        s"file $i closed before reaching its byte budget")
+    }
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")
