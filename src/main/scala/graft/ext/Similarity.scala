@@ -1564,8 +1564,96 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
+  // ---- q139: hard-negative mining for metric learning ---------------------
+
+  /** q139 — hard-negative mining: for every vector, the most-similar
+    * DIFFERENT-label neighbor among its LSH bucket mates — the pair
+    * relation contrastive/metric-learning training consumes (easy
+    * negatives are random; the hard ones sit just across the decision
+    * boundary, and they live in the same ANN buckets as their anchors).
+    * Similarity ranks by the EXACT integer dot product of the q54
+    * int8-quantized vectors, so the per-anchor argmax is deterministic —
+    * no float cosine in the ordering, no ULP tie risk (ties break by
+    * neighbor id).
+    *
+    * Scale shape: q49's production LSH geometry — candidates are
+    * same-(table, bucket) pairs only, so the corpus never self-joins
+    * all-pairs; the quantized vectors join candidates BY ID (8-byte keys
+    * shuffle, embeddings stay in place); the per-anchor argmax is a
+    * bucket-bounded window. Bucket-size capping (q51's df cap) bounds
+    * even adversarial skew. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val qlab = quantizedVectors(e)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .localCheckpoint(eager = false) // joined twice (anchor + negative)
+    val bucketed = e.select(col("vec_id"),
+      posexplode(array(lshPlanes.map(tp =>
+        signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
+    val cand = bucketed.select(col("vec_id").as("vid"), col("tbl"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("nid"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vid") =!= col("nid"))
+      .select(col("vid"), col("nid"))
+      .dropDuplicates("vid", "nid")
+    val scored = cand
+      .join(qlab.select(col("vec_id").as("vid"), col("q").as("qa"),
+        col("label").as("label")), Seq("vid"))
+      .join(qlab.select(col("vec_id").as("nid"), col("q").as("qb"),
+        col("label").as("neg_label")), Seq("nid"))
+      .filter(col("label") =!= col("neg_label"))
+      .select(col("vid"), col("label"), col("nid"), col("neg_label"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("dot").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid").as("vec_id"), col("label"),
+        col("nid").as("hard_neg_id"), col("neg_label"), col("dot"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB spelling: identical buckets from the embedded plane
+    * constants (q18's CTEs), q54's quantization, exact integer dot. */
+  val hardNegativesSql: String =
+    s"""WITH ${lshSqlCtes(lshPlanes)},
+       |n AS (
+       |  SELECT vec_id, de,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(de, x -> x * x)), (a, b) -> a + b) AS ss
+       |  FROM emb),
+       |qv AS (
+       |  SELECT vec_id, list_transform(de,
+       |    x -> CAST(floor(x / sqrt(ss) * 127 + 0.5) AS BIGINT)) AS q
+       |  FROM n WHERE ss > 0),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (
+       |  SELECT s1.vec_id AS vid, s2.vec_id AS nid
+       |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
+       |  WHERE s1.vec_id <> s2.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.vid, la.label AS label, c.nid, lb.label AS neg_label,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${Dim + 1}), d -> qa.q[d] * qb.q[d])),
+       |      (x, y) -> x + y) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN lab la ON la.vec_id = c.vid
+       |  JOIN lab lb ON lb.vec_id = c.nid AND lb.label <> la.label
+       |  JOIN qv qa ON qa.vec_id = c.vid
+       |  JOIN qv qb ON qb.vec_id = c.nid),
+       |r AS (
+       |  SELECT vid, label, nid, neg_label, dot,
+       |    row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nid) AS rn
+       |  FROM scored)
+       |SELECT vid AS vec_id, label, nid AS hard_neg_id, neg_label, dot
+       |FROM r WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_pca_power" -> (pcaTopComponent _),
+    "q139_hard_negatives" -> (hardNegatives _),
     "q117_ann_recall" -> (annRecall _),
     "q115_centroid_drift" -> (centroidDrift _),
     "q97_ivfpq_search" -> (ivfPqSearch _),
@@ -1583,6 +1671,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q134_pca_power" -> pcaTopComponentSql,
+    "q139_hard_negatives" -> hardNegativesSql,
     "q117_ann_recall" -> annRecallSql,
     "q115_centroid_drift" -> centroidDriftSql,
     "q97_ivfpq_search" -> ivfPqSearchSql,

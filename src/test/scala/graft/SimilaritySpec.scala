@@ -245,6 +245,30 @@ class SimilaritySpec extends SparkSpec {
       s"degenerate recall ${t.getLong(2)}/30 — audit branches not exercised")
   }
 
+  test("q139: hard negatives cross labels and carry the exact integer dot") {
+    val rows = Similarity.hardNegatives(SparkSpec.spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // one row per anchor, and the negative is genuinely another label
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case (v, la, n, lb, _) =>
+      assert(v != n, s"anchor $v: negative is itself")
+      assert(la != lb, s"anchor $v: not a cross-label negative")
+    }
+    // the reported dot is the exact integer dot of the quantized vectors
+    val q = Similarity.quantizedVectors(
+      graft.tables.Tables.embeddings(SparkSpec.spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    rows.take(25).foreach { case (v, _, n, _, dot) =>
+      val expect = q(v).zip(q(n)).map { case (a, b) => a * b }.sum
+      assert(dot === expect, s"anchor $v: dot is not the exact quantized product")
+    }
+    // buckets at these plane counts give most anchors a cross-label mate
+    val nVec = q.size
+    assert(rows.length * 10 >= nVec * 5,
+      s"only ${rows.length}/$nVec anchors mined — bucket geometry degenerate")
+  }
+
   test("q134: power iterate converges to an eigendirection of the exact Gram") {
     val rows = Similarity.pcaTopComponent(SparkSpec.spark, sf).collect()
     assert(rows.length === 64)
