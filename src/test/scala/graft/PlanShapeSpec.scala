@@ -238,4 +238,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"64-cell sketch relation sort-merged:\n$p")
   }
+
+  test("q133: CDC apply is one partial-aggregable max, no window, no join") {
+    val p = plan(graft.queries.Advanced.q133CdcMerge(spark, sf))
+    assert(!p.contains("Window"), s"changelog apply degraded to a window:\n$p")
+    assert(!p.contains("Join"), s"changelog apply grew a self-join:\n$p")
+    assert(p.contains("partial_max"),
+      s"map-side combine missing from the changelog apply:\n$p")
+  }
+
+  test("q131: both SCD2 windows partition by the dimension key") {
+    val p = plan(graft.queries.Advanced.q131Scd2(spark, sf))
+    val specs = "windowspecdefinition\\(user_id".r.findAllIn(p).length
+    val all = "windowspecdefinition".r.findAllIn(p).length
+    assert(all > 0 && specs === all,
+      s"an SCD2 window is not keyed by user_id (global sort risk):\n$p")
+  }
+
+  test("q137: packing windows are range/shard-partitioned except the bounded offset pass") {
+    val p = plan(graft.ext.Layout.filePacking(spark, sf))
+    assert(p.contains("windowspecdefinition(rng#"),
+      s"in-range cumsum window lost its range partitioning:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard-offset join must broadcast (it is #shards rows):\n$p")
+  }
+
+  test("q135: image near-dup candidates never plan a cartesian") {
+    val p = plan(graft.ext.Multimodal.imageNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in image near-dup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop appeared:\n$p")
+  }
+
+  test("q139: hard-negative mining joins on buckets/ids only, never all-pairs") {
+    val p = plan(graft.ext.Similarity.hardNegatives(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in hard-negative mining:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop appeared:\n$p")
+    assert(p.contains("windowspecdefinition(vid#"),
+      s"per-anchor argmax window lost its anchor partitioning:\n$p")
+  }
+
+  test("q134: the corpus is scanned exactly once (Gram explode), iterations reuse it") {
+    val df = graft.ext.Similarity.pcaTopComponent(spark, sf)
+    df.collect() // materialize the lazy localCheckpoint barriers
+    val p = df.queryExecution.executedPlan.toString
+    // after the barrier the rounds run on checkpointed RDDs: the executed
+    // plan must contain at most one parquet scan of the embeddings table
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"power iteration re-scans the corpus ($scans scans):\n$p")
+  }
 }
