@@ -1195,7 +1195,110 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---- q140: MinHash estimator calibration audit ---------------------------
+
+  /** q140 — sketch calibration: for every banded candidate pair, the
+    * 32-permutation MinHash match count (the estimator) beside the EXACT
+    * shingle-set Jaccard — rolled up per match-count bucket as
+    * micro-averaged Σinter/Σuni. This is the measurement that justifies
+    * (or retunes) the banding threshold every sketch-based dedup pipeline
+    * runs on: q24 TRUSTS est ≥ 0.5; this query measures what est is
+    * actually worth against ground truth on this corpus.
+    *
+    * Everything before the two final divisions is exact integers: the
+    * match count is a 0..32 int, inter/uni are set sizes over the SAME
+    * md5-hashed shingle domain in both engines (hashing both sides is
+    * the q98 oracle lesson — raw strings on one side and 32-bit hashes
+    * on the other would diverge on collision), and the per-bucket
+    * roll-up sums them before dividing ONCE — never a mean of per-pair
+    * IEEE ratios, which would be accumulation-order-dependent.
+    *
+    * Scale shape: candidates come from the same banded equi-join as q24
+    * (never all-pairs); the exact-verify joins attach each side's
+    * distinct-hash set BY ID; union size is computed as |A|+|B|−inter
+    * so no union array materializes; the output partial-aggregates into
+    * ≤33 rows. */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .localCheckpoint(eager = false) // split-inlining barrier
+      .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s =>
+        pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"),
+          lit(MersennePrime))).as("hs"))
+      .select(col("doc_id"), array_distinct(col("hs")).as("hset"),
+        minhashSignature(col("hs")).as("sig"))
+      .localCheckpoint(eager = false) // feeds band rows AND both verify joins
+    val banded = bandedOf(staged.select(col("doc_id"), col("sig")))
+    val cand = banded
+      .select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        col("band"), col("band_sig"))
+      .join(banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+        col("band"), col("band_sig")), Seq("band", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        aggregate(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("est"))
+    cand
+      .join(staged.select(col("doc_id").as("a_id"), col("hset").as("ha")),
+        Seq("a_id"))
+      .join(staged.select(col("doc_id").as("b_id"), col("hset").as("hb")),
+        Seq("b_id"))
+      .select(col("est"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
+        (size(col("ha")) + size(col("hb"))).cast("long").as("sz"))
+      .select(col("est"), col("inter"), (col("sz") - col("inter")).as("uni"))
+      .groupBy(col("est"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("inter")).as("sum_inter"),
+        sum(col("uni")).as("sum_uni"))
+      .select(col("est"), col("n_pairs"), col("sum_inter"), col("sum_uni"),
+        (col("est").cast("double") / lit(P)).as("est_jaccard"),
+        (col("sum_inter").cast("double") / col("sum_uni").cast("double"))
+          .as("micro_jaccard"))
+      .orderBy(col("est"))
+  }
+
+  /** Same signatures/banding/hash domain in SQL; union via |A|+|B|−inter. */
+  def minhashCalibrationSql: String = {
+    val bandConds = (0 until Bands).map { bnd =>
+      (0 until Rows).map { r =>
+        val i = bnd * Rows + r + 1
+        s"a.sig[$i] = b.sig[$i]"
+      }.mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    s"""WITH ${portableSigCtes()},
+       |hset AS (
+       |  SELECT doc_id, list_distinct(hs) AS hset FROM hashed),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(list_sum(list_transform(range(1, ${P + 1}),
+       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+       |      AS BIGINT) AS est
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |    AND ($bandConds)),
+       |v AS (
+       |  SELECT c.est,
+       |    CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS inter,
+       |    CAST(len(ha.hset) + len(hb.hset)
+       |      - len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS uni
+       |  FROM cand c
+       |  JOIN hset ha ON ha.doc_id = c.a_id
+       |  JOIN hset hb ON hb.doc_id = c.b_id)
+       |SELECT est, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(inter) AS BIGINT) AS sum_inter,
+       |  CAST(sum(uni) AS BIGINT) AS sum_uni,
+       |  CAST(est AS DOUBLE) / $P AS est_jaccard,
+       |  CAST(sum(inter) AS DOUBLE) / CAST(sum(uni) AS DOUBLE)
+       |    AS micro_jaccard
+       |FROM v GROUP BY est
+       |ORDER BY est""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_minhash_calibration" -> (minhashCalibration _),
     "q113_minhash_gate" -> (minhashGate _),
     "q112_incremental_clusters" -> (incrementalClusters _),
     "q107_source_dup_matrix" -> (sourceDupMatrix _),
@@ -1217,6 +1320,7 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q140_minhash_calibration" -> minhashCalibrationSql,
     // q112's oracle is q57's FULL-recompute CC: incremental maintenance
     // must be value-invisible (the q109 pattern) — the merged labels are
     // only right if they equal clustering the whole corpus from scratch

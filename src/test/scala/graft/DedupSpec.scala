@@ -245,4 +245,29 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast === slow)
   }
+
+  test("q140: calibration buckets are sane and the estimator orders truth") {
+    val rows = graft.ext.Dedup.minhashCalibration(SparkSpec.spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, n, si, su, ej, mj) =>
+      assert(est >= 0L && est <= 32L)
+      assert(n > 0L && si >= 0L && su >= si,
+        s"bucket $est: union smaller than intersection")
+      assert(ej === est.toDouble / 32.0)
+      assert(mj >= 0.0 && mj <= 1.0)
+    }
+    // banding admits a pair only via a fully-matching band
+    assert(rows.forall(_._1 >= 4L), "candidate with no complete band")
+    // calibration range: both a perfect-estimate bucket (exact dups) and
+    // an imperfect one must appear, else the audit is vacuous
+    assert(rows.exists(_._1 === 32L), "no exact-signature bucket")
+    assert(rows.exists(_._1 < 32L), "only exact dups — no calibration signal")
+    // the estimator must order ground truth at the extremes
+    val lo = rows.minBy(_._1); val hi = rows.maxBy(_._1)
+    assert(hi._6 >= lo._6,
+      s"micro-Jaccard not ordered: est=${lo._1} → ${lo._6}, est=${hi._1} → ${hi._6}")
+  }
 }
