@@ -247,13 +247,61 @@ object Report {
       |      GROUP BY o_orderkey HAVING count(*) > 1) t
       |ORDER BY rule""".stripMargin
 
+  // ---- q141: k-anonymity / l-diversity audit -------------------------------
+
+  /** q141 anonymity thresholds (Sweeney's k, Machanavajjhala's l) and the
+    * size-bucket width that coarsens `n_chars` into a quasi-identifier. */
+  final val AnonK = 5L
+  final val AnonL = 2L
+  final val AnonSizeBucket = 64L
+
+  /** q141 — k-anonymity / l-diversity audit over the corpus metadata: a
+    * release's quasi-identifier classes are the (lang, source,
+    * size-bucket) combinations; a class with fewer than [[AnonK]]
+    * members re-identifies its documents, and one whose members all
+    * share the same sensitive value (distinct values < [[AnonL]], here
+    * the document's leading token as the sensitive proxy) leaks it even
+    * at k. The audit every dataset-release/data-governance pass runs
+    * before publishing per-slice metadata.
+    *
+    * Scale shape: ONE groupBy over the quasi-identifier triple — count +
+    * countDistinct partial-aggregate map-side; the class relation is
+    * |langs|·|sources|·|buckets| rows regardless of corpus size, and
+    * the violation flags are integer predicates on it. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("source"),
+        expr(s"n_chars div $AnonSizeBucket").as("size_bucket"),
+        split(col("text"), " ").getItem(0).as("sensitive"))
+      .groupBy(col("lang"), col("source"), col("size_bucket"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("sensitive")).as("l"))
+      .select(col("lang"), col("source"), col("size_bucket"),
+        col("k"), col("l"),
+        (col("k") < AnonK).as("k_violating"),
+        (col("l") < AnonL).as("l_violating"))
+      .orderBy(col("lang"), col("source"), col("size_bucket"))
+
+  val kAnonymitySql: String =
+    s"""SELECT lang, source, n_chars // $AnonSizeBucket AS size_bucket,
+       |  CAST(count(*) AS BIGINT) AS k,
+       |  CAST(count(DISTINCT string_split(text, ' ')[1]) AS BIGINT) AS l,
+       |  count(*) < $AnonK AS k_violating,
+       |  count(DISTINCT string_split(text, ' ')[1]) < $AnonL AS l_violating
+       |FROM documents WHERE text IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY lang, source, size_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_k_anonymity" -> (kAnonymity _),
     "q101_source_report" -> (sourceReport _),
     "q103_bitmap_distinct" -> (bitmapDistinct _),
     "q104_selfjoin_size" -> (selfJoinSize _),
     "q108_quality_rules" -> (qualityRules _))
 
   val oracles: Map[String, String] = Map(
+    "q141_k_anonymity" -> kAnonymitySql,
     "q101_source_report" -> sourceReportSql,
     "q103_bitmap_distinct" -> bitmapDistinctSql,
     "q104_selfjoin_size" -> selfJoinSizeSql,

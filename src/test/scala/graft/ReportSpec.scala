@@ -68,4 +68,24 @@ class ReportSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(lateral === windowed, "lateral decorrelation diverges from window")
   }
+
+  test("q141: anonymity classes partition the corpus and flags fire correctly") {
+    val rows = graft.ext.Report.kAnonymity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    // classes are distinct and partition every non-null-text document
+    assert(rows.map(t => (t._1, t._2, t._3)).distinct.length === rows.length)
+    val n = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_._4).sum === n, "class sizes must partition the corpus")
+    rows.foreach { case (_, _, _, k, l, kv, lv) =>
+      assert(l <= k, "distinct sensitive values cannot exceed class size")
+      assert(kv === (k < graft.ext.Report.AnonK), "k flag wrong")
+      assert(lv === (l < graft.ext.Report.AnonL), "l flag wrong")
+    }
+    // the audit is only meaningful if both outcomes occur on the fixture
+    assert(rows.exists(_._6) || rows.exists(_._7), "no violations — vacuous")
+    assert(rows.exists(r => !r._6 && !r._7), "everything violates — vacuous")
+  }
 }
