@@ -1476,14 +1476,28 @@ object Similarity {
     * Determinism: fixed all-ones start, fixed round count, exact
     * integer arithmetic throughout — no convergence test, no float
     * accumulation, no sign ambiguity. */
-  def pcaTopComponent(s: SparkSession, dir: String): DataFrame = {
-    val quant = Tables.embeddings(s, dir)
-      .select(transform(col("embedding"),
+  /** (vec_id, q) PcaScale-quantized raw vectors — the shared front end
+    * of q134's Gram and q142's projections (q54 quantizes NORMALIZED
+    * vectors; PCA wants raw moments, hence the separate scale). */
+  private def pcaQuant(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"),
         x => floor(x.cast("double") * PcaScale + lit(0.5d)).cast("long"))
         .as("q"))
       // barrier: CollapseProject would inline the quantize lambda into
-      // both downstream posexplodes (recomputing it per element)
+      // every downstream posexplode (recomputing it per element)
       .localCheckpoint(eager = false)
+
+  private def pcaMatvec(gram: DataFrame, v: DataFrame): DataFrame = gram
+    .join(v, Seq("k"))
+    .groupBy(col("j"))
+    .agg(sum(col("g") * col("v")).as("w"))
+
+  /** (vFinal(k, v), gram(j, k, g)) after [[PcaRounds]] rounds — shared
+    * by q134 (which also needs the Gram for the Rayleigh matvec) and
+    * q142 (which only projects onto the iterate). */
+  private def pcaParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val quant = pcaQuant(s, dir)
     val upper = quant
       .select(posexplode(col("q")).as(Seq("j", "qj")), col("q"))
       .select(col("j"), col("qj"),
@@ -1496,18 +1510,20 @@ object Similarity {
         .select(col("k").as("j"), col("j").as("k"), col("g")))
       .localCheckpoint(eager = false) // one Gram, PcaRounds+1 consumers
     val v0 = s.range(Dim).select(col("id").as("k"), lit(PcaVCap).as("v"))
-    def matvec(v: DataFrame): DataFrame = gram
-      .join(v, Seq("k"))
-      .groupBy(col("j"))
-      .agg(sum(col("g") * col("v")).as("w"))
     def renorm(w: DataFrame): DataFrame = w
       .crossJoin(broadcast(w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))))
       .select(col("j").as("k"),
         (signum(col("w")).cast("long") *
           expr(s"(abs(w) * $PcaVCap) div m")).as("v"))
-    val vFinal = (1 to PcaRounds).foldLeft(v0)((v, _) => renorm(matvec(v)))
+    val vFinal = (1 to PcaRounds)
+      .foldLeft(v0)((v, _) => renorm(pcaMatvec(gram, v)))
       .localCheckpoint(eager = false) // feeds the matvec AND two dots
-    val wFinal = matvec(vFinal)
+    (vFinal, gram)
+  }
+
+  def pcaTopComponent(s: SparkSession, dir: String): DataFrame = {
+    val (vFinal, gram) = pcaParts(s, dir)
+    val wFinal = pcaMatvec(gram, vFinal)
     val rayleigh = wFinal.join(vFinal, col("j") === col("k"))
       .agg(sum(col("v") * col("w")).as("eig_num"),
         sum(col("v") * col("v")).as("eig_den"))
@@ -1519,9 +1535,10 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
-  /** The oracle unrolls the same [[PcaRounds]] rounds as chained CTEs —
-    * q127's discipline for in-query iterative algorithms. */
-  val pcaTopComponentSql: String = {
+  /** The PCA CTE body (quant → gram → unrolled rounds, q127's
+    * discipline) shared by the q134 and q142 oracles; callers prepend
+    * `WITH ` and append their own consumers of `v$PcaRounds`/`quant`. */
+  private def pcaSqlCtes: String = {
     val rounds = (1 to PcaRounds).map { r =>
       s"""w$r AS (
          |  SELECT gram.j AS j, CAST(sum(g * v) AS BIGINT) AS w
@@ -1533,8 +1550,8 @@ object Similarity {
          |      * ((abs(w) * $PcaVCap) // m) AS BIGINT) AS v
          |  FROM w$r, m$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH quant AS (
-       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+    s"""quant AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |    x -> CAST(floor(x * $PcaScale + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
        |gram_u AS (
@@ -1549,7 +1566,11 @@ object Similarity {
        |  SELECT k AS j, j AS k, g FROM gram_u WHERE k > j),
        |v0 AS (SELECT j AS k, CAST($PcaVCap AS BIGINT) AS v
        |       FROM range($Dim) t(j)),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  val pcaTopComponentSql: String =
+    s"""WITH $pcaSqlCtes,
        |wf AS (
        |  SELECT gram.j AS j, CAST(sum(g * v) AS BIGINT) AS w
        |  FROM gram JOIN v$PcaRounds ON gram.k = v$PcaRounds.k GROUP BY 1),
@@ -1562,7 +1583,100 @@ object Similarity {
        |  CAST(eig_num AS DOUBLE) / eig_den AS eig_est
        |FROM v$PcaRounds t, ray
        |ORDER BY dim""".stripMargin
+
+  // ---- q142: PCA-projection-prefiltered ANN --------------------------------
+
+  /** Candidates kept per probe by projection distance before rerank. */
+  final val PcaCand = 50
+
+  /** q142 — ANN by 1-D PCA projection pruning, CONSUMING q134's
+    * component: every vector projects onto the power-iteration
+    * eigenvector (exact integer dot); per probe, the [[PcaCand]]
+    * projection-nearest vectors survive and an exact integer-dot rerank
+    * picks top-3. This is the classic projection-index family
+    * (spill-tree / PCA-tree root split) beside the LSH (q18), IVF
+    * (q44) and IVF-PQ (q97) families — the cheapest index that exists:
+    * ONE number per vector.
+    *
+    * Everything ranked on is an exact integer (projections, |Δproj|,
+    * rerank dots; ties by id), so the result is engine-exact. The
+    * projection-distance cut is geometry-blind in the 63 orthogonal
+    * dimensions — exactly the recall/cost trade the audit shape (q117)
+    * would measure; candidates here are provably the |Δproj| top-C set.
+    *
+    * Scale shape: the projection is ONE in-row dot per vector (explode +
+    * partial agg, same cost class as the Gram); probes broadcast (10
+    * rows); the per-probe top-C runs as [[graft.functions.TopK]] partial
+    * aggregation — O(probes·C·partitions) through the exchange, never
+    * O(probes·N) (the q17 lesson); rerank touches probes·C id-keyed
+    * rows. */
+  def pcaAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val quant = pcaQuant(s, dir)
+    val (vFinal, _) = pcaParts(s, dir)
+    val proj = quant
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("k", "qx")))
+      .join(vFinal, Seq("k"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qx") * col("v")).as("proj"))
+      .localCheckpoint(eager = false) // feeds probes AND the candidate scan
+    val probes = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("proj").as("pproj"))
+    val cand = proj.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (-abs(col("proj") - col("pproj"))).cast("double").as("negd"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(PcaCand)(col("vec_id"), col("negd"))
+        .as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("nid"))
+    val rr = cand
+      .join(quant.select(col("vec_id").as("query_id"), col("q").as("qp")),
+        Seq("query_id"))
+      .join(quant.select(col("vec_id").as("nid"), col("q").as("qn")),
+        Seq("nid"))
+      .select(col("query_id"), col("nid"),
+        aggregate(zip_with(col("qp"), col("qn"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("nid"))
+    rr.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("nid").as("neighbor_id"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** Oracle: the same projection/cut/rerank over the unrolled PCA CTEs. */
+  val pcaAnnTopKSql: String =
+    s"""WITH $pcaSqlCtes,
+       |proj AS (
+       |  SELECT q.vec_id, CAST(sum(q.q[t.k + 1] * t.v) AS BIGINT) AS proj
+       |  FROM quant q, v$PcaRounds t
+       |  GROUP BY q.vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, proj AS pproj FROM proj
+       |  WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT p.query_id, x.vec_id AS nid,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY abs(x.proj - p.pproj), x.vec_id) AS cr
+       |  FROM proj x, probes p
+       |  WHERE x.vec_id <> p.query_id),
+       |rr AS (
+       |  SELECT c.query_id, c.nid,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${Dim + 1}), d -> qp.q[d] * qn.q[d])),
+       |      (x, y) -> x + y) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN quant qp ON qp.vec_id = c.query_id
+       |  JOIN quant qn ON qn.vec_id = c.nid
+       |  WHERE c.cr <= $PcaCand),
+       |r AS (
+       |  SELECT query_id, nid,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, nid) AS BIGINT) AS rnk
+       |  FROM rr)
+       |SELECT query_id, nid AS neighbor_id, rnk FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
 
   // ---- q139: hard-negative mining for metric learning ---------------------
 
@@ -1654,6 +1768,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_pca_power" -> (pcaTopComponent _),
     "q139_hard_negatives" -> (hardNegatives _),
+    "q142_pca_ann" -> (pcaAnnTopK _),
     "q117_ann_recall" -> (annRecall _),
     "q115_centroid_drift" -> (centroidDrift _),
     "q97_ivfpq_search" -> (ivfPqSearch _),
@@ -1672,6 +1787,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q134_pca_power" -> pcaTopComponentSql,
     "q139_hard_negatives" -> hardNegativesSql,
+    "q142_pca_ann" -> pcaAnnTopKSql,
     "q117_ann_recall" -> annRecallSql,
     "q115_centroid_drift" -> centroidDriftSql,
     "q97_ivfpq_search" -> ivfPqSearchSql,

@@ -269,6 +269,33 @@ class SimilaritySpec extends SparkSpec {
       s"only ${rows.length}/$nVec anchors mined — bucket geometry degenerate")
   }
 
+  test("q142: PCA-projection ANN equals a driver-side replay of cut + rerank") {
+    val got = Similarity.pcaAnnTopK(SparkSpec.spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.map(_._1).distinct.length === 10)
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L), s"probe $q ranks")
+    }
+    // replay: same loading vector (from q134's output), same quantization
+    val v = Similarity.pcaTopComponent(SparkSpec.spark, sf).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1))
+    val qv = graft.tables.Tables.embeddings(SparkSpec.spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * Similarity.PcaScale + 0.5).toLong).toArray)
+      .toMap
+    val proj = qv.map { case (id, q) =>
+      id -> q.indices.map(i => q(i) * v(i)).sum }
+    val expect = (0L until 10L).flatMap { p =>
+      val cand = proj.keys.filter(_ != p).toSeq
+        .sortBy(id => (math.abs(proj(id) - proj(p)), id)).take(Similarity.PcaCand)
+      cand.map(id => (id, qv(p).zip(qv(id)).map { case (a, b) => a * b }.sum))
+        .sortBy { case (id, dot) => (-dot, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (p, id, i + 1L) }
+    }.toSet
+    assert(got.toSet === expect, "engine result diverges from the replay")
+  }
+
   test("q134: power iterate converges to an eigendirection of the exact Gram") {
     val rows = Similarity.pcaTopComponent(SparkSpec.spark, sf).collect()
     assert(rows.length === 64)
