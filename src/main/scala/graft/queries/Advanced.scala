@@ -528,6 +528,68 @@ object Advanced {
       |FROM joined
       |ORDER BY user_id, hour""".stripMargin
 
+  /** q143 patterns: each user's chronologically-ordered event initials
+    * (signup/view/click/purchase/error → s/v/c/p/e) scanned with
+    * RE2-safe regexes (no backrefs/lookaround, so Java and RE2 agree on
+    * match counts). */
+  val SeqPatterns: Seq[(String, String)] = Seq(
+    ("signup_to_purchase",  "s[vce]*p"),
+    ("browse_then_buy",     "[vc]p"),
+    ("error_retry_success", "e[ve]*p"),
+    ("pure_browser",        "^[vc]+$"))
+
+  /** q143 — behavioral sequence-pattern matching (the MATCH_RECOGNIZE
+    * capability of Flink/Trino, composed from in-row ops): each user's
+    * event history becomes one chronologically-ordered initials string
+    * (array_sort over (ts, event_id, initial) structs — collect order
+    * never matters), and each [[SeqPatterns]] regex reports how many
+    * users match and the total non-overlapping match count. q73 checks
+    * ONE fixed funnel; q111 counts single transitions; this matches
+    * arbitrary sequence patterns.
+    *
+    * Scale shape: one shuffle by user builds the per-user string
+    * (bounded by that user's history — the inherent cost of
+    * order-sensitive analytics); the pattern scan is in-row over
+    * #patterns broadcast literals and partial-aggregates into
+    * #patterns rows. */
+  def q143SeqPattern(s: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.events(s, dir)
+      .select(col("user_id"), struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(col("ev"))),
+        e => e.getField("ini")), "").as("seq"))
+    val arms = SeqPatterns.map { case (name, pat) =>
+      seqs.select(
+        lit(name).as("pattern"),
+        when(regexp_count(col("seq"), lit(pat)) > 0, 1L).otherwise(0L)
+          .as("hit"),
+        regexp_count(col("seq"), lit(pat)).cast("long").as("m"))
+    }.reduce(_.unionAll(_))
+    arms.groupBy(col("pattern"))
+      .agg(sum(col("hit")).as("n_users"), sum(col("m")).as("n_matches"))
+      .orderBy(col("pattern"))
+  }
+
+  val q143Sql: String = {
+    val arms = SeqPatterns.map { case (name, pat) =>
+      s"""SELECT '$name' AS pattern,
+         |  CAST(sum(CASE WHEN len(regexp_extract_all(seq, '$pat')) > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+         |  CAST(sum(len(regexp_extract_all(seq, '$pat'))) AS BIGINT)
+         |    AS n_matches
+         |FROM seqs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH seqs AS (
+       |  SELECT user_id, string_agg(ini, '' ORDER BY ts, event_id) AS seq
+       |  FROM (SELECT user_id, ts, event_id,
+       |          substr(event_type, 1, 1) AS ini FROM events)
+       |  GROUP BY user_id)
+       |SELECT * FROM (
+       |$arms
+       |) ORDER BY pattern""".stripMargin
+  }
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1068,6 +1130,7 @@ object Advanced {
     "q131_scd2"         -> (q131Scd2 _),
     "q133_cdc_merge"    -> (q133CdcMerge _),
     "q138_gap_fill"     -> (q138GapFill _),
+    "q143_seq_pattern"  -> (q143SeqPattern _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -1096,6 +1159,7 @@ object Advanced {
     "q131_scd2"         -> q131Sql,
     "q133_cdc_merge"    -> q133Sql,
     "q138_gap_fill"     -> q138Sql,
+    "q143_seq_pattern"  -> q143Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

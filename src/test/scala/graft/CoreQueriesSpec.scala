@@ -209,6 +209,30 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q143 sequence patterns: counts match a driver-side regex replay") {
+    val got = graft.queries.Advanced.q143SeqPattern(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === graft.queries.Advanced.SeqPatterns.map(_._1).toSet)
+    // replay: build each user's initials string and scan with Java regex
+    val seqs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2)),
+        r.getString(3).substring(0, 1)))
+      .groupBy(_._1)
+      .map { case (u, es) => u -> es.sortBy(_._2).map(_._3).mkString }
+    graft.queries.Advanced.SeqPatterns.foreach { case (name, pat) =>
+      val rx = pat.r
+      val matches = seqs.values.map(s => rx.findAllIn(s).length)
+      val expect = (matches.count(_ > 0).toLong, matches.sum.toLong)
+      assert(got(name) === expect, s"pattern $name diverges from replay")
+    }
+    // non-degenerate fixture: some pattern hits, some users never match
+    assert(got.values.exists(_._1 > 0L), "no pattern fires at all")
+    assert(got("signup_to_purchase")._2 >= got("signup_to_purchase")._1,
+      "match count below user count")
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")
