@@ -590,6 +590,118 @@ object Advanced {
        |) ORDER BY pattern""".stripMargin
   }
 
+  /** q144 — multi-touch conversion attribution: every purchase credits
+    * the user's preceding touchpoints (view/click/signup within 24 h)
+    * under the three standard models at once — first-touch, last-touch,
+    * and linear. Linear credit is integer MICRO-credits
+    * (1_000_000 div n per touch, remainder dropped — deterministic in
+    * both engines, never a sum of per-touch IEEE ratios); purchases
+    * with no preceding touch report under `(direct)`, so conversions
+    * are partitioned, not silently dropped.
+    *
+    * Scale shape: the touch↔purchase pairing is a USER-keyed equi-join
+    * with an in-partition interval filter (the per-user spelling of
+    * q32's range join — never a global theta-join); per-purchase
+    * first/last/n collapse as ONE partial-aggregable min/max(struct);
+    * the three credit roll-ups run on the per-purchase relation
+    * (#purchases rows) and the per-pair linear relation, each one
+    * exchange into ≤#types rows. */
+  def q144Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("pid"))
+    val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("ttype"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+      .localCheckpoint(eager = false) // feeds per-purchase agg AND linear
+    val perPurchase = pairs
+      .groupBy(col("user_id"), col("pid"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("tts"), col("tid"), col("ttype")))
+          .getField("ttype").as("first_type"),
+        max(struct(col("tts"), col("tid"), col("ttype")))
+          .getField("ttype").as("last_type"))
+    val direct = purchases.join(perPurchase.select(col("pid")), Seq("pid"),
+        "left_anti")
+      .select(lit("(direct)").as("event_type"),
+        lit(1L).as("ft"), lit(1L).as("lt"), lit(1000000L).as("lin"))
+    val firsts = perPurchase.groupBy(col("first_type").as("event_type"))
+      .agg(count(lit(1)).as("ft"))
+    val lasts = perPurchase.groupBy(col("last_type").as("event_type"))
+      .agg(count(lit(1)).as("lt"))
+    val linear = pairs
+      .join(perPurchase.select(col("pid"), col("n")), Seq("pid"))
+      .groupBy(col("ttype").as("event_type"))
+      .agg(sum(expr("1000000 div n")).as("lin"))
+    val directAgg = direct.groupBy(col("event_type"))
+      .agg(sum(col("ft")).as("ft"), sum(col("lt")).as("lt"),
+        sum(col("lin")).as("lin"))
+    firsts.join(lasts, Seq("event_type"), "full_outer")
+      .join(linear, Seq("event_type"), "full_outer")
+      .unionByName(directAgg)
+      .select(col("event_type"),
+        coalesce(col("ft"), lit(0L)).as("first_touch"),
+        coalesce(col("lt"), lit(0L)).as("last_touch"),
+        coalesce(col("lin"), lit(0L)).as("linear_micros"))
+      .orderBy(col("event_type"))
+  }
+
+  val q144Sql: String =
+    """WITH purchases AS (
+      |  SELECT user_id, ts AS pts, event_id AS pid FROM events
+      |  WHERE event_type = 'purchase'),
+      |touches AS (
+      |  SELECT user_id, ts AS tts, event_id AS tid, event_type AS ttype
+      |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |pairs AS (
+      |  SELECT p.user_id, p.pid, t.tts, t.tid, t.ttype
+      |  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+      |  WHERE t.tts < p.pts AND t.tts >= p.pts - INTERVAL 24 HOUR),
+      |per_p AS (
+      |  SELECT user_id, pid, CAST(count(*) AS BIGINT) AS n,
+      |    min(struct_pack(tts := tts, tid := tid, ttype := ttype)).ttype
+      |      AS first_type,
+      |    max(struct_pack(tts := tts, tid := tid, ttype := ttype)).ttype
+      |      AS last_type
+      |  FROM pairs GROUP BY 1, 2),
+      |firsts AS (
+      |  SELECT first_type AS event_type, CAST(count(*) AS BIGINT) AS ft
+      |  FROM per_p GROUP BY 1),
+      |lasts AS (
+      |  SELECT last_type AS event_type, CAST(count(*) AS BIGINT) AS lt
+      |  FROM per_p GROUP BY 1),
+      |linear AS (
+      |  SELECT pr.ttype AS event_type,
+      |    CAST(sum(1000000 // pp.n) AS BIGINT) AS lin
+      |  FROM pairs pr JOIN per_p pp ON pr.pid = pp.pid GROUP BY 1),
+      |direct AS (
+      |  SELECT '(direct)' AS event_type,
+      |    CAST(count(*) AS BIGINT) AS ft, CAST(count(*) AS BIGINT) AS lt,
+      |    CAST(count(*) * 1000000 AS BIGINT) AS lin
+      |  FROM purchases p WHERE NOT EXISTS (
+      |    SELECT 1 FROM per_p x WHERE x.pid = p.pid)
+      |  HAVING count(*) > 0),
+      |merged AS (
+      |  SELECT coalesce(f.event_type, l.event_type, n.event_type)
+      |      AS event_type,
+      |    coalesce(ft, 0) AS first_touch, coalesce(lt, 0) AS last_touch,
+      |    coalesce(lin, 0) AS linear_micros
+      |  FROM firsts f
+      |  FULL OUTER JOIN lasts l ON f.event_type = l.event_type
+      |  FULL OUTER JOIN linear n ON coalesce(f.event_type, l.event_type)
+      |    = n.event_type
+      |  UNION ALL
+      |  SELECT event_type, ft, lt, lin FROM direct)
+      |SELECT event_type, CAST(first_touch AS BIGINT) AS first_touch,
+      |  CAST(last_touch AS BIGINT) AS last_touch,
+      |  CAST(linear_micros AS BIGINT) AS linear_micros
+      |FROM merged
+      |ORDER BY event_type""".stripMargin
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1131,6 +1243,7 @@ object Advanced {
     "q133_cdc_merge"    -> (q133CdcMerge _),
     "q138_gap_fill"     -> (q138GapFill _),
     "q143_seq_pattern"  -> (q143SeqPattern _),
+    "q144_attribution"  -> (q144Attribution _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -1160,6 +1273,7 @@ object Advanced {
     "q133_cdc_merge"    -> q133Sql,
     "q138_gap_fill"     -> q138Sql,
     "q143_seq_pattern"  -> q143Sql,
+    "q144_attribution"  -> q144Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

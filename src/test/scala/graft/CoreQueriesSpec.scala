@@ -233,6 +233,29 @@ class CoreQueriesSpec extends SparkSpec {
       "match count below user count")
   }
 
+  test("q144 attribution: models conserve conversions and credit mass") {
+    val rows = graft.queries.Advanced.q144Attribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    // first-touch and last-touch each assign every purchase exactly once
+    assert(rows.map(_._2).sum === nPurchases, "first-touch loses conversions")
+    assert(rows.map(_._3).sum === nPurchases, "last-touch loses conversions")
+    // linear credit mass: 1e6 per purchase minus only the integer-division
+    // remainders (< n per attributed purchase) — bounded loss, never gain
+    val lin = rows.map(_._4).sum
+    assert(lin <= nPurchases * 1000000L, "linear credit overshoots")
+    assert(lin > nPurchases * 900000L, "linear credit lost more than remainders")
+    // only touch types and (direct) may carry credit
+    val legal = Set("view", "click", "signup", "(direct)")
+    assert(rows.map(_._1).forall(legal), s"illegal credited type in $rows")
+    // the fixture exercises both attributed and direct conversions
+    assert(rows.exists(r => r._1 == "(direct)" && r._2 > 0L) &&
+      rows.exists(r => r._1 != "(direct)" && r._2 > 0L),
+      "fixture lacks either direct or attributed purchases")
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")
