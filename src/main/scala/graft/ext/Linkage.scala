@@ -73,7 +73,8 @@ object Linkage {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_fuzzy_linkage" -> (fuzzyLinkage _),
-    "q136_fastss_join" -> (fastssJoin _))
+    "q136_fastss_join" -> (fastssJoin _),
+    "q145_entity_ids" -> (entityIds _))
 
   // ---- q136: deletion-neighborhood edit-distance join (FastSS) ------------
 
@@ -135,7 +136,92 @@ object Linkage {
       |WHERE levenshtein(a.p_name, b.p_name) <= 1
       |ORDER BY name_a, name_b""".stripMargin
 
+  // ---- q145: entity resolution end-to-end ---------------------------------
+
+  /** q145 — entity resolution end-to-end: q91's blocked fuzzy match
+    * pairs become a similarity graph whose connected components are the
+    * resolved ENTITIES — every name gets a canonical entity_id (the
+    * component's minimum name-hash; its own hash for singletons) plus
+    * the entity's member count and total row volume. This is the
+    * master-data relation a warehouse keeps: q91 stops at pairs, this
+    * finishes the job (pairs → transitive closure → canonical ids →
+    * volume roll-up), reusing q57's dual-path CC (bounded driver
+    * union-find, distributed label propagation beyond).
+    *
+    * Node ids are the portable 60-bit md5 name hashes (q98's
+    * convention, collision risk documented there) so the DuckDB oracle
+    * recomputes identical components.
+    *
+    * Scale shape: everything expensive runs on the DICTIONARY (q91's
+    * stage-1 reduction); the CC input is the pair graph (near-match
+    * pairs only); the roll-up joins a #names relation to a #entities
+    * relation. */
+  def entityIds(s: SparkSession, dir: String): DataFrame = {
+    val dict = Tables.part(s, dir)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .select(col("p_name"), col("n_parts"),
+        Dedup.portableTokenHash(col("p_name")).as("nid"))
+      .localCheckpoint(eager = false) // feeds pair mapping AND labeling
+    val pairs = fuzzyLinkage(s, dir)
+      .join(dict.select(col("p_name").as("name_a"), col("nid").as("a_id")),
+        Seq("name_a"))
+      .join(dict.select(col("p_name").as("name_b"), col("nid").as("b_id")),
+        Seq("name_b"))
+      .select(col("a_id"), col("b_id"))
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "nid")
+    val labeled = dict.join(comp, Seq("nid"), "left")
+      .select(col("p_name"), col("n_parts"),
+        coalesce(col("cluster_id"), col("nid")).as("entity_id"))
+      .localCheckpoint(eager = false) // feeds the roll-up AND the output
+    val ent = labeled.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("entity_size"),
+        sum(col("n_parts")).as("entity_parts"))
+    labeled.join(ent, Seq("entity_id"))
+      .select(col("p_name"), col("entity_id"), col("entity_size"),
+        col("entity_parts"), col("n_parts"))
+      .orderBy(col("entity_id"), col("p_name"))
+  }
+
+  /** DuckDB spelling: same dictionary/blocking/threshold, recursive-CTE
+    * transitive closure (q57's oracle pattern), same min-hash canonical
+    * ids. */
+  val entityIdsSql: String =
+    s"""WITH RECURSIVE dict AS (
+       |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+       |    ('0x' || substr(md5(p_name), 1, 15))::BIGINT AS nid,
+       |    string_split(p_name, chr(32))[-1] AS blk
+       |  FROM part GROUP BY p_name),
+       |pairs AS (
+       |  SELECT a.nid AS a_id, b.nid AS b_id
+       |  FROM dict a JOIN dict b ON a.blk = b.blk AND a.p_name < b.p_name
+       |  WHERE levenshtein(a.p_name, b.p_name) <= $MaxEdit),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |cc AS (
+       |  SELECT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, c.label FROM cc c JOIN edges e
+       |    ON e.src = c.node),
+       |comp AS (
+       |  SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
+       |lab AS (
+       |  SELECT d.p_name, d.n_parts,
+       |    coalesce(c.cluster_id, d.nid) AS entity_id
+       |  FROM dict d LEFT JOIN comp c ON c.node = d.nid),
+       |ent AS (
+       |  SELECT entity_id, CAST(count(*) AS BIGINT) AS entity_size,
+       |    CAST(sum(n_parts) AS BIGINT) AS entity_parts
+       |  FROM lab GROUP BY 1)
+       |SELECT l.p_name, l.entity_id, e.entity_size, e.entity_parts,
+       |  l.n_parts
+       |FROM lab l JOIN ent e USING (entity_id)
+       |ORDER BY entity_id, p_name""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q91_fuzzy_linkage" -> fuzzyLinkageSql,
-    "q136_fastss_join" -> fastssJoinSql)
+    "q136_fastss_join" -> fastssJoinSql,
+    "q145_entity_ids" -> entityIdsSql)
 }

@@ -68,6 +68,36 @@ class IndexLayoutSpec extends SparkSpec {
     assert(!got.contains(("abc", "xyc")), "distance-2 pair leaked")
   }
 
+  // ---- q145 ----------------------------------------------------------------
+
+  test("q145: entity ids are a transitive closure of the q91 pair graph") {
+    val rows = Linkage.entityIds(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every dictionary name labeled exactly once
+    val dictN = Tables.part(spark, sf).select("p_name").distinct().count()
+    assert(rows.length.toLong === dictN)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // entity stats consistent: sizes partition names, parts partition rows
+    val byEnt = rows.groupBy(_._2)
+    byEnt.foreach { case (eid, ms) =>
+      assert(ms.forall(_._3 === ms.length.toLong), s"entity $eid size wrong")
+      assert(ms.map(_._5).sum === ms.head._4, s"entity $eid parts wrong")
+    }
+    assert(rows.map(_._5).sum === Tables.part(spark, sf).count())
+    // transitive closure: every q91 pair is co-entity, and some entity
+    // has >= 3 members only if chained pairs exist (closure actually ran)
+    val pairSets = Linkage.fuzzyLinkage(spark, sf)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ent = rows.map(r => r._1 -> r._2).toMap
+    pairSets.foreach { case (a, b) =>
+      assert(ent(a) === ent(b), s"pair ($a, $b) split across entities")
+    }
+    assert(rows.exists(_._3 > 1L), "no multi-member entity — closure vacuous")
+  }
+
   // ---- q92 -----------------------------------------------------------------
 
   test("q92: df is exact and postings are the capped ascending prefix") {
