@@ -702,6 +702,84 @@ object Advanced {
       |FROM merged
       |ORDER BY event_type""".stripMargin
 
+  /** q146 — change-point detection by integer CUSUM: per event type,
+    * the day where the cumulative deviation of daily volume from the
+    * type's own mean rate peaks — the standard drift detector an ingest
+    * monitor runs per stream. Deviations are kept EXACTLY integral by
+    * scaling: dev_d = n_d·D − T (D days in the type's span, T total
+    * events) sums to zero over the span, so the running sum is an exact
+    * BIGINT walk and the peak (argmax |cusum|, earliest day on ties) is
+    * engine-exact with no mean division anywhere. q75 flags POINT
+    * anomalies; this locates the sustained LEVEL SHIFT a point detector
+    * misses.
+    *
+    * Scale shape: one partial-aggregable (type, day) count; the dense
+    * day grid explodes per type bounded by that type's own span
+    * (zero-filled silent days — a gap IS signal for drift); the walk
+    * and the peak are per-type windows over ≤span rows. */
+  def q146ChangePoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        sum(col("n")).as("t"))
+      .select(col("event_type"), col("t"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+          .as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val walk = grid.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("d_cnt", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("cusum", sum(col("n") * col("d_cnt") - col("t")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    walk
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cusum")).desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("peak_day"),
+        col("cusum").as("peak_cusum"), col("d_cnt").as("n_days"),
+        col("t").as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val q146Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT event_type, min(day) AS d0, max(day) AS d1,
+      |    CAST(sum(n) AS BIGINT) AS t
+      |  FROM daily GROUP BY 1),
+      |grid AS (
+      |  SELECT event_type, t,
+      |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      |  FROM spans),
+      |walk AS (
+      |  SELECT g.event_type, g.day, g.t,
+      |    coalesce(d.n, 0) AS n,
+      |    CAST(count(*) OVER (PARTITION BY g.event_type) AS BIGINT)
+      |      AS d_cnt
+      |  FROM grid g LEFT JOIN daily d
+      |    ON g.event_type = d.event_type AND g.day = d.day),
+      |cus AS (
+      |  SELECT event_type, day, d_cnt, t,
+      |    CAST(sum(n * d_cnt - t) OVER (PARTITION BY event_type
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cusum
+      |  FROM walk),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs(cusum) DESC, day) AS rn
+      |  FROM cus)
+      |SELECT event_type, day AS peak_day, cusum AS peak_cusum,
+      |  d_cnt AS n_days, t AS n_events
+      |FROM r WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1244,6 +1322,7 @@ object Advanced {
     "q138_gap_fill"     -> (q138GapFill _),
     "q143_seq_pattern"  -> (q143SeqPattern _),
     "q144_attribution"  -> (q144Attribution _),
+    "q146_change_point" -> (q146ChangePoint _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -1274,6 +1353,7 @@ object Advanced {
     "q138_gap_fill"     -> q138Sql,
     "q143_seq_pattern"  -> q143Sql,
     "q144_attribution"  -> q144Sql,
+    "q146_change_point" -> q146Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

@@ -256,6 +256,35 @@ class CoreQueriesSpec extends SparkSpec {
       "fixture lacks either direct or attributed purchases")
   }
 
+  test("q146 change point: the peak equals a driver-side CUSUM replay") {
+    val got = graft.queries.Advanced.q146ChangePoint(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val events = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val dayMs = 86400000L
+    events.groupBy(_._1).foreach { case (tpe, es) =>
+      val counts = es.groupBy(_._2).map { case (d, xs) => d -> xs.length.toLong }
+      val (d0, d1) = (counts.keys.min, counts.keys.max)
+      val days = d0 to d1 by dayMs
+      val t = counts.values.sum
+      val dCnt = days.length.toLong
+      var c = 0L
+      val walk = days.map { d =>
+        c += counts.getOrElse(d, 0L) * dCnt - t; (d, c)
+      }
+      val peak = walk.minBy { case (d, v) => (-math.abs(v), d) }
+      val row = got.find(_._1 == tpe).get
+      assert(row._2.getTime === peak._1, s"$tpe peak day diverges")
+      assert(row._3 === peak._2, s"$tpe peak cusum diverges")
+      assert(row._4 === dCnt && row._5 === t, s"$tpe span stats diverge")
+    }
+    // walk must actually deviate somewhere (flat walk ⇒ vacuous detector)
+    assert(got.exists(_._3 != 0L), "all CUSUM peaks are zero")
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")

@@ -260,4 +260,35 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(det - ref) / ref < 1e-9, s"$det vs $ref")
     }
   }
+
+  test("q136 FastSS: neighborhood intersection ⟺ lev ≤ 1 on random strings") {
+    // the completeness theorem behind q136, checked against a reference
+    // Levenshtein on adversarially small alphabets (max collision odds)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def neighborhood(s: String): Set[String] =
+      (0 until s.length).map(i => s.take(i) + s.drop(i + 1)).toSet + s
+    val strGen = for {
+      n <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    (1 to 300).foreach { i =>
+      val a = sample(strGen, i)
+      val b = sample(strGen, i + 7919)
+      val candidate = (neighborhood(a) & neighborhood(b)).nonEmpty
+      val close = lev(a, b) <= 1
+      // completeness: close pairs ALWAYS intersect (zero false negatives)
+      assert(!close || candidate, s"FastSS missed close pair ($a, $b)")
+      // and the verify step exists precisely because the converse fails;
+      // when it fires, distance is still bounded (deletion variants are
+      // within 1 edit of their source, so intersecting strings are ≤ 2)
+      if (candidate) assert(lev(a, b) <= 2, s"absurd candidate ($a, $b)")
+    }
+  }
 }
