@@ -780,6 +780,102 @@ object Advanced {
       |FROM r WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  /** q147 — time-weighted average (TWAP): each user's `value`
+    * observations weighted by how long they were the CURRENT value —
+    * Σ cents·held_µs / Σ held_µs over [first, last] observation — the
+    * metric a billing/pricing/telemetry pipeline wants where a plain
+    * mean over-counts bursts. Exact integers until the single final
+    * division: cents = ⌊value·100 + 0.5⌋, holds in epoch-µs longs
+    * (headroom: max_cents·span ≈ 10¹⁷ ≪ 2⁶³); the last observation
+    * holds for 0 µs by construction, so single-event users (span 0)
+    * are excluded rather than dividing by zero.
+    *
+    * Scale shape: one shuffle by user for the lead window (bounded
+    * per-user fan-in), then a partial-aggregable sum pair and one
+    * division on the #users relation. */
+  def q147Twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5d)).cast("long").as("cents"))
+      .withColumn("held",
+        coalesce(unix_micros(lead(col("ts"), 1).over(w)), unix_micros(col("ts")))
+          - unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("held")).as("span_us"),
+        sum(col("cents") * col("held")).as("wsum"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_obs"), col("span_us"), col("wsum"),
+        (col("wsum").cast("double") / col("span_us").cast("double"))
+          .as("twap_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q147Sql: String =
+    """WITH held AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id)), epoch_us(ts)) - epoch_us(ts)
+      |      AS BIGINT) AS held
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+      |    CAST(sum(held) AS BIGINT) AS span_us,
+      |    CAST(sum(cents * held) AS BIGINT) AS wsum
+      |  FROM held GROUP BY 1)
+      |SELECT user_id, n_obs, span_us, wsum,
+      |  CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) AS twap_cents
+      |FROM agg WHERE span_us > 0
+      |ORDER BY user_id""".stripMargin
+
+  /** q148 column groups: (table, column) pairs profiled by the stats
+    * collector — the compile-time manifest the oracle mirrors. */
+  val AnalyzeColumns: Seq[(String, String)] = Seq(
+    ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+    ("lineitem", "l_returnflag"), ("lineitem", "l_shipdate"),
+    ("orders", "o_custkey"), ("orders", "o_orderpriority"),
+    ("events", "user_id"), ("events", "event_type"),
+    ("documents", "lang"), ("documents", "source"))
+
+  /** q148 — planner-statistics collection (the ANALYZE TABLE shape):
+    * per profiled column, row count, null count and EXACT distinct
+    * count — the triple every cost-based optimizer's reorder/broadcast
+    * decisions start from. One scan arm per column (exactly how ANALYZE
+    * runs), each a partial-aggregable count/countDistinct; the union is
+    * #columns rows.
+    *
+    * At 100 TB the per-column arms each prune to a single-column scan
+    * (column pruning reaches the parquet reader), so the cost is
+    * #profiled-columns single-column passes — the honest price of exact
+    * NDV; approximate NDV is one scan total via q36's
+    * approx_count_distinct. */
+  def q148AnalyzeStats(s: SparkSession, dir: String): DataFrame = {
+    val arms = AnalyzeColumns.map { case (t, c) =>
+      Tables.load(s, dir, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("ndv"))
+        .select(lit(t).as("table_name"), lit(c).as("column_name"),
+          col("n_rows"), col("n_null"), col("ndv"))
+    }
+    arms.reduce(_.unionAll(_)).orderBy(col("table_name"), col("column_name"))
+  }
+
+  val q148Sql: String = {
+    val arms = AnalyzeColumns.map { case (t, c) =>
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv
+         |FROM $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$arms
+       |) ORDER BY table_name, column_name""".stripMargin
+  }
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1323,6 +1419,8 @@ object Advanced {
     "q143_seq_pattern"  -> (q143SeqPattern _),
     "q144_attribution"  -> (q144Attribution _),
     "q146_change_point" -> (q146ChangePoint _),
+    "q147_twap"         -> (q147Twap _),
+    "q148_analyze_stats" -> (q148AnalyzeStats _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -1354,6 +1452,8 @@ object Advanced {
     "q143_seq_pattern"  -> q143Sql,
     "q144_attribution"  -> q144Sql,
     "q146_change_point" -> q146Sql,
+    "q147_twap"         -> q147Sql,
+    "q148_analyze_stats" -> q148Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

@@ -285,6 +285,54 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.exists(_._3 != 0L), "all CUSUM peaks are zero")
   }
 
+  test("q147 TWAP: bounded by observed extremes and exact on a replay") {
+    val got = graft.queries.Advanced.q147Twap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        val micros = math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        (r.getLong(0), (micros, r.getLong(2)),
+          math.floor(r.getDouble(3) * 100 + 0.5).toLong)
+      }
+    events.groupBy(_._1).filter(_._2.length > 1).foreach { case (u, es) =>
+      val sorted = es.sortBy(_._2)
+      val span = sorted.last._2._1 - sorted.head._2._1
+      val wsum = sorted.sliding(2).map {
+        case Array(a, b) => a._3 * (b._2._1 - a._2._1)
+        case _ => 0L
+      }.sum
+      val row = got.find(_._1 == u).get
+      assert(row._3 === span && row._4 === wsum, s"user $u sums diverge")
+      assert(row._5 === wsum.toDouble / span.toDouble, s"user $u twap")
+      val cents = sorted.map(_._3)
+      assert(row._5 >= cents.min.toDouble - 1e-9 &&
+        row._5 <= cents.max.toDouble + 1e-9, s"user $u twap out of range")
+    }
+    // single-event users are excluded, not divided by zero
+    val single = events.groupBy(_._1).filter(_._2.length == 1).keySet
+    assert(single.intersect(got.map(_._1).toSet).isEmpty)
+  }
+
+  test("q148 ANALYZE stats: counts match direct per-column queries") {
+    val got = graft.queries.Advanced.q148AnalyzeStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === graft.queries.Advanced.AnalyzeColumns.toSet)
+    graft.queries.Advanced.AnalyzeColumns.foreach { case (t, c) =>
+      val df = Tables.load(spark, sf, t)
+      val expect = (df.count(),
+        df.filter(col(c).isNull).count(),
+        df.filter(col(c).isNotNull).select(col(c)).distinct().count())
+      assert(got((t, c)) === expect, s"$t.$c stats diverge")
+      assert(got((t, c))._3 <= got((t, c))._1, s"$t.$c ndv exceeds rows")
+    }
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")
