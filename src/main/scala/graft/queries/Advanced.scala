@@ -876,6 +876,98 @@ object Advanced {
        |) ORDER BY table_name, column_name""".stripMargin
   }
 
+  /** q149 — point-in-time (temporal) join against the q131 SCD2
+    * dimension: every purchase is enriched with the tier that was
+    * VALID AT its event time (valid_from ≤ ts < valid_to, open current
+    * row unbounded) — the feature-store correctness join that keeps
+    * training data free of future-attribute leakage; joining today's
+    * tier onto last month's purchase is exactly the label-leak q59/q77
+    * guard against, in dimension form. Purchases roll up per
+    * tier-at-purchase-time.
+    *
+    * Scale shape: the interval join keys on user_id FIRST (equi-join,
+    * per-user intervals are few) with the validity predicate evaluated
+    * in-partition — q32's range-join discipline applied to a versioned
+    * dimension; the roll-up partial-aggregates into ≤#tiers rows. */
+  def q149PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = q131Scd2(s, dir)
+      .select(col("user_id"), col("tier"), col("valid_from"), col("valid_to"))
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * 100 + lit(0.5d)).cast("long").as("cents"))
+    purchases.join(dim, Seq("user_id"))
+      .filter(col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("tier"))
+  }
+
+  val q149Sql: String =
+    """WITH flag AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(value / 50) AS INT) AS tier,
+      |    CASE WHEN lag(CAST(floor(value / 50) AS INT)) OVER w IS NULL
+      |           OR lag(CAST(floor(value / 50) AS INT)) OVER w
+      |              <> CAST(floor(value / 50) AS INT)
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ver AS (
+      |  SELECT user_id, tier, ts,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM flag),
+      |coll AS (
+      |  SELECT user_id, version, min(tier) AS tier, min(ts) AS valid_from
+      |  FROM ver GROUP BY user_id, version),
+      |dim AS (
+      |  SELECT user_id, tier, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |      AS valid_to
+      |  FROM coll),
+      |p AS (
+      |  SELECT user_id, ts,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT d.tier, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+      |FROM p JOIN dim d ON p.user_id = d.user_id
+      |  AND d.valid_from <= p.ts
+      |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+      |GROUP BY d.tier
+      |ORDER BY d.tier""".stripMargin
+
+  /** q150 — UNPIVOT / melt (the inverse of q30's pivot): the wide
+    * per-priority order-count matrix stacks back to long
+    * (priority, status, n) form via `stack`, dropping the NULL cells a
+    * sparse wide table carries. Wide↔long reshaping is core relational
+    * surface; stack evaluates in-row (no shuffle beyond the pivot's
+    * own aggregation). */
+  def q150Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    wide.select(col("o_orderpriority"),
+        expr("stack(3, 'F', F, 'O', O, 'P', P) AS (status, n)"))
+      .filter(col("n").isNotNull)
+      .select(col("o_orderpriority").as("priority"), col("status"),
+        col("n").cast("long").as("n"))
+      .orderBy(col("priority"), col("status"))
+  }
+
+  /** The oracle is the direct long-form aggregate — pivot→unpivot must
+    * be the identity on the non-null cells. */
+  val q150Sql: String =
+    """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |WHERE o_orderstatus IN ('F', 'O', 'P')
+      |GROUP BY 1, 2
+      |ORDER BY priority, status""".stripMargin
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1421,6 +1513,8 @@ object Advanced {
     "q146_change_point" -> (q146ChangePoint _),
     "q147_twap"         -> (q147Twap _),
     "q148_analyze_stats" -> (q148AnalyzeStats _),
+    "q149_pit_join"     -> (q149PitJoin _),
+    "q150_unpivot"      -> (q150Unpivot _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -1454,6 +1548,8 @@ object Advanced {
     "q146_change_point" -> q146Sql,
     "q147_twap"         -> q147Sql,
     "q148_analyze_stats" -> q148Sql,
+    "q149_pit_join"     -> q149Sql,
+    "q150_unpivot"      -> q150Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

@@ -333,6 +333,39 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q149 PIT join: every purchase matches exactly one validity interval") {
+    val rows = graft.queries.Advanced.q149PitJoin(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // SCD2 intervals partition each user's timeline from their first event,
+    // and a purchase IS an event, so every purchase joins exactly once
+    val nPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._2).sum === nPurchases,
+      "temporal join must match each purchase exactly once")
+    // a purchase's tier at its own time is its own observed tier: the
+    // roll-up must equal grouping purchases by their own value tier
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(floor(col("value") / 50.0).cast("int").as("tier"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (tier, n, _) =>
+      assert(direct(tier) === n, s"tier $tier diverges from direct grouping")
+    }
+  }
+
+  test("q150 unpivot: pivot→stack is the identity on long-form counts") {
+    val rows = graft.queries.Advanced.q150Unpivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows === direct, "unpivot is not the pivot inverse")
+    assert(rows.values.sum === Tables.orders(spark, sf).count())
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")
