@@ -79,4 +79,36 @@ class SourcesSpec extends SparkSpec {
     assert(rows(0).getAs[Any]("v2col") === null) // old file: evolved col is null
     assert(rows(1).getAs[Long]("v2col") === 42L)
   }
+
+  test("Tables.events normalizes both corpus vintages to identical values") {
+    import org.apache.spark.sql.functions._
+    // the corpus generator has shipped ts as TIMESTAMP(NANOS)-read-as-long
+    // AND as TIMESTAMP(MICROS, NTZ); the loader must read either vintage
+    // into the same session-UTC TIMESTAMP values
+    val base = Tables.events(SparkSpec.spark, sf)
+      .select("event_id", "ts").orderBy("event_id").limit(20).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    // vintage A: epoch-nanos long column named ts, at <dir>/events.parquet
+    // so Tables.events itself (not a reimplementation) does the reading
+    val dirA = Files.createTempDirectory("graft-ev-nanos").toString
+    Tables.events(SparkSpec.spark, sf).limit(20)
+      .select(col("event_id"),
+        (unix_micros(col("ts")) * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dirA/events.parquet")
+    // vintage B: NTZ micros column named ts
+    val dirB = Files.createTempDirectory("graft-ev-ntz").toString
+    Tables.events(SparkSpec.spark, sf).limit(20)
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$dirB/events.parquet")
+    def readBack(dir: String): Map[Long, java.sql.Timestamp] =
+      Tables.events(SparkSpec.spark, dir).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          r.getAs[java.sql.Timestamp]("ts")).toMap
+    val a = readBack(dirA)
+    val b = readBack(dirB)
+    base.foreach { case (id, ts) =>
+      assert(a(id) === ts, s"nanos-vintage event $id diverges")
+      assert(b(id) === ts, s"NTZ-vintage event $id diverges")
+    }
+  }
 }
