@@ -968,6 +968,82 @@ object Advanced {
       |GROUP BY 1, 2
       |ORDER BY priority, status""".stripMargin
 
+  /** q151 — item-item collaborative-filtering similarity: q110's
+    * (user, day) baskets re-scored as association strengths — for every
+    * co-occurring type pair, cosine c_ab/√(c_a·c_b) and lift
+    * c_ab·N/(c_a·c_b) — the item-item neighborhood model classic
+    * recommenders (and data-mixing correlation audits) run. All counts
+    * are exact BIGINTs; lift's numerator/denominator ship as exact
+    * integers beside the ONE IEEE division each metric takes, so the
+    * hash compare never sees accumulated float error.
+    *
+    * Scale shape: q110's in-row pair generation (baskets never
+    * self-join); per-item counts and the basket total are two more
+    * partial aggs; the metric join keys on item over a ≤#types relation
+    * and broadcasts. */
+  def q151ItemSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds pairs, item counts, and N
+    val basketsGrouped = baskets
+      .groupBy(col("user_id"), col("d"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    val pairs = basketsGrouped
+      .filter(size(col("ts")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => transform(sequence(i + 1, size(col("ts"))),
+          j => struct(element_at(col("ts"), i).as("ta"),
+            element_at(col("ts"), j).as("tb")))))).as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .agg(count(lit(1)).as("c_ab"))
+    val items = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val n = basketsGrouped.agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(items.select(col("event_type").as("ta"),
+        col("c").as("c_a"))), Seq("ta"))
+      .join(broadcast(items.select(col("event_type").as("tb"),
+        col("c").as("c_b"))), Seq("tb"))
+      .crossJoin(broadcast(n))
+      .select(col("ta"), col("tb"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_baskets"),
+        (col("c_ab").cast("double") /
+          sqrt((col("c_a") * col("c_b")).cast("double"))).as("cosine"),
+        ((col("c_ab") * col("n_baskets")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val q151Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM t a JOIN t b
+      |    ON a.user_id = b.user_id AND a.d = b.d
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |items AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM t GROUP BY 1),
+      |n AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_baskets
+      |  FROM (SELECT DISTINCT user_id, d FROM t))
+      |SELECT p.ta, p.tb, p.c_ab, ia.c AS c_a, ib.c AS c_b, n.n_baskets,
+      |  CAST(p.c_ab AS DOUBLE) / sqrt(CAST(ia.c * ib.c AS DOUBLE))
+      |    AS cosine,
+      |  CAST(p.c_ab * n.n_baskets AS DOUBLE)
+      |    / CAST(ia.c * ib.c AS DOUBLE) AS lift
+      |FROM pairs p
+      |JOIN items ia ON ia.event_type = p.ta
+      |JOIN items ib ON ib.event_type = p.tb
+      |CROSS JOIN n
+      |ORDER BY ta, tb""".stripMargin
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1515,6 +1591,7 @@ object Advanced {
     "q148_analyze_stats" -> (q148AnalyzeStats _),
     "q149_pit_join"     -> (q149PitJoin _),
     "q150_unpivot"      -> (q150Unpivot _),
+    "q151_item_similarity" -> (q151ItemSimilarity _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -1550,6 +1627,7 @@ object Advanced {
     "q148_analyze_stats" -> q148Sql,
     "q149_pit_join"     -> q149Sql,
     "q150_unpivot"      -> q150Sql,
+    "q151_item_similarity" -> q151Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

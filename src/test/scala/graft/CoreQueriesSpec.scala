@@ -366,6 +366,29 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows.values.sum === Tables.orders(spark, sf).count())
   }
 
+  test("q151 item similarity: metrics agree with q110 supports and bounds") {
+    val rows = graft.queries.Advanced.q151ItemSimilarity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    // same pair universe and supports as q110
+    val supports = graft.queries.Advanced.q110ItemsetPairs(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(rows.map(r => (r._1, r._2)).toSet === supports.keySet)
+    rows.foreach { case (ta, tb, cab, ca, cb, n, cos, lift) =>
+      assert(supports((ta, tb)) === cab, s"($ta,$tb) support diverges")
+      assert(cab <= math.min(ca, cb), s"($ta,$tb) support exceeds margin")
+      assert(ca <= n && cb <= n)
+      assert(cos > 0.0 && cos <= 1.0, s"($ta,$tb) cosine out of range")
+      assert(cos === cab.toDouble / math.sqrt((ca * cb).toDouble))
+      assert(lift === (cab * n).toDouble / (ca * cb).toDouble)
+    }
+    // a meaningful fixture has both positively and negatively associated
+    // pairs (lift straddles 1)
+    assert(rows.exists(_._8 > 1.0) || rows.exists(_._8 < 1.0))
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")
