@@ -717,10 +717,17 @@ object Advanced {
     * day grid explodes per type bounded by that type's own span
     * (zero-filled silent days — a gap IS signal for drift); the walk
     * and the peak are per-type windows over ≤span rows. */
-  def q146ChangePoint(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+  def q146ChangePoint(s: SparkSession, dir: String): DataFrame =
+    changePointFromDaily(Tables.events(s, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The q146 walk from an already-aggregated (event_type, day, n)
+    * relation — split out so the streaming drift monitor
+    * ([[graft.streaming.EventStreams.maintainDriftMonitor]]) can
+    * recompute the SAME detector from its incrementally-maintained
+    * daily counts without rescanning any corpus. */
+  private[graft] def changePointFromDaily(daily: DataFrame): DataFrame = {
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
         sum(col("n")).as("t"))

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.ops.Det
 
 /** Structured Streaming operators over the `events` schema — the streaming
@@ -167,5 +167,41 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming drift monitor — q146's continuous-ingest twin (the
+    * maintainClusters pattern applied to the CUSUM detector): per
+    * micro-batch, the carried (event_type, day, n) daily-count relation
+    * is maintained with q109's ⊕ algebra (full-outer merge, counts
+    * added — only the BATCH is scanned), then q146's integer CUSUM walk
+    * recomputes on that ≤types·span relation and the per-type peaks go
+    * to the sink. State = the daily-count relation, re-seeded from a
+    * persisted copy on restart exactly like maintainClusters' label
+    * carry; the corpus itself is never rescanned.
+    *
+    * Maintenance is value-invisible by construction: the sink's frame
+    * is `changePointFromDaily(daily ⊕ batches so far)`, which equals
+    * the batch q146 over everything ingested — StreamingSpec asserts
+    * that equality after each wave. */
+  def maintainDriftMonitor(events: DataFrame, initialDaily: DataFrame,
+      checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var daily = initialDaily.localCheckpoint()
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val inc = batch
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        daily = daily.withColumnRenamed("n", "on")
+          .join(inc.withColumnRenamed("n", "dn"),
+            Seq("event_type", "day"), "full_outer")
+          .select(col("event_type"), col("day"),
+            (coalesce(col("on"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"))
+          .localCheckpoint()
+        sink(graft.queries.Advanced.changePointFromDaily(daily), batchId)
+      }
+      .start()
   }
 }

@@ -360,4 +360,47 @@ class StreamingSpec extends SparkSpec {
       assert(sTotal === bTotal)
     } finally q.stop()
   }
+
+  test("streaming drift monitor: maintained CUSUM equals batch q146 per wave") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def wave(r: Int) = ev.filter(col("event_id") % 3 === r)
+    val dropsDir = Files.createTempDirectory("graft-drift").toString
+    val ckpt = Files.createTempDirectory("graft-drift-ck").toString
+    wave(0).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    wave(1).coalesce(1).write.mode("append").parquet(dropsDir)
+
+    @volatile var latest: Array[(String, java.sql.Timestamp, Long, Long, Long)] =
+      Array.empty
+    val waves = scala.collection.mutable.ArrayBuffer[Long]()
+    val empty = Seq.empty[(String, java.sql.Timestamp, Long)]
+      .toDF("event_type", "day", "n")
+    val q = EventStreams.maintainDriftMonitor(
+      EventStreams.readEventStream(spark, dropsDir)
+        .select("event_id", "ts", "user_id", "event_type", "value"),
+      empty, ckpt) { (peaks, id) =>
+      this.synchronized {
+        latest = peaks.collect().map(r => (r.getString(0), r.getTimestamp(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        waves += id
+      }
+    }
+    def batchOver(rs: Int*): Set[(String, java.sql.Timestamp, Long, Long, Long)] =
+      graft.queries.Advanced.changePointFromDaily(
+        ev.filter(col("event_id") % 3 <= rs.max)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n")))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    try {
+      q.processAllAvailable()
+      assert(latest.toSet === batchOver(0, 1),
+        "maintained detector diverges from batch q146 after waves 1+2")
+      wave(2).coalesce(1).write.mode("append").parquet(dropsDir)
+      q.processAllAvailable()
+      assert(latest.toSet === batchOver(0, 1, 2),
+        "maintained detector diverges from batch q146 after wave 3")
+      assert(waves.size >= 2, s"expected >=2 micro-batches, got $waves")
+    } finally q.stop()
+  }
 }
