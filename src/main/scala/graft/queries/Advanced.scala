@@ -1051,6 +1051,63 @@ object Advanced {
       |CROSS JOIN n
       |ORDER BY ta, tb""".stripMargin
 
+  /** q152 — conversion-latency distribution: per user, the time from
+    * FIRST signup to the FIRST subsequent purchase; across users, exact
+    * p25/p50/p75 of that latency in integer microseconds plus the
+    * conversion rate — the time-to-convert panel every activation
+    * funnel report carries (q73 counts WHO converts; this measures HOW
+    * LONG conversion takes). Latencies are epoch-µs differences
+    * (exact longs); the quartiles interpolate between integer order
+    * statistics — (1−d)·a + d·b at d ∈ {.25,.5,.75} — identically in
+    * both engines (q27's rule); the rate is one IEEE division of two
+    * exact counts.
+    *
+    * Scale shape: two partial-aggregable min-aggs by user (no window:
+    * first-signup is a min, first-purchase-after is a min over a
+    * filtered join), then one global 4-value aggregate over the
+    * #converted-users relation. */
+  def q152ConversionLatency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("s0"))
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pt"))
+      .join(signup, Seq("user_id"))
+      .filter(col("pt") >= col("s0"))
+      .groupBy(col("user_id"), col("s0")).agg(min(col("pt")).as("p0"))
+      .select(col("user_id"), (col("p0") - col("s0")).as("latency_us"))
+    firstBuy
+      .crossJoin(broadcast(signup.agg(count(lit(1)).as("n_signup"))))
+      .groupBy(col("n_signup"))
+      .agg(count(lit(1)).as("n_converted"),
+        percentile(col("latency_us"), lit(0.25)).as("p25_us"),
+        percentile(col("latency_us"), lit(0.5)).as("p50_us"),
+        percentile(col("latency_us"), lit(0.75)).as("p75_us"))
+      .select(col("n_signup"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_signup"))
+          .as("conversion_rate"),
+        col("p25_us"), col("p50_us"), col("p75_us"))
+  }
+
+  val q152Sql: String =
+    """WITH signup AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS s0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |lat AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) - any_value(s.s0)
+      |      AS latency_us
+      |  FROM events e JOIN signup s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s0
+      |  GROUP BY e.user_id, s.s0),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_signup FROM signup)
+      |SELECT n.n_signup, CAST(count(*) AS BIGINT) AS n_converted,
+      |  CAST(count(*) AS DOUBLE) / n.n_signup AS conversion_rate,
+      |  quantile_cont(latency_us, 0.25) AS p25_us,
+      |  quantile_cont(latency_us, 0.50) AS p50_us,
+      |  quantile_cont(latency_us, 0.75) AS p75_us
+      |FROM lat, n
+      |GROUP BY n.n_signup""".stripMargin
+
   /** q34 — CUBE grouping sets over order priority × status. */
   def q34Cube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1599,6 +1656,7 @@ object Advanced {
     "q149_pit_join"     -> (q149PitJoin _),
     "q150_unpivot"      -> (q150Unpivot _),
     "q151_item_similarity" -> (q151ItemSimilarity _),
+    "q152_conversion_latency" -> (q152ConversionLatency _),
     "q75_anomaly"       -> (q75Anomaly _),
     "q73_funnel"        -> (q73Funnel _),
     "q74_retention"     -> (q74Retention _),
@@ -1635,6 +1693,7 @@ object Advanced {
     "q149_pit_join"     -> q149Sql,
     "q150_unpivot"      -> q150Sql,
     "q151_item_similarity" -> q151Sql,
+    "q152_conversion_latency" -> q152Sql,
     "q81_grouping_sets" -> q81Sql,
     "q82_regression"    -> q82Sql,
     "q83_range_frame"   -> q83Sql,

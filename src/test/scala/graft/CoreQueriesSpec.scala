@@ -389,6 +389,37 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows.exists(_._8 > 1.0) || rows.exists(_._8 < 1.0))
   }
 
+  test("q152 conversion latency: quartiles and rate match a replay") {
+    val r = graft.queries.Advanced.q152ConversionLatency(spark, sf)
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nS, nC) = (row.getLong(0), row.getLong(1))
+    assert(nC <= nS && nC > 0)
+    assert(row.getDouble(2) === nC.toDouble / nS)
+    // replay: first signup → first subsequent purchase per user
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    val lats = byUser.flatMap { case (_, es) =>
+      val s0 = es.filter(_._2 == "signup").map(_._3).sorted.headOption
+      s0.flatMap { s =>
+        es.filter(e => e._2 == "purchase" && e._3 >= s).map(_._3)
+          .sorted.headOption.map(_ - s)
+      }
+    }.toArray.sorted
+    assert(lats.length.toLong === nC)
+    def q(p: Double): Double = {
+      val h = (lats.length - 1) * p
+      val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+      (1 - (h - lo)) * lats(lo) + (h - lo) * lats(hi)
+    }
+    assert(row.getDouble(3) === q(0.25) && row.getDouble(4) === q(0.5) &&
+      row.getDouble(5) === q(0.75), "quartiles diverge from replay")
+    assert(lats.forall(_ >= 0L))
+  }
+
   test("unionByName aligns schemas by name, not position") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "tag")
