@@ -859,7 +859,11 @@ object Advanced {
     * approx_count_distinct. */
   def q148AnalyzeStats(s: SparkSession, dir: String): DataFrame = {
     val arms = AnalyzeColumns.map { case (t, c) =>
-      Tables.load(s, dir, t).agg(
+      // events must go through Tables.events so a profiled timestamp
+      // column sees the vintage-normalized ts, not the raw encoding
+      val rel = if (t == "events") Tables.events(s, dir)
+                else Tables.load(s, dir, t)
+      rel.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
         countDistinct(col(c)).as("ndv"))

@@ -183,23 +183,37 @@ object EventStreams {
     * is `changePointFromDaily(daily ⊕ batches so far)`, which equals
     * the batch q146 over everything ingested — StreamingSpec asserts
     * that equality after each wave. */
+  /** @param initialBatchId highest batchId already folded into
+    *   `initialDaily` (−1 for a fresh start). foreachBatch is
+    *   at-least-once: after a failure the engine MAY redeliver the last
+    *   micro-batch, and an unguarded ⊕ would add its counts twice. The
+    *   merge therefore only applies when `batchId > lastApplied` — a
+    *   redelivered batch falls through to the sink with the state
+    *   unchanged (re-emitting the same frame is harmless; re-adding is
+    *   not). On restart, callers that persisted `daily` keyed by batch
+    *   pass the persisted id here so the cross-run replay of that same
+    *   batch is skipped too. */
   def maintainDriftMonitor(events: DataFrame, initialDaily: DataFrame,
-      checkpointDir: String)(
+      checkpointDir: String, initialBatchId: Long = -1L)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     var daily = initialDaily.localCheckpoint()
+    var lastApplied = initialBatchId
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val inc = batch
-          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-          .agg(count(lit(1)).as("n"))
-        daily = daily.withColumnRenamed("n", "on")
-          .join(inc.withColumnRenamed("n", "dn"),
-            Seq("event_type", "day"), "full_outer")
-          .select(col("event_type"), col("day"),
-            (coalesce(col("on"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-              .as("n"))
-          .localCheckpoint()
+        if (batchId > lastApplied) {
+          val inc = batch
+            .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+            .agg(count(lit(1)).as("n"))
+          daily = daily.withColumnRenamed("n", "on")
+            .join(inc.withColumnRenamed("n", "dn"),
+              Seq("event_type", "day"), "full_outer")
+            .select(col("event_type"), col("day"),
+              (coalesce(col("on"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                .as("n"))
+            .localCheckpoint()
+          lastApplied = batchId
+        }
         sink(graft.queries.Advanced.changePointFromDaily(daily), batchId)
       }
       .start()

@@ -403,4 +403,62 @@ class StreamingSpec extends SparkSpec {
       assert(waves.size >= 2, s"expected >=2 micro-batches, got $waves")
     } finally q.stop()
   }
+
+  test("drift monitor replay guard: redelivered micro-batch is not double-counted") {
+    // foreachBatch is at-least-once: if the state store commits but the
+    // offset log doesn't, the SAME micro-batch is redelivered on restart.
+    // Simulate exactly that: snapshot the checkpoint after batch 0, let
+    // batch 1 land, then restart from the STALE snapshot with a daily
+    // relation that already contains batch 1 — the engine re-delivers
+    // wave 1 as batchId 1 and the guard must skip the merge.
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def wave(r: Int) = ev.filter(col("event_id") % 3 === r)
+    def dailyOver(upTo: Int) = ev.filter(col("event_id") % 3 <= upTo)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val dropsDir = Files.createTempDirectory("graft-replay").toString
+    val ckpt = Files.createTempDirectory("graft-replay-ck").toString
+    wave(0).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    @volatile var latest: Array[(String, java.sql.Timestamp, Long, Long, Long)] =
+      Array.empty
+    def start(initial: org.apache.spark.sql.DataFrame, ck: String,
+        lastId: Long) =
+      EventStreams.maintainDriftMonitor(
+        EventStreams.readEventStream(spark, dropsDir)
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+        initial, ck, lastId) { (peaks, _) =>
+        this.synchronized {
+          latest = peaks.collect().map(r => (r.getString(0), r.getTimestamp(1),
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+        }
+      }
+    val empty = Seq.empty[(String, java.sql.Timestamp, Long)]
+      .toDF("event_type", "day", "n")
+    val q1 = start(empty, ckpt, -1L)
+    try q1.processAllAvailable() finally q1.stop()
+    // snapshot the checkpoint: it has committed ONLY batch 0 (wave 0)
+    val stale = Files.createTempDirectory("graft-replay-stale").toString
+    val src = java.nio.file.Paths.get(ckpt)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val dst = java.nio.file.Paths.get(stale).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // wave 1 lands and (in the simulated failed run) was merged into the
+    // persisted daily relation as batchId 1 — but the offset log in the
+    // stale snapshot never learned of it
+    wave(1).coalesce(1).write.mode("append").parquet(dropsDir)
+    val expected = graft.queries.Advanced
+      .changePointFromDaily(dailyOver(1))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // restart from the stale checkpoint: wave 1 is REDELIVERED as batch 1
+    val q2 = start(dailyOver(1), stale, 1L)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(latest.toSet === expected,
+      "replayed micro-batch was double-counted into the daily relation")
+  }
 }
