@@ -21,9 +21,15 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# queries whose output ORDER is part of the contract (SparkEntry.ordered,
+# dumped by Verify): compared row-order-sensitively below
+ordered_path = f"{out_dir}/ordered.json"
+ordered = set(json.load(open(ordered_path))) if os.path.exists(ordered_path) \
+    else set()
 
-def canon(df):
-    """Column-name-sorted, row-sorted, string-canonicalized frame."""
+def canon(df, keep_order=False):
+    """Column-name-sorted, string-canonicalized frame; rows sorted unless
+    the query's contract pins their order (keep_order)."""
     df = df[sorted(df.columns)]
     rows = []
     for row in df.itertuples(index=False):
@@ -36,7 +42,8 @@ def canon(df):
             else:
                 vals.append(str(v))
         rows.append("\x01".join(vals))
-    rows.sort()
+    if not keep_order:
+        rows.sort()
     h = hashlib.sha256("\x02".join(rows).encode()).hexdigest()[:16]
     return rows, h
 
@@ -56,16 +63,18 @@ for name in sorted(oracle):
         continue
     g_schema = sorted(zip(got.columns, [str(t) for t in got.dtypes]))
     e_schema = sorted(zip(exp.columns, [str(t) for t in exp.dtypes]))
-    grows, gh = canon(got)
-    erows, eh = canon(exp)
+    grows, gh = canon(got, keep_order=name in ordered)
+    erows, eh = canon(exp, keep_order=name in ordered)
     ok_rows = len(grows) == len(erows)
     ok_schema = [c for c, _ in g_schema] == [c for c, _ in e_schema]
     ok_hash = gh == eh
     status = "OK  " if (ok_rows and ok_schema and ok_hash) else "FAIL"
     if status == "FAIL":
         fails += 1
+    mode = " ordered" if name in ordered else ""
     print(f"{status} {name}: rows {len(grows)}/{len(erows)} "
-          f"schema={'=' if ok_schema else 'DIFF'} hash={'=' if ok_hash else 'DIFF'}")
+          f"schema={'=' if ok_schema else 'DIFF'} "
+          f"hash={'=' if ok_hash else 'DIFF'}{mode}")
     if not ok_schema:
         print(f"   got: {g_schema}\n   exp: {e_schema}")
     if ok_schema and not ok_hash:

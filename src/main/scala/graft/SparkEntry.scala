@@ -30,6 +30,35 @@ object SparkEntry {
   val baselines: Set[String] =
     Set("q23_ngram_jaccard", "q42_embedding_neardup")
 
+  /** Keys in [[queries]] whose OUTPUT ORDER is part of the contract —
+    * ranked top-k lists, per-probe neighbor rankings, and the
+    * interleave schedule (a training-data ORDER is the deliverable).
+    * The driver's hash compare is order-insensitive, so these contracts
+    * would otherwise go unverified (SURVEY §5.3's critique):
+    * Verify dumps this set to `ordered.json` and scripts/check.py
+    * hash-compares these queries IN ROW ORDER against the oracle.
+    * Every member ends in a TOTAL-ORDER sort (explicit tiebreakers) in
+    * both spellings — ordered compare is only sound when the contract
+    * pins a unique order. */
+  val ordered: Set[String] = Set(
+    "q02_top_orders",        // top-5 orders by price
+    "q17_knn_brute",         // per-probe neighbor rank
+    "q18_knn_lsh",
+    "q20_term_freq",         // top-20 terms
+    "q44_knn_ivf",
+    "q52_tfidf_top",         // per-doc term rank
+    "q62_collocations",      // top-20 PMI pairs
+    "q67_incremental_topk",  // rank-ordered top-100
+    "q95_vocab_induction",   // coverage-ranked vocabulary
+    "q97_ivfpq_search",
+    "q100_skew_audit",       // top-k hottest keys
+    "q102_lateral_topn",
+    "q118_bm25_topk",
+    "q123_cms_heavy_hitters",
+    "q126_lm_perplexity",    // 20 most-perplexing docs
+    "q130_interleave",       // the schedule IS an order
+    "q142_pca_ann")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

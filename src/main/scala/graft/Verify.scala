@@ -45,6 +45,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // order-sensitive contracts (separate file so the driver's
+    // oracle_sql.json parse is untouched): check.py compares these
+    // queries' rows IN ORDER — coalesce(1) above makes the dumped
+    // parquet's row order well-defined
+    Files.writeString(Paths.get(s"$outDir/ordered.json"),
+      SparkEntry.ordered.filter(selected).toSeq.sorted
+        .map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -242,14 +242,35 @@ object Model {
     * are exact BIGINT sums; the reported avg is the single final IEEE
     * division `nll/n_bigrams` (identical in both engines).
     *
-    * Scale shape: fitting is one seed scan + a bigram-vocab exchange;
-    * the fitted LM collapses to one row (bigram map + unigram map + V)
-    * broadcast to the scoring scan — per-doc scoring is in-row lambda
-    * arithmetic, zero corpus shuffle, and the final top-20 is a
-    * TakeOrderedAndProject, never a corpus-wide sort. A web-scale LM
-    * that outgrows broadcast flips to the explode + broadcast-join +
-    * re-agg spelling (one bounded shuffle), exactly like q125. */
-  def lmPerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    * Scale shape: fitting is one seed scan + a bigram-vocab exchange.
+    * The fitted LM ships to the scoring scan one of two ways, chosen by
+    * PREDICTING its size first (q104's measure-don't-hope discipline;
+    * the probe is a 1-row agg over the already-checkpointed bigram
+    * counts):
+    *
+    *  - ≤ [[LmBroadcastBytes]]: the LM collapses to one row (bigram
+    *    map + unigram map + V) broadcast to the scoring scan — per-doc
+    *    scoring is in-row lambda arithmetic, zero corpus shuffle;
+    *  - past the bound (a web-scale vocabulary would be a driver /
+    *    broadcast cliff): the held-out pairs LEFT-JOIN the bigram and
+    *    unigram count relations on their keys and re-aggregate per doc
+    *    — q125's spelling; the corpus pays one bounded exchange keyed
+    *    on bigrams and the LM never concentrates on one node.
+    *
+    * Both spellings compute the identical quantized per-pair cost
+    * (ModelSpec locks their equality); the final top-20 is a
+    * TakeOrderedAndProject either way, never a corpus-wide sort. */
+  def lmPerplexityFilter(s: SparkSession, dir: String): DataFrame =
+    lmPerplexityVia(s, dir, LmBroadcastBytes)
+
+  /** Estimated fitted-LM bytes above which q126 scores via join instead
+    * of a one-row broadcast map (key/count string bytes + ~24 B of
+    * entry overhead per bigram). 64 MiB — a few× the default Spark
+    * broadcast comfort zone; far below driver OOM territory. */
+  final val LmBroadcastBytes: Long = 64L << 20
+
+  private[graft] def lmPerplexityVia(s: SparkSession, dir: String,
+      broadcastBound: Long): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), seedCol.as("seed"),
         split(col("text"), " ").as("l"))
@@ -260,23 +281,54 @@ object Model {
         split(col("pr"), " ").getItem(1).as("w2"))
     val bic = sp.filter(col("seed")).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
+      // materialized once: the size probe's action caches the blocks the
+      // chosen scoring spelling then reuses
+      .localCheckpoint(eager = false)
     val unic = bic.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    // fitted LM as one broadcastable row: bigram map, unigram map, V
-    val model = bic
-      .agg(map_from_entries(collect_list(struct(
-        concat(col("w1"), lit(" "), col("w2")), col("c12")))).as("bim"))
-      .crossJoin(unic.agg(
-        map_from_entries(collect_list(struct(col("w1"), col("c1")))).as("unm"),
-        count(lit(1)).as("v")))
-    val scored = docs.filter(!col("seed")).crossJoin(broadcast(model))
-      .select(col("doc_id"), col("source"),
-        greatest(size(col("l")) - 1, lit(0)).cast("long").as("n_bigrams"),
-        aggregate(pairList(col("l")), lit(0L), (acc, p) =>
-          acc + floor(lit(Scale) * log(
-            (coalesce(element_at(col("unm"), split(p, " ").getItem(0)), lit(0L))
-              + col("v")).cast("double")
-            / (coalesce(element_at(col("bim"), p), lit(0L)) + 1)))
-            .cast("long")).as("nll"))
+    val lmBytes = bic
+      .agg(coalesce(sum(length(col("w1")) + length(col("w2")) + lit(24)),
+        lit(0L)).as("b"))
+      .collect()(0).getLong(0) // 1-row bounded action — the prediction
+    val scored =
+      if (lmBytes <= broadcastBound) {
+        // fitted LM as one broadcastable row: bigram map, unigram map, V
+        val model = bic
+          .agg(map_from_entries(collect_list(struct(
+            concat(col("w1"), lit(" "), col("w2")), col("c12")))).as("bim"))
+          .crossJoin(unic.agg(
+            map_from_entries(collect_list(struct(col("w1"), col("c1")))).as("unm"),
+            count(lit(1)).as("v")))
+        docs.filter(!col("seed")).crossJoin(broadcast(model))
+          .select(col("doc_id"), col("source"),
+            greatest(size(col("l")) - 1, lit(0)).cast("long").as("n_bigrams"),
+            aggregate(pairList(col("l")), lit(0L), (acc, p) =>
+              acc + floor(lit(Scale) * log(
+                (coalesce(element_at(col("unm"), split(p, " ").getItem(0)), lit(0L))
+                  + col("v")).cast("double")
+                / (coalesce(element_at(col("bim"), p), lit(0L)) + 1)))
+                .cast("long")).as("nll"))
+      } else {
+        // join spelling: pairs meet the count relations on their keys;
+        // per-pair cost is the IDENTICAL quantized integer, re-agged per
+        // doc (docs with zero bigrams produce zero pair rows — the same
+        // set the n_bigrams >= 1 filter admits)
+        val vRel = unic.agg(count(lit(1)).as("v"))
+        docs.filter(!col("seed"))
+          .select(col("doc_id"), col("source"),
+            explode(pairList(col("l"))).as("pr"))
+          .select(col("doc_id"), col("source"),
+            split(col("pr"), " ").getItem(0).as("w1"),
+            split(col("pr"), " ").getItem(1).as("w2"))
+          .join(unic, Seq("w1"), "left")
+          .join(bic, Seq("w1", "w2"), "left")
+          .crossJoin(broadcast(vRel))
+          .select(col("doc_id"), col("source"),
+            floor(lit(Scale) * log(
+              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
+                / (coalesce(col("c12"), lit(0L)) + 1))).cast("long").as("cost"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("nll"))
+      }
     scored.filter(col("n_bigrams") >= 1)
       .select(col("doc_id"), col("source"), col("n_bigrams"), col("nll"),
         (col("nll").cast("double") / col("n_bigrams")).as("avg_nll"))
