@@ -42,6 +42,20 @@ class ModelSpec extends SparkSpec {
       "top-20 not ordered by avg_nll descending")
   }
 
+  test("q126 spelling gate: join scoring ≡ broadcast-map scoring") {
+    // force each spelling with the size bound: 0 → every LM "outgrows"
+    // broadcast (join path); MaxValue → always broadcast. The ordered
+    // top-20 must agree row-for-row — the gate changes the SHIPPING of
+    // the fitted LM, never a score
+    def rows(bound: Long) =
+      Model.lmPerplexityVia(spark, sf, bound).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    val joined = rows(0L)
+    assert(joined.length === 20)
+    assert(joined === rows(Long.MaxValue))
+  }
+
   test("q127: BPE merges recursively (a later round merges an earlier round's token)") {
     // "a b" wins round 0 (3 occurrences); the MERGED token a@b then
     // pairs with c twice — round 1 must pick (a@b, c), proving the
