@@ -113,7 +113,7 @@ object Layout {
   /** Stable per-dataset table-name tag so tests (which touch several SF
     * dirs in one session) and Verify (fresh JVM over a leftover
     * warehouse) never cross-contaminate bucketed tables. */
-  private def dirTag(dir: String): String = {
+  private[graft] def dirTag(dir: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8"))
     d.take(4).map(b => f"${b & 0xff}%02x").mkString
@@ -146,7 +146,8 @@ object Layout {
     * of the table — Spark 4 then rejects even overwrite-mode
     * `saveAsTable` (LOCATION_ALREADY_EXISTS), so the stale location is
     * deleted first. */
-  private def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
+  private[graft] def writeBucketed(df: DataFrame, table: String,
+      key: String, buckets: Int = Buckets): Unit = {
     val s = df.sparkSession
     if (!s.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
@@ -154,7 +155,21 @@ object Layout {
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       df.write.mode("overwrite").format("parquet")
-        .bucketBy(Buckets, key).sortBy(key).saveAsTable(table)
+        .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+    }
+  }
+
+  /** [[writeBucketed]]'s plain-layout sibling for small side tables
+    * (e.g. q153's PQ codebook): same create-once + stale-location
+    * semantics, no bucketing. */
+  private[graft] def writeManaged(df: DataFrame, table: String): Unit = {
+    val s = df.sparkSession
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.mode("overwrite").format("parquet").saveAsTable(table)
     }
   }
 

@@ -230,6 +230,32 @@ class PlanShapeSpec extends SparkSpec {
       s"scan did not recognize the bucketed layout:\n$p")
   }
 
+  test("q153: persisted-index serve — bucket-pruned scan, no exchange below the probe join") {
+    val df = graft.ext.Similarity.ivfPqServe(spark, sf)
+    df.collect() // AQE finalizes; also guarantees the index tables exist
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the probe IN-list must engage bucket pruning on the index table
+    assert(p.contains("SelectedBucketsCount"),
+      s"bucket pruning did not engage on the persisted index:\n$p")
+    // every index-side join must broadcast its bounded side: a sort-merge
+    // or cartesian would shuffle index rows below the probe join
+    assert(!p.contains("SortMergeJoin"), s"index join degraded to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unkeyed join appeared:\n$p")
+    // the ADC shortlist reduces BEFORE any shuffle (q17's partial TopK)
+    assert(p.contains("partial_topkaggregator") || p.contains("ObjectHashAggregate"),
+      s"expected partial top-k aggregation of ADC candidates:\n$p")
+    // index rows never cross an exchange: every shuffle in the plan keys
+    // on qid (LUT aggs, partial-TopK states, shortlist window) or is the
+    // 30-row final range sort — a bucket-keyed shuffle would mean the
+    // index itself moved
+    assert(!p.contains("Exchange hashpartitioning(bucket"),
+      s"the persisted index was reshuffled on bucket:\n$p")
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(shuffles <= 5, s"unexpected extra shuffles ($shuffles):\n$p")
+  }
+
   test("q123: probes plan as TakeOrderedAndProject; the cell probe join broadcasts") {
     val p = plan(graft.queries.Sketches.q123CmsHeavyHitters(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
