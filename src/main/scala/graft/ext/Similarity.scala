@@ -148,15 +148,26 @@ object Similarity {
     * bits: each vector lands in 4 buckets; query and candidate meet if
     * they share any bucket. Oracle-exact: the generated SQL recomputes the
     * same buckets from the same plane constants. */
-  def knnLsh(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  def knnLsh(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    knnLshServe(lshIndexOf(Tables.embeddings(s, dir)), k)
 
-    // explode each vector into (table_idx, bucket) rows — L rows per vector
-    val bucketed = e.select(
-      col("vec_id"), col("embedding"),
-      posexplode(array(lshPlanes.map(tp =>
-        signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
+  /** The q18 LSH band index of a (vec_id, embedding) frame: each vector
+    * explodes into ([[LshTables]]) (tbl, bucket) rows. This relation IS
+    * the maintainable index state — streaming ingest appends new
+    * vectors' rows ([[graft.streaming.DocStreams.maintainAnnIndex]])
+    * and [[knnLshServe]] probes whatever the index currently holds. */
+  def lshIndexOf(e: DataFrame): DataFrame = e.select(
+    col("vec_id"), col("embedding"),
+    posexplode(array(lshPlanes.map(tp =>
+      signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
 
+  /** Probe an LSH band index (the [[lshIndexOf]] schema): probes are the
+    * indexed vectors with vec_id < 10; candidates meet a probe on any
+    * shared (tbl, bucket); exact cosine reranks the bucket-bounded
+    * candidate set. Duplicate index rows (e.g. an at-least-once
+    * redelivery) cannot change the result — candidate pairs dedup on
+    * (query_id, neighbor_id) before scoring. */
+  def knnLshServe(bucketed: DataFrame, k: Int = 3): DataFrame = {
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bucket"))

@@ -1187,7 +1187,11 @@ object Advanced {
     * join RESULT is provably identical to the unsalted join, which is
     * exactly what the plain-SQL oracle checks. At 100 TB this is the
     * manual remedy when a single key (not merely a partition) is hot and
-    * AQE's skew split can't help. */
+    * AQE's skew split can't help — for PARTITION-level skew on a free
+    * shuffle join, AQE's OptimizeSkewedJoin handles it with no salt at
+    * all (PlanShapeSpec proves the split engages); reach for the salt
+    * when the join's output distribution is pinned by a same-key
+    * consumer or a single key dwarfs whole partitions. */
   def q50SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(s, dir)
       .select(col("user_id"), col("value"))

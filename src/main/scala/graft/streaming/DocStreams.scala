@@ -87,6 +87,53 @@ object DocStreams {
     * re-seeds them the same way); here they live as eagerly
     * localCheckpointed frames so lineage cannot grow across an
     * unbounded stream. */
+  /** File-based embedding stream (new parquet files = new vector drops),
+    * schema of TESTDATA.md embeddings. */
+  def readVecStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val schema = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    val r = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else r).parquet(dir)
+  }
+
+  /** Start streaming ANN-index maintenance — the similarity twin of
+    * [[maintainClusters]] (round-7 verdict item 3): the carried state is
+    * the q18 LSH band index ([[graft.ext.Similarity.lshIndexOf]] rows:
+    * vec_id, embedding, tbl, bucket). Each micro-batch of arriving
+    * vectors is signed into its band rows (drop-sized work — existing
+    * vectors are NEVER re-signed) and appended; the per-wave probe
+    * results ([[graft.ext.Similarity.knnLshServe]] over the maintained
+    * index) go to `sink`, and equal a from-scratch q18 over everything
+    * ingested BY CONSTRUCTION — the maintained index is row-identical
+    * to the batch rebuild's (StreamingSpec asserts equality per wave
+    * and across a restart).
+    *
+    * Replay/restart safety: the append anti-joins on vec_id, so an
+    * at-least-once redelivery of a micro-batch inserts nothing the
+    * second time (and even a duplicate row would be absorbed — the
+    * probe path dedups candidate pairs). On restart, callers re-seed
+    * `initialIndex` from the persisted corpus exactly like
+    * maintainClusters' signature carry. At 100 TB the index is a
+    * persisted bucketed table (q153's layout) the sink appends to
+    * between drops; here it lives as an eagerly localCheckpointed frame
+    * so lineage cannot grow across an unbounded stream. */
+  def maintainAnnIndex(vecStream: DataFrame, initialIndex: DataFrame,
+      checkpointDir: String, k: Int = 3)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var index = initialIndex.localCheckpoint()
+    vecStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = graft.ext.Similarity.lshIndexOf(batch)
+          .join(index.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        index = index.unionByName(fresh).localCheckpoint()
+        sink(graft.ext.Similarity.knnLshServe(index, k), batchId)
+      }
+      .start()
+  }
+
   def maintainClusters(docStream: DataFrame, initialSigs: DataFrame,
       initialLabels: DataFrame, checkpointDir: String,
       minEst: Double = 0.5)(

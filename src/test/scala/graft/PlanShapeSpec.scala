@@ -2,6 +2,7 @@ package graft
 
 import graft.queries.Core
 import graft.ext.Similarity
+import org.apache.spark.sql.functions._
 
 /** Regression locks on the perf-critical physical-plan shapes — a query
   * can silently keep producing right answers while its plan degrades;
@@ -228,6 +229,50 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed layout failed to satisfy join/agg clustering:\n$p")
     assert(p.contains("Bucketed: true"),
       s"scan did not recognize the bucketed layout:\n$p")
+  }
+
+  test("AQE skew-join: partition-level skew splits automatically (no salt needed)") {
+    // the complement of q50's salted join: when a shuffle join's skew is
+    // at PARTITION granularity and nothing above the join pins its
+    // distribution, AQE's OptimizeSkewedJoin splits the hot partition at
+    // runtime and manual salting is unnecessary. q50's salt remains the
+    // remedy when the skewed join feeds a same-key operation (the split
+    // would break the required hash distribution, so AQE declines) or
+    // when one KEY outweighs whole partitions on a broadcast-ineligible
+    // dim. This lock proves the split actually engages under the
+    // documented conditions — config + executed-plan assert.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // scale the skew detector down to fixture bytes (defaults: 256 MiB)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "65536")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      // hot key 1 holds half the fact rows -> one shuffle partition far
+      // past factor x median of the others
+      val fact = spark.range(60000).select(
+        when(col("id") % 2 === 0, lit(1L))
+          .otherwise(col("id") % 997 + 2).as("k"),
+        lpad(col("id").cast("string"), 32, "x").as("payload"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("attr"))
+      val j = fact.join(dim, Seq("k"))
+        .select(col("k"), col("payload"), col("attr"))
+      j.collect() // AQE decides skew handling only at runtime
+      val p = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("skew=true"),
+        s"AQE skew-join split did not engage:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
   }
 
   test("q153: persisted-index serve — bucket-pruned scan, no exchange below the probe join") {

@@ -332,6 +332,48 @@ class StreamingSpec extends SparkSpec {
     assert(latest.nonEmpty, "fixture must produce clusters")
   }
 
+  test("streaming ANN index maintenance: per-wave probes equal batch q18 rebuild; restart re-seeds") {
+    import graft.ext.Similarity
+    import graft.streaming.DocStreams
+    // seed corpus = vec_id%4==0 (includes probes 0,4,8); three waves from
+    // the other residues, each its own micro-batch
+    val vecs = Tables.embeddings(spark, sf).localCheckpoint(eager = false)
+    def slice(r: Int) = vecs.filter(col("vec_id") % 4 === r)
+    def fullRebuild(upTo: Int): Set[(Long, Long, Long)] =
+      Similarity.knnLshServe(
+        Similarity.lshIndexOf(vecs.filter(col("vec_id") % 4 <= upTo)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dropsDir = Files.createTempDirectory("graft-ann-drops").toString
+    val ckpt = Files.createTempDirectory("graft-ann-ckpt").toString
+    slice(1).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    slice(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    @volatile var latest = Array.empty[(Long, Long, Long)]
+    val batchIds = scala.collection.mutable.Set.empty[Long]
+    def start(initialIndex: org.apache.spark.sql.DataFrame) =
+      DocStreams.maintainAnnIndex(
+        DocStreams.readVecStream(spark, dropsDir, maxFilesPerTrigger = 1),
+        initialIndex, ckpt) { (topk, id) =>
+        this.synchronized {
+          latest = topk.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2)))
+          batchIds += id
+        }
+      }
+    val q1 = start(Similarity.lshIndexOf(slice(0)))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(latest.toSet === fullRebuild(2),
+      "maintained index probes diverge from batch rebuild after waves 1+2")
+    // wave 3 lands while the maintainer is DOWN; the restart re-seeds the
+    // index from the ingested corpus and must catch up
+    slice(3).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start(Similarity.lshIndexOf(vecs.filter(col("vec_id") % 4 <= 2)))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchIds.size >= 3, s"expected >=3 micro-batches, got $batchIds")
+    assert(latest.toSet === fullRebuild(3),
+      "post-restart probes diverge from batch rebuild")
+    assert(latest.nonEmpty, "fixture must produce neighbors")
+  }
+
   test("streaming sessionization matches batch q16 session count") {
     val flushDir = eventsDir // second file into the same stream dir
     val q = EventStreams.sessionize(
