@@ -503,12 +503,44 @@ object Dedup {
     * cap matters HERE even more than in q51: cluster input is the most
     * expensive stage in the suite, and an uncapped self-join inherits the
     * unbounded Σdf² blowup of a corpus-hot boilerplate shingle. */
+  /** Near-dup pair feed built ONCE per (session, corpus): six
+    * consumers — q57/q60/q77 (via the clusters memo), q58, q68, q86,
+    * q107, q112 — otherwise each re-run the full capped-jaccard
+    * pipeline. Lazy localCheckpoint: the first consumer's action
+    * materializes the pair blocks (MEMORY_AND_DISK — they spill, they
+    * don't OOM), everyone after reads them. The pair relation holds
+    * only near-duplicates, orders of magnitude smaller than the corpus
+    * at any scale. */
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
   private[graft] def dedupClusterPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((s, dir),
+      _ => pairFeedOf(s, dir).localCheckpoint(eager = false))
+
+  /** The raw pair-feed PLAN (un-memoized): q51's df-capped pipeline
+    * projected to ids. PlanShapeSpec locks the anti-join shape on this
+    * builder; [[dedupClusterPairs]] is its shared materialization. */
+  private[graft] def pairFeedOf(s: SparkSession, dir: String): DataFrame =
     Text.ngramJaccardCapped(s, dir).select(col("a_id"), col("b_id"))
+
+  /** One clustering per (session, corpus): q57/q60/q77 (and anything
+    * else consuming the release's near-dup clusters) share this memo, so
+    * the pair build + CC runs once per session instead of once per
+    * query — the in-session form of q153's persist-the-index discipline
+    * (a release pipeline computes the clustering once and reads it
+    * everywhere). Safe to hold: the ≤2M-edge fast path's output is a
+    * driver-built label relation with no corpus lineage; the
+    * distributed path is eagerly checkpointed per round already. q58
+    * deliberately bypasses the memo — its job IS re-running the
+    * big-graph path. */
+  private val clustersCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
 
   /** q57 — dedup clusters over the df-capped n-gram-Jaccard pair list. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(dedupClusterPairs(s, dir))
+    clustersCache.computeIfAbsent((s, dir),
+      _ => connectedComponents(dedupClusterPairs(s, dir)))
 
   /** q58 — identical clusters forced through the DISTRIBUTED
     * label-propagation path (driverLimit = -1), so the big-graph CC shape
@@ -680,9 +712,10 @@ object Dedup {
     * scanned once, shuffled never. */
   def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
     def isNew(c: Column) = Text.md5Bucket1000(c) >= Corpus.IngestOldMax
-    // one pair-pipeline pass, split by drop membership in-row (newness is
-    // a pure function of the id — no membership join)
-    val pairs = dedupClusterPairs(s, dir).localCheckpoint(eager = false)
+    // one pair-pipeline pass (the memoized, checkpointed feed), split by
+    // drop membership in-row (newness is a pure function of the id — no
+    // membership join)
+    val pairs = dedupClusterPairs(s, dir)
     val oldPairs = pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
     val dropPairs = pairs.filter(isNew(col("a_id")) || isNew(col("b_id")))
     // the previous release's stored labels (persisted in production)
@@ -817,10 +850,9 @@ object Dedup {
     * pair graph is df-cap-bounded, so the joins stay small (at extreme
     * scale the standard refinement orders edges by degree first). */
   def dupTriangles(s: SparkSession, dir: String): DataFrame = {
-    // materialized once: FIVE consumers below (three join copies + the
-    // node and edge counts) would each recompute the capped-jaccard
-    // pipeline otherwise
-    val e = dedupClusterPairs(s, dir).localCheckpoint(eager = false)
+    // the memoized feed is already checkpointed — its blocks serve the
+    // three join copies and both counts below without recompute
+    val e = dedupClusterPairs(s, dir)
     val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
     val e2 = e.select(col("a_id").as("b"), col("b_id").as("c"))
     val e3 = e.select(col("a_id").as("a"), col("b_id").as("c"))
@@ -876,7 +908,7 @@ object Dedup {
     * ONCE — the standard distributed-PageRank plan. Nothing driver-side;
     * rounds are a fixed constant, not data-dependent. */
   def linkPrior(s: SparkSession, dir: String): DataFrame =
-    linkPriorOf(dedupClusterPairs(s, dir).localCheckpoint(eager = false))
+    linkPriorOf(dedupClusterPairs(s, dir)) // feed already checkpointed
 
   /** [[linkPrior]]'s core over an explicit (a_id, b_id) pair relation. */
   private[graft] def linkPriorOf(pairs: DataFrame): DataFrame = {
@@ -1169,8 +1201,7 @@ object Dedup {
     * matrix itself is ≤ #sources² rows. */
   def sourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    Text.ngramJaccardCapped(s, dir)
-      .select(col("a_id"), col("b_id"))
+    dedupClusterPairs(s, dir) // the shared, once-materialized feed
       .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
         Seq("a_id"))
       .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),

@@ -65,7 +65,9 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q57/q58: the cluster pair feed keeps the df-cap anti-join, no cartesian") {
-    val p = plan(graft.ext.Dedup.dedupClusterPairs(spark, sf))
+    // the lock targets the un-memoized BUILDER — the memoized feed
+    // (dedupClusterPairs) is this plan's one-per-session materialization
+    val p = plan(graft.ext.Dedup.pairFeedOf(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"df-cap anti-join missing from the cluster pair feed:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in cluster feed:\n$p")
