@@ -248,25 +248,32 @@ object Model {
     * the probe is a 1-row agg over the already-checkpointed bigram
     * counts):
     *
-    *  - ≤ [[LmBroadcastBytes]]: the LM collapses to one row (bigram
-    *    map + unigram map + V) broadcast to the scoring scan — per-doc
-    *    scoring is in-row lambda arithmetic, zero corpus shuffle;
+    *  - ≤ [[LmBroadcastBytes]]: the bigram and unigram
+    *    count relations BROADCAST into the held-out pairs' left-joins —
+    *    zero pair shuffle, and the per-doc re-agg's exchange carries
+    *    partial sums, not pairs;
     *  - past the bound (a web-scale vocabulary would be a driver /
-    *    broadcast cliff): the held-out pairs LEFT-JOIN the bigram and
-    *    unigram count relations on their keys and re-aggregate per doc
-    *    — q125's spelling; the corpus pays one bounded exchange keyed
-    *    on bigrams and the LM never concentrates on one node.
+    *    broadcast cliff): the SAME joins run as shuffle joins keyed on
+    *    the bigram — the LM never concentrates on one node.
     *
-    * Both spellings compute the identical quantized per-pair cost
+    * Both shippings compute the identical quantized per-pair cost
     * (ModelSpec locks their equality); the final top-20 is a
-    * TakeOrderedAndProject either way, never a corpus-wide sort. */
+    * TakeOrderedAndProject either way, never a corpus-wide sort.
+    *
+    * Measured (sf0.1, local[32]): an earlier spelling scored through a
+    * ONE-ROW broadcast map with an in-row `aggregate` lambda — zero
+    * shuffle but 3.7 s, because higher-order-function lambdas run
+    * interpreted per pair (split ×2 + map lookups + ln each). The
+    * codegen'd join spelling is 1.4 s on the same data with the same
+    * values: per-pair CPU beats shuffle avoidance at every scale here,
+    * so the lambda spelling is gone, not gated. */
   def lmPerplexityFilter(s: SparkSession, dir: String): DataFrame =
     lmPerplexityVia(s, dir, LmBroadcastBytes)
 
-  /** Estimated fitted-LM bytes above which q126 scores via join instead
-    * of a one-row broadcast map (key/count string bytes + ~24 B of
-    * entry overhead per bigram). 64 MiB — a few× the default Spark
-    * broadcast comfort zone; far below driver OOM territory. */
+  /** Estimated fitted-LM bytes above which q126's count-relation joins
+    * stop broadcasting and run as shuffle joins (key/count string bytes
+    * + ~24 B of entry overhead per bigram). 64 MiB — a few× the default
+    * Spark broadcast comfort zone; far below driver OOM territory. */
   final val LmBroadcastBytes: Long = 64L << 20
 
   private[graft] def lmPerplexityVia(s: SparkSession, dir: String,
@@ -282,53 +289,32 @@ object Model {
     val bic = sp.filter(col("seed")).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       // materialized once: the size probe's action caches the blocks the
-      // chosen scoring spelling then reuses
+      // scoring joins then reuse
       .localCheckpoint(eager = false)
     val unic = bic.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val lmBytes = bic
       .agg(coalesce(sum(length(col("w1")) + length(col("w2")) + lit(24)),
         lit(0L)).as("b"))
       .collect()(0).getLong(0) // 1-row bounded action — the prediction
-    val scored =
-      if (lmBytes <= broadcastBound) {
-        // fitted LM as one broadcastable row: bigram map, unigram map, V
-        val model = bic
-          .agg(map_from_entries(collect_list(struct(
-            concat(col("w1"), lit(" "), col("w2")), col("c12")))).as("bim"))
-          .crossJoin(unic.agg(
-            map_from_entries(collect_list(struct(col("w1"), col("c1")))).as("unm"),
-            count(lit(1)).as("v")))
-        docs.filter(!col("seed")).crossJoin(broadcast(model))
-          .select(col("doc_id"), col("source"),
-            greatest(size(col("l")) - 1, lit(0)).cast("long").as("n_bigrams"),
-            aggregate(pairList(col("l")), lit(0L), (acc, p) =>
-              acc + floor(lit(Scale) * log(
-                (coalesce(element_at(col("unm"), split(p, " ").getItem(0)), lit(0L))
-                  + col("v")).cast("double")
-                / (coalesce(element_at(col("bim"), p), lit(0L)) + 1)))
-                .cast("long")).as("nll"))
-      } else {
-        // join spelling: pairs meet the count relations on their keys;
-        // per-pair cost is the IDENTICAL quantized integer, re-agged per
-        // doc (docs with zero bigrams produce zero pair rows — the same
-        // set the n_bigrams >= 1 filter admits)
-        val vRel = unic.agg(count(lit(1)).as("v"))
-        docs.filter(!col("seed"))
-          .select(col("doc_id"), col("source"),
-            explode(pairList(col("l"))).as("pr"))
-          .select(col("doc_id"), col("source"),
-            split(col("pr"), " ").getItem(0).as("w1"),
-            split(col("pr"), " ").getItem(1).as("w2"))
-          .join(unic, Seq("w1"), "left")
-          .join(bic, Seq("w1", "w2"), "left")
-          .crossJoin(broadcast(vRel))
-          .select(col("doc_id"), col("source"),
-            floor(lit(Scale) * log(
-              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
-                / (coalesce(col("c12"), lit(0L)) + 1))).cast("long").as("cost"))
-          .groupBy(col("doc_id"), col("source"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("nll"))
-      }
+    // the gate decides how the LM ships into the scoring joins
+    def ship(lm: DataFrame): DataFrame =
+      if (lmBytes <= broadcastBound) broadcast(lm) else lm
+    val vRel = unic.agg(count(lit(1)).as("v"))
+    val scored = docs.filter(!col("seed"))
+      .select(col("doc_id"), col("source"),
+        explode(pairList(col("l"))).as("pr"))
+      .select(col("doc_id"), col("source"),
+        split(col("pr"), " ").getItem(0).as("w1"),
+        split(col("pr"), " ").getItem(1).as("w2"))
+      .join(ship(unic), Seq("w1"), "left")
+      .join(ship(bic), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vRel))
+      .select(col("doc_id"), col("source"),
+        floor(lit(Scale) * log(
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
+            / (coalesce(col("c12"), lit(0L)) + 1))).cast("long").as("cost"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("nll"))
     scored.filter(col("n_bigrams") >= 1)
       .select(col("doc_id"), col("source"), col("n_bigrams"), col("nll"),
         (col("nll").cast("double") / col("n_bigrams")).as("avg_nll"))
