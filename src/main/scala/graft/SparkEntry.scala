@@ -58,7 +58,8 @@ object SparkEntry {
     "q126_lm_perplexity",    // 20 most-perplexing docs
     "q130_interleave",       // the schedule IS an order
     "q142_pca_ann",
-    "q153_pq_index_serve")
+    "q153_pq_index_serve",
+    "q154_ivfpq_recall")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

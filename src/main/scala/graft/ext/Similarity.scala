@@ -1429,6 +1429,80 @@ object Similarity {
     * so serving from it must reproduce the in-memory search exactly. */
   val ivfPqServeSql: String = ivfPqSearchSql
 
+  // ---- q154: IVF-PQ serving recall audit -----------------------------------
+
+  /** q154 — recall\@3 of the PERSISTED IVF-PQ serving path ([[ivfPqServe]],
+    * q153 ≡ q97) against exact ground truth, per probe plus the macro
+    * total (query_id = -1): q117's per-release index-quality audit
+    * applied to the index a release actually SHIPS. Ground truth here is
+    * the exact integer squared distance over the q54-quantized vectors —
+    * the same metric the ADC approximates and the rerank uses, so the
+    * audit isolates exactly the two lossy stages (coarse multi-probe
+    * coverage and PQ code distortion), not a metric mismatch.
+    *
+    * Output is integer-derived (k, hits, one final division), so the
+    * cross-engine hash cannot be disturbed by float ULPs.
+    *
+    * Scale shape: the exact arm is O(Q·N) — probes broadcast, one
+    * corpus scan, per-partition TopK partial aggregation (never
+    * pairwise in N); the approx arm is q153's bucket-pruned serve. Q is
+    * the audit's cost knob at any corpus size. */
+  def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val qv = quantizedVectors(Tables.embeddings(s, dir))
+      .localCheckpoint(eager = false) // feeds probes AND the exact scan
+    val probes = qv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val exact = qv.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("q"), col("qq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, x) => a + x).as("d2i"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(PqTopK)(col("vec_id"),
+        -col("d2i").cast("double")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    val approx = ivfPqServe(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .rollup(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(col("hit")).as("hits"))
+      .select(coalesce(col("query_id"), lit(-1L)).as("query_id"),
+        col("k"), col("hits"),
+        (col("hits").cast("double") / col("k")).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB spelling: the full q97 pipeline as a nested-WITH CTE (the
+    * approx arm), an exact integer-distance top-3 arm over the same
+    * quantized vectors, then the q117 hit-count ROLLUP. */
+  val ivfPqRecallSql: String = {
+    val d2 = (p: String, c: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, ${Dim + 1}),
+         |        i -> ($c.q[i] - $p.q[i]) * ($c.q[i] - $p.q[i]))),
+         |      (a, b) -> a + b)""".stripMargin
+    s"""WITH approx AS ($ivfPqSearchSql),
+       |$quantCtes,
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${d2("p", "c")}, c.vec_id) AS rnk
+       |    FROM q p, q c
+       |    WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+       |  WHERE rnk <= $PqTopK),
+       |j AS (
+       |  SELECT e.query_id,
+       |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM exact e LEFT JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+       |SELECT coalesce(query_id, -1) AS query_id,
+       |  CAST(count(*) AS BIGINT) AS k, CAST(sum(hit) AS BIGINT) AS hits,
+       |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+       |FROM j GROUP BY ROLLUP (query_id) ORDER BY query_id""".stripMargin
+  }
+
   // ---- q115: release-over-release centroid drift ---------------------------
 
   /** q115 — embedding-centroid drift between releases: per label, the
@@ -1972,6 +2046,7 @@ object Similarity {
     "q115_centroid_drift" -> (centroidDrift _),
     "q97_ivfpq_search" -> (ivfPqSearch _),
     "q153_pq_index_serve" -> (ivfPqServe _),
+    "q154_ivfpq_recall" -> (ivfPqRecall _),
     "q87_pq_encode" -> (pqEncode _),
     "q88_semantic_dedup" -> (semanticDedup _),
     "q80_kmeans" -> (kmeans _),
@@ -1992,6 +2067,7 @@ object Similarity {
     "q115_centroid_drift" -> centroidDriftSql,
     "q97_ivfpq_search" -> ivfPqSearchSql,
     "q153_pq_index_serve" -> ivfPqServeSql,
+    "q154_ivfpq_recall" -> ivfPqRecallSql,
     "q87_pq_encode" -> pqEncodeSql,
     "q88_semantic_dedup" -> semanticDedupSql,
     "q80_kmeans" -> kmeansSql,

@@ -245,6 +245,24 @@ class SimilaritySpec extends SparkSpec {
       s"degenerate recall ${t.getLong(2)}/30 — audit branches not exercised")
   }
 
+  test("q154: IVF-PQ serving recall audit is consistent and non-degenerate") {
+    val rows = Similarity.ivfPqRecall(spark, sf).collect()
+    val (total, perQ) = rows.partition(_.getLong(0) == -1L)
+    assert(total.length === 1 && perQ.length === 10)
+    perQ.foreach { r =>
+      assert(r.getLong(1) === 3L, "k must be 3 per probe query")
+      assert(r.getDouble(3) === r.getLong(2).toDouble / 3.0)
+    }
+    val t = total.head
+    assert(t.getLong(1) === 30L)
+    assert(t.getLong(2) === perQ.map(_.getLong(2)).sum,
+      "macro hits must equal the sum of per-query hits")
+    // the 5/16 multi-probe + 8-code PQ must find SOMETHING but is lossy
+    // by design on random vectors — both audit branches must fire
+    assert(t.getLong(2) >= 1L && t.getLong(2) <= 29L,
+      s"degenerate recall ${t.getLong(2)}/30 — audit branches not exercised")
+  }
+
   test("q139: hard negatives cross labels and carry the exact integer dot") {
     val rows = Similarity.hardNegatives(SparkSpec.spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
