@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Advanced, Core, Sketches, Subqueries}
 import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Model, Multimodal,
-  Report, Similarity, Text}
+  Report, Retrieval, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the query registries of each operator-family module. */
@@ -17,7 +17,7 @@ object SparkEntry {
       Subqueries.queries ++ Similarity.queries ++ Text.queries ++
       Dedup.queries ++ Multimodal.queries ++ Corpus.queries ++
       Linkage.queries ++ Index.queries ++ Layout.queries ++
-      Model.queries ++ Report.queries
+      Model.queries ++ Report.queries ++ Retrieval.queries
 
   /** Keys in [[queries]] that are deliberate EXACTNESS BASELINES, not
     * production paths: quadratic all-pairs formulations kept as the
@@ -59,7 +59,8 @@ object SparkEntry {
     "q130_interleave",       // the schedule IS an order
     "q142_pca_ann",
     "q153_pq_index_serve",
-    "q154_ivfpq_recall")
+    "q154_ivfpq_recall",
+    "q155_hybrid_rrf")     // fused ranking is the deliverable
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -68,5 +69,5 @@ object SparkEntry {
       Subqueries.oracles ++ Similarity.oracles ++ Text.oracles ++
       Dedup.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
       Linkage.oracles ++ Index.oracles ++ Layout.oracles ++
-      Model.oracles ++ Report.oracles
+      Model.oracles ++ Report.oracles ++ Retrieval.oracles
 }

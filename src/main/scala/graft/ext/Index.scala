@@ -260,7 +260,7 @@ object Index {
     * (`dup` is the planted-duplicate marker, df ≈ N/20) and two
     * common-term queries, so idf discrimination and tf saturation both
     * show up in the ranking. */
-  private val bm25Probes: Seq[(Long, String)] = Seq(
+  private[graft] val bm25Probes: Seq[(Long, String)] = Seq(
     0L -> "dup", 0L -> "scan",
     1L -> "spark", 1L -> "hash", 1L -> "join",
     2L -> "window", 2L -> "sort")
@@ -325,13 +325,15 @@ object Index {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** DuckDB spelling of [[bm25TopK]]: same integer polynomials, same
-    * term-order fold, same (score desc, doc_id) tie-break. */
-  val bm25TopKSql: String = {
+  /** The [[bm25TopKSql]] CTE chain up to (and including) the full ranked
+    * list `r(query_id, doc_id, score, rnk)` — shared with the q155
+    * hybrid-fusion oracle, which consumes the ranked list rather than
+    * the top-[[Bm25K]] slice. */
+  private[graft] val bm25RankedCtes: String = {
     val values = bm25Probes.zipWithIndex.map { case ((q, t), i) =>
       if (i == 0) s"(CAST($q AS BIGINT), '$t')" else s"($q, '$t')"
     }.mkString(", ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |  WHERE text IS NOT NULL),
        |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
@@ -356,10 +358,15 @@ object Index {
        |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT)
        |    AS rnk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  /** DuckDB spelling of [[bm25TopK]]: same integer polynomials, same
+    * term-order fold, same (score desc, doc_id) tie-break. */
+  val bm25TopKSql: String =
+    s"""WITH $bm25RankedCtes
        |SELECT query_id, rnk, doc_id, score FROM r WHERE rnk <= $Bm25K
        |ORDER BY query_id, rnk""".stripMargin
-  }
 
   // ---- q119: token-mass coverage curve ------------------------------------
 

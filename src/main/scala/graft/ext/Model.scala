@@ -474,16 +474,19 @@ object Model {
       .orderBy(col("source"))
   }
 
-  /** DuckDB spelling of [[bpeApply]]: training CTEs over the seed split
-    * (unrolled, as in [[bpeMergesSql]]), one held-out application chain,
-    * same final aggregate. */
-  val bpeApplySql: String = {
+  /** Shared CTE chain of the train/apply oracles (q128, q157): seed-side
+    * training rounds `d0..b{k-1}` unrolled as in [[bpeMergesSql]], plus a
+    * held-out application chain `h0..h{k}` that carries `carry`
+    * (output-name → h0 definition) alongside the work string `w`. */
+  private def bpeApplyCtes(carry: Seq[(String, String)]): String = {
+    val names = carry.map(_._1).mkString(", ")
+    val defs = carry.map { case (n, d) => s"$d AS $n" }.mkString(", ")
     val ctes = new StringBuilder(
-      s"""docs AS (SELECT source, text, $seedSqlPred AS seed
+      s"""docs AS (SELECT source, lang, text, $seedSqlPred AS seed
          |  FROM documents WHERE text IS NOT NULL),
          |d0 AS (SELECT '|' || replace(text,' ','||') || '|' AS w
          |  FROM docs WHERE seed),
-         |h0 AS (SELECT source, len(string_split(text,' ')) AS tok_before,
+         |h0 AS (SELECT $defs,
          |    '|' || replace(text,' ','||') || '|' AS w
          |  FROM docs WHERE NOT seed)""".stripMargin)
     for (r <- 0 until BpeRounds) {
@@ -494,7 +497,7 @@ object Model {
         |    i -> l[i] || ' ' || l[i+1])) AS pair FROM t$r),
         |b$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$r
         |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
-        |h${r + 1} AS (SELECT source, tok_before, replace(w,
+        |h${r + 1} AS (SELECT $names, replace(w,
         |    '|' || string_split(pair,' ')[1] || '||'
         |        || string_split(pair,' ')[2] || '|',
         |    '|' || string_split(pair,' ')[1] || '@'
@@ -509,8 +512,18 @@ object Model {
           |        || string_split(pair,' ')[2] || '|') AS w
           |  FROM d$r CROSS JOIN b$r)""".stripMargin
     }
-    // NB: the assembled string must NOT be stripMargin'd again — $ctes
-    // contains `||` continuation lines that a second pass would mangle
+    ctes.toString
+  }
+
+  /** DuckDB spelling of [[bpeApply]]: training CTEs over the seed split
+    * (unrolled, as in [[bpeMergesSql]]), one held-out application chain,
+    * same final aggregate. */
+  val bpeApplySql: String = {
+    // NB: the assembled string must NOT be stripMargin'd again — the CTE
+    // chain contains `||` continuation lines that a second pass would mangle
+    val ctes = bpeApplyCtes(Seq(
+      "source" -> "source",
+      "tok_before" -> "len(string_split(text,' '))"))
     val tail =
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tok_before) AS BIGINT) AS tok_before,
@@ -521,6 +534,87 @@ object Model {
          |    AS compression
          |FROM h$BpeRounds GROUP BY source ORDER BY source""".stripMargin
     s"WITH $ctes\n$tail"
+  }
+
+  // ---- q157: tokenizer fertility parity across languages -------------------
+
+  /** q157 — tokenizer fertility-parity audit: the q128-fitted merges
+    * applied to the held-out corpus, aggregated per LANGUAGE and
+    * normalized per character — fertility = BPE tokens per char — plus
+    * each language's parity ratio against the corpus-cheapest language.
+    * This is the tokenizer-fairness measurement (Petrov et al. 2023,
+    * "Language Model Tokenizers Introduce Unfairness Between Languages"):
+    * a language at parity 2.0 pays twice the tokens — twice the context
+    * budget and compute — for the same text mass, and a curation
+    * pipeline rebalances its mixture (q121) or its tokenizer vocabulary
+    * (q95/q127) off exactly this table. Complements q128, which audits
+    * compression per SOURCE against the whitespace baseline; parity is
+    * char-normalized and cross-language by construction.
+    *
+    * Determinism: token and char masses are exact BIGINTs; fertility is
+    * ONE exactly-rounded IEEE division per language, min-fertility is a
+    * min over those (order-independent), and parity is one further
+    * division of two such doubles — no float accumulation anywhere
+    * (q116's rule).
+    *
+    * Scale shape: q128's — k seed passes to fit, ONE held-out scan
+    * through k chained 1-row-broadcast replaces, then a partial agg to
+    * #langs rows; the 1-row min broadcasts back. No corpus shuffle at
+    * any point. */
+  def tokenizerParity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("lang"), col("text"), seedCol.as("seed"))
+    val bests = bpeFit(
+      docs.filter(col("seed")).select(wrapToks(col("text")).as("w")),
+      BpeRounds)
+    var hold = docs.filter(!col("seed"))
+      .select(col("lang"), length(col("text")).cast("long").as("chars"),
+        wrapToks(col("text")).as("w"))
+    for (b <- bests)
+      hold = hold.crossJoin(broadcast(b))
+        .select(col("lang"), col("chars"),
+          applyMerge(col("w"), col("w1"), col("w2")).as("w"))
+    val perLang = hold
+      .select(col("lang"), col("chars"),
+        size(split(expr("substring(w, 2, length(w)-2)"), "\\|\\|"))
+          .cast("long").as("toks"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("chars"),
+        sum(col("toks")).as("bpe_tokens"))
+      // feeds the per-language rows and the global-min side
+      .localCheckpoint(eager = false)
+    val minFert = perLang
+      .select((col("bpe_tokens").cast("double") / col("chars")).as("f"))
+      .agg(min(col("f")).as("min_fert"))
+    perLang.crossJoin(broadcast(minFert))
+      .select(col("lang"), col("n_docs"), col("chars"), col("bpe_tokens"),
+        (col("bpe_tokens").cast("double") / col("chars")).as("fertility"),
+        ((col("bpe_tokens").cast("double") / col("chars")) / col("min_fert"))
+          .as("parity"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB spelling of [[tokenizerParity]]: the shared train/apply CTE
+    * chain carrying (lang, chars), same per-language masses, same two
+    * divisions. */
+  val tokenizerParitySql: String = {
+    val ctes = bpeApplyCtes(Seq(
+      "lang" -> "lang",
+      "chars" -> "CAST(length(text) AS BIGINT)"))
+    val tail =
+      s"""pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(chars) AS BIGINT) AS chars,
+         |  CAST(sum(len(string_split(substr(w, 2, length(w)-2), '||')))
+         |    AS BIGINT) AS bpe_tokens
+         |FROM h$BpeRounds GROUP BY lang),
+         |mn AS (SELECT min(CAST(bpe_tokens AS DOUBLE) / chars) AS min_fert
+         |  FROM pl)
+         |SELECT lang, n_docs, chars, bpe_tokens,
+         |  CAST(bpe_tokens AS DOUBLE) / chars AS fertility,
+         |  (CAST(bpe_tokens AS DOUBLE) / chars) / min_fert AS parity
+         |FROM pl CROSS JOIN mn ORDER BY lang""".stripMargin
+    s"WITH $ctes,\n$tail"
   }
 
   /** DuckDB spelling of [[bpeMerges]]: the k rounds UNROLLED as chained
@@ -558,6 +652,7 @@ object Model {
     "q126_lm_perplexity" -> (lmPerplexityFilter _),
     "q127_bpe_merges" -> (bpeMerges _),
     "q128_bpe_apply" -> (bpeApply _),
+    "q157_tokenizer_parity" -> (tokenizerParity _),
     "q129_nb_calibration" -> (nbCalibration _))
 
   val oracles: Map[String, String] = Map(
@@ -565,5 +660,6 @@ object Model {
     "q126_lm_perplexity" -> lmPerplexityFilterSql,
     "q127_bpe_merges" -> bpeMergesSql,
     "q128_bpe_apply" -> bpeApplySql,
+    "q157_tokenizer_parity" -> tokenizerParitySql,
     "q129_nb_calibration" -> nbCalibrationSql)
 }

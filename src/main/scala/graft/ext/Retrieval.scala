@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables
+
+/** Hybrid lexical+vector retrieval — north-star extension (no counterpart
+  * in the reference; SURVEY.md §7.4's retrieval family). Fuses the q118
+  * BM25 ranked list with an exact-integer-dot vector ranked list under
+  * reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the standard
+  * first-stage ranker of a RAG / retrieval-eval pipeline, where neither
+  * retriever alone is trusted and rank (not score) is the only commensurable
+  * signal between them.
+  */
+object Retrieval {
+
+  /** RRF smoothing constant (the conventional 60). */
+  final val RrfK = 60L
+
+  /** List depth per retriever AND fused results per query. */
+  final val FuseK = 5
+
+  /** The probe queries: the distinct q118 query ids. Each id doubles as
+    * the vector-side probe — the embedding of vec_id = query_id is the
+    * query vector (the doc-as-query convention q17/q117 use), so both
+    * retrievers answer the SAME workload and fusion is meaningful. */
+  private[graft] val fuseQueryIds: Seq[Long] =
+    Index.bm25Probes.map(_._1).distinct.sorted
+
+  /** q155 — hybrid retrieval with reciprocal-rank fusion: for each probe
+    * query, the BM25 top-[[FuseK]] (lexical arm, q118's exact rational
+    * scoring) and the exact int8-dot top-[[FuseK]] (vector arm, q54's
+    * quantization — deterministic ranks, no float-cosine ULP risk) are
+    * fused by
+    *
+    *   rrf(d) = Σ_arms 1 / ([[RrfK]] + rank_arm(d)),
+    *
+    * missing-arm terms contributing 0, and the fused top-[[FuseK]] is
+    * emitted with both per-arm ranks (NULL where an arm missed the doc).
+    * Ranks come from exact arithmetic in both engines, each 1/(60+r) is
+    * one exactly-rounded IEEE division, and the two-term sum has a fixed
+    * operand order — so the fused scores are bit-identical cross-engine
+    * and the (rrf desc, doc_id) order is a total order both agree on
+    * (the ordered-contract discipline; q155 is in `SparkEntry.ordered`).
+    *
+    * Scale shape: each arm is already k-bounded BEFORE fusion — BM25 via
+    * q118's [[graft.functions.TopK]] partial aggregation, the vector arm
+    * via the same aggregator over one candidate scan (q17's shape; an
+    * LSH/IVF prefilter composes in front of it unchanged, q18/q97) — so
+    * the fusion join touches O(Q · 2k) rows total regardless of corpus
+    * size: a full-outer equi-join of two tiny relations, then a
+    * k-bounded per-query window. The corpus is scanned once per arm and
+    * never shuffled; only ids, ranks and 8-byte scores move. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = Index.bm25TopK(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val quant = Similarity.quantizedVectors(Tables.embeddings(s, dir))
+      // feeds the probe side and the candidate side
+      .localCheckpoint(eager = false)
+    val q = quant.filter(col("vec_id").isin(fuseQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+    val vec = quant.select(col("vec_id").as("doc_id"), col("q").as("qb"))
+      .crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        // |dot| ≤ 64·127² ≈ 2²⁰ — exact in the double TopK score
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double").as("dot"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(FuseK)(col("doc_id"), col("dot"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "st")))
+      .select(col("query_id"), col("st.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("vec_rnk"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rnk"), col("vec_rnk"),
+        (coalesce(lit(1.0d) / (lit(RrfK) + col("lex_rnk")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(RrfK) + col("vec_rnk")), lit(0.0d)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= FuseK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"),
+        col("lex_rnk"), col("vec_rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB spelling of [[hybridRrf]]: q118's ranked CTE chain verbatim
+    * ([[Index.bm25RankedCtes]]), q54's quantization + the same exact
+    * integer dot ranking for the vector arm, the same two-term RRF sum
+    * (fixed operand order, CAST-to-DOUBLE literals so DuckDB does IEEE
+    * division, not DECIMAL), same (rrf desc, doc_id) final order. */
+  val hybridRrfSql: String = {
+    val ids = fuseQueryIds.mkString(", ")
+    s"""WITH ${Index.bm25RankedCtes},
+       |vd AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+       |vn AS (
+       |  SELECT vec_id, de,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(de, x -> x * x)), (a, b) -> a + b) AS ss
+       |  FROM vd),
+       |vq AS (
+       |  SELECT vec_id, list_transform(de,
+       |    x -> CAST(floor(x / sqrt(ss) * 127 + 0.5) AS BIGINT)) AS q
+       |  FROM vn WHERE ss > 0),
+       |vs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 65), dd -> a.q[dd] * b.q[dd])),
+       |      (x, y) -> x + y) AS BIGINT) AS dot
+       |  FROM vq a JOIN vq b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id IN ($ids)),
+       |vr AS (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dot DESC, doc_id) AS BIGINT)
+       |    AS vec_rnk
+       |  FROM vs),
+       |lex AS (
+       |  SELECT query_id, doc_id, rnk AS lex_rnk FROM r WHERE rnk <= $FuseK),
+       |vecl AS (
+       |  SELECT query_id, doc_id, vec_rnk FROM vr WHERE vec_rnk <= $FuseK),
+       |f AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rnk, v.vec_rnk,
+       |    coalesce(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rnk),
+       |        CAST(0 AS DOUBLE))
+       |      + coalesce(CAST(1 AS DOUBLE) / ($RrfK + v.vec_rnk),
+       |        CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lex l FULL JOIN vecl v
+       |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+       |fr AS (
+       |  SELECT query_id, doc_id, rrf, lex_rnk, vec_rnk,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM f)
+       |SELECT query_id, rnk, doc_id, rrf, lex_rnk, vec_rnk
+       |FROM fr WHERE rnk <= $FuseK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_hybrid_rrf" -> (hybridRrf _))
+
+  val oracles: Map[String, String] = Map(
+    "q155_hybrid_rrf" -> hybridRrfSql)
+}

@@ -1661,6 +1661,108 @@ object Similarity {
        |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
        |FROM j GROUP BY ROLLUP (query_id) ORDER BY query_id""".stripMargin
 
+  // ---- q156: matryoshka truncation-recall audit ---------------------------
+
+  /** Serving prefix length audited by q156 — the first [[TruncDim]] of
+    * the [[Dim]] dimensions. */
+  final val TruncDim = 16
+
+  /** q156 — dimension-truncation recall audit: recall@3 of exact search
+    * over only the first [[TruncDim]] embedding dimensions against exact
+    * search over all [[Dim]], per probe plus the overall rollup. This is
+    * the measurement behind a matryoshka-style serving decision: storing/
+    * scanning a Dim/4 prefix cuts index memory and scan bandwidth 4×,
+    * and this audit says what that costs in recall BEFORE the cheap
+    * prefix is promoted to the first-pass ranker (with full-dim rerank,
+    * the q142 two-stage shape). Companion to q117 (LSH recall) and q154
+    * (IVF-PQ recall): same contract, different approximation axis.
+    *
+    * Both arms rank by the EXACT integer dot product of the q54
+    * int8-quantized vectors (the truncated arm by the dot of the length-
+    * [[TruncDim]] prefix), so every ranking is deterministic in both
+    * engines — no float cosine, no ULP ties (ties break by neighbor id).
+    * Output is integer-derived plus the one terminal division (q116's
+    * rule).
+    *
+    * Scale shape: both arms are the q17 shape — fixed probe set, one
+    * corpus scan each, [[graft.functions.TopK]] partial aggregation so
+    * the exchange carries O(Q·k·partitions) rows, never the scored
+    * pairs. The quantized relation is checkpointed once and feeds all
+    * four consumers (query + candidate side of each arm). Probe count is
+    * the cost knob, exactly as in q117. */
+  def truncRecall(s: SparkSession, dir: String): DataFrame = {
+    val quant = quantizedVectors(Tables.embeddings(s, dir))
+      // four consumers: query + candidate side of each arm
+      .localCheckpoint(eager = false)
+    def top3(prefix: Option[Int]): DataFrame = {
+      def v(c: Column): Column =
+        prefix.map(n => slice(c, 1, n)).getOrElse(c)
+      val q = quant.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), v(col("q")).as("qa"))
+      quant.select(col("vec_id").as("neighbor_id"), v(col("q")).as("qb"))
+        .crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          // |dot| ≤ Dim·127² ≈ 2²⁰ — exact in the double TopK scores
+          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).cast("double").as("dot"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopK.top_k(3)(col("neighbor_id"), col("dot"))
+          .as("top"))
+        .select(col("query_id"), explode(col("top")).as("st"))
+        .select(col("query_id"), col("st.id").as("neighbor_id"))
+    }
+    val exact = top3(None)
+    val trunc = top3(Some(TruncDim)).withColumn("hit", lit(1L))
+    exact.join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .rollup(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(col("hit")).as("hits"))
+      .select(coalesce(col("query_id"), lit(-1L)).as("query_id"),
+        col("k"), col("hits"),
+        (col("hits").cast("double") / col("k")).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB spelling of [[truncRecall]]: q54's quantization CTEs, the
+    * same two exact-integer-dot rankings (full range vs the
+    * [[TruncDim]]-prefix range), same left-join hit count under ROLLUP. */
+  def truncRecallSql: String =
+    s"""WITH ${quantCtes},
+       |fs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${Dim + 1}), d -> a.q[d] * b.q[d])),
+       |      (x, y) -> x + y) AS BIGINT) AS dot
+       |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+       |    FROM fs) WHERE rnk <= 3),
+       |ts AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${TruncDim + 1}), d -> a.q[d] * b.q[d])),
+       |      (x, y) -> x + y) AS BIGINT) AS dot
+       |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+       |    FROM ts) WHERE rnk <= 3),
+       |j AS (
+       |  SELECT e.query_id,
+       |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM exact e LEFT JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+       |SELECT coalesce(query_id, -1) AS query_id,
+       |  CAST(count(*) AS BIGINT) AS k, CAST(sum(hit) AS BIGINT) AS hits,
+       |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+       |FROM j GROUP BY ROLLUP (query_id) ORDER BY query_id""".stripMargin
+
   // ---- q134: top principal component via exact-integer power iteration ----
 
   /** q134 dimensions: quantization scale, power-iteration rounds, and the
@@ -2043,6 +2145,7 @@ object Similarity {
     "q139_hard_negatives" -> (hardNegatives _),
     "q142_pca_ann" -> (pcaAnnTopK _),
     "q117_ann_recall" -> (annRecall _),
+    "q156_trunc_recall" -> (truncRecall _),
     "q115_centroid_drift" -> (centroidDrift _),
     "q97_ivfpq_search" -> (ivfPqSearch _),
     "q153_pq_index_serve" -> (ivfPqServe _),
@@ -2064,6 +2167,7 @@ object Similarity {
     "q139_hard_negatives" -> hardNegativesSql,
     "q142_pca_ann" -> pcaAnnTopKSql,
     "q117_ann_recall" -> annRecallSql,
+    "q156_trunc_recall" -> truncRecallSql,
     "q115_centroid_drift" -> centroidDriftSql,
     "q97_ivfpq_search" -> ivfPqSearchSql,
     "q153_pq_index_serve" -> ivfPqServeSql,

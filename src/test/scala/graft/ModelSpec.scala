@@ -116,4 +116,25 @@ class ModelSpec extends SparkSpec {
       assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
     }
   }
+
+  test("q157: parity is fertility over the corpus minimum, exactly 1 at it") {
+    val rows = Model.tokenizerParity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ferts = rows.map { r =>
+      val (chars, toks) = (r.getLong(2), r.getLong(3))
+      assert(chars > 0 && toks > 0)
+      // BPE can only merge: token count never exceeds chars, and the
+      // emitted fertility is exactly the one division of the masses
+      assert(toks <= chars)
+      val f = toks.toDouble / chars
+      assert(r.getDouble(4) === f)
+      f
+    }
+    val minF = ferts.min
+    rows.zip(ferts).foreach { case (r, f) =>
+      assert(r.getDouble(5) === f / minF)
+      assert(r.getDouble(5) >= 1.0)
+    }
+    assert(rows.zip(ferts).count { case (r, _) => r.getDouble(5) == 1.0 } >= 1)
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ext.{Index, Retrieval}
+
+class RetrievalSpec extends SparkSpec {
+
+  test("q155 structure: per-query fused list, contiguous ranks, no self-hit") {
+    val rows = Retrieval.hybridRrf(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= Retrieval.FuseK)
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1 to rs.length).map(_.toLong))
+      // the vector arm excludes the probe vector itself; the lexical arm
+      // may legitimately retrieve the probe doc, but a fused self-hit
+      // with a vec_rnk would mean the exclusion leaked
+      rs.filter(_.getAs[Long]("doc_id") == q)
+        .foreach(r => assert(r.isNullAt(r.fieldIndex("vec_rnk"))))
+    }
+  }
+
+  test("q155 fused score is exactly the two-term RRF of the emitted ranks") {
+    val rows = Retrieval.hybridRrf(spark, sf).collect()
+    rows.foreach { r =>
+      def term(f: String): Double =
+        if (r.isNullAt(r.fieldIndex(f))) 0.0
+        else 1.0 / (Retrieval.RrfK + r.getAs[Long](f))
+      assert(r.getAs[Double]("rrf") === term("lex_rnk") + term("vec_rnk"))
+      assert(!(r.isNullAt(r.fieldIndex("lex_rnk")) &&
+        r.isNullAt(r.fieldIndex("vec_rnk"))))
+    }
+    // fused order is (rrf desc, doc_id) within each query
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ra, rb) = (a.getAs[Double]("rrf"), b.getAs[Double]("rrf"))
+          assert(ra > rb ||
+            (ra == rb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+        case _ =>
+      }
+    }
+  }
+
+  test("q155 lexical arm agrees with q118's ranked list") {
+    val lex = Index.bm25TopK(spark, sf).collect()
+      .filter(_.getAs[Long]("rnk") <= Retrieval.FuseK)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rnk")).toMap
+    val fusedLex = Retrieval.hybridRrf(spark, sf).collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("lex_rnk")))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("lex_rnk")).toMap
+    // every fused row claiming a lexical rank must carry q118's rank
+    fusedLex.foreach { case (k, v) => assert(lex.get(k).contains(v)) }
+    // and every arm hit that survives fusion is in the fused output:
+    // a doc in BOTH arms outranks (or ties into) the budget by
+    // construction, so the top of the lex arm can only be displaced by
+    // double-counted docs — spot-check rank-1 lex docs always survive
+    lex.collect { case ((q, d), 1L) => (q, d) }.foreach { k =>
+      assert(fusedLex.contains(k) ||
+        // unless it won via vec too and carries both ranks — still present
+        Retrieval.hybridRrf(spark, sf).collect().exists(r =>
+          r.getAs[Long]("query_id") == k._1 &&
+            r.getAs[Long]("doc_id") == k._2))
+    }
+  }
+}

@@ -345,4 +345,36 @@ class SimilaritySpec extends SparkSpec {
     // and the Rayleigh columns are exactly v·w / v·v of that same Gram
     assert(BigInt(num) === vw && BigInt(den) === vv)
   }
+
+  test("q156 truncation recall matches an in-JVM recompute of both arms") {
+    // independent oracle: quantize per q54's convention, rank by exact
+    // integer dots (full vs TruncDim prefix), recount the hits
+    val emb = graft.tables.Tables.embeddings(SparkSpec.spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val quant = emb.map { case (id, v) =>
+      val ss = v.map(x => x * x).sum
+      id -> v.map(x => math.floor(x / math.sqrt(ss) * 127 + 0.5).toLong)
+    }.toMap
+    def top3(dims: Int): Map[Long, Set[Long]] =
+      quant.keys.filter(_ < 10).map { q =>
+        val qa = quant(q)
+        q -> quant.keys.filter(_ != q).toSeq
+          .map(n => n -> (0 until dims).map(d => qa(d) * quant(n)(d)).sum)
+          .sortBy { case (n, dot) => (-dot, n) }.take(3).map(_._1).toSet
+      }.toMap
+    val exact = top3(64)
+    val trunc = top3(Similarity.TruncDim)
+    val rows = Similarity.truncRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    exact.foreach { case (q, ex) =>
+      val (k, hits) = rows(q)
+      assert(k === 3L)
+      assert(hits === (ex & trunc(q)).size.toLong, s"query $q hit count")
+    }
+    val (kAll, hitsAll) = rows(-1L)
+    assert(kAll === 3L * exact.size)
+    assert(hitsAll === exact.map { case (q, ex) =>
+      (ex & trunc(q)).size }.sum.toLong)
+  }
 }
