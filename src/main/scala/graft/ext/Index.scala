@@ -289,14 +289,36 @@ object Index {
     * the exchange carries O(Q·k·partitions), never the matched-doc set
     * (with common terms that set is effectively the corpus). */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val (tfc, lens) = bm25IndexOf(Tables.documents(s, dir))
+    bm25ServeFrom(s, tfc, lens)
+  }
+
+  /** The q118 index state of a documents frame: the postings relation
+    * `tfc(doc_id, term, tf)` and the doc-length relation
+    * `lens(doc_id, dl)` — exactly the two tables a search engine
+    * persists, and the carried state of the streaming maintainer
+    * ([[graft.streaming.DocStreams.maintainBm25Index]]): a drop appends
+    * its docs' rows; existing docs are never re-tokenized. */
+  private[graft] def bm25IndexOf(docs0: DataFrame): (DataFrame, DataFrame) = {
+    val docs = docs0.filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       // barrier: CollapseProject would inline split() into consumers
       .localCheckpoint(eager = false)
     val lens = docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
     val tfc = docs.select(col("doc_id"), explode(col("w")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    (tfc, lens)
+  }
+
+  /** Serve the fixed [[bm25Probes]] workload from a BM25 index (the
+    * [[bm25IndexOf]] relations). The corpus-level statistics (df, N, S)
+    * are DERIVED from the index at probe time — one vocab-sized and one
+    * 1-row aggregate — so a maintained index needs no separate stats
+    * carry and the served ranking equals a from-scratch [[bm25TopK]]
+    * over the same docs by construction. */
+  private[graft] def bm25ServeFrom(s: SparkSession, tfc: DataFrame,
+      lens: DataFrame): DataFrame = {
+    import s.implicits._
     val dfc = tfc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tot = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
     val probes = bm25Probes.toDF("query_id", "term")

@@ -134,6 +134,48 @@ object DocStreams {
       .start()
   }
 
+  /** Start streaming BM25-index maintenance — the LEXICAL twin of
+    * [[maintainAnnIndex]]: the carried state is q118's two index
+    * relations ([[graft.ext.Index.bm25IndexOf]]): the postings
+    * `tfc(doc_id, term, tf)` and the doc lengths `lens(doc_id, dl)`.
+    * Each micro-batch of arriving documents is tokenized into its own
+    * rows only (drop-sized work — existing docs are never re-tokenized)
+    * and appended; the per-wave probe results
+    * ([[graft.ext.Index.bm25ServeFrom]] over the maintained index) go to
+    * `sink`. The corpus statistics BM25 needs (df, N, S) are derived
+    * from the index at probe time, so they track every drop with no
+    * separate stats carry, and the served ranking equals a from-scratch
+    * q118 over everything ingested BY CONSTRUCTION (StreamingSpec
+    * asserts equality per wave and across a restart).
+    *
+    * Replay/restart safety: the append anti-joins on doc_id against the
+    * carried doc registry (`lens`), so an at-least-once redelivery
+    * inserts nothing the second time. On restart, callers re-seed the
+    * index from the persisted corpus exactly like [[maintainAnnIndex]].
+    * At 100 TB both relations are persisted tables (postings bucketed by
+    * term — q124's layout — so the probe join is exchange-free); here
+    * they live as eagerly localCheckpointed frames so lineage cannot
+    * grow across an unbounded stream. */
+  def maintainBm25Index(docStream: DataFrame, initialTfc: DataFrame,
+      initialLens: DataFrame, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var tfc = initialTfc.localCheckpoint()
+    var lens = initialLens.localCheckpoint()
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (freshTfc, freshLens) = graft.ext.Index.bm25IndexOf(batch)
+        val known = lens.select("doc_id").distinct()
+        tfc = tfc.unionByName(
+          freshTfc.join(known, Seq("doc_id"), "left_anti")).localCheckpoint()
+        lens = lens.unionByName(
+          freshLens.join(known, Seq("doc_id"), "left_anti")).localCheckpoint()
+        sink(graft.ext.Index.bm25ServeFrom(batch.sparkSession, tfc, lens),
+          batchId)
+      }
+      .start()
+  }
+
   def maintainClusters(docStream: DataFrame, initialSigs: DataFrame,
       initialLabels: DataFrame, checkpointDir: String,
       minEst: Double = 0.5)(

@@ -37,6 +37,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window ranking reappeared:\n$p")
   }
 
+  test("q155/q156: both retrieval arms reduce via partial TopK, no cartesian") {
+    // the vector arms deliberately broadcast the tiny probe set into a
+    // nested-loop scan (q17's exact-arm shape); what must NOT appear is
+    // an unbroadcast cartesian or a window ranking of all scored pairs
+    Seq(graft.ext.Retrieval.hybridRrf(spark, sf),
+        graft.ext.Similarity.truncRecall(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("partial_topkaggregator") ||
+        p.contains("ObjectHashAggregate"),
+        s"expected partial top-k aggregation:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    }
+    // q156 has no window at all — both arms end in the aggregator; the
+    // only Window in q155 is the fusion ranking of the O(Q·2k) fused rows
+    assert(!plan(graft.ext.Similarity.truncRecall(spark, sf))
+      .contains("Window"), "window ranking reappeared in q156")
+  }
+
   test("q01: hot path stays inside whole-stage codegen") {
     // AQE finalizes the plan only on execution; the executed plan marks
     // codegen stages with "*(n)" prefixes

@@ -374,6 +374,54 @@ class StreamingSpec extends SparkSpec {
     assert(latest.nonEmpty, "fixture must produce neighbors")
   }
 
+  test("streaming BM25 index maintenance: per-wave serve equals batch q118 rebuild; restart re-seeds") {
+    import graft.ext.Index
+    import graft.streaming.DocStreams
+    // seed corpus = doc_id%4==0; three waves from the other residues.
+    // df/N/S are derived from the maintained index at probe time, so
+    // every wave's ranking must equal a from-scratch q118 over the
+    // docs ingested so far — including the global-statistics shift.
+    val docs = Tables.documents(spark, sf).localCheckpoint(eager = false)
+    def slice(r: Int) = docs.filter(col("doc_id") % 4 === r)
+    def fullRebuild(upTo: Int): Set[(Long, Long, Long, Double)] = {
+      val (tfc, lens) = Index.bm25IndexOf(docs.filter(col("doc_id") % 4 <= upTo))
+      Index.bm25ServeFrom(spark, tfc, lens).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    }
+    val dropsDir = Files.createTempDirectory("graft-bm25-drops").toString
+    val ckpt = Files.createTempDirectory("graft-bm25-ckpt").toString
+    slice(1).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    slice(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    @volatile var latest = Array.empty[(Long, Long, Long, Double)]
+    val batchIds = scala.collection.mutable.Set.empty[Long]
+    def start(seed: org.apache.spark.sql.DataFrame) = {
+      val (tfc, lens) = Index.bm25IndexOf(seed)
+      DocStreams.maintainBm25Index(
+        DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+        tfc, lens, ckpt) { (topk, id) =>
+        this.synchronized {
+          latest = topk.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          batchIds += id
+        }
+      }
+    }
+    val q1 = start(slice(0))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(latest.toSet === fullRebuild(2),
+      "maintained BM25 serve diverges from batch rebuild after waves 1+2")
+    // wave 3 lands while the maintainer is DOWN; the restart re-seeds the
+    // index from the ingested corpus and must catch up
+    slice(3).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start(docs.filter(col("doc_id") % 4 <= 2))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchIds.size >= 3, s"expected >=3 micro-batches, got $batchIds")
+    assert(latest.toSet === fullRebuild(3),
+      "post-restart BM25 serve diverges from batch rebuild")
+    assert(latest.nonEmpty, "fixture must produce retrieval results")
+  }
+
   test("streaming sessionization matches batch q16 session count") {
     val flushDir = eventsDir // second file into the same stream dir
     val q = EventStreams.sessionize(
