@@ -60,7 +60,8 @@ object SparkEntry {
     "q142_pca_ann",
     "q153_pq_index_serve",
     "q154_ivfpq_recall",
-    "q155_hybrid_rrf")     // fused ranking is the deliverable
+    "q155_hybrid_rrf",     // fused ranking is the deliverable
+    "q158_hybrid_lsh_serve")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

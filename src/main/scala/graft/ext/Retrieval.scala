@@ -73,6 +73,17 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "st")))
       .select(col("query_id"), col("st.id").as("doc_id"),
         (col("pos") + 1).cast("long").as("vec_rnk"))
+    rrfFuse(lex, vec)
+  }
+
+  /** The fusion step alone: full-outer-join two k-bounded ranked lists
+    * (`(query_id, doc_id, lex_rnk)` / `(query_id, doc_id, vec_rnk)`),
+    * score rrf = Σ 1/([[RrfK]]+rank), emit the fused top-[[FuseK]].
+    * O(Q·2k) rows end to end — the arms did all the corpus-sized work.
+    * Shared by [[hybridRrf]] (exact vector arm) and [[hybridLshServe]]
+    * (production LSH arm; also the streaming fusion — StreamingSpec
+    * fuses the two MAINTAINED index serves through this same step). */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"), col("lex_rnk"), col("vec_rnk"),
         (coalesce(lit(1.0d) / (lit(RrfK) + col("lex_rnk")), lit(0.0d)) +
@@ -86,6 +97,29 @@ object Retrieval {
         col("lex_rnk"), col("vec_rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** The fusion block of both hybrid oracles: full-join the named lex /
+    * vec ranked-list CTEs, the same two-term RRF sum (fixed operand
+    * order, CAST-to-DOUBLE literals so DuckDB does IEEE division, not
+    * DECIMAL), same (rrf desc, doc_id) final order as [[rrfFuse]]. */
+  private def fuseSqlTail(lexCte: String, vecCte: String): String =
+    s"""f AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rnk, v.vec_rnk,
+       |    coalesce(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rnk),
+       |        CAST(0 AS DOUBLE))
+       |      + coalesce(CAST(1 AS DOUBLE) / ($RrfK + v.vec_rnk),
+       |        CAST(0 AS DOUBLE)) AS rrf
+       |  FROM $lexCte l FULL JOIN $vecCte v
+       |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+       |fr AS (
+       |  SELECT query_id, doc_id, rrf, lex_rnk, vec_rnk,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM f)
+       |SELECT query_id, rnk, doc_id, rrf, lex_rnk, vec_rnk
+       |FROM fr WHERE rnk <= $FuseK
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** DuckDB spelling of [[hybridRrf]]: q118's ranked CTE chain verbatim
     * ([[Index.bm25RankedCtes]]), q54's quantization + the same exact
@@ -122,28 +156,53 @@ object Retrieval {
        |  SELECT query_id, doc_id, rnk AS lex_rnk FROM r WHERE rnk <= $FuseK),
        |vecl AS (
        |  SELECT query_id, doc_id, vec_rnk FROM vr WHERE vec_rnk <= $FuseK),
-       |f AS (
-       |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
-       |    coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rnk, v.vec_rnk,
-       |    coalesce(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rnk),
-       |        CAST(0 AS DOUBLE))
-       |      + coalesce(CAST(1 AS DOUBLE) / ($RrfK + v.vec_rnk),
-       |        CAST(0 AS DOUBLE)) AS rrf
-       |  FROM lex l FULL JOIN vecl v
-       |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
-       |fr AS (
-       |  SELECT query_id, doc_id, rrf, lex_rnk, vec_rnk,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM f)
-       |SELECT query_id, rnk, doc_id, rrf, lex_rnk, vec_rnk
-       |FROM fr WHERE rnk <= $FuseK
-       |ORDER BY query_id, rnk""".stripMargin
+       |${fuseSqlTail("lex", "vecl")}""".stripMargin
   }
 
+  /** q158 — the SERVABLE hybrid: the same RRF fusion but with the
+    * PRODUCTION index arms — BM25 served from the q118 index relations
+    * and the vector list served from the q18 LSH band index — i.e.
+    * exactly the two states the streaming maintainers
+    * ([[graft.streaming.DocStreams.maintainBm25Index]] /
+    * `maintainAnnIndex`) carry across drops. q155 is the QUALITY
+    * reference (exact vector arm); this is what actually answers a
+    * query at 100 TB, where the exact arm's corpus scan per probe is
+    * reserved for audits (q117's recall methodology prices the gap).
+    * Continuous serving follows for free: StreamingSpec fuses the two
+    * maintained serves through [[rrfFuse]] and gets this query's batch
+    * answer over the ingested corpus, by construction.
+    *
+    * Scale shape: the LSH arm touches only same-bucket candidates (the
+    * q18 equi-join geometry), the BM25 arm only matched-term postings
+    * with TopK partial agg; fusion stays O(Q·2k). Nothing corpus-sized
+    * moves. */
+  def hybridLshServe(s: SparkSession, dir: String): DataFrame = {
+    val lex = Index.bm25TopK(s, dir)
+      .filter(col("rnk") <= FuseK) // Bm25K == FuseK today; future-proof
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val vec = Similarity.knnLshServe(
+        Similarity.lshIndexOf(Tables.embeddings(s, dir)), FuseK)
+      .filter(col("query_id").isin(fuseQueryIds: _*))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("vec_rnk"))
+    rrfFuse(lex, vec)
+  }
+
+  /** DuckDB spelling of [[hybridLshServe]]: q118's ranked CTEs + q18's
+    * serving CTEs (same plane constants and cosine tie-break), fused by
+    * the shared tail. */
+  val hybridLshServeSql: String =
+    s"""WITH ${Index.bm25RankedCtes},
+       |${Similarity.lshServeCtes(FuseK, fuseQueryIds)},
+       |lex AS (
+       |  SELECT query_id, doc_id, rnk AS lex_rnk FROM r WHERE rnk <= $FuseK),
+       |${fuseSqlTail("lex", "vlsh")}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q155_hybrid_rrf" -> (hybridRrf _))
+    "q155_hybrid_rrf" -> (hybridRrf _),
+    "q158_hybrid_lsh_serve" -> (hybridLshServe _))
 
   val oracles: Map[String, String] = Map(
-    "q155_hybrid_rrf" -> hybridRrfSql)
+    "q155_hybrid_rrf" -> hybridRrfSql,
+    "q158_hybrid_lsh_serve" -> hybridLshServeSql)
 }

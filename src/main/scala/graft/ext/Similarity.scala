@@ -213,6 +213,31 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** The q18 serving CTE chain with parametric list depth and probe set,
+    * ending in `vlsh(query_id, doc_id, vec_rnk)` — consumed by the q158
+    * hybrid-serve oracle. Same plane constants, buckets, cosine and
+    * (cos desc, doc_id) tie-break as [[knnLshSql]]. */
+  private[graft] def lshServeCtes(k: Int, probeIds: Seq[Long]): String =
+    s"""${lshSqlCtes(lshPlanes)},
+       |vcand AS (
+       |  SELECT s1.vec_id AS query_id, s2.vec_id AS doc_id
+       |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
+       |  WHERE s1.vec_id IN (${probeIds.mkString(", ")})
+       |    AND s2.vec_id <> s1.vec_id
+       |  GROUP BY 1, 2),
+       |vscored AS (
+       |  SELECT c.query_id, c.doc_id,
+       |    list_cosine_similarity(qe.de, ne.de) AS cos
+       |  FROM vcand c
+       |  JOIN emb qe ON qe.vec_id = c.query_id
+       |  JOIN emb ne ON ne.vec_id = c.doc_id),
+       |vlsh AS (
+       |  SELECT query_id, doc_id, vec_rnk FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS BIGINT)
+       |      AS vec_rnk
+       |    FROM vscored) WHERE vec_rnk <= $k)""".stripMargin
+
   // ---- q49: LSH-prefiltered near-dup (production path for q42) -----------
 
   private val NdTables = 8

@@ -1,6 +1,7 @@
 package graft
 
-import graft.ext.{Index, Retrieval}
+import graft.ext.{Index, Retrieval, Similarity}
+import graft.tables.Tables
 
 class RetrievalSpec extends SparkSpec {
 
@@ -64,6 +65,25 @@ class RetrievalSpec extends SparkSpec {
         Retrieval.hybridRrf(spark, sf).collect().exists(r =>
           r.getAs[Long]("query_id") == k._1 &&
             r.getAs[Long]("doc_id") == k._2))
+    }
+  }
+
+  test("q158: served hybrid obeys the RRF law; vector arm is LSH-served") {
+    val rows = Retrieval.hybridLshServe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      def term(f: String): Double =
+        if (r.isNullAt(r.fieldIndex(f))) 0.0
+        else 1.0 / (Retrieval.RrfK + r.getAs[Long](f))
+      assert(r.getAs[Double]("rrf") === term("lex_rnk") + term("vec_rnk"))
+    }
+    // every vec-armed fused doc must come from the q18-served lists —
+    // the arm is the bucket-bounded production path, not an exact scan
+    val lsh = Similarity.knnLshServe(
+        Similarity.lshIndexOf(Tables.embeddings(spark, sf)), Retrieval.FuseK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.filter(r => !r.isNullAt(r.fieldIndex("vec_rnk"))).foreach { r =>
+      assert(lsh((r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))))
     }
   }
 }

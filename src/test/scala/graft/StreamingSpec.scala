@@ -422,6 +422,70 @@ class StreamingSpec extends SparkSpec {
     assert(latest.nonEmpty, "fixture must produce retrieval results")
   }
 
+  test("streaming hybrid serve: fusing the two maintained indexes equals batch q158 over ingested corpus") {
+    import graft.ext.{Index, Retrieval, Similarity}
+    import graft.streaming.DocStreams
+    import org.apache.spark.sql.DataFrame
+    // aligned drops: doc_id and vec_id share the id space, so residue r
+    // drops the SAME documents into both maintainers
+    val docs = Tables.documents(spark, sf).localCheckpoint(eager = false)
+    val vecs = Tables.embeddings(spark, sf).localCheckpoint(eager = false)
+    val docDrops = Files.createTempDirectory("graft-hyb-docs").toString
+    val vecDrops = Files.createTempDirectory("graft-hyb-vecs").toString
+    docs.filter(col("doc_id") % 4 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(docDrops)
+    docs.filter(col("doc_id") % 4 === 2).coalesce(1)
+      .write.mode("append").parquet(docDrops)
+    vecs.filter(col("vec_id") % 4 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(vecDrops)
+    vecs.filter(col("vec_id") % 4 === 2).coalesce(1)
+      .write.mode("append").parquet(vecDrops)
+    @volatile var lexServe: DataFrame = null
+    @volatile var annServe: DataFrame = null
+    val (seedTfc, seedLens) =
+      Index.bm25IndexOf(docs.filter(col("doc_id") % 4 === 0))
+    val q1 = DocStreams.maintainBm25Index(
+      DocStreams.readDocStream(spark, docDrops, maxFilesPerTrigger = 1),
+      seedTfc, seedLens,
+      Files.createTempDirectory("graft-hyb-ck1").toString) { (topk, _) =>
+      this.synchronized { lexServe = topk.localCheckpoint() } }
+    val q2 = DocStreams.maintainAnnIndex(
+      DocStreams.readVecStream(spark, vecDrops, maxFilesPerTrigger = 1),
+      Similarity.lshIndexOf(vecs.filter(col("vec_id") % 4 === 0)),
+      Files.createTempDirectory("graft-hyb-ck2").toString,
+      k = Retrieval.FuseK) { (topk, _) =>
+      this.synchronized { annServe = topk.localCheckpoint() } }
+    try { q1.processAllAvailable(); q2.processAllAvailable() }
+    finally { q1.stop(); q2.stop() }
+    val probeIds = Seq(0L, 1L, 2L)
+    def toTuples(df: DataFrame) = df.collect().map { r =>
+      def opt(f: String) =
+        if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getAs[Long](f))
+      (r.getLong(0), r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf"), opt("lex_rnk"), opt("vec_rnk"))
+    }.toSet
+    val streamed = toTuples(Retrieval.rrfFuse(
+      lexServe.filter(col("rnk") <= Retrieval.FuseK)
+        .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk")),
+      annServe.filter(col("query_id").isin(probeIds: _*))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("vec_rnk"))))
+    val (bTfc, bLens) = Index.bm25IndexOf(docs.filter(col("doc_id") % 4 <= 2))
+    val batch = toTuples(Retrieval.rrfFuse(
+      Index.bm25ServeFrom(spark, bTfc, bLens)
+        .filter(col("rnk") <= Retrieval.FuseK)
+        .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk")),
+      Similarity.knnLshServe(
+          Similarity.lshIndexOf(vecs.filter(col("vec_id") % 4 <= 2)),
+          Retrieval.FuseK)
+        .filter(col("query_id").isin(probeIds: _*))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("vec_rnk"))))
+    assert(streamed === batch,
+      "fused maintained serves diverge from the batch hybrid rebuild")
+    assert(streamed.nonEmpty, "fixture must produce fused results")
+  }
+
   test("streaming sessionization matches batch q16 session count") {
     val flushDir = eventsDir // second file into the same stream dir
     val q = EventStreams.sessionize(
