@@ -1127,7 +1127,122 @@ object Text {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  // ---- q159: PII detection and redaction ----------------------------------
+
+  /** RE2-and-Java-portable PII patterns (no lookaround, no
+    * backreferences — the subset both engines' regex dialects agree
+    * on): email, NANP-style phone, dotted-quad IP. The pattern LIBRARY
+    * is the deliverable; extend per deployment. */
+  private[graft] val PiiEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhoneRe = "\\+1-555-[0-9]{4}"
+  private[graft] val PiiIpRe = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Doc-level half of q159: the planted corpus with per-doc match
+    * counts and the scrubbed text — split out so TextSpec can assert
+    * the scrub leaves ZERO residual matches per document and the counts
+    * equal the plant predicate exactly.
+    *
+    * The synthetic corpus contains no natural PII (not even digits), so
+    * the contact strings are PLANTED in-query from doc_id under md5
+    * buckets — the q66/q118 fixed-constant fixture discipline: both
+    * engines construct the identical corpus, so detection and redaction
+    * are value-exact, non-vacuous, and the per-mille plant rates
+    * (200/100/50) give every source a mix of clean and dirty docs. */
+  private[graft] def piiDocs(s: SparkSession, dir: String): DataFrame = {
+    val bucket = md5Bucket1000(col("doc_id"))
+    val planted = concat(col("text"),
+      when(bucket < 200, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+      when(bucket < 100, concat(lit(" call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(bucket < 50, concat(lit(" host 10.0."),
+        pmod(col("doc_id"), lit(256L)).cast("string"), lit("."),
+        pmod(col("doc_id") * 7, lit(256L)).cast("string")))
+        .otherwise(lit("")))
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), planted.as("doc"))
+      .select(col("doc_id"), col("source"), col("doc"),
+        regexp_count(col("doc"), lit(PiiEmailRe)).cast("long").as("em"),
+        regexp_count(col("doc"), lit(PiiPhoneRe)).cast("long").as("ph"),
+        regexp_count(col("doc"), lit(PiiIpRe)).cast("long").as("ip"),
+        regexp_replace(regexp_replace(regexp_replace(col("doc"),
+          lit(PiiEmailRe), lit("<EMAIL>")),
+          lit(PiiPhoneRe), lit("<PHONE>")),
+          lit(PiiIpRe), lit("<IP>")).as("scrubbed"))
+  }
+
+  /** q159 — PII detection + redaction audit, the release-gate scrub
+    * every public curation pipeline runs (Dolma/CCNet-style regex PII
+    * pass) and the one stage this library lacked: per source, how many
+    * documents carry PII, match counts per type, and the byte effect of
+    * redacting them with fixed placeholder tokens.
+    *
+    * Determinism: the patterns are the portable RE2∩Java subset above,
+    * the plant is md5-keyed (content-keyed, replan/retry-stable — the
+    * q53 sampling rule), and every output is an exact integer.
+    *
+    * Scale shape: ONE corpus scan; detection + redaction are in-row
+    * codegen'd regex ops; the only exchange is the #sources-row partial
+    * aggregate. The scrubbed text column is the side artifact a real
+    * run would write back per-partition (q55's pipeline composes it);
+    * nothing corpus-sized ever shuffles. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    piiDocs(s, dir)
+      .select(col("source"), col("em"), col("ph"), col("ip"),
+        length(col("doc")).cast("long").as("cb"),
+        length(col("scrubbed")).cast("long").as("ca"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("em") + col("ph") + col("ip") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("em")).as("emails"),
+        sum(col("ph")).as("phones"),
+        sum(col("ip")).as("ips"),
+        sum(col("cb")).as("chars_before"),
+        sum(col("ca")).as("chars_after"))
+      .orderBy(col("source"))
+
+  /** DuckDB spelling of [[piiScrub]]: same md5-bucket plant, same
+    * patterns (RE2 side), same replace order; DuckDB's regexp_replace
+    * needs the explicit 'g' flag to match Java's replace-all. */
+  val piiScrubSql: String = {
+    val b = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000"
+    s"""WITH p AS (
+       |  SELECT source, text
+       |    || CASE WHEN $b < 200 THEN ' contact user'
+       |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |    || CASE WHEN $b < 100 THEN ' call +1-555-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    || CASE WHEN $b < 50 THEN ' host 10.0.'
+       |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+       |         || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS doc
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(doc, '$PiiEmailRe')) AS em,
+       |    len(regexp_extract_all(doc, '$PiiPhoneRe')) AS ph,
+       |    len(regexp_extract_all(doc, '$PiiIpRe')) AS ip,
+       |    length(doc) AS cb,
+       |    length(regexp_replace(regexp_replace(regexp_replace(doc,
+       |      '$PiiEmailRe', '<EMAIL>', 'g'),
+       |      '$PiiPhoneRe', '<PHONE>', 'g'),
+       |      '$PiiIpRe', '<IP>', 'g')) AS ca
+       |  FROM p)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN em + ph + ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_with_pii,
+       |  CAST(sum(em) AS BIGINT) AS emails,
+       |  CAST(sum(ph) AS BIGINT) AS phones,
+       |  CAST(sum(ip) AS BIGINT) AS ips,
+       |  CAST(sum(cb) AS BIGINT) AS chars_before,
+       |  CAST(sum(ca) AS BIGINT) AS chars_after
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_pii_scrub"    -> (piiScrub _),
     "q114_dup_spans"    -> (dupSpans _),
     "q90_quota_sample"  -> (quotaSample _),
     "q76_chunking"      -> (chunking _),
@@ -1151,6 +1266,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q159_pii_scrub"    -> piiScrubSql,
     "q114_dup_spans"    -> dupSpansSql,
     "q90_quota_sample"  -> quotaSampleSql,
     "q76_chunking"      -> chunkingSql,

@@ -250,4 +250,33 @@ class TextSpec extends SparkSpec {
     val ok = Text.ngramJaccardGuardedOf(docs, 0.12, bound = 10000L)
     assert(ok.count() === 30L * 29 / 2)
   }
+
+  test("q159: counts equal the plant predicate; the scrub leaves no residue") {
+    val rows = Text.piiDocs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the md5 plant predicate, recomputed independently
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val bucket = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) % 1000
+      assert(r.getAs[Long]("em") === (if (bucket < 200) 1L else 0L), s"doc $id email")
+      assert(r.getAs[Long]("ph") === (if (bucket < 100) 1L else 0L), s"doc $id phone")
+      assert(r.getAs[Long]("ip") === (if (bucket < 50) 1L else 0L), s"doc $id ip")
+      // redaction is complete: no pattern survives in the scrubbed text
+      val sc = r.getAs[String]("scrubbed")
+      Seq(Text.PiiEmailRe, Text.PiiPhoneRe, Text.PiiIpRe).foreach { p =>
+        assert(!p.r.findFirstIn(sc).isDefined, s"doc $id residue for $p")
+      }
+      // and a dirty doc actually carries the placeholder
+      if (bucket < 200) assert(sc.contains("<EMAIL>"))
+    }
+    // the audit aggregate is exactly the doc-level sums
+    val agg = Text.piiScrub(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("emails")).toMap
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+      .map { case (s0, rs) => s0 -> rs.map(_.getAs[Long]("em")).sum }
+    assert(agg === bySrc)
+  }
 }
