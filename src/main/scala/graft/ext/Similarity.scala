@@ -2165,7 +2165,219 @@ object Similarity {
        |FROM r WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  // ---- q160: graph-centrality coreset ranking (integer PageRank) ----------
+
+  /** q160 dimensions: the fixed-point probability scale each node's rank
+    * mass is expressed in, and the fixed round count both engines unroll.
+    * Damping is 85/100 (the classic 0.85), spelled as integer multiply
+    * then `div` so every round stays BIGINT-exact. */
+  final val PrScale  = 1000000000000L // 10^12: rank mass per whole corpus
+  final val PrRounds = 4
+
+  /** q160 — graph centrality over the near-dup similarity graph by
+    * fixed-round integer PageRank: nodes = every embedding, edges = the
+    * q49 LSH near-dup pairs (symmetrized), rank mass propagated for
+    * [[PrRounds]] rounds with 0.85 damping. This is the graph-based
+    * representativeness score data-selection pipelines use (rank a
+    * corpus by how central each item is in its similarity graph, then
+    * keep heads for coresets / demote tails as outliers) — and it adds
+    * the iterative-graph-RANKING family beside the connectivity family
+    * (q57/q58's components): PageRank, label propagation (q161) and
+    * friends all reduce to the same per-round join-aggregate step.
+    *
+    * Exactness: all arithmetic is BIGINT — rank starts at
+    * `PrScale div N` per node, each round sends `pr div deg` along every
+    * edge and folds `tele + (85·inflow) div 100`. Both engines unroll
+    * the identical recurrence (q134's fixed-round discipline), so the
+    * final masses hash-compare exactly; the floor leak from integer
+    * division is part of the contract, not noise.
+    *
+    * Scale shape: the edge feed is q49's banded LSH join (never
+    * all-pairs); each round is ONE equi-join of the rank relation with
+    * the adjacency (shuffled on node id — co-partitioned round over
+    * round since the key never changes) plus ONE partial-aggregable
+    * sum. That per-round shape is exactly how Pregel-style ranking runs
+    * on any cluster; rounds are a fixed constant, so the plan is a
+    * 4-deep chain, not an unbounded loop. The adjacency checkpoint
+    * breaks re-derivation of the LSH join once per query. */
+  /** The symmetrized near-dup adjacency q160 and q161 both walk, built
+    * (and lineage-truncated) once per (session, dir) — the q88/q112
+    * session-cache discipline: the LSH banding is the expensive feed,
+    * and every graph query over it re-joins the SAME relation. */
+  private val adjCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def nearDupAdjacency(s: SparkSession, dir: String): DataFrame =
+    adjCache.computeIfAbsent((s, dir), { _ =>
+      val pairs = nearDupLshPairs(s, dir)
+      pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+        .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+        .localCheckpoint(eager = false)
+    })
+
+  def graphCentrality(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val adj = nearDupAdjacency(s, dir)
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // reused every round (and deg again at the end): derive the LSH
+    // banding once, not PrRounds+1 times
+    val adjDeg = adj.join(deg, Seq("u")).localCheckpoint(eager = false)
+    // N relationally (1-row broadcast), so the query stays declarative:
+    // teleport mass per node = floor(0.15 · PrScale/N), identical in SQL
+    val nrel = broadcast(e.agg(count(lit(1)).as("n")))
+    val nodes = e.select(col("vec_id")).crossJoin(nrel)
+      .select(col("vec_id"),
+        expr(s"$PrScale div n").as("pr0"),
+        expr(s"(($PrScale div n) * 15) div 100").as("tele"))
+      .localCheckpoint(eager = false) // re-joined every round
+    var pr = nodes.select(col("vec_id"), col("pr0").as("pr"))
+    for (_ <- 1 to PrRounds) {
+      val inflow = adjDeg
+        .join(pr.select(col("vec_id").as("u"), col("pr").as("pu")), Seq("u"))
+        .select(col("v"), expr("pu div deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+      pr = nodes
+        .join(inflow, nodes("vec_id") === inflow("v"), "left")
+        .select(nodes("vec_id"),
+          (col("tele") +
+            expr("(85 * coalesce(inflow, bigint(0))) div 100")).as("pr"))
+    }
+    pr.join(deg.select(col("u").as("vec_id"), col("deg")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"), col("pr"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB spelling: the same pair CTEs, then [[PrRounds]] unrolled
+    * rounds of the identical integer recurrence. */
+  val graphCentralitySql: String = {
+    val rounds = (1 to PrRounds).map { r =>
+      s"""r$r AS (
+         |  SELECT nd.vec_id, nd.tele + (85 * COALESCE(i.inflow, 0)) // 100 AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT a.v AS vec_id, CAST(SUM(p.pr // d.deg) AS BIGINT) AS inflow
+         |    FROM adj a
+         |    JOIN r${r - 1} p ON p.vec_id = a.u
+         |    JOIN deg d ON d.u = a.u
+         |    GROUP BY 1) i ON i.vec_id = nd.vec_id)"""
+    }.mkString(",\n")
+    s"""WITH $nearDupPairCtes,
+       |adj AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+       |nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |nodes AS (
+       |  SELECT vec_id, ($PrScale // n) AS pr0,
+       |    ((($PrScale // n) * 15) // 100) AS tele
+       |  FROM embeddings CROSS JOIN nrel),
+       |r0 AS (SELECT vec_id, pr0 AS pr FROM nodes),
+       |$rounds
+       |SELECT n.vec_id, COALESCE(d.deg, 0) AS deg, r.pr
+       |FROM nodes n
+       |LEFT JOIN deg d ON d.u = n.vec_id
+       |JOIN r$PrRounds r ON r.vec_id = n.vec_id
+       |ORDER BY n.vec_id""".stripMargin
+  }
+
+  // ---- q161: semi-supervised label propagation -----------------------------
+
+  /** q161 dimensions: every [[LpSeedMod]]-th vector keeps its true label
+    * as a clamped seed; propagation runs [[LpRounds]] unrolled rounds. */
+  final val LpSeedMod = 5
+  final val LpRounds  = 3
+
+  /** q161 — semi-supervised auto-labeling by label propagation over the
+    * near-dup graph: vectors with `vec_id % 5 = 0` are the labeled seed
+    * set (their true label, clamped every round); every other node is
+    * re-derived each round as the MAJORITY label of its currently-labeled
+    * neighbors, ties to the smallest label. After [[LpRounds]] rounds
+    * each vector reports seed / propagated / unlabeled status, its
+    * inferred label, and — the audit column — whether the inference
+    * matches the held-back true label. This is the label-spreading pass
+    * that turns a small hand-labeled set into weak labels for the whole
+    * corpus (Zhu & Ghahramani's label propagation, run exactly the way a
+    * curation pipeline would: over the ANN near-dup graph it already
+    * built, with the held-out agreement rate as the quality gate).
+    *
+    * Determinism: the per-node argmax is `max_by(label, cnt·1024 +
+    * (1023 − label))` — the key is injective in label for any count, so
+    * the max is unique: majority first, smallest label on ties, no
+    * engine-ordering dependence anywhere. Labeled-ness grows
+    * monotonically (seeds never move; a labeled neighbor stays labeled),
+    * but vote VALUES may legitimately shift between rounds — both
+    * engines replay the identical recurrence.
+    *
+    * Scale shape: identical to q160 — per round, one equi-join of the
+    * current label relation with the banded adjacency and one
+    * partial-aggregable count/argmax; rounds are a fixed constant. */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val adj = nearDupAdjacency(s, dir) // shared, checkpointed once
+    val seeds = e.filter(col("vec_id") % LpSeedMod === 0)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .localCheckpoint(eager = false) // unioned into every round
+    var cur = seeds
+    for (_ <- 1 to LpRounds) {
+      val votes = adj
+        .join(cur.select(col("vec_id").as("u"), col("label").as("nl")), Seq("u"))
+        .filter(col("v") % LpSeedMod =!= 0) // seeds are clamped, never voted
+        .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(expr("max_by(nl, cnt * 1024 + (1023 - nl))").as("label"))
+      cur = seeds.union(votes.select(col("v").as("vec_id"), col("label")))
+    }
+    e.select(col("vec_id"), col("label").cast("long").as("truth"))
+      .join(cur.withColumnRenamed("label", "label_out"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") % LpSeedMod === 0, lit("seed"))
+          .when(col("label_out").isNotNull, lit("propagated"))
+          .otherwise(lit("unlabeled")).as("status"),
+        col("label_out"),
+        when(col("label_out").isNull, lit(null).cast("long"))
+          .otherwise((col("label_out") === col("truth")).cast("long"))
+          .as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB spelling: same pair CTEs, [[LpRounds]] unrolled vote/assign
+    * rounds with the identical injective argmax key. */
+  val labelPropagationSql: String = {
+    val rounds = (1 to LpRounds).map { r =>
+      s"""v$r AS (
+         |  SELECT a.v, c.label AS nl, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM adj a JOIN c${r - 1} c ON c.vec_id = a.u
+         |  WHERE a.v % $LpSeedMod <> 0
+         |  GROUP BY 1, 2),
+         |c$r AS (
+         |  SELECT vec_id, label FROM seeds
+         |  UNION ALL
+         |  SELECT v AS vec_id, arg_max(nl, cnt * 1024 + (1023 - nl)) AS label
+         |  FROM v$r GROUP BY v)"""
+    }.mkString(",\n")
+    s"""WITH $nearDupPairCtes,
+       |adj AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+       |seeds AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+       |  WHERE vec_id % $LpSeedMod = 0),
+       |c0 AS (SELECT vec_id, label FROM seeds),
+       |$rounds
+       |SELECT t.vec_id,
+       |  CASE WHEN t.vec_id % $LpSeedMod = 0 THEN 'seed'
+       |       WHEN c.label IS NOT NULL THEN 'propagated'
+       |       ELSE 'unlabeled' END AS status,
+       |  c.label AS label_out,
+       |  CASE WHEN c.label IS NULL THEN NULL
+       |       ELSE CAST(c.label = t.truth AS BIGINT) END AS correct
+       |FROM (SELECT vec_id, CAST(label AS BIGINT) AS truth
+       |      FROM embeddings) t
+       |LEFT JOIN c$LpRounds c ON c.vec_id = t.vec_id
+       |ORDER BY t.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_graph_centrality" -> (graphCentrality _),
+    "q161_label_propagation" -> (labelPropagation _),
     "q134_pca_power" -> (pcaTopComponent _),
     "q139_hard_negatives" -> (hardNegatives _),
     "q142_pca_ann" -> (pcaAnnTopK _),
@@ -2188,6 +2400,8 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q160_graph_centrality" -> graphCentralitySql,
+    "q161_label_propagation" -> labelPropagationSql,
     "q134_pca_power" -> pcaTopComponentSql,
     "q139_hard_negatives" -> hardNegativesSql,
     "q142_pca_ann" -> pcaAnnTopKSql,

@@ -377,4 +377,90 @@ class SimilaritySpec extends SparkSpec {
     assert(hitsAll === exact.map { case (q, ex) =>
       (ex & trunc(q)).size }.sum.toLong)
   }
+
+  /** The near-dup graph both q160 and q161 walk, replayed driver-side:
+    * symmetric adjacency from the production LSH pair feed. */
+  private def replayAdjacency(): Map[Long, Seq[Long]] = {
+    val ab = Similarity.nearDupLshPairs(SparkSpec.spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    ab.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSeq }
+  }
+
+  test("q160: integer-PageRank recurrence matches a driver-side replay") {
+    val adj = replayAdjacency()
+    val n = graft.tables.Tables.embeddings(SparkSpec.spark, sf).count()
+    val ids = graft.tables.Tables.embeddings(SparkSpec.spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val pr0 = Similarity.PrScale / n
+    val tele = (pr0 * 15) / 100
+    var pr: Map[Long, Long] = ids.map(_ -> pr0).toMap
+    for (_ <- 1 to Similarity.PrRounds) {
+      val inflow = ids.map { v =>
+        v -> adj.getOrElse(v, Seq.empty)
+          .map(u => pr(u) / adj(u).length).sum
+      }.toMap
+      pr = ids.map(v => v -> (tele + (85 * inflow(v)) / 100)).toMap
+    }
+    val rows = Similarity.graphCentrality(spark, sf).collect()
+    assert(rows.length === n)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("deg") === adj.getOrElse(id, Seq.empty).length.toLong)
+      assert(r.getAs[Long]("pr") === pr(id), s"node $id rank")
+    }
+    // mass conservation (integer floors only leak downward) and the
+    // isolated-node law: no in-edges -> rank is exactly the teleport mass
+    assert(rows.map(_.getAs[Long]("pr")).sum <= Similarity.PrScale)
+    val isolated = rows.filter(_.getAs[Long]("deg") == 0L)
+    assert(isolated.nonEmpty, "graph unexpectedly dense — no isolated nodes")
+    isolated.foreach(r => assert(r.getAs[Long]("pr") === tele))
+    // connected nodes must not all tie with isolated ones
+    assert(rows.exists(_.getAs[Long]("pr") > tele))
+  }
+
+  test("q161: label propagation matches a driver-side replay of 3 rounds") {
+    val adj = replayAdjacency()
+    val truth = graft.tables.Tables.embeddings(SparkSpec.spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val seeds = truth.keys.filter(_ % Similarity.LpSeedMod == 0)
+      .map(v => v -> truth(v)).toMap
+    var cur = seeds
+    for (_ <- 1 to Similarity.LpRounds) {
+      val assigned = truth.keys.filter(_ % Similarity.LpSeedMod != 0).flatMap { v =>
+        val votes = adj.getOrElse(v, Seq.empty).flatMap(cur.get)
+          .groupBy(identity).map { case (l, ls) => l -> ls.size }
+        if (votes.isEmpty) None
+        else Some(v -> votes.maxBy { case (l, c) => c * 1024L + (1023 - l) }._1)
+      }.toMap
+      cur = seeds ++ assigned
+    }
+    val rows = Similarity.labelPropagation(spark, sf).collect()
+    assert(rows.length === truth.size)
+    var propagated = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val status = r.getAs[String]("status")
+      val lab = Option(r.getAs[java.lang.Long]("label_out")).map(_.toLong)
+      if (id % Similarity.LpSeedMod == 0) {
+        assert(status === "seed")
+        assert(lab === Some(truth(id)), s"seed $id must keep its true label")
+        assert(r.getAs[Long]("correct") === 1L)
+      } else {
+        assert(cur.get(id) === lab, s"node $id label")
+        if (lab.isDefined) {
+          propagated += 1
+          assert(status === "propagated")
+          assert(r.getAs[Long]("correct") ===
+            (if (lab.contains(truth(id))) 1L else 0L))
+        } else {
+          assert(status === "unlabeled")
+          assert(r.isNullAt(r.fieldIndex("correct")))
+        }
+      }
+    }
+    assert(propagated > 0, "propagation never reached a non-seed node")
+    info(s"propagated $propagated non-seed nodes")
+  }
 }
