@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -268,13 +268,98 @@ object Layout {
        |FROM c GROUP BY file_id
        |ORDER BY file_id""".stripMargin
 
+  // ---- q162: rendezvous-hash resharding audit -----------------------------
+
+  /** q162 shard counts: the audit scales the corpus layout from
+    * [[ShardsOld]] to [[ShardsNew]] shards under both schemes. */
+  final val ShardsOld = 8
+  final val ShardsNew = 10
+
+  /** Highest-random-weight key of (doc, shard): the md5-derived 32-bit
+    * weight (this library's portable-hash idiom, [[graft.ext.Text]]'s
+    * md5Bucket convention) made injective by folding the shard id into
+    * the low bits — so the per-doc argmax is unique with NO tie rule
+    * needed in either engine. */
+  private def rvKey(i: Int): Column =
+    conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#" + i))), 1, 8), 16, 10).cast("long") * 64 + i
+
+  /** Per-doc rendezvous winner among shards 0..n-1, entirely IN-ROW:
+    * `greatest` over n (key, shard) structs — no shuffle, no join. */
+  private def rvPick(n: Int): Column =
+    greatest((0 until n).map(i =>
+      struct(rvKey(i).as("k"), lit(i.toLong).as("s"))): _*).getField("s")
+
+  /** q162 — resharding audit under rendezvous (highest-random-weight)
+    * hashing vs modulo hashing: assign every document to a shard under
+    * the old ([[ShardsOld]]) and new ([[ShardsNew]]) shard counts with
+    * both schemes, and report per (scheme, new shard) the doc count and
+    * how many docs MOVED shards. This is the decision relation behind
+    * re-laying-out a stored corpus when the shard/worker count changes:
+    * rendezvous hashing provably moves ONLY the docs the new shards win
+    * (expected k/(n+k) of the corpus — here exactly the docs landing on
+    * shards 8–9, a law the spec asserts), while `id mod n` reshuffles
+    * almost everything. At 100 TB that difference is the whole network
+    * bill of a topology change, which is why every distributed store
+    * (Riak, Ceph's CRUSH, consistent-hash caches) plans placement this
+    * way.
+    *
+    * Scale shape: ONE scan of doc ids; the double assignment is in-row
+    * (`greatest` over a constant-size struct list — 18 md5s per row, no
+    * shuffle, no join, codegen'd); the only exchange is the final
+    * ≤ 2·[[ShardsNew]]-group aggregate. The audit never touches doc
+    * payloads, so it runs on the manifest, not the corpus. */
+  def reshardAudit(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir).select(col("doc_id"),
+      rvPick(ShardsOld).as("rv_old"), rvPick(ShardsNew).as("rv_new"),
+      (col("doc_id") % ShardsOld).as("m_old"),
+      (col("doc_id") % ShardsNew).as("m_new"))
+    val rv = a.select(lit("rendezvous").as("scheme"),
+      col("rv_new").as("shard"),
+      (col("rv_old") =!= col("rv_new")).cast("long").as("mv"))
+    val md = a.select(lit("mod").as("scheme"), col("m_new").as("shard"),
+      (col("m_old") =!= col("m_new")).cast("long").as("mv"))
+    rv.union(md)
+      .groupBy(col("scheme"), col("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("mv")).as("moved"))
+      .orderBy(col("scheme"), col("shard"))
+  }
+
+  /** Oracle: the unnested spelling — cross join against the 10-row shard
+    * relation, FILTERed arg_max per width, same injective keys. */
+  val reshardAuditSql: String =
+    s"""WITH sh AS (SELECT unnest(range($ShardsNew)) AS s),
+       |w AS (
+       |  SELECT d.doc_id, sh.s,
+       |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+       |       CAST(sh.s AS VARCHAR)), 1, 8))::BIGINT * 64 + sh.s AS key
+       |  FROM documents d CROSS JOIN sh),
+       |a AS (
+       |  SELECT doc_id,
+       |    arg_max(s, key) FILTER (WHERE s < $ShardsOld) AS rv_old,
+       |    arg_max(s, key) AS rv_new,
+       |    doc_id % $ShardsOld AS m_old, doc_id % $ShardsNew AS m_new
+       |  FROM w GROUP BY doc_id),
+       |u AS (
+       |  SELECT 'rendezvous' AS scheme, rv_new AS shard,
+       |    CAST(rv_old <> rv_new AS BIGINT) AS mv FROM a
+       |  UNION ALL
+       |  SELECT 'mod' AS scheme, m_new AS shard,
+       |    CAST(m_old <> m_new AS BIGINT) AS mv FROM a)
+       |SELECT scheme, shard, CAST(COUNT(*) AS BIGINT) AS docs,
+       |  CAST(SUM(mv) AS BIGINT) AS moved
+       |FROM u GROUP BY scheme, shard
+       |ORDER BY scheme, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_zorder_stats" -> (zorderStats _),
     "q124_bucketed_join" -> (bucketedJoin _),
-    "q137_file_packing" -> (filePacking _))
+    "q137_file_packing" -> (filePacking _),
+    "q162_reshard_audit" -> (reshardAudit _))
 
   val oracles: Map[String, String] = Map(
     "q94_zorder_stats" -> zorderStatsSql,
     "q124_bucketed_join" -> bucketedJoinSql,
-    "q137_file_packing" -> filePackingSql)
+    "q137_file_packing" -> filePackingSql,
+    "q162_reshard_audit" -> reshardAuditSql)
 }

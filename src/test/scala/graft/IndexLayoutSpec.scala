@@ -317,4 +317,30 @@ class IndexLayoutSpec extends SparkSpec {
         r.getLong(2).toDouble / r.getLong(3)))
     }
   }
+
+  test("q162: rendezvous moves ONLY docs the new shards win; mod moves most") {
+    val rows = Layout.reshardAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.documents(spark, sf).count()
+    for (scheme <- Seq("rendezvous", "mod")) {
+      val rs = rows.filter(_._1 == scheme)
+      assert(rs.map(_._3).sum === total, s"$scheme must partition the corpus")
+      assert(rs.map(_._2).toSet.subsetOf((0L until Layout.ShardsNew).toSet))
+    }
+    // the minimal-disruption theorem: an argmax over a SUPERSET of shards
+    // changes iff a new shard wins — so old shards keep every doc, and
+    // every doc on a new shard just moved there
+    rows.filter(_._1 == "rendezvous").foreach { case (_, shard, docs, moved) =>
+      if (shard < Layout.ShardsOld) assert(moved === 0L,
+        s"rendezvous shard $shard must keep its docs on scale-out")
+      else assert(moved === docs,
+        s"rendezvous shard $shard holds only newly-moved docs")
+    }
+    val rvMoved = rows.filter(_._1 == "rendezvous").map(_._4).sum
+    val modMoved = rows.filter(_._1 == "mod").map(_._4).sum
+    // expected movement: ~2/10 for rendezvous vs ~80% for mod
+    assert(rvMoved < total / 2 && modMoved > total / 2,
+      s"rendezvous $rvMoved vs mod $modMoved of $total")
+    info(s"moved: rendezvous $rvMoved, mod $modMoved of $total docs")
+  }
 }
