@@ -314,12 +314,13 @@ object Layout {
       rvPick(ShardsOld).as("rv_old"), rvPick(ShardsNew).as("rv_new"),
       (col("doc_id") % ShardsOld).as("m_old"),
       (col("doc_id") % ShardsNew).as("m_new"))
-    val rv = a.select(lit("rendezvous").as("scheme"),
-      col("rv_new").as("shard"),
-      (col("rv_old") =!= col("rv_new")).cast("long").as("mv"))
-    val md = a.select(lit("mod").as("scheme"), col("m_new").as("shard"),
-      (col("m_old") =!= col("m_new")).cast("long").as("mv"))
-    rv.union(md)
+    // both schemes emit from the SAME row via inline — a union of two
+    // selects over `a` would plan the manifest scan twice
+    a.select(inline(array(
+        struct(lit("rendezvous").as("scheme"), col("rv_new").as("shard"),
+          (col("rv_old") =!= col("rv_new")).cast("long").as("mv")),
+        struct(lit("mod").as("scheme"), col("m_new").as("shard"),
+          (col("m_old") =!= col("m_new")).cast("long").as("mv")))))
       .groupBy(col("scheme"), col("shard"))
       .agg(count(lit(1)).as("docs"), sum(col("mv")).as("moved"))
       .orderBy(col("scheme"), col("shard"))

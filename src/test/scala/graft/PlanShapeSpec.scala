@@ -368,6 +368,24 @@ class PlanShapeSpec extends SparkSpec {
       s"per-anchor argmax window lost its anchor partitioning:\n$p")
   }
 
+  test("q160/q161: fixed-round graph recurrences join on node ids only") {
+    Seq(Similarity.graphCentrality(spark, sf),
+        Similarity.labelPropagation(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian in graph recurrence:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join in graph recurrence:\n$p")
+    }
+  }
+
+  test("q162: reshard audit is one scan, in-row argmax, no join at all") {
+    val p = plan(graft.ext.Layout.reshardAudit(spark, sf))
+    assert(!p.contains("Join"), s"reshard audit grew a join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly one scan, got $scans:\n$p")
+  }
+
   test("q134: the corpus is scanned exactly once (Gram explode), iterations reuse it") {
     val df = graft.ext.Similarity.pcaTopComponent(spark, sf)
     df.collect() // materialize the lazy localCheckpoint barriers
