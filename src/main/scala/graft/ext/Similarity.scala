@@ -2375,9 +2375,82 @@ object Similarity {
        |ORDER BY t.vec_id""".stripMargin
   }
 
+  // ---- q163: deterministic random-walk corpus (DeepWalk shape) ------------
+
+  /** Steps per walk; every node with at least one edge starts one walk. */
+  final val WalkLen = 4
+
+  /** q163 — random-walk corpus over the near-dup graph: from every
+    * connected node, a [[WalkLen]]-step walk where each hop is the
+    * neighbor with the highest md5-derived weight of (current node,
+    * step, neighbor) — "random" to the graph, deterministic to the
+    * engines (the q53 content-keyed-hash discipline applied to walk
+    * sampling). This is DeepWalk/node2vec's training-data generation
+    * step: the emitted (start, pos, node) sequences are exactly the
+    * sentences whose skip-gram pairs (q93's operator) train graph
+    * embeddings — the third member of the graph family beside ranking
+    * (q160) and labeling (q161).
+    *
+    * Determinism: the per-hop argmax key is the 32-bit md5 weight made
+    * injective by folding the neighbor id into the low 20 bits, so
+    * hash ties cannot make the walk engine-dependent (wider id spaces
+    * widen the fold — the key just needs to stay within int64).
+    * Walks never dead-end: the graph is symmetric, so any reached node
+    * has at least the edge it was reached by.
+    *
+    * Scale shape: each hop is ONE equi-join of the walk frontier with
+    * the shared checkpointed adjacency plus one partial-aggregable
+    * argmax, all in a single plan chain (no per-step union — a union
+    * spelling re-derives every prefix). Walk state that crosses the
+    * exchange is (start, path, cur): ≤ [[WalkLen]]+2 longs per walk. */
+  def walkCorpus(s: SparkSession, dir: String): DataFrame = {
+    val adj = nearDupAdjacency(s, dir)
+    var w = adj.select(col("u")).distinct()
+      .select(col("u").as("start"), array(col("u")).as("path"),
+        col("u").as("cur"))
+    for (step <- 1 to WalkLen) {
+      val key = s"cast(conv(substring(md5(concat(cast(cur as string), " +
+        s"'#$step#', cast(v as string))), 1, 8), 16, 10) as bigint) " +
+        s"* 1048576 + v"
+      w = w.join(adj, w("cur") === adj("u"))
+        .groupBy(w("start"), w("path"), w("cur"))
+        .agg(expr(s"max_by(v, $key)").as("nxt"))
+        .select(col("start"), concat(col("path"), array(col("nxt"))).as("path"),
+          col("nxt").as("cur"))
+    }
+    w.select(col("start"), posexplode(col("path")).as(Seq("pos", "node_id")))
+      .select(col("start"), col("pos").cast("long").as("pos"), col("node_id"))
+      .orderBy(col("start"), col("pos"))
+  }
+
+  /** DuckDB spelling: unrolled hops with the identical injective keys. */
+  val walkCorpusSql: String = {
+    val hops = (1 to WalkLen).map { r =>
+      s"""s$r AS (
+         |  SELECT p.start AS start, arg_max(a.v,
+         |    ('0x' || substr(md5(CAST(p.cur AS VARCHAR) || '#$r#' ||
+         |       CAST(a.v AS VARCHAR)), 1, 8))::BIGINT * 1048576 + a.v) AS cur
+         |  FROM s${r - 1} p JOIN adj a ON a.u = p.cur
+         |  GROUP BY p.start, p.cur)"""
+    }.mkString(",\n")
+    val posUnion = (1 to WalkLen).map { r =>
+      s"SELECT start, CAST($r AS BIGINT) AS pos, cur AS node_id FROM s$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $nearDupPairCtes,
+       |adj AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+       |s0 AS (SELECT DISTINCT u AS start, u AS cur FROM adj),
+       |$hops
+       |SELECT start, CAST(0 AS BIGINT) AS pos, start AS node_id FROM s0
+       |  UNION ALL $posUnion
+       |ORDER BY start, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_graph_centrality" -> (graphCentrality _),
     "q161_label_propagation" -> (labelPropagation _),
+    "q163_walk_corpus" -> (walkCorpus _),
     "q134_pca_power" -> (pcaTopComponent _),
     "q139_hard_negatives" -> (hardNegatives _),
     "q142_pca_ann" -> (pcaAnnTopK _),
@@ -2402,6 +2475,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q160_graph_centrality" -> graphCentralitySql,
     "q161_label_propagation" -> labelPropagationSql,
+    "q163_walk_corpus" -> walkCorpusSql,
     "q134_pca_power" -> pcaTopComponentSql,
     "q139_hard_negatives" -> hardNegativesSql,
     "q142_pca_ann" -> pcaAnnTopKSql,

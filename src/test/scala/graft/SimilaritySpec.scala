@@ -463,4 +463,33 @@ class SimilaritySpec extends SparkSpec {
     assert(propagated > 0, "propagation never reached a non-seed node")
     info(s"propagated $propagated non-seed nodes")
   }
+
+  test("q163: walks match a driver-side replay and only traverse real edges") {
+    val adj = replayAdjacency()
+    def weight(cur: Long, step: Int, nbr: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$cur#$step#$nbr".getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 1048576L + nbr
+    }
+    val rows = Similarity.walkCorpus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byStart = rows.groupBy(_._1)
+    assert(byStart.keySet === adj.keySet, "one walk per connected node")
+    byStart.foreach { case (start, rs) =>
+      val walk = rs.sortBy(_._2).map(_._3)
+      assert(rs.map(_._2).sorted.toSeq ===
+        (0L to Similarity.WalkLen.toLong).toSeq, s"walk $start positions")
+      assert(walk.head === start)
+      walk.sliding(2).zipWithIndex.foreach { case (Array(cur, nxt), i) =>
+        assert(adj(cur).contains(nxt), s"walk $start hop $i not an edge")
+        assert(nxt === adj(cur).maxBy(n => weight(cur, i + 1, n)),
+          s"walk $start hop $i picked the wrong neighbor")
+      }
+    }
+    // the hash choice must actually vary by step: at least one walk
+    // must NOT just bounce between two nodes for its whole length
+    assert(byStart.values.exists(rs => rs.map(_._3).distinct.length > 2),
+      "every walk degenerated to a 2-cycle — step not folded into the key?")
+  }
 }
