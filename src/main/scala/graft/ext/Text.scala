@@ -1241,7 +1241,122 @@ object Text {
        |FROM c GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- q164: weak-supervision labeling-function audit ---------------------
+
+  /** q164 — Snorkel-style programmatic-labeling audit: four labeling
+    * functions vote +1 / −1 / 0 (abstain) on every document's "train on
+    * this?" question — a length rule, a stopword rule, a digit-density
+    * rule, and a language rule — and the relation reports, per LF, the
+    * four diagnostics a weak-supervision pipeline tunes against:
+    * coverage (non-abstain votes), overlap (voted where some other LF
+    * also voted), conflict (voted against another LF's vote), and
+    * agreement with the majority weak label. This is the data-programming
+    * capability beside the trained filters (q125's NB, q108's declared
+    * rules): many cheap noisy heuristics, audited so the aggregator
+    * knows which to trust — the way teams label 100 TB when hand labels
+    * don't exist.
+    *
+    * All votes and diagnostics are in-row integer expressions over one
+    * scan; the per-LF roll-up `inline`s four struct rows per doc (like
+    * q162, a union of per-LF selects would plan four scans) into ONE
+    * partial-aggregable 4-group aggregate. Exact counts only — no
+    * ratios, so the hash compare is ULP-proof. */
+  def weakLabels(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.lang_id
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val dig = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+    val vLen = when(col("n_chars") >= 300, 1L)
+      .when(col("n_chars") < 100, -1L).otherwise(0L)
+    val vStop = when(nTok >= 5 && array_contains(toks, "the"), 1L)
+      .when(nTok >= 5, -1L).otherwise(0L)
+    val vDig = when(dig * 5 >= col("n_chars"), -1L)
+      .when(dig * 50 <= col("n_chars"), 1L).otherwise(0L)
+    val vLang = when(lang_id(col("text")) === "en", 1L).otherwise(0L)
+    val base = Tables.documents(s, dir).select(
+      vLen.as("v1"), vStop.as("v2"), vDig.as("v3"), vLang.as("v4"))
+    val vs = Seq(col("v1"), col("v2"), col("v3"), col("v4"))
+    val pos = vs.map(v => when(v === 1, 1L).otherwise(0L)).reduce(_ + _)
+    val neg = vs.map(v => when(v === -1, 1L).otherwise(0L)).reduce(_ + _)
+    val tot = vs.reduce(_ + _)
+    val weak = when(tot > 0, 1L).when(tot < 0, -1L).otherwise(0L)
+    val arms = Seq("lf_length", "lf_stopword", "lf_digit", "lf_lang")
+      .zip(vs).map { case (n, v) =>
+        struct(lit(n).as("lf"),
+          (v =!= 0).cast("long").as("cov"),
+          (v =!= 0 && (pos + neg) >= 2).cast("long").as("ovl"),
+          ((v === 1 && neg >= 1) || (v === -1 && pos >= 1))
+            .cast("long").as("conf"),
+          (v =!= 0 && v === weak).cast("long").as("agr"))
+      }
+    base.select(inline(array(arms: _*)))
+      .groupBy(col("lf"))
+      .agg(sum(col("cov")).as("coverage"), sum(col("ovl")).as("overlap"),
+        sum(col("conf")).as("conflict"),
+        sum(col("agr")).as("agree_majority"))
+      .orderBy(col("lf"))
+  }
+
+  /** DuckDB spelling: same four vote rules (lang arm through the shared
+    * generated profile scores), same diagnostics, 4-arm UNION ALL. */
+  def weakLabelsSql: String =
+    s"""WITH t AS (
+       |  SELECT text, n_chars,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |sc AS (
+       |  SELECT text, n_chars,
+       |    $langScoreCols
+       |  FROM t),
+       |v AS (
+       |  SELECT
+       |    CASE WHEN n_chars >= 300 THEN 1
+       |         WHEN n_chars < 100 THEN -1 ELSE 0 END AS v1,
+       |    CASE WHEN len(string_split(text, ' ')) >= 5
+       |              AND list_contains(string_split(text, ' '), 'the') THEN 1
+       |         WHEN len(string_split(text, ' ')) >= 5 THEN -1
+       |         ELSE 0 END AS v2,
+       |    CASE WHEN len(regexp_replace(text, '[^0-9]', '', 'g')) * 5
+       |              >= n_chars THEN -1
+       |         WHEN len(regexp_replace(text, '[^0-9]', '', 'g')) * 50
+       |              <= n_chars THEN 1
+       |         ELSE 0 END AS v3,
+       |    CASE WHEN $langMaxExpr > 0 AND s_en = $langMaxExpr THEN 1
+       |         ELSE 0 END AS v4
+       |  FROM sc),
+       |st AS (
+       |  SELECT v1, v2, v3, v4,
+       |    (CASE WHEN v1 = 1 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN v2 = 1 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN v3 = 1 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN v4 = 1 THEN 1 ELSE 0 END) AS pos,
+       |    (CASE WHEN v1 = -1 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN v2 = -1 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN v3 = -1 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN v4 = -1 THEN 1 ELSE 0 END) AS neg,
+       |    CASE WHEN v1 + v2 + v3 + v4 > 0 THEN 1
+       |         WHEN v1 + v2 + v3 + v4 < 0 THEN -1 ELSE 0 END AS weak
+       |  FROM v),
+       |arms AS (
+       |  SELECT 'lf_length' AS lf, v1 AS vv, pos, neg, weak FROM st
+       |  UNION ALL SELECT 'lf_stopword', v2, pos, neg, weak FROM st
+       |  UNION ALL SELECT 'lf_digit', v3, pos, neg, weak FROM st
+       |  UNION ALL SELECT 'lf_lang', v4, pos, neg, weak FROM st)
+       |SELECT lf,
+       |  CAST(SUM(CASE WHEN vv <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS coverage,
+       |  CAST(SUM(CASE WHEN vv <> 0 AND pos + neg >= 2 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS overlap,
+       |  CAST(SUM(CASE WHEN (vv = 1 AND neg >= 1)
+       |             OR (vv = -1 AND pos >= 1) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS conflict,
+       |  CAST(SUM(CASE WHEN vv <> 0 AND vv = weak THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS agree_majority
+       |FROM arms GROUP BY lf
+       |ORDER BY lf""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_weak_labels"  -> (weakLabels _),
     "q159_pii_scrub"    -> (piiScrub _),
     "q114_dup_spans"    -> (dupSpans _),
     "q90_quota_sample"  -> (quotaSample _),
@@ -1266,6 +1381,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q164_weak_labels"  -> weakLabelsSql,
     "q159_pii_scrub"    -> piiScrubSql,
     "q114_dup_spans"    -> dupSpansSql,
     "q90_quota_sample"  -> quotaSampleSql,

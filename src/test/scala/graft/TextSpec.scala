@@ -279,4 +279,28 @@ class TextSpec extends SparkSpec {
       .map { case (s0, rs) => s0 -> rs.map(_.getAs[Long]("em")).sum }
     assert(agg === bySrc)
   }
+
+  test("q164: LF diagnostics obey the Snorkel laws; lang arm ≡ q47") {
+    val total = graft.tables.Tables.documents(spark, sf).count()
+    val rows = Text.weakLabels(spark, sf).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(rows.keySet === Set("lf_length", "lf_stopword", "lf_digit",
+      "lf_lang"))
+    rows.foreach { case (lf, (cov, ovl, conf, agr)) =>
+      assert(cov > 0 && cov <= total, s"$lf coverage degenerate")
+      // overlap/conflict/agreement all require a non-abstain vote,
+      // and a conflict IS an overlap with opposite sign
+      assert(ovl <= cov, s"$lf overlap > coverage")
+      assert(conf <= ovl, s"$lf conflict > overlap")
+      assert(agr <= cov, s"$lf agreement > coverage")
+    }
+    // the audit is only informative if the LFs actually disagree
+    assert(rows.values.exists(_._3 > 0), "no LF ever conflicts")
+    // the language LF's coverage is exactly q47's predicted-en count
+    val enPred = Text.langIdConfusion(spark, sf).collect()
+      .filter(_.getString(1) == "en").map(_.getAs[Long]("n")).sum
+    assert(rows("lf_lang")._1 === enPred,
+      "lf_lang coverage drifted from the q47 lang-ID surface")
+  }
 }
