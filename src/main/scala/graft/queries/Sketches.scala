@@ -193,12 +193,121 @@ object Sketches {
        |FROM est ORDER BY rnk""".stripMargin
   }
 
+  // ---- q165: mergeable histogram-quantile sketch with certified error -----
+
+  /** Histogram resolution: the summary is ≤ [[QsBuckets]] rows no matter
+    * the corpus size, and the certified error is one bucket width. */
+  final val QsBuckets = 256L
+  private val QsProbes = Seq(25, 50, 75, 90, 99)
+
+  /** q165 — approximate quantiles from a MERGEABLE fixed-size summary,
+    * with a certified error bound and an exactness audit: event values
+    * (as exact integer cents) bucket into a [[QsBuckets]]-bin equi-width
+    * histogram; each probe percentile's estimate is the lower edge of
+    * the first bucket whose cumulative count reaches the target rank.
+    * By construction the true order statistic lies IN that bucket, so
+    * `|exact − est| < bucket width` is a THEOREM, not a hope — the
+    * relation reports est, the certified bound, the exact value, and
+    * the within-bound flag (always 1; it is the audit that would catch
+    * a broken merge).
+    *
+    * This completes the sketch family's quantile corner: q27/q106/q152
+    * are exact order statistics (a sort per group — the honest price),
+    * q36's percentile_approx is engine-internal (flag-checked only);
+    * THIS is the scalable spelling that stays oracle-exact, because the
+    * summary is deterministic integer arithmetic both engines replay.
+    *
+    * Scale shape: the histogram `groupBy(bucket)` partial-aggregates —
+    * per-partition histograms ARE the sketch, and the exchange merges
+    * them associatively (≤ [[QsBuckets]] rows per partition, the
+    * mergeability that lets 1000 executors summarize 100 TB with one
+    * constant-size shuffle). The min/max pre-pass is its own
+    * partial-aggregable scan. The cumulative window and probe joins
+    * run on ≤ 256-row relations. The EXACT arm is one global-order
+    * window — the deliberate q117-style audit cost, priced for release
+    * gates; production serving reads est/bound only and never sorts. */
+  def q165QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(floor(col("value") * 100).cast("long").as("c"), col("event_id"))
+      .localCheckpoint(eager = false) // feeds stats, histogram AND exact arm
+    val stats = ev.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+      count(lit(1)).as("n"))
+    val hist = ev.crossJoin(broadcast(stats))
+      .groupBy(expr(s"(c - mn) div ((mx - mn) div $QsBuckets + 1)").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist // ≤256 rows: the single-partition window is bounded
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)))
+    val targets = QsProbes.toDF("p").crossJoin(broadcast(stats))
+      .select(col("p").cast("long").as("p"),
+        expr("(p * n + 99) div 100").as("target_rank"))
+    val lo = targets.join(cum, col("cum") >= col("target_rank"))
+      .groupBy(col("p"), col("target_rank"))
+      .agg(min(col("b")).as("b_lo"))
+    val exact = ev.withColumn("rn", row_number().over(
+        Window.orderBy(col("c"), col("event_id"))).cast("long"))
+      .select(col("rn"), col("c").as("exact_cents"))
+    lo.crossJoin(broadcast(stats))
+      .select(col("p"), col("target_rank"),
+        expr(s"mn + b_lo * ((mx - mn) div $QsBuckets + 1)").as("est_cents"),
+        expr(s"(mx - mn) div $QsBuckets").as("err_bound_cents"))
+      .join(exact, col("rn") === col("target_rank"))
+      .select(col("p"), col("target_rank"), col("est_cents"),
+        col("err_bound_cents"), col("exact_cents"),
+        (col("exact_cents") >= col("est_cents") &&
+          col("exact_cents") <= col("est_cents") + col("err_bound_cents"))
+          .cast("long").as("within"))
+      .orderBy(col("p"))
+  }
+
+  val q165Sql: String =
+    s"""WITH ev AS (
+       |  SELECT CAST(floor(value * 100) AS BIGINT) AS c, event_id
+       |  FROM events),
+       |st AS (
+       |  SELECT MIN(c) AS mn, MAX(c) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM ev),
+       |hist AS (
+       |  SELECT (c - mn) // ((mx - mn) // $QsBuckets + 1) AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ev CROSS JOIN st GROUP BY 1),
+       |cum AS (
+       |  SELECT b, SUM(cnt) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |pr AS (SELECT unnest([${QsProbes.mkString(", ")}]) AS p),
+       |tg AS (
+       |  SELECT CAST(p AS BIGINT) AS p, (p * n + 99) // 100 AS target_rank
+       |  FROM pr CROSS JOIN st),
+       |lo AS (
+       |  SELECT p, target_rank, MIN(b) AS b_lo
+       |  FROM tg JOIN cum ON cum.cum >= tg.target_rank
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT c AS exact_cents,
+       |    CAST(row_number() OVER (ORDER BY c, event_id) AS BIGINT) AS rn
+       |  FROM ev)
+       |SELECT p, target_rank,
+       |  mn + b_lo * ((mx - mn) // $QsBuckets + 1) AS est_cents,
+       |  (mx - mn) // $QsBuckets AS err_bound_cents,
+       |  exact_cents,
+       |  CAST(exact_cents >= mn + b_lo * ((mx - mn) // $QsBuckets + 1)
+       |   AND exact_cents <= mn + b_lo * ((mx - mn) // $QsBuckets + 1)
+       |     + (mx - mn) // $QsBuckets AS BIGINT) AS within
+       |FROM lo CROSS JOIN st
+       |JOIN ex ON ex.rn = lo.target_rank
+       |ORDER BY p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_quantile_sketch" -> (q165QuantileSketch _),
     "q123_cms_heavy_hitters" -> (q123CmsHeavyHitters _),
     "q36_approx_agg" -> (q36Approx _),
     "q37_hll_sketch" -> (q37HllSketch _))
 
   val oracles: Map[String, String] = Map(
+    "q165_quantile_sketch" -> q165Sql,
     "q123_cms_heavy_hitters" -> q123Sql,
     "q36_approx_agg" -> q36Sql,
     "q37_hll_sketch" -> q37Sql)

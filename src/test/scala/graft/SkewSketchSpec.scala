@@ -68,4 +68,29 @@ class SkewSketchSpec extends SparkSpec {
     assert(rows.exists(_.getLong(4) > 0), "no collision — sketch degenerate")
     assert(rows.exists(_.getLong(4) === 0), "every probe collided everywhere")
   }
+
+  test("q165: estimates carry their certified bound; exact arm is the true order statistic") {
+    val cents = Tables.events(spark, sf)
+      .selectExpr("cast(floor(value * 100) as long) as c", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (c, id) => (c, id) }.map(_._1)
+    val n = cents.length.toLong
+    val w = (cents.max - cents.min) / Sketches.QsBuckets + 1
+    val rows = Sketches.q165QuantileSketch(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (p, t, est, bound, exact, within) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(t === (p * n + 99) / 100)
+      assert(exact === cents((t - 1).toInt), s"p$p exact order statistic")
+      assert(bound === w - 1, s"p$p bound must be one bucket width")
+      // the theorem: the true quantile lies inside the picked bucket
+      assert(est <= exact && exact <= est + bound, s"p$p outside bucket")
+      assert(within === 1L)
+    }
+    // the sketch must actually be approximate somewhere (est < exact for
+    // at least one probe) or the bucket-edge estimate degenerated
+    assert(rows.exists(r => r.getLong(2) < r.getLong(4)),
+      "every estimate exact — bucket width 1? corpus degenerate?")
+  }
 }
