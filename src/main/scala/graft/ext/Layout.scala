@@ -352,15 +352,87 @@ object Layout {
        |FROM u GROUP BY scheme, shard
        |ORDER BY scheme, shard""".stripMargin
 
+  // ---- q166: Merkle release manifest --------------------------------------
+
+  /** Docs per manifest shard: bounds the level-1 hash fan-in. */
+  final val ManifestShard = 128L
+
+  /** q166 — Merkle-style release manifest: every document's content
+    * fingerprint rolls up into per-shard hashes (md5 of the shard's
+    * doc fingerprints in doc_id order), and the shard hashes roll up
+    * into ONE root hash — the integrity artifact a reproducible data
+    * release ships. Re-running the pipeline must reproduce the root
+    * bit-for-bit; any silently changed/dropped/duplicated document
+    * flips its shard hash and the root, and the shard level localizes
+    * WHICH ~[[ManifestShard]] docs to diff. This is how model/data
+    * release processes make "same data as last time" checkable instead
+    * of aspirational (content-addressed stores, DVC, OCI manifests).
+    *
+    * Determinism: collect order never matters — fingerprints sort by
+    * doc_id inside the aggregate (q143's array_sort discipline), so
+    * any partitioning/replan yields the same concatenation.
+    *
+    * Scale shape: shard fan-in is bounded by [[ManifestShard]] BY
+    * CONSTRUCTION (doc_id ranges), so level-1 aggregation is grouped
+    * bounded-size work at any corpus size; the root folds #shards
+    * hashes — at truly web scale the same range roll-up recurses one
+    * more level (q85/q137's note), unchanged otherwise. */
+  def releaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      expr(s"doc_id div $ManifestShard").as("sh"),
+      md5(col("text")).as("fp"), col("n_chars"))
+    val shards = docs.groupBy(col("sh")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("fp")))),
+          x => x.getField("fp")), "")).as("hash"))
+      .localCheckpoint(eager = false) // feeds both output levels
+    val root = shards.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_bytes")).as("n_bytes"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("sh"), col("hash")))),
+          x => x.getField("hash")), "")).as("hash"))
+      .select(lit("root").as("level"), lit(-1L).as("id"),
+        col("n_docs"), col("n_bytes"), col("hash"))
+    shards.select(lit("shard").as("level"), col("sh").as("id"),
+        col("n_docs"), col("n_bytes"), col("hash"))
+      .union(root)
+      .orderBy(col("level"), col("id"))
+  }
+
+  /** Oracle: string_agg ORDER BY — the same ordered concatenation. */
+  val releaseManifestSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id // $ManifestShard AS sh, md5(text) AS fp,
+       |    n_chars
+       |  FROM documents),
+       |sh AS (
+       |  SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+       |    md5(string_agg(fp, '' ORDER BY doc_id)) AS hash
+       |  FROM d GROUP BY sh),
+       |rt AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       |    md5(string_agg(hash, '' ORDER BY sh)) AS hash
+       |  FROM sh)
+       |SELECT 'shard' AS level, sh AS id, n_docs, n_bytes, hash FROM sh
+       |UNION ALL
+       |SELECT 'root' AS level, CAST(-1 AS BIGINT) AS id, n_docs, n_bytes,
+       |  hash FROM rt
+       |ORDER BY level, id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_zorder_stats" -> (zorderStats _),
     "q124_bucketed_join" -> (bucketedJoin _),
     "q137_file_packing" -> (filePacking _),
-    "q162_reshard_audit" -> (reshardAudit _))
+    "q162_reshard_audit" -> (reshardAudit _),
+    "q166_release_manifest" -> (releaseManifest _))
 
   val oracles: Map[String, String] = Map(
     "q94_zorder_stats" -> zorderStatsSql,
     "q124_bucketed_join" -> bucketedJoinSql,
     "q137_file_packing" -> filePackingSql,
-    "q162_reshard_audit" -> reshardAuditSql)
+    "q162_reshard_audit" -> reshardAuditSql,
+    "q166_release_manifest" -> releaseManifestSql)
 }

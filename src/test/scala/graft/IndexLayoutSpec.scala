@@ -343,4 +343,34 @@ class IndexLayoutSpec extends SparkSpec {
       s"rendezvous $rvMoved vs mod $modMoved of $total")
     info(s"moved: rendezvous $rvMoved, mod $modMoved of $total docs")
   }
+
+  test("q166: manifest hashes replay driver-side and are tamper-evident") {
+    def md5hex(s0: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "md5(text) as fp", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byShard = docs.groupBy(_._1 / Layout.ManifestShard)
+    val rows = Layout.releaseManifest(spark, sf).collect()
+    val shardRows = rows.filter(_.getString(0) == "shard")
+    val Array(rootRow) = rows.filter(_.getString(0) == "root")
+    assert(shardRows.map(_.getLong(2)).sum === docs.length.toLong)
+    assert(rootRow.getLong(2) === docs.length.toLong)
+    val expectShard = byShard.map { case (sh, ds) =>
+      sh -> md5hex(ds.sortBy(_._1).map(_._2).mkString)
+    }
+    shardRows.foreach { r =>
+      assert(expectShard(r.getLong(1)) === r.getString(4),
+        s"shard ${r.getLong(1)} hash")
+    }
+    val expectRoot = md5hex(expectShard.toSeq.sortBy(_._1).map(_._2).mkString)
+    assert(rootRow.getString(4) === expectRoot)
+    // tamper evidence: flipping ONE doc fingerprint must change its
+    // shard hash and therefore the root
+    val (sh0, ds0) = byShard.head
+    val tampered = md5hex(ds0.sortBy(_._1).map(d =>
+      if (d == ds0.head) md5hex("tampered") else d._2).mkString)
+    assert(tampered !== expectShard(sh0), "tamper did not change the hash")
+  }
 }
