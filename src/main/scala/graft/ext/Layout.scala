@@ -377,16 +377,26 @@ object Layout {
     * bounded-size work at any corpus size; the root folds #shards
     * hashes — at truly web scale the same range roll-up recurses one
     * more level (q85/q137's note), unchanged otherwise. */
-  def releaseManifest(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"),
+  /** Per-doc manifest fingerprints of any documents frame — the carried
+    * state of the streaming maintainer
+    * ([[graft.streaming.DocStreams.maintainManifest]]). */
+  private[graft] def manifestFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       expr(s"doc_id div $ManifestShard").as("sh"),
       md5(col("text")).as("fp"), col("n_chars"))
-    val shards = docs.groupBy(col("sh")).agg(
-        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("doc_id"), col("fp")))),
-          x => x.getField("fp")), "")).as("hash"))
-      .localCheckpoint(eager = false) // feeds both output levels
+
+  /** Level-1 roll-up: per-shard doc/byte counts and ordered-fp hash.
+    * Fan-in bounded by [[ManifestShard]] by construction. */
+  private[graft] def manifestShardsOf(fps: DataFrame): DataFrame =
+    fps.groupBy(col("sh")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("fp")))),
+        x => x.getField("fp")), "")).as("hash"))
+
+  /** Root roll-up + output shape over a (possibly maintained) shard
+    * relation. */
+  private[graft] def manifestAssemble(shards: DataFrame): DataFrame = {
     val root = shards.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_bytes")).as("n_bytes"),
         md5(array_join(transform(
@@ -398,6 +408,13 @@ object Layout {
         col("n_docs"), col("n_bytes"), col("hash"))
       .union(root)
       .orderBy(col("level"), col("id"))
+  }
+
+  def releaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val shards = manifestShardsOf(
+        manifestFingerprints(Tables.documents(s, dir)))
+      .localCheckpoint(eager = false) // feeds both output levels
+    manifestAssemble(shards)
   }
 
   /** Oracle: string_agg ORDER BY — the same ordered concatenation. */

@@ -176,6 +176,43 @@ object DocStreams {
       .start()
   }
 
+  /** Start streaming Merkle-manifest maintenance — q166's
+    * continuous-ingest twin: the carried state is the per-doc
+    * fingerprint relation ([[graft.ext.Layout.manifestFingerprints]]
+    * rows: doc_id, shard, fp, n_chars) plus the per-shard hash rows.
+    * Each micro-batch fingerprints ONLY its own documents, appends
+    * them (anti-join on doc_id — replay-idempotent), and re-hashes
+    * ONLY the shards the drop touched (drop-bounded work: ≤ touched
+    * shards × [[graft.ext.Layout.ManifestShard]] docs re-aggregate;
+    * untouched shard hashes carry over untouched). The per-wave
+    * manifest handed to `sink` — including the root — is equal to a
+    * from-scratch q166 over everything ingested, asserted per wave and
+    * across a restart in StreamingSpec. At 100 TB the fingerprint and
+    * shard relations are persisted tables keyed/bucketed by shard;
+    * here they live as eagerly localCheckpointed frames so lineage
+    * cannot grow across an unbounded stream. */
+  def maintainManifest(docStream: DataFrame, initialFps: DataFrame,
+      checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var fps = initialFps.localCheckpoint()
+    var shards = graft.ext.Layout.manifestShardsOf(fps).localCheckpoint()
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = graft.ext.Layout.manifestFingerprints(batch)
+          .join(fps.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        fps = fps.unionByName(fresh).localCheckpoint()
+        val touched = fresh.select("sh").distinct()
+        val recomputed = graft.ext.Layout.manifestShardsOf(
+          fps.join(touched, Seq("sh")))
+        shards = shards.join(touched, Seq("sh"), "left_anti")
+          .unionByName(recomputed).localCheckpoint()
+        sink(graft.ext.Layout.manifestAssemble(shards), batchId)
+      }
+      .start()
+  }
+
   def maintainClusters(docStream: DataFrame, initialSigs: DataFrame,
       initialLabels: DataFrame, checkpointDir: String,
       minEst: Double = 0.5)(

@@ -615,4 +615,50 @@ class StreamingSpec extends SparkSpec {
     assert(latest.toSet === expected,
       "replayed micro-batch was double-counted into the daily relation")
   }
+
+  test("streaming manifest maintenance: per-wave manifest equals batch q166 rebuild; restart re-seeds") {
+    import graft.ext.Layout
+    import graft.streaming.DocStreams
+    // seed corpus = doc_id%4==0; three waves from the other residues.
+    // Only the shards a drop touches re-hash; the assembled manifest
+    // (incl. the ROOT hash) must still equal a from-scratch q166 over
+    // everything ingested so far.
+    val docs = Tables.documents(spark, sf).localCheckpoint(eager = false)
+    def slice(r: Int) = docs.filter(col("doc_id") % 4 === r)
+    def fullRebuild(upTo: Int): Set[(String, Long, Long, Long, String)] =
+      Layout.manifestAssemble(Layout.manifestShardsOf(
+          Layout.manifestFingerprints(docs.filter(col("doc_id") % 4 <= upTo))))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+    val dropsDir = Files.createTempDirectory("graft-man-drops").toString
+    val ckpt = Files.createTempDirectory("graft-man-ckpt").toString
+    slice(1).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    slice(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    @volatile var latest = Array.empty[(String, Long, Long, Long, String)]
+    val batchIds = scala.collection.mutable.Set.empty[Long]
+    def start(seed: org.apache.spark.sql.DataFrame) =
+      DocStreams.maintainManifest(
+        DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+        Layout.manifestFingerprints(seed), ckpt) { (m, id) =>
+        this.synchronized {
+          latest = m.collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getString(4)))
+          batchIds += id
+        }
+      }
+    val q1 = start(slice(0))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(latest.toSet === fullRebuild(2),
+      "maintained manifest diverges from batch rebuild after waves 1+2")
+    // wave 3 lands while the maintainer is DOWN; the restart re-seeds
+    // the fingerprint carry from the ingested corpus and must catch up
+    slice(3).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start(docs.filter(col("doc_id") % 4 <= 2))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchIds.size >= 3, s"expected >=3 micro-batches, got $batchIds")
+    assert(latest.toSet === fullRebuild(3),
+      "post-restart manifest diverges from batch rebuild")
+    assert(latest.count(_._1 == "root") === 1 && latest.length > 2,
+      "fixture must produce a multi-shard manifest")
+  }
 }
