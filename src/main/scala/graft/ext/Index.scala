@@ -465,7 +465,84 @@ object Index {
        |FROM cum c JOIN tot USING (lang) ORDER BY lang, k""".stripMargin
   }
 
+  // ---- q167: positional phrase search -------------------------------------
+
+  /** Fixed probe phrases (q66/q118's fixed-constant fixture discipline);
+    * the last one is deliberately ABSENT from the corpus so the
+    * zero-hit lane is exercised and visible in the output. */
+  val PhraseProbes: Seq[String] =
+    Seq("value table", "key scan", "sort table", "petabyte engine")
+
+  /** q167 — exact phrase search over a POSITIONAL postings relation:
+    * for each probe phrase, the documents containing its words at
+    * ADJACENT positions and the total occurrence count — the phrase
+    * operator of a search engine (and the "grep the corpus for this
+    * exact string, tokenized" tool a curation team reaches for), which
+    * the bag-of-words surfaces (q92's doc-level postings, q118's BM25)
+    * cannot answer: they know the words co-occur, not that they touch.
+    *
+    * Scale shape: the positional explode restricts to PROBE WORDS
+    * before any join (`w IN (...)` pushes into the scan projection), so
+    * the self-join is df-bounded — exactly the posting-list
+    * intersection a search engine runs, spelled as one (doc, pos)
+    * equi-join; the zero-hit lane comes from a left join off the
+    * constant probe relation, so absent phrases report 0 instead of
+    * vanishing. The single count-distinct aggregates two-phase without
+    * an Expand (one distinct clause — q36's rule). */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = PhraseProbes.flatMap(_.split(" ")).distinct
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("p", "w")))
+      .filter(col("w").isin(words: _*))
+      .localCheckpoint(eager = false) // both sides of the adjacency join
+    val matches = pos.select(col("doc_id"), col("p"), col("w").as("w1"))
+      .join(pos.select(col("doc_id"), (col("p") - 1).as("p"),
+        col("w").as("w2")), Seq("doc_id", "p"))
+      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("phrase"))
+      .filter(col("phrase").isin(PhraseProbes: _*))
+    val counts = matches.groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("d"), count(lit(1)).as("o"))
+    PhraseProbes.toDF("phrase")
+      .join(counts, Seq("phrase"), "left")
+      .select(col("phrase"), coalesce(col("d"), lit(0L)).as("n_docs"),
+        coalesce(col("o"), lit(0L)).as("n_occurrences"))
+      .orderBy(col("phrase"))
+  }
+
+  /** DuckDB spelling: q114's positional-unnest idiom, same adjacency
+    * join, same probe relation. */
+  val phraseSearchSql: String = {
+    val words = PhraseProbes.flatMap(_.split(" ")).distinct
+      .map(w => s"'$w'").mkString(", ")
+    val phrases = PhraseProbes.map(p => s"'$p'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id, s['p'] AS p, s['w'] AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, len(ts) + 1), i -> {'p': i, 'w': ts[i]})) AS s
+       |    FROM w) t(doc_id, s)),
+       |pos AS (SELECT * FROM g WHERE w IN ($words)),
+       |m AS (
+       |  SELECT a.doc_id, a.w || ' ' || b.w AS phrase
+       |  FROM pos a JOIN pos b
+       |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+       |  WHERE a.w || ' ' || b.w IN ($phrases)),
+       |c AS (
+       |  SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM m GROUP BY 1),
+       |pr AS (SELECT unnest([$phrases]) AS phrase)
+       |SELECT pr.phrase, COALESCE(c.d, 0) AS n_docs,
+       |  COALESCE(c.o, 0) AS n_occurrences
+       |FROM pr LEFT JOIN c USING (phrase)
+       |ORDER BY phrase""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_phrase_search" -> (phraseSearch _),
     "q119_coverage_curve" -> (coverageCurve _),
     "q118_bm25_topk" -> (bm25TopK _),
     "q92_inverted_index" -> (invertedIndex _),
@@ -473,6 +550,7 @@ object Index {
     "q95_vocab_induction" -> (vocabInduction _))
 
   val oracles: Map[String, String] = Map(
+    "q167_phrase_search" -> phraseSearchSql,
     "q119_coverage_curve" -> coverageCurveSql,
     "q118_bm25_topk" -> bm25TopKSql,
     "q92_inverted_index" -> invertedIndexSql,

@@ -373,4 +373,28 @@ class IndexLayoutSpec extends SparkSpec {
       if (d == ds0.head) md5hex("tampered") else d._2).mkString)
     assert(tampered !== expectShard(sh0), "tamper did not change the hash")
   }
+
+  test("q167: phrase hits replay driver-side; absent phrase reports zero") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    val expect = Index.PhraseProbes.map { ph =>
+      val Array(w1, w2) = ph.split(" ")
+      val perDoc = texts.map { case (_, t) =>
+        val ws = t.split(" ", -1)
+        ws.indices.dropRight(1).count(i => ws(i) == w1 && ws(i + 1) == w2)
+      }
+      ph -> ((perDoc.count(_ > 0).toLong, perDoc.map(_.toLong).sum))
+    }.toMap
+    val rows = Index.phraseSearch(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === Index.PhraseProbes.toSet)
+    expect.foreach { case (ph, e) =>
+      assert(rows(ph) === e, s"phrase '$ph' counts")
+    }
+    assert(rows("petabyte engine") === ((0L, 0L)),
+      "absent phrase must report zero, not vanish")
+    assert(rows.values.exists { case (d, o) => o > d },
+      "no phrase repeats within a doc — adjacency join under-counting?")
+  }
 }
