@@ -293,7 +293,59 @@ object Report {
        |GROUP BY 1, 2, 3
        |ORDER BY lang, source, size_bucket""".stripMargin
 
+  // ---- q168: embedding-index coverage audit -------------------------------
+
+  /** q168 — corpus↔index coverage audit: per source, how many documents
+    * have an embedding in the vector index (doc_id ≡ vec_id, the id
+    * convention the hybrid retrieval family q155/q158 serves by), how
+    * many are UNINDEXED (invisible to every ANN/semantic-dedup path),
+    * plus one `_orphans` row counting index entries whose document is
+    * gone — stale vectors that waste probe candidates and can leak
+    * deleted content back out of a serving index. This is the freshness
+    * gate between the corpus and its derived index artifacts (q153's
+    * persisted index, the streaming maintainers' carried state): run it
+    * per release, alert on unindexed>0 or orphans>0.
+    *
+    * Scale shape: two id-keyed anti/semi joins (the q07 shape) — ids
+    * only through the shuffle, payloads never move; output bounded by
+    * #sources + 1. */
+  def indexCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"))
+    val flagged = docs
+      .join(vecs.select(col("vec_id").as("doc_id"), lit(1L).as("ix")),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("ix"), lit(0L))).as("indexed"))
+      .select(col("source"), col("n_docs"), col("indexed"),
+        (col("n_docs") - col("indexed")).as("unindexed"))
+    val orphans = vecs.select(col("vec_id").as("doc_id"))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("_orphans").as("source"), col("n").as("n_docs"),
+        lit(0L).as("indexed"), col("n").as("unindexed"))
+    flagged.union(orphans).orderBy(col("source"))
+  }
+
+  val indexCoverageSql: String =
+    """WITH f AS (
+      |  SELECT d.source,
+      |    CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS ix
+      |  FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(ix) AS BIGINT) AS indexed,
+      |  CAST(COUNT(*) - SUM(ix) AS BIGINT) AS unindexed
+      |FROM f GROUP BY source
+      |UNION ALL
+      |SELECT '_orphans', CAST(COUNT(*) AS BIGINT),
+      |  CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+      |FROM embeddings e
+      |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_index_coverage" -> (indexCoverage _),
     "q141_k_anonymity" -> (kAnonymity _),
     "q101_source_report" -> (sourceReport _),
     "q103_bitmap_distinct" -> (bitmapDistinct _),
@@ -301,6 +353,7 @@ object Report {
     "q108_quality_rules" -> (qualityRules _))
 
   val oracles: Map[String, String] = Map(
+    "q168_index_coverage" -> indexCoverageSql,
     "q141_k_anonymity" -> kAnonymitySql,
     "q101_source_report" -> sourceReportSql,
     "q103_bitmap_distinct" -> bitmapDistinctSql,

@@ -88,4 +88,21 @@ class ReportSpec extends SparkSpec {
     assert(rows.exists(_._6) || rows.exists(_._7), "no violations — vacuous")
     assert(rows.exists(r => !r._6 && !r._7), "everything violates — vacuous")
   }
+
+  test("q168: coverage arithmetic closes over corpus and index totals") {
+    val nDocs = Tables.documents(spark, sf).count()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val rows = Report.indexCoverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (orph, srcs) = rows.partition(_._1 == "_orphans")
+    assert(orph.length === 1)
+    srcs.foreach { case (src, n, ix, un) =>
+      assert(ix + un === n, s"$src: indexed+unindexed != n_docs")
+      assert(ix >= 0 && un >= 0)
+    }
+    assert(srcs.map(_._2).sum === nDocs, "source rows must cover the corpus")
+    // every vector is either matched to a doc or an orphan
+    assert(srcs.map(_._3).sum + orph.head._2 === nVecs,
+      "indexed + orphans must cover the vector index")
+  }
 }
