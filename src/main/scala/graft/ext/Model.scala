@@ -104,7 +104,7 @@ object Model {
         floor(lit(Scale) * (col("tp").cast("double") / col("np")
           - col("tn").cast("double") / col("nn"))).cast("long").as("lamdiff"))
     docs.filter(!col("seed")).crossJoin(broadcast(model))
-      .select(col("source"), col("is_long"),
+      .select(col("doc_id"), col("source"), col("is_long"),
         (col("prior")
           + aggregate(split(col("text"), " "), lit(0L),
               (acc, t) => acc + coalesce(element_at(col("m"), t), col("w0")))
@@ -153,7 +153,7 @@ object Model {
        |  FROM tokens t LEFT JOIN wts ON t.w = wts.w CROSS JOIN con
        |  GROUP BY t.doc_id),
        |scored AS (
-       |  SELECT source, is_long,
+       |  SELECT doc_id, source, is_long,
        |    prior + tokscore
        |      + CAST(floor($Scale * n_tok * lnlam) AS BIGINT) - lamdiff AS score
        |  FROM dsc CROSS JOIN con)""".stripMargin
@@ -658,7 +658,50 @@ object Model {
     s"WITH $ctes\nSELECT * FROM (\n  $sel\n) ORDER BY round"
   }
 
+  // ---- q169: active-learning uncertainty sampling --------------------------
+
+  /** Docs surfaced per labeling round. */
+  final val UncertainK = 20
+
+  /** q169 — uncertainty sampling for active learning: the
+    * [[UncertainK]] held-out documents whose q125 NB score sits closest
+    * to the decision boundary (smallest |score|, ties by doc_id) — the
+    * "label these next" worklist that grows a training set where each
+    * human label buys the most classifier improvement (Lewis & Gale's
+    * uncertainty sampling, run off the same fitted artifact q125/q129
+    * already share, closing the weak-supervision loop: q125 trains,
+    * q129 calibrates, q164 aggregates heuristics, THIS picks the next
+    * labels). Every ranking key is an exact BIGINT (|quantized score|),
+    * so the ordered contract has zero ULP/tie risk.
+    *
+    * Scale shape: scoring is q125's single corpus scan against the
+    * one-row broadcast model (past a web-scale vocabulary the scoring
+    * flips to q126's explode + broadcast-join spelling — same
+    * [[LmBroadcastBytes]] discipline); the top-k is an
+    * `orderBy.limit` — TakeOrderedAndProject, per-partition heaps, no
+    * global sort — and the rank window runs on the 20 surviving rows. */
+  def uncertaintySample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = nbScoredHoldout(s, dir)
+      .orderBy(abs(col("score")), col("doc_id")).limit(UncertainK)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(abs(col("score")), col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("source"), col("is_long"),
+        col("score"))
+      .orderBy(col("rnk"))
+  }
+
+  /** DuckDB spelling: identical scoring CTEs, same |score| ranking. */
+  val uncertaintySampleSql: String =
+    s"""WITH $nbScoredCtes
+       |SELECT CAST(row_number() OVER (ORDER BY abs(score), doc_id)
+       |    AS BIGINT) AS rnk,
+       |  doc_id, source, is_long, CAST(score AS BIGINT) AS score
+       |FROM scored QUALIFY rnk <= $UncertainK
+       |ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_uncertainty_sample" -> (uncertaintySample _),
     "q125_nb_quality" -> (nbQualityFilter _),
     "q126_lm_perplexity" -> (lmPerplexityFilter _),
     "q127_bpe_merges" -> (bpeMerges _),
@@ -667,6 +710,7 @@ object Model {
     "q129_nb_calibration" -> (nbCalibration _))
 
   val oracles: Map[String, String] = Map(
+    "q169_uncertainty_sample" -> uncertaintySampleSql,
     "q125_nb_quality" -> nbQualityFilterSql,
     "q126_lm_perplexity" -> lmPerplexityFilterSql,
     "q127_bpe_merges" -> bpeMergesSql,

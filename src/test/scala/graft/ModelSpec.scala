@@ -137,4 +137,24 @@ class ModelSpec extends SparkSpec {
     }
     assert(rows.zip(ferts).count { case (r, _) => r.getDouble(5) == 1.0 } >= 1)
   }
+
+  test("q169: worklist is exactly the boundary-closest held-out docs, in order") {
+    val scored = Model.nbScoredHoldout(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("is_long"), r.getAs[Long]("score")))
+    val expect = scored.sortBy { case (id, _, _, sc) => (math.abs(sc), id) }
+      .take(Model.UncertainK)
+    val rows = Model.uncertaintySample(spark, sf).collect()
+    assert(rows.length === Model.UncertainK)
+    rows.zip(expect).zipWithIndex.foreach { case ((r, e), i) =>
+      assert(r.getLong(0) === i + 1L, "ranks must be 1..k in order")
+      assert((r.getLong(1), r.getString(2), r.getInt(3), r.getLong(4)) === e,
+        s"rank ${i + 1} picked the wrong doc")
+    }
+    // |score| must be nondecreasing down the worklist, and the boundary
+    // region must be genuinely closer than the corpus at large
+    val absScores = rows.map(r => math.abs(r.getLong(4)))
+    assert(absScores.zip(absScores.tail).forall { case (a, b) => a <= b })
+    assert(absScores.last <= scored.map(s => math.abs(s._4)).max)
+  }
 }
