@@ -386,6 +386,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly one scan, got $scans:\n$p")
   }
 
+  test("q165: the histogram partial-aggregates (the sketch IS the map-side merge)") {
+    val p = plan(graft.queries.Sketches.q165QuantileSketch(spark, sf))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"histogram lost its partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+  }
+
+  test("q167: phrase adjacency joins on (doc, pos) — no cartesian, no nested loop") {
+    val p = plan(graft.ext.Index.phraseSearch(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in phrase join:\n$p")
+  }
+
+  test("q169: worklist top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(graft.ext.Model.uncertaintySample(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"uncertainty top-k degraded to a global sort:\n$p")
+  }
+
   test("q134: the corpus is scanned exactly once (Gram explode), iterations reuse it") {
     val df = graft.ext.Similarity.pcaTopComponent(spark, sf)
     df.collect() // materialize the lazy localCheckpoint barriers
