@@ -198,11 +198,66 @@ object Retrieval {
        |  SELECT query_id, doc_id, rnk AS lex_rnk FROM r WHERE rnk <= $FuseK),
        |${fuseSqlTail("lex", "vlsh")}""".stripMargin
 
+  // ---- q170: context packing under a token budget -------------------------
+
+  /** Per-query context-window budget in tokens. */
+  final val PackBudgetTokens = 150L
+
+  /** q170 — RAG context assembly: for every probe query, walk the q118
+    * BM25 shortlist in rank order and keep each document while the
+    * tokens BEFORE it fit the [[PackBudgetTokens]] budget (q137's
+    * exclusive-cumsum boundary rule: the first over-budget doc is
+    * included, never split, and everything after it drops). This is the
+    * serving-side twin of q121's training-mixture packing — the step
+    * between "retrieval ranked these" (q118/q155/q158) and "this is
+    * the prompt": a context window is a hard token budget, and the
+    * packed relation (query, rank, doc, doc tokens, running total) IS
+    * the prompt manifest.
+    *
+    * Scale shape: packing runs on the ALREADY k-bounded shortlist
+    * (TopK partial agg — never the matched-doc set), so the per-query
+    * window is ≤ k rows; doc lengths come from the q118 index relation
+    * by id. Exact integer token counts end-to-end; the greedy prefix
+    * is deterministic because the shortlist order is (its ordered
+    * contract is verified row-exactly). */
+  def contextPack(s: SparkSession, dir: String): DataFrame = {
+    val (tfc, lens) = graft.ext.Index.bm25IndexOf(Tables.documents(s, dir))
+    val ranked = graft.ext.Index.bm25ServeFrom(s, tfc, lens)
+    val before = coalesce(sum(col("dl")).over(
+      Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    ranked.join(lens, Seq("doc_id"))
+      .withColumn("before", before)
+      .filter(col("before") < PackBudgetTokens)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("dl"),
+        (col("before") + col("dl")).as("cum_tok"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB spelling: q118's ranked CTEs, same shortlist, same
+    * exclusive-cumsum boundary rule. */
+  val contextPackSql: String =
+    s"""WITH ${graft.ext.Index.bm25RankedCtes},
+       |short AS (
+       |  SELECT query_id, rnk, doc_id FROM r
+       |  WHERE rnk <= ${graft.ext.Index.Bm25K}),
+       |packed AS (
+       |  SELECT s.query_id, s.rnk, s.doc_id, l.dl,
+       |    COALESCE(SUM(l.dl) OVER (PARTITION BY s.query_id ORDER BY s.rnk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM short s JOIN lens l USING (doc_id))
+       |SELECT query_id, rnk, doc_id, CAST(dl AS BIGINT) AS dl,
+       |  CAST(before + dl AS BIGINT) AS cum_tok
+       |FROM packed WHERE before < $PackBudgetTokens
+       |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_context_pack" -> (contextPack _),
     "q155_hybrid_rrf" -> (hybridRrf _),
     "q158_hybrid_lsh_serve" -> (hybridLshServe _))
 
   val oracles: Map[String, String] = Map(
+    "q170_context_pack" -> contextPackSql,
     "q155_hybrid_rrf" -> hybridRrfSql,
     "q158_hybrid_lsh_serve" -> hybridLshServeSql)
 }

@@ -86,4 +86,35 @@ class RetrievalSpec extends SparkSpec {
       assert(lsh((r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))))
     }
   }
+
+  test("q170: packing replays the greedy budget walk over the BM25 shortlist") {
+    val shortlist = Index.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dl = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as long) as dl")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = shortlist.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).toSeq.flatMap { case (_, rnk, doc) =>
+        val keep = cum < Retrieval.PackBudgetTokens
+        cum += dl(doc)
+        if (keep) Some((q, rnk, doc, dl(doc))) else None
+      }
+    }.toSet
+    val rows = Retrieval.contextPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSet === expect)
+    // cum_tok is the inclusive running total per query
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).foreach { r => cum += r._4
+        assert(r._5 === cum, s"query $q rank ${r._2} running total") }
+      assert(rs.nonEmpty, s"query $q packed nothing")
+    }
+    // the budget must actually bite somewhere, and packing must keep >1
+    val kept = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(kept.values.exists(_ < Index.Bm25K), "budget never dropped a doc")
+    assert(kept.values.exists(_ > 1), "packing degenerate — one doc per query")
+  }
 }
