@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -1643,7 +1643,93 @@ object Advanced {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // ---- q171: A/B experiment readout ---------------------------------------
+
+  /** q171 — A/B experiment readout: users hash-split into two arms by
+    * the library's content-keyed md5 bucket (the REAL assignment
+    * mechanism — stable across sessions, retries, and replans, so a
+    * user can never flip arms mid-experiment), per-user metric = total
+    * purchase cents, and the Welch z-statistic comparing arm means.
+    * Sufficient statistics (n, Σx, Σx²) are EXACT BIGINTs per arm; the
+    * means/variances/z are a fixed parenthesized chain of IEEE ops both
+    * engines evaluate identically from identical integers — the q82
+    * regression discipline applied to experimentation. This is the
+    * product-analytics counterpart of the curation audits: the readout
+    * every experimentation platform computes per metric per day.
+    *
+    * Scale shape: one scan → per-user partial-aggregable rollup (the
+    * only exchange, keyed by user) → a 1-row conditional aggregate.
+    * At truly web-scale per-user cent totals the Σx² widens to
+    * decimal(38,0) (q134's gate discipline); int64 headroom here is
+    * ~10⁹ users at ~10⁶ cents each. */
+  def q171AbTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long")).otherwise(0L)).as("x"))
+      .select(col("x"),
+        when(graft.ext.Text.md5Bucket(col("user_id"), 1000L) < 500, "A")
+          .otherwise("B").as("arm"))
+    def armAgg(a: String, f: Column) =
+      sum(when(col("arm") === a, f).otherwise(0L))
+    val agg = perUser.agg(
+      armAgg("A", lit(1L)).as("n_a"), armAgg("A", col("x")).as("s_a"),
+      armAgg("A", col("x") * col("x")).as("ss_a"),
+      armAgg("B", lit(1L)).as("n_b"), armAgg("B", col("x")).as("s_b"),
+      armAgg("B", col("x") * col("x")).as("ss_b"))
+    def mean(sc: Column, n: Column) = sc.cast("double") / n.cast("double")
+    def variance(sc: Column, ss: Column, n: Column) =
+      (ss.cast("double") - sc.cast("double") * sc.cast("double")
+        / n.cast("double")) / (n - 1).cast("double")
+    agg.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+      mean(col("s_a"), col("n_a")).as("mean_a"),
+      mean(col("s_b"), col("n_b")).as("mean_b"),
+      ((mean(col("s_a"), col("n_a")) - mean(col("s_b"), col("n_b"))) /
+        sqrt(variance(col("s_a"), col("ss_a"), col("n_a"))
+            / col("n_a").cast("double")
+          + variance(col("s_b"), col("ss_b"), col("n_b"))
+            / col("n_b").cast("double"))).as("z"))
+  }
+
+  /** DuckDB spelling: identical assignment hash, identical integer
+    * sufficient statistics, identically parenthesized float chain. */
+  val q171Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS x
+      |  FROM events GROUP BY user_id),
+      |armed AS (
+      |  SELECT x, CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |    1, 8))::BIGINT % 1000 < 500 THEN 'A' ELSE 'B' END AS arm
+      |  FROM pu),
+      |agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN x * x ELSE 0 END) AS BIGINT)
+      |      AS ss_a,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN x * x ELSE 0 END) AS BIGINT)
+      |      AS ss_b
+      |  FROM armed)
+      |SELECT n_a, s_a, n_b, s_b,
+      |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+      |  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |  ((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |    - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))) /
+      |  sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+      |      / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))
+      |      / CAST(n_a AS DOUBLE)
+      |    + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+      |      / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))
+      |      / CAST(n_b AS DOUBLE)) AS z
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_ab_test" -> (q171AbTest _),
     "q81_grouping_sets" -> (q81GroupingSets _),
     "q82_regression"    -> (q82Regression _),
     "q83_range_frame"   -> (q83RangeFrame _),
@@ -1684,6 +1770,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q171_ab_test" -> q171Sql,
     "q100_skew_audit"   -> q100Sql,
     "q102_lateral_topn" -> q102Sql,
     "q105_variant"      -> q105Sql,

@@ -482,4 +482,37 @@ class CoreQueriesSpec extends SparkSpec {
     assert(viaVariant === viaString,
       "variant binary path diverges from get_json_object")
   }
+
+  test("q171: Welch z replays driver-side from exact sufficient statistics") {
+    val perUser = Tables.events(spark, sf)
+      .selectExpr("user_id",
+        "case when event_type = 'purchase' " +
+          "then cast(floor(value * 100) as long) else 0L end as c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).sum }
+    def bucket(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    val (a, b) = perUser.partition { case (u, _) => bucket(u) < 500 }
+    def stats(xs: Iterable[Long]) =
+      (xs.size.toLong, xs.sum, xs.map(x => x * x).sum)
+    val (na, sa, ssa) = stats(a.values)
+    val (nb, sb, ssb) = stats(b.values)
+    def mean(s0: Long, n: Long) = s0.toDouble / n.toDouble
+    def vr(s0: Long, ss: Long, n: Long) =
+      (ss.toDouble - s0.toDouble * s0.toDouble / n.toDouble) / (n - 1).toDouble
+    val z = (mean(sa, na) - mean(sb, nb)) /
+      math.sqrt(vr(sa, ssa, na) / na.toDouble + vr(sb, ssb, nb) / nb.toDouble)
+    val r = graft.queries.Advanced.q171AbTest(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((na, sa, nb, sb)))
+    assert(r.getDouble(4) === mean(sa, na) && r.getDouble(5) === mean(sb, nb))
+    assert(r.getDouble(6) === z, "z-statistic diverges from driver replay")
+    // the experiment fixture must be non-degenerate: both arms populated,
+    // finite z (nonzero variance)
+    assert(na > 1 && nb > 1 && !z.isNaN && !z.isInfinite)
+  }
 }
