@@ -1728,7 +1728,91 @@ object Advanced {
       |      / CAST(n_b AS DOUBLE)) AS z
       |FROM agg""".stripMargin
 
+  // ---- q172: CUPED variance-reduction readout -----------------------------
+
+  /** q172 — CUPED coefficient fitting (Deng et al.: Controlled
+    * experiments Using Pre-Experiment Data): split the event timeline
+    * at its midpoint, roll up per-user purchase cents in the pre and
+    * post periods, and fit θ = cov(pre, post)/var(pre) plus the
+    * variance-reduction factor ρ² that adjusting the experiment metric
+    * by θ·(pre − mean) would buy. This is the step every mature
+    * experimentation platform runs before q171's readout — the same
+    * experiment detects an effect ~1/(1−ρ²)× faster on the adjusted
+    * metric. All sufficient statistics (n, Σpre, Σpost, Σpre²,
+    * Σpre·post, Σpost²) are exact BIGINTs; θ and ρ² are identically
+    * parenthesized IEEE chains both engines evaluate bit-equally (the
+    * q171/q82 discipline). Timeline midpoint is exact integer
+    * microseconds from a 1-row broadcast bounds aggregate.
+    *
+    * Scale shape: one scan → per-user partial-aggregable rollup (the
+    * only real exchange) → a 1-row moment aggregate. Σ(pre·post)
+    * headroom mirrors q171's note — decimal(38,0) past ~10⁶ cents ×
+    * 10⁹ users. */
+  def q172Cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * 100).cast("long").as("cents"))
+      .localCheckpoint(eager = false) // feeds bounds AND the rollup
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    def half(cmp: Column => Column) =
+      sum(when(col("event_type") === "purchase" &&
+        cmp(expr("(mn + mx) div 2")), col("cents")).otherwise(0L))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(half(col("us") < _).as("pre"), half(col("us") >= _).as("post"))
+    val agg = perUser.agg(count(lit(1)).as("n"),
+      sum(col("pre")).as("s1"), sum(col("post")).as("s2"),
+      sum(col("pre") * col("pre")).as("s11"),
+      sum(col("pre") * col("post")).as("s12"),
+      sum(col("post") * col("post")).as("s22"))
+    def c(x: Column) = x.cast("double")
+    val n = col("n"); val nm1 = (col("n") - 1).cast("double")
+    val cov = (c(col("s12")) - c(col("s1")) * c(col("s2")) / c(n)) / nm1
+    val varp = (c(col("s11")) - c(col("s1")) * c(col("s1")) / c(n)) / nm1
+    val varq = (c(col("s22")) - c(col("s2")) * c(col("s2")) / c(n)) / nm1
+    agg.select(col("n"), col("s1"), col("s2"), col("s11"), col("s12"),
+      col("s22"), (cov / varp).as("theta"),
+      ((cov * cov) / (varp * varq)).as("rho2"))
+  }
+
+  /** DuckDB spelling: identical midpoint, moments, and float chains. */
+  val q172Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      AND us < (mn + mx) // 2 THEN cents ELSE 0 END) AS BIGINT) AS pre,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      AND us >= (mn + mx) // 2 THEN cents ELSE 0 END) AS BIGINT) AS post
+      |  FROM ev CROSS JOIN b GROUP BY user_id),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pre) AS BIGINT) AS s1, CAST(SUM(post) AS BIGINT) AS s2,
+      |    CAST(SUM(pre * pre) AS BIGINT) AS s11,
+      |    CAST(SUM(pre * post) AS BIGINT) AS s12,
+      |    CAST(SUM(post * post) AS BIGINT) AS s22
+      |  FROM pu)
+      |SELECT n, s1, s2, s11, s12, s22,
+      |  ((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+      |    / ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS theta,
+      |  (((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+      |    * ((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)))
+      |    / (((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+      |      * ((CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) AS rho2
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_cuped" -> (q172Cuped _),
     "q171_ab_test" -> (q171AbTest _),
     "q81_grouping_sets" -> (q81GroupingSets _),
     "q82_regression"    -> (q82Regression _),
@@ -1770,6 +1854,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q172_cuped" -> q172Sql,
     "q171_ab_test" -> q171Sql,
     "q100_skew_audit"   -> q100Sql,
     "q102_lateral_topn" -> q102Sql,

@@ -515,4 +515,34 @@ class CoreQueriesSpec extends SparkSpec {
     // finite z (nonzero variance)
     assert(na > 1 && nb > 1 && !z.isNaN && !z.isInfinite)
   }
+
+  test("q172: CUPED moments and coefficients replay driver-side") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us",
+        "cast(floor(value * 100) as long) as cents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val perUser = ev.groupBy(_._1).map { case (u, rs) =>
+      val p = rs.filter(e => e._2 == "purchase")
+      (u, p.filter(_._3 < mid).map(_._4).sum, p.filter(_._3 >= mid).map(_._4).sum)
+    }.toSeq
+    val n = perUser.size.toLong
+    val (s1, s2) = (perUser.map(_._2).sum, perUser.map(_._3).sum)
+    val s11 = perUser.map(t => t._2 * t._2).sum
+    val s12 = perUser.map(t => t._2 * t._3).sum
+    val s22 = perUser.map(t => t._3 * t._3).sum
+    val nm1 = (n - 1).toDouble
+    val cov = (s12.toDouble - s1.toDouble * s2.toDouble / n.toDouble) / nm1
+    val varp = (s11.toDouble - s1.toDouble * s1.toDouble / n.toDouble) / nm1
+    val varq = (s22.toDouble - s2.toDouble * s2.toDouble / n.toDouble) / nm1
+    val r = graft.queries.Advanced.q172Cuped(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((n, s1, s2, s11, s12, s22)))
+    assert(r.getDouble(6) === cov / varp, "theta diverges")
+    assert(r.getDouble(7) === (cov * cov) / (varp * varq), "rho2 diverges")
+    // CUPED is only worth running when pre predicts post at all, and
+    // rho2 must be a valid squared correlation
+    val rho2 = r.getDouble(7)
+    assert(rho2 > 0.0 && rho2 <= 1.0, s"rho2 $rho2 out of range")
+  }
 }
