@@ -2447,10 +2447,137 @@ object Similarity {
        |ORDER BY start, pos""".stripMargin
   }
 
+  // ---- q173: community modularity audit ------------------------------------
+
+  /** q173 — Newman modularity of the q161 label-propagation communities
+    * over the near-dup graph, in EXACT integer arithmetic: per
+    * community, node count, degree mass K_c, doubled within-edge count,
+    * and the scaled contribution `q_part = 2m·within2 − K_c²` — so that
+    * Q = Σ q_part / 4m² exactly (no float enters the relation; the one
+    * division is the consumer's). Unlabeled nodes are SINGLETON
+    * communities by definition, folded into one `_rest` (= −2) row
+    * whose contribution collapses to −Σ deg² (a singleton has no
+    * within-edges); community −1 is the grand total. This is the
+    * measurement that tells a pipeline whether its propagated labels
+    * (q161) actually carve the similarity graph at its joints — the
+    * q117/q140/q154 audit pattern applied to the graph family.
+    *
+    * Scale shape: within-edges = the adjacency joined twice against the
+    * label relation BY NODE ID (ids only through the shuffle); degree
+    * mass is a partial-aggregable rollup; everything downstream runs on
+    * ≤ #communities rows. */
+  def modularityAudit(s: SparkSession, dir: String): DataFrame = {
+    val adj = nearDupAdjacency(s, dir)
+    val lab = labelPropagation(s, dir)
+      .select(col("vec_id"), col("label_out"))
+      .localCheckpoint(eager = false) // labeled + rest both consume it
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val mrel = broadcast(adj.agg(expr("count(1) div 2").as("m")))
+    val lc = lab.filter(col("label_out").isNotNull)
+      .select(col("vec_id"), col("label_out").as("community"))
+    val within2 = adj
+      .join(lc.select(col("vec_id").as("u"), col("community")), Seq("u"))
+      .join(lc.select(col("vec_id").as("v"),
+        col("community").as("cv")), Seq("v"))
+      .filter(col("community") === col("cv"))
+      .groupBy(col("community")).agg(count(lit(1)).as("within2"))
+    val perLabel = lc
+      .join(deg.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("deg")), lit(0L)).as("k_sum"))
+      .join(within2, Seq("community"), "left")
+      .crossJoin(mrel)
+      .select(col("community"), col("n_nodes"), col("k_sum"),
+        coalesce(col("within2"), lit(0L)).as("within2"),
+        (lit(2L) * col("m") * coalesce(col("within2"), lit(0L))
+          - col("k_sum") * col("k_sum")).as("q_part"))
+    val rest = lab.filter(col("label_out").isNull)
+      .join(deg.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("deg")), lit(0L)).as("k_sum"),
+        coalesce(sum(col("deg") * col("deg")), lit(0L)).as("sum_d2"))
+      .select(lit(-2L).as("community"), col("n_nodes"), col("k_sum"),
+        lit(0L).as("within2"), (-col("sum_d2")).as("q_part"))
+    val rows = perLabel.union(rest).localCheckpoint(eager = false)
+    val total = rows.agg(sum(col("n_nodes")).as("n_nodes"),
+        sum(col("k_sum")).as("k_sum"), sum(col("within2")).as("within2"),
+        sum(col("q_part")).as("q_part"))
+      .select(lit(-1L).as("community"), col("n_nodes"), col("k_sum"),
+        col("within2"), col("q_part"))
+    rows.union(total).orderBy(col("community"))
+  }
+
+  /** DuckDB spelling: the q161 CTE chain, same integer contributions. */
+  val modularityAuditSql: String = {
+    val rounds = (1 to LpRounds).map { r =>
+      s"""v$r AS (
+         |  SELECT a.v, c.label AS nl, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM adj a JOIN c${r - 1} c ON c.vec_id = a.u
+         |  WHERE a.v % $LpSeedMod <> 0
+         |  GROUP BY 1, 2),
+         |c$r AS (
+         |  SELECT vec_id, label FROM seeds
+         |  UNION ALL
+         |  SELECT v AS vec_id, arg_max(nl, cnt * 1024 + (1023 - nl)) AS label
+         |  FROM v$r GROUP BY v)"""
+    }.mkString(",\n")
+    s"""WITH $nearDupPairCtes,
+       |adj AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+       |seeds AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+       |  WHERE vec_id % $LpSeedMod = 0),
+       |c0 AS (SELECT vec_id, label FROM seeds),
+       |$rounds,
+       |lab AS (
+       |  SELECT e.vec_id, c.label AS label_out
+       |  FROM embeddings e LEFT JOIN c$LpRounds c ON c.vec_id = e.vec_id),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+       |mrel AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS m FROM adj),
+       |lc AS (SELECT vec_id, label_out AS community FROM lab
+       |  WHERE label_out IS NOT NULL),
+       |w2 AS (
+       |  SELECT la.community, CAST(COUNT(*) AS BIGINT) AS within2
+       |  FROM adj a
+       |  JOIN lc la ON la.vec_id = a.u
+       |  JOIN lc lb ON lb.vec_id = a.v AND lb.community = la.community
+       |  GROUP BY 1),
+       |perlab AS (
+       |  SELECT k.community, k.n_nodes, k.k_sum,
+       |    COALESCE(w2.within2, 0) AS within2,
+       |    2 * m.m * COALESCE(w2.within2, 0) - k.k_sum * k.k_sum AS q_part
+       |  FROM (
+       |    SELECT lc.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |      CAST(COALESCE(SUM(d.deg), 0) AS BIGINT) AS k_sum
+       |    FROM lc LEFT JOIN deg d ON d.u = lc.vec_id
+       |    GROUP BY 1) k
+       |  LEFT JOIN w2 ON w2.community = k.community
+       |  CROSS JOIN mrel m),
+       |rest AS (
+       |  SELECT CAST(-2 AS BIGINT) AS community,
+       |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(COALESCE(SUM(d.deg), 0) AS BIGINT) AS k_sum,
+       |    CAST(0 AS BIGINT) AS within2,
+       |    CAST(-COALESCE(SUM(d.deg * d.deg), 0) AS BIGINT) AS q_part
+       |  FROM lab LEFT JOIN deg d ON d.u = lab.vec_id
+       |  WHERE lab.label_out IS NULL),
+       |allrows AS (SELECT * FROM perlab UNION ALL SELECT * FROM rest)
+       |SELECT * FROM allrows
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(SUM(n_nodes) AS BIGINT),
+       |  CAST(SUM(k_sum) AS BIGINT), CAST(SUM(within2) AS BIGINT),
+       |  CAST(SUM(q_part) AS BIGINT)
+       |FROM allrows
+       |ORDER BY community""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_graph_centrality" -> (graphCentrality _),
     "q161_label_propagation" -> (labelPropagation _),
     "q163_walk_corpus" -> (walkCorpus _),
+    "q173_modularity_audit" -> (modularityAudit _),
     "q134_pca_power" -> (pcaTopComponent _),
     "q139_hard_negatives" -> (hardNegatives _),
     "q142_pca_ann" -> (pcaAnnTopK _),
@@ -2476,6 +2603,7 @@ object Similarity {
     "q160_graph_centrality" -> graphCentralitySql,
     "q161_label_propagation" -> labelPropagationSql,
     "q163_walk_corpus" -> walkCorpusSql,
+    "q173_modularity_audit" -> modularityAuditSql,
     "q134_pca_power" -> pcaTopComponentSql,
     "q139_hard_negatives" -> hardNegativesSql,
     "q142_pca_ann" -> pcaAnnTopKSql,

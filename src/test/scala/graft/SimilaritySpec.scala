@@ -492,4 +492,41 @@ class SimilaritySpec extends SparkSpec {
     assert(byStart.values.exists(rs => rs.map(_._3).distinct.length > 2),
       "every walk degenerated to a 2-cycle — step not folded into the key?")
   }
+
+  test("q173: modularity contributions replay driver-side and close exactly") {
+    val adj = replayAdjacency()
+    val m = adj.values.map(_.size).sum / 2
+    val labels = Similarity.labelPropagation(spark, sf).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        Option(r.getAs[java.lang.Long]("label_out")).map(_.toLong)
+    }.toMap
+    val labeled = labels.collect { case (v, Some(l)) => v -> l }
+    val expect = labeled.values.toSet.map { (c: Long) =>
+      val members = labeled.filter(_._2 == c).keySet
+      val k = members.toSeq.map(v => adj.getOrElse(v, Seq.empty).size.toLong).sum
+      val w2 = members.toSeq.map(v =>
+        adj.getOrElse(v, Seq.empty).count(members)).sum.toLong
+      c -> ((members.size.toLong, k, w2, 2L * m * w2 - k * k))
+    }.toMap
+    val rows = Similarity.modularityAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    expect.foreach { case (c, e) => assert(rows(c) === e, s"community $c") }
+    // the singleton rest row: no within edges, contribution −Σ deg²
+    val unl = labels.collect { case (v, None) => v }.toSeq
+    val restDeg = unl.map(v => adj.getOrElse(v, Seq.empty).size.toLong)
+    assert(rows(-2L) === ((unl.size.toLong, restDeg.sum, 0L,
+      -restDeg.map(d => d * d).sum)))
+    // closure laws: all nodes accounted for, degree mass = 2m, and the
+    // assembled Q is a valid modularity
+    val (tn, tk, tw, tq) = rows(-1L)
+    assert(tn === labels.size.toLong)
+    assert(tk === 2L * m, "total degree mass must be 2m")
+    assert(tw % 2 === 0 && tw <= 2L * m)
+    val q = tq.toDouble / (4.0 * m * m)
+    info(f"modularity Q = $q%.3f over ${expect.size} label communities")
+    assert(q >= -1.0 && q <= 1.0)
+    assert(tq === rows.filter(_._1 >= -2L).collect {
+      case (c, t) if c != -1L => t._4 }.sum, "total must equal the parts")
+  }
 }
