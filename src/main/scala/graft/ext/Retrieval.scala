@@ -102,7 +102,7 @@ object Retrieval {
     * vec ranked-list CTEs, the same two-term RRF sum (fixed operand
     * order, CAST-to-DOUBLE literals so DuckDB does IEEE division, not
     * DECIMAL), same (rrf desc, doc_id) final order as [[rrfFuse]]. */
-  private def fuseSqlTail(lexCte: String, vecCte: String): String =
+  private def fuseSqlCtes(lexCte: String, vecCte: String): String =
     s"""f AS (
        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
        |    coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rnk, v.vec_rnk,
@@ -116,7 +116,10 @@ object Retrieval {
        |  SELECT query_id, doc_id, rrf, lex_rnk, vec_rnk,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM f)
+       |  FROM f)""".stripMargin
+
+  private def fuseSqlTail(lexCte: String, vecCte: String): String =
+    s"""${fuseSqlCtes(lexCte, vecCte)}
        |SELECT query_id, rnk, doc_id, rrf, lex_rnk, vec_rnk
        |FROM fr WHERE rnk <= $FuseK
        |ORDER BY query_id, rnk""".stripMargin
@@ -126,9 +129,9 @@ object Retrieval {
     * integer dot ranking for the vector arm, the same two-term RRF sum
     * (fixed operand order, CAST-to-DOUBLE literals so DuckDB does IEEE
     * division, not DECIMAL), same (rrf desc, doc_id) final order. */
-  val hybridRrfSql: String = {
+  private val hybridChainCtes: String = {
     val ids = fuseQueryIds.mkString(", ")
-    s"""WITH ${Index.bm25RankedCtes},
+    s"""${Index.bm25RankedCtes},
        |vd AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
        |vn AS (
@@ -156,8 +159,14 @@ object Retrieval {
        |  SELECT query_id, doc_id, rnk AS lex_rnk FROM r WHERE rnk <= $FuseK),
        |vecl AS (
        |  SELECT query_id, doc_id, vec_rnk FROM vr WHERE vec_rnk <= $FuseK),
-       |${fuseSqlTail("lex", "vecl")}""".stripMargin
+       |${fuseSqlCtes("lex", "vecl")}""".stripMargin
   }
+
+  val hybridRrfSql: String =
+    s"""WITH $hybridChainCtes
+       |SELECT query_id, rnk, doc_id, rrf, lex_rnk, vec_rnk
+       |FROM fr WHERE rnk <= $FuseK
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** q158 — the SERVABLE hybrid: the same RRF fusion but with the
     * PRODUCTION index arms — BM25 served from the q118 index relations
@@ -251,12 +260,92 @@ object Retrieval {
        |FROM packed WHERE before < $PackBudgetTokens
        |ORDER BY query_id, rnk""".stripMargin
 
+  // ---- q174: MRR audit of the hybrid ranking ------------------------------
+
+  /** Ground-truth depth: a fused answer "hits" if it is one of the
+    * exact int8-dot top-[[MrrTruthK]] neighbors. */
+  final val MrrTruthK = 3
+
+  /** q174 — mean-reciprocal-rank audit of the q155 hybrid ranking
+    * against exact-integer-dot ground truth: per probe query, the rank
+    * of the FIRST fused result that is a true top-[[MrrTruthK]]
+    * neighbor, and its reciprocal rank as the EXACT integer `60 div
+    * rank` (every rank 1..5 divides 60, so MRR·60·Q = Σ rr_x60 with no
+    * float anywhere — the rational-arithmetic trick q118 uses for idf,
+    * applied to ranking metrics). A `-1` total row sums the worklist.
+    * Recall@k (q117/q154/q156) says WHETHER the truth surfaces; MRR
+    * says how high — the metric leaderboards and serving SLOs actually
+    * track, here priced for the fusion stage the engine serves.
+    *
+    * Scale shape: the fused list and the truth list are both k-bounded
+    * relations (TopK partial agg); the audit join touches O(Q·k) rows.
+    * The exact-dot truth arm is the deliberate q117-style audit cost. */
+  def mrrAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fused = hybridRrf(s, dir)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+    val quant = Similarity.quantizedVectors(Tables.embeddings(s, dir))
+      .localCheckpoint(eager = false)
+    val q = quant.filter(col("vec_id").isin(fuseQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+    val truth = quant.select(col("vec_id").as("doc_id"), col("q").as("qb"))
+      .crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double").as("dot"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(MrrTruthK)(col("doc_id"), col("dot"))
+        .as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("doc_id"))
+    val hits = fused.join(truth, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id")).agg(min(col("rnk")).as("first_hit"))
+    val per = fuseQueryIds.toDF("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_hit"),
+        coalesce(expr(s"$RrfK div first_hit"), lit(0L)).as("rr_x60"))
+      .localCheckpoint(eager = false) // rows + total both consume it
+    val total = per.agg(sum(col("rr_x60")).as("rr_x60"))
+      .select(lit(-1L).as("query_id"),
+        lit(null).cast("long").as("first_hit"), col("rr_x60"))
+    per.union(total).orderBy(col("query_id"))
+  }
+
+  /** DuckDB spelling: the shared q155 chain, truth from the same exact
+    * ranking, identical integer reciprocal ranks. */
+  val mrrAuditSql: String = {
+    val ids = fuseQueryIds.mkString(", ")
+    s"""WITH $hybridChainCtes,
+       |truth AS (
+       |  SELECT query_id, doc_id FROM vr WHERE vec_rnk <= $MrrTruthK),
+       |fused AS (
+       |  SELECT query_id, rnk, doc_id FROM fr WHERE rnk <= $FuseK),
+       |hits AS (
+       |  SELECT f.query_id, MIN(f.rnk) AS first_hit
+       |  FROM fused f JOIN truth t
+       |    ON t.query_id = f.query_id AND t.doc_id = f.doc_id
+       |  GROUP BY 1),
+       |pr AS (SELECT CAST(unnest([$ids]) AS BIGINT) AS query_id),
+       |per AS (
+       |  SELECT pr.query_id, h.first_hit,
+       |    COALESCE($RrfK // h.first_hit, 0) AS rr_x60
+       |  FROM pr LEFT JOIN hits h ON h.query_id = pr.query_id)
+       |SELECT query_id, first_hit, rr_x60 FROM per
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(SUM(rr_x60) AS BIGINT)
+       |FROM per
+       |ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_mrr_audit" -> (mrrAudit _),
     "q170_context_pack" -> (contextPack _),
     "q155_hybrid_rrf" -> (hybridRrf _),
     "q158_hybrid_lsh_serve" -> (hybridLshServe _))
 
   val oracles: Map[String, String] = Map(
+    "q174_mrr_audit" -> mrrAuditSql,
     "q170_context_pack" -> contextPackSql,
     "q155_hybrid_rrf" -> hybridRrfSql,
     "q158_hybrid_lsh_serve" -> hybridLshServeSql)

@@ -117,4 +117,39 @@ class RetrievalSpec extends SparkSpec {
     assert(kept.values.exists(_ < Index.Bm25K), "budget never dropped a doc")
     assert(kept.values.exists(_ > 1), "packing degenerate — one doc per query")
   }
+
+  test("q174: MRR audit replays from the fused list and exact truth") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val quant = emb.map { case (id, v) =>
+      val ss = v.map(x => x * x).sum
+      id -> v.map(x => math.floor(x / math.sqrt(ss) * 127 + 0.5).toLong)
+    }.toMap
+    val fused = Retrieval.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val queries = fused.map(_._1).distinct
+    val rows = Retrieval.mrrAudit(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        Option(r.getAs[java.lang.Long]("first_hit")).map(_.toLong),
+        r.getLong(2))).toList
+    queries.foreach { q =>
+      val qa = quant(q)
+      val truth = quant.keys.filter(_ != q).toSeq
+        .map(n => n -> (0 until 64).map(d => qa(d) * quant(n)(d)).sum)
+        .sortBy { case (n, dot) => (-dot, n) }
+        .take(Retrieval.MrrTruthK).map(_._1).toSet
+      val hit = fused.filter(_._1 == q).sortBy(_._2)
+        .find(t => truth(t._3)).map(_._2)
+      val Some((_, fh, rr)) = rows.find(_._1 == q)
+      assert(fh === hit, s"query $q first-hit rank")
+      assert(rr === hit.map(60L / _).getOrElse(0L), s"query $q rr")
+    }
+    val Some((_, _, totalRr)) = rows.find(_._1 == -1L)
+    assert(totalRr === rows.filter(_._1 >= 0).map(_._3).sum)
+    assert(totalRr > 0, "hybrid never surfaced a true neighbor — audit vacuous")
+    rows.filter(_._1 >= 0).foreach { case (_, _, rr) =>
+      assert(Set(0L, 12L, 15L, 20L, 30L, 60L)(rr), s"invalid rr_x60 $rr")
+    }
+  }
 }
