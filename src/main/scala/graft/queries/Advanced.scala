@@ -1811,7 +1811,87 @@ object Advanced {
       |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) AS rho2
       |FROM a""".stripMargin
 
+  // ---- q175: leakage-free training-label construction ---------------------
+
+  /** q175 — supervised-dataset construction with temporal correctness:
+    * the observation point is the exact integer-microsecond timeline
+    * midpoint (q172's split); per user, FEATURES aggregate strictly
+    *-before events (event count, purchase count, purchase cents,
+    * distinct active days, recency in µs) and the LABEL is "purchased
+    * within the next (mx−mn)/16 µs horizon" — a short horizon keeps
+    * both classes alive, and no feature can see the label window (the q149
+    * point-in-time discipline applied to ML labels; training on
+    * features that leak future information is the classic silent
+    * model-quality bug this relation makes structurally impossible).
+    * Only users OBSERVED before the midpoint get a row: an entity with
+    * no feature history is not a training example.
+    *
+    * All columns are exact integers — counts, cents, epoch-µs
+    * differences, a 0/1 label — so the hash compare is ULP-proof.
+    * Scale shape: one scan, one user-keyed partial-aggregable rollup
+    * (conditional aggregates split pre/post in the same pass; the
+    * distinct-days count is the one two-phase distinct, q36's rule). */
+  def q175TrainLabels(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * 100).cast("long").as("cents"),
+      to_date(col("ts")).as("d"))
+      .localCheckpoint(eager = false) // bounds + rollup
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val mid = expr("(mn + mx) div 2")
+    ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("us") < mid, 1L).otherwise(0L)).as("n_events_pre"),
+        sum(when(col("us") < mid && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("n_purchases_pre"),
+        sum(when(col("us") < mid && col("event_type") === "purchase",
+          col("cents")).otherwise(0L)).as("cents_pre"),
+        countDistinct(when(col("us") < mid, col("d"))).as("days_active_pre"),
+        max(when(col("us") < mid, col("us"))).as("last_pre_us"),
+        max(col("mn")).as("mn"), max(col("mx")).as("mx"),
+        max(when(col("us") >= mid &&
+            col("us") < expr("(mn + mx) div 2 + (mx - mn) div 16") &&
+            col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("label"))
+      .filter(col("n_events_pre") > 0) // unobserved users are not examples
+      .select(col("user_id"), col("n_events_pre"), col("n_purchases_pre"),
+        col("cents_pre"), col("days_active_pre"),
+        (expr("(mn + mx) div 2") - col("last_pre_us")).as("recency_us"),
+        col("label"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB spelling: identical midpoint, conditional rollups, recency. */
+  val q175Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN us < (mn + mx) // 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_events_pre,
+      |  CAST(SUM(CASE WHEN us < (mn + mx) // 2 AND event_type = 'purchase'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases_pre,
+      |  CAST(SUM(CASE WHEN us < (mn + mx) // 2 AND event_type = 'purchase'
+      |    THEN cents ELSE 0 END) AS BIGINT) AS cents_pre,
+      |  CAST(COUNT(DISTINCT CASE WHEN us < (mn + mx) // 2 THEN d END)
+      |    AS BIGINT) AS days_active_pre,
+      |  CAST((mn + mx) // 2
+      |    - MAX(CASE WHEN us < (mn + mx) // 2 THEN us END) AS BIGINT)
+      |    AS recency_us,
+      |  CAST(MAX(CASE WHEN us >= (mn + mx) // 2
+      |      AND us < (mn + mx) // 2 + (mx - mn) // 16
+      |      AND event_type = 'purchase'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS label
+      |FROM ev CROSS JOIN b
+      |GROUP BY user_id, (mn + mx) // 2
+      |HAVING SUM(CASE WHEN us < (mn + mx) // 2 THEN 1 ELSE 0 END) > 0
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_train_labels" -> (q175TrainLabels _),
     "q172_cuped" -> (q172Cuped _),
     "q171_ab_test" -> (q171AbTest _),
     "q81_grouping_sets" -> (q81GroupingSets _),
@@ -1854,6 +1934,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q175_train_labels" -> q175Sql,
     "q172_cuped" -> q172Sql,
     "q171_ab_test" -> q171Sql,
     "q100_skew_audit"   -> q100Sql,

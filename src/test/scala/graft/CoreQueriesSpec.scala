@@ -545,4 +545,37 @@ class CoreQueriesSpec extends SparkSpec {
     val rho2 = r.getDouble(7)
     assert(rho2 > 0.0 && rho2 <= 1.0, s"rho2 $rho2 out of range")
   }
+
+  test("q175: features see only the pre-window, labels only the post-window") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us",
+        "cast(floor(value * 100) as long) as cents",
+        "cast(to_date(ts) as string) as d").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val expect = ev.groupBy(_._1).flatMap { case (u, rs) =>
+      val pre = rs.filter(_._3 < mid)
+      if (pre.isEmpty) None else Some(u -> ((
+        pre.length.toLong,
+        pre.count(_._2 == "purchase").toLong,
+        pre.filter(_._2 == "purchase").map(_._4).sum,
+        pre.map(_._5).distinct.length.toLong,
+        mid - pre.map(_._3).max,
+        if (rs.exists(e => e._3 >= mid &&
+          e._3 < mid + (ev.map(_._3).max - ev.map(_._3).min) / 16 &&
+          e._2 == "purchase")) 1L else 0L)))
+    }
+    val rows = graft.queries.Advanced.q175TrainLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.keySet === expect.keySet,
+      "observed-user set diverges (unobserved users must be excluded)")
+    expect.foreach { case (u, e) => assert(rows(u) === e, s"user $u") }
+    // the label must be learnable: both classes present, and features
+    // must be non-degenerate (recency positive, activity positive)
+    assert(rows.values.exists(_._6 == 1L) && rows.values.exists(_._6 == 0L),
+      "single-class label — fixture degenerate")
+    rows.values.foreach { t => assert(t._5 > 0 && t._1 > 0) }
+  }
 }
