@@ -439,17 +439,157 @@ object Layout {
        |  hash FROM rt
        |ORDER BY level, id""".stripMargin
 
+  // ---- q176: Bloom-filter data-skipping audit -----------------------------
+
+  /** q176 geometry: docs per file, bloom bits per file (16 × 64-bit
+    * words), hash count, and the fixed probe workload — three ids
+    * present in every SF's corpus, three absent. */
+  final val BloomFileDocs = 256L
+  final val BloomBits = 1024L   // as 32 × 32-bit words
+  final val BloomHashes = 3
+  val BloomProbeIds: Seq[Long] =
+    Seq(7L, 123L, 456L, 1000000001L, 1000000002L, 1000000003L)
+
+  /** The probe's (word index, OR-combined mask) positions — computed
+    * once on the driver with the SAME md5 the scan-side hashing uses,
+    * then embedded as constants in both engines' plans. */
+  private def bloomPositions(id: Long): Seq[(Long, Long)] =
+    (0 until BloomHashes).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) % BloomBits
+      (h / 32, 1L << (h % 32))
+    }.groupBy(_._1).map { case (w, ms) =>
+      (w, ms.map(_._2).reduce(_ | _))
+    }.toSeq.sortBy(_._1)
+
+  /** q176 — per-file Bloom-filter data skipping with a measured
+    * false-positive audit: every ~[[BloomFileDocs]]-doc file publishes a
+    * [[BloomBits]]-bit Bloom filter over its doc ids (32-bit words —
+    * q103's convention, and BIGINT<<63 overflows DuckDB's checked
+    * shift; [[BloomHashes]]
+    * md5 hashes, built with q103's word/bit_or idiom), and each probe id
+    * reports how many files the filter says MIGHT contain it, the file
+    * that truly does (NULL for absent ids), and the false-positive
+    * count. This is the equality-predicate half of data skipping beside
+    * q94's min/max Z-order tiles (Parquet column Blooms, Delta/Iceberg
+    * bloom indexes): a point lookup reads only bloom-positive files, and
+    * the audit prices the wasted reads exactly — Blooms have NO false
+    * negatives (the spec pins it), so positives are the complete
+    * candidate set.
+    *
+    * Scale shape: the filter build is one scan → per-(file, word)
+    * bit_or partial aggregate (16 words per file, constant metadata per
+    * file at any corpus size); probing touches ONLY the metadata
+    * relation — probe bits are driver-computed constants, the
+    * membership test is a widx equi-join plus a bitwise AND, O(#files ·
+    * k) at any data size, the point of skipping indexes. */
+  def bloomSkipAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+        expr(s"doc_id div $BloomFileDocs").as("file_id"))
+      .localCheckpoint(eager = false) // filter build + truth + file count
+    val hashes = docs.select(col("file_id"), explode(array(
+      (0 until BloomHashes).map(i =>
+        conv(substring(md5(concat(lit(s"$i:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % BloomBits): _*)).as("hv"))
+    val words = hashes
+      .groupBy(col("file_id"), expr("hv div 32").as("widx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(hv % 32 as int)))").as("word"))
+    val pb = BloomProbeIds.flatMap(p =>
+      bloomPositions(p).map { case (w, m) => (p, w, m) })
+      .toDF("probe_id", "widx", "mask")
+    val need = BloomProbeIds.map(p => (p, bloomPositions(p).size.toLong))
+      .toDF("probe_id", "needed")
+    val sat = pb.join(words, Seq("widx"))
+      .groupBy(col("probe_id"), col("file_id"))
+      .agg(sum(when(col("word").bitwiseAND(col("mask")) === col("mask"), 1L)
+        .otherwise(0L)).as("s"))
+    val pos = sat.join(broadcast(need), Seq("probe_id"))
+      .filter(col("s") === col("needed"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_positive"))
+    val truth = docs.filter(col("doc_id").isin(BloomProbeIds: _*))
+      .select(col("doc_id").as("probe_id"), col("file_id").as("true_file"))
+    val nf = docs.agg(countDistinct(col("file_id")).as("n_files"))
+    BloomProbeIds.toDF("probe_id")
+      .join(truth, Seq("probe_id"), "left")
+      .join(pos, Seq("probe_id"), "left")
+      .crossJoin(broadcast(nf))
+      .select(col("probe_id"),
+        col("true_file").isNotNull.cast("long").as("present"),
+        col("true_file"), col("n_files"),
+        coalesce(col("n_positive"), lit(0L)).as("n_positive"),
+        (coalesce(col("n_positive"), lit(0L))
+          - col("true_file").isNotNull.cast("long")).as("n_false_positive"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Oracle: same per-doc hashes, q103's word spelling, the same
+    * driver-computed probe-bit constants. */
+  val bloomSkipAuditSql: String = {
+    val hashArms = (0 until BloomHashes).map(i =>
+      s"('0x' || substr(md5('$i:' || CAST(doc_id AS VARCHAR)), 1, 8))" +
+        s"::BIGINT % $BloomBits").mkString(",\n    ")
+    val pbRows = BloomProbeIds.flatMap(p =>
+      bloomPositions(p).map { case (w, m) =>
+        s"(CAST($p AS BIGINT), CAST($w AS BIGINT), CAST($m AS BIGINT))" })
+      .mkString(", ")
+    val ids = BloomProbeIds.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id // $BloomFileDocs AS file_id FROM documents),
+       |h AS (
+       |  SELECT file_id, unnest([
+       |    $hashArms]) AS hv
+       |  FROM d),
+       |words AS (
+       |  SELECT file_id, hv // 32 AS widx,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(hv % 32 AS INT)) AS word
+       |  FROM h GROUP BY 1, 2),
+       |pb(probe_id, widx, mask) AS (VALUES $pbRows),
+       |need AS (SELECT probe_id, COUNT(*) AS needed FROM pb GROUP BY 1),
+       |sat AS (
+       |  SELECT p.probe_id, w.file_id,
+       |    SUM(CASE WHEN (w.word & p.mask) = p.mask THEN 1 ELSE 0 END) AS s
+       |  FROM pb p JOIN words w ON w.widx = p.widx
+       |  GROUP BY 1, 2),
+       |pos AS (
+       |  SELECT s.probe_id, CAST(COUNT(*) AS BIGINT) AS n_positive
+       |  FROM sat s JOIN need n ON n.probe_id = s.probe_id
+       |  WHERE s.s = n.needed GROUP BY 1),
+       |truth AS (
+       |  SELECT doc_id AS probe_id, file_id AS true_file FROM d
+       |  WHERE doc_id IN ($ids)),
+       |nf AS (SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files
+       |  FROM d),
+       |pr AS (SELECT CAST(unnest([$ids]) AS BIGINT) AS probe_id)
+       |SELECT pr.probe_id,
+       |  CAST(t.true_file IS NOT NULL AS BIGINT) AS present,
+       |  t.true_file, nf.n_files,
+       |  COALESCE(p.n_positive, 0) AS n_positive,
+       |  COALESCE(p.n_positive, 0)
+       |    - CAST(t.true_file IS NOT NULL AS BIGINT) AS n_false_positive
+       |FROM pr
+       |LEFT JOIN truth t ON t.probe_id = pr.probe_id
+       |LEFT JOIN pos p ON p.probe_id = pr.probe_id
+       |CROSS JOIN nf
+       |ORDER BY pr.probe_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_zorder_stats" -> (zorderStats _),
     "q124_bucketed_join" -> (bucketedJoin _),
     "q137_file_packing" -> (filePacking _),
     "q162_reshard_audit" -> (reshardAudit _),
-    "q166_release_manifest" -> (releaseManifest _))
+    "q166_release_manifest" -> (releaseManifest _),
+    "q176_bloom_skip" -> (bloomSkipAudit _))
 
   val oracles: Map[String, String] = Map(
     "q94_zorder_stats" -> zorderStatsSql,
     "q124_bucketed_join" -> bucketedJoinSql,
     "q137_file_packing" -> filePackingSql,
     "q162_reshard_audit" -> reshardAuditSql,
-    "q166_release_manifest" -> releaseManifestSql)
+    "q166_release_manifest" -> releaseManifestSql,
+    "q176_bloom_skip" -> bloomSkipAuditSql)
 }

@@ -397,4 +397,43 @@ class IndexLayoutSpec extends SparkSpec {
     assert(rows.values.exists { case (d, o) => o > d },
       "no phrase repeats within a doc — adjacency join under-counting?")
   }
+
+  test("q176: bloom positives replay driver-side; no false negatives ever") {
+    def h(i: Int, id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) %
+        Layout.BloomBits
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val byFile = docs.groupBy(_ / Layout.BloomFileDocs)
+    val blooms = byFile.map { case (f, ids) =>
+      f -> ids.flatMap(id => (0 until Layout.BloomHashes).map(h(_, id))).toSet
+    }
+    val rows = Layout.bloomSkipAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Long]("true_file")).map(_.toLong),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === Layout.BloomProbeIds.sorted)
+    rows.foreach { case (p, present, tf, nFiles, nPos, nFp) =>
+      assert(nFiles === byFile.size.toLong)
+      val probeBits = (0 until Layout.BloomHashes).map(h(_, p)).toSet
+      val positives = blooms.count { case (_, bits) =>
+        probeBits.subsetOf(bits) }
+      assert(nPos === positives.toLong, s"probe $p positive-file count")
+      if (docs.contains(p)) {
+        assert(present === 1L && tf === Some(p / Layout.BloomFileDocs))
+        // Bloom's contract: the true file is ALWAYS positive
+        assert(probeBits.subsetOf(blooms(p / Layout.BloomFileDocs)),
+          s"probe $p: false negative — bloom broken")
+        assert(nFp === nPos - 1)
+      } else {
+        assert(present === 0L && tf.isEmpty && nFp === nPos)
+      }
+    }
+    info(s"false positives across probes: ${rows.map(_._6).sum} " +
+      s"over ${byFile.size} files × ${rows.length} probes")
+  }
 }
