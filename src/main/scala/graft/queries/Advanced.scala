@@ -1890,7 +1890,58 @@ object Advanced {
       |HAVING SUM(CASE WHEN us < (mn + mx) // 2 THEN 1 ELSE 0 END) > 0
       |ORDER BY user_id""".stripMargin
 
+  // ---- q177: sample-ratio-mismatch guardrail ------------------------------
+
+  /** q177 — daily sample-ratio-mismatch (SRM) check for the q171
+    * experiment: per day, the count of distinct ACTIVE users in each
+    * hash arm and the one-degree-of-freedom chi-square against the
+    * designed 50/50 split, χ² = (nA − nB)²/(nA + nB) — the first
+    * guardrail every experimentation platform evaluates before reading
+    * a metric, because a skewed arm ratio means the assignment or
+    * logging is broken and every downstream readout is invalid. The
+    * statistic is a ratio of exact BIGINTs with ONE terminal IEEE
+    * division per row; day-level granularity localizes WHEN the
+    * imbalance started (q146's change-point discipline applied to
+    * experiment health).
+    *
+    * Scale shape: one scan → per-(day, user) distinct (two-phase,
+    * q36's rule) → per-day conditional counts; the exchange carries
+    * (day, user) pairs, bounded by daily active users. */
+  def q177SrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    active
+      .select(col("d"),
+        when(graft.ext.Text.md5Bucket(col("user_id"), 1000L) < 500, 1L)
+          .otherwise(0L).as("a"))
+      .groupBy(col("d"))
+      .agg(sum(col("a")).as("n_a"), sum(lit(1L) - col("a")).as("n_b"))
+      .select(col("d"), col("n_a"), col("n_b"),
+        (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b")).cast("double"))
+          .as("chi2"))
+      .orderBy(col("d"))
+  }
+
+  /** DuckDB spelling: same assignment hash, same distinct, same χ². */
+  val q177Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |armed AS (
+      |  SELECT d, CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |    1, 8))::BIGINT % 1000 < 500 THEN 1 ELSE 0 END AS a
+      |  FROM act),
+      |g AS (
+      |  SELECT d, CAST(SUM(a) AS BIGINT) AS n_a,
+      |    CAST(SUM(1 - a) AS BIGINT) AS n_b
+      |  FROM armed GROUP BY d)
+      |SELECT d, n_a, n_b,
+      |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE) AS chi2
+      |FROM g ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_srm_check" -> (q177SrmCheck _),
     "q175_train_labels" -> (q175TrainLabels _),
     "q172_cuped" -> (q172Cuped _),
     "q171_ab_test" -> (q171AbTest _),
@@ -1934,6 +1985,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q177_srm_check" -> q177Sql,
     "q175_train_labels" -> q175Sql,
     "q172_cuped" -> q172Sql,
     "q171_ab_test" -> q171Sql,

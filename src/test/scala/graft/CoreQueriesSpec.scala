@@ -578,4 +578,31 @@ class CoreQueriesSpec extends SparkSpec {
       "single-class label — fixture degenerate")
     rows.values.foreach { t => assert(t._5 > 0 && t._1 > 0) }
   }
+
+  test("q177: daily SRM replays driver-side; arms close over daily actives") {
+    def bucket(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) % 1000
+    }
+    val act = Tables.events(spark, sf)
+      .selectExpr("cast(to_date(ts) as string) as d", "user_id")
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = act.groupBy(_._1).map { case (d, us) =>
+      val na = us.count(u => bucket(u._2) < 500).toLong
+      d -> ((na, us.length - na,
+        ((na - (us.length - na)) * (na - (us.length - na))).toDouble /
+          us.length))
+    }
+    val rows = graft.queries.Advanced.q177SrmCheck(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (d, e) => assert(rows(d) === e, s"day $d") }
+    // a healthy 50/50 split: chi2 must stay small on most days (3.84 is
+    // the 5% critical value; the fixture is genuinely balanced)
+    assert(rows.values.count(_._3 < 3.84) * 2 > rows.size,
+      "majority of days flag SRM — assignment hash broken?")
+  }
 }
