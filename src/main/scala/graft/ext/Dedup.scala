@@ -678,6 +678,173 @@ object Dedup {
       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q178: cluster-level decontamination --------------------------------
+
+  /** Direct-tier threshold for q178: ≥30 shared eval 5-grams is
+    * verbatim-level overlap (high-precision, no coincidental flags),
+    * vs q59's recall-tuned 3. The cluster expansion below recovers the
+    * sub-threshold tier, so precision here costs no recall. */
+  private val HardShingles = 30L
+
+  /** q178 — CLUSTER-level benchmark decontamination, the two-tier pass
+    * real pipelines layer: a HIGH-PRECISION direct detector (≥
+    * [[HardShingles]] shared eval 5-grams — verbatim-level overlap,
+    * where q59's recall-tuned ≥3 also fires on coincidental shingles)
+    * plus graph expansion for recall — contamination travels along
+    * near-dup edges, so a lightly-paraphrased copy of a leaked doc
+    * carries the same eval content with its 5-gram windows perturbed
+    * below ANY shingle threshold (on this corpus doc 455 shares only 7
+    * five-grams with the eval set yet is a near-duplicate of eval doc
+    * 26 — exactly the leak the n-gram radar misses). A q57 cluster is
+    * tainted when it contains an eval-set document OR a directly-flagged
+    * training doc; every training member of a tainted cluster drops.
+    * Output: per source, the three DISJOINT lanes — directly flagged,
+    * spread (dropped only because of a tainted cluster-mate), kept —
+    * closing exactly over n_train.
+    *
+    * Scale shape: the direct flags are q59's broadcast-eval join; the
+    * tainted-cluster relation is bounded by |eval| + |flagged docs|
+    * (tiny next to the corpus at any scale) so the membership join
+    * BROADCASTS it; the corpus is scanned once and nothing corpus-sized
+    * shuffles beyond the #sources-group rollup. */
+  def clusterDecontam(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .join(dedupClusters(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_id"), col("doc_id")).as("ck"))
+    val sh5 = Text.ngramIndexOf(Tables.documents(s, dir), 5)
+    val ev5 = sh5.filter(col("doc_id") < Text.EvalSetMax)
+      .select(col("shingle")).distinct()
+    val direct = sh5.filter(col("doc_id") >= Text.EvalSetMax)
+      .join(broadcast(ev5), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= HardShingles)
+      .select(col("doc_id"), lit(true).as("direct"))
+    val train = keyed.filter(col("doc_id") >= Text.EvalSetMax)
+      .join(direct, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("direct"), lit(false)))
+    val tainted = keyed.filter(col("doc_id") < Text.EvalSetMax)
+      .select(col("ck"))
+      .union(train.filter(col("contaminated")).select(col("ck")))
+      .distinct()
+      .withColumn("is_tainted", lit(true))
+    train.join(broadcast(tainted), Seq("ck"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_direct"),
+        sum(when(!col("contaminated") && col("is_tainted").isNotNull, 1L)
+          .otherwise(0L)).as("n_spread"),
+        sum(when(col("is_tainted").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling: the shared cluster CTEs + q59's 5-gram chain
+    * (CTE names suffixed `5` to avoid colliding with the 3-gram pair
+    * chain's `sh`), same taint rule, same lanes. */
+  val clusterDecontamSql: String =
+    s"""WITH RECURSIVE $ccCtes,
+      |sh5 AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(string_split(text,' ')) - 3),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2] || ' ' ||
+      |             string_split(text,' ')[i+3] || ' ' ||
+      |             string_split(text,' ')[i+4])) AS shingle
+      |    FROM documents
+      |    WHERE len(string_split(text,' ')) >= 5)),
+      |ev5 AS (SELECT DISTINCT shingle FROM sh5
+      |  WHERE doc_id < ${Text.EvalSetMax}),
+      |shared5 AS (
+      |  SELECT s.doc_id, count(*) AS n_shared
+      |  FROM sh5 s JOIN ev5 USING (shingle)
+      |  WHERE s.doc_id >= ${Text.EvalSetMax}
+      |  GROUP BY 1),
+      |keyed AS (
+      |  SELECT d.doc_id, d.source,
+      |    coalesce(c.cluster_id, d.doc_id) AS ck
+      |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      |train AS (
+      |  SELECT k.doc_id, k.source, k.ck,
+      |    coalesce(n_shared, 0) >= $HardShingles AS contaminated
+      |  FROM keyed k LEFT JOIN shared5 s ON s.doc_id = k.doc_id
+      |  WHERE k.doc_id >= ${Text.EvalSetMax}),
+      |tainted AS (
+      |  SELECT DISTINCT ck FROM (
+      |    SELECT ck FROM keyed WHERE doc_id < ${Text.EvalSetMax}
+      |    UNION ALL SELECT ck FROM train WHERE contaminated))
+      |SELECT t.source, count(*) AS n_train,
+      |  CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_direct,
+      |  CAST(SUM(CASE WHEN NOT contaminated AND x.ck IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spread,
+      |  CAST(SUM(CASE WHEN x.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept
+      |FROM train t LEFT JOIN tainted x ON x.ck = t.ck
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
+  // ---- q182: dedup survivorship-bias audit --------------------------------
+
+  /** q182 — survivorship-bias audit of cluster dedup: near-duplication
+    * is not uniform across sources (mirror-heavy sources lose far more
+    * docs to q60's keep-best than long-tail ones), so deduplication
+    * silently SHIFTS the corpus mixture — a drift the mixture design
+    * (q120/q121/q130) computed its weights BEFORE. Per source (plus the
+    * q10-style ALL rollup row): docs before dedup, docs surviving
+    * (cluster keep-best winners + every unclustered singleton), and the
+    * survival share — exact BIGINT counts, ONE terminal division. A
+    * downstream rebalance consumes exactly these counts to restore the
+    * intended mixture.
+    *
+    * Scale shape: the cluster-member relation (with its keep flag) only
+    * contains near-duplicates — orders of magnitude smaller than the
+    * corpus — so the membership join BROADCASTS it; the corpus is
+    * scanned once into a #sources-group rollup. */
+  def survivorshipAudit(s: SparkSession, dir: String): DataFrame = {
+    val members = dedupClusters(s, dir)
+      .join(clusterKeepBest(s, dir)
+          .select(col("keep_doc_id").as("doc_id"), lit(true).as("won")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("won"), lit(false)).as("won"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(members), Seq("doc_id"), "left")
+      .withColumn("is_kept",
+        when(col("won").isNull, 1L)            // singleton: survives
+          .when(col("won"), 1L).otherwise(0L)) // member: only the winner
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_kept")).as("n_kept"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("kept_share"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling: the shared cluster + keep-best CTEs, same
+    * singleton rule, same rollup. */
+  val survivorshipAuditSql: String =
+    s"""WITH RECURSIVE $ccCtes,
+      |toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT c.cluster_id, c.doc_id,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY t.n_tok DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN toks t ON t.doc_id = c.doc_id)
+      |SELECT coalesce(d.source, 'ALL') AS source,
+      |  count(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1
+      |    WHEN r.rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1
+      |    WHEN r.rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS kept_share
+      |FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+      |GROUP BY ROLLUP (d.source)
+      |ORDER BY source""".stripMargin
+
   // ---- q112: incremental dedup-cluster maintenance ------------------------
 
   /** q112 — incremental dedup-cluster maintenance: a new crawl drop's
@@ -1329,6 +1496,8 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_survivorship" -> (survivorshipAudit _),
+    "q178_cluster_decontam" -> (clusterDecontam _),
     "q140_minhash_calibration" -> (minhashCalibration _),
     "q113_minhash_gate" -> (minhashGate _),
     "q112_incremental_clusters" -> (incrementalClusters _),
@@ -1351,6 +1520,8 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q182_survivorship" -> survivorshipAuditSql,
+    "q178_cluster_decontam" -> clusterDecontamSql,
     "q140_minhash_calibration" -> minhashCalibrationSql,
     // q112's oracle is q57's FULL-recompute CC: incremental maintenance
     // must be value-invisible (the q109 pattern) — the merged labels are

@@ -246,6 +246,75 @@ class DedupSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("q178: cluster decontam lanes replay driver-side and close exactly") {
+    // driver replay from raw text + the q57 clustering: recompute the
+    // high-precision direct tier (>=30 shared eval 5-grams), spread the
+    // taint through clusters, and compare every lane count
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def grams5(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val evalSh = docs.filter(_._1 < 50L).flatMap(d => grams5(d._3)).toSet
+    val direct = docs.filter(_._1 >= 50L)
+      .filter(d => grams5(d._3).count(evalSh.contains) >= 30).map(_._1).toSet
+    val ck = docs.map(d => d._1 -> clusters.getOrElse(d._1, d._1)).toMap
+    val tainted = (docs.filter(_._1 < 50L).map(d => ck(d._1)) ++
+      direct.toSeq.map(ck)).toSet
+    val expect = docs.filter(_._1 >= 50L).groupBy(_._2).map { case (src, ds) =>
+      val nDirect = ds.count(d => direct(d._1))
+      val nSpread = ds.count(d => !direct(d._1) && tainted(ck(d._1)))
+      src -> ((ds.length.toLong, nDirect.toLong, nSpread.toLong,
+        (ds.length - nDirect - nSpread).toLong))
+    }
+    val rows = Dedup.clusterDecontam(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (src, e) => assert(rows(src) === e, s"source $src") }
+    // lanes must close over n_train, and BOTH contamination tiers must
+    // fire on this corpus or the two-tier design is untested
+    rows.values.foreach { case (t, d, sp, k) => assert(d + sp + k === t) }
+    assert(rows.values.map(_._2).sum > 0, "no direct (verbatim) flags")
+    assert(rows.values.map(_._3).sum > 0,
+      "no spread flags — the cluster expansion is vacuous on this corpus")
+  }
+
+  test("q182: survivorship audit replays driver-side and closes on ALL") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clustered = Dedup.dedupClusters(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val winners = Dedup.clusterKeepBest(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    def kept(id: Long): Boolean = !clustered(id) || winners(id)
+    val bySrc = docs.groupBy(_._2).map { case (src, ds) =>
+      val k = ds.count(d => kept(d._1)).toLong
+      src -> ((ds.length.toLong, k, k.toDouble / ds.length))
+    }
+    val expect = bySrc + ("ALL" -> {
+      val k = docs.count(d => kept(d._1)).toLong
+      (docs.length.toLong, k, k.toDouble / docs.length)
+    })
+    val rows = Dedup.survivorshipAudit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (src, e) => assert(rows(src) === e, s"source $src") }
+    // the ALL row must close over the per-source rows, and dedup must
+    // actually have dropped documents or the audit is vacuous
+    val perSrc = rows.filter(_._1 != "ALL").values
+    assert(rows("ALL")._1 === perSrc.map(_._1).sum)
+    assert(rows("ALL")._2 === perSrc.map(_._2).sum)
+    assert(rows("ALL")._2 < rows("ALL")._1, "nothing dropped — vacuous")
+  }
+
   test("q140: calibration buckets are sane and the estimator orders truth") {
     val rows = graft.ext.Dedup.minhashCalibration(SparkSpec.spark, sf)
       .collect()
