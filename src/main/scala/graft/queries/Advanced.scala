@@ -1940,7 +1940,99 @@ object Advanced {
       |    / CAST(n_a + n_b AS DOUBLE) AS chi2
       |FROM g ORDER BY d""".stripMargin
 
+  // ---- q179: deterministic Poisson-bootstrap CI ---------------------------
+
+  /** Poisson(1) pmf as cumulative per-mille-of-10000 thresholds:
+    * P(0)=P(1)=.3679, P(2)=.1839, P(3)=.0613, P(4)=.0153, tail→5. */
+  private val PoissonCum = Seq(3679L, 7358L, 9197L, 9810L, 9963L)
+  private val BootstrapReps = 32
+
+  /** q179 — Poisson-bootstrap distribution of the mean per-user
+    * purchase-cents metric (q171's metric): the classical bootstrap
+    * resamples users WITH replacement, which cannot be coordinated
+    * across executors; the Poisson bootstrap (Chamandy et al.) replaces
+    * the multinomial with an independent per-(user, replicate) count ~
+    * Poisson(1) — and here that count is derived DETERMINISTICALLY from
+    * an md5 bucket of (user_id, rep), so every replicate is
+    * reproducible across engines, runs, and partitionings (the q53
+    * content-keyed-sampling discipline applied to resampling). Output:
+    * per replicate, the effective user count, the exact BIGINT weighted
+    * cents total, the replicate mean (ONE IEEE division), and its rank
+    * among the [[BootstrapReps]] means — ranks 2 and 31 of 32 are the
+    * empirical ~5%/95% CI endpoints, pure SELECTION of already-computed
+    * doubles, no interpolation arithmetic to diverge cross-engine.
+    *
+    * Scale shape: the user metric aggregates FIRST (the user-keyed
+    * exchange any per-user metric already pays), THEN explodes ×32 on
+    * the users-sized relation — never ×32 on raw events; the replicate
+    * rollup partial-aggs map-side into 32 groups, and the rank window
+    * sorts 32 rows. */
+  def q179BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long")).otherwise(0L)).as("x"))
+    val weighted = perUser
+      .select(col("user_id"), col("x"),
+        explode(sequence(lit(0), lit(BootstrapReps - 1))).as("rep"))
+      .withColumn("b", graft.ext.Text.md5Bucket(
+        concat(col("user_id").cast("string"), lit(":"),
+          col("rep").cast("string")), 10000L))
+      .withColumn("w",
+        when(col("b") < PoissonCum(0), 0L)
+          .when(col("b") < PoissonCum(1), 1L)
+          .when(col("b") < PoissonCum(2), 2L)
+          .when(col("b") < PoissonCum(3), 3L)
+          .when(col("b") < PoissonCum(4), 4L)
+          .otherwise(5L))
+    val reps = weighted.groupBy(col("rep"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("x")).as("tot"))
+      .select(col("rep").cast("long").as("rep"), col("n_eff"), col("tot"),
+        (col("tot").cast("double") / col("n_eff").cast("double"))
+          .as("mean_cents"))
+    reps.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("mean_cents"), col("rep"))).cast("long"))
+      .orderBy(col("rep"))
+  }
+
+  /** DuckDB spelling: same per-user metric, same md5(user:rep) weight
+    * table, same single division and rank. */
+  val q179Sql: String =
+    s"""WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS x
+      |  FROM events GROUP BY user_id),
+      |w AS (
+      |  SELECT rep, x,
+      |    CASE WHEN b < ${PoissonCum(0)} THEN 0
+      |         WHEN b < ${PoissonCum(1)} THEN 1
+      |         WHEN b < ${PoissonCum(2)} THEN 2
+      |         WHEN b < ${PoissonCum(3)} THEN 3
+      |         WHEN b < ${PoissonCum(4)} THEN 4
+      |         ELSE 5 END AS w
+      |  FROM (
+      |    SELECT pu.user_id, pu.x, r.rep,
+      |      ('0x' || substr(md5(CAST(pu.user_id AS VARCHAR) || ':' ||
+      |        CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+      |    FROM pu CROSS JOIN
+      |      (SELECT unnest(range(0, $BootstrapReps)) AS rep) r)),
+      |reps AS (
+      |  SELECT CAST(rep AS BIGINT) AS rep,
+      |    CAST(SUM(w) AS BIGINT) AS n_eff,
+      |    CAST(SUM(w * x) AS BIGINT) AS tot,
+      |    CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+      |      AS mean_cents
+      |  FROM w GROUP BY rep)
+      |SELECT rep, n_eff, tot, mean_cents,
+      |  CAST(row_number() OVER (ORDER BY mean_cents, rep) AS BIGINT) AS rk
+      |FROM reps ORDER BY rep""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_bootstrap_ci" -> (q179BootstrapCi _),
     "q177_srm_check" -> (q177SrmCheck _),
     "q175_train_labels" -> (q175TrainLabels _),
     "q172_cuped" -> (q172Cuped _),
@@ -1985,6 +2077,7 @@ object Advanced {
     "q35_sql_interface" -> (q35SqlInterface _))
 
   val oracles: Map[String, String] = Map(
+    "q179_bootstrap_ci" -> q179Sql,
     "q177_srm_check" -> q177Sql,
     "q175_train_labels" -> q175Sql,
     "q172_cuped" -> q172Sql,

@@ -605,4 +605,47 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows.values.count(_._3 < 3.84) * 2 > rows.size,
       "majority of days flag SRM — assignment hash broken?")
   }
+
+  test("q179: Poisson-bootstrap replicates replay driver-side bit-exactly") {
+    def bucket(s: String, m: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) % m
+    }
+    def pois(b: Long): Long =
+      if (b < 3679) 0L else if (b < 7358) 1L else if (b < 9197) 2L
+      else if (b < 9810) 3L else if (b < 9963) 4L else 5L
+    val perUser = Tables.events(spark, sf)
+      .selectExpr("user_id",
+        "cast(case when event_type = 'purchase' " +
+          "then cast(floor(value * 100) as long) else 0 end as long) as c")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum("c").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (0 until 32).map { rep =>
+      val ws = perUser.map { case (u, x) =>
+        val w = pois(bucket(s"$u:$rep", 10000L)); (w, w * x)
+      }
+      val nEff = ws.map(_._1).sum
+      val tot = ws.map(_._2).sum
+      rep.toLong -> ((nEff, tot, tot.toDouble / nEff.toDouble))
+    }.toMap
+    val rows = graft.queries.Advanced.q179BootstrapCi(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+    assert(rows.length === 32)
+    rows.foreach { case (rep, (n, t, m, _)) =>
+      assert(expect(rep) === ((n, t, m)), s"rep $rep")
+    }
+    // rk is a permutation of 1..32 consistent with the (mean, rep) order
+    assert(rows.map(_._2._4).sorted.sameElements(1L to 32L))
+    val byRk = rows.sortBy(_._2._4).map(r => (r._2._3, r._1))
+    assert(byRk.sameElements(byRk.sortBy(identity)),
+      "rank column disagrees with the (mean, rep) order")
+    // the bootstrap must show genuine spread: the CI selection (ranks 2
+    // and 31) is vacuous if all replicate means collapse
+    assert(rows.map(_._2._3).distinct.length > 16,
+      "replicate means collapsed — weight derivation broken?")
+  }
 }
