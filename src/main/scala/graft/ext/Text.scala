@@ -104,6 +104,145 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---- q181: doc-boundary stitch detection --------------------------------
+
+  /** q181 — document-boundary stitch audit: when a crawl splits one page
+    * into consecutive records (or a packer concatenates records), doc
+    * A's last tokens reappear verbatim as doc B's first tokens — an
+    * artifact neither whole-doc dedup (q22/q57: the docs are NOT
+    * near-duplicates of each other) nor in-doc span dedup (q114: the
+    * overlap spans two rows) can see. For each overlap width k ∈ {2,3,4}
+    * this joins the corpus's SUFFIX k-gram keys against its PREFIX
+    * k-gram keys and reports the ordered (tail, head) pair count plus
+    * how many distinct docs appear on each side. Keys are md5 of the
+    * space-joined k-gram — the production join key at 100 TB is this
+    * fixed-width digest, never the raw text. The k lattice is a
+    * CONSTANT probe relation LEFT-JOINed to the match counts, so a
+    * width with zero stitches stays visible as a zero row (q176's
+    * zero-lane discipline) instead of vanishing from the output.
+    *
+    * Scale shape: suffix/prefix keys are in-row (one explode ×|k| on
+    * per-doc rows, not tokens); the stitch join is an equi-join on
+    * (k, digest) whose per-key fan-in is df-bounded like any posting
+    * join; the rollup exchanges 3 groups. The distinct-doc counts ride
+    * the same 3-group aggregate. */
+  def boundaryStitch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(array(lit(2), lit(3), lit(4))).as("k"))
+      .filter(size(col("w")) >= col("k"))
+    val suf = w.select(col("k"), col("doc_id").as("a_id"),
+      md5(concat_ws(" ", slice(col("w"), lit(-1) * col("k"), col("k"))))
+        .as("h"))
+    val pre = w.select(col("k"), col("doc_id").as("b_id"),
+      md5(concat_ws(" ", slice(col("w"), lit(1), col("k")))).as("h"))
+    val m = suf.join(pre, Seq("k", "h"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a_id")).as("n_tail_docs"),
+        countDistinct(col("b_id")).as("n_head_docs"))
+    Seq(2, 3, 4).toDF("k")
+      .join(m, Seq("k"), "left")
+      .select(col("k").cast("long").as("k"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_tail_docs"), lit(0L)).as("n_tail_docs"),
+        coalesce(col("n_head_docs"), lit(0L)).as("n_head_docs"))
+      .orderBy(col("k"))
+  }
+
+  /** DuckDB spelling: same md5(k-gram) keys, same zero-lane LEFT JOIN. */
+  val boundaryStitchSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ks AS (SELECT unnest([2, 3, 4]) AS k),
+      |wk AS (
+      |  SELECT doc_id, w, k FROM w CROSS JOIN ks WHERE len(w) >= k),
+      |suf AS (
+      |  SELECT k, doc_id AS a_id,
+      |    md5(array_to_string(w[len(w)-k+1:len(w)], ' ')) AS h
+      |  FROM wk),
+      |pre AS (
+      |  SELECT k, doc_id AS b_id,
+      |    md5(array_to_string(w[1:k], ' ')) AS h
+      |  FROM wk),
+      |m AS (
+      |  SELECT s.k, count(*) AS n_pairs,
+      |    count(DISTINCT a_id) AS n_tail_docs,
+      |    count(DISTINCT b_id) AS n_head_docs
+      |  FROM suf s JOIN pre p ON p.k = s.k AND p.h = s.h
+      |    AND p.b_id <> s.a_id
+      |  GROUP BY s.k)
+      |SELECT CAST(ks.k AS BIGINT) AS k,
+      |  coalesce(n_pairs, 0) AS n_pairs,
+      |  coalesce(n_tail_docs, 0) AS n_tail_docs,
+      |  coalesce(n_head_docs, 0) AS n_head_docs
+      |FROM ks LEFT JOIN m ON m.k = ks.k
+      |ORDER BY k""".stripMargin
+
+  // ---- q180: per-source ADAPTIVE quality gate -----------------------------
+
+  /** q180 — per-source adaptive quality gating: q21/q55 gate documents
+    * against GLOBAL constants, but corpora are heterogeneous — a
+    * threshold tuned on web text over-drops code or chat sources, so
+    * production curation (CCNet's per-language perplexity buckets,
+    * Gopher's per-source tuning) gates each source against its OWN
+    * distribution. The per-doc score is the integer lexical-diversity
+    * micro-ratio (1000·n_distinct) div n_tok (repetitive docs score
+    * low); the gate is the source's exact MEDIAN score (integer inputs,
+    * so the 0.5-interpolation is exact in IEEE double — q27's rule);
+    * a doc is flagged when score < own-source median. Output per
+    * source: docs, the median, flagged count, and the flagged share
+    * (ONE terminal division).
+    *
+    * Scale shape: scores are in-row; the per-source exact median is one
+    * group exchange (the honest q148-style price of an exact order
+    * statistic — q165's sketch is the approximate alternative at
+    * extreme cardinality); the medians relation is #sources rows, so
+    * the gate join BROADCASTS it and the corpus is never re-shuffled. */
+  def adaptiveGate(s: SparkSession, dir: String): DataFrame = {
+    val scores = Tables.documents(s, dir).select(
+      col("source"),
+      expr("bigint(size(array_distinct(split(text, ' '))) * 1000L) div " +
+        "bigint(size(split(text, ' ')))").as("score"))
+      .localCheckpoint(eager = false)
+    val medians = scores.groupBy(col("source"))
+      .agg(percentile(col("score"), lit(0.5)).as("median_score"))
+    scores.join(broadcast(medians), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("median_score")).as("median_score"),
+        sum(when(col("score").cast("double") < col("median_score"), 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("median_score"),
+        col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_docs").cast("double"))
+          .as("flagged_share"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling: same integer score, quantile_cont median, same
+    * strict-below gate. */
+  val adaptiveGateSql: String =
+    """WITH sc AS (
+      |  SELECT source,
+      |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+      |      // len(string_split(text, ' ')) AS BIGINT) AS score
+      |  FROM documents),
+      |med AS (
+      |  SELECT source, quantile_cont(score, 0.5) AS median_score
+      |  FROM sc GROUP BY source)
+      |SELECT sc.source, count(*) AS n_docs,
+      |  any_value(med.median_score) AS median_score,
+      |  CAST(SUM(CASE WHEN CAST(score AS DOUBLE) < med.median_score
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CASE WHEN CAST(score AS DOUBLE) < med.median_score
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS flagged_share
+      |FROM sc JOIN med ON med.source = sc.source
+      |GROUP BY sc.source ORDER BY sc.source""".stripMargin
+
   /** q22 — content fingerprinting + exact dedup: md5 fingerprint per doc,
     * keep the lowest doc_id per fingerprint, report group size.
     * (Both engines produce identical md5 hex.) At scale this is the
@@ -1356,6 +1495,8 @@ object Text {
        |ORDER BY lf""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_boundary_stitch" -> (boundaryStitch _),
+    "q180_adaptive_gate" -> (adaptiveGate _),
     "q164_weak_labels"  -> (weakLabels _),
     "q159_pii_scrub"    -> (piiScrub _),
     "q114_dup_spans"    -> (dupSpans _),
@@ -1381,6 +1522,8 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q181_boundary_stitch" -> boundaryStitchSql,
+    "q180_adaptive_gate" -> adaptiveGateSql,
     "q164_weak_labels"  -> weakLabelsSql,
     "q159_pii_scrub"    -> piiScrubSql,
     "q114_dup_spans"    -> dupSpansSql,

@@ -303,4 +303,61 @@ class TextSpec extends SparkSpec {
     assert(rows("lf_lang")._1 === enPred,
       "lf_lang coverage drifted from the q47 lang-ID surface")
   }
+
+  test("q180: adaptive gate replays driver-side; median law holds") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val w = r.getString(1).split(" ")
+        (r.getString(0), w.distinct.length.toLong * 1000L / w.length)
+      }
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val sc = ds.map(_._2).sorted
+      val n = sc.length
+      // exact 0.5 interpolation between integer order statistics
+      val med = if (n % 2 == 1) sc(n / 2).toDouble
+                else (sc(n / 2 - 1) + sc(n / 2)) / 2.0
+      val below = sc.count(_.toDouble < med).toLong
+      src -> ((n.toLong, med, below, below.toDouble / n))
+    }
+    val rows = Text.adaptiveGate(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (src, e) => assert(rows(src) === e, s"source $src") }
+    // the median law: strictly-below count can never reach half, and the
+    // gate must actually flag documents somewhere or it is vacuous
+    rows.values.foreach { case (n, _, below, share) =>
+      assert(below * 2 <= n, "more than half the docs below their median")
+      assert(share < 0.5 + 1e-12)
+    }
+    assert(rows.values.map(_._3).sum > 0, "gate never fires")
+  }
+
+  test("q181: boundary stitches replay driver-side from raw token runs") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val expect = Seq(2, 3, 4).map { k =>
+      val eligible = docs.filter(_._2.length >= k)
+      val pre = eligible.groupBy(_._2.take(k).mkString(" "))
+        .map { case (g, ds) => g -> ds.map(_._1).toSeq }
+      val pairs = for {
+        (a, w) <- eligible
+        b <- pre.getOrElse(w.takeRight(k).mkString(" "), Seq.empty[Long])
+        if b != a
+      } yield (a, b)
+      k.toLong -> ((pairs.size.toLong,
+        pairs.map(_._1).distinct.size.toLong,
+        pairs.map(_._2).distinct.size.toLong))
+    }.toMap
+    val rows = Text.boundaryStitch(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet === Set(2L, 3L, 4L), "a probe width vanished")
+    expect.foreach { case (k, e) => assert(rows(k) === e, s"k=$k") }
+    // distinct participants can never exceed pairs; audit non-vacuous
+    rows.values.foreach { case (p, t, h) => assert(t <= p && h <= p) }
+    assert(rows(2L)._1 > 0, "no k=2 stitches — audit vacuous on fixture")
+  }
 }
