@@ -63,7 +63,8 @@ object SparkEntry {
     "q155_hybrid_rrf",     // fused ranking is the deliverable
     "q158_hybrid_lsh_serve",
     "q169_uncertainty_sample", // the labeling worklist IS an order
-    "q170_context_pack")       // the packed prompt IS an order
+    "q170_context_pack",       // the packed prompt IS an order
+    "q183_centroid_outliers")  // the inspection worklist IS an order
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -600,6 +600,89 @@ object Similarity {
        |GROUP BY label, dim
        |ORDER BY label, dim""".stripMargin
 
+  // ---- q183: centroid-outlier worklist ------------------------------------
+
+  /** q183 — embedding-hygiene outlier worklist: the 20 vectors FARTHEST
+    * from their OWN label's centroid — the suspected-mislabel / out-of-
+    * distribution candidates a data-cleaning pass inspects first (the
+    * q169 label-these-next discipline applied to embedding space;
+    * q61 asks "which centroid is nearest", this asks "how badly does
+    * your own fit"). The distance core is FRACTION-FREE: with per-label
+    * component sums S_d and member count n, n²·‖x − S/n‖² =
+    * Σ_d (n·q_d − S_d)² is an exact BIGINT — no mean division, no IEEE
+    * accumulation order to pin. The n² factor is label-dependent, so
+    * the exact key only orders WITHIN a label; the globally-comparable
+    * ranking key is d2_scaled = n2d2 / n², ONE terminal IEEE division
+    * per vector whose inputs are both exact integers — the double (and
+    * therefore the top-20 order) is bit-identical cross-engine. Int64 headroom: |n·q_d − S_d| ≤
+    * 2n·127, so n2d2 ≤ 64·(254n)² — safe past n ≈ 10⁶ members per
+    * label; beyond that the sums widen to decimal behind a row-count
+    * gate exactly as the q134 Gram chain does (PcaWideSpec's rule).
+    *
+    * Scale shape: centroid sums are one (label, dim)-group partial agg
+    * collapsing to labels×64 rows → collected into per-label arrays and
+    * BROADCAST; the deviation fold is in-row over the broadcast join;
+    * the global top-20 is TakeOrderedAndProject (O(k·partitions)
+    * through the exchange) and the rank window sorts 20 rows. */
+  def centroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    val qlab = quantizedLabeled(Tables.embeddings(s, dir))
+    val cent = qlab
+      .select(col("label").as("c_label"),
+        posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(sum(col("qv")).as("s"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("s_arr"))
+    val counts = qlab.groupBy(col("label").as("n_label"))
+      .agg(count(lit(1)).as("n"))
+    val dev = qlab
+      .join(broadcast(cent), col("label") === col("c_label"))
+      .join(broadcast(counts), col("label") === col("n_label"))
+      .select(col("vec_id"), col("label"), col("n"),
+        aggregate(
+          zip_with(col("q"), col("s_arr"),
+            (qv, sv) => (col("n") * qv - sv) * (col("n") * qv - sv)),
+          lit(0L), (acc, x) => acc + x).as("n2d2"))
+      .select(col("vec_id"), col("label"), col("n"), col("n2d2"),
+        (col("n2d2").cast("double") /
+          (col("n") * col("n")).cast("double")).as("d2_scaled"))
+    val top = dev.orderBy(col("d2_scaled").desc, col("vec_id")).limit(20)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("d2_scaled").desc, col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("label"), col("n"),
+        col("n2d2"), col("d2_scaled"))
+  }
+
+  /** DuckDB spelling: same quantization, same fraction-free key, same
+    * single division and rank. */
+  val centroidOutliersSql: String =
+    s"""WITH $quantCtes,
+       |ex AS (
+       |  SELECT vec_id, label, r.range AS dim, q[r.range] AS qv
+       |  FROM q CROSS JOIN range(1, ${Dim + 1}) r),
+       |sums AS (
+       |  SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s
+       |  FROM ex GROUP BY 1, 2),
+       |cnts AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
+       |dev AS (
+       |  SELECT e.vec_id, e.label, c.n,
+       |    CAST(sum((c.n * e.qv - s.s) * (c.n * e.qv - s.s)) AS BIGINT)
+       |      AS n2d2
+       |  FROM ex e
+       |  JOIN sums s ON s.label = e.label AND s.dim = e.dim
+       |  JOIN cnts c ON c.label = e.label
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(row_number() OVER
+       |    (ORDER BY CAST(n2d2 AS DOUBLE) / CAST(n * n AS DOUBLE) DESC,
+       |     vec_id) AS BIGINT) AS rank,
+       |  vec_id, label, n, n2d2,
+       |  CAST(n2d2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS d2_scaled
+       |FROM dev
+       |ORDER BY d2_scaled DESC, vec_id
+       |LIMIT 20""".stripMargin
+
   /** q61 — prototype classification: assign EVERY embedding to its
     * nearest per-label centroid (the q56 centroids — exact integer
     * dimension sums make them engine-portable) and report the
@@ -2593,6 +2676,7 @@ object Similarity {
     "q69_embedding_diversity" -> (embeddingDiversity _),
     "q61_nearest_centroid" -> (nearestCentroid _),
     "q56_label_centroids" -> (labelCentroids _),
+    "q183_centroid_outliers" -> (centroidOutliers _),
     "q54_quantize_int8" -> (quantizeInt8 _),
     "q17_knn_brute"  -> (knnBruteForce _),
     "q18_knn_lsh"    -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -2619,6 +2703,7 @@ object Similarity {
     "q69_embedding_diversity" -> embeddingDiversitySql,
     "q61_nearest_centroid" -> nearestCentroidSql,
     "q56_label_centroids" -> labelCentroidsSql,
+    "q183_centroid_outliers" -> centroidOutliersSql,
     "q54_quantize_int8" -> quantizeInt8Sql,
     "q17_knn_brute"  -> knnBruteForceSql,
     "q18_knn_lsh"    -> knnLshSql,

@@ -529,4 +529,40 @@ class SimilaritySpec extends SparkSpec {
     assert(tq === rows.filter(_._1 >= -2L).collect {
       case (c, t) if c != -1L => t._4 }.sum, "total must equal the parts")
   }
+
+  test("q183: centroid-outlier worklist replays in-JVM, ranked and exact") {
+    val emb = graft.tables.Tables.embeddings(SparkSpec.spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val quant = emb.flatMap { case (id, v, lab) =>
+      val ss = v.map(x => x * x).sum
+      if (ss > 0)
+        Some((id, lab, v.map(x => math.floor(x / math.sqrt(ss) * 127 + 0.5)
+          .toLong)))
+      else None
+    }
+    val byLab = quant.groupBy(_._2)
+    val expect = quant.map { case (id, lab, q) =>
+      val members = byLab(lab)
+      val n = members.length.toLong
+      val sums = (0 until 64).map(d => members.map(_._3(d)).sum)
+      val n2d2 = (0 until 64).map(d =>
+        (n * q(d) - sums(d)) * (n * q(d) - sums(d))).sum
+      (id, lab.toLong, n, n2d2, n2d2.toDouble / (n * n).toDouble)
+    }.sortBy { case (id, _, _, _, sc) => (-sc, id) }.take(20)
+    val rows = Similarity.centroidOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong,
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.length === 20)
+    rows.zip(expect).zipWithIndex.foreach {
+      case (((rk, id, lab, n, d, sc), (eid, elab, en, ed, esc)), i) =>
+        assert(rk === i + 1L, s"rank at row $i")
+        assert((id, lab, n, d, sc) === ((eid, elab, en, ed, esc)),
+          s"row $i")
+    }
+    // worklist must carry genuine signal: distances vary and the top
+    // outlier is strictly farther than the 20th
+    assert(rows.head._6 > rows.last._6, "flat worklist — no outliers?")
+  }
 }
