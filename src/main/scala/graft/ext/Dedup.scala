@@ -845,6 +845,101 @@ object Dedup {
       |GROUP BY ROLLUP (d.source)
       |ORDER BY source""".stripMargin
 
+  // ---- q184: mixture-restoring rebalance quotas (Hamilton method) ---------
+
+  /** q184 — mixture-restoring rebalance after dedup: q182 shows
+    * keep-best SHIFTS the source mixture; this computes the per-source
+    * sampling quotas that restore the designed (pre-dedup) mixture over
+    * a budget of B = total surviving docs, by the LARGEST-REMAINDER
+    * (Hamilton) apportionment: base_i = ⌊B·docs_i / T⌋ exactly, and the
+    * B − Σbase leftover units go to the largest remainders
+    * (B·docs_i mod T, ties by source) — the classical exact-integer
+    * apportionment, so quotas sum to B BY CONSTRUCTION, with no
+    * float shares to round and disagree on. Each source also reports
+    * repeat_x1000 = ⌊1000·quota / survivors⌋ — the upsampling factor
+    * the sampler must apply — and an over_epochs flag at >4×
+    * (data-constrained-scaling territory where further repetition
+    * stops helping; NULL repeat for a fully-deduped source instead of
+    * a division by zero).
+    *
+    * Scale shape: everything after the q182-shape survivor rollup
+    * operates on the #sources-row relation — the totals cross join is
+    * a 1-row broadcast, the remainder rank and leftover sum are
+    * #sources-row windows. */
+  def rebalanceQuota(s: SparkSession, dir: String): DataFrame = {
+    val members = dedupClusters(s, dir)
+      .join(clusterKeepBest(s, dir)
+          .select(col("keep_doc_id").as("doc_id"), lit(true).as("won")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("won"), lit(false)).as("won"))
+    val per = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(members), Seq("doc_id"), "left")
+      .withColumn("is_kept",
+        when(col("won").isNull, 1L).when(col("won"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_kept")).as("n_kept"))
+    val tot = per.agg(sum(col("n_docs")).as("t"), sum(col("n_kept")).as("b"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("base", expr("b * n_docs div t"))
+      .withColumn("rem", expr("(b * n_docs) % t"))
+      .withColumn("leftover", col("b") - sum(col("base")).over(wAll))
+      .withColumn("rrank", row_number().over(wRank).cast("long"))
+      .withColumn("quota",
+        col("base") + when(col("rrank") <= col("leftover"), 1L)
+          .otherwise(0L))
+      .withColumn("repeat_x1000",
+        when(col("n_kept") === 0L, lit(null).cast("long"))
+          .otherwise(expr("quota * 1000 div n_kept")))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("quota"),
+        col("repeat_x1000"),
+        (col("repeat_x1000") > 4000L).as("over_epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling: same survivor rollup, same exact apportionment. */
+  val rebalanceQuotaSql: String =
+    s"""WITH RECURSIVE $ccCtes,
+      |toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT c.cluster_id, c.doc_id,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY t.n_tok DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN toks t ON t.doc_id = c.doc_id),
+      |per AS (
+      |  SELECT d.source, count(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1
+      |      WHEN r.rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+      |  GROUP BY d.source),
+      |tot AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS t,
+      |    CAST(sum(n_kept) AS BIGINT) AS b FROM per),
+      |w AS (
+      |  SELECT per.*, t, b,
+      |    b * n_docs // t AS base, (b * n_docs) % t AS rem
+      |  FROM per CROSS JOIN tot),
+      |w2 AS (
+      |  SELECT *, b - sum(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rrank
+      |  FROM w),
+      |w3 AS (
+      |  SELECT source, n_docs, n_kept,
+      |    CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+      |      AS BIGINT) AS quota
+      |  FROM w2)
+      |SELECT source, n_docs, n_kept, quota,
+      |  CASE WHEN n_kept = 0 THEN NULL
+      |    ELSE CAST(quota * 1000 // n_kept AS BIGINT) END AS repeat_x1000,
+      |  CASE WHEN n_kept = 0 THEN NULL
+      |    ELSE quota * 1000 // n_kept > 4000 END AS over_epochs
+      |FROM w3 ORDER BY source""".stripMargin
+
   // ---- q112: incremental dedup-cluster maintenance ------------------------
 
   /** q112 — incremental dedup-cluster maintenance: a new crawl drop's
@@ -1496,6 +1591,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_rebalance_quota" -> (rebalanceQuota _),
     "q182_survivorship" -> (survivorshipAudit _),
     "q178_cluster_decontam" -> (clusterDecontam _),
     "q140_minhash_calibration" -> (minhashCalibration _),
@@ -1520,6 +1616,7 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q184_rebalance_quota" -> rebalanceQuotaSql,
     "q182_survivorship" -> survivorshipAuditSql,
     "q178_cluster_decontam" -> clusterDecontamSql,
     "q140_minhash_calibration" -> minhashCalibrationSql,

@@ -315,6 +315,46 @@ class DedupSpec extends SparkSpec {
     assert(rows("ALL")._2 < rows("ALL")._1, "nothing dropped — vacuous")
   }
 
+  test("q184: Hamilton quotas replay driver-side and conserve the budget") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clustered = Dedup.dedupClusters(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val winners = Dedup.clusterKeepBest(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    def kept(id: Long): Boolean = !clustered(id) || winners(id)
+    val per = docs.groupBy(_._2).toSeq.map { case (src, ds) =>
+      (src, ds.length.toLong, ds.count(d => kept(d._1)).toLong)
+    }
+    val t = per.map(_._2).sum; val b = per.map(_._3).sum
+    val base = per.map { case (src, nd, nk) =>
+      (src, nd, nk, b * nd / t, (b * nd) % t) }
+    val leftover = b - base.map(_._4).sum
+    val order = base.sortBy { case (src, _, _, _, rem) => (-rem, src) }
+      .map(_._1).zipWithIndex.toMap
+    val expect = base.map { case (src, nd, nk, bs, _) =>
+      val quota = bs + (if (order(src) < leftover) 1L else 0L)
+      val rep = if (nk == 0) None else Some(quota * 1000 / nk)
+      src -> ((nd, nk, quota, rep, rep.map(_ > 4000L)))
+    }.toMap
+    val rows = Dedup.rebalanceQuota(spark, sf).collect().map { r =>
+      val rep = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val ov = if (r.isNullAt(5)) None else Some(r.getBoolean(5))
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), rep, ov))
+    }.toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (src, e) => assert(rows(src) === e, s"source $src") }
+    // the apportionment theorem: quotas sum EXACTLY to the budget, and
+    // each quota is within 1 of the exact proportional share
+    assert(rows.values.map(_._3).sum === b, "quota sum != budget")
+    rows.foreach { case (src, (nd, _, q, _, _)) =>
+      val exact = b.toDouble * nd / t
+      assert(q >= exact.floor - 1e-9 && q <= exact.ceil + 1e-9,
+        s"$src quota $q outside [floor, ceil] of $exact")
+    }
+  }
+
   test("q140: calibration buckets are sane and the estimator orders truth") {
     val rows = graft.ext.Dedup.minhashCalibration(SparkSpec.spark, sf)
       .collect()
