@@ -404,6 +404,34 @@ class PlanShapeSpec extends SparkSpec {
       s"uncertainty top-k degraded to a global sort:\n$p")
   }
 
+  test("q178/q182/q184: dedup-audit membership joins broadcast, no cartesian") {
+    // the taint / survivor relations are bounded (|eval|+|flagged| and
+    // near-dup members respectively) — the corpus-side join must stay a
+    // broadcast, never a corpus reshuffle onto a sort-merge join
+    Seq(graft.ext.Dedup.clusterDecontam(spark, sf),
+        graft.ext.Dedup.survivorshipAudit(spark, sf),
+        graft.ext.Dedup.rebalanceQuota(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"broadcast lost:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    }
+  }
+
+  test("q181: stitch detection joins on (k, digest) — no cartesian, no nested loop") {
+    val p = plan(graft.ext.Text.boundaryStitch(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in stitch join:\n$p")
+    // the suffix⋈prefix match must be a hash equi-join on the digest
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q183: outlier worklist is broadcast-joined and top-k, not sorted globally") {
+    val p = plan(graft.ext.Similarity.centroidOutliers(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"outlier top-20 degraded to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+  }
+
   test("q134: the corpus is scanned exactly once (Gram explode), iterations reuse it") {
     val df = graft.ext.Similarity.pcaTopComponent(spark, sf)
     df.collect() // materialize the lazy localCheckpoint barriers
