@@ -940,6 +940,100 @@ object Dedup {
       |    ELSE quota * 1000 // n_kept > 4000 END AS over_epochs
       |FROM w3 ORDER BY source""".stripMargin
 
+  // ---- q185: k-fold assignment leakage audit -------------------------------
+
+  /** q185 — cross-validation fold-assignment leakage audit: q77 splits
+    * train/eval at CLUSTER granularity and asserts leak-freedom in its
+    * spec; this MEASURES it, for 5-fold CV, as a first-class relation —
+    * and measures the naive per-doc hash fold beside it (q162's
+    * two-scheme comparison discipline), because the naive scheme is
+    * what every pipeline starts with and the leak count is the argument
+    * for fixing it. For scheme ∈ {cluster_key, doc_key} and fold ∈
+    * 0..4: the fold's doc count and its LEAKED pair count — near-dup
+    * pairs with exactly one endpoint in this fold. The cluster scheme's
+    * lanes are zero BY CONSTRUCTION (both endpoints of a pair share a
+    * cluster, hence a fold key); the doc scheme leaks whatever near-dup
+    * mass straddles its hash boundaries.
+    *
+    * Scale shape: fold keys are in-row md5 buckets; the cluster lookup
+    * joins the corpus against the BROADCAST near-dup label relation;
+    * pair-endpoint fold resolution joins the (tiny) pair feed twice
+    * against in-row-derivable keys; the rollup exchanges 10 groups. */
+  def foldLeakAudit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+    val keyed = Tables.documents(s, dir).select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        Text.md5Bucket(coalesce(col("cluster_id"), col("doc_id")), 5L)
+          .as("fold_cluster"),
+        Text.md5Bucket(col("doc_id"), 5L).as("fold_doc"))
+      .localCheckpoint(eager = false)
+    val pairs = dedupClusterPairs(s, dir)
+    val ends = pairs
+      .join(keyed.select(col("doc_id").as("a_id"),
+        col("fold_cluster").as("fca"), col("fold_doc").as("fda")),
+        Seq("a_id"))
+      .join(keyed.select(col("doc_id").as("b_id"),
+        col("fold_cluster").as("fcb"), col("fold_doc").as("fdb")),
+        Seq("b_id"))
+    def leaks(fa: String, fb: String, scheme: String) =
+      ends.filter(col(fa) =!= col(fb))
+        .select(explode(array(col(fa), col(fb))).as("fold"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("leaked_pairs"))
+        .withColumn("scheme", lit(scheme))
+    val leaked = leaks("fca", "fcb", "cluster_key")
+      .unionByName(leaks("fda", "fdb", "doc_key"))
+    val counts = keyed
+      .select(col("fold_cluster").as("fold"), lit("cluster_key").as("scheme"))
+      .unionByName(keyed
+        .select(col("fold_doc").as("fold"), lit("doc_key").as("scheme")))
+      .groupBy(col("scheme"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"))
+    counts.join(leaked, Seq("scheme", "fold"), "left")
+      .select(col("scheme"), col("fold"), col("n_docs"),
+        coalesce(col("leaked_pairs"), lit(0L)).as("leaked_pairs"))
+      .orderBy(col("scheme"), col("fold"))
+  }
+
+  /** DuckDB spelling: shared cluster CTEs, same buckets and lanes. */
+  val foldLeakAuditSql: String =
+    s"""WITH RECURSIVE $ccCtes,
+      |keyed AS (
+      |  SELECT d.doc_id,
+      |    ('0x' || substr(md5(CAST(coalesce(c.cluster_id, d.doc_id)
+      |      AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold_cluster,
+      |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 5 AS fold_doc
+      |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      |ends AS (
+      |  SELECT p.a_id, p.b_id,
+      |    ka.fold_cluster AS fca, ka.fold_doc AS fda,
+      |    kb.fold_cluster AS fcb, kb.fold_doc AS fdb
+      |  FROM pairs p
+      |  JOIN keyed ka ON ka.doc_id = p.a_id
+      |  JOIN keyed kb ON kb.doc_id = p.b_id),
+      |leaked AS (
+      |  SELECT 'cluster_key' AS scheme, unnest([fca, fcb]) AS fold
+      |  FROM ends WHERE fca <> fcb
+      |  UNION ALL
+      |  SELECT 'doc_key' AS scheme, unnest([fda, fdb]) AS fold
+      |  FROM ends WHERE fda <> fdb),
+      |lcnt AS (
+      |  SELECT scheme, fold, count(*) AS leaked_pairs
+      |  FROM leaked GROUP BY 1, 2),
+      |counts AS (
+      |  SELECT scheme, fold, count(*) AS n_docs FROM (
+      |    SELECT 'cluster_key' AS scheme, fold_cluster AS fold FROM keyed
+      |    UNION ALL
+      |    SELECT 'doc_key' AS scheme, fold_doc AS fold FROM keyed)
+      |  GROUP BY 1, 2)
+      |SELECT c.scheme, c.fold, c.n_docs,
+      |  coalesce(l.leaked_pairs, 0) AS leaked_pairs
+      |FROM counts c LEFT JOIN lcnt l
+      |  ON l.scheme = c.scheme AND l.fold = c.fold
+      |ORDER BY c.scheme, c.fold""".stripMargin
+
   // ---- q112: incremental dedup-cluster maintenance ------------------------
 
   /** q112 — incremental dedup-cluster maintenance: a new crawl drop's
@@ -1591,6 +1685,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_fold_leak_audit" -> (foldLeakAudit _),
     "q184_rebalance_quota" -> (rebalanceQuota _),
     "q182_survivorship" -> (survivorshipAudit _),
     "q178_cluster_decontam" -> (clusterDecontam _),
@@ -1616,6 +1711,7 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q185_fold_leak_audit" -> foldLeakAuditSql,
     "q184_rebalance_quota" -> rebalanceQuotaSql,
     "q182_survivorship" -> survivorshipAuditSql,
     "q178_cluster_decontam" -> clusterDecontamSql,

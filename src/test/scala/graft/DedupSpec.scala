@@ -355,6 +355,58 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q185: fold-leak audit replays driver-side; cluster scheme leaks zero") {
+    def bucket(x: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) % 5
+    }
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docIds = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val pairs = Dedup.dedupClusterPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def foldC(id: Long) = bucket(clusters.getOrElse(id, id))
+    def foldD(id: Long) = bucket(id)
+    val expect = scala.collection.mutable.Map[(String, Long), (Long, Long)]()
+    for (sch <- Seq("cluster_key", "doc_key"); f <- 0L until 5L)
+      expect((sch, f)) = (0L, 0L)
+    docIds.foreach { id =>
+      val (c, d) = (foldC(id), foldD(id))
+      expect(("cluster_key", c)) =
+        (expect(("cluster_key", c))._1 + 1, expect(("cluster_key", c))._2)
+      expect(("doc_key", d)) =
+        (expect(("doc_key", d))._1 + 1, expect(("doc_key", d))._2)
+    }
+    pairs.foreach { case (a, b) =>
+      Seq(("cluster_key", foldC(a), foldC(b)),
+          ("doc_key", foldD(a), foldD(b))).foreach { case (sch, fa, fb) =>
+        if (fa != fb) Seq(fa, fb).foreach { f =>
+          expect((sch, f)) = (expect((sch, f))._1, expect((sch, f))._2 + 1)
+        }
+      }
+    }
+    val rows = Dedup.foldLeakAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (k, e) => assert(rows(k) === e, s"$k") }
+    // the theorem: cluster-keyed folds CANNOT leak (pair endpoints share
+    // a cluster, hence a fold key); the naive doc-keyed folds must leak
+    // on this corpus or the comparison carries no signal
+    assert(rows.filter(_._1._1 == "cluster_key").values
+      .forall(_._2 == 0L), "cluster-keyed fold leaked a near-dup pair")
+    assert(rows.filter(_._1._1 == "doc_key").values.map(_._2).sum > 0,
+      "doc-keyed folds leak nothing — comparison vacuous")
+    // every doc lands in exactly one fold per scheme
+    Seq("cluster_key", "doc_key").foreach { sch =>
+      assert(rows.filter(_._1._1 == sch).values.map(_._1).sum ===
+        docIds.length.toLong, s"$sch fold counts don't partition")
+    }
+  }
+
   test("q140: calibration buckets are sane and the estimator orders truth") {
     val rows = graft.ext.Dedup.minhashCalibration(SparkSpec.spark, sf)
       .collect()
