@@ -104,6 +104,90 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---- q186: content-defined chunking (CDC) passage dedup -----------------
+
+  /** q186 — content-defined chunking + passage-level dedup: whole-doc
+    * dedup (q22/q57) misses a duplicated PARAGRAPH inside otherwise-
+    * distinct documents, and fixed-size chunking (q76) breaks on any
+    * insertion — one shifted token re-frames every downstream chunk.
+    * Content-defined chunking (the rsync/LBFS boundary rule, and the
+    * passage-dedup shape production corpora use) cuts where a hash of
+    * the CONTENT says to cut — here a token whose md5 bucket mod 8 is 0
+    * starts a new chunk (expected chunk ≈ 8 tokens) — so an edit
+    * re-syncs within one chunk and identical passages fingerprint
+    * identically wherever they sit. Per source: total chunks, chunks
+    * whose fingerprint appears in ≥2 DISTINCT docs, and the duplicated
+    * token mass — the passage-level dup rate q114's in-doc spans and
+    * q22's whole-doc hash both miss.
+    *
+    * Scale shape: the token explode is the price any tokenizer pass
+    * pays (linear, in-partition); the chunk-id running sum is a
+    * doc-keyed window (q16's sessionize shape); chunk assembly sorts
+    * ≤chunk-length structs IN-AGGREGATE (q166's replan-proof rule);
+    * only 16-byte fingerprints shuffle for the cross-doc df count
+    * (two-phase distinct, q36's rule), and the per-source rollup
+    * exchanges #sources groups. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("pos0", "wd")))
+      .select(col("doc_id"), col("source"),
+        (col("pos0") + 1).as("pos"), col("wd"))
+    val fl = when(md5Bucket(col("wd"), 8L) === 0L, 1L).otherwise(0L)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ch = tok.withColumn("cid", sum(fl).over(win))
+      .groupBy(col("doc_id"), col("source"), col("cid"))
+      .agg(count(lit(1)).as("n_tok"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("wd")))),
+            x => x.getField("wd")))).as("fp"))
+      .localCheckpoint(eager = false)
+    val dup = ch.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"), lit(true).as("dup"))
+    ch.join(dup, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("dup"), col("n_tok")).otherwise(0L))
+          .as("dup_token_mass"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling: same boundary rule, same in-order chunk digest. */
+  val cdcChunksSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, source, s['p'] AS pos, s['w'] AS wd FROM (
+      |    SELECT doc_id, source, unnest(list_transform(
+      |      range(1, len(ts) + 1), i -> {'p': i, 'w': ts[i]})) AS s
+      |    FROM w) t),
+      |cidt AS (
+      |  SELECT doc_id, source, pos, wd,
+      |    sum(CASE WHEN ('0x' || substr(md5(wd), 1, 8))::BIGINT % 8 = 0
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+      |  FROM tok),
+      |ch AS (
+      |  SELECT doc_id, source, cid, count(*) AS n_tok,
+      |    md5(string_agg(wd, ' ' ORDER BY pos)) AS fp
+      |  FROM cidt GROUP BY 1, 2, 3),
+      |dupfp AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, count(*) AS nd FROM (
+      |      SELECT DISTINCT fp, doc_id FROM ch) GROUP BY fp)
+      |  WHERE nd >= 2)
+      |SELECT source, count(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_chunks,
+      |  CAST(SUM(CASE WHEN d.fp IS NOT NULL THEN n_tok ELSE 0 END)
+      |    AS BIGINT) AS dup_token_mass
+      |FROM ch LEFT JOIN dupfp d ON d.fp = ch.fp
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q181: doc-boundary stitch detection --------------------------------
 
   /** q181 — document-boundary stitch audit: when a crawl splits one page
@@ -1495,6 +1579,7 @@ object Text {
        |ORDER BY lf""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_cdc_chunks"   -> (cdcChunks _),
     "q181_boundary_stitch" -> (boundaryStitch _),
     "q180_adaptive_gate" -> (adaptiveGate _),
     "q164_weak_labels"  -> (weakLabels _),
@@ -1522,6 +1607,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q186_cdc_chunks"   -> cdcChunksSql,
     "q181_boundary_stitch" -> boundaryStitchSql,
     "q180_adaptive_gate" -> adaptiveGateSql,
     "q164_weak_labels"  -> weakLabelsSql,

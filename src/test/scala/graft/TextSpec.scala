@@ -360,4 +360,46 @@ class TextSpec extends SparkSpec {
     rows.values.foreach { case (p, t, h) => assert(t <= p && h <= p) }
     assert(rows(2L)._1 > 0, "no k=2 stitches — audit vacuous on fixture")
   }
+
+  test("q186: CDC chunks replay driver-side; dup passages detected") {
+    def bucket(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) % 8
+    }
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    // replay: boundary token starts a new chunk; chunks keep doc order
+    val chunks = docs.flatMap { case (id, src, ws) =>
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+      val cur = scala.collection.mutable.ArrayBuffer[String]()
+      ws.foreach { w =>
+        if (bucket(w) == 0 && cur.nonEmpty) {
+          out += ((id, src, cur.mkString(" "))); cur.clear()
+        }
+        cur += w
+      }
+      if (cur.nonEmpty) out += ((id, src, cur.mkString(" ")))
+      out
+    }
+    val nDocsPerChunk = chunks.map(c => (c._3, c._1)).distinct
+      .groupBy(_._1).map { case (t, ds) => t -> ds.length }
+    val expect = chunks.groupBy(_._2).map { case (src, cs) =>
+      val dup = cs.filter(c => nDocsPerChunk(c._3) >= 2)
+      src -> ((cs.length.toLong, dup.length.toLong,
+        dup.map(_._3.split(" ").length.toLong).sum))
+    }
+    val rows = Text.cdcChunks(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (src, e) => assert(rows(src) === e, s"source $src") }
+    // passage dedup must actually find cross-doc duplicate chunks (the
+    // near-dup fixture docs share most of their chunks)
+    assert(rows.values.map(_._2).sum > 0, "no duplicate passages found")
+    // chunks reassemble every document exactly (token conservation)
+    assert(rows.values.map(_._1).sum === chunks.length.toLong)
+  }
 }
