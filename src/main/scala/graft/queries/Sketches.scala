@@ -300,13 +300,109 @@ object Sketches {
        |JOIN ex ON ex.rn = lo.target_rank
        |ORDER BY p""".stripMargin
 
+  // ---- q187: AMS F2 (self-join size) sketch -------------------------------
+
+  /** AMS geometry: [[AmsEst]] independent ±1-sign estimators in
+    * [[AmsGroups]] groups of 8 — mean-of-8 tames variance (Var[X²] ≤
+    * 2·F2²), median-of-4 groups tames the tail. */
+  final val AmsEst = 32
+  final val AmsGroups = 4
+
+  /** q187 — AMS (Alon–Matias–Szegedy) second-moment sketch of the
+    * 3-gram shingle frequency vector: F2 = Σ df² is exactly the
+    * self-join size q104 prices EXACTLY by aggregating the full df
+    * relation; the AMS sketch estimates it from [[AmsEst]] counters —
+    * each X_j = Σ df·s_j(key), s_j = ±1 from md5(j|key) — the
+    * constant-size, MERGEABLE summary a planner consults when the df
+    * relation itself is too hot to aggregate per decision (the q165
+    * histogram's discipline applied to join sizing). Estimate =
+    * median of 4 group means of X²; every step — signs, squares,
+    * mean (div 8), median of 4 (avg of middle two, div 2), err_ppm —
+    * is EXACT integer arithmetic, so both engines agree bit-for-bit.
+    * Output: the 4 group-mean lanes plus the grp = −1 median lane,
+    * each beside exact F2 and its error in ppm.
+    *
+    * Scale shape: the ×32 estimator explode rides the (shingle, df)
+    * relation — never raw occurrences — and partial-aggregates into 32
+    * groups map-side, so the exchange carries 32·partitions rows
+    * regardless of corpus size; everything after is ≤5-row relations
+    * and one 1-row exact-F2 broadcast (the priced q117-style audit
+    * arm). Int64 headroom: |X_j| ≤ Σdf (token count), so X² overflows
+    * past ~3·10⁹ tokens — wide-decimal gate applies beyond (q134's
+    * rule). */
+  def q187AmsF2(s: SparkSession, dir: String): DataFrame = {
+    val dfs = graft.ext.Text.ngramIndexOf(Tables.documents(s, dir), 3)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(eager = false)
+    val sign = when(pmod(conv(substring(md5(
+        concat(col("j").cast("string"), lit("|"), col("shingle"))),
+      1, 8), 16, 10).cast("long"), lit(2L)) === 0L, 1L).otherwise(-1L)
+    val x = dfs
+      .select(col("shingle"), col("df"),
+        explode(sequence(lit(0), lit(AmsEst - 1))).as("j"))
+      .groupBy(col("j")).agg(sum(col("df") * sign).as("x"))
+    val groups = x
+      .groupBy(expr("bigint(j) div 8").as("grp"))
+      .agg(expr("sum(x * x) div 8").as("est"))
+    val med = groups
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("est"), col("grp"))))
+      .filter(col("rn").isin(2, 3))
+      .agg(expr("sum(est) div 2").as("est"))
+      .select(lit(-1L).as("grp"), col("est"))
+    val exact = dfs.agg(sum(col("df") * col("df")).as("exact_f2"))
+    groups.unionByName(med)
+      .crossJoin(broadcast(exact))
+      .select(col("grp"), col("est"), col("exact_f2"),
+        expr("abs(est - exact_f2) * 1000000 div exact_f2").as("err_ppm"))
+      .orderBy(col("grp"))
+  }
+
+  /** DuckDB spelling: same signs, same integer mean/median/ppm chain. */
+  val q187Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+       |        i -> string_split(text,' ')[i] || ' ' ||
+       |             string_split(text,' ')[i+1] || ' ' ||
+       |             string_split(text,' ')[i+2])) AS shingle
+       |    FROM documents
+       |    WHERE len(string_split(text,' ')) >= 3)),
+       |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |js AS (SELECT unnest(range(0, $AmsEst)) AS j),
+       |x AS (
+       |  SELECT j, CAST(SUM(df * CASE WHEN ('0x' || substr(md5(
+       |      CAST(j AS VARCHAR) || '|' || shingle), 1, 8))::BIGINT % 2 = 0
+       |    THEN 1 ELSE -1 END) AS BIGINT) AS x
+       |  FROM dfs CROSS JOIN js GROUP BY j),
+       |g AS (
+       |  SELECT CAST(j // 8 AS BIGINT) AS grp,
+       |    CAST(CAST(sum(x * x) AS BIGINT) // 8 AS BIGINT) AS est
+       |  FROM x GROUP BY 1),
+       |med AS (
+       |  SELECT CAST(-1 AS BIGINT) AS grp,
+       |    CAST(CAST(SUM(CASE WHEN rn IN (2, 3) THEN est END) AS BIGINT)
+       |      // 2 AS BIGINT) AS est
+       |  FROM (SELECT est, row_number() OVER (ORDER BY est, grp) AS rn
+       |        FROM g)),
+       |al AS (SELECT grp, est FROM g UNION ALL SELECT grp, est FROM med),
+       |f2 AS (SELECT CAST(sum(df * df) AS BIGINT) AS exact_f2 FROM dfs)
+       |SELECT grp, est, exact_f2,
+       |  CAST(abs(est - exact_f2) * 1000000 // exact_f2 AS BIGINT)
+       |    AS err_ppm
+       |FROM al CROSS JOIN f2 ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_ams_f2" -> (q187AmsF2 _),
     "q165_quantile_sketch" -> (q165QuantileSketch _),
     "q123_cms_heavy_hitters" -> (q123CmsHeavyHitters _),
     "q36_approx_agg" -> (q36Approx _),
     "q37_hll_sketch" -> (q37HllSketch _))
 
   val oracles: Map[String, String] = Map(
+    "q187_ams_f2" -> q187Sql,
     "q165_quantile_sketch" -> q165Sql,
     "q123_cms_heavy_hitters" -> q123Sql,
     "q36_approx_agg" -> q36Sql,

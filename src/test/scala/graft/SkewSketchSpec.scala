@@ -93,4 +93,46 @@ class SkewSketchSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(2) < r.getLong(4)),
       "every estimate exact — bucket width 1? corpus degenerate?")
   }
+
+  test("q187: AMS sketch replays driver-side; median lane lands near F2") {
+    def sign(j: Long, sh: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j|$sh".getBytes("UTF-8"))
+      val b = java.lang.Long.parseLong(
+        d.take(4).map(x => f"${x & 0xff}%02x").mkString, 16) % 2
+      if (b == 0) 1L else -1L
+    }
+    val dfs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val w = r.getString(1).split(" ")
+        if (w.length < 3) Nil
+        else w.sliding(3).map(_.mkString(" ")).toSeq.distinct
+          .map(sh => (r.getLong(0), sh))
+      }
+      .groupBy(_._2).map { case (sh, occ) => sh -> occ.length.toLong }
+    val exact = dfs.values.map(d => d * d).sum
+    val xs = (0L until 32L).map { j =>
+      j -> dfs.map { case (sh, d) => d * sign(j, sh) }.sum
+    }
+    val gmeans = xs.groupBy(_._1 / 8).map { case (g, js) =>
+      g -> js.map { case (_, x) => x * x }.sum / 8
+    }
+    val sorted = gmeans.toSeq.sortBy { case (g, e) => (e, g) }.map(_._2)
+    val medEst = (sorted(1) + sorted(2)) / 2
+    val expect = (gmeans.map { case (g, e) => g.toLong -> e } +
+      (-1L -> medEst)).map { case (g, e) =>
+        g -> ((e, exact, math.abs(e - exact) * 1000000L / exact))
+      }
+    val rows = Sketches.q187AmsF2(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (g, e) => assert(rows(g) === e, s"grp $g") }
+    // the sketch's whole claim: the median lane estimates F2 — within
+    // 50% on this corpus (deterministic given the fixed signs), where a
+    // single estimator can be arbitrarily off
+    assert(rows(-1L)._3 < 500000L,
+      s"median-of-means off by ${rows(-1L)._3} ppm")
+  }
 }
