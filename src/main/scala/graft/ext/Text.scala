@@ -127,8 +127,12 @@ object Text {
     * only 16-byte fingerprints shuffle for the cross-doc df count
     * (two-phase distinct, q36's rule), and the per-source rollup
     * exchanges #sources groups. */
-  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+  /** The CDC chunk relation (doc_id, source, cid, n_tok, fp) of a
+    * document set — per-doc, so a streaming drop chunks independently
+    * of everything already indexed ([[graft.streaming.DocStreams
+    * .maintainChunkIndex]] relies on exactly that). */
+  private[graft] def chunkRelationOf(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), col("source"),
         posexplode(tokens(col("text"))).as(Seq("pos0", "wd")))
       .select(col("doc_id"), col("source"),
@@ -136,13 +140,19 @@ object Text {
     val fl = when(md5Bucket(col("wd"), 8L) === 0L, 1L).otherwise(0L)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val ch = tok.withColumn("cid", sum(fl).over(win))
+    tok.withColumn("cid", sum(fl).over(win))
       .groupBy(col("doc_id"), col("source"), col("cid"))
       .agg(count(lit(1)).as("n_tok"),
         md5(concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("wd")))),
             x => x.getField("wd")))).as("fp"))
-      .localCheckpoint(eager = false)
+  }
+
+  /** The per-source passage-dup report over a chunk relation — split
+    * from [[cdcChunks]] so the streaming maintainer serves the SAME
+    * report from its carried state. */
+  private[graft] def cdcReportOf(chunks: DataFrame): DataFrame = {
+    val ch = chunks.localCheckpoint(eager = false)
     val dup = ch.select(col("fp"), col("doc_id")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("fp"), lit(true).as("dup"))
@@ -154,6 +164,9 @@ object Text {
           .as("dup_token_mass"))
       .orderBy(col("source"))
   }
+
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcReportOf(chunkRelationOf(Tables.documents(s, dir)))
 
   /** DuckDB spelling: same boundary rule, same in-order chunk digest. */
   val cdcChunksSql: String =

@@ -213,6 +213,32 @@ object DocStreams {
       .start()
   }
 
+  /** CDC-chunk-index maintenance — q186's continuous twin: each drop is
+    * chunked INDEPENDENTLY (content-defined boundaries are per-doc, so
+    * a drop's chunk relation never depends on what is already indexed),
+    * appended to the carried chunk state, and the per-source passage-dup
+    * report is served from the state — per wave ≡ a from-scratch q186
+    * over everything seen (StreamingSpec locks the equality over ≥3
+    * drops + restart re-seed). The anti-join on doc_id makes a replayed
+    * batch idempotent. Only chunk METADATA (16-byte fingerprints +
+    * counts) is carried — never document text. */
+  def maintainChunkIndex(docStream: DataFrame, initialChunks: DataFrame,
+      checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var chunks = initialChunks.localCheckpoint()
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = graft.ext.Text.chunkRelationOf(batch)
+          .join(chunks.select("doc_id").distinct(), Seq("doc_id"),
+            "left_anti")
+          .localCheckpoint()
+        chunks = chunks.unionByName(fresh).localCheckpoint()
+        sink(graft.ext.Text.cdcReportOf(chunks), batchId)
+      }
+      .start()
+  }
+
   def maintainClusters(docStream: DataFrame, initialSigs: DataFrame,
       initialLabels: DataFrame, checkpointDir: String,
       minEst: Double = 0.5)(

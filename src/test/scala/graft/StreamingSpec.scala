@@ -661,4 +661,50 @@ class StreamingSpec extends SparkSpec {
     assert(latest.count(_._1 == "root") === 1 && latest.length > 2,
       "fixture must produce a multi-shard manifest")
   }
+
+  test("streaming CDC-chunk index: per-wave report equals batch q186 rebuild; restart re-seeds") {
+    import graft.ext.Text
+    import graft.streaming.DocStreams
+    // seed corpus = doc_id%4==0; three waves from the other residues —
+    // CDC boundaries are per-doc, so each drop chunks independently and
+    // the served passage-dup report must equal a from-scratch q186 over
+    // everything ingested so far
+    val docs = Tables.documents(spark, sf).localCheckpoint(eager = false)
+    def slice(r: Int) = docs.filter(col("doc_id") % 4 === r)
+    def fullRebuild(upTo: Int): Set[(String, Long, Long, Long)] =
+      Text.cdcReportOf(Text.chunkRelationOf(
+          docs.filter(col("doc_id") % 4 <= upTo)))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val dropsDir = Files.createTempDirectory("graft-cdc-drops").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    slice(1).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    slice(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    @volatile var latest = Array.empty[(String, Long, Long, Long)]
+    val batchIds = scala.collection.mutable.Set.empty[Long]
+    def start(seed: org.apache.spark.sql.DataFrame) =
+      DocStreams.maintainChunkIndex(
+        DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+        Text.chunkRelationOf(seed), ckpt) { (m, id) =>
+        this.synchronized {
+          latest = m.collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3)))
+          batchIds += id
+        }
+      }
+    val q1 = start(slice(0))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(latest.toSet === fullRebuild(2),
+      "maintained chunk report diverges from batch rebuild after waves 1+2")
+    // wave 3 lands while the maintainer is DOWN; the restart re-seeds
+    // the chunk carry from the ingested corpus and must catch up
+    slice(3).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start(docs.filter(col("doc_id") % 4 <= 2))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchIds.size >= 3, s"expected >=3 micro-batches, got $batchIds")
+    assert(latest.toSet === fullRebuild(3),
+      "post-restart chunk report diverges from batch rebuild")
+    // the maintained state must actually be finding cross-doc passages
+    assert(latest.map(_._3).sum > 0, "no duplicate passages in the stream")
+  }
 }
