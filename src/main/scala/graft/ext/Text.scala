@@ -168,6 +168,77 @@ object Text {
   def cdcChunks(s: SparkSession, dir: String): DataFrame =
     cdcReportOf(chunkRelationOf(Tables.documents(s, dir)))
 
+  // ---- q188: passage-level source-overlap matrix --------------------------
+
+  /** q188 — source-overlap matrix at PASSAGE granularity: q107 counts
+    * whole-doc near-dup pairs between sources; this counts shared CDC
+    * chunks (q186's fingerprints) — the finer instrument that catches
+    * one source embedding another's paragraphs inside otherwise-original
+    * documents (syndication, quotation, template reuse). Per unordered
+    * source pair: the number of DISTINCT chunk fingerprints present in
+    * both. Corpus-hot fingerprints (> [[DfCap]] docs — boilerplate
+    * passages like license headers) are excluded by the q51 df-cap
+    * discipline BEFORE the self-join: they are not overlap signal, and
+    * they are exactly the keys whose fan-out would blow the join up at
+    * scale; the cap is mirrored in the oracle so the check stays
+    * value-exact. Chunks under 4 tokens are dropped too (q114's
+    * minimum-span rule): a 1–2-token chunk matches by vocabulary
+    * chance, not by shared passage.
+    *
+    * Scale shape: one chunker pass; (fp, source) distinct; the overlap
+    * join is an equi-join on the 16-byte fingerprint whose per-key
+    * fan-in is ≤ min(DfCap, #sources) after the cap; the matrix rollup
+    * exchanges ≤ #sources² groups. */
+  def sourceChunkMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ch = chunkRelationOf(Tables.documents(s, dir))
+      .localCheckpoint(eager = false)
+    val hot = ch.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > DfCap).select(col("fp"))
+    val fs = ch.filter(col("n_tok") >= 4)
+      .select(col("fp"), col("source")).distinct()
+      .join(broadcast(hot), Seq("fp"), "left_anti")
+    fs.as("a").join(fs.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** DuckDB spelling: same chunker, same df cap, same triangle. */
+  val sourceChunkMatrixSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, source, s['p'] AS pos, s['w'] AS wd FROM (
+      |    SELECT doc_id, source, unnest(list_transform(
+      |      range(1, len(ts) + 1), i -> {'p': i, 'w': ts[i]})) AS s
+      |    FROM w) t),
+      |cidt AS (
+      |  SELECT doc_id, source, pos, wd,
+      |    sum(CASE WHEN ('0x' || substr(md5(wd), 1, 8))::BIGINT % 8 = 0
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+      |  FROM tok),
+      |ch AS (
+      |  SELECT doc_id, source, cid, count(*) AS n_tok,
+      |    md5(string_agg(wd, ' ' ORDER BY pos)) AS fp
+      |  FROM cidt GROUP BY 1, 2, 3),
+      |hot AS (
+      |  SELECT fp FROM (
+      |    SELECT fp, count(*) AS nd FROM (
+      |      SELECT DISTINCT fp, doc_id FROM ch) GROUP BY fp)
+      |  WHERE nd > $DfCap),
+      |fs AS (
+      |  SELECT DISTINCT fp, source FROM ch
+      |  WHERE n_tok >= 4 AND fp NOT IN (SELECT fp FROM hot))
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  count(*) AS n_shared_chunks
+      |FROM fs a JOIN fs b ON b.fp = a.fp AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** DuckDB spelling: same boundary rule, same in-order chunk digest. */
   val cdcChunksSql: String =
     """WITH w AS (
@@ -1592,6 +1663,7 @@ object Text {
        |ORDER BY lf""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_source_chunk_matrix" -> (sourceChunkMatrix _),
     "q186_cdc_chunks"   -> (cdcChunks _),
     "q181_boundary_stitch" -> (boundaryStitch _),
     "q180_adaptive_gate" -> (adaptiveGate _),
@@ -1620,6 +1692,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q188_source_chunk_matrix" -> sourceChunkMatrixSql,
     "q186_cdc_chunks"   -> cdcChunksSql,
     "q181_boundary_stitch" -> boundaryStitchSql,
     "q180_adaptive_gate" -> adaptiveGateSql,

@@ -402,4 +402,44 @@ class TextSpec extends SparkSpec {
     // chunks reassemble every document exactly (token conservation)
     assert(rows.values.map(_._1).sum === chunks.length.toLong)
   }
+
+  test("q188: passage-level source matrix replays driver-side") {
+    def bucket(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(x => f"${x & 0xff}%02x").mkString, 16) % 8
+    }
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val chunks = docs.flatMap { case (id, src, ws) =>
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+      val cur = scala.collection.mutable.ArrayBuffer[String]()
+      ws.foreach { w =>
+        if (bucket(w) == 0 && cur.nonEmpty) {
+          out += ((id, src, cur.mkString(" "))); cur.clear()
+        }
+        cur += w
+      }
+      if (cur.nonEmpty) out += ((id, src, cur.mkString(" ")))
+      out
+    }
+    val hot = chunks.map(c => (c._3, c._1)).distinct
+      .groupBy(_._1).filter(_._2.length > 20).keySet
+    val fs = chunks
+      .filter(c => c._3.split(" ").length >= 4 && !hot(c._3))
+      .map(c => (c._3, c._2)).distinct
+    val bySrcText: Map[String, Seq[String]] =
+      fs.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val expect = bySrcText.values.toSeq.flatMap { srcs =>
+      for { a <- srcs; b <- srcs if a < b } yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = Text.sourceChunkMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows === expect)
+    // the matrix must be non-trivial and strictly upper-triangular
+    assert(rows.nonEmpty, "no passage overlap found between any sources")
+    rows.keys.foreach { case (a, b) => assert(a < b) }
+  }
 }
