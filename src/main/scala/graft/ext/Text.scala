@@ -959,6 +959,90 @@ object Text {
   val decontaminationSql: String =
     decontaminationSqlFor(EvalSetMax, DecontamMinShingles)
 
+  // ---- q189: memorization / provenance attribution ------------------------
+
+  /** Attribution shingle df cap: shingles present in more docs carry
+    * weight ≤ 10⁶/cap each and only ever rearrange the tail below any
+    * single rarer match — inert on this corpus (max df < cap), binding
+    * at web scale where it bounds the candidate fan-out. */
+  private val AttrDfCap = 1000L
+
+  /** q189 — memorization / provenance attribution: given suspect
+    * outputs (the eval docs 0–4 standing in for model generations),
+    * find for each the top-3 TRAINING documents most likely to be the
+    * memorized source — the audit run when a model emits something
+    * verbatim-looking (Lee/Carlini-style memorization checks, and the
+    * provenance half of takedown tooling). Candidate docs come from the
+    * shared-3-gram posting join; the score is RARITY-WEIGHTED in exact
+    * integers — Σ over shared shingles of (10⁶ div df) — because one
+    * shared rare phrase is stronger evidence of copying than many
+    * shared common ones (q52's idf intuition, spelled div-exact so the
+    * ranking is bit-identical cross-engine). Ties break by doc_id.
+    *
+    * Scale shape: the probe shingle set (a handful of documents) is
+    * BROADCAST into the posting join; candidate fan-out per probe is
+    * bounded by Σ df over its shingles, with df > [[AttrDfCap]]
+    * shingles dropped (weight ≤ 10⁶/cap each — tail-only effect,
+    * documented above) so a boilerplate shingle can't pull in the
+    * whole corpus; the per-probe rank window runs over that bounded
+    * candidate relation. */
+  def memorizationAttribution(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = ngramIndexOf(docs, 3)
+    val dfRel = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= AttrDfCap)
+    val probes = sh.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    val cand = sh.filter(col("doc_id") >= EvalSetMax)
+      .join(dfRel, Seq("shingle"))
+      .join(broadcast(probes), Seq("shingle"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(expr("1000000 div df")).as("score"),
+        count(lit(1)).as("n_shared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_shared"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** DuckDB spelling: same postings, same integer rarity weights. */
+  val memorizationAttributionSql: String =
+    s"""WITH sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2])) AS shingle
+      |    FROM documents
+      |    WHERE len(string_split(text,' ')) >= 3)),
+      |dfr AS (
+      |  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+      |  HAVING count(*) <= $AttrDfCap),
+      |pr AS (
+      |  SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id < 5),
+      |cand AS (
+      |  SELECT p.probe_id, s.doc_id,
+      |    CAST(SUM(1000000 // d.df) AS BIGINT) AS score,
+      |    count(*) AS n_shared
+      |  FROM sh s
+      |  JOIN dfr d ON d.shingle = s.shingle
+      |  JOIN pr p ON p.shingle = s.shingle
+      |  WHERE s.doc_id >= $EvalSetMax
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT probe_id, doc_id, score, n_shared,
+      |    CAST(row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM cand)
+      |SELECT probe_id, rank, doc_id, score, n_shared
+      |FROM r WHERE rank <= 3
+      |ORDER BY probe_id, rank""".stripMargin
+
   // ---- q62: collocation mining (log-free PMI) -----------------------------
 
   /** q62 — collocation mining: bigram association scores. The score is
@@ -1663,6 +1747,7 @@ object Text {
        |ORDER BY lf""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_memorization_attr" -> (memorizationAttribution _),
     "q188_source_chunk_matrix" -> (sourceChunkMatrix _),
     "q186_cdc_chunks"   -> (cdcChunks _),
     "q181_boundary_stitch" -> (boundaryStitch _),
@@ -1692,6 +1777,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q189_memorization_attr" -> memorizationAttributionSql,
     "q188_source_chunk_matrix" -> sourceChunkMatrixSql,
     "q186_cdc_chunks"   -> cdcChunksSql,
     "q181_boundary_stitch" -> boundaryStitchSql,

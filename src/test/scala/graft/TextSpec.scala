@@ -442,4 +442,42 @@ class TextSpec extends SparkSpec {
     assert(rows.nonEmpty, "no passage overlap found between any sources")
     rows.keys.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("q189: attribution ranking replays driver-side with rarity weights") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val w = r.getString(1).split(" ")
+        (r.getLong(0),
+          if (w.length < 3) Set.empty[String]
+          else w.sliding(3).map(_.mkString(" ")).toSet)
+      }
+    val df3 = docs.flatMap(_._2.toSeq).groupBy(identity)
+      .map { case (g, xs) => g -> xs.size.toLong }
+      .filter(_._2 <= 1000L)
+    val probes = docs.filter(_._1 < 5)
+    val train = docs.filter(_._1 >= 50)
+    val expect = probes.map { case (pid, psh) =>
+      val scored = train.flatMap { case (tid, tsh) =>
+        val shared = psh.intersect(tsh).filter(df3.contains)
+        if (shared.isEmpty) None
+        else Some((tid, shared.toSeq.map(g => 1000000L / df3(g)).sum,
+          shared.size.toLong))
+      }.sortBy { case (tid, sc, _) => (-sc, tid) }.take(3)
+      pid -> scored.zipWithIndex.map { case ((tid, sc, ns), i) =>
+        (i + 1L, tid, sc, ns) }.toSeq
+    }.toMap
+    val rows = Text.memorizationAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1).map { case (p, rs) =>
+        p -> rs.sortBy(_._2).map(t => (t._2, t._3, t._4, t._5)).toSeq }
+    assert(rows.keySet === expect.keySet, "a probe vanished")
+    expect.foreach { case (p, e) => assert(rows(p) === e, s"probe $p") }
+    // every probe must find attribution candidates on this corpus, and
+    // at least one probe's top hit must rest on >1 shared shingle
+    assert(rows.keySet === (0L until 5L).toSet)
+    assert(expect.values.exists(_.headOption.exists(_._4 > 1L)),
+      "all top hits single-shingle — scoring carries no signal")
+  }
 }
