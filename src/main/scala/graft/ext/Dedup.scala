@@ -1034,6 +1034,98 @@ object Dedup {
       |  ON l.scheme = c.scheme AND l.fold = c.fold
       |ORDER BY c.scheme, c.fold""".stripMargin
 
+  // ---- q190: quality-quartile × dedup-survival interaction ----------------
+
+  /** q190 — does dedup remove the documents quality filtering would
+    * have removed anyway? The q182 survivorship audit slices by SOURCE;
+    * this slices by QUALITY QUARTILE (q180's integer lexical-diversity
+    * score, bucketed against the corpus-wide exact quartile values —
+    * integer inputs make the .25/.5/.75 interpolations IEEE-exact,
+    * q27's rule), reporting per quartile the doc count, keep-best
+    * survivors, and survival share. If low quartiles survive dedup at
+    * the same rate as high ones, dedup and quality filtering are
+    * INDEPENDENT gates and their budgets compose multiplicatively; a
+    * skew means the pipeline double-counts one signal (near-dup farms
+    * are usually low-quality, so curation plans must measure, not
+    * assume). Bucketing compares VALUES against the broadcast 3-number
+    * threshold row — ties share a bucket, so the assignment needs no
+    * global ranking window (the q95 range-sharding trap avoided
+    * entirely).
+    *
+    * Scale shape: one scan computes scores in-row; the quartile
+    * thresholds are a 1-row broadcast; the survivor membership join
+    * broadcasts the near-dup member relation; the rollup exchanges 4
+    * groups. */
+  def qualitySurvival(s: SparkSession, dir: String): DataFrame = {
+    val scores = Tables.documents(s, dir).select(col("doc_id"),
+      expr("bigint(size(array_distinct(split(text, ' '))) * 1000L) div " +
+        "bigint(size(split(text, ' ')))").as("score"))
+      .localCheckpoint(eager = false)
+    val th = scores.agg(
+      percentile(col("score"), lit(0.25)).as("q25"),
+      percentile(col("score"), lit(0.5)).as("q50"),
+      percentile(col("score"), lit(0.75)).as("q75"))
+    val members = dedupClusters(s, dir)
+      .join(clusterKeepBest(s, dir)
+          .select(col("keep_doc_id").as("doc_id"), lit(true).as("won")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("won"), lit(false)).as("won"))
+    scores.crossJoin(broadcast(th))
+      .join(broadcast(members), Seq("doc_id"), "left")
+      .select(
+        (lit(1L) +
+          when(col("score").cast("double") > col("q25"), 1L).otherwise(0L) +
+          when(col("score").cast("double") > col("q50"), 1L).otherwise(0L) +
+          when(col("score").cast("double") > col("q75"), 1L).otherwise(0L))
+          .as("quartile"),
+        when(col("won").isNull, 1L).when(col("won"), 1L).otherwise(0L)
+          .as("is_kept"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_kept")).as("n_kept"))
+      .select(col("quartile"), col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("kept_share"))
+      .orderBy(col("quartile"))
+  }
+
+  /** DuckDB spelling: same score, same quantile_cont thresholds, same
+    * value-bucketing and survivor rule. */
+  val qualitySurvivalSql: String =
+    s"""WITH RECURSIVE $ccCtes,
+      |toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT c.cluster_id, c.doc_id,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY t.n_tok DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN toks t ON t.doc_id = c.doc_id),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+      |      // len(string_split(text, ' ')) AS BIGINT) AS score
+      |  FROM documents),
+      |th AS (
+      |  SELECT quantile_cont(score, 0.25) AS q25,
+      |    quantile_cont(score, 0.50) AS q50,
+      |    quantile_cont(score, 0.75) AS q75
+      |  FROM sc),
+      |b AS (
+      |  SELECT sc.doc_id,
+      |    1 + CASE WHEN CAST(score AS DOUBLE) > q25 THEN 1 ELSE 0 END
+      |      + CASE WHEN CAST(score AS DOUBLE) > q50 THEN 1 ELSE 0 END
+      |      + CASE WHEN CAST(score AS DOUBLE) > q75 THEN 1 ELSE 0 END
+      |      AS quartile,
+      |    CASE WHEN r.doc_id IS NULL THEN 1
+      |      WHEN r.rn = 1 THEN 1 ELSE 0 END AS is_kept
+      |  FROM sc CROSS JOIN th
+      |  LEFT JOIN ranked r ON r.doc_id = sc.doc_id)
+      |SELECT CAST(quartile AS BIGINT) AS quartile,
+      |  count(*) AS n_docs,
+      |  CAST(SUM(is_kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(is_kept) AS DOUBLE) / count(*) AS kept_share
+      |FROM b GROUP BY quartile ORDER BY quartile""".stripMargin
+
   // ---- q112: incremental dedup-cluster maintenance ------------------------
 
   /** q112 — incremental dedup-cluster maintenance: a new crawl drop's
@@ -1685,6 +1777,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_quality_survival" -> (qualitySurvival _),
     "q185_fold_leak_audit" -> (foldLeakAudit _),
     "q184_rebalance_quota" -> (rebalanceQuota _),
     "q182_survivorship" -> (survivorshipAudit _),
@@ -1711,6 +1804,7 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q190_quality_survival" -> qualitySurvivalSql,
     "q185_fold_leak_audit" -> foldLeakAuditSql,
     "q184_rebalance_quota" -> rebalanceQuotaSql,
     "q182_survivorship" -> survivorshipAuditSql,

@@ -407,6 +407,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q190: quality-survival interaction replays driver-side") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val w = r.getString(1).split(" ")
+        (r.getLong(0), w.distinct.length.toLong * 1000L / w.length)
+      }
+    val clustered = Dedup.dedupClusters(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val winners = Dedup.clusterKeepBest(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    def kept(id: Long): Boolean = !clustered(id) || winners(id)
+    val sorted = docs.map(_._2).sorted
+    def qc(p: Double): Double = {
+      val h = (sorted.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 > sorted.length - 1) sorted(lo).toDouble
+      else sorted(lo) * (1 - (h - lo)) + sorted(lo + 1) * (h - lo)
+    }
+    val (t25, t50, t75) = (qc(0.25), qc(0.5), qc(0.75))
+    val expect = docs.groupBy { case (_, sc) =>
+      1L + (if (sc > t25) 1L else 0L) + (if (sc > t50) 1L else 0L) +
+        (if (sc > t75) 1L else 0L)
+    }.map { case (q, ds) =>
+      val k = ds.count(d => kept(d._1)).toLong
+      q -> ((ds.length.toLong, k, k.toDouble / ds.length))
+    }
+    val rows = Dedup.qualitySurvival(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (q, e) => assert(rows(q) === e, s"quartile $q") }
+    // quartiles partition the corpus and each holds a real share of it
+    assert(rows.values.map(_._1).sum === docs.length.toLong)
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L), "a quartile is empty")
+    rows.values.foreach { case (n, k, _) => assert(k <= n) }
+  }
+
   test("q140: calibration buckets are sane and the estimator orders truth") {
     val rows = graft.ext.Dedup.minhashCalibration(SparkSpec.spark, sf)
       .collect()
