@@ -1043,6 +1043,72 @@ object Text {
       |FROM r WHERE rank <= 3
       |ORDER BY probe_id, rank""".stripMargin
 
+  // ---- q191: deletion-request (right-to-be-forgotten) audit ---------------
+
+  /** q191 — deletion-request enforcement audit: a takedown / opt-out /
+    * GDPR-erasure list arrives as doc ids; the pipeline must (a) drop
+    * the docs, (b) PROVE the drop — the audit relation a compliance
+    * review reads. The request list here is planted deterministically
+    * (md5 bucket of doc_id mod 97 = 0, ≈1% of the corpus — the
+    * q66/q159 fixed-fixture discipline, identical in both engines; in
+    * production it is a read-in relation). Per source: docs and bytes
+    * before, deletion requests matched, docs and bytes after, and the
+    * RESIDUE — surviving docs that still match the request list, which
+    * the contract pins to ZERO (the law is in the output, not just a
+    * spec, because the zero is what the auditor signs off on).
+    *
+    * Scale shape: the request list is tiny next to the corpus →
+    * membership is an in-row hash here and a broadcast anti-join in
+    * production; one scan, #sources-group rollup. */
+  def deletionAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (md5Bucket(col("doc_id"), 97L) === 0L).as("req"))
+    val kept = docs.filter(!col("req"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes_before"),
+        sum(when(col("req"), 1L).otherwise(0L)).as("n_requested"))
+      .join(
+        kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_after"),
+            sum(col("n_chars")).as("bytes_after"),
+            sum(when(col("req"), 1L).otherwise(0L)).as("residue")),
+        Seq("source"), "left")
+      // a source erased IN FULL must stay visible as an all-zero row
+      .select(col("source"), col("n_docs"), col("bytes_before"),
+        col("n_requested"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("bytes_after"), lit(0L)).as("bytes_after"),
+        coalesce(col("residue"), lit(0L)).as("residue"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling: same planted request hash, same lanes. */
+  val deletionAuditSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 97 = 0 AS req
+      |  FROM documents),
+      |before AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS bytes_before,
+      |    CAST(SUM(CASE WHEN req THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_requested
+      |  FROM d GROUP BY source),
+      |after AS (
+      |  SELECT source, count(*) AS n_after,
+      |    CAST(sum(n_chars) AS BIGINT) AS bytes_after,
+      |    CAST(SUM(CASE WHEN req THEN 1 ELSE 0 END) AS BIGINT) AS residue
+      |  FROM d WHERE NOT req GROUP BY source)
+      |SELECT b.source, n_docs, bytes_before, n_requested,
+      |  coalesce(n_after, 0) AS n_after,
+      |  coalesce(bytes_after, 0) AS bytes_after,
+      |  coalesce(residue, 0) AS residue
+      |FROM before b LEFT JOIN after a ON a.source = b.source
+      |ORDER BY b.source""".stripMargin
+
   // ---- q62: collocation mining (log-free PMI) -----------------------------
 
   /** q62 — collocation mining: bigram association scores. The score is
@@ -1747,6 +1813,7 @@ object Text {
        |ORDER BY lf""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_deletion_audit" -> (deletionAudit _),
     "q189_memorization_attr" -> (memorizationAttribution _),
     "q188_source_chunk_matrix" -> (sourceChunkMatrix _),
     "q186_cdc_chunks"   -> (cdcChunks _),
@@ -1777,6 +1844,7 @@ object Text {
     "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
+    "q191_deletion_audit" -> deletionAuditSql,
     "q189_memorization_attr" -> memorizationAttributionSql,
     "q188_source_chunk_matrix" -> sourceChunkMatrixSql,
     "q186_cdc_chunks"   -> cdcChunksSql,

@@ -480,4 +480,38 @@ class TextSpec extends SparkSpec {
     assert(expect.values.exists(_.headOption.exists(_._4 > 1L)),
       "all top hits single-shingle — scoring carries no signal")
   }
+
+  test("q191: deletion audit replays driver-side; residue is zero") {
+    def req(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(x => f"${x & 0xff}%02x").mkString, 16) % 97 == 0
+    }
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val kept = ds.filter(d => !req(d._1))
+      src -> ((ds.length.toLong, ds.map(_._3).sum,
+        ds.count(d => req(d._1)).toLong,
+        kept.length.toLong, kept.map(_._3).sum))
+    }
+    val rows = Text.deletionAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (src, (nd, bb, nr, na, ba)) =>
+      val got = rows(src)
+      assert((got._1, got._2, got._3, got._4, got._5) ===
+        ((nd, bb, nr, na, ba)), s"source $src")
+    }
+    // the compliance contract: zero residue everywhere, counts close,
+    // and the planted list actually removed something
+    rows.values.foreach { case (nd, _, nr, na, _, res) =>
+      assert(res === 0L, "a requested doc survived deletion")
+      assert(na === nd - nr, "counts don't close over the deletion")
+    }
+    assert(rows.values.map(_._3).sum > 0, "request list empty — vacuous")
+  }
 }
