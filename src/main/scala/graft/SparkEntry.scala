@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Advanced, Core, Sketches, Subqueries}
+import graft.queries.{Advanced, Core, Olap, Sketches, Subqueries}
 import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Model, Multimodal,
   Report, Retrieval, Similarity, Text}
 
@@ -17,7 +17,8 @@ object SparkEntry {
       Subqueries.queries ++ Similarity.queries ++ Text.queries ++
       Dedup.queries ++ Multimodal.queries ++ Corpus.queries ++
       Linkage.queries ++ Index.queries ++ Layout.queries ++
-      Model.queries ++ Report.queries ++ Retrieval.queries
+      Model.queries ++ Report.queries ++ Retrieval.queries ++
+      Olap.queries
 
   /** Keys in [[queries]] that are deliberate EXACTNESS BASELINES, not
     * production paths: quadratic all-pairs formulations kept as the
@@ -74,5 +75,6 @@ object SparkEntry {
       Subqueries.oracles ++ Similarity.oracles ++ Text.oracles ++
       Dedup.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
       Linkage.oracles ++ Index.oracles ++ Layout.oracles ++
-      Model.oracles ++ Report.oracles ++ Retrieval.oracles
+      Model.oracles ++ Report.oracles ++ Retrieval.oracles ++
+      Olap.oracles
 }

@@ -338,7 +338,121 @@ object Retrieval {
        |ORDER BY query_id""".stripMargin
   }
 
+  // ---- q194: nDCG audit of the hybrid ranking -----------------------------
+
+  /** Position-discount weights, µ-units: W(i) = ⌊10⁶ / log₂(i+1)⌋ for
+    * fused positions 1..[[FuseK]]. Computed ONCE here and EMBEDDED as
+    * integer literals in both spellings (the LSH-constant discipline), so
+    * neither engine evaluates a transcendental at query time and the DCG
+    * sums are exact integer arithmetic end-to-end. */
+  val NdcgW: Seq[Long] = (1 to FuseK).map(i =>
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** q194 — nDCG@[[FuseK]] audit of the q155 hybrid ranking with graded
+    * relevance from the exact-dot ground truth: truth rank r ∈ 1..
+    * [[MrrTruthK]] grades rel = [[MrrTruthK]]+1−r (3,2,1), non-truth 0.
+    *
+    *   dcg_x1e6  = Σ_positions rel(doc at i) · W(i)
+    *   idcg_x1e6 = Σ_{r=1..n_truth} (M+1−r) · W(r)   (ideal ordering)
+    *   ndcg      = dcg/idcg  — ONE IEEE division, identical cross-engine.
+    *
+    * q174's MRR prices only the FIRST hit; nDCG prices the whole list
+    * with position discounts — the metric offline ranking evals report.
+    * The `-1` total row micro-averages: exact integer Σdcg / Σidcg, not
+    * a float mean over queries (which would be accumulation-order-
+    * dependent). Scale shape: identical to q174 — both lists are
+    * k-bounded, the audit join is O(Q·k); only the deliberate exact-dot
+    * truth arm touches the corpus (the q117 audit-cost discipline). */
+  def ndcgAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wArr = array(NdcgW.map(lit): _*)
+    val fused = hybridRrf(s, dir)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+    val quant = Similarity.quantizedVectors(Tables.embeddings(s, dir))
+      .localCheckpoint(eager = false)
+    val q = quant.filter(col("vec_id").isin(fuseQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+    val truth = quant.select(col("vec_id").as("doc_id"), col("q").as("qb"))
+      .crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double").as("dot"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(MrrTruthK)(col("doc_id"), col("dot"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top.id")).as(Seq("p", "doc_id")))
+      .select(col("query_id"), col("doc_id"),
+        (lit(MrrTruthK.toLong) - col("p")).as("rel"),
+        ((lit(MrrTruthK.toLong) - col("p")) *
+          element_at(wArr, col("p").cast("int") + 1)).as("ideal_term"))
+      .localCheckpoint(eager = false) // feeds dcg join AND idcg agg
+    val dcg = fused
+      .join(truth.select(col("query_id"), col("doc_id"), col("rel")),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("rel"), lit(0L)) *
+        element_at(wArr, col("rnk").cast("int"))).as("dcg_x1e6"))
+    val idcg = truth.groupBy(col("query_id"))
+      .agg(sum(col("ideal_term")).as("idcg_x1e6"))
+    val per = fuseQueryIds.toDF("query_id")
+      .join(dcg, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_x1e6"), lit(0L)).as("dcg_x1e6"),
+        coalesce(col("idcg_x1e6"), lit(0L)).as("idcg_x1e6"))
+      .localCheckpoint(eager = false) // rows + total both consume it
+    val total = per.agg(sum(col("dcg_x1e6")).as("dcg_x1e6"),
+        sum(col("idcg_x1e6")).as("idcg_x1e6"))
+      .select(lit(-1L).as("query_id"), col("dcg_x1e6"), col("idcg_x1e6"))
+    per.union(total)
+      .select(col("query_id"), col("dcg_x1e6"), col("idcg_x1e6"),
+        (col("dcg_x1e6").cast("double") / col("idcg_x1e6")).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB spelling: the shared q155 chain; the SAME embedded W
+    * literals; exact integer DCG/IDCG; one final division. */
+  val ndcgAuditSql: String = {
+    val ids = fuseQueryIds.mkString(", ")
+    val w = NdcgW.mkString("[", ", ", "]")
+    s"""WITH $hybridChainCtes,
+       |w AS (SELECT $w AS wa),
+       |truth AS (
+       |  SELECT query_id, doc_id, ${MrrTruthK + 1} - vec_rnk AS rel,
+       |    (${MrrTruthK + 1} - vec_rnk) * wa[vec_rnk] AS ideal_term
+       |  FROM vr, w WHERE vec_rnk <= $MrrTruthK),
+       |fused AS (
+       |  SELECT query_id, rnk, doc_id FROM fr WHERE rnk <= $FuseK),
+       |dcg AS (
+       |  SELECT f.query_id,
+       |    SUM(COALESCE(t.rel, 0) * wa[f.rnk]) AS dcg_x1e6
+       |  FROM fused f LEFT JOIN truth t
+       |    ON t.query_id = f.query_id AND t.doc_id = f.doc_id, w
+       |  GROUP BY 1),
+       |idcg AS (
+       |  SELECT query_id, SUM(ideal_term) AS idcg_x1e6
+       |  FROM truth GROUP BY 1),
+       |pr AS (SELECT CAST(unnest([$ids]) AS BIGINT) AS query_id),
+       |per AS (
+       |  SELECT pr.query_id,
+       |    CAST(COALESCE(d.dcg_x1e6, 0) AS BIGINT) AS dcg_x1e6,
+       |    CAST(COALESCE(i.idcg_x1e6, 0) AS BIGINT) AS idcg_x1e6
+       |  FROM pr LEFT JOIN dcg d ON d.query_id = pr.query_id
+       |  LEFT JOIN idcg i ON i.query_id = pr.query_id),
+       |u AS (
+       |  SELECT query_id, dcg_x1e6, idcg_x1e6 FROM per
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(SUM(dcg_x1e6) AS BIGINT),
+       |    CAST(SUM(idcg_x1e6) AS BIGINT)
+       |  FROM per)
+       |SELECT query_id, dcg_x1e6, idcg_x1e6,
+       |  CAST(dcg_x1e6 AS DOUBLE) / idcg_x1e6 AS ndcg
+       |FROM u ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_ndcg_audit" -> (ndcgAudit _),
     "q174_mrr_audit" -> (mrrAudit _),
     "q170_context_pack" -> (contextPack _),
     "q155_hybrid_rrf" -> (hybridRrf _),

@@ -441,4 +441,23 @@ class PlanShapeSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans <= 1, s"power iteration re-scans the corpus ($scans scans):\n$p")
   }
+
+  test("q192: Expand multiplies the pre-aggregated grain, not the fact scan") {
+    val p = plan(graft.queries.Olap.q192CubeAggregate(spark, sf))
+    val iExpand = p.indexOf("Expand")
+    val iScan = p.indexOf("Scan parquet")
+    assert(iExpand >= 0, s"cube lost its Expand:\n$p")
+    assert(iScan > iExpand, s"plan shape unexpected:\n$p")
+    // between the Expand and the scan there must be the grain hash agg —
+    // i.e. the 4× row multiplication applies to ≤|dims| rows, not the table
+    assert(p.substring(iExpand, iScan).contains("HashAggregate"),
+      s"Expand sits directly on the fact scan (4x the table at 100 TB):\n$p")
+  }
+
+  test("q193: pinned-vocabulary pivot is one scan, one aggregate, no join") {
+    val p = plan(graft.queries.Olap.q193PivotEvents(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"pivot scans the table more than once:\n$p")
+    assert(!p.contains("Join"), s"pivot planned a join per column:\n$p")
+  }
 }
