@@ -459,6 +459,7 @@ object Retrieval {
     "q158_hybrid_lsh_serve" -> (hybridLshServe _))
 
   val oracles: Map[String, String] = Map(
+    "q194_ndcg_audit" -> ndcgAuditSql,
     "q174_mrr_audit" -> mrrAuditSql,
     "q170_context_pack" -> contextPackSql,
     "q155_hybrid_rrf" -> hybridRrfSql,

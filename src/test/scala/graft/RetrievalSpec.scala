@@ -152,4 +152,26 @@ class RetrievalSpec extends SparkSpec {
       assert(Set(0L, 12L, 15L, 20L, 30L, 60L)(rr), s"invalid rr_x60 $rr")
     }
   }
+
+  test("q194: DCG bounded by IDCG; IDCG matches the closed form; total row sums") {
+    val rows = Retrieval.ndcgAudit(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(r.fieldIndex("ndcg")))).toList
+    val per = rows.filter(_._1 >= 0)
+    assert(per.nonEmpty)
+    // with a full MrrTruthK truth list, IDCG = Σ (M+1-r)·W(r)
+    val idcgFull = (1 to Retrieval.MrrTruthK)
+      .map(r => (Retrieval.MrrTruthK + 1 - r) * Retrieval.NdcgW(r - 1)).sum
+    per.foreach { case (q, dcg, idcg, ndcg) =>
+      assert(idcg === idcgFull, s"query $q idcg")
+      assert(dcg >= 0 && dcg <= idcg, s"query $q dcg out of [0, idcg]")
+      assert(ndcg === dcg.toDouble / idcg, s"query $q ndcg")
+    }
+    val Some((_, tDcg, tIdcg, _)) = rows.find(_._1 == -1L)
+    assert(tDcg === per.map(_._2).sum)
+    assert(tIdcg === per.map(_._3).sum)
+    assert(tDcg > 0, "hybrid never surfaced graded truth — audit vacuous")
+    // embedded discount weights are the frozen ⌊1e6/log2(i+1)⌋ table
+    assert(Retrieval.NdcgW === Seq(1000000L, 630929L, 500000L, 430676L, 386852L))
+  }
 }
