@@ -435,7 +435,7 @@ object Text {
     * space-joined string per position; NOT distinct). Takes the ARRAY
     * column, not text: referencing split() inside the lambda would
     * re-split the string per element (O(L²)/doc). */
-  private[ext] def ngramsCol(w: Column, n: Int): Column =
+  private[graft] def ngramsCol(w: Column, n: Int): Column =
     transform(
       sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))

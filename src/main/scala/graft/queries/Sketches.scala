@@ -394,7 +394,174 @@ object Sketches {
        |    AS err_ppm
        |FROM al CROSS JOIN f2 ORDER BY grp""".stripMargin
 
+  // ---- q195: KMV/theta distinct sketch with merge + intersection ---------
+
+  /** KMV sketch size. K=64 ⇒ rse ≈ 1/√(K−2) ≈ 12.7%; the emitted
+    * within-flag tolerance (35%) is ≈2.8σ, and the estimates themselves
+    * are hash-compared exactly (the sketch is deterministic in BOTH
+    * engines — same md5-derived hashes, same k-th minimum). */
+  final val KmvK = 64
+  /** 52-bit hash space: 13 md5 hex chars, exact in an IEEE double, so
+    * the TopK aggregator's double score is lossless. */
+  final val KmvSpace = 1L << 52
+
+  /** q195 — K-minimum-values (theta) sketches estimating cross-source
+    * content overlap: per-source distinct 5-gram shingle counts, their
+    * UNION estimated from the two MERGED sketches (no rescan), and
+    * their INTERSECTION from the theta intersection (Dasgupta et al.,
+    * the DataSketches theta model): θ = min(θ_A, θ_B), matches = sketch
+    * entries below θ present in both, est = matches · 2⁵² div θ.
+    *
+    * This is q188's source-overlap question answered at sketch cost: at
+    * 100 TB each ingest shard keeps K=64 8-byte minima per source —
+    * mergeable monoid state, like q37's HLL but supporting SET ALGEBRA
+    * (HLL union only; KMV gives intersection too). The exact arms here
+    * are the priced q117-style audit; production ships only sketches.
+    *
+    * Scale shape: the only corpus-sized stage is the distinct (source,
+    * hash) partial agg (map-side combine bounds the exchange by
+    * vocabulary, not occurrences); the TopK partial aggregation then
+    * carries O(K·partitions) through the exchange, and everything
+    * downstream is ≤K-element arrays in single rows. All arithmetic is
+    * int64 (matches·2⁵² ≤ 64·2⁵² < 2⁶³). */
+  def q195KmvTheta(s: SparkSession, dir: String): DataFrame = {
+    val est63x52 = (KmvK - 1).toLong * KmvSpace // 63·2⁵², exact long
+    val docs = Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .withColumnRenamed("source", "doc_source")
+    // distinct (source, 52-bit shingle hash): hash once, feed everything
+    val dh = docs
+      .select(col("doc_source").as("g"), split(col("text"), " ").as("w"))
+      .localCheckpoint(eager = false) // barrier: keep split() out of the gram lambda
+      .filter(size(col("w")) >= 5)
+      .select(col("g"), explode(graft.ext.Text.ngramsCol(col("w"), 5)).as("sgl"))
+      .select(col("g"),
+        conv(substring(md5(col("sgl")), 1, 13), 16, 10).cast("long").as("h"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds sketches AND exact audit arms
+    val sk = dh.groupBy(col("g"))
+      .agg(graft.functions.TopK.top_k(KmvK)(col("h"),
+        (col("h") * -1L).cast("double")).as("top"))
+      .select(col("g"), expr("transform(top, x -> x.id)").as("mins"))
+      .localCheckpoint(eager = false) // per-source rows, merge AND theta
+    def estOf(mins: String): String =
+      s"CASE WHEN size($mins) < $KmvK THEN bigint(size($mins)) " +
+        s"ELSE ${est63x52}L div element_at($mins, $KmvK) END"
+    val perSource = sk
+      .join(dh.groupBy(col("g")).agg(count(lit(1)).as("n_exact")), Seq("g"))
+      .select(col("g").as("scope"), col("n_exact"),
+        expr(estOf("mins")).as("n_est"))
+    val union = sk.select(explode(col("mins")).as("h")).distinct()
+      .agg(graft.functions.TopK.top_k(KmvK)(col("h"),
+        (col("h") * -1L).cast("double")).as("top"))
+      .select(expr("transform(top, x -> x.id)").as("mins"))
+      .crossJoin(dh.select(col("h")).distinct()
+        .agg(count(lit(1)).as("n_exact")))
+      .select(lit("union").as("scope"), col("n_exact"),
+        expr(estOf("mins")).as("n_est"))
+    val a = dh.filter(col("g") === "src0").select(col("h"))
+    val b = dh.filter(col("g") === "src1").select(col("h"))
+    val interExact = a.join(b, Seq("h")).agg(count(lit(1)).as("n_exact"))
+    def thetaOf(mins: String): String =
+      s"CASE WHEN size($mins) < $KmvK THEN ${KmvSpace}L " +
+        s"ELSE element_at($mins, $KmvK) END"
+    val inter = sk.filter(col("g") === "src0").select(col("mins").as("ma"))
+      .crossJoin(sk.filter(col("g") === "src1").select(col("mins").as("mb")))
+      .withColumn("theta", expr(
+        s"least(${thetaOf("ma")}, ${thetaOf("mb")})"))
+      .withColumn("m", expr(
+        "bigint(size(array_intersect(filter(ma, x -> x < theta), " +
+          "filter(mb, x -> x < theta))))"))
+      .crossJoin(interExact)
+      .select(lit("intersect").as("scope"), col("n_exact"),
+        expr(s"m * ${KmvSpace}L div theta").as("n_est"))
+    // tolerance: per-set/union relative 35% (≈2.8σ at K=64); the theta
+    // intersection's error scales with the UNION size (θ-sampling), so
+    // its flag is |err| ≤ union_exact/8 (≈σ·√K/8 = 1σ·… conservative 35%
+    // would be vacuous when exact∩ ≈ 0)
+    val uex = dh.select(col("h")).distinct().agg(count(lit(1)).as("uex"))
+    perSource.unionByName(union).unionByName(inter)
+      .crossJoin(broadcast(uex))
+      .select(col("scope"), col("n_exact"), col("n_est"),
+        when(col("scope") === "intersect",
+          abs(col("n_est") - col("n_exact")) <= expr("uex div 8"))
+          .otherwise(abs(col("n_est") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.35).as("within"))
+      .orderBy(col("scope"))
+  }
+
+  /** DuckDB spelling: same hashes, same k-th minima via a ranked
+    * window, same integer estimator/θ-intersection arithmetic. */
+  val q195Sql: String = {
+    val est63x52 = (KmvK - 1).toLong * KmvSpace
+    s"""WITH sh AS (
+       |  SELECT g, ('0x' || substr(md5(sgl), 1, 13))::BIGINT AS h FROM (
+       |    SELECT source AS g,
+       |      unnest(list_transform(range(1, len(string_split(text,' ')) - 3),
+       |        i -> string_split(text,' ')[i] || ' ' ||
+       |             string_split(text,' ')[i+1] || ' ' ||
+       |             string_split(text,' ')[i+2] || ' ' ||
+       |             string_split(text,' ')[i+3] || ' ' ||
+       |             string_split(text,' ')[i+4])) AS sgl
+       |    FROM documents
+       |    WHERE source IN ('src0', 'src1')
+       |      AND len(string_split(text,' ')) >= 5)),
+       |dh AS (SELECT DISTINCT g, h FROM sh),
+       |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+       |        AS rn FROM dh),
+       |sk AS (SELECT g, list(h ORDER BY h) AS mins FROM r
+       |       WHERE rn <= $KmvK GROUP BY g),
+       |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM dh GROUP BY g),
+       |per AS (
+       |  SELECT sk.g AS scope, ex.n_exact,
+       |    CASE WHEN len(mins) < $KmvK THEN CAST(len(mins) AS BIGINT)
+       |      ELSE $est63x52 // mins[$KmvK] END AS n_est
+       |  FROM sk JOIN ex ON ex.g = sk.g),
+       |mh AS (SELECT DISTINCT unnest(mins) AS h FROM sk),
+       |mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mh),
+       |msk AS (SELECT list(h ORDER BY h) AS mins FROM mr WHERE rn <= $KmvK),
+       |uex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n FROM dh),
+       |uni AS (
+       |  SELECT 'union' AS scope, uex.n AS n_exact,
+       |    CASE WHEN len(mins) < $KmvK THEN CAST(len(mins) AS BIGINT)
+       |      ELSE $est63x52 // mins[$KmvK] END AS n_est
+       |  FROM msk, uex),
+       |iex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT h FROM dh WHERE g = 'src0'
+       |    INTERSECT SELECT h FROM dh WHERE g = 'src1')),
+       |ska AS (SELECT mins FROM sk WHERE g = 'src0'),
+       |skb AS (SELECT mins FROM sk WHERE g = 'src1'),
+       |th AS (
+       |  SELECT least(
+       |    CASE WHEN len(ska.mins) < $KmvK THEN $KmvSpace
+       |      ELSE ska.mins[$KmvK] END,
+       |    CASE WHEN len(skb.mins) < $KmvK THEN $KmvSpace
+       |      ELSE skb.mins[$KmvK] END) AS t
+       |  FROM ska, skb),
+       |mi AS (
+       |  SELECT CAST(len(list_intersect(
+       |    list_filter(ska.mins, x -> x < th.t),
+       |    list_filter(skb.mins, x -> x < th.t)))
+       |    AS BIGINT) AS m, th.t FROM ska, skb, th),
+       |ints AS (
+       |  SELECT 'intersect' AS scope, iex.n AS n_exact,
+       |    mi.m * $KmvSpace // mi.t AS n_est
+       |  FROM mi, iex),
+       |al AS (
+       |  SELECT * FROM per UNION ALL SELECT * FROM uni
+       |  UNION ALL SELECT * FROM ints)
+       |SELECT scope, n_exact, n_est,
+       |  CASE WHEN scope = 'intersect'
+       |    THEN abs(n_est - n_exact) <= (SELECT n // 8 FROM uex)
+       |    ELSE abs(n_est - n_exact) <= CAST(n_exact AS DOUBLE) * 0.35
+       |  END AS within
+       |FROM al ORDER BY scope""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_kmv_theta" -> (q195KmvTheta _),
     "q187_ams_f2" -> (q187AmsF2 _),
     "q165_quantile_sketch" -> (q165QuantileSketch _),
     "q123_cms_heavy_hitters" -> (q123CmsHeavyHitters _),
@@ -402,6 +569,7 @@ object Sketches {
     "q37_hll_sketch" -> (q37HllSketch _))
 
   val oracles: Map[String, String] = Map(
+    "q195_kmv_theta" -> q195Sql,
     "q187_ams_f2" -> q187Sql,
     "q165_quantile_sketch" -> q165Sql,
     "q123_cms_heavy_hitters" -> q123Sql,

@@ -135,4 +135,47 @@ class SkewSketchSpec extends SparkSpec {
     assert(rows(-1L)._3 < 500000L,
       s"median-of-means off by ${rows(-1L)._3} ppm")
   }
+
+  test("q195: KMV sketch replays driver-side; theta algebra is consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.q195KmvTheta(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.keySet === Set("src0", "src1", "union", "intersect"))
+    assert(rows.values.forall(_._3), s"a within flag is false: $rows")
+    // driver replay: distinct 5-gram hashes per source from first principles
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def h52(sgl: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sgl.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 13), 16)
+    }
+    def hashes(src: String): Set[Long] = docs.filter(_._1 == src).flatMap {
+      case (_, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < 5) Seq.empty
+        else (0 to w.length - 5).map(i => h52(w.slice(i, i + 5).mkString(" ")))
+    }.toSet
+    val (ha, hb) = (hashes("src0"), hashes("src1"))
+    def est(s: Set[Long]): Long = {
+      val mins = s.toSeq.sorted.take(Sketches.KmvK)
+      if (mins.size < Sketches.KmvK) mins.size.toLong
+      else (Sketches.KmvK - 1).toLong * Sketches.KmvSpace / mins.last
+    }
+    assert(rows("src0")._1 === ha.size.toLong)
+    assert(rows("src1")._1 === hb.size.toLong)
+    assert(rows("union")._1 === (ha ++ hb).size.toLong)
+    assert(rows("intersect")._1 === (ha intersect hb).size.toLong)
+    assert(rows("src0")._2 === est(ha))
+    assert(rows("src1")._2 === est(hb))
+    // merged sketch == sketch of union (k-min of k-mins property)
+    val merged = (ha.toSeq.sorted.take(Sketches.KmvK) ++
+      hb.toSeq.sorted.take(Sketches.KmvK)).toSet
+    assert(rows("union")._2 === est(merged))
+    assert(est(merged) === est(ha ++ hb),
+      "merging sketches must equal sketching the union")
+  }
 }
