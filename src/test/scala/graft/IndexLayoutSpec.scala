@@ -436,4 +436,33 @@ class IndexLayoutSpec extends SparkSpec {
     info(s"false positives across probes: ${rows.map(_._6).sum} " +
       s"over ${byFile.size} files × ${rows.length} probes")
   }
+
+  test("q196: Z-order prunes at least as well as linear on every non-x-only probe") {
+    val rows = graft.ext.Layout.pruneAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val probes = graft.ext.Layout.PruneProbes.map(_._1).toSet
+    assert(rows.map(_._2).toSet === probes)
+    // n_files counts OCCUPIED files: ≤ 2^Bits, uniform within a layout
+    assert(rows.forall(r => r._3 >= 1 &&
+      r._3 <= graft.ext.Layout.RangeSize.toLong))
+    rows.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._3).distinct.size == 1, "file count varies per probe"))
+    val z = rows.filter(_._1 == "zorder").map(r => r._2 -> ((r._4, r._5))).toMap
+    val l = rows.filter(_._1 == "linear").map(r => r._2 -> ((r._4, r._5))).toMap
+    // probe 1 is the x-band where a pure-x sort is optimal; everywhere
+    // else the Z layout must scan no MORE files, and on the aligned 2-D
+    // tiles (probes 3-5) it must scan strictly FEWER
+    probes.filter(_ != 1L).foreach { p =>
+      assert(z(p)._1 <= l(p)._1, s"probe $p: zorder scans more files")
+    }
+    Seq(3L, 4L, 5L).foreach { p =>
+      assert(z(p)._1 < l(p)._1, s"probe $p: Z should strictly win a 2-D tile")
+    }
+    // a scanned file always contains at least the probe's matching rows:
+    // rows_scanned can never be below files_scanned (nonempty files)
+    rows.foreach { case (lay, p, _, fs, rs) =>
+      assert(rs >= fs, s"$lay probe $p: scanned rows < scanned files")
+    }
+  }
 }
