@@ -91,11 +91,106 @@ object Olap {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q197: distribution-rank window family, two-phase at scale ----------
+
+  /** Price bands per priority for the two-phase ranking (shard count). */
+  final val RankBands = 64L
+
+  /** q197 — ntile / percent_rank / cume_dist summarized per (priority,
+    * quartile): the distribution-position window family the reference's
+    * groupBy surface lacks, spelled SCALABLY.
+    *
+    * The naive spelling is one window per priority — but a partition per
+    * low-cardinality key means 5 reducers rank 20% of the table each at
+    * 100 TB (the WindowExec single-partition cliff). Instead, ranks are
+    * computed by the q95/q130 two-phase discipline, sharded by an
+    * equi-width PRICE BAND (descending): a window inside each (priority,
+    * band) — thousands of independent shards — plus per-band offsets from
+    * a ≤|priorities|·[[RankBands]]-row count relation. rank = offset +
+    * within-band rank reproduces the global (price desc, orderkey) rank
+    * exactly (bands are order-aligned), and ntile/percent_rank/cume_dist
+    * are pure integer formulas of (rank, n):
+    *
+    *   ntile(4): big-first ANSI fill — q = n div 4, r = n % 4,
+    *     rank ≤ (q+1)·r  ⇒  1 + (rank−1) div (q+1)
+    *     else              1 + r + (rank−1 − (q+1)·r) div q
+    *   percent_rank = (rank−1)/(n−1);  cume_dist = rank/n
+    *     (the sort key (price desc, orderkey) is unique, so every row is
+    *     its own peer group and cume_dist needs no peer-max pass)
+    *
+    * both exactly-rounded single divisions of integers — bit-identical
+    * to DuckDB's built-in window functions, which the oracle uses.
+    * OlapSpec additionally locks the two-phase ranks to the naive
+    * global-window spelling row-for-row. */
+  def q197WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("pri"), col("o_orderkey").as("okey"),
+      col("o_totalprice").as("price"),
+      // exact cents: 2-decimal monetary double → lossless long
+      expr("bigint(round(o_totalprice * 100))").as("pc"))
+    val bounds = o.agg(min(col("pc")).as("mn"), max(col("pc")).as("mx"))
+    val banded = o.crossJoin(broadcast(bounds))
+      // descending bands: band 0 holds the HIGHEST prices
+      .withColumn("band",
+        expr(s"(mx - pc) div (((mx - mn) div $RankBands) + 1)"))
+      .localCheckpoint(eager = false) // feeds ranks AND offsets
+    val rnIn = row_number().over(
+      Window.partitionBy(col("pri"), col("band"))
+        .orderBy(col("price").desc, col("okey")))
+    val offs = banded.groupBy(col("pri"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("pri")).orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pri"), col("band"), col("off"))
+    val np = banded.groupBy(col("pri")).agg(count(lit(1)).as("n"))
+    val ranked = banded.withColumn("rn_in", rnIn)
+      .join(broadcast(offs), Seq("pri", "band"))
+      .join(broadcast(np), Seq("pri"))
+      .withColumn("rank", col("off") + col("rn_in"))
+      .withColumn("nt", expr(
+        """CASE WHEN rank <= ((n div 4) + 1) * (n % 4)
+          |  THEN 1 + (rank - 1) div ((n div 4) + 1)
+          |  ELSE 1 + (n % 4) +
+          |    (rank - 1 - ((n div 4) + 1) * (n % 4)) div (n div 4)
+          |END""".stripMargin))
+      .withColumn("pr",
+        (col("rank") - 1).cast("double") / (col("n") - 1).cast("double"))
+      .withColumn("cd", col("rank").cast("double") / col("n").cast("double"))
+    ranked.groupBy(col("pri"), col("nt"))
+      .agg(count(lit(1)).as("n_rows"),
+        Det.dsum(col("price")).as("sum_price"),
+        min(col("pr")).as("min_pr"), max(col("pr")).as("max_pr"),
+        min(col("cd")).as("min_cd"), max(col("cd")).as("max_cd"))
+      .orderBy(col("pri"), col("nt"))
+  }
+
+  /** DuckDB spelling: the BUILT-IN window family over the same unique
+    * total order — the semantic contract the two-phase plan implements. */
+  val q197Sql: String =
+    s"""WITH r AS (
+       |  SELECT o_orderpriority AS pri, o_totalprice AS price,
+       |    CAST(ntile(4) OVER w AS BIGINT) AS nt,
+       |    percent_rank() OVER w AS pr,
+       |    cume_dist() OVER w AS cd
+       |  FROM orders
+       |  WINDOW w AS (PARTITION BY o_orderpriority
+       |               ORDER BY o_totalprice DESC, o_orderkey))
+       |SELECT pri, nt, CAST(count(*) AS BIGINT) AS n_rows,
+       |  ${Det.sqlSum("price")} AS sum_price,
+       |  min(pr) AS min_pr, max(pr) AS max_pr,
+       |  min(cd) AS min_cd, max(cd) AS max_cd
+       |FROM r GROUP BY pri, nt
+       |ORDER BY pri, nt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q192_cube_aggregate" -> (q192CubeAggregate _),
-    "q193_pivot_events"   -> (q193PivotEvents _))
+    "q193_pivot_events"   -> (q193PivotEvents _),
+    "q197_window_ranks"   -> (q197WindowRanks _))
 
   val oracles: Map[String, String] = Map(
     "q192_cube_aggregate" -> q192Sql,
-    "q193_pivot_events"   -> q193Sql)
+    "q193_pivot_events"   -> q193Sql,
+    "q197_window_ranks"   -> q197Sql)
 }

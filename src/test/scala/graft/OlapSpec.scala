@@ -45,4 +45,26 @@ class OlapSpec extends SparkSpec {
     assert(wide.columns.toSeq ==
       "day" +: Olap.PivotEventTypes.map(t => s"n_$t"))
   }
+
+  test("q197: two-phase banded ranks equal the naive global window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val naive = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("price"),
+        ntile(4).over(w).cast("long").as("nt"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .groupBy(col("pri"), col("nt"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.ops.Det.dsum(col("price")).as("sum_price"),
+        min(col("pr")).as("min_pr"), max(col("pr")).as("max_pr"),
+        min(col("cd")).as("min_cd"), max(col("cd")).as("max_cd"))
+      .orderBy(col("pri"), col("nt"))
+      .collect().toSeq
+    val twoPhase = Olap.q197WindowRanks(spark, sf).collect().toSeq
+    assert(twoPhase === naive,
+      "banded two-phase ranking diverged from the window spelling")
+  }
 }
