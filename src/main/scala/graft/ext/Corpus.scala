@@ -1039,7 +1039,73 @@ object Corpus {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q198: A-ES weighted sampling without replacement -------------------
+
+  /** Samples per source. */
+  final val AesK = 5
+  /** Quantization scale for the exponential keys (nano-units). */
+  final val AesScale = 1000000000L
+
+  /** q198 — deterministic weighted sampling WITHOUT replacement, per
+    * source, inclusion probability ∝ n_chars: the Efraimidis–Spirakis
+    * A-ES scheme (IPL 2006). Each doc gets key uᵢ^(1/wᵢ) for uniform
+    * uᵢ; the k largest keys ARE a weighted sample without replacement.
+    * Sampling by ln(uᵢ)/wᵢ (monotone in the key) with uᵢ derived from
+    * the doc's md5 makes the draw a pure function of the data — the
+    * property a 100 TB curation pipeline needs so retries, re-shards
+    * and audits all see the SAME sample (q90's quota sampler draws
+    * uniformly; this is its weighted generalization).
+    *
+    * Keys are floor-quantized to integer nano-units (the q125-129
+    * µ-nat discipline): uᵢ = (h+1)/2⁵² is a dyadic rational whose ln
+    * both engines round identically in practice, and after floor the
+    * comparison/output space is exact int64. Ordered contract: the
+    * per-source rank is the deliverable (SparkEntry.ordered).
+    *
+    * Scale shape: one scan; the TopK partial aggregation bounds the
+    * exchange to O(k·sources·partitions) — no window over the corpus,
+    * no global sort; the id→weight hydration join broadcasts the
+    * k·sources sampled ids. */
+  def aesWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .localCheckpoint(eager = false) // feeds keys AND hydration
+    val keyed = docs.select(col("source"), col("doc_id"),
+      expr(s"""bigint(floor($AesScale * ln(
+         |  (bigint(conv(substring(md5(string(doc_id)), 1, 13), 16, 10))
+         |    + 1) / 4503599627370496.0) / n_chars))""".stripMargin).as("kq"))
+    val top = keyed.groupBy(col("source"))
+      .agg(graft.functions.TopK.top_k(AesK)(col("doc_id"),
+        col("kq").cast("double")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("p", "st")))
+      .select(col("source"), (col("p") + 1).cast("long").as("rank"),
+        col("st.id").as("doc_id"), col("st.score").cast("long").as("kq"))
+    top.join(broadcast(docs.select(col("doc_id"), col("n_chars"))),
+        Seq("doc_id"))
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+        col("kq"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** DuckDB spelling: same hash-uniform, same quantized key, a ranked
+    * window over the same total order. */
+  val aesWeightedSampleSql: String =
+    s"""WITH k AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(floor($AesScale * ln(
+       |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+       |        + 1) / 4503599627370496.0) / n_chars) AS BIGINT) AS kq
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY kq DESC, doc_id) AS rn
+       |  FROM k)
+       |SELECT source, CAST(rn AS BIGINT) AS rank, doc_id, n_chars, kq
+       |FROM r WHERE rn <= $AesK
+       |ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_weighted_sample" -> (aesWeightedSample _),
     "q132_delta_join" -> (deltaJoinMaintenance _),
     "q130_interleave" -> (interleave _),
     "q122_json_ingest" -> (jsonIngest _),
@@ -1055,6 +1121,7 @@ object Corpus {
     "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q198_weighted_sample" -> aesWeightedSampleSql,
     "q132_delta_join" -> deltaJoinMaintenanceSql,
     "q130_interleave" -> interleaveSql,
     "q122_json_ingest" -> jsonIngestSql,

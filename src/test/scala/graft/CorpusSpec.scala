@@ -252,4 +252,37 @@ class CorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("q198: A-ES sample replays driver-side and is length-biased") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Corpus.aesWeightedSample(spark, sf).collect()
+      .map(r => (r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("rank")), r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("n_chars")), r.getLong(r.fieldIndex("kq"))))
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def key(docId: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.substring(0, 13), 16)
+      math.floor(1e9 * math.log((h + 1).toDouble / (1L << 52)) / w).toLong
+    }
+    docs.map(_._1).distinct.foreach { src =>
+      val expect = docs.filter(_._1 == src)
+        .map { case (_, id, w) => (id, w, key(id, w)) }
+        .sortBy { case (id, _, k) => (-k, id) }
+        .take(graft.ext.Corpus.AesK)
+      val got = rows.filter(_._1 == src).sortBy(_._2)
+      assert(got.map(_._3).toSeq === expect.map(_._1).toSeq, s"source $src ids")
+      assert(got.map(_._5).toSeq === expect.map(_._3).toSeq, s"source $src keys")
+    }
+    // Efraimidis–Spirakis property: inclusion prob ∝ weight, so the
+    // sampled docs skew long — mean sampled length > corpus mean
+    val sampledMean = rows.map(_._4).sum.toDouble / rows.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampledMean > corpusMean,
+      s"weighted sample not length-biased: $sampledMean <= $corpusMean")
+  }
 }
