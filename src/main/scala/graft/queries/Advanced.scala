@@ -887,6 +887,88 @@ object Advanced {
        |) ORDER BY table_name, column_name""".stripMargin
   }
 
+  // ---- q199: join-cardinality estimation audit ----------------------------
+
+  /** The audited equi-joins: (name, left, right, left key, right key). */
+  val CardJoins: Seq[(String, String, String, String, String)] = Seq(
+    ("customer_nation", "customer", "nation", "c_nationkey", "n_nationkey"),
+    ("events_events", "events", "events", "user_id", "user_id"),
+    ("lineitem_orders", "lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem_part", "lineitem", "part", "l_partkey", "p_partkey"),
+    ("orders_customer", "orders", "customer", "o_custkey", "c_custkey"))
+
+  /** q199 — the Selinger uniformity estimate priced against reality:
+    * for each audited equi-join, est = |A|·|B| div max(ndv_A, ndv_B)
+    * (System R's containment-of-values rule — what every cost-based
+    * optimizer, Catalyst's CBO included, computes from exactly the
+    * q148 ANALYZE relation) beside the TRUE join cardinality, with the
+    * signed error in ppm. This is the planner-trust audit: run per
+    * release, it tells you WHICH joins the optimizer will mis-plan
+    * (skewed keys blow the uniformity assumption; clean FK joins land
+    * within noise) — at 100 TB a 10× cardinality miss is the
+    * difference between a broadcast and a 100-executor shuffle spill.
+    *
+    * Scale shape: the stats arms are single-pass partial aggs (exact
+    * NDV by two-phase key groupBy, the q36 discipline); the actual-
+    * cardinality arm is the priced q117-style audit join, aggregated
+    * to ONE count per join — nothing corpus-sized is materialized. */
+  def q199CardinalityAudit(s: SparkSession, dir: String): DataFrame = {
+    val arms = CardJoins.map { case (name, lt, rt, lk, rk) =>
+      def side(t: String, k: String) = {
+        val rel = if (t == "events") Tables.events(s, dir)
+                  else Tables.load(s, dir, t)
+        rel.groupBy(col(k)).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"))
+      }
+      val l = side(lt, lk).select(col("n").as("n_left"),
+        col("ndv").as("ndv_left"))
+      val r = side(rt, rk).select(col("n").as("n_right"),
+        col("ndv").as("ndv_right"))
+      // events through Tables.events (vintage-normalized ts) — the q148
+      // rule, even though only the key column is read today
+      def rel(t: String) = if (t == "events") Tables.events(s, dir)
+                           else Tables.load(s, dir, t)
+      val actual = rel(lt).select(col(lk).as("k"))
+        .join(rel(rt).select(col(rk).as("k")), Seq("k"))
+        .agg(count(lit(1)).as("actual_rows"))
+      l.crossJoin(r).crossJoin(actual)
+        .select(lit(name).as("join_name"),
+          col("n_left"), col("n_right"), col("ndv_left"), col("ndv_right"),
+          expr("n_left * n_right div greatest(ndv_left, ndv_right)")
+            .as("est_rows"),
+          col("actual_rows"),
+          expr("(n_left * n_right div greatest(ndv_left, ndv_right) " +
+            "- actual_rows) * 1000000 div actual_rows").as("err_ppm"))
+    }
+    arms.reduce(_.unionAll(_)).orderBy(col("join_name"))
+  }
+
+  val q199Sql: String = {
+    val arms = CardJoins.map { case (name, lt, rt, lk, rk) =>
+      s"""SELECT '$name' AS join_name,
+         |  (SELECT count(*) FROM $lt) AS n_left,
+         |  (SELECT count(*) FROM $rt) AS n_right,
+         |  (SELECT count(DISTINCT $lk) FROM $lt) AS ndv_left,
+         |  (SELECT count(DISTINCT $rk) FROM $rt) AS ndv_right,
+         |  (SELECT count(*) FROM $lt la JOIN $rt ra ON la.$lk = ra.$rk)
+         |    AS actual_rows
+         |""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT join_name,
+       |  CAST(n_left AS BIGINT) AS n_left,
+       |  CAST(n_right AS BIGINT) AS n_right,
+       |  CAST(ndv_left AS BIGINT) AS ndv_left,
+       |  CAST(ndv_right AS BIGINT) AS ndv_right,
+       |  CAST(n_left * n_right // greatest(ndv_left, ndv_right) AS BIGINT)
+       |    AS est_rows,
+       |  CAST(actual_rows AS BIGINT) AS actual_rows,
+       |  CAST((n_left * n_right // greatest(ndv_left, ndv_right)
+       |    - actual_rows) * 1000000 // actual_rows AS BIGINT) AS err_ppm
+       |FROM (
+       |$arms
+       |) ORDER BY join_name""".stripMargin
+  }
+
   /** q149 — point-in-time (temporal) join against the q131 SCD2
     * dimension: every purchase is enriched with the tier that was
     * VALID AT its event time (valid_from ≤ ts < valid_to, open current
@@ -2054,6 +2136,7 @@ object Advanced {
     "q146_change_point" -> (q146ChangePoint _),
     "q147_twap"         -> (q147Twap _),
     "q148_analyze_stats" -> (q148AnalyzeStats _),
+    "q199_cardinality_audit" -> (q199CardinalityAudit _),
     "q149_pit_join"     -> (q149PitJoin _),
     "q150_unpivot"      -> (q150Unpivot _),
     "q151_item_similarity" -> (q151ItemSimilarity _),
@@ -2096,6 +2179,7 @@ object Advanced {
     "q146_change_point" -> q146Sql,
     "q147_twap"         -> q147Sql,
     "q148_analyze_stats" -> q148Sql,
+    "q199_cardinality_audit" -> q199Sql,
     "q149_pit_join"     -> q149Sql,
     "q150_unpivot"      -> q150Sql,
     "q151_item_similarity" -> q151Sql,

@@ -648,4 +648,27 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows.map(_._2._3).distinct.length > 16,
       "replicate means collapsed — weight derivation broken?")
   }
+
+  test("q199: estimate formula replays; PK-FK joins are estimated exactly") {
+    val rows = graft.queries.Advanced.q199CardinalityAudit(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(rows.keySet ===
+      graft.queries.Advanced.CardJoins.map(_._1).toSet)
+    rows.foreach { case (name, (nl, nr, dl, dr, est, actual, ppm)) =>
+      assert(est === nl * nr / math.max(dl, dr), s"$name est formula")
+      assert(ppm === (est - actual) * 1000000L / actual, s"$name ppm formula")
+      assert(actual > 0, s"$name join is empty — audit vacuous")
+    }
+    // on a PK-FK join whose FK side references only existing keys, the
+    // containment rule is EXACT: est == actual == |FK side|
+    for (j <- Seq("orders_customer", "lineitem_part", "customer_nation")) {
+      val (nl, _, _, _, est, actual, ppm) = rows(j)
+      assert(est === actual && actual === nl && ppm === 0L, s"$j not exact")
+    }
+    // the Zipf-ish self-join must show the uniformity assumption failing
+    assert(rows("events_events")._7 != 0L,
+      "skewed self-join estimated exactly — the audit can't demonstrate drift")
+  }
 }
