@@ -969,6 +969,74 @@ object Advanced {
        |) ORDER BY join_name""".stripMargin
   }
 
+  // ---- q200: grouped OLS trend fit ----------------------------------------
+
+  /** q200 — per-segment least-squares trend: for each event type,
+    * regress the DAILY value total (exact cents) on the day index and
+    * emit the closed-form OLS fit — slope, intercept, r² — from the
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²). This is
+    * the one-pass regression primitive behind drift dashboards and
+    * per-domain scaling-law fits: Spark has ML-library regressors, but
+    * a GROUPED trend over a 100 TB fact table wants the sufficient-
+    * statistics spelling — plain partial+final hash aggregation, no
+    * iteration, no driver state, one exchange keyed by segment.
+    *
+    * Determinism: y is exact integer cents (Det's argument), x an
+    * integer day index, so all six sums are exact int64; the emitted
+    * moments S_xy = nΣxy−ΣxΣy etc. are exact integers, and slope /
+    * intercept / r² are fixed sequences of int64→double casts,
+    * multiplies and ONE division each — bit-identical cross-engine
+    * (int64→double rounding is nearest-even in both). r² multiplies in
+    * double deliberately: S_xy² can pass 2⁶³ while each factor is far
+    * under 2⁵³. */
+  def q200GroupTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), dayofmonth(col("ts")).cast("long").as("x"),
+        expr("bigint(round(value * 100))").as("cents"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(sum(col("cents")).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("m_xy"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("m_xx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("m_yy"),
+        col("sx"), col("sy"))
+      .select(col("event_type"), col("n"), col("m_xy"), col("m_xx"),
+        col("m_yy"),
+        (col("m_xy").cast("double") / col("m_xx")).as("slope_cents_per_day"),
+        ((col("sy") * col("m_xx") - col("m_xy") * col("sx")).cast("double") /
+          (col("n") * col("m_xx"))).as("intercept_cents"),
+        ((col("m_xy").cast("double") * col("m_xy")) /
+          (col("m_xx").cast("double") * col("m_yy"))).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  val q200Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(day(ts) AS BIGINT) AS x,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |suf AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM daily GROUP BY 1),
+      |m AS (
+      |  SELECT event_type, n, n * sxy - sx * sy AS m_xy,
+      |    n * sxx - sx * sx AS m_xx, n * syy - sy * sy AS m_yy, sx, sy
+      |  FROM suf)
+      |SELECT event_type, n, m_xy, m_xx, m_yy,
+      |  CAST(m_xy AS DOUBLE) / m_xx AS slope_cents_per_day,
+      |  CAST(sy * m_xx - m_xy * sx AS DOUBLE) / (n * m_xx)
+      |    AS intercept_cents,
+      |  (CAST(m_xy AS DOUBLE) * m_xy) / (CAST(m_xx AS DOUBLE) * m_yy) AS r2
+      |FROM m ORDER BY event_type""".stripMargin
+
   /** q149 — point-in-time (temporal) join against the q131 SCD2
     * dimension: every purchase is enriched with the tier that was
     * VALID AT its event time (valid_from ≤ ts < valid_to, open current
@@ -2137,6 +2205,7 @@ object Advanced {
     "q147_twap"         -> (q147Twap _),
     "q148_analyze_stats" -> (q148AnalyzeStats _),
     "q199_cardinality_audit" -> (q199CardinalityAudit _),
+    "q200_group_trend" -> (q200GroupTrend _),
     "q149_pit_join"     -> (q149PitJoin _),
     "q150_unpivot"      -> (q150Unpivot _),
     "q151_item_similarity" -> (q151ItemSimilarity _),
@@ -2180,6 +2249,7 @@ object Advanced {
     "q147_twap"         -> q147Sql,
     "q148_analyze_stats" -> q148Sql,
     "q199_cardinality_audit" -> q199Sql,
+    "q200_group_trend" -> q200Sql,
     "q149_pit_join"     -> q149Sql,
     "q150_unpivot"      -> q150Sql,
     "q151_item_similarity" -> q151Sql,

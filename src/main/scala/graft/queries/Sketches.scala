@@ -198,7 +198,7 @@ object Sketches {
   /** Histogram resolution: the summary is ≤ [[QsBuckets]] rows no matter
     * the corpus size, and the certified error is one bucket width. */
   final val QsBuckets = 256L
-  private val QsProbes = Seq(25, 50, 75, 90, 99)
+  private[graft] val QsProbes = Seq(25, 50, 75, 90, 99)
 
   /** q165 — approximate quantiles from a MERGEABLE fixed-size summary,
     * with a certified error bound and an exactness audit: event values
@@ -226,17 +226,32 @@ object Sketches {
     * run on ≤ 256-row relations. The EXACT arm is one global-order
     * window — the deliberate q117-style audit cost, priced for release
     * gates; production serving reads est/bound only and never sorts. */
-  def q165QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+  def q165QuantileSketch(s: SparkSession, dir: String): DataFrame =
+    quantileSketchFromCents(s,
+      Tables.events(s, dir)
+        .select(floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("cnt")))
+
+  /** [[q165QuantileSketch]] from a MERGED (c, cnt) cent-histogram
+    * relation — the mergeable-summary form: ⊕ is a full-outer merge
+    * adding counts (state bounded by the value DOMAIN, not the corpus),
+    * so ingest shards and micro-batches can each keep (c, cnt) state
+    * and the quantile report re-derives from the merged relation at
+    * query time. The exact-rank arm reads the c at the target rank off
+    * the fine cumulative — identical to ranking individual rows,
+    * without ever needing them back. The streaming maintainer
+    * ([[graft.streaming.EventStreams.maintainQuantileSketch]]) carries
+    * exactly this state across drops. */
+  private[graft] def quantileSketchFromCents(s: SparkSession,
+      cents0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val ev = Tables.events(s, dir)
-      .select(floor(col("value") * 100).cast("long").as("c"), col("event_id"))
-      .localCheckpoint(eager = false) // feeds stats, histogram AND exact arm
-    val stats = ev.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
-      count(lit(1)).as("n"))
-    val hist = ev.crossJoin(broadcast(stats))
+    val cents = cents0.localCheckpoint(eager = false) // stats+hist+exact
+    val stats = cents.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+      sum(col("cnt")).as("n"))
+    val hist = cents.crossJoin(broadcast(stats))
       .groupBy(expr(s"(c - mn) div ((mx - mn) div $QsBuckets + 1)").as("b"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"))
     val cum = hist // ≤256 rows: the single-partition window is bounded
       .withColumn("cum", sum(col("cnt")).over(
         Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)))
@@ -246,14 +261,17 @@ object Sketches {
     val lo = targets.join(cum, col("cum") >= col("target_rank"))
       .groupBy(col("p"), col("target_rank"))
       .agg(min(col("b")).as("b_lo"))
-    val exact = ev.withColumn("rn", row_number().over(
-        Window.orderBy(col("c"), col("event_id"))).cast("long"))
-      .select(col("rn"), col("c").as("exact_cents"))
+    // fine cumulative over ≤|domain| distinct cents: the c at each rank
+    val fine = cents.withColumn("fcum", sum(col("cnt")).over(
+      Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, 0)))
+    val exact = targets.join(fine, col("fcum") >= col("target_rank"))
+      .groupBy(col("p").as("p2"))
+      .agg(min(col("c")).as("exact_cents"))
     lo.crossJoin(broadcast(stats))
       .select(col("p"), col("target_rank"),
         expr(s"mn + b_lo * ((mx - mn) div $QsBuckets + 1)").as("est_cents"),
         expr(s"(mx - mn) div $QsBuckets").as("err_bound_cents"))
-      .join(exact, col("rn") === col("target_rank"))
+      .join(exact, col("p") === col("p2"))
       .select(col("p"), col("target_rank"), col("est_cents"),
         col("err_bound_cents"), col("exact_cents"),
         (col("exact_cents") >= col("est_cents") &&

@@ -218,4 +218,40 @@ object EventStreams {
       }
       .start()
   }
+
+  /** Streaming quantile-sketch maintenance — q165's continuous twin:
+    * the carried state is the (c, cnt) cent-histogram (the mergeable
+    * form [[graft.queries.Sketches.quantileSketchFromCents]] consumes),
+    * merged per micro-batch with the ⊕ count-add algebra; each wave's
+    * sink frame is the full q165 quantile report over EVERYTHING
+    * ingested, recomputed from the ≤|value-domain| state relation —
+    * the raw events are never rescanned. Replay-guarded exactly like
+    * [[maintainDriftMonitor]] (foreachBatch is at-least-once); restart
+    * re-seeds from a persisted histogram via `initialCents` +
+    * `initialBatchId`. */
+  def maintainQuantileSketch(events: DataFrame, initialCents: DataFrame,
+      checkpointDir: String, initialBatchId: Long = -1L)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var cents = initialCents.localCheckpoint()
+    var lastApplied = initialBatchId
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastApplied) {
+          val inc = batch
+            .select(floor(col("value") * 100).cast("long").as("c"))
+            .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+          cents = cents.withColumnRenamed("cnt", "oc")
+            .join(inc.withColumnRenamed("cnt", "ic"), Seq("c"), "full_outer")
+            .select(col("c"),
+              (coalesce(col("oc"), lit(0L)) + coalesce(col("ic"), lit(0L)))
+                .as("cnt"))
+            .localCheckpoint()
+          lastApplied = batchId
+        }
+        sink(graft.queries.Sketches.quantileSketchFromCents(
+          batch.sparkSession, cents), batchId)
+      }
+      .start()
+  }
 }

@@ -671,4 +671,33 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows("events_events")._7 != 0L,
       "skewed self-join estimated exactly — the audit can't demonstrate drift")
   }
+
+  test("q200: OLS moments replay driver-side; fit is exact on a planted line") {
+    val rows = graft.queries.Advanced.q200GroupTrend(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mxy, mxx, myy) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      val slope = r.getDouble(5); val r2 = r.getDouble(7)
+      assert(mxx > 0 && myy >= 0 && n >= 2)
+      assert(slope === mxy.toDouble / mxx)
+      assert(r2 === (mxy.toDouble * mxy) / (mxx.toDouble * myy))
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"r2 out of range: $r2")
+    }
+    // exactness witness: replay one group's daily sums driver-side
+    val daily = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), dayofmonth(col("ts")).cast("long").as("x"),
+        expr("bigint(round(value * 100))").as("c"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(sum(col("c")).as("y")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val et = rows.head.getString(0)
+    val pts = daily.filter(_._1 == et).map(t => (t._2, t._3))
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(t => t._1 * t._2).sum
+    val sxx = pts.map(t => t._1 * t._1).sum
+    assert(rows.head.getLong(2) === n * sxy - sx * sy, "m_xy replay")
+    assert(rows.head.getLong(3) === n * sxx - sx * sx, "m_xx replay")
+  }
 }

@@ -707,4 +707,62 @@ class StreamingSpec extends SparkSpec {
     // the maintained state must actually be finding cross-doc passages
     assert(latest.map(_._3).sum > 0, "no duplicate passages in the stream")
   }
+
+  test("streaming quantile sketch: per-wave report equals batch q165 recompute; restart re-seeds") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def wave(r: Int) = ev.filter(col("event_id") % 4 === r)
+    val dropsDir = Files.createTempDirectory("graft-qsk").toString
+    wave(0).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    wave(1).coalesce(1).write.mode("append").parquet(dropsDir)
+
+    type Row6 = (Long, Long, Long, Long, Long, Long)
+    @volatile var latest: Array[Row6] = Array.empty
+    val batchIds = scala.collection.mutable.ArrayBuffer[Long]()
+    def get6(r: org.apache.spark.sql.Row): Row6 =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val ckpt = Files.createTempDirectory("graft-qsk-ck").toString
+    def start(initCents: org.apache.spark.sql.DataFrame, initId: Long) =
+      EventStreams.maintainQuantileSketch(
+        EventStreams.readEventStream(spark, dropsDir)
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+        initCents, ckpt, initId) { (report, id) =>
+        this.synchronized {
+          latest = report.collect().map(get6)
+          batchIds += id
+        }
+      }
+    def centsOver(rs: Int): org.apache.spark.sql.DataFrame =
+      ev.filter(col("event_id") % 4 <= rs)
+        .select(floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    def batchOver(rs: Int): Set[Row6] =
+      graft.queries.Sketches.quantileSketchFromCents(spark, centsOver(rs))
+        .collect().map(get6).toSet
+    val empty = Seq.empty[(Long, Long)].toDF("c", "cnt")
+    val q = start(empty, -1L)
+    try {
+      q.processAllAvailable()
+      assert(latest.toSet === batchOver(1),
+        "maintained sketch diverges from batch recompute after waves 1+2")
+    } finally q.stop()
+    // waves 3+4 land while the maintainer is DOWN; restart re-seeds from
+    // the carried histogram (what a production run would have persisted)
+    wave(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    wave(3).coalesce(1).write.mode("append").parquet(dropsDir)
+    // same checkpoint → offsets resume; the persisted-state id guards a
+    // possible redelivery of the last pre-crash micro-batch
+    val q2 = start(centsOver(1), batchIds.max)
+    try {
+      q2.processAllAvailable()
+      assert(latest.toSet === batchOver(3),
+        "post-restart sketch diverges from batch recompute")
+    } finally q2.stop()
+    assert(batchIds.size >= 2, s"expected >=2 micro-batches, got $batchIds")
+    // the report must carry real content: 5 probes, all within-flags set
+    assert(latest.length === graft.queries.Sketches.QsProbes.length)
+    assert(latest.forall(_._6 == 1L), s"estimate escaped its bound: " +
+      latest.mkString(", "))
+  }
 }
