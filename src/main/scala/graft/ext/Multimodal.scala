@@ -343,13 +343,115 @@ object Multimodal {
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- q201: audio feature extraction (windowed energy + ZCR) ------------
+
+  case class AudioFeatures(doc_id: Long, n_samples: Long, n_windows: Long,
+      zero_crossings: Long, peak_window: Long, peak_energy: Long)
+
+  /** Sample bias of the stand-in PCM8 codec: payload bytes are read as
+    * unsigned 8-bit and centered at [[PcmBias]] (letters land positive,
+    * whitespace negative — so zero crossings genuinely occur on the
+    * text-byte corpus). A real container parser replaces ONLY
+    * [[decodePcm8]]'s byte→sample step; windowing, ZCR and the energy
+    * argmax below are the real feature math. */
+  final val PcmBias = 80
+  /** Samples per analysis window. */
+  final val AudioWindow = 256
+
+  /** Windowed audio features from one payload: (n_samples, n_windows,
+    * zero_crossings, peak_window, peak_energy). Integer arithmetic
+    * only — Σs² per window, sign-change count, first-peak argmax. */
+  private[graft] def decodePcm8(content: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val n = content.length
+    val nw = (n + AudioWindow - 1) / AudioWindow
+    val energy = new Array[Long](math.max(nw, 1))
+    var zc = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val s = (content(i) & 0xff) - PcmBias
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      energy(i / AudioWindow) += s.toLong * s
+      i += 1
+    }
+    var peak = 0
+    var w = 1
+    while (w < nw) { if (energy(w) > energy(peak)) peak = w; w += 1 }
+    (n.toLong, nw.toLong, zc, peak.toLong,
+      if (nw == 0) 0L else energy(peak))
+  }
+
+  /** q201 — audio-arm feature extraction: the `audio`-typed payloads
+    * through the SAME batched per-partition decode pass as the image
+    * arm (mapInPandas analogue), emitting per-clip windowed-energy
+    * features: sample/window counts, zero-crossing total (the
+    * speech-vs-silence heuristic), and the peak-energy window (where a
+    * real pipeline would center a training crop). The oracle recomputes
+    * every value from the bytes in SQL — so the whole typed chain
+    * (binary column → partition-local decode → feature relation) is
+    * value-pinned, the q70 discipline applied to audio.
+    *
+    * Scale shape: decode is partition-local (no shuffle, payload bytes
+    * never leave their partition); the output relation is one fixed-
+    * width row per clip. */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow]
+      .filter(_.media_type == "audio")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (n, nw, zc, pw, pe) = decodePcm8(r.content)
+          AudioFeatures(r.doc_id, n, nw, zc, pw, pe)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB spelling: byte values via ord() under the ASCII
+    * precondition, the same bias/window/argmax arithmetic. */
+  val audioFeaturesSql: String =
+    s"""WITH ${asciiCheckedDocs("q201")},
+       |au AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> ord(substr(text, i, 1)) - $PcmBias) AS sm,
+       |    CAST(length(text) AS BIGINT) AS n
+       |  FROM checked WHERE doc_id % 3 = 1),
+       |base AS (
+       |  SELECT doc_id, n, (n + ${AudioWindow - 1}) // $AudioWindow AS nw,
+       |    CAST(coalesce(list_sum(list_transform(range(1, n),
+       |      i -> CASE WHEN (sm[i] < 0) <> (sm[i + 1] < 0)
+       |           THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zc,
+       |    sm
+       |  FROM au),
+       |wins AS (
+       |  SELECT doc_id, CAST(w AS BIGINT) AS w,
+       |    CAST(list_sum(list_transform(
+       |      range(w * $AudioWindow + 1, least((w + 1) * $AudioWindow, n) + 1),
+       |      i -> sm[i] * sm[i])) AS BIGINT) AS energy
+       |  FROM base, unnest(range(0, nw)) AS t(w)),
+       |peak AS (
+       |  SELECT doc_id, w AS peak_window, energy AS peak_energy,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY energy DESC, w) AS rn
+       |  FROM wins)
+       |SELECT b.doc_id, b.n AS n_samples, CAST(b.nw AS BIGINT) AS n_windows,
+       |  b.zc AS zero_crossings, p.peak_window, p.peak_energy
+       |FROM base b JOIN peak p ON p.doc_id = b.doc_id AND p.rn = 1
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_media_meta" -> (mediaMeta _),
     "q70_frame_sample" -> (frameSample _),
-    "q135_image_neardup" -> (imageNearDup _))
+    "q135_image_neardup" -> (imageNearDup _),
+    "q201_audio_features" -> (audioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "q26_media_meta" -> mediaMetaSql,
     "q70_frame_sample" -> frameSampleSql,
-    "q135_image_neardup" -> imageNearDupSql)
+    "q135_image_neardup" -> imageNearDupSql,
+    "q201_audio_features" -> audioFeaturesSql)
 }

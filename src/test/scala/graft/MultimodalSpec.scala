@@ -158,4 +158,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => a / 4 === b / 4 },
       "same-group images must collide")
   }
+
+  test("q201: PCM8 decode replays on crafted payloads; pipeline covers every audio row") {
+    import graft.ext.Multimodal
+    // crafted clip: 300 samples — window 0 = 256 quiet samples (value
+    // 81 → s=+1), window 1 = 44 loud samples (32 → s=-48): peak MUST be
+    // window 1 despite it being shorter, and ZCR counts the single
+    // sign change at the boundary
+    val quiet = Array.fill(256)(81.toByte)
+    val loud = Array.fill(44)(32.toByte)
+    val (n, nw, zc, pw, pe) = Multimodal.decodePcm8(quiet ++ loud)
+    assert(n === 300L && nw === 2L)
+    assert(zc === 1L, "one sign change at the quiet/loud boundary")
+    assert(pw === 1L, "short loud window must out-rank the long quiet one")
+    assert(pe === 44L * 48 * 48)
+    // alternating signs: ZCR = n-1; peak defaults to first window on ties
+    val alt = Array.tabulate(512)(i => (if (i % 2 == 0) 81 else 32).toByte)
+    val (_, nwA, zcA, pwA, peA) = Multimodal.decodePcm8(alt)
+    assert(nwA === 2L && zcA === 511L && pwA === 0L)
+    assert(peA === 256L * (1 + 48 * 48) / 2)
+    // empty payload: all-zero features, no crash
+    assert(Multimodal.decodePcm8(Array.empty) === ((0L, 0L, 0L, 0L, 0L)))
+    // the registered query covers exactly the audio-typed third of docs
+    val rows = Multimodal.audioFeatures(spark, sf).collect()
+    val audioIds = graft.tables.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1).count()
+    assert(rows.length.toLong === audioIds)
+    assert(rows.forall(_.getLong(3) > 0),
+      "text-byte clips must show zero crossings (space/letter flips)")
+  }
 }
