@@ -1039,6 +1039,106 @@ object Corpus {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q202: repeat-epoch allocation (data-constrained regime) ------------
+
+  /** Marginal value of a domain's e-th epoch, in milli-units: fresh
+    * tokens are worth 1000, each repeat decays to 60% of the previous
+    * pass (the diminishing-returns shape of repeated training data —
+    * Muennighoff et al. 2023 find value decays geometrically and is
+    * roughly gone past ~4 epochs, hence the 4-epoch cap). */
+  val EpochValueMilli: Seq[Long] = Seq(1000L, 600L, 360L, 216L)
+  /** Token budget as a fraction of total unique supply: 7/4 — more than
+    * one epoch of everything (the data-CONSTRAINED regime q120 doesn't
+    * model), less than two, so the greedy boundary genuinely bites. */
+  final val EpochBudgetNum = 7L
+  final val EpochBudgetDen = 4L
+
+  /** q202 — how to spend a token budget LARGER than the corpus: each
+    * (source, lang) domain offers up to ${EpochValueMilli.size} epochs
+    * of its unique supply s_i; epoch e of domain i has value density
+    * q_i · w_e (domain quality q_i = mean doc chars, in-corpus proxy;
+    * w = [[EpochValueMilli]]). Greedy by (density desc, source, lang,
+    * epoch) — optimal for this separable concave objective — with
+    * q137's boundary rule: the item straddling the budget is truncated
+    * to the remaining tokens, everything after is cut. Output: one row
+    * per (domain, epoch) with its allocation and status. q120 answers
+    * the over-supplied regime (budget < corpus: WHICH tokens); this
+    * answers the under-supplied one (budget > corpus: how many REPEATS
+    * each domain earns before its value decays away).
+    *
+    * Scale shape: domain stats are one partial-agg pass over the
+    * corpus; the schedule itself lives on ≤|domains|·4 rows — the
+    * single-partition window is bounded by the DOMAIN count, never the
+    * corpus (the q165-histogram argument). All integer arithmetic. */
+  def epochAllocation(s: SparkSession, dir: String): DataFrame = {
+    val dom = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(size(tokens(col("text")))).as("supply"),
+        expr("sum(n_chars) div count(1)").as("quality"))
+      .localCheckpoint(eager = false) // feeds items AND the budget scalar
+    val budget = dom.agg(
+      expr(s"sum(supply) * $EpochBudgetNum div $EpochBudgetDen").as("b"))
+    val w = EpochValueMilli.zipWithIndex
+      .map { case (v, i) => s"($v, ${i + 1})" }.mkString(", ")
+    val items = dom.crossJoin(
+        s.sql(s"SELECT bigint(col2) AS epoch, bigint(col1) AS w " +
+          s"FROM (VALUES $w)"))
+      .select(col("source"), col("lang"), col("epoch"), col("supply"),
+        (col("quality") * col("w")).as("density"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("density").desc, col("source"), col("lang"), col("epoch"))
+    items
+      .withColumn("before", coalesce(sum(col("supply")).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .select(col("source"), col("lang"), col("epoch"), col("supply"),
+        col("density"), col("before"),
+        greatest(lit(0L), least(col("supply"), col("b") - col("before")))
+          .as("alloc_tokens"))
+      .withColumn("status",
+        when(col("alloc_tokens") === col("supply"), "full")
+          .when(col("alloc_tokens") > 0, "partial").otherwise("cut"))
+      .orderBy(col("density").desc, col("source"), col("lang"), col("epoch"))
+  }
+
+  /** DuckDB spelling: same stats, same item lattice, same greedy
+    * exclusive-cumsum boundary arithmetic. */
+  val epochAllocationSql: String = {
+    val w = EpochValueMilli.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    s"""WITH dom AS (
+       |  SELECT source, lang,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply,
+       |    CAST(sum(n_chars) // count(*) AS BIGINT) AS quality
+       |  FROM documents WHERE text IS NOT NULL
+       |  GROUP BY source, lang),
+       |b AS (
+       |  SELECT sum(supply) * $EpochBudgetNum // $EpochBudgetDen AS b
+       |  FROM dom),
+       |ep(epoch, w) AS (VALUES $w),
+       |items AS (
+       |  SELECT source, lang, CAST(epoch AS BIGINT) AS epoch, supply,
+       |    quality * w AS density
+       |  FROM dom CROSS JOIN ep),
+       |ranked AS (
+       |  SELECT *, COALESCE(SUM(supply) OVER (
+       |    ORDER BY density DESC, source, lang, epoch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM items)
+       |SELECT source, lang, epoch, supply, CAST(density AS BIGINT)
+       |    AS density,
+       |  CAST(before AS BIGINT) AS before,
+       |  CAST(greatest(0, least(supply, b.b - before)) AS BIGINT)
+       |    AS alloc_tokens,
+       |  CASE WHEN greatest(0, least(supply, b.b - before)) = supply
+       |      THEN 'full'
+       |    WHEN greatest(0, least(supply, b.b - before)) > 0 THEN 'partial'
+       |    ELSE 'cut' END AS status
+       |FROM ranked, b
+       |ORDER BY density DESC, source, lang, epoch""".stripMargin
+  }
+
   // ---- q198: A-ES weighted sampling without replacement -------------------
 
   /** Samples per source. */
@@ -1105,6 +1205,7 @@ object Corpus {
        |ORDER BY source, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_epoch_allocation" -> (epochAllocation _),
     "q198_weighted_sample" -> (aesWeightedSample _),
     "q132_delta_join" -> (deltaJoinMaintenance _),
     "q130_interleave" -> (interleave _),
@@ -1121,6 +1222,7 @@ object Corpus {
     "q89_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q202_epoch_allocation" -> epochAllocationSql,
     "q198_weighted_sample" -> aesWeightedSampleSql,
     "q132_delta_join" -> deltaJoinMaintenanceSql,
     "q130_interleave" -> interleaveSql,

@@ -285,4 +285,39 @@ class CorpusSpec extends SparkSpec {
     assert(sampledMean > corpusMean,
       s"weighted sample not length-biased: $sampledMean <= $corpusMean")
   }
+
+  test("q202: greedy epoch schedule spends exactly the budget, in density order") {
+    val rows = graft.ext.Corpus.epochAllocation(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    val totalSupply = rows.filter(_._3 == 1L).map(_._4).sum
+    val budget = totalSupply * graft.ext.Corpus.EpochBudgetNum /
+      graft.ext.Corpus.EpochBudgetDen
+    assert(rows.map(_._7).sum === budget, "allocation must spend the budget")
+    // rows arrive in greedy order: density non-increasing, before = cumsum
+    val dens = rows.map(_._5)
+    assert(dens.zip(dens.tail).forall { case (a, b) => a >= b })
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r._6 === cum, s"before mismatch at ${(r._1, r._2, r._3)}")
+      cum += r._4
+    }
+    // statuses partition the schedule: full* partial? cut*
+    val statuses = rows.map(_._8)
+    assert(statuses.count(_ == "partial") <= 1)
+    val firstNonFull = statuses.indexWhere(_ != "full")
+    if (firstNonFull >= 0)
+      assert(statuses.drop(firstNonFull).forall(_ != "full"),
+        "a full allocation after the boundary — not a greedy prefix")
+    // an epoch never outranks an earlier epoch of its own domain
+    rows.groupBy(r => (r._1, r._2)).values.foreach { g =>
+      val byOrder = g.map(_._3)
+      assert(byOrder.sameElements(byOrder.sorted),
+        "later epoch scheduled before an earlier one")
+    }
+    // the budget regime must actually exercise repeats AND cuts
+    assert(rows.exists(r => r._3 >= 2 && r._8 == "full"),
+      "no repeated epoch was funded — budget regime wrong")
+    assert(statuses.contains("cut"))
+  }
 }
