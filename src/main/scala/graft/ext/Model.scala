@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
+import graft.ext.Text
 
 /** Models trained IN-QUERY from the corpus and applied corpus-wide —
   * the model-based filtering layer of an LLM data pipeline (quality
@@ -700,7 +701,121 @@ object Model {
        |FROM scored QUALIFY rnk <= $UncertainK
        |ORDER BY rnk""".stripMargin
 
+  // ---- q203: split-conformal prediction-interval calibration --------------
+
+  /** Miscoverage target α = 1/10: the conformal quantile is the
+    * ⌈(n+1)(1−α)⌉-th smallest calibration residual. */
+  final val ConformalAlphaDen = 10L
+
+  /** q203 — split-conformal calibration of a per-segment point
+    * predictor: events are split CALIB/TEST by the md5 parity of their
+    * id (a data-derived, exchangeable split — the q84/q59 hash-split
+    * discipline); per event type the predictor is the calibration
+    * lower median, the conformal radius q̂ is the ⌈(n+1)·9/10⌉-th
+    * smallest |residual| on CALIB, and the audit reports TEST coverage
+    * of [med−q̂, med+q̂]. Split conformal (Papadopoulos et al. 2002,
+    * Vovk's framework) guarantees ≥1−α coverage for exchangeable data
+    * REGARDLESS of how bad the predictor is — making this the
+    * distribution-free eval-infra op: it certifies interval honesty,
+    * not model quality. Every rank is an exact integer order statistic
+    * (cents), so both engines agree bit-for-bit; the only double is
+    * the final coverage ratio.
+    *
+    * Scale shape: both rank selections run on (type, value)-count
+    * relations — windows bounded by the VALUE DOMAIN per type (the
+    * q165 histogram argument), never the event count; everything else
+    * is partial-agg passes and a broadcast of the ≤|types| (med, q̂)
+    * relation. */
+  def conformalAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("t"),
+        expr("bigint(round(value * 100))").as("c"),
+        (Text.md5Bucket(col("event_id"), 2L) === 0L).as("calib"))
+      .localCheckpoint(eager = false) // calib ranks AND test coverage
+    // k-th smallest per group from a (group, value, cnt) relation
+    def kth(vals: DataFrame, group: String, v: String, kOf: Column => Column,
+        as: String): DataFrame = {
+      val counts = vals.groupBy(col(group), col(v))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col(group)).orderBy(col(v))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val n = vals.groupBy(col(group)).agg(count(lit(1)).as("n"))
+      counts.join(broadcast(n), Seq(group))
+        .filter(col("cum") >= kOf(col("n")))
+        .groupBy(col(group)).agg(min(col(v)).as(as))
+    }
+    val cal = ev.filter(col("calib"))
+    val med = kth(cal, "t", "c", n => expr("(n + 1) div 2"), "med_cents")
+    val resid = cal.join(broadcast(med), Seq("t"))
+      .select(col("t"), abs(col("c") - col("med_cents")).as("r"))
+    val qhat = kth(resid, "t", "r",
+      n => expr(s"((n + 1) * ${ConformalAlphaDen - 1} + " +
+        s"${ConformalAlphaDen - 1}) div $ConformalAlphaDen"), "qhat_cents")
+    val nCal = cal.groupBy(col("t")).agg(count(lit(1)).as("n_calib"))
+    ev.filter(!col("calib"))
+      .join(broadcast(med), Seq("t")).join(broadcast(qhat), Seq("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("c") - col("med_cents")) <= col("qhat_cents"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .join(broadcast(nCal), Seq("t")).join(broadcast(med), Seq("t"))
+      .join(broadcast(qhat), Seq("t"))
+      .select(col("t").as("event_type"), col("n_calib"), col("n_test"),
+        col("med_cents"), col("qhat_cents"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test")).as("coverage"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB spelling: same hash split, same order-statistic CTEs, same
+    * ceiling arithmetic (⌈x·9/10⌉ = (9x+9) div 10 for integer x). */
+  val conformalAuditSql: String = {
+    val a1 = ConformalAlphaDen - 1
+    s"""WITH ev AS (
+       |  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS c,
+       |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 2 = 0 AS calib
+       |  FROM events),
+       |cal AS (SELECT t, c FROM ev WHERE calib),
+       |cn AS (SELECT t, CAST(count(*) AS BIGINT) AS n_calib
+       |       FROM cal GROUP BY t),
+       |cc AS (
+       |  SELECT t, c, SUM(count(*)) OVER (PARTITION BY t ORDER BY c
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cal GROUP BY t, c),
+       |med AS (
+       |  SELECT cc.t, CAST(min(c) AS BIGINT) AS med_cents
+       |  FROM cc JOIN cn ON cn.t = cc.t
+       |  WHERE cum >= (n_calib + 1) // 2 GROUP BY cc.t),
+       |res AS (
+       |  SELECT cal.t, abs(c - med_cents) AS r
+       |  FROM cal JOIN med ON med.t = cal.t),
+       |rc AS (
+       |  SELECT t, r, SUM(count(*)) OVER (PARTITION BY t ORDER BY r
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM res GROUP BY t, r),
+       |qh AS (
+       |  SELECT rc.t, CAST(min(r) AS BIGINT) AS qhat_cents
+       |  FROM rc JOIN cn ON cn.t = rc.t
+       |  WHERE cum >= ((n_calib + 1) * $a1 + $a1) // $ConformalAlphaDen
+       |  GROUP BY rc.t),
+       |tst AS (
+       |  SELECT ev.t, CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN abs(c - med_cents) <= qhat_cents
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+       |  FROM ev JOIN med ON med.t = ev.t JOIN qh ON qh.t = ev.t
+       |  WHERE NOT calib GROUP BY ev.t)
+       |SELECT tst.t AS event_type, cn.n_calib, tst.n_test,
+       |  med.med_cents, qh.qhat_cents, tst.n_covered,
+       |  CAST(n_covered AS DOUBLE) / n_test AS coverage
+       |FROM tst JOIN cn ON cn.t = tst.t JOIN med ON med.t = tst.t
+       |JOIN qh ON qh.t = tst.t
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_conformal_audit" -> (conformalAudit _),
     "q169_uncertainty_sample" -> (uncertaintySample _),
     "q125_nb_quality" -> (nbQualityFilter _),
     "q126_lm_perplexity" -> (lmPerplexityFilter _),
@@ -710,6 +825,7 @@ object Model {
     "q129_nb_calibration" -> (nbCalibration _))
 
   val oracles: Map[String, String] = Map(
+    "q203_conformal_audit" -> conformalAuditSql,
     "q169_uncertainty_sample" -> uncertaintySampleSql,
     "q125_nb_quality" -> nbQualityFilterSql,
     "q126_lm_perplexity" -> lmPerplexityFilterSql,

@@ -157,4 +157,38 @@ class ModelSpec extends SparkSpec {
     assert(absScores.zip(absScores.tail).forall { case (a, b) => a <= b })
     assert(absScores.last <= scored.map(s => math.abs(s._4)).max)
   }
+
+  test("q203: conformal ranks replay driver-side; coverage honors the guarantee") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Model.conformalAudit(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), expr("bigint(round(value * 100))").as("c"),
+        col("event_id")).collect()
+      .map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getLong(2).toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val calib = java.lang.Long.parseLong(md.substring(0, 8), 16) % 2 == 0
+        (r.getString(0), r.getLong(1), calib)
+      }
+    rows.foreach { case (t, nCal, nTest, med, qhat, nCov, cov) =>
+      val cal = ev.filter(e => e._1 == t && e._3).map(_._2).sorted
+      val tst = ev.filter(e => e._1 == t && !e._3).map(_._2)
+      assert(nCal === cal.length.toLong && nTest === tst.length.toLong)
+      // lower median and the ⌈(n+1)·0.9⌉-th residual, replayed exactly
+      assert(med === cal((cal.length + 1) / 2 - 1).toLong, s"$t median")
+      val res = cal.map(c => math.abs(c - med)).sorted
+      val k = ((nCal + 1) * 9 + 9) / 10
+      assert(qhat === res(k.toInt - 1).toLong, s"$t qhat")
+      assert(nCov === tst.count(c => math.abs(c - med) <= qhat).toLong)
+      assert(cov === nCov.toDouble / nTest)
+      // split-conformal guarantee (≥ 0.9 in expectation; allow finite-
+      // sample slack) and non-vacuity (interval not covering everything)
+      assert(cov > 0.85, s"$t coverage $cov below guarantee band")
+      assert(nCov < nTest, s"$t interval is vacuous (covers all)")
+    }
+  }
 }
