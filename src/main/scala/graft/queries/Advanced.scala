@@ -969,6 +969,94 @@ object Advanced {
        |) ORDER BY join_name""".stripMargin
   }
 
+  // ---- q204: session-basket association (support + lift) ------------------
+
+  /** q204 — market-basket association over q16's gap sessions: each
+    * session is a basket of the distinct event types it contains; for
+    * every unordered type pair the audit emits the support counts and
+    * the lift n_ab·N / (n_a·n_b) — the association measure (lift > 1:
+    * the behaviors co-occur beyond chance) that funnel (q73) and
+    * transition (q111) views can't see because they are order-bound.
+    *
+    * Scale shape: sessionization is the one user-keyed window pass
+    * (q16's shuffle); baskets collapse in the same aggregation
+    * (collect_set bounded by the TYPE VOCABULARY, not session length),
+    * and pair generation is IN-ROW over the ≤|types| sorted basket
+    * (q93's pattern) — no self-join of the item relation, so the
+    * exchange after sessionization carries O(|types|²) distinct keys.
+    * Lift is one exact-integer division per pair. The oracle spells
+    * pair generation as the classic relational self-join — value-
+    * identical, locking the in-row rewrite. */
+  def q204BasketLift(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val baskets = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(sort_array(collect_set(col("event_type"))).as("its"))
+      .localCheckpoint(eager = false) // feeds N, singles AND pairs
+    val n = baskets.agg(count(lit(1)).as("n_sessions"))
+    val singles = baskets.select(explode(col("its")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(its, (x, i) -> " +
+          "transform(slice(its, i + 2, size(its)), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("t").as("a"), col("n_t").as("n_a"))),
+        Seq("a"))
+      .join(broadcast(singles.select(col("t").as("b"), col("n_t").as("n_b"))),
+        Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+        col("n_sessions"),
+        ((col("n_ab") * col("n_sessions")).cast("double") /
+          (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q204Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_type,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_idx
+      |  FROM flagged),
+      |di AS (SELECT DISTINCT user_id, session_idx, event_type FROM sessions),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM
+      |  (SELECT DISTINCT user_id, session_idx FROM di)),
+      |singles AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n_t
+      |  FROM di GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.event_type AS a, y.event_type AS b,
+      |    CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM di x JOIN di y
+      |    ON x.user_id = y.user_id AND x.session_idx = y.session_idx
+      |    AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT a, b, sa.n_t AS n_a, sb.n_t AS n_b, n_ab, n_sessions,
+      |  CAST(n_ab * n_sessions AS DOUBLE) / (sa.n_t * sb.n_t) AS lift
+      |FROM pairs JOIN singles sa ON sa.t = a JOIN singles sb ON sb.t = b,
+      |  ns
+      |ORDER BY a, b""".stripMargin
+
   // ---- q200: grouped OLS trend fit ----------------------------------------
 
   /** q200 — per-segment least-squares trend: for each event type,
@@ -2206,6 +2294,7 @@ object Advanced {
     "q148_analyze_stats" -> (q148AnalyzeStats _),
     "q199_cardinality_audit" -> (q199CardinalityAudit _),
     "q200_group_trend" -> (q200GroupTrend _),
+    "q204_basket_lift" -> (q204BasketLift _),
     "q149_pit_join"     -> (q149PitJoin _),
     "q150_unpivot"      -> (q150Unpivot _),
     "q151_item_similarity" -> (q151ItemSimilarity _),
@@ -2250,6 +2339,7 @@ object Advanced {
     "q148_analyze_stats" -> q148Sql,
     "q199_cardinality_audit" -> q199Sql,
     "q200_group_trend" -> q200Sql,
+    "q204_basket_lift" -> q204Sql,
     "q149_pit_join"     -> q149Sql,
     "q150_unpivot"      -> q150Sql,
     "q151_item_similarity" -> q151Sql,

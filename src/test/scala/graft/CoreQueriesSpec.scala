@@ -700,4 +700,19 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows.head.getLong(2) === n * sxy - sx * sy, "m_xy replay")
     assert(rows.head.getLong(3) === n * sxx - sx * sx, "m_xx replay")
   }
+
+  test("q204: association invariants hold; pairs are canonical and complete") {
+    val rows = graft.queries.Advanced.q204BasketLift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, na, nb, nab, ns, lift) =>
+      assert(a < b, "pair not canonical (a < b)")
+      assert(nab >= 1 && nab <= math.min(na, nb), s"($a,$b) support bounds")
+      assert(na <= ns && nb <= ns)
+      assert(lift === (nab * ns).toDouble / (na * nb), s"($a,$b) lift formula")
+    }
+    // every pair of types that ever co-occurs appears exactly once
+    assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length)
+  }
 }
