@@ -412,6 +412,72 @@ object Sketches {
        |    AS err_ppm
        |FROM al CROSS JOIN f2 ORDER BY grp""".stripMargin
 
+  // ---- q205: rolling-window distinct via mergeable daily sketches ---------
+
+  /** Trailing window length in days (inclusive of the current day). */
+  final val RollDays = 7
+
+  /** q205 — rolling 7-day distinct users per day, the DAU/WAU dashboard
+    * aggregate, spelled the only way it scales: ONE corpus pass builds a
+    * mergeable HLL sketch PER DAY, and every rolling window is a
+    * constant-cost union of ≤[[RollDays]] pre-built sketches
+    * (hll_union_agg over a ROWS frame). The naive spelling re-scans the
+    * fact table once per window position — 30× the I/O here, 365× on a
+    * year dashboard. The exact arm (a day×offset explode re-counting
+    * distinct users per window — the priced q117-style audit) verifies
+    * every estimate inside the 5% envelope (lgConfigK=12, rsd≈1.6%,
+    * ≈3σ).
+    *
+    * Scale shape: per-day sketches are a partial-agg exchange keyed by
+    * day (sketch bytes are the monoid state, q37's argument); the
+    * window pass runs over ≤|days| rows. The exact arm's explode is
+    * RollDays× the (day, user) DISTINCT relation — bounded by users,
+    * not events. */
+  def q205RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(dayofmonth(col("ts")).cast("long").as("day"), col("user_id"))
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      // RANGE on the day VALUE (not row offsets): a day with no events
+      // must not stretch the window (≤31 rows total: bounded window)
+      .rangeBetween(-(RollDays - 1), 0)
+    val est = daily
+      .withColumn("est", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+      .select(col("day"), col("est"))
+    // exact audit arm: each (day, user) feeds the RollDays windows it
+    // falls in — distinct-reduced BEFORE the explode
+    val exact = ev.distinct()
+      .select(explode(sequence(col("day"),
+        least(col("day") + (RollDays - 1), lit(31L)))).as("wday"),
+        col("user_id"))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .withColumnRenamed("wday", "day")
+    est.join(exact, Seq("day"))
+      .filter(col("day") >= RollDays) // complete windows only
+      .select(col("day"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.05).as("est_within_5pct"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB spelling: the exact rolling distinct (window join), TRUE
+    * flags — the q36/q37 oracle pattern for engine-specific sketches. */
+  val q205Sql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(day(ts) AS BIGINT) AS day, user_id
+       |  FROM events),
+       |win AS (
+       |  SELECT w.day AS wday, du.user_id
+       |  FROM du JOIN (SELECT DISTINCT day FROM du) w
+       |    ON du.day BETWEEN w.day - ${RollDays - 1} AND w.day)
+       |SELECT wday AS day,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       |  TRUE AS est_within_5pct
+       |FROM win WHERE wday >= $RollDays
+       |GROUP BY wday ORDER BY day""".stripMargin
+
   // ---- q195: KMV/theta distinct sketch with merge + intersection ---------
 
   /** KMV sketch size. K=64 ⇒ rse ≈ 1/√(K−2) ≈ 12.7%; the emitted
@@ -579,6 +645,7 @@ object Sketches {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_rolling_distinct" -> (q205RollingDistinct _),
     "q195_kmv_theta" -> (q195KmvTheta _),
     "q187_ams_f2" -> (q187AmsF2 _),
     "q165_quantile_sketch" -> (q165QuantileSketch _),
@@ -587,6 +654,7 @@ object Sketches {
     "q37_hll_sketch" -> (q37HllSketch _))
 
   val oracles: Map[String, String] = Map(
+    "q205_rolling_distinct" -> q205Sql,
     "q195_kmv_theta" -> q195Sql,
     "q187_ams_f2" -> q187Sql,
     "q165_quantile_sketch" -> q165Sql,

@@ -178,4 +178,21 @@ class SkewSketchSpec extends SparkSpec {
     assert(est(merged) === est(ha ++ hb),
       "merging sketches must equal sketching the union")
   }
+
+  test("q205: rolling distinct replays driver-side; every estimate in envelope") {
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.q205RollingDistinct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3), s"an estimate escaped 5%: ${rows.mkString(",")}")
+    val du = graft.tables.Tables.events(spark, sf)
+      .select(dayofmonth(col("ts")).cast("long").as("d"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (day, exact, _) =>
+      assert(day >= Sketches.RollDays)
+      val expect = du.filter(t => t._1 > day - Sketches.RollDays &&
+        t._1 <= day).map(_._2).distinct.length.toLong
+      assert(exact === expect, s"day $day exact rolling distinct")
+    }
+  }
 }
