@@ -5,13 +5,19 @@ import org.apache.spark.sql.functions._
 import graft.ops.Det
 import graft.tables.Tables
 
-/** Multi-dimensional OLAP aggregation shapes — CUBE subtotal lattices and
-  * PIVOT (long→wide conditional aggregation). SURVEY.md §2.4 covers plain
-  * GROUP BY; these are the reporting-layer spellings a warehouse user of
-  * the reference (reference: CollegeScorecard.scala:73 groupBy+agg) reaches
-  * for next. ROLLUP is already exercised by the recall audits
-  * (Similarity.scala q117/q154); this module adds the full lattice and the
-  * wide-table transpose.
+/** SCALE-SPELLED multi-dimensional OLAP shapes. The semantic surface
+  * already exists in the registry — q10 ROLLUP, q34 CUBE, q81 GROUPING
+  * SETS, q30 pivot, q28's window-rank suite — as the direct (naive)
+  * spellings; this module adds the formulations that survive a 100 TB
+  * fact table: q192 cubes a PRE-AGGREGATED grain (Expand over ~15 rows,
+  * not the corpus — q34 cubes the raw scan and pays 4× the table through
+  * Expand) and carries GROUPING() flags instead of q34's sentinel-string
+  * coalesce (which can't distinguish a real 'ALL' value from a
+  * subtotal); q193 pivots the high-frequency events stream at day grain
+  * with zero-filled counts; q197 replaces the per-partition window of
+  * ntile/percent_rank/cume_dist with banded two-phase ranking (q28's
+  * suite is the spec; its single-partition-per-key window is the
+  * 100 TB cliff).
   */
 object Olap {
 
