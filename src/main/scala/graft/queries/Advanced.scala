@@ -969,6 +969,87 @@ object Advanced {
        |) ORDER BY join_name""".stripMargin
   }
 
+  // ---- q206: integer EWMA monitoring series -------------------------------
+
+  /** EWMA smoothing: s_t = (n_t + (Den−1)·s_{t−1}) div Den (α = 1/Den),
+    * s_1 = n_1 — the floor-integer recurrence, so every engine computes
+    * the identical series with no float accumulation. */
+  final val EwmaDen = 4L
+  /** Alert rule: day t alerts when n_t > [[EwmaSpikeNum]]/[[EwmaSpikeDen]]
+    * × s_{t−1} (50% above the smoothed baseline). */
+  final val EwmaSpikeNum = 3L
+  final val EwmaSpikeDen = 2L
+
+  /** q206 — per-type EWMA of the daily event count with spike alerts:
+    * the monitoring primitive behind ingest-volume dashboards (q146's
+    * CUSUM detects sustained LEVEL SHIFTS; EWMA + threshold catches
+    * one-day SPIKES against a slowly-adapting baseline). The recurrence
+    * is inherently sequential, so it runs IN-ROW over the per-type
+    * daily-count array — 30 elements, bounded by the DAY DOMAIN (the
+    * q165 histogram argument), re-folded per prefix (O(days²) ≤ 900
+    * integer ops per type). Emits the full (day, n, ewma, alert)
+    * series per type; alerts compare n_t against the PRIOR day's
+    * smoothed baseline s_{t−1} in exact integers (n·Den > Num·s).
+    *
+    * Scale shape: one partial-agg pass to (type, day, n); the fold
+    * runs on ≤|types| rows each holding a ≤31-element array; nothing
+    * corpus-sized is collected or shuffled twice. */
+  def q206EwmaMonitor(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("arr"))
+      // prefix re-fold: ewma at position t = fold of counts 1..t
+      .select(col("event_type"), expr(
+        """transform(arr, (e, i) -> named_struct(
+          |  'd', e.d, 'n', e.n,
+          |  'ewma', aggregate(slice(arr, 2, i), e0.n,
+          |            (acc, x) -> (x.n + 3 * acc) div 4),
+          |  'prev', CASE WHEN i = 0 THEN CAST(NULL AS BIGINT)
+          |          ELSE aggregate(slice(arr, 2, i - 1), e0.n,
+          |            (acc, x) -> (x.n + 3 * acc) div 4) END))"""
+          .stripMargin
+          .replaceAll("e0", "element_at(arr, 1)")).as("sr"))
+      .select(col("event_type"), explode(col("sr")).as("e"))
+    series.select(col("event_type"), col("e.d").as("day"),
+        col("e.n").as("n"), col("e.ewma").as("ewma"),
+        (col("e.prev").isNotNull &&
+          col("e.n") * EwmaSpikeDen > col("e.prev") * EwmaSpikeNum)
+          .as("alert"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB spelling: same sorted array, same prefix list_reduce fold,
+    * same integer alert rule. */
+  val q206Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |arrs AS (
+       |  SELECT event_type,
+       |    list_sort(list(struct_pack(d := d, n := n))) AS arr
+       |  FROM daily GROUP BY 1),
+       |sr AS (
+       |  SELECT event_type,
+       |    unnest(list_transform(range(1, len(arr) + 1), i -> struct_pack(
+       |      d := arr[i].d, n := arr[i].n,
+       |      ewma := list_reduce(list_prepend(arr[1].n,
+       |        list_transform(arr[2:i], x -> x.n)),
+       |        (acc, x) -> (x + ${EwmaDen - 1} * acc) // $EwmaDen),
+       |      prev := CASE WHEN i = 1 THEN NULL
+       |        ELSE list_reduce(list_prepend(arr[1].n,
+       |          list_transform(arr[2:i-1], x -> x.n)),
+       |          (acc, x) -> (x + ${EwmaDen - 1} * acc) // $EwmaDen) END)))
+       |      AS e
+       |  FROM arrs)
+       |SELECT event_type, e.d AS day, e.n AS n,
+       |  CAST(e.ewma AS BIGINT) AS ewma,
+       |  e.prev IS NOT NULL AND
+       |    e.n * $EwmaSpikeDen > e.prev * $EwmaSpikeNum AS alert
+       |FROM sr ORDER BY event_type, day""".stripMargin
+
   // ---- q204: session-basket association (support + lift) ------------------
 
   /** q204 — market-basket association over q16's gap sessions: each
@@ -2295,6 +2376,7 @@ object Advanced {
     "q199_cardinality_audit" -> (q199CardinalityAudit _),
     "q200_group_trend" -> (q200GroupTrend _),
     "q204_basket_lift" -> (q204BasketLift _),
+    "q206_ewma_monitor" -> (q206EwmaMonitor _),
     "q149_pit_join"     -> (q149PitJoin _),
     "q150_unpivot"      -> (q150Unpivot _),
     "q151_item_similarity" -> (q151ItemSimilarity _),
@@ -2340,6 +2422,7 @@ object Advanced {
     "q199_cardinality_audit" -> q199Sql,
     "q200_group_trend" -> q200Sql,
     "q204_basket_lift" -> q204Sql,
+    "q206_ewma_monitor" -> q206Sql,
     "q149_pit_join"     -> q149Sql,
     "q150_unpivot"      -> q150Sql,
     "q151_item_similarity" -> q151Sql,

@@ -715,4 +715,24 @@ class CoreQueriesSpec extends SparkSpec {
     // every pair of types that ever co-occurs appears exactly once
     assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length)
   }
+
+  test("q206: EWMA recurrence replays driver-side; alerts use the prior baseline") {
+    val rows = graft.queries.Advanced.q206EwmaMonitor(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, series0) =>
+      val series = series0.sortBy(_._2)
+      var s = series.head._3 // s_1 = n_1
+      assert(series.head._4 === s && !series.head._5, s"$t day 1")
+      series.tail.foreach { case (_, d, n, ewma, alert) =>
+        val expectAlert = n * graft.queries.Advanced.EwmaSpikeDen >
+          s * graft.queries.Advanced.EwmaSpikeNum
+        assert(alert === expectAlert, s"$t day $d alert vs baseline $s")
+        s = (n + (graft.queries.Advanced.EwmaDen - 1) * s) /
+          graft.queries.Advanced.EwmaDen
+        assert(ewma === s, s"$t day $d ewma")
+      }
+    }
+  }
 }
