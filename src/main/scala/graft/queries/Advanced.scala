@@ -969,6 +969,114 @@ object Advanced {
        |) ORDER BY join_name""".stripMargin
   }
 
+  // ---- q207: watermark-horizon lateness audit -----------------------------
+
+  /** Candidate watermark horizons, in seconds. */
+  val WatermarkHorizonsSec: Seq[Long] = Seq(30L, 60L, 120L)
+  /** Simulated transport jitter half-window, µs: each event's ARRIVAL
+    * is its event time plus a deterministic md5-derived offset in
+    * ±[[ArrivalJitterUs]] — the corpus's event_id order is already
+    * time-sorted, so without modeled transport skew every lateness is
+    * zero and the audit is vacuous. In production the arrival order is
+    * simply the ingest offset and the jitter model disappears. */
+  final val ArrivalJitterUs = 60000000L
+  /** Arrival shards for the two-phase running max. */
+  final val LatenessShards = 32L
+
+  /** q207 — the number you need BEFORE configuring
+    * `withWatermark(...)`: treating event_id as arrival order, the
+    * high-water mark at each event is the running max of event time
+    * over the arrival prefix; an event's lateness is highmark − ts,
+    * and an event would be DROPPED by a horizon-h watermark iff
+    * lateness > h. The audit emits, per candidate horizon, how many
+    * ingested events a streaming twin (q15's windows, the q99 gates)
+    * would silently lose — measured on the real arrival/event-time
+    * skew, not guessed.
+    *
+    * The running max is computed the q197 way — never a global
+    * window: arrival is range-sharded by event_id ([[LatenessShards]]
+    * equal id-ranges from a 1-row max broadcast), the within-shard
+    * running max is a shard-partitioned window, and the exclusive
+    * prefix max across shards is a ≤32-row relation; highmark =
+    * greatest(shard-prefix max, within-shard running max). Exact
+    * epoch-µs integers end to end; one final share division per
+    * horizon.
+    *
+    * Scale shape: one scan + one shard-keyed window exchange + a
+    * 32-row broadcast; the horizon rollup is a 3-arm conditional
+    * aggregation in the same pass. */
+  def q207WatermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("ak", col("us") +
+        graft.ext.Text.md5Bucket(col("event_id"), 2 * ArrivalJitterUs)
+        - ArrivalJitterUs)
+    val mx = ev.agg(max(col("ak")).as("mxak"), min(col("ak")).as("mnak"))
+    val sharded = ev.crossJoin(broadcast(mx))
+      // equal ARRIVAL-key ranges: shard order aligns with arrival order
+      .withColumn("shard",
+        expr(s"(ak - mnak) div (((mxak - mnak) div $LatenessShards) + 1)"))
+      .localCheckpoint(eager = false) // feeds shard maxes AND running max
+    val shardMax = sharded.groupBy(col("shard"))
+      .agg(max(col("us")).as("smax"))
+      .withColumn("pre", max(col("smax")).over(
+        Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1))) // ≤32 rows
+      .select(col("shard"), col("pre"))
+    val run = sharded
+      .withColumn("wrun", max(col("us")).over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("ak"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(shardMax), Seq("shard"))
+      .select((greatest(coalesce(col("pre"), lit(Long.MinValue)),
+        col("wrun")) - col("us")).as("late_us"))
+    val arms = WatermarkHorizonsSec.map { h =>
+      sum(when(col("late_us") > h * 1000000L, 1L).otherwise(0L))
+        .as(s"drop_$h")
+    }
+    val aggCols = count(lit(1)).as("n_events") +: arms
+    val agg = run.agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(eager = false)
+    val rows = WatermarkHorizonsSec.map { h =>
+      agg.select(lit(h).as("horizon_sec"), col("n_events"),
+        col(s"drop_$h").as("n_dropped"),
+        (col(s"drop_$h").cast("double") / col("n_events"))
+          .as("drop_share"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy(col("horizon_sec"))
+  }
+
+  /** DuckDB spelling: the single global running-max window — the
+    * semantic contract the two-phase plan implements. */
+  val q207Sql: String = {
+    val arms = WatermarkHorizonsSec.map { h =>
+      val hUs = h * 1000000L
+      s"""SELECT CAST($h AS BIGINT) AS horizon_sec,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN late_us > $hUs
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN late_us > $hUs
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS drop_share
+         |FROM lat""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (
+       |  SELECT event_id, epoch_us(ts) AS us,
+       |    epoch_us(ts)
+       |      + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+       |         % ${2 * ArrivalJitterUs}) - $ArrivalJitterUs AS ak
+       |  FROM events),
+       |lat AS (
+       |  SELECT max(us) OVER (ORDER BY ak, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - us AS late_us
+       |  FROM a)
+       |SELECT * FROM (
+       |$arms
+       |) ORDER BY horizon_sec""".stripMargin
+  }
+
   // ---- q206: integer EWMA monitoring series -------------------------------
 
   /** EWMA smoothing: s_t = (n_t + (Den−1)·s_{t−1}) div Den (α = 1/Den),
@@ -2377,6 +2485,7 @@ object Advanced {
     "q200_group_trend" -> (q200GroupTrend _),
     "q204_basket_lift" -> (q204BasketLift _),
     "q206_ewma_monitor" -> (q206EwmaMonitor _),
+    "q207_watermark_audit" -> (q207WatermarkAudit _),
     "q149_pit_join"     -> (q149PitJoin _),
     "q150_unpivot"      -> (q150Unpivot _),
     "q151_item_similarity" -> (q151ItemSimilarity _),
@@ -2423,6 +2532,7 @@ object Advanced {
     "q200_group_trend" -> q200Sql,
     "q204_basket_lift" -> q204Sql,
     "q206_ewma_monitor" -> q206Sql,
+    "q207_watermark_audit" -> q207Sql,
     "q149_pit_join"     -> q149Sql,
     "q150_unpivot"      -> q150Sql,
     "q151_item_similarity" -> q151Sql,

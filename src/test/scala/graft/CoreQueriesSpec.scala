@@ -735,4 +735,36 @@ class CoreQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q207: two-phase running max equals the naive arrival walk; drops monotone") {
+    import graft.queries.Advanced
+    val rows = Advanced.q207WatermarkAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === Advanced.WatermarkHorizonsSec)
+    // driver replay: jittered arrival order, naive running max
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map { r =>
+        val id = r.getLong(0); val us = r.getLong(1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val j = java.lang.Long.parseLong(md.substring(0, 8), 16) %
+          (2 * Advanced.ArrivalJitterUs) - Advanced.ArrivalJitterUs
+        (us + j, id, us)
+      }.sortBy(t => (t._1, t._2))
+    var hi = Long.MinValue
+    val lates = ev.map { case (_, _, us) =>
+      hi = math.max(hi, us); hi - us
+    }
+    rows.foreach { case (h, n, dropped, share) =>
+      assert(n === ev.length.toLong)
+      assert(dropped === lates.count(_ > h * 1000000L).toLong, s"horizon $h")
+      assert(share === dropped.toDouble / n)
+    }
+    // longer horizon can only drop fewer; the audit must be non-vacuous
+    assert(rows.map(_._3).sameElements(rows.map(_._3).sorted.reverse))
+    assert(rows.head._3 > 0, "no event is ever late — audit vacuous")
+  }
 }
