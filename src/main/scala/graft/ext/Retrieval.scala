@@ -260,6 +260,48 @@ object Retrieval {
        |FROM packed WHERE before < $PackBudgetTokens
        |ORDER BY query_id, rnk""".stripMargin
 
+  // ---- shared audit inputs (q174 / q194) ----------------------------------
+
+  /** The two audit queries both consume the q155 fused list AND the
+    * exact-dot truth lists; without sharing, each rebuilds the whole
+    * hybrid chain (BM25 index + quantization + two TopK passes). Both
+    * relations are O(Q·k) — cached as eager localCheckpoints, keyed by
+    * session so entries die with it (the pcaParts pattern). q155/q158
+    * themselves stay UNCACHED: their plans are the contract
+    * (PlanShapeSpec locks the partial-TopK shapes). */
+  private val fusedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def fusedList(s: SparkSession, dir: String): DataFrame =
+    fusedCache.computeIfAbsent((s, dir), { _ =>
+      hybridRrf(s, dir)
+        .select(col("query_id"), col("rnk"), col("doc_id"))
+        .localCheckpoint()
+    })
+
+  /** Exact int8-dot top-[[MrrTruthK]] per probe query: (query_id, top)
+    * with `top` the rank-ordered id array — the ground-truth relation
+    * both audits grade against. */
+  private val truthCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+  private def truthTop(s: SparkSession, dir: String): DataFrame =
+    truthCache.computeIfAbsent((s, dir), { _ =>
+      val quant = Similarity.quantizedVectors(Tables.embeddings(s, dir))
+        .localCheckpoint(eager = false)
+      val q = quant.filter(col("vec_id").isin(fuseQueryIds: _*))
+        .select(col("vec_id").as("query_id"), col("q").as("qa"))
+      quant.select(col("vec_id").as("doc_id"), col("q").as("qb"))
+        .crossJoin(broadcast(q))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).cast("double").as("dot"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopK.top_k(MrrTruthK)(col("doc_id"), col("dot"))
+          .as("top"))
+        .select(col("query_id"), col("top.id").as("top"))
+        .localCheckpoint()
+    })
+
   // ---- q174: MRR audit of the hybrid ranking ------------------------------
 
   /** Ground-truth depth: a fused answer "hits" if it is one of the
@@ -282,22 +324,9 @@ object Retrieval {
     * The exact-dot truth arm is the deliberate q117-style audit cost. */
   def mrrAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fused = hybridRrf(s, dir)
-      .select(col("query_id"), col("rnk"), col("doc_id"))
-    val quant = Similarity.quantizedVectors(Tables.embeddings(s, dir))
-      .localCheckpoint(eager = false)
-    val q = quant.filter(col("vec_id").isin(fuseQueryIds: _*))
-      .select(col("vec_id").as("query_id"), col("q").as("qa"))
-    val truth = quant.select(col("vec_id").as("doc_id"), col("q").as("qb"))
-      .crossJoin(broadcast(q))
-      .filter(col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"),
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).cast("double").as("dot"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopK.top_k(MrrTruthK)(col("doc_id"), col("dot"))
-        .as("top"))
-      .select(col("query_id"), explode(col("top.id")).as("doc_id"))
+    val fused = fusedList(s, dir)
+    val truth = truthTop(s, dir)
+      .select(col("query_id"), explode(col("top")).as("doc_id"))
     val hits = fused.join(truth, Seq("query_id", "doc_id"))
       .groupBy(col("query_id")).agg(min(col("rnk")).as("first_hit"))
     val per = fuseQueryIds.toDF("query_id")
@@ -366,22 +395,9 @@ object Retrieval {
   def ndcgAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wArr = array(NdcgW.map(lit): _*)
-    val fused = hybridRrf(s, dir)
-      .select(col("query_id"), col("rnk"), col("doc_id"))
-    val quant = Similarity.quantizedVectors(Tables.embeddings(s, dir))
-      .localCheckpoint(eager = false)
-    val q = quant.filter(col("vec_id").isin(fuseQueryIds: _*))
-      .select(col("vec_id").as("query_id"), col("q").as("qa"))
-    val truth = quant.select(col("vec_id").as("doc_id"), col("q").as("qb"))
-      .crossJoin(broadcast(q))
-      .filter(col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"),
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).cast("double").as("dot"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopK.top_k(MrrTruthK)(col("doc_id"), col("dot"))
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top.id")).as(Seq("p", "doc_id")))
+    val fused = fusedList(s, dir)
+    val truth = truthTop(s, dir)
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "doc_id")))
       .select(col("query_id"), col("doc_id"),
         (lit(MrrTruthK.toLong) - col("p")).as("rel"),
         ((lit(MrrTruthK.toLong) - col("p")) *
