@@ -969,6 +969,68 @@ object Advanced {
        |) ORDER BY join_name""".stripMargin
   }
 
+  // ---- q208: column-encoding advisor --------------------------------------
+
+  /** Columns the encoding advisor profiles: (table, column, isString).
+    * Numeric columns are costed at their fixed 8-byte width. */
+  val EncodingColumns: Seq[(String, String, Boolean)] = Seq(
+    ("lineitem", "l_returnflag", true), ("lineitem", "l_partkey", false),
+    ("orders", "o_orderpriority", true), ("orders", "o_orderkey", false),
+    ("events", "event_type", true), ("events", "user_id", false),
+    ("documents", "source", true), ("documents", "lang", true))
+
+  /** q208 — dictionary-vs-plain encoding advisor from one stats pass
+    * per column: plain cost = Σ value bytes (8n for numerics), dict
+    * cost = dictionary bytes (Σ distinct-value bytes) + n·⌈log₂ ndv⌉
+    * bits of codes. This is the decision parquet/ORC writers make per
+    * row group; at 100 TB making it FROM MEASURED STATS (per release,
+    * per column) instead of writer defaults is real money — a
+    * low-cardinality string column left plain is a ~10× size
+    * regression. Exactly-integer byte arithmetic; ⌈log₂⌉ via floats
+    * only at exact powers of two, where IEEE log2 is exact in both
+    * engines.
+    *
+    * Scale shape: each arm is the q36 two-phase distinct discipline —
+    * a (column-value) partial agg bounded by the value domain, then a
+    * 1-row rollup; arms union into a #columns-row relation. */
+  def q208EncodingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val arms = EncodingColumns.map { case (t, c, isStr) =>
+      val rel = if (t == "events") Tables.events(s, dir)
+                else Tables.load(s, dir, t)
+      val vals =
+        if (isStr) rel.select(col(c).as("v"), length(col(c)).cast("long").as("w"))
+        else rel.select(col(c).as("v"), lit(8L).as("w"))
+      vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"), max(col("w")).as("w"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("ndv"),
+          sum(col("cnt") * col("w")).as("plain_bytes"),
+          sum(col("w")).as("dict_value_bytes"))
+        .select(lit(t).as("table_name"), lit(c).as("column_name"),
+          col("n"), col("ndv"), col("plain_bytes"),
+          (col("dict_value_bytes") +
+            expr("(n * bigint(ceil(log2(ndv))) + 7) div 8")).as("dict_bytes"))
+        .withColumn("recommend_dict", col("dict_bytes") < col("plain_bytes"))
+    }
+    arms.reduce(_.unionAll(_))
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  val q208Sql: String = {
+    val arms = EncodingColumns.map { case (t, c, isStr) =>
+      val w = if (isStr) s"CAST(strlen($c) AS BIGINT)" else "CAST(8 AS BIGINT)"
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  CAST(sum(cnt) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS ndv,
+         |  CAST(sum(cnt * w) AS BIGINT) AS plain_bytes,
+         |  CAST(sum(w) + (sum(cnt) * CAST(ceil(log2(count(*))) AS BIGINT)
+         |    + 7) // 8 AS BIGINT) AS dict_bytes
+         |FROM (SELECT $c AS v, count(*) AS cnt, max($w) AS w
+         |      FROM $t GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT *, dict_bytes < plain_bytes AS recommend_dict FROM (
+       |$arms
+       |) ORDER BY table_name, column_name""".stripMargin
+  }
+
   // ---- q207: watermark-horizon lateness audit -----------------------------
 
   /** Candidate watermark horizons, in seconds. */
@@ -2486,6 +2548,7 @@ object Advanced {
     "q204_basket_lift" -> (q204BasketLift _),
     "q206_ewma_monitor" -> (q206EwmaMonitor _),
     "q207_watermark_audit" -> (q207WatermarkAudit _),
+    "q208_encoding_advisor" -> (q208EncodingAdvisor _),
     "q149_pit_join"     -> (q149PitJoin _),
     "q150_unpivot"      -> (q150Unpivot _),
     "q151_item_similarity" -> (q151ItemSimilarity _),
@@ -2533,6 +2596,7 @@ object Advanced {
     "q204_basket_lift" -> q204Sql,
     "q206_ewma_monitor" -> q206Sql,
     "q207_watermark_audit" -> q207Sql,
+    "q208_encoding_advisor" -> q208Sql,
     "q149_pit_join"     -> q149Sql,
     "q150_unpivot"      -> q150Sql,
     "q151_item_similarity" -> q151Sql,

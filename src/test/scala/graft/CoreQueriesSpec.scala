@@ -767,4 +767,30 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows.map(_._3).sameElements(rows.map(_._3).sorted.reverse))
     assert(rows.head._3 > 0, "no event is ever late — audit vacuous")
   }
+
+  test("q208: encoding costs replay driver-side; unique keys stay plain") {
+    val rows = graft.queries.Advanced.q208EncodingAdvisor(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(rows.keySet ===
+      graft.queries.Advanced.EncodingColumns.map(t => (t._1, t._2)).toSet)
+    // replay one string column exactly
+    val flags = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).collect().map(_.getString(0))
+    val (n, ndv) = (flags.length.toLong, flags.distinct.length.toLong)
+    val plain = flags.map(_.length.toLong).sum
+    val bits = math.ceil(math.log(ndv.toDouble) / math.log(2)).toLong
+    val dict = flags.distinct.map(_.length.toLong).sum + (n * bits + 7) / 8
+    assert(rows(("lineitem", "l_returnflag")) === ((n, ndv, plain, dict, true)))
+    rows.foreach { case (k, (nn, nd, pb, db, rec)) =>
+      assert(nd <= nn && pb > 0 && db > 0)
+      assert(rec === (db < pb), s"$k recommendation inconsistent")
+    }
+    // a unique key gains nothing from a dictionary
+    assert(!rows(("orders", "o_orderkey"))._5,
+      "dictionary recommended for a unique key")
+    assert(rows(("events", "event_type"))._5,
+      "dictionary NOT recommended for a 5-value string column")
+  }
 }
