@@ -344,7 +344,66 @@ object Report {
       |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
       |ORDER BY source""".stripMargin
 
+  // ---- q209: differential-privacy noisy-count release ---------------------
+
+  /** DP noise scale b = sensitivity/ε = 1/[[DpEpsilonInv]]⁻¹ = 1 for
+    * ε = 1 counting releases (one event moves any count by exactly 1). */
+  final val DpEpsilonInv = 1L
+
+  /** q209 — ε-differentially-private release of the per-(type, day)
+    * event counts: each cell is published as n + Laplace(b = 1/ε)
+    * noise, the true count kept ONLY as this audit's error column
+    * (production releases the noisy column alone; together with q141's
+    * k-anonymity and q159's PII scrub this completes the
+    * privacy-release family). The Laplace draw is the inverse-CDF
+    * transform −b·sgn(u−½)·ln(1−2|u−½|) of a DETERMINISTIC md5-derived
+    * uniform keyed by the released CELL, so the audit is replayable
+    * and the release never changes under retries — the same
+    * seeded-noise discipline production DP systems use for
+    * re-publication consistency (a true RNG would make every rerun a
+    * fresh ε-spend). The half-offset (h+½)/2⁵² keeps u off ½ exactly,
+    * so the log argument is never 0.
+    *
+    * Scale shape: one partial-agg pass to the released grain; the
+    * noise is an in-row expression — no extra exchange, no collect. */
+  def dpRelease(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("day"))
+      .agg(count(lit(1)).as("true_n"))
+    cells
+      .withColumn("u", expr(
+        "(bigint(conv(substring(md5(concat(event_type, '|', string(day))), " +
+          "1, 13), 16, 10)) + 0.5d) / 4503599627370496.0d"))
+      .withColumn("lap", expr(
+        s"-signum(u - 0.5d) * ln(1.0d - 2.0d * abs(u - 0.5d)) / $DpEpsilonInv"))
+      .select(col("event_type"), col("day"), col("true_n"),
+        (col("true_n") + expr("bigint(round(lap))")).as("noisy_n"))
+      .withColumn("abs_err", abs(col("noisy_n") - col("true_n")))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB spelling: same cell-keyed uniform, same inverse-CDF chain. */
+  val dpReleaseSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS true_n
+       |  FROM events GROUP BY 1, 2),
+       |seeded AS (
+       |  SELECT *,
+       |    (('0x' || substr(md5(event_type || '|' || CAST(day AS VARCHAR)),
+       |      1, 13))::BIGINT + 0.5) / 4503599627370496.0 AS u
+       |  FROM cells),
+       |noised AS (
+       |  SELECT event_type, day, true_n,
+       |    true_n + CAST(round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+       |      / $DpEpsilonInv) AS BIGINT) AS noisy_n
+       |  FROM seeded)
+       |SELECT event_type, day, true_n, noisy_n,
+       |  abs(noisy_n - true_n) AS abs_err
+       |FROM noised ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_dp_release" -> (dpRelease _),
     "q168_index_coverage" -> (indexCoverage _),
     "q141_k_anonymity" -> (kAnonymity _),
     "q101_source_report" -> (sourceReport _),
@@ -353,6 +412,7 @@ object Report {
     "q108_quality_rules" -> (qualityRules _))
 
   val oracles: Map[String, String] = Map(
+    "q209_dp_release" -> dpReleaseSql,
     "q168_index_coverage" -> indexCoverageSql,
     "q141_k_anonymity" -> kAnonymitySql,
     "q101_source_report" -> sourceReportSql,

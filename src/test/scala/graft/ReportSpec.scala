@@ -105,4 +105,27 @@ class ReportSpec extends SparkSpec {
     assert(srcs.map(_._3).sum + orph.head._2 === nVecs,
       "indexed + orphans must cover the vector index")
   }
+
+  test("q209: seeded Laplace noise replays driver-side; scale matches ε") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Report.dpRelease(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, d, n, noisy, err) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$t|$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.substring(0, 13), 16)
+      val u = (h + 0.5) / (1L << 52).toDouble
+      val lap = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      assert(noisy === n + math.round(lap), s"cell ($t,$d) noise replay")
+      assert(err === math.abs(noisy - n))
+    }
+    // Laplace(1): E|noise| = 1 — the empirical mean must sit near it,
+    // and both signs must occur (a one-sided bug halves the protection)
+    val meanAbs = rows.map(_._5).sum.toDouble / rows.length
+    assert(meanAbs > 0.4 && meanAbs < 2.5, s"noise scale off: $meanAbs")
+    assert(rows.exists(r => r._4 > r._3) && rows.exists(r => r._4 < r._3),
+      "noise never goes one of the directions")
+  }
 }
