@@ -969,6 +969,90 @@ object Advanced {
        |) ORDER BY join_name""".stripMargin
   }
 
+  // ---- q210: two-sample Kolmogorov–Smirnov drift test ---------------------
+
+  /** KS critical coefficient c(α)² at α = 0.05, as the rational
+    * 18442/10⁴ (c = 1.358). */
+  final val KsCrit2Num = 18442L
+  final val KsCrit2Den = 10000L
+
+  /** q210 — exact two-sample KS test per event type: does the VALUE
+    * distribution drift between the first and second half of the month?
+    * D = sup|F₁−F₂| computed as the exact rational A/(n₁n₂) with
+    * A = max|c₁n₂ − c₂n₁| over the merged support, and the α=0.05
+    * decision made by cross-multiplied INTEGER comparison
+    * A² > ⌊c²·(n₁+n₂)·n₁·n₂/10⁴⌋ — no float ever enters the verdict
+    * (q146's CUSUM asks "did the LEVEL shift"; this asks "did the
+    * SHAPE change", the distribution-free way). Int64 headroom: A ≤
+    * n₁n₂ so A² needs n₁n₂ < 3.0·10⁹ — √(2⁶³); past ~55k rows per
+    * side, widen to decimal(38,0) (q134's gate discipline).
+    *
+    * Scale shape: one pass to (type, half, value-cent) counts; the
+    * CDF walk is a window over the per-type merged SUPPORT (bounded by
+    * the value domain — the q165 argument), and the verdict is a
+    * per-type 1-row aggregate. */
+  def q210KsDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("t"),
+        expr("bigint(round(value * 100))").as("c"),
+        (dayofmonth(col("ts")) <= 15).as("h1"))
+    val counts = ev.groupBy(col("t"), col("c"))
+      .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("h1"), 1L).otherwise(0L)).as("d2"))
+    val cum = counts
+      .withColumn("c1", sum(col("d1")).over(
+        Window.partitionBy(col("t")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("c2", sum(col("d2")).over(
+        Window.partitionBy(col("t")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val n = ev.groupBy(col("t"))
+      .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("h1"), 1L).otherwise(0L)).as("n2"))
+    cum.join(broadcast(n), Seq("t"))
+      .groupBy(col("t"), col("n1"), col("n2"))
+      .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("a"))
+      .select(col("t").as("event_type"), col("n1"), col("n2"), col("a"),
+        expr("a * 1000000 div (n1 * n2)").as("d_x1e6"),
+        (col("a") * col("a") >
+          expr(s"($KsCrit2Num * (n1 + n2) * n1 * n2) div $KsCrit2Den"))
+          .as("reject_same_dist"))
+      .orderBy(col("event_type"))
+  }
+
+  val q210Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS c,
+       |    day(ts) <= 15 AS h1
+       |  FROM events),
+       |counts AS (
+       |  SELECT t, c,
+       |    CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(CASE WHEN h1 THEN 0 ELSE 1 END) AS BIGINT) AS d2
+       |  FROM ev GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT t,
+       |    SUM(d1) OVER (PARTITION BY t ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+       |    SUM(d2) OVER (PARTITION BY t ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+       |  FROM counts),
+       |ns AS (
+       |  SELECT t, CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN h1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+       |  FROM ev GROUP BY 1),
+       |agg AS (
+       |  SELECT cum.t, ns.n1, ns.n2,
+       |    CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS a
+       |  FROM cum JOIN ns ON ns.t = cum.t
+       |  GROUP BY cum.t, ns.n1, ns.n2)
+       |SELECT t AS event_type, n1, n2, a,
+       |  a * 1000000 // (n1 * n2) AS d_x1e6,
+       |  a * a > ($KsCrit2Num * (n1 + n2) * n1 * n2) // $KsCrit2Den
+       |    AS reject_same_dist
+       |FROM agg ORDER BY event_type""".stripMargin
+
   // ---- q208: column-encoding advisor --------------------------------------
 
   /** Columns the encoding advisor profiles: (table, column, isString).
@@ -2549,6 +2633,7 @@ object Advanced {
     "q206_ewma_monitor" -> (q206EwmaMonitor _),
     "q207_watermark_audit" -> (q207WatermarkAudit _),
     "q208_encoding_advisor" -> (q208EncodingAdvisor _),
+    "q210_ks_drift" -> (q210KsDrift _),
     "q149_pit_join"     -> (q149PitJoin _),
     "q150_unpivot"      -> (q150Unpivot _),
     "q151_item_similarity" -> (q151ItemSimilarity _),
@@ -2597,6 +2682,7 @@ object Advanced {
     "q206_ewma_monitor" -> q206Sql,
     "q207_watermark_audit" -> q207Sql,
     "q208_encoding_advisor" -> q208Sql,
+    "q210_ks_drift" -> q210Sql,
     "q149_pit_join"     -> q149Sql,
     "q150_unpivot"      -> q150Sql,
     "q151_item_similarity" -> q151Sql,

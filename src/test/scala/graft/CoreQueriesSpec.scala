@@ -793,4 +793,33 @@ class CoreQueriesSpec extends SparkSpec {
     assert(rows(("events", "event_type"))._5,
       "dictionary NOT recommended for a 5-value string column")
   }
+
+  test("q210: KS statistic replays driver-side; verdict is the exact rational rule") {
+    import graft.queries.Advanced
+    val rows = Advanced.q210KsDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(rows.nonEmpty)
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), expr("bigint(round(value * 100))").as("c"),
+        (dayofmonth(col("ts")) <= 15).as("h1")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    rows.foreach { case (t, (n1, n2, a, d, reject)) =>
+      val g = ev.filter(_._1 == t)
+      val s1 = g.filter(_._3).map(_._2)
+      val s2 = g.filterNot(_._3).map(_._2)
+      assert(n1 === s1.length.toLong && n2 === s2.length.toLong)
+      val support = (s1 ++ s2).distinct.sorted
+      val expA = support.map { v =>
+        math.abs(s1.count(_ <= v).toLong * n2 - s2.count(_ <= v).toLong * n1)
+      }.max
+      assert(a === expA, s"$t KS numerator")
+      assert(d === a * 1000000L / (n1 * n2))
+      assert(reject === (a * a >
+        Advanced.KsCrit2Num * (n1 + n2) * n1 * n2 / Advanced.KsCrit2Den))
+      assert(d >= 0 && d <= 1000000L)
+    }
+    // both halves come from one generator: the test must NOT reject
+    assert(rows.values.forall(!_._5), "false positive on identical dists")
+  }
 }
