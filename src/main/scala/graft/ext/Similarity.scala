@@ -2656,7 +2656,85 @@ object Similarity {
        |ORDER BY community""".stripMargin
   }
 
+  // ---- q211: deterministic random-negative sampling -----------------------
+
+  /** Negatives drawn per anchor. */
+  final val NegK = 4
+  /** Anchor stride: every [[NegAnchorStride]]-th doc anchors a pair set. */
+  final val NegAnchorStride = 20L
+
+  /** q211 — random-negative construction for contrastive training:
+    * every [[NegAnchorStride]]-th doc is an anchor, and its
+    * [[NegK]] negatives are drawn by hashing (anchor, j) into the
+    * DENSE doc-id space — so "random" sampling becomes an EQUI-JOIN
+    * on a computed id (no shuffle beyond the id join, no RNG state,
+    * and every retry draws the same pairs — the q198 determinism
+    * argument applied to pair construction). Self-collisions advance
+    * by one (mod N). Each pair carries the two hygiene flags a
+    * training pipeline filters on: same_source (weak negative — the
+    * in-batch-negatives trap of near-domain pairs) and is_exact_dup
+    * (md5-identical text — a FALSE negative that actively poisons the
+    * loss; q139's hard negatives are the semantic complement of these
+    * random ones).
+    *
+    * Scale shape: the anchor×j lattice is |docs|/stride·K rows; the
+    * negative lookup is an equi-join on doc_id; the dup flag joins
+    * 16-byte fingerprints. Nothing quadratic, nothing collected. */
+  def negativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      .localCheckpoint(eager = false) // anchors, negatives AND count
+    val n = docs.agg(count(lit(1)).as("n"))
+    val anchors = docs.filter(pmod(col("doc_id"), lit(NegAnchorStride)) === 0L)
+      .select(col("doc_id").as("anchor_id"), col("source").as("a_source"),
+        col("fp").as("a_fp"))
+    val pairs = anchors
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("a_source"), col("a_fp"),
+        explode(sequence(lit(1), lit(NegK))).as("j"),
+        col("n"))
+      .withColumn("draw", expr(
+        "pmod(bigint(conv(substring(md5(concat(string(anchor_id), '|', " +
+          "string(j))), 1, 13), 16, 10)), n)"))
+      // self-collision advances by one, mod N (deterministic fix-up)
+      .withColumn("neg_id",
+        when(col("draw") === col("anchor_id"),
+          pmod(col("draw") + 1, col("n"))).otherwise(col("draw")))
+    pairs
+      .join(docs.select(col("doc_id").as("neg_id"),
+        col("source").as("n_source"), col("fp").as("n_fp")), Seq("neg_id"))
+      .select(col("anchor_id"), col("j").cast("long").as("j"), col("neg_id"),
+        (col("a_source") === col("n_source")).as("same_source"),
+        (col("a_fp") === col("n_fp")).as("is_exact_dup"))
+      .orderBy(col("anchor_id"), col("j"))
+  }
+
+  /** DuckDB spelling: same hash draw, same fix-up, same flags. */
+  val negativeSamplingSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, md5(text) AS fp FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |a AS (
+       |  SELECT doc_id AS anchor_id, source AS a_source, fp AS a_fp
+       |  FROM d WHERE doc_id % $NegAnchorStride = 0),
+       |lattice AS (
+       |  SELECT anchor_id, a_source, a_fp, CAST(j AS BIGINT) AS j, n.n,
+       |    ('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '|' ||
+       |      CAST(j AS VARCHAR)), 1, 13))::BIGINT % n.n AS draw
+       |  FROM a, n, unnest(range(1, ${NegK + 1})) AS t(j)),
+       |fixed AS (
+       |  SELECT anchor_id, a_source, a_fp, j,
+       |    CASE WHEN draw = anchor_id THEN (draw + 1) % n ELSE draw END
+       |      AS neg_id
+       |  FROM lattice)
+       |SELECT anchor_id, j, neg_id,
+       |  a_source = d.source AS same_source,
+       |  a_fp = d.fp AS is_exact_dup
+       |FROM fixed JOIN d ON d.doc_id = fixed.neg_id
+       |ORDER BY anchor_id, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_negative_sampling" -> (negativeSampling _),
     "q160_graph_centrality" -> (graphCentrality _),
     "q161_label_propagation" -> (labelPropagation _),
     "q163_walk_corpus" -> (walkCorpus _),
@@ -2684,6 +2762,7 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q211_negative_sampling" -> negativeSamplingSql,
     "q160_graph_centrality" -> graphCentralitySql,
     "q161_label_propagation" -> labelPropagationSql,
     "q163_walk_corpus" -> walkCorpusSql,

@@ -565,4 +565,29 @@ class SimilaritySpec extends SparkSpec {
     // outlier is strictly farther than the 20th
     assert(rows.head._6 > rows.last._6, "flat worklist — no outliers?")
   }
+
+  test("q211: negative draws replay driver-side; no self-pairs; lattice complete") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.negativeSampling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    val n = graft.tables.Tables.documents(spark, sf).count()
+    val anchors = (0L until n by Similarity.NegAnchorStride).toSeq
+    assert(rows.length === anchors.length * Similarity.NegK,
+      "anchor × j lattice incomplete")
+    rows.foreach { case (a, j, neg, _, _) =>
+      assert(a % Similarity.NegAnchorStride === 0L)
+      assert(j >= 1 && j <= Similarity.NegK)
+      assert(neg != a, "self-pair survived the fix-up")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a|$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val draw = java.lang.Long.parseLong(md.substring(0, 13), 16) % n
+      val expect = if (draw == a) (draw + 1) % n else draw
+      assert(neg === expect, s"draw replay for ($a, $j)")
+    }
+    // the flags must be live signals, not constants
+    assert(rows.exists(_._4) || rows.length < 20,
+      "no same-source negative in a 20-source corpus — flag wiring?")
+    assert(rows.count(_._4) < rows.length / 2, "same-source flag inverted?")
+  }
 }
