@@ -678,6 +678,59 @@ object Dedup {
       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q212: anchor-positive pair mining ----------------------------------
+
+  /** q212 — contrastive POSITIVE pairs mined from the near-dup
+    * clusters: each multi-member q57 cluster contributes (anchor =
+    * min-id member, positive = every other member) — naturally-
+    * occurring paraphrase/near-copy pairs, the free supervision signal
+    * a contrastive embedding run trains on. Completes the pair-mining
+    * triple: q212 positives ↔ q211 random negatives ↔ q139 hard
+    * negatives. Each pair carries cluster_size (large clusters are
+    * boilerplate, often downweighted) and cross_source (the valuable
+    * pairs — same content surviving a domain change).
+    *
+    * Scale shape: rides the session-shared clustering memo (built once
+    * per release); the per-cluster min is a partial agg; the pair
+    * explosion is cluster-bounded (near-dup groups are small by
+    * construction — the df-cap bounds fan-in); one broadcast join per
+    * source flag. */
+  def positivePairs(s: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(s, dir) // (doc_id, cluster_id), session-shared
+    val sized = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("anchor_id"))
+      .filter(col("cluster_size") >= 2)
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+    cl.join(broadcast(sized), Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("doc_id").as("pos_id"),
+        col("cluster_size"))
+      .join(broadcast(src.select(col("doc_id").as("anchor_id"),
+        col("source").as("a_source"))), Seq("anchor_id"))
+      .join(broadcast(src.select(col("doc_id").as("pos_id"),
+        col("source").as("p_source"))), Seq("pos_id"))
+      .select(col("anchor_id"), col("pos_id"), col("cluster_size"),
+        (col("a_source") =!= col("p_source")).as("cross_source"))
+      .orderBy(col("anchor_id"), col("pos_id"))
+  }
+
+  /** DuckDB spelling: the shared recursive cluster CTEs + the same
+    * min-anchor pairing and source flags. */
+  val positivePairsSql: String =
+    s"""WITH RECURSIVE $ccCtes,
+       |sized AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       |    min(doc_id) AS anchor_id
+       |  FROM comp GROUP BY cluster_id HAVING count(*) >= 2)
+       |SELECT s.anchor_id, c.doc_id AS pos_id, s.cluster_size,
+       |  da.source <> dp.source AS cross_source
+       |FROM comp c JOIN sized s ON s.cluster_id = c.cluster_id
+       |JOIN documents da ON da.doc_id = s.anchor_id
+       |JOIN documents dp ON dp.doc_id = c.doc_id
+       |WHERE c.doc_id <> s.anchor_id
+       |ORDER BY s.anchor_id, pos_id""".stripMargin
+
   // ---- q178: cluster-level decontamination --------------------------------
 
   /** Direct-tier threshold for q178: ≥30 shared eval 5-grams is
@@ -1790,6 +1843,7 @@ object Dedup {
     "q96_shard_similarity" -> (shardSimilarity _),
     "q86_link_prior" -> (linkPrior _),
     "q57_dedup_clusters" -> (dedupClusters _),
+    "q212_positive_pairs" -> (positivePairs _),
     "q58_cc_distributed" -> (dedupClustersDistributed _),
     "q60_cluster_keep_best" -> (clusterKeepBest _),
     "q68_dup_triangles" -> (dupTriangles _),
@@ -1820,6 +1874,7 @@ object Dedup {
     "q96_shard_similarity" -> shardSimilaritySql,
     "q86_link_prior"      -> linkPriorSql,
     "q57_dedup_clusters"  -> dedupClustersSql,
+    "q212_positive_pairs" -> positivePairsSql,
     "q58_cc_distributed"  -> dedupClustersSql,
     "q60_cluster_keep_best" -> clusterKeepBestSql,
     "q68_dup_triangles"   -> dupTrianglesSql,

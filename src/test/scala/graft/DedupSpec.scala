@@ -469,4 +469,27 @@ class DedupSpec extends SparkSpec {
     assert(hi._6 >= lo._6,
       s"micro-Jaccard not ordered: est=${lo._1} → ${lo._6}, est=${hi._1} → ${hi._6}")
   }
+
+  test("q212: positive pairs are exactly the clusters' anchor-member edges") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.ext.Dedup.positivePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val clusters = graft.ext.Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = clusters.groupBy(_._2).values.filter(_.length >= 2)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        ids.tail.map(m => (ids.head, m, ids.length.toLong,
+          srcs(ids.head) != srcs(m)))
+      }.toSet
+    assert(pairs.toSet === expect, "pair set diverges from cluster replay")
+    assert(pairs.nonEmpty, "no near-dup clusters — pair mining vacuous")
+    pairs.foreach { case (a, p, sz, _) =>
+      assert(a < p, "anchor must be the min-id member")
+      assert(sz >= 2)
+    }
+  }
 }
