@@ -460,4 +460,29 @@ class PlanShapeSpec extends SparkSpec {
       s"pivot scans the table more than once:\n$p")
     assert(!p.contains("Join"), s"pivot planned a join per column:\n$p")
   }
+
+  test("q198: weighted sample reduces via partial TopK — no window, no sort of the corpus") {
+    val p = plan(graft.ext.Corpus.aesWeightedSample(spark, sf))
+    assert(p.contains("ObjectHashAggregate") ||
+      p.contains("partial_topkaggregator"),
+      s"expected partial top-k aggregation:\n$p")
+    assert(!p.contains("Window"), s"window ranking reappeared:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+  }
+
+  test("q211: negative lookup is an equi-join on the computed id, never all-pairs") {
+    val p = plan(graft.ext.Similarity.negativeSampling(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"negative lookup lost its equi-join:\n$p")
+  }
+
+  test("q205: rolling windows merge pre-built daily sketches (one sketch-arm scan)") {
+    val p = plan(graft.queries.Sketches.q205RollingDistinct(spark, sf))
+    // two deliberate scans total: the sketch arm and the exact audit arm
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"rolling distinct rescans the corpus per window:\n$p")
+    assert(p.contains("hll_union_agg") || p.contains("Window"),
+      s"window union of daily sketches missing:\n$p")
+  }
 }
