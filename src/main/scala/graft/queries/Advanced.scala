@@ -969,6 +969,90 @@ object Advanced {
        |) ORDER BY join_name""".stripMargin
   }
 
+  // ---- q213: chi-square independence audit --------------------------------
+
+  /** χ² critical value at α=0.05 for (5−1)(7−1) = 24 degrees of
+    * freedom, embedded as a literal (the NdcgW discipline — no
+    * query-time distribution functions). */
+  final val Chi2Crit24 = 36.415
+  /** Int64 headroom note: per-cell numerators are (O·N − R·C)² —
+    * exact while N ≲ 3·10⁹ cell observations (q134's widen-past gate
+    * discipline applies beyond). */
+
+  /** q213 — is activity MIX independent of weekday? The r×c chi-square
+    * on the event_type × weekday contingency table, computed exactly:
+    * each cell's term is (O·N − R·C)²/(N·R·C) — an int64 numerator and
+    * ONE exact division — and the 35 terms are summed IN-ROW over the
+    * SORTED cell array (the q126 fixed-fold discipline), so both
+    * engines add identical doubles in identical order and the
+    * statistic is bit-equal. q177's SRM is this test's 1-dof special
+    * case on assignment arms; q210's KS asks about a continuous SHAPE
+    * — this completes the categorical side (seasonality detection: a
+    * weekday-dependent mix breaks naive daily mixture planning).
+    *
+    * Scale shape: one partial-agg pass to the ≤|types|·7 contingency
+    * cells; margins by re-aggregation of cells (never the corpus); the
+    * fold runs on ONE row holding ≤35 structs. */
+  def q213Chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type").as("t"),
+        expr("datediff(to_date(ts), to_date('1970-01-01')) % 7").as("wd"))
+      .groupBy(col("t"), col("wd")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false) // cells feed margins AND the fold
+    val rowm = cells.groupBy(col("t")).agg(sum(col("o")).as("r"))
+    val colm = cells.groupBy(col("wd")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rowm), Seq("t")).join(broadcast(colm), Seq("wd"))
+      .crossJoin(broadcast(n))
+      .select(struct(col("t"), col("wd"), col("o"), col("r"), col("c"),
+        col("n")).as("cell"))
+      .agg(sort_array(collect_list(col("cell"))).as("arr"))
+      .select(
+        expr("element_at(arr, 1).n").as("n"),
+        size(col("arr")).cast("long").as("n_cells"),
+        expr(
+          """aggregate(arr, 0.0d, (acc, x) ->
+            |  acc + cast((x.o * x.n - x.r * x.c) *
+            |             (x.o * x.n - x.r * x.c) as double)
+            |        / (cast(x.n as double) * x.r * x.c))""".stripMargin)
+          .as("chi2"))
+      .select(col("n"), col("n_cells"),
+        lit((5 - 1) * (7 - 1)).cast("long").as("dof"),
+        col("chi2"), lit(Chi2Crit24).as("crit_05"),
+        (col("chi2") > Chi2Crit24).as("reject_independence"))
+  }
+
+  /** DuckDB spelling: same cells/margins, the same sorted fold with
+    * the same parenthesization. */
+  val q213Sql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type AS t,
+       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS wd,
+       |    CAST(count(*) AS BIGINT) AS o
+       |  FROM events GROUP BY 1, 2),
+       |rowm AS (SELECT t, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+       |colm AS (SELECT wd, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+       |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+       |arr AS (
+       |  SELECT list_sort(list(struct_pack(t := cells.t, wd := cells.wd,
+       |      o := o, r := r, c := c, n := n.n))) AS arr
+       |  FROM cells JOIN rowm ON rowm.t = cells.t
+       |  JOIN colm ON colm.wd = cells.wd, n)
+       |SELECT arr[1].n AS n, CAST(len(arr) AS BIGINT) AS n_cells,
+       |  CAST(24 AS BIGINT) AS dof,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(arr, x ->
+       |      CAST((x.o * x.n - x.r * x.c) * (x.o * x.n - x.r * x.c)
+       |        AS DOUBLE) / (CAST(x.n AS DOUBLE) * x.r * x.c))),
+       |    (a, b) -> a + b) AS chi2,
+       |  $Chi2Crit24 AS crit_05,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(arr, x ->
+       |      CAST((x.o * x.n - x.r * x.c) * (x.o * x.n - x.r * x.c)
+       |        AS DOUBLE) / (CAST(x.n AS DOUBLE) * x.r * x.c))),
+       |    (a, b) -> a + b) > $Chi2Crit24 AS reject_independence
+       |FROM arr""".stripMargin
+
   // ---- q210: two-sample Kolmogorov–Smirnov drift test ---------------------
 
   /** KS critical coefficient c(α)² at α = 0.05, as the rational
@@ -2634,6 +2718,7 @@ object Advanced {
     "q207_watermark_audit" -> (q207WatermarkAudit _),
     "q208_encoding_advisor" -> (q208EncodingAdvisor _),
     "q210_ks_drift" -> (q210KsDrift _),
+    "q213_chi2_independence" -> (q213Chi2Independence _),
     "q149_pit_join"     -> (q149PitJoin _),
     "q150_unpivot"      -> (q150Unpivot _),
     "q151_item_similarity" -> (q151ItemSimilarity _),
@@ -2683,6 +2768,7 @@ object Advanced {
     "q207_watermark_audit" -> q207Sql,
     "q208_encoding_advisor" -> q208Sql,
     "q210_ks_drift" -> q210Sql,
+    "q213_chi2_independence" -> q213Sql,
     "q149_pit_join"     -> q149Sql,
     "q150_unpivot"      -> q150Sql,
     "q151_item_similarity" -> q151Sql,

@@ -822,4 +822,32 @@ class CoreQueriesSpec extends SparkSpec {
     // both halves come from one generator: the test must NOT reject
     assert(rows.values.forall(!_._5), "false positive on identical dists")
   }
+
+  test("q213: chi-square replays driver-side in the same fold order") {
+    import graft.queries.Advanced
+    val Seq(row) = Advanced.q213Chi2Independence(spark, sf).collect().toSeq
+    val (n, nCells, dof, chi2, crit, reject) = (row.getLong(0),
+      row.getLong(1), row.getLong(2), row.getDouble(3), row.getDouble(4),
+      row.getBoolean(5))
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), to_date('1970-01-01')) % 7").as("wd"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val cells = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rm = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cm = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = ev.length.toLong
+    assert(n === nn && nCells === cells.size.toLong && dof === 24L)
+    // identical fold order: cells sorted by (type, weekday)
+    var acc = 0.0
+    cells.toSeq.sortBy(_._1).foreach { case ((t, wd), o) =>
+      val num = o * nn - rm(t) * cm(wd)
+      acc += (num.toDouble * num) / (nn.toDouble * rm(t) * cm(wd))
+    }
+    assert(chi2 === acc, "fold-order replay mismatch")
+    assert(reject === (chi2 > crit))
+    // the uniform generator must not fake a weekday dependence
+    assert(!reject, s"false positive: chi2 $chi2 vs $crit")
+    assert(chi2 > 5.0, "statistic collapsed — margins wiring?")
+  }
 }
