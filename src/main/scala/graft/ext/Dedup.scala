@@ -511,12 +511,11 @@ object Dedup {
     * don't OOM), everyone after reads them. The pair relation holds
     * only near-duplicates, orders of magnitude smaller than the corpus
     * at any scale. */
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val pairsCache = new graft.ops.SessionMemo[DataFrame]
 
   private[graft] def dedupClusterPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((s, dir),
-      _ => pairFeedOf(s, dir).localCheckpoint(eager = false))
+    pairsCache.getOrBuild(s, dir)(
+      pairFeedOf(s, dir).localCheckpoint(eager = false))
 
   /** The raw pair-feed PLAN (un-memoized): q51's df-capped pipeline
     * projected to ids. PlanShapeSpec locks the anti-join shape on this
@@ -534,13 +533,12 @@ object Dedup {
     * distributed path is eagerly checkpointed per round already. q58
     * deliberately bypasses the memo — its job IS re-running the
     * big-graph path. */
-  private val clustersCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val clustersCache = new graft.ops.SessionMemo[DataFrame]
 
   /** q57 — dedup clusters over the df-capped n-gram-Jaccard pair list. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersCache.computeIfAbsent((s, dir),
-      _ => connectedComponents(dedupClusterPairs(s, dir)))
+    clustersCache.getOrBuild(s, dir)(
+      connectedComponents(dedupClusterPairs(s, dir)))
 
   /** q58 — identical clusters forced through the DISTRIBUTED
     * label-propagation path (driverLimit = -1), so the big-graph CC shape

@@ -400,15 +400,14 @@ object Model {
     * same corpus), so one bench/verify session trains it once and both
     * queries consume the checkpointed 1-row frames (the pcaParts
     * discipline: k tiny cached frames per session, dying with it). */
-  private val seedFitCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[DataFrame]]
+  private val seedFitCache = new graft.ops.SessionMemo[Seq[DataFrame]]
 
   private def seedFit(s: SparkSession, dir: String): Seq[DataFrame] =
-    seedFitCache.computeIfAbsent((s, dir), { _ =>
+    seedFitCache.getOrBuild(s, dir) {
       bpeFit(Tables.documents(s, dir)
         .filter(col("text").isNotNull).filter(seedCol)
         .select(wrapToks(col("text")).as("w")), BpeRounds)
-    })
+    }
 
   /** Fit [[BpeRounds]]-style merges on a wrapped frame: returns the
     * per-round best-pair 1-row frames (each localCheckpointed, so

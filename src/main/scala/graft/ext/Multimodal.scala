@@ -411,7 +411,11 @@ object Multimodal {
   }
 
   /** DuckDB spelling: byte values via ord() under the ASCII
-    * precondition, the same bias/window/argmax arithmetic. */
+    * precondition, the same bias/window/argmax arithmetic. `peak` is
+    * LEFT-joined with COALESCE(…, 0): a zero-length payload yields
+    * nw=0, so `wins` generates no window rows — the left join keeps
+    * the doc and matches [[decodePcm8]]'s all-zero feature row where
+    * an inner join would silently drop it. */
   val audioFeaturesSql: String =
     s"""WITH ${asciiCheckedDocs("q201")},
        |au AS (
@@ -439,8 +443,10 @@ object Multimodal {
        |      ORDER BY energy DESC, w) AS rn
        |  FROM wins)
        |SELECT b.doc_id, b.n AS n_samples, CAST(b.nw AS BIGINT) AS n_windows,
-       |  b.zc AS zero_crossings, p.peak_window, p.peak_energy
-       |FROM base b JOIN peak p ON p.doc_id = b.doc_id AND p.rn = 1
+       |  b.zc AS zero_crossings,
+       |  CAST(coalesce(p.peak_window, 0) AS BIGINT) AS peak_window,
+       |  CAST(coalesce(p.peak_energy, 0) AS BIGINT) AS peak_energy
+       |FROM base b LEFT JOIN peak p ON p.doc_id = b.doc_id AND p.rn = 1
        |ORDER BY b.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

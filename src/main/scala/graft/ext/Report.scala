@@ -358,11 +358,19 @@ object Report {
     * privacy-release family). The Laplace draw is the inverse-CDF
     * transform −b·sgn(u−½)·ln(1−2|u−½|) of a DETERMINISTIC md5-derived
     * uniform keyed by the released CELL, so the audit is replayable
-    * and the release never changes under retries — the same
-    * seeded-noise discipline production DP systems use for
-    * re-publication consistency (a true RNG would make every rerun a
-    * fresh ε-spend). The half-offset (h+½)/2⁵² keeps u off ½ exactly,
-    * so the log argument is never 0.
+    * and the release never changes under retries (a true RNG would
+    * make every rerun a fresh ε-spend). The half-offset (h+½)/2⁵²
+    * keeps u off ½ exactly, so the log argument is never 0.
+    *
+    * PRIVACY CAVEAT — this exact spelling is NOT ε-DP as published:
+    * the seed is md5 of the PUBLIC cell key (event_type|day), so any
+    * reader can recompute the noise and subtract it exactly. Seeding
+    * from public data is deliberate HERE so the DuckDB oracle can
+    * replay the draw bit-for-bit; a production deployment MUST mix a
+    * secret salt into the seed (md5(secret || cell)), which preserves
+    * the re-publication-consistency property while making the noise
+    * unpredictable to readers. As checked in, this query is a
+    * deterministic noise-calibration audit, not a privacy mechanism.
     *
     * Scale shape: one partial-agg pass to the released grain; the
     * noise is an in-row expression — no extra exchange, no collect. */

@@ -266,25 +266,27 @@ object Retrieval {
     * exact-dot truth lists; without sharing, each rebuilds the whole
     * hybrid chain (BM25 index + quantization + two TopK passes). Both
     * relations are O(Q·k) — cached as eager localCheckpoints, keyed by
-    * session so entries die with it (the pcaParts pattern). q155/q158
-    * themselves stay UNCACHED: their plans are the contract
-    * (PlanShapeSpec locks the partial-TopK shapes). */
-  private val fusedCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+    * (session, dir) via [[graft.ops.SessionMemo]], which purges
+    * stopped sessions' entries on every access — a plain session-keyed
+    * map would pin their checkpointed DataFrames strongly for the life
+    * of the JVM across many short-lived sessions (the test-harness
+    * pattern). q155/q158 themselves stay UNCACHED: their plans are the
+    * contract (PlanShapeSpec locks the partial-TopK shapes). */
+  private val fusedCache = new graft.ops.SessionMemo[DataFrame]
+
   private def fusedList(s: SparkSession, dir: String): DataFrame =
-    fusedCache.computeIfAbsent((s, dir), { _ =>
+    fusedCache.getOrBuild(s, dir) {
       hybridRrf(s, dir)
         .select(col("query_id"), col("rnk"), col("doc_id"))
         .localCheckpoint()
-    })
+    }
 
   /** Exact int8-dot top-[[MrrTruthK]] per probe query: (query_id, top)
     * with `top` the rank-ordered id array — the ground-truth relation
     * both audits grade against. */
-  private val truthCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val truthCache = new graft.ops.SessionMemo[DataFrame]
   private def truthTop(s: SparkSession, dir: String): DataFrame =
-    truthCache.computeIfAbsent((s, dir), { _ =>
+    truthCache.getOrBuild(s, dir) {
       val quant = Similarity.quantizedVectors(Tables.embeddings(s, dir))
         .localCheckpoint(eager = false)
       val q = quant.filter(col("vec_id").isin(fuseQueryIds: _*))
@@ -300,7 +302,7 @@ object Retrieval {
           .as("top"))
         .select(col("query_id"), col("top.id").as("top"))
         .localCheckpoint()
-    })
+    }
 
   // ---- q174: MRR audit of the hybrid ranking ------------------------------
 

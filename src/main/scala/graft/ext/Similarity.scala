@@ -1993,15 +1993,15 @@ object Similarity {
     * quant's blocks are corpus-sized but MEMORY_AND_DISK — they spill,
     * they don't OOM. Keyed by the session object so entries die with
     * the session; the corpus at `dir` is immutable per harness run. */
-  private val pcaPartsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+  private val pcaPartsCache =
+    new graft.ops.SessionMemo[(DataFrame, DataFrame, DataFrame)]
 
   private def pcaParts(s: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) =
-    pcaPartsCache.computeIfAbsent((s, dir), { _ =>
+    pcaPartsCache.getOrBuild(s, dir) {
       val emb = Tables.embeddings(s, dir)
       buildPcaParts(emb, Dim, wide = emb.count() > PcaInt64SafeRows)
-    })
+    }
 
   def pcaTopComponent(s: SparkSession, dir: String): DataFrame = {
     val (_, vFinal, gram) = pcaParts(s, dir)
@@ -2287,15 +2287,14 @@ object Similarity {
     * (and lineage-truncated) once per (session, dir) — the q88/q112
     * session-cache discipline: the LSH banding is the expensive feed,
     * and every graph query over it re-joins the SAME relation. */
-  private val adjCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val adjCache = new graft.ops.SessionMemo[DataFrame]
   private def nearDupAdjacency(s: SparkSession, dir: String): DataFrame =
-    adjCache.computeIfAbsent((s, dir), { _ =>
+    adjCache.getOrBuild(s, dir) {
       val pairs = nearDupLshPairs(s, dir)
       pairs.select(col("a_id").as("u"), col("b_id").as("v"))
         .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
         .localCheckpoint(eager = false)
-    })
+    }
 
   def graphCentrality(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)

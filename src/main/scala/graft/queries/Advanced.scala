@@ -973,16 +973,24 @@ object Advanced {
 
   /** χ² critical value at α=0.05 for (5−1)(7−1) = 24 degrees of
     * freedom, embedded as a literal (the NdcgW discipline — no
-    * query-time distribution functions). */
+    * query-time distribution functions). Valid ONLY when the derived
+    * dof is 24; Q213Spec pins the fixture vocabulary to 5 types ×
+    * 7 weekdays so the literal applies. */
   final val Chi2Crit24 = 36.415
-  /** Int64 headroom note: per-cell numerators are (O·N − R·C)² —
-    * exact while N ≲ 3·10⁹ cell observations (q134's widen-past gate
-    * discipline applies beyond). */
+  /** Headroom note: the per-cell difference O·N − R·C is formed in
+    * WIDE integers (decimal(38,0) in Spark, HUGEINT in DuckDB) — exact
+    * up to N ≈ 10¹⁹ cell observations — and only then rounded once to
+    * double and squared. The naive int64 spelling would wrap silently
+    * once N·|O−E| exceeded ~3·10⁹ (≈10⁸ events even near
+    * independence), which is why the widening happens BEFORE the
+    * square, not after. */
 
   /** q213 — is activity MIX independent of weekday? The r×c chi-square
     * on the event_type × weekday contingency table, computed exactly:
-    * each cell's term is (O·N − R·C)²/(N·R·C) — an int64 numerator and
-    * ONE exact division — and the 35 terms are summed IN-ROW over the
+    * each cell's term is (O·N − R·C)²/(N·R·C) — the difference formed
+    * in wide integers (decimal(38,0) / HUGEINT, exact to N ≈ 10¹⁹),
+    * rounded ONCE to double, squared — and the 35 terms are summed
+    * IN-ROW over the
     * SORTED cell array (the q126 fixed-fold discipline), so both
     * engines add identical doubles in identical order and the
     * statistic is bit-equal. q177's SRM is this test's 1-dof special
@@ -1010,14 +1018,20 @@ object Advanced {
       .select(
         expr("element_at(arr, 1).n").as("n"),
         size(col("arr")).cast("long").as("n_cells"),
+        expr("size(array_distinct(transform(arr, x -> x.t)))")
+          .cast("long").as("n_types"),
+        expr("size(array_distinct(transform(arr, x -> x.wd)))")
+          .cast("long").as("n_days"),
         expr(
           """aggregate(arr, 0.0d, (acc, x) ->
-            |  acc + cast((x.o * x.n - x.r * x.c) *
-            |             (x.o * x.n - x.r * x.c) as double)
+            |  acc + cast(cast(x.o as decimal(38,0)) * x.n -
+            |             cast(x.r as decimal(38,0)) * x.c as double)
+            |      * cast(cast(x.o as decimal(38,0)) * x.n -
+            |             cast(x.r as decimal(38,0)) * x.c as double)
             |        / (cast(x.n as double) * x.r * x.c))""".stripMargin)
           .as("chi2"))
       .select(col("n"), col("n_cells"),
-        lit((5 - 1) * (7 - 1)).cast("long").as("dof"),
+        ((col("n_types") - 1) * (col("n_days") - 1)).as("dof"),
         col("chi2"), lit(Chi2Crit24).as("crit_05"),
         (col("chi2") > Chi2Crit24).as("reject_independence"))
   }
@@ -1039,16 +1053,22 @@ object Advanced {
        |  FROM cells JOIN rowm ON rowm.t = cells.t
        |  JOIN colm ON colm.wd = cells.wd, n)
        |SELECT arr[1].n AS n, CAST(len(arr) AS BIGINT) AS n_cells,
-       |  CAST(24 AS BIGINT) AS dof,
+       |  CAST((len(list_distinct(list_transform(arr, x -> x.t))) - 1)
+       |     * (len(list_distinct(list_transform(arr, x -> x.wd))) - 1)
+       |     AS BIGINT) AS dof,
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(arr, x ->
-       |      CAST((x.o * x.n - x.r * x.c) * (x.o * x.n - x.r * x.c)
+       |      CAST(CAST(x.o AS HUGEINT) * x.n - CAST(x.r AS HUGEINT) * x.c
+       |        AS DOUBLE)
+       |      * CAST(CAST(x.o AS HUGEINT) * x.n - CAST(x.r AS HUGEINT) * x.c
        |        AS DOUBLE) / (CAST(x.n AS DOUBLE) * x.r * x.c))),
        |    (a, b) -> a + b) AS chi2,
        |  $Chi2Crit24 AS crit_05,
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(arr, x ->
-       |      CAST((x.o * x.n - x.r * x.c) * (x.o * x.n - x.r * x.c)
+       |      CAST(CAST(x.o AS HUGEINT) * x.n - CAST(x.r AS HUGEINT) * x.c
+       |        AS DOUBLE)
+       |      * CAST(CAST(x.o AS HUGEINT) * x.n - CAST(x.r AS HUGEINT) * x.c
        |        AS DOUBLE) / (CAST(x.n AS DOUBLE) * x.r * x.c))),
        |    (a, b) -> a + b) > $Chi2Crit24 AS reject_independence
        |FROM arr""".stripMargin

@@ -837,7 +837,13 @@ class CoreQueriesSpec extends SparkSpec {
     val rm = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val cm = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     val nn = ev.length.toLong
-    assert(n === nn && nCells === cells.size.toLong && dof === 24L)
+    assert(n === nn && nCells === cells.size.toLong)
+    // Chi2Crit24 is the 24-dof critical value: the fixture must occupy
+    // the full 5-type × 7-weekday table for the literal to apply, and
+    // dof is now DERIVED from the margins — so a vocabulary change
+    // fails here, not silently in the verdict.
+    assert(nCells === 35L, "fixture contingency table no longer 5x7")
+    assert(dof === 24L, "derived dof disagrees with the crit_05 literal")
     // identical fold order: cells sorted by (type, weekday)
     var acc = 0.0
     cells.toSeq.sortBy(_._1).foreach { case ((t, wd), o) =>

@@ -187,4 +187,16 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) > 0),
       "text-byte clips must show zero crossings (space/letter flips)")
   }
+
+  test("q201 oracle keeps zero-length payloads (LEFT JOIN + COALESCE)") {
+    // Spark's decodePcm8 on empty bytes is the all-zero feature row
+    // (asserted above). The oracle's `wins` CTE generates NO window
+    // rows at nw=0, so only a LEFT JOIN with COALESCE keeps the doc —
+    // an inner join would silently drop it and hash-mismatch the pair.
+    // Lock the spelling so a rewrite can't regress to the inner join.
+    val sql = Multimodal.audioFeaturesSql
+    assert(sql.contains("LEFT JOIN peak"), "oracle must LEFT JOIN peak")
+    assert(sql.contains("coalesce(p.peak_window, 0)"))
+    assert(sql.contains("coalesce(p.peak_energy, 0)"))
+  }
 }
