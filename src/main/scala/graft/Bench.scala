@@ -10,9 +10,11 @@ import java.nio.file.{Files, Paths}
   * EliminateSorts can remove a final ORDER BY under a count, which would
   * under-measure ordered queries.
   *
-  * The JSON line is BOTH printed and written to a file (first arg, or
-  * bench.json): sbt wraps stdout in an `[info] ` prefix that can defeat
-  * line-oriented parsers. */
+  * The full per-query JSON line is BOTH printed and written to a file
+  * (first arg, or bench.json): sbt wraps stdout in an `[info] ` prefix
+  * that can defeat line-oriented parsers. The FINAL stdout line is a
+  * compact summary (totals + failure list + duckdb pair + a `detail`
+  * pointer to the file) sized to survive a bounded stdout tail. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,6 +95,18 @@ object Bench {
     println(line)
     try Files.writeString(Paths.get(outFile), line + "\n")
     catch { case _: Throwable => () }
+    // The driver records a BOUNDED stdout tail: at 213 queries the full
+    // line is ~6 KB and its HEAD gets cut, so the driver's JSON parse
+    // fails (BENCH_r09's "parsed": null). Emit a compact summary as the
+    // guaranteed-FINAL line — small enough to always sit whole inside
+    // the tail — carrying the totals and pointing at the verbatim
+    // per-query detail in `outFile`.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""n_queries":${results.size},""" +
+        s""""n_failed":${results.count(_._2.isEmpty)},"failed":$failed,""" +
+        s""""sf":"$sfDir"$duckPart,"detail":"$outFile"}"""
+    println(compact)
     spark.stop()
   }
 }
