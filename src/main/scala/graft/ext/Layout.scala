@@ -234,11 +234,69 @@ object Layout {
 
   /** Stable per-dataset table-name tag so tests (which touch several SF
     * dirs in one session) and Verify (fresh JVM over a leftover
-    * warehouse) never cross-contaminate bucketed tables. */
+    * warehouse) never cross-contaminate bucketed tables. NAMES tables
+    * only — freshness is the fingerprint's job ([[fingerprintOf]]):
+    * a path hash alone would serve a stale table silently if the data
+    * under the same directory changed. */
   private[graft] def dirTag(dir: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8"))
     d.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Cheap data fingerprint of a source relation: row count, max of the
+    * id column, and an md5 of the schema — enough to catch append,
+    * delete, re-id, and schema drift, the change classes a refreshed
+    * source drop actually exhibits. One column-pruned agg scan per
+    * ensure call (parquet count is footer-metadata work; max reads one
+    * column) — the price of never serving a stale index. An in-place
+    * single-VALUE edit that preserves count and max id is invisible to
+    * this fingerprint; a pipeline needing that guarantee publishes a
+    * content hash with the snapshot (q166's Merkle manifest is exactly
+    * that artifact) and passes it here instead. */
+  private[graft] def fingerprintOf(df: DataFrame, idCol: String): String = {
+    val row = df.agg(count(lit(1)).as("n"),
+      max(col(idCol).cast("long")).as("m")).collect()(0)
+    val maxId = if (row.isNullAt(1)) "-" else row.getLong(1).toString
+    val sch = java.security.MessageDigest.getInstance("MD5")
+      .digest(df.schema.catalogString.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+    s"${row.getLong(0)}_${maxId}_$sch"
+  }
+
+  private def tableLoc(s: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+
+  /** The fingerprint rides INSIDE the managed table directory as the
+    * `_graft_fp` sidecar — underscore-prefixed files are invisible to
+    * parquet scans (the `_SUCCESS` convention), and dropping/replacing
+    * the table atomically drops its fingerprint with it. */
+  private def fpFile(s: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(tableLoc(s, table), "_graft_fp")
+
+  /** A persisted table is fresh iff it exists in the catalog AND its
+    * sidecar fingerprint equals the source's CURRENT fingerprint. Any
+    * read failure counts as stale — the rebuild is idempotent. */
+  private[graft] def isFresh(s: SparkSession, table: String,
+      fp: String): Boolean =
+    s.catalog.tableExists(table) && {
+      val p = fpFile(s, table)
+      try {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.exists(p) && {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), "UTF-8") == fp
+          finally in.close()
+        }
+      } catch { case _: Exception => false }
+    }
+
+  private def writeFp(s: SparkSession, table: String, fp: String): Unit = {
+    val p = fpFile(s, table)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
   }
 
   /** q124 — bucketed-table co-located join: `orders` and `customer` are
@@ -260,38 +318,45 @@ object Layout {
     * The bucketed tables are pure LAYOUT: the oracle recomputes the same
     * aggregate from the raw parquet, so bucketing must be value-invisible
     * (the q109 "maintenance is value-invisible" discipline, applied to
-    * storage). Writes are skipped when the tables already exist, so
-    * steady-state cost is join-only. */
-  /** Write `df` as a bucket-sorted managed table unless this session
-    * already has it. A PREVIOUS JVM's managed location may survive in
-    * the warehouse dir while the fresh in-memory catalog knows nothing
-    * of the table — Spark 4 then rejects even overwrite-mode
-    * `saveAsTable` (LOCATION_ALREADY_EXISTS), so the stale location is
-    * deleted first. */
+    * storage). Writes are skipped when a FRESH copy exists — fresh per
+    * the data fingerprint, not mere existence — so steady-state cost is
+    * the O(1)-column fingerprint probe plus the join. */
+  /** Write `df` as a bucket-sorted managed table unless a FRESH copy
+    * (per `fp`, see [[isFresh]]) already exists — a stale or absent
+    * table is dropped and rebuilt, and the fingerprint sidecar written
+    * after the data so a failed rebuild re-runs. A PREVIOUS JVM's
+    * managed location may survive in the warehouse dir while the fresh
+    * in-memory catalog knows nothing of the table — Spark 4 then
+    * rejects even overwrite-mode `saveAsTable`
+    * (LOCATION_ALREADY_EXISTS), so the stale location is deleted
+    * first. */
   private[graft] def writeBucketed(df: DataFrame, table: String,
-      key: String, buckets: Int = Buckets): Unit = {
+      key: String, buckets: Int = Buckets, fp: String): Unit = {
     val s = df.sparkSession
-    if (!s.catalog.tableExists(table)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    if (!isFresh(s, table, fp)) {
+      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE `$table`")
+      val loc = tableLoc(s, table)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       df.write.mode("overwrite").format("parquet")
         .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+      writeFp(s, table, fp)
     }
   }
 
   /** [[writeBucketed]]'s plain-layout sibling for small side tables
-    * (e.g. q153's PQ codebook): same create-once + stale-location
+    * (e.g. q153's PQ codebook): same fresh-or-rebuild + stale-location
     * semantics, no bucketing. */
-  private[graft] def writeManaged(df: DataFrame, table: String): Unit = {
+  private[graft] def writeManaged(df: DataFrame, table: String,
+      fp: String): Unit = {
     val s = df.sparkSession
-    if (!s.catalog.tableExists(table)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    if (!isFresh(s, table, fp)) {
+      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE `$table`")
+      val loc = tableLoc(s, table)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       df.write.mode("overwrite").format("parquet").saveAsTable(table)
+      writeFp(s, table, fp)
     }
   }
 
@@ -299,12 +364,17 @@ object Layout {
     val tag = dirTag(dir)
     val ordT  = s"graft_bkt_orders_$tag"
     val custT = s"graft_bkt_customer_$tag"
-    writeBucketed(Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-      ordT, "o_custkey")
-    writeBucketed(Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_mktsegment")),
-      custT, "c_custkey")
+    val ordSrc = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val custSrc = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    // per-source fingerprints: a changed drop under the SAME path (new
+    // rows, re-keyed ids, schema drift) invalidates and rebuilds the
+    // bucketed copy instead of serving the stale layout
+    writeBucketed(ordSrc, ordT, "o_custkey",
+      fp = fingerprintOf(ordSrc, "o_orderkey"))
+    writeBucketed(custSrc, custT, "c_custkey",
+      fp = fingerprintOf(custSrc, "c_custkey"))
     val o = s.table(ordT).hint("merge")
     val c = s.table(custT).hint("merge")
     o.join(c, o("o_custkey") === c("c_custkey"))

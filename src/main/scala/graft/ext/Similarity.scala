@@ -1429,13 +1429,18 @@ object Similarity {
   private def ensurePqIndex(s: SparkSession, dir: String): (String, String) = {
     val tag = Layout.dirTag(dir)
     val (idxT, cbT) = (s"graft_pq_index_$tag", s"graft_pq_codebook_$tag")
-    if (!s.catalog.tableExists(idxT) || !s.catalog.tableExists(cbT)) {
+    // staleness gate: the table NAME keys on the path, but freshness
+    // keys on the DATA (row count + max vec_id + schema hash) — if the
+    // corpus under `dir` was replaced, both artifacts rebuild instead
+    // of silently serving the old index
+    val fp = Layout.fingerprintOf(Tables.embeddings(s, dir), "vec_id")
+    if (!Layout.isFresh(s, idxT, fp) || !Layout.isFresh(s, cbT, fp)) {
       val (qv, bkt, _, cent2, codes) = pqIndexParts(Tables.embeddings(s, dir))
       Layout.writeBucketed(
         bkt.join(codes, Seq("vec_id")).join(qv, Seq("vec_id"))
           .select(col("bucket"), col("vec_id"), col("codes"), col("q")),
-        idxT, "bucket", PqIndexBuckets)
-      Layout.writeManaged(cent2, cbT)
+        idxT, "bucket", PqIndexBuckets, fp)
+      Layout.writeManaged(cent2, cbT, fp)
     }
     (idxT, cbT)
   }
