@@ -13,13 +13,16 @@ import graft.tables.Tables
   * driver involvement).
   *
   * IMAGE decode is REAL ([[MediaCodec.decodeImage]], via the JDK's
-  * `javax.imageio` — PNG/BMP/GIF/JPEG, offline-safe); audio/video codecs
+  * `javax.imageio` — PNG/BMP/GIF/JPEG, offline-safe). AUDIO decode is
+  * REAL in the q201 feature arm ([[decodeWavPcm8]], via the JDK's
+  * `javax.sound.sampled` RIFF/WAVE parser — offline-safe). VIDEO codecs
   * are NOT in this container, so [[MediaCodec.decodeStub]] is their
   * clearly-marked deterministic stand-in, and unrecognizable image bytes
-  * fall back to it too. Everything around the codec — schema, binary
-  * column handling, partition-local batching, feature array shape,
-  * frame-sampling explode — is real and tested; swapping in an
-  * audio/video codec touches only [[MediaCodec.decode]]'s dispatch.
+  * (and the generic 16-dim feature path for audio) fall back to it too.
+  * Everything around the codecs — schema, binary column handling,
+  * partition-local batching, feature array shape, frame-sampling
+  * explode — is real and tested; swapping in a video codec touches only
+  * [[MediaCodec.decode]]'s dispatch.
   *
   * Scale: content bytes stay columnar until the decode pass; partition
   * counts carry through (no repartition); features are fixed-width
@@ -105,8 +108,10 @@ object Multimodal {
     }
 
     /** Decode dispatch: image payloads try the REAL decoder first and
-      * fall back to the stub for unrecognized bytes; audio/video have no
-      * JDK codec, so they stay on the documented stub. */
+      * fall back to the stub for unrecognized bytes; video has no JDK
+      * codec so it stays on the documented stub, as does audio's
+      * generic 16-dim feature path (its REAL codec lives in the q201
+      * arm, [[Multimodal.decodeWavPcm8]]). */
     def decode(mediaType: String, content: Array[Byte]): (Int, Int, Int, Array[Float]) =
       if (mediaType == "image")
         decodeImage(content).getOrElse(decodeStub(mediaType, content))
@@ -348,15 +353,55 @@ object Multimodal {
   case class AudioFeatures(doc_id: Long, n_samples: Long, n_windows: Long,
       zero_crossings: Long, peak_window: Long, peak_energy: Long)
 
-  /** Sample bias of the stand-in PCM8 codec: payload bytes are read as
-    * unsigned 8-bit and centered at [[PcmBias]] (letters land positive,
+  /** Sample bias of the PCM8 feature math: samples are read as unsigned
+    * 8-bit and centered at [[PcmBias]] (letters land positive,
     * whitespace negative — so zero crossings genuinely occur on the
-    * text-byte corpus). A real container parser replaces ONLY
-    * [[decodePcm8]]'s byte→sample step; windowing, ZCR and the energy
-    * argmax below are the real feature math. */
+    * text-byte corpus). The byte→sample step in the q201 path is a REAL
+    * RIFF/WAVE container round-trip ([[encodeWavPcm8]] /
+    * [[decodeWavPcm8]], JDK `javax.sound.sampled` — offline-safe, no
+    * native libs); windowing, ZCR and the energy argmax below are the
+    * real feature math either way. */
   final val PcmBias = 80
   /** Samples per analysis window. */
   final val AudioWindow = 256
+  /** Container sample rate for the synthesized clips (Hz). */
+  final val WavRate = 8000f
+
+  private def wavFormat = new javax.sound.sampled.AudioFormat(
+    javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+    WavRate, 8, 1, 1, WavRate, false)
+
+  /** Wrap unsigned 8-bit mono PCM samples in a genuine RIFF/WAVE
+    * container (the harness's payload-synthesis step — a production
+    * pipeline ingests these bytes from storage instead). */
+  private[graft] def encodeWavPcm8(samples: Array[Byte]): Array[Byte] = {
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), wavFormat,
+      samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled`: parse the
+    * RIFF/WAVE container, validate the format is the 8-bit mono
+    * unsigned PCM this pipeline ships, and return (sample rate,
+    * samples). None for bytes that are not a well-formed WAV — callers
+    * treat that as a corrupt payload, never as silence. */
+  private[graft] def decodeWavPcm8(
+      wav: Array[Byte]): Option[(Float, Array[Byte])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 8 || f.getChannels != 1 ||
+            f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) None
+        else Some((f.getSampleRate, ais.readAllBytes()))
+      } finally ais.close()
+    } catch { case _: Exception => None }
 
   /** Windowed audio features from one payload: (n_samples, n_windows,
     * zero_crossings, peak_window, peak_energy). Integer arithmetic
@@ -388,10 +433,15 @@ object Multimodal {
     * arm (mapInPandas analogue), emitting per-clip windowed-energy
     * features: sample/window counts, zero-crossing total (the
     * speech-vs-silence heuristic), and the peak-energy window (where a
-    * real pipeline would center a training crop). The oracle recomputes
+    * real pipeline would center a training crop). The byte→sample step
+    * is a genuine RIFF/WAVE container round-trip: the partition encodes
+    * the fixture's text bytes as 8-bit mono PCM WAV ([[encodeWavPcm8]])
+    * and the features run over what `javax.sound.sampled` actually
+    * parses back out ([[decodeWavPcm8]]) — a real header, a real data
+    * chunk, a hard error on malformed containers. The oracle recomputes
     * every value from the bytes in SQL — so the whole typed chain
-    * (binary column → partition-local decode → feature relation) is
-    * value-pinned, the q70 discipline applied to audio.
+    * (binary column → partition-local container decode → feature
+    * relation) is value-pinned, the q70 discipline applied to audio.
     *
     * Scale shape: decode is partition-local (no shuffle, payload bytes
     * never leave their partition); the output relation is one fixed-
@@ -402,7 +452,14 @@ object Multimodal {
       .filter(_.media_type == "audio")
       .mapPartitions { rows =>
         rows.map { r =>
-          val (n, nw, zc, pw, pe) = decodePcm8(r.content)
+          // payload synthesis (the fixture ships text bytes, not WAV
+          // files) followed by the REAL container decode: a malformed
+          // container here is a hard error, never silent silence
+          val wav = encodeWavPcm8(r.content)
+          val (_, samples) = decodeWavPcm8(wav).getOrElse(
+            throw new IllegalStateException(
+              s"doc ${r.doc_id}: payload is not a well-formed WAV"))
+          val (n, nw, zc, pw, pe) = decodePcm8(samples)
           AudioFeatures(r.doc_id, n, nw, zc, pw, pe)
         }
       }

@@ -188,6 +188,30 @@ class MultimodalSpec extends SparkSpec {
       "text-byte clips must show zero crossings (space/letter flips)")
   }
 
+  test("WAV codec: encode→decode round-trips samples bit-for-bit") {
+    // golden: a deterministic ramp exercising every sample value
+    val samples = Array.tabulate(1000)(i => (i % 256).toByte)
+    val wav = Multimodal.encodeWavPcm8(samples)
+    // a real RIFF/WAVE container, not a re-labelled byte array
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    assert(wav.length > samples.length, "container must add a header")
+    val Some((rate, back)) = Multimodal.decodeWavPcm8(wav)
+    assert(rate === Multimodal.WavRate)
+    assert(back.toSeq === samples.toSeq, "PCM round-trip must be lossless")
+    // features over decoded samples == features over the raw samples
+    assert(Multimodal.decodePcm8(back) === Multimodal.decodePcm8(samples))
+    // empty clip round-trips to an empty (but valid) data chunk
+    val Some((_, empty)) = Multimodal.decodeWavPcm8(
+      Multimodal.encodeWavPcm8(Array.empty))
+    assert(empty.isEmpty)
+    // malformed container: a corrupt header is a decode FAILURE, not
+    // silence — q201 turns this into a hard per-doc error
+    val corrupt = wav.clone(); corrupt(0) = 'X'.toByte
+    assert(Multimodal.decodeWavPcm8(corrupt).isEmpty)
+    assert(Multimodal.decodeWavPcm8("not a wav".getBytes).isEmpty)
+  }
+
   test("q201 oracle keeps zero-length payloads (LEFT JOIN + COALESCE)") {
     // Spark's decodePcm8 on empty bytes is the all-zero feature row
     // (asserted above). The oracle's `wins` CTE generates NO window
