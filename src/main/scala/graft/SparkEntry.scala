@@ -27,7 +27,11 @@ object SparkEntry {
     *   - q23 (uncapped Σdf² shingle self-join) → q51 df-capped or q98
     *     prefix-filtered; q23 additionally refuses to run when q104's
     *     candidate-pair prediction exceeds [[graft.ext.Text.UncappedPairBound]]
-    *   - q42 (embedding crossJoin) → q49 LSH-bucketed near-dup */
+    *   - q42 (embedding crossJoin) → q49 LSH-bucketed near-dup; q42
+    *     likewise refuses when n·(n−1)/2 exceeds
+    *     [[graft.queries.Subqueries.AllPairsBound]]
+    * Both baselines SELF-GUARD: past their predicted-size bound they
+    * throw, naming the twin — no caller can run them raw at scale. */
   val baselines: Set[String] =
     Set("q23_ngram_jaccard", "q42_embedding_neardup")
 

@@ -112,13 +112,34 @@ object Subqueries {
 
   // ---- embedding near-dup -------------------------------------------------
 
+  /** Pair count above which the exact all-pairs baseline refuses to run
+    * raw — the q23/[[graft.ext.Text.UncappedPairBound]] discipline
+    * applied to the embedding crossJoin. */
+  val AllPairsBound: Long = 1L << 31
+
   /** q42 — embedding-cosine near-duplicate pairs (exact all-pairs ≥ 0.35,
     * integer-only output). Exact formulation, kept as the oracle baseline
     * and recall reference; the PRODUCTION path at 100 TB is
     * [[graft.ext.Similarity.nearDupLsh]] (q49): the same predicate applied
-    * to LSH-bucketed candidates only, no cartesian. */
-  def q42EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    * to LSH-bucketed candidates only, no cartesian. SELF-GUARDING like
+    * q23: the pair count n·(n−1)/2 is predicted from one count() before
+    * any quadratic work, and the query refuses past [[AllPairsBound]],
+    * naming the q49 twin — so no caller can run the baseline raw at
+    * scale. At test scale the prediction is ~10⁵, never tripping the
+    * oracle path. */
+  def q42EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    q42EmbeddingNearDupGuardedOf(Tables.embeddings(s, dir), AllPairsBound)
+
+  /** [[q42EmbeddingNearDup]] with an explicit bound, so the spec can
+    * force the refusal on a small corpus. */
+  private[graft] def q42EmbeddingNearDupGuardedOf(e: DataFrame,
+      bound: Long): DataFrame = {
+    val n = e.count()
+    val predicted = n * (n - 1) / 2
+    if (predicted > bound) throw new IllegalStateException(
+      s"exact all-pairs embedding near-dup (q42) would compare $predicted " +
+        s"pairs (> $bound): this query is an exactness baseline — use the " +
+        "LSH-bucketed twin (q49/nearDupLsh) at this scale")
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.crossJoin(b)

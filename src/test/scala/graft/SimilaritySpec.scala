@@ -590,4 +590,23 @@ class SimilaritySpec extends SparkSpec {
       "no same-source negative in a 20-source corpus — flag wiring?")
     assert(rows.count(_._4) < rows.length / 2, "same-source flag inverted?")
   }
+
+  test("q42 guard: refuses the all-pairs crossJoin past the pair bound") {
+    import SparkSpec.spark.implicits._
+    // 30 vectors → predicted pairs = 30·29/2 = 435
+    val e = Seq.tabulate(30)(i =>
+        (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      graft.queries.Subqueries.q42EmbeddingNearDupGuardedOf(e, bound = 100L)
+        .count()
+    }
+    // the refusal must name the scalable q49 twin
+    assert(ex.getMessage.contains("q49"), ex.getMessage)
+    assert(ex.getMessage.contains("435"), ex.getMessage)
+    // under the bound the guard is invisible: parallel vectors all match
+    val ok = graft.queries.Subqueries
+      .q42EmbeddingNearDupGuardedOf(e, bound = 1000L)
+    assert(ok.count() > 0)
+  }
 }
