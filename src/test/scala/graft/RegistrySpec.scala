@@ -60,4 +60,71 @@ class RegistrySpec extends SparkSpec {
       assert(!sql.matches("(?s).*% 1000\\s*[<>]=? 0\\b.*"),
         s"$q oracle compares the md5 bucket against 0 — zeroed constant")
   }
+
+  test("ordered members end in a global sort whose key is UNIQUE at " +
+      "fixture scale (ordered compare is only sound without ties)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    assert(SparkEntry.ordered.subsetOf(SparkEntry.queries.keySet),
+      "ordered flag names an unregistered query")
+    for (name <- SparkEntry.ordered.toSeq.sorted) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      // outermost global Sort in the analyzed plan defines the output
+      // order (anything above it is order-preserving Project/Limit)
+      val sortNode = df.queryExecution.analyzed
+        .collectFirst { case s: Sort => s }
+      assert(sortNode.nonEmpty, s"$name: ordered member has no Sort node")
+      assert(sortNode.get.global, s"$name: final sort is not global")
+      val keys = sortNode.get.order.map(_.child)
+      val nonAttr = keys.filterNot(_.isInstanceOf[Attribute])
+      assert(nonAttr.isEmpty,
+        s"$name: sort keys must be plain output attributes, got $nonAttr")
+      val proj = df.select(
+        keys.map(org.apache.spark.sql.graft.Shim.column): _*)
+      val n = proj.count()
+      val d = proj.distinct().count()
+      assert(n === d, s"$name: sort key admits ties " +
+        s"($n rows, $d distinct key tuples) — row order is not unique, " +
+        "so the ordered hash compare would be flaky")
+    }
+  }
+
+  /** Queries whose order-SHAPED deliverable is emitted AS DATA — an
+    * explicit rank/position/file-id column — so the row sequence is
+    * redundant and the driver's order-insensitive hash already pins the
+    * contract (the rank column participates in the hash). Members of
+    * [[SparkEntry.ordered]] pin the bare row sequence ON TOP of that;
+    * these are justified in staying out. */
+  private val orderedExempt: Map[String, String] = Map(
+    "q06_window_topn" -> "per-group rank emitted as the rk column",
+    "q29_bag_setops" -> "set-semantics deliverable; name matches on 'setops'",
+    "q53_stratified_sample" -> "membership sample; the set IS the deliverable",
+    "q60_cluster_keep_best" -> "keep_doc_id per cluster; set deliverable",
+    "q63_sequence_packing" -> "seq_id assignment emitted as a column",
+    "q70_frame_sample" -> "sampled frame indices emitted as data",
+    "q71_weighted_sample" -> "membership sample keyed by doc_id",
+    "q90_quota_sample" -> "per-lang rank emitted as the rn column",
+    "q121_budget_sample" -> "pick_rn and cum_tok emitted as columns",
+    "q137_file_packing" -> "file_id manifest key emitted as a column",
+    "q197_window_ranks" -> "rank/ntile/percent_rank emitted as columns")
+
+  test("every rank/sample/schedule-shaped query is ordered or justified") {
+    // heuristic candidate net: any query whose NAME suggests its
+    // deliverable is a ranking, sample draw, schedule, or serving list
+    // must either sit in SparkEntry.ordered (row-order compared) or
+    // carry a written justification above — new queries in these
+    // families cannot silently skip the order audit
+    val pat =
+      "top|rank|sample|pack|interleave|sched|alloc|serve|knn|rrf|best|outlier".r
+    val candidates = SparkEntry.queries.keySet
+      .filter(n => pat.findFirstIn(n).nonEmpty)
+    val unhandled = candidates -- SparkEntry.ordered -- orderedExempt.keySet
+    assert(unhandled.isEmpty,
+      s"order-shaped queries neither ordered nor justified: $unhandled")
+    // the exemption list must not drift from the registry
+    val stale = orderedExempt.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"exemptions naming unregistered queries: $stale")
+    val both = orderedExempt.keySet.intersect(SparkEntry.ordered)
+    assert(both.isEmpty, s"exempt AND ordered (pick one): $both")
+  }
 }
