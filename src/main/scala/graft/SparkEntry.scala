@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Advanced, Core, Olap, Sketches, Subqueries}
+import graft.queries.{Advanced, Core, Olap, Sketches, Subqueries, TpchCanon}
 import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Model, Multimodal,
   Report, Retrieval, Similarity, Text}
 
@@ -18,7 +18,7 @@ object SparkEntry {
       Dedup.queries ++ Multimodal.queries ++ Corpus.queries ++
       Linkage.queries ++ Index.queries ++ Layout.queries ++
       Model.queries ++ Report.queries ++ Retrieval.queries ++
-      Olap.queries
+      Olap.queries ++ TpchCanon.queries
 
   /** Keys in [[queries]] that are deliberate EXACTNESS BASELINES, not
     * production paths: quadratic all-pairs formulations kept as the
@@ -82,5 +82,5 @@ object SparkEntry {
       Dedup.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
       Linkage.oracles ++ Index.oracles ++ Layout.oracles ++
       Model.oracles ++ Report.oracles ++ Retrieval.oracles ++
-      Olap.oracles
+      Olap.oracles ++ TpchCanon.oracles
 }

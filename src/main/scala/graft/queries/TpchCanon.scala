@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.ops.Det
+
+/** The remaining classic TPC-H join TOPOLOGIES over the star schema —
+  * Q7 (two-role dimension), Q9 (fact ⋈ two dims ⋈ fact-side dim chain),
+  * Q8 (8-relation market share), Q2 (decorrelated min-subquery) — the
+  * multi-join shapes rounds 1–9 had not yet exercised, driving CBO/AQE
+  * join ordering at 5–8 relations. (The fixture ships no `partsupp`,
+  * so Q2/Q9 re-anchor their part-supplier economics on `lineitem`; the
+  * join SHAPES — which is what these queries exist to cover — are
+  * faithful. Reference: none of this exists in the 3-query course
+  * project, build.sbt:1–9; the shapes follow the public TPC-H spec.)
+  *
+  * Money math follows the [[graft.ops.Det]] discipline: 2-decimal
+  * inputs cast to decimal, EXACT decimal sums/mins, ONE final
+  * conversion (and at most one IEEE division) to double — identical in
+  * both engines at any partitioning.
+  */
+object TpchCanon {
+
+  private val D = "decimal(18,2)"
+  /** `l_extendedprice · (1 − l_discount)` exactly (scale-4 decimal). */
+  private def revDec =
+    col("l_extendedprice").cast(D) *
+      (lit(java.math.BigDecimal.ONE).cast(D) - col("l_discount").cast(D))
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  // ---- q214: supplier↔customer nation volume (TPC-H Q7 shape) ------------
+
+  /** The audited nation pair (both directions, Q7's contract). */
+  final val VolNationA = "NATION_1"
+  final val VolNationB = "NATION_2"
+
+  /** q214 — shipping volume between two nations by year: lineitem ⋈
+    * orders ⋈ customer ⋈ supplier ⋈ nation×2, where `nation` joins in
+    * TWO ROLES (supplier's and customer's) — the Q7 topology. The pair
+    * predicate references both roles, so Catalyst must split it into
+    * per-side `IN (A, B)` pushdowns under the join (semi-join
+    * reduction), which is the planning behavior this query locks in.
+    *
+    * Scale shape: the two fact joins (l⋈o, o⋈c) shuffle on their
+    * natural keys; supplier and both nation roles broadcast (dimension
+    * tables — supplier is SF·10k rows in spec TPC-H, megabytes against
+    * a 100 TB fact side); the final agg has ≤ 2·#years groups. */
+  def q214NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .filter(
+        (col("supp_nation") === VolNationA && col("cust_nation") === VolNationB) ||
+        (col("supp_nation") === VolNationB && col("cust_nation") === VolNationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revDec).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q214Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  CAST(sum(rev) AS DOUBLE) AS revenue, count(*) AS n_items
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(year(l_shipdate) AS BIGINT) AS l_year, $revSql AS rev
+       |  FROM lineitem
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE (n1.n_name = '$VolNationA' AND n2.n_name = '$VolNationB')
+       |     OR (n1.n_name = '$VolNationB' AND n2.n_name = '$VolNationA'))
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- q215: product-line profit by nation and year (TPC-H Q9 shape) -----
+
+  /** Q9's `p_name LIKE '%green%'` analogue on this corpus. */
+  final val ProfitPartToken = "widget"
+
+  /** q215 — profit per (supplier nation, order year) for one product
+    * line: part ⋈ lineitem ⋈ supplier ⋈ orders ⋈ nation — the Q9
+    * topology, where the selective `p_name LIKE` predicate must prune
+    * the FACT side through the part join before the wider joins run.
+    * Without `partsupp`, unit cost is modeled as p_retailprice/10 per
+    * unit: profit = Σ rev − Σ retail·qty / 10, computed as TWO exact
+    * decimal sums combined by one IEEE subtraction/division — never a
+    * triple decimal product (whose precision exceeds 38 in DuckDB).
+    *
+    * Scale shape: l⋈part prunes first (LIKE-filtered part broadcast at
+    * test SF; a shuffle join at spec SF where part is SF·200k rows —
+    * unhinted, so AQE picks), l⋈o shuffles on orderkey, supplier and
+    * nation broadcast; ≤ 25·#years output groups. */
+  def q215ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_name").contains(ProfitPartToken))
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val costDec = col("p_retailprice").cast(D) * col("l_quantity").cast(D)
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(revDec).cast("double") -
+          sum(costDec).cast("double") / lit(10.0)).as("profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  val q215Sql: String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(sum($revSql) AS DOUBLE) -
+       |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) *
+       |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 10.0
+       |    AS profit,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN part     ON l_partkey = p_partkey
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%$ProfitPartToken%'
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- q216: market share (TPC-H Q8 shape, 8 relations) ------------------
+
+  final val ShareRegion = "ASIA"
+  final val ShareNation = "NATION_3"
+  final val SharePartType = "PROMO"
+
+  /** q216 — [[ShareNation]]'s share of [[SharePartType]] volume sold to
+    * [[ShareRegion]] customers, by order year: part ⋈ lineitem ⋈ orders
+    * ⋈ customer ⋈ nation(cust) ⋈ region on one side and supplier ⋈
+    * nation(supp) on the other — 8 relations, nation again in two
+    * roles, the widest join tree in the suite and the Q8 CBO exercise.
+    * The share is a conditional-sum ratio: numerator and denominator
+    * are EXACT decimal sums over the same rows (one pass, no second
+    * scan), divided once in double.
+    *
+    * Scale shape: region/nation/supplier broadcast; part's type filter
+    * prunes the fact scan through the first join; the two fact joins
+    * shuffle; output is #years rows. */
+  def q216MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_type") === SharePartType)
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val nc = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk"))
+    val r = Tables.region(s, dir).filter(col("r_name") === ShareRegion)
+    val ns = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("cnk"))
+      .join(broadcast(r), col("crk") === col("r_regionkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        coalesce(sum(when(col("supp_nation") === ShareNation, revDec)),
+          lit(java.math.BigDecimal.ZERO).cast(D)).cast("double")
+          .as("nation_volume"),
+        sum(revDec).cast("double").as("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"),
+        (col("nation_volume") / col("total_volume")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q216Sql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    n2.n_name AS supp_nation, $revSql AS rev
+       |  FROM lineitem
+       |  JOIN part     ON l_partkey = p_partkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region   ON n1.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = '$ShareRegion' AND p_type = '$SharePartType'),
+       |g AS (
+       |  SELECT o_year,
+       |    CAST(coalesce(sum(CASE WHEN supp_nation = '$ShareNation'
+       |      THEN rev END), 0) AS DOUBLE) AS nation_volume,
+       |    CAST(sum(rev) AS DOUBLE) AS total_volume
+       |  FROM base GROUP BY 1)
+       |SELECT o_year, nation_volume, total_volume,
+       |  nation_volume / total_volume AS mkt_share
+       |FROM g ORDER BY o_year""".stripMargin
+
+  // ---- q217: min-cost supplier per part (TPC-H Q2 shape) -----------------
+
+  final val MinCostRegion = "EUROPE"
+  final val MinCostSizeFloor = 25
+
+  /** q217 — for every part of size ≥ [[MinCostSizeFloor]], the
+    * [[MinCostRegion]] supplier(s) offering it at the minimum observed
+    * price — the Q2 topology: an aggregate-derived relation joined back
+    * to itself on the (group, min) pair, i.e. the DECORRELATED spelling
+    * of Q2's `ps_supplycost = (SELECT min …)` subquery, plus the
+    * supplier ⋈ nation ⋈ region dimension chain on both the subquery
+    * and the outer side. Without `partsupp`, the offer relation is
+    * derived from lineitem: min l_extendedprice per (part, supplier) —
+    * exact decimal, so the min-equality join key is bit-stable in both
+    * engines. Ties (several suppliers at the min) all surface, Q2's
+    * contract.
+    *
+    * Scale shape: the offer relation partial-aggregates down to
+    * |part|·|supp-per-part| rows BEFORE any dimension work; the min
+    * relation re-aggregates offers (never the fact); the back-join is
+    * offer ⋈ broadcast(min-per-part at test SF — shuffle at spec SF,
+    * unhinted); part's size filter prunes last-stage rows. */
+  def q217MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === MinCostRegion)
+    val p = Tables.part(s, dir).filter(col("p_size") >= MinCostSizeFloor)
+    val offers = l.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast(D)).as("cost"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val minCost = offers.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost")).as("min_cost"))
+    offers
+      .join(minCost,
+        col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("n_name"), col("cost").cast("double").as("cost"))
+      .orderBy(col("cost").desc, col("p_partkey"), col("s_name"))
+  }
+
+  val q217Sql: String =
+    s"""WITH offers AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+       |  FROM lineitem GROUP BY 1, 2),
+       |eu AS (
+       |  SELECT o.l_partkey, o.cost, s_name, n_name
+       |  FROM offers o
+       |  JOIN supplier ON o.l_suppkey = s_suppkey
+       |  JOIN nation   ON s_nationkey = n_nationkey
+       |  JOIN region   ON n_regionkey = r_regionkey
+       |  WHERE r_name = '$MinCostRegion'),
+       |mn AS (SELECT l_partkey, min(cost) AS min_cost FROM eu GROUP BY 1)
+       |SELECT p_partkey, p_name, s_name, n_name,
+       |  CAST(eu.cost AS DOUBLE) AS cost
+       |FROM eu
+       |JOIN mn ON eu.l_partkey = mn.l_partkey AND eu.cost = mn.min_cost
+       |JOIN part ON eu.l_partkey = p_partkey
+       |WHERE p_size >= $MinCostSizeFloor
+       |ORDER BY cost DESC, p_partkey, s_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_nation_volume" -> (q214NationVolume _),
+    "q215_product_profit" -> (q215ProductProfit _),
+    "q216_market_share" -> (q216MarketShare _),
+    "q217_min_cost_supplier" -> (q217MinCostSupplier _))
+
+  val oracles: Map[String, String] = Map(
+    "q214_nation_volume" -> q214Sql,
+    "q215_product_profit" -> q215Sql,
+    "q216_market_share" -> q216Sql,
+    "q217_min_cost_supplier" -> q217Sql)
+}

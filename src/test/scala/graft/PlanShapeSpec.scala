@@ -485,4 +485,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hll_union_agg") || p.contains("Window"),
       s"window union of daily sketches missing:\n$p")
   }
+
+  test("q214: the two-role nation-pair predicate splits into per-side " +
+      "IN pushdowns; dims broadcast, no cartesian") {
+    val p = plan(graft.queries.TpchCanon.q214NationVolume(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims lost broadcast:\n$p")
+    // Catalyst must derive n_name IN (A, B) on EACH nation role from
+    // the cross-role OR — that semi-join reduction is the point of the
+    // Q7 topology; losing it scans both roles unfiltered
+    assert("In\\(n_name".r.findAllIn(p).length >= 2 ||
+      "n_name.*(NATION_1|NATION_2)".r.findAllIn(p).length >= 2,
+      s"per-role IN pushdown missing:\n$p")
+  }
+
+  test("q215/q216: deep multi-join trees stay cartesian-free with " +
+      "broadcast dimensions") {
+    for (df <- Seq(graft.queries.TpchCanon.q215ProductProfit(spark, sf),
+        graft.queries.TpchCanon.q216MarketShare(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"dims lost broadcast:\n$p")
+    }
+  }
+
+  test("q217: the decorrelated min-subquery back-join is an equi-join " +
+      "on (part, cost), never all-pairs") {
+    val p = plan(graft.queries.TpchCanon.q217MinCostSupplier(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"min-equality join degraded to nested loop:\n$p")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Model, Multimodal,
   Report, Retrieval, Similarity, Text}
-import graft.queries.{Advanced, Core, Olap, Sketches, Subqueries}
+import graft.queries.{Advanced, Core, Olap, Sketches, Subqueries, TpchCanon}
 
 /** Guards on the driver contract itself: the round-2 invariant is that
   * EVERY registered query is oracle-checked, and module maps are merged
@@ -21,7 +21,8 @@ class RegistrySpec extends SparkSpec {
       Core.queries, Advanced.queries, Sketches.queries, Subqueries.queries,
       Similarity.queries, Text.queries, Dedup.queries, Multimodal.queries,
       Corpus.queries, Linkage.queries, Index.queries, Layout.queries,
-      Model.queries, Report.queries, Retrieval.queries, Olap.queries)
+      Model.queries, Report.queries, Retrieval.queries, Olap.queries,
+      TpchCanon.queries)
     assert(perModule.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules (Map ++ dropped one)")
   }
