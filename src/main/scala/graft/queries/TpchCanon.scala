@@ -33,9 +33,11 @@ object TpchCanon {
 
   // ---- q214: supplier↔customer nation volume (TPC-H Q7 shape) ------------
 
-  /** The audited nation pair (both directions, Q7's contract). */
-  final val VolNationA = "NATION_1"
-  final val VolNationB = "NATION_2"
+  /** The audited nation pair (both directions, Q7's contract) —
+    * chosen to have suppliers at EVERY fixture SF (sf0.001 populates
+    * only 10 of the 25 nations on the supplier side). */
+  final val VolNationA = "NATION_3"
+  final val VolNationB = "NATION_8"
 
   /** q214 — shipping volume between two nations by year: lineitem ⋈
     * orders ⋈ customer ⋈ supplier ⋈ nation×2, where `nation` joins in

@@ -495,7 +495,8 @@ class PlanShapeSpec extends SparkSpec {
     // the cross-role OR — that semi-join reduction is the point of the
     // Q7 topology; losing it scans both roles unfiltered
     assert("In\\(n_name".r.findAllIn(p).length >= 2 ||
-      "n_name.*(NATION_1|NATION_2)".r.findAllIn(p).length >= 2,
+      ("n_name.*(" + graft.queries.TpchCanon.VolNationA + "|" +
+        graft.queries.TpchCanon.VolNationB + ")").r.findAllIn(p).length >= 2,
       s"per-role IN pushdown missing:\n$p")
   }
 
