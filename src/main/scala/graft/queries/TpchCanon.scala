@@ -280,15 +280,227 @@ object TpchCanon {
        |WHERE p_size >= $MinCostSizeFloor
        |ORDER BY cost DESC, p_partkey, s_name""".stripMargin
 
+  // ---- q218: late sole-blamed supplier (TPC-H Q21 shape) -----------------
+
+  /** Days past the order date after which a shipment counts as LATE. */
+  final val LateDays = 365
+
+  /** q218 — suppliers solely to blame for late multi-supplier orders:
+    * for each late lineitem, there must EXIST another supplier's line
+    * in the same order (multi-supplier) and NOT EXIST another LATE
+    * line from a different supplier (sole blame) — the Q21 topology:
+    * the fact table referenced THREE times (base, semi, anti), both
+    * correlations equi-keyed on l_orderkey. Per-supplier wait counts,
+    * Q21's deliverable.
+    *
+    * Scale shape: all three fact references key on l_orderkey, so one
+    * hash-partitioning serves the semi AND the anti join
+    * (co-partitioned self-joins, no extra shuffle class); supplier
+    * broadcasts; output is ≤|supplier| rows. The lateness predicate
+    * prunes the left side BEFORE either correlated join runs. */
+  def q218LateSoleSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lat = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          > LateDays).as("late"))
+    val l1 = lat.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = lat.select(col("l_orderkey").as("ok2"),
+      col("l_suppkey").as("sk2"), col("late").as("late2"))
+    l1
+      .join(others,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      .join(others.filter(col("late2")),
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val q218Sql: String =
+    s"""WITH lat AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    date_diff('day', CAST(o_orderdate AS DATE),
+       |      CAST(l_shipdate AS DATE)) > $LateDays AS late
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       |FROM lat l1
+       |JOIN supplier ON l1.l_suppkey = s_suppkey
+       |WHERE l1.late
+       |  AND EXISTS (SELECT 1 FROM lat l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lat l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name""".stripMargin
+
+  // ---- q219: customer order-count distribution (TPC-H Q13 shape) ---------
+
+  /** Priority class excluded from the count (Q13's comment filter). */
+  final val HistExcludedPriority = "1-URGENT"
+
+  /** q219 — the customer order-count histogram: customer LEFT OUTER
+    * JOIN filtered orders, orders counted per customer (zero-order
+    * customers KEPT — the point of the outer join), then the counts
+    * themselves aggregated into a distribution — Q13's double
+    * aggregation over an outer join, the one topology where dropping
+    * the unmatched side silently corrupts the answer.
+    *
+    * Scale shape: one shuffle join on custkey (the filter prunes the
+    * orders side first), one partial-agg per customer, then a tiny
+    * second agg over ≤ max-orders-per-customer groups. */
+  def q219OrderCountHistogram(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= HistExcludedPriority)
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col): NULLs don't count
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q219Sql: String =
+    s"""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       |FROM (
+       |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+       |  FROM customer
+       |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+       |    AND o_orderpriority <> '$HistExcludedPriority'
+       |  GROUP BY c_custkey)
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- q220: part value vs global threshold (TPC-H Q11 shape) ------------
+
+  /** A part qualifies when its value exceeds [[ValueMeanMultNum]]/
+    * [[ValueMeanMultDen]] × the MEAN per-part value. Q11's fixed
+    * fraction is divided by SF in the spec precisely because a constant
+    * share cannot survive scaling (max share ∝ 1/|parts|); a
+    * mean-relative threshold is the SF-independent spelling of the same
+    * intent. */
+  final val ValueMeanMultNum = 3L
+  final val ValueMeanMultDen = 2L
+
+  /** q220 — parts whose traded value exceeds a GLOBAL threshold: the
+    * Q11 topology — a grouped aggregate HAVING-compared against a
+    * scalar aggregate of the SAME relation. The sums are EXACT
+    * decimals; the 1.5×-mean comparison is spelled `v·2·nparts >
+    * 3·total` over doubles derived from those exact decimals —
+    * identical IEEE ops on identical inputs in both engines, and never
+    * a wide decimal product (DuckDB rejects width > 38). `nparts`
+    * comes from counting the per-part relation, NOT a countDistinct
+    * beside the sum (which would force an Expand of the fact scan —
+    * SCALE.md ground rule).
+    *
+    * Scale shape: one fact scan feeds the per-part partial agg; total
+    * and nparts re-aggregate the SMALL per-part relation (never the
+    * fact); the 1-row threshold broadcast-crossJoins back — the
+    * decorrelated scalar-HAVING plan; output is the qualifying tail. */
+  def q220PartValueThreshold(s: SparkSession, dir: String): DataFrame = {
+    val value = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(D)).as("valdec"))
+      .localCheckpoint(eager = false) // feeds the filter AND the total
+    val total = value.agg(sum(col("valdec")).cast("double").as("total"),
+      count(lit(1)).as("nparts"))
+    value.crossJoin(broadcast(total))
+      .filter(col("valdec").cast("double") * lit(2.0 * ValueMeanMultDen)
+        * col("nparts") > lit(2.0 * ValueMeanMultNum) * col("total"))
+      .select(col("l_partkey"), col("valdec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  val q220Sql: String =
+    s"""WITH v AS (
+       |  SELECT l_partkey,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS valdec
+       |  FROM lineitem GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(valdec) AS DOUBLE) AS total,
+       |    CAST(count(*) AS BIGINT) AS nparts
+       |  FROM v)
+       |SELECT l_partkey, CAST(valdec AS DOUBLE) AS value
+       |FROM v, t
+       |WHERE CAST(valdec AS DOUBLE) * ${2 * ValueMeanMultDen}.0 * nparts
+       |  > ${2 * ValueMeanMultNum}.0 * total
+       |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // ---- q221: idle high-balance customers (TPC-H Q22 shape) ---------------
+
+  /** Customers count as IDLE with no order on/after this date. */
+  final val IdleCutoff = "2000-01-01"
+
+  /** q221 — high-balance customers gone idle, by nation: acctbal above
+    * the positive-balance average (a scalar-subquery threshold) AND no
+    * order since [[IdleCutoff]] (an anti-join on the fact table) — the
+    * Q22 topology. The average is the [[Det]] spelling (exact decimal
+    * sum / count, one double division), so the threshold double is
+    * bit-identical in both engines and boundary rows cannot flip.
+    *
+    * Scale shape: the scalar average is a 1-row broadcast; the
+    * anti-join keys on custkey (one shuffle, or broadcast when the
+    * recent-order projection fits); nation broadcasts; output is ≤25
+    * rows. */
+  def q221IdleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(Det.davg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(IdleCutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        Det.dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q221Sql: String =
+    s"""WITH a AS (
+       |  SELECT ${Det.sqlAvg("c_acctbal")} AS avg_bal
+       |  FROM customer WHERE c_acctbal > 0)
+       |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       |  ${Det.sqlSum("c_acctbal")} AS totacctbal
+       |FROM customer, a
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '$IdleCutoff')
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_nation_volume" -> (q214NationVolume _),
     "q215_product_profit" -> (q215ProductProfit _),
     "q216_market_share" -> (q216MarketShare _),
-    "q217_min_cost_supplier" -> (q217MinCostSupplier _))
+    "q217_min_cost_supplier" -> (q217MinCostSupplier _),
+    "q218_late_sole_supplier" -> (q218LateSoleSupplier _),
+    "q219_order_count_histogram" -> (q219OrderCountHistogram _),
+    "q220_part_value_threshold" -> (q220PartValueThreshold _),
+    "q221_idle_rich_customers" -> (q221IdleRichCustomers _))
 
   val oracles: Map[String, String] = Map(
     "q214_nation_volume" -> q214Sql,
     "q215_product_profit" -> q215Sql,
     "q216_market_share" -> q216Sql,
-    "q217_min_cost_supplier" -> q217Sql)
+    "q217_min_cost_supplier" -> q217Sql,
+    "q218_late_sole_supplier" -> q218Sql,
+    "q219_order_count_histogram" -> q219Sql,
+    "q220_part_value_threshold" -> q220Sql,
+    "q221_idle_rich_customers" -> q221Sql)
 }

@@ -517,4 +517,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"min-equality join degraded to nested loop:\n$p")
   }
+
+  test("q218: both correlated self-references plan as l_orderkey " +
+      "equi-joins (semi + anti), never nested loops") {
+    val p = plan(graft.queries.TpchCanon.q218LateSoleSupplier(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"correlated self-join degraded to nested loop:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"semi/anti pair missing (subquery shape changed):\n$p")
+  }
+
+  test("q219/q221: outer-preserving topologies keep their join kinds") {
+    val p19 = plan(graft.queries.TpchCanon.q219OrderCountHistogram(spark, sf))
+    assert(p19.contains("LeftOuter"),
+      s"zero-order customers silently dropped (outer join lost):\n$p19")
+    val p21 = plan(graft.queries.TpchCanon.q221IdleRichCustomers(spark, sf))
+    assert(p21.contains("LeftAnti"),
+      s"idle-customer anti-join lost:\n$p21")
+    assert(!p21.contains("CartesianProduct"), s"cartesian appeared:\n$p21")
+  }
 }
