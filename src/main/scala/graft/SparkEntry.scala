@@ -18,7 +18,7 @@ object SparkEntry {
       Dedup.queries ++ Multimodal.queries ++ Corpus.queries ++
       Linkage.queries ++ Index.queries ++ Layout.queries ++
       Model.queries ++ Report.queries ++ Retrieval.queries ++
-      Olap.queries ++ TpchCanon.queries
+      Olap.queries ++ TpchCanon.queries ++ graft.io.AvroIo.queries
 
   /** Keys in [[queries]] that are deliberate EXACTNESS BASELINES, not
     * production paths: quadratic all-pairs formulations kept as the
@@ -82,5 +82,5 @@ object SparkEntry {
       Dedup.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
       Linkage.oracles ++ Index.oracles ++ Layout.oracles ++
       Model.oracles ++ Report.oracles ++ Retrieval.oracles ++
-      Olap.oracles ++ TpchCanon.oracles
+      Olap.oracles ++ TpchCanon.oracles ++ graft.io.AvroIo.oracles
 }

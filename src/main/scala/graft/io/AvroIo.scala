@@ -9,6 +9,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
@@ -220,4 +221,52 @@ object AvroIo {
       }
     spark.createDataFrame(rdd, sparkSchema)
   }
+
+  // ---- q222: the Avro path under the oracle gate ---------------------------
+
+  /** The documents corpus round-tripped through the Avro sink+source,
+    * once per (session, dir) — the q124 write-once discipline; the temp
+    * directory is session-private, so there is no cross-run staleness
+    * to fingerprint. */
+  private val avroDocsCache = new graft.ops.SessionMemo[String]
+  private def avroDocs(s: SparkSession, dir: String): DataFrame = {
+    val path = avroDocsCache.getOrBuild(s, dir) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_avro_docs_").toString
+      write(graft.tables.Tables.documents(s, dir), d)
+      d
+    }
+    read(s, path)
+  }
+
+  /** q222 — per-source corpus stats computed FROM THE AVRO COPY: the
+    * documents table flows sink → container files → source → aggregate,
+    * while the oracle recomputes the same stats from the raw parquet —
+    * so the whole connector (schema mapping, union encoding, codec,
+    * per-file read) must be value-invisible, the storage-layer
+    * discipline q124 applies to bucketing, applied to a FORMAT.
+    *
+    * Scale shape: write once per session (one pass, one file per
+    * partition), aggregate streams per-file partitions into a
+    * partial-agg exchange of ≤|sources| groups (no countDistinct
+    * beside the sum — the no-Expand ground rule, SCALE.md). */
+  def avroRoundTripStats(s: SparkSession, dir: String): DataFrame =
+    avroDocs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+
+  val avroRoundTripSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  max(doc_id) AS max_doc_id
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_avro_roundtrip" -> (avroRoundTripStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q222_avro_roundtrip" -> avroRoundTripSql)
 }

@@ -22,7 +22,7 @@ class RegistrySpec extends SparkSpec {
       Similarity.queries, Text.queries, Dedup.queries, Multimodal.queries,
       Corpus.queries, Linkage.queries, Index.queries, Layout.queries,
       Model.queries, Report.queries, Retrieval.queries, Olap.queries,
-      TpchCanon.queries)
+      TpchCanon.queries, graft.io.AvroIo.queries)
     assert(perModule.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules (Map ++ dropped one)")
   }
