@@ -72,7 +72,8 @@ object SparkEntry {
     "q183_centroid_outliers",  // the inspection worklist IS an order
     "q189_memorization_attr",  // per-probe provenance ranking
     "q198_weighted_sample",    // the per-source sample rank is the draw
-    "q202_epoch_allocation")   // the greedy schedule IS an order
+    "q202_epoch_allocation",   // the greedy schedule IS an order
+    "q223_serve_suppress")     // the suppressed rerank IS the deliverable
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -469,17 +469,94 @@ object Retrieval {
        |FROM u ORDER BY query_id""".stripMargin
   }
 
+  // ---- q223: serving-time near-dup suppression ----------------------------
+
+  /** Suppression threshold on the int8 dot: ≈ cosine 0.60 · 127². */
+  final val SuppressDotMin = 9677L
+
+  /** q223 — near-dup suppression over the q155 fused shortlist: a
+    * result is DROPPED when its int8 dot with any HIGHER-base-ranked
+    * result reaches [[SuppressDotMin]], and survivors re-rank densely —
+    * the serving-time dedup every RAG stack runs so the context window
+    * is not spent on five copies of the same passage (q60 dedups the
+    * CORPUS at build time; this dedups the ANSWER at serve time).
+    *
+    * The rule is deliberately the RELATIONAL one — suppressed-by-any-
+    * higher-ranked, not the sequential survivor-chained MMR — so the
+    * whole operator is one k² self-join plus an anti-join, no iterative
+    * state. Results without an embedding can neither suppress nor be
+    * suppressed (they carry no vector to compare) and always survive.
+    *
+    * Scale shape: the shortlist is O(Q·k); the pair join is O(Q·k²)
+    * with k = [[FuseK]] — serving-cost, corpus-independent; vectors
+    * re-attach by id (the q49 ship-ids-not-payloads discipline) and
+    * the rerank window runs over ≤ k rows per query. */
+  def serveSuppress(s: SparkSession, dir: String): DataFrame =
+    serveSuppressOf(
+      hybridRrf(s, dir).select(col("query_id"), col("rnk"), col("doc_id")),
+      Similarity.quantizedVectors(Tables.embeddings(s, dir)))
+
+  /** [[serveSuppress]] over any (query_id, rnk, doc_id) shortlist and
+    * (vec_id, q) quantized relation — the spec plants forced near-dups
+    * through this. */
+  private[graft] def serveSuppressOf(sl: DataFrame,
+      quant: DataFrame): DataFrame = {
+    val sv = sl
+      .join(quant.select(col("vec_id").as("doc_id"), col("q")), Seq("doc_id"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val hi = sv.select(col("query_id"), col("rnk").as("hi_rnk"),
+      col("q").as("hi_q"))
+    val suppressed = sv.join(hi, Seq("query_id"))
+      .filter(col("hi_rnk") < col("rnk"))
+      .filter(aggregate(zip_with(col("q"), col("hi_q"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x) >= SuppressDotMin)
+      .select(col("query_id"), col("doc_id")).distinct()
+    sl.join(suppressed, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("new_rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rnk")))
+        .cast("long"))
+      .select(col("query_id"), col("new_rnk"), col("doc_id"),
+        col("rnk").as("base_rnk"))
+      .orderBy(col("query_id"), col("new_rnk"))
+  }
+
+  /** DuckDB spelling: the q155 chain's `fr` shortlist and `vq`
+    * quantized vectors, the same pair join and NOT EXISTS. */
+  val serveSuppressSql: String =
+    s"""WITH $hybridChainCtes,
+       |sl AS (SELECT query_id, rnk, doc_id FROM fr WHERE rnk <= $FuseK),
+       |sv AS (
+       |  SELECT s.query_id, s.rnk, s.doc_id, v.q
+       |  FROM sl s JOIN vq v ON v.vec_id = s.doc_id),
+       |sup AS (
+       |  SELECT DISTINCT lo.query_id, lo.doc_id
+       |  FROM sv lo JOIN sv hi
+       |    ON hi.query_id = lo.query_id AND hi.rnk < lo.rnk
+       |  WHERE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 65), dd -> lo.q[dd] * hi.q[dd])),
+       |      (x, y) -> x + y) AS BIGINT) >= $SuppressDotMin)
+       |SELECT s.query_id,
+       |  CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY s.rnk)
+       |    AS BIGINT) AS new_rnk,
+       |  s.doc_id, s.rnk AS base_rnk
+       |FROM sl s
+       |WHERE NOT EXISTS (SELECT 1 FROM sup
+       |  WHERE sup.query_id = s.query_id AND sup.doc_id = s.doc_id)
+       |ORDER BY s.query_id, new_rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_ndcg_audit" -> (ndcgAudit _),
     "q174_mrr_audit" -> (mrrAudit _),
     "q170_context_pack" -> (contextPack _),
     "q155_hybrid_rrf" -> (hybridRrf _),
-    "q158_hybrid_lsh_serve" -> (hybridLshServe _))
+    "q158_hybrid_lsh_serve" -> (hybridLshServe _),
+    "q223_serve_suppress" -> (serveSuppress _))
 
   val oracles: Map[String, String] = Map(
     "q194_ndcg_audit" -> ndcgAuditSql,
     "q174_mrr_audit" -> mrrAuditSql,
     "q170_context_pack" -> contextPackSql,
     "q155_hybrid_rrf" -> hybridRrfSql,
-    "q158_hybrid_lsh_serve" -> hybridLshServeSql)
+    "q158_hybrid_lsh_serve" -> hybridLshServeSql,
+    "q223_serve_suppress" -> serveSuppressSql)
 }

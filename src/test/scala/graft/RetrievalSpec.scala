@@ -174,4 +174,32 @@ class RetrievalSpec extends SparkSpec {
     // embedded discount weights are the frozen ⌊1e6/log2(i+1)⌋ table
     assert(Retrieval.NdcgW === Seq(1000000L, 630929L, 500000L, 430676L, 386852L))
   }
+
+  test("q223: planted near-dups are suppressed, unembedded docs survive, " +
+      "ranks re-densify") {
+    import SparkSpec.spark.implicits._
+    // shortlist for one query: ranks 1..5; docs 11/12 identical vectors
+    // (dot = 127² · 64-dim normalized ≈ 16129 ≥ threshold), doc 13
+    // orthogonal, doc 14 = copy of 13, doc 15 has NO embedding row
+    val sl = Seq((100L, 1L, 11L), (100L, 2L, 12L), (100L, 3L, 13L),
+      (100L, 4L, 14L), (100L, 5L, 15L)).toDF("query_id", "rnk", "doc_id")
+    def unit(axis: Int): Array[Long] =
+      Array.tabulate(64)(i => if (i == axis) 127L else 0L)
+    val quant = Seq((11L, unit(0)), (12L, unit(0)), (13L, unit(1)),
+      (14L, unit(1))).toDF("vec_id", "q")
+    val out = Retrieval.serveSuppressOf(sl, quant).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 12 suppressed by 11; 14 suppressed by 13; 15 survives (no vector)
+    assert(out.toSeq === Seq((1L, 11L, 1L), (2L, 13L, 3L), (3L, 15L, 5L)))
+    // and the registered query stays sane on the fixture: dense ranks,
+    // never more results than the fused list
+    val full = Retrieval.serveSuppress(spark, sf).collect()
+    assert(full.nonEmpty)
+    val byQ = full.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rows.length).toSeq, s"query $q ranks not dense")
+      assert(rows.length <= Retrieval.FuseK)
+    }
+  }
 }
