@@ -492,8 +492,10 @@ object Retrieval {
     * re-attach by id (the q49 ship-ids-not-payloads discipline) and
     * the rerank window runs over ≤ k rows per query. */
   def serveSuppress(s: SparkSession, dir: String): DataFrame =
-    serveSuppressOf(
-      hybridRrf(s, dir).select(col("query_id"), col("rnk"), col("doc_id")),
+    // rides the q174/q194 session memo: the fused shortlist is built
+    // once per (session, dir) and all three consumers read the
+    // checkpointed O(Q·k) relation
+    serveSuppressOf(fusedList(s, dir),
       Similarity.quantizedVectors(Tables.embeddings(s, dir)))
 
   /** [[serveSuppress]] over any (query_id, rnk, doc_id) shortlist and
