@@ -206,6 +206,11 @@ object AvroIo {
         val reader = new DataFileReader(
           new FsInput(new Path(f), new Configuration()),
           new GenericDatumReader[GenericRecord]())
+        // a downstream limit may stop consuming mid-file: close on task
+        // completion, not only on iterator exhaustion
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try reader.close() catch { case _: Exception => () }))
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = reader.hasNext

@@ -304,6 +304,9 @@ object TpchCanon {
       .select(col("l_orderkey"), col("l_suppkey"),
         (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           > LateDays).as("late"))
+      // three consumers (base, semi, anti): materialize the l⋈o pass
+      // once instead of re-scanning both fact tables per reference
+      .localCheckpoint(eager = false)
     val l1 = lat.filter(col("late"))
       .select(col("l_orderkey"), col("l_suppkey"))
     val others = lat.select(col("l_orderkey").as("ok2"),
