@@ -370,11 +370,13 @@ object Layout {
       .select(col("c_custkey"), col("c_mktsegment"))
     // per-source fingerprints: a changed drop under the SAME path (new
     // rows, re-keyed ids, schema drift) invalidates and rebuilds the
-    // bucketed copy instead of serving the stale layout
+    // bucketed copy instead of serving the stale layout; the bucket
+    // count prefixes the fingerprint so a binary with a different
+    // Buckets constant rebuilds over a leftover warehouse
     writeBucketed(ordSrc, ordT, "o_custkey",
-      fp = fingerprintOf(ordSrc, "o_orderkey"))
+      fp = s"b${Buckets}_" + fingerprintOf(ordSrc, "o_orderkey"))
     writeBucketed(custSrc, custT, "c_custkey",
-      fp = fingerprintOf(custSrc, "c_custkey"))
+      fp = s"b${Buckets}_" + fingerprintOf(custSrc, "c_custkey"))
     val o = s.table(ordT).hint("merge")
     val c = s.table(custT).hint("merge")
     o.join(c, o("o_custkey") === c("c_custkey"))

@@ -1432,8 +1432,12 @@ object Similarity {
     // staleness gate: the table NAME keys on the path, but freshness
     // keys on the DATA (row count + max vec_id + schema hash) — if the
     // corpus under `dir` was replaced, both artifacts rebuild instead
-    // of silently serving the old index
-    val fp = Layout.fingerprintOf(Tables.embeddings(s, dir), "vec_id")
+    // of silently serving the old index. The index GEOMETRY constants
+    // prefix the fingerprint: a Verify JVM over a leftover warehouse
+    // built by an older binary with different PQ geometry must rebuild
+    // too — data freshness alone would not catch a format change.
+    val fp = s"pq${PqM}x${PqCodes}i${IvfBits}_" +
+      Layout.fingerprintOf(Tables.embeddings(s, dir), "vec_id")
     if (!Layout.isFresh(s, idxT, fp) || !Layout.isFresh(s, cbT, fp)) {
       val (qv, bkt, _, cent2, codes) = pqIndexParts(Tables.embeddings(s, dir))
       Layout.writeBucketed(
