@@ -1718,7 +1718,9 @@ object Text {
     * q162, a union of per-LF selects would plan four scans) into ONE
     * partial-aggregable 4-group aggregate. Exact counts only — no
     * ratios, so the hash compare is ULP-proof. */
-  def weakLabels(s: SparkSession, dir: String): DataFrame = {
+  /** The four labeling-function votes as a (v1, v2, v3, v4) relation —
+    * shared by the q164 audit and the q224 pairwise-kappa audit. */
+  private[graft] def lfVotes(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.lang_id
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
@@ -1730,8 +1732,12 @@ object Text {
     val vDig = when(dig * 5 >= col("n_chars"), -1L)
       .when(dig * 50 <= col("n_chars"), 1L).otherwise(0L)
     val vLang = when(lang_id(col("text")) === "en", 1L).otherwise(0L)
-    val base = Tables.documents(s, dir).select(
+    Tables.documents(s, dir).select(
       vLen.as("v1"), vStop.as("v2"), vDig.as("v3"), vLang.as("v4"))
+  }
+
+  def weakLabels(s: SparkSession, dir: String): DataFrame = {
+    val base = lfVotes(s, dir)
     val vs = Seq(col("v1"), col("v2"), col("v3"), col("v4"))
     val pos = vs.map(v => when(v === 1, 1L).otherwise(0L)).reduce(_ + _)
     val neg = vs.map(v => when(v === -1, 1L).otherwise(0L)).reduce(_ + _)
@@ -1756,8 +1762,10 @@ object Text {
 
   /** DuckDB spelling: same four vote rules (lang arm through the shared
     * generated profile scores), same diagnostics, 4-arm UNION ALL. */
-  def weakLabelsSql: String =
-    s"""WITH t AS (
+  /** The shared t/sc/v CTE chain ending in `v(v1, v2, v3, v4)` — the
+    * four LF votes; feeds the q164 and q224 oracles. */
+  private def lfVoteCtes: String =
+    s"""t AS (
        |  SELECT text, n_chars,
        |    regexp_split_to_array(lower(text), '\\s+') AS toks
        |  FROM documents),
@@ -1780,7 +1788,10 @@ object Text {
        |         ELSE 0 END AS v3,
        |    CASE WHEN $langMaxExpr > 0 AND s_en = $langMaxExpr THEN 1
        |         ELSE 0 END AS v4
-       |  FROM sc),
+       |  FROM sc)""".stripMargin
+
+  def weakLabelsSql: String =
+    s"""WITH $lfVoteCtes,
        |st AS (
        |  SELECT v1, v2, v3, v4,
        |    (CASE WHEN v1 = 1 THEN 1 ELSE 0 END) +
@@ -1812,6 +1823,97 @@ object Text {
        |FROM arms GROUP BY lf
        |ORDER BY lf""".stripMargin
 
+  // ---- q224: pairwise labeler agreement (Cohen's kappa) -------------------
+
+  /** The LF name of each vote column, fixing pair order. */
+  private val LfNames =
+    Seq("v1" -> "lf_length", "v2" -> "lf_stopword",
+      "v3" -> "lf_digit", "v4" -> "lf_lang")
+
+  /** q224 — Cohen's κ for every labeling-function PAIR, over the docs
+    * where BOTH vote: q164 reports each LF against the majority; κ is
+    * the reliability number annotation teams actually quote, because it
+    * discounts the agreement two labelers reach by chance from their
+    * marginal vote rates. Computed EXACTLY in integers —
+    * κ = (N·Σagree − Σ rᵢ·cᵢ) / (N² − Σ rᵢ·cᵢ) with all counts from
+    * one pass — and divided ONCE to double, so both engines emit
+    * bit-identical ratios (NULL when the denominator is 0: a pair that
+    * never co-votes, or degenerate marginals).
+    *
+    * Scale shape: the per-doc pair diagnostics `inline` six struct rows
+    * per doc (q164's discipline — a union of per-pair selects would
+    * plan six scans) into one partial-aggregable 6-group aggregate;
+    * everything after the groupBy is arithmetic on six rows. */
+  def labelKappa(s: SparkSession, dir: String): DataFrame = {
+    val pairs = LfNames.combinations(2).toSeq
+    val arms = pairs.map { case Seq((ca, na), (cb, nb)) =>
+      val va = col(ca); val vb = col(cb)
+      val both = (va =!= 0 && vb =!= 0).cast("long")
+      struct(lit(na).as("lf_a"), lit(nb).as("lf_b"),
+        both.as("both"),
+        (both * (va === vb).cast("long")).as("agree"),
+        (both * (va === 1).cast("long")).as("a_pos"),
+        (both * (vb === 1).cast("long")).as("b_pos"))
+    }
+    lfVotes(s, dir)
+      .select(inline(array(arms: _*)))
+      .groupBy(col("lf_a"), col("lf_b"))
+      .agg(sum(col("both")).as("n_both"), sum(col("agree")).as("n_agree"),
+        sum(col("a_pos")).as("ap"), sum(col("b_pos")).as("bp"))
+      .select(col("lf_a"), col("lf_b"), col("n_both"), col("n_agree"),
+        (col("n_both") * col("n_agree") -
+          (col("ap") * col("bp") +
+            (col("n_both") - col("ap")) * (col("n_both") - col("bp"))))
+          .as("kappa_num"),
+        (col("n_both") * col("n_both") -
+          (col("ap") * col("bp") +
+            (col("n_both") - col("ap")) * (col("n_both") - col("bp"))))
+          .as("kappa_den"))
+      .select(col("lf_a"), col("lf_b"), col("n_both"), col("n_agree"),
+        col("kappa_num"), col("kappa_den"),
+        when(col("kappa_den") =!= 0,
+          col("kappa_num").cast("double") / col("kappa_den"))
+          .as("kappa"))
+      .orderBy(col("lf_a"), col("lf_b"))
+  }
+
+  /** DuckDB spelling: the shared vote CTEs, a 6-arm UNION ALL of pair
+    * diagnostics, the same exact integer κ. */
+  def labelKappaSql: String = {
+    val pairs = LfNames.combinations(2).toSeq
+    val arms = pairs.map { case Seq((ca, na), (cb, nb)) =>
+      s"""SELECT '$na' AS lf_a, '$nb' AS lf_b,
+         |    CASE WHEN $ca <> 0 AND $cb <> 0 THEN 1 ELSE 0 END AS bo,
+         |    CASE WHEN $ca <> 0 AND $cb <> 0 AND $ca = $cb
+         |      THEN 1 ELSE 0 END AS ag,
+         |    CASE WHEN $ca <> 0 AND $cb <> 0 AND $ca = 1
+         |      THEN 1 ELSE 0 END AS a_pos,
+         |    CASE WHEN $ca <> 0 AND $cb <> 0 AND $cb = 1
+         |      THEN 1 ELSE 0 END AS b_pos
+         |  FROM v""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $lfVoteCtes,
+       |arms AS (
+       |  $arms),
+       |g AS (
+       |  SELECT lf_a, lf_b, CAST(SUM(bo) AS BIGINT) AS n_both,
+       |    CAST(SUM(ag) AS BIGINT) AS n_agree,
+       |    CAST(SUM(a_pos) AS BIGINT) AS ap,
+       |    CAST(SUM(b_pos) AS BIGINT) AS bp
+       |  FROM arms GROUP BY 1, 2),
+       |k AS (
+       |  SELECT lf_a, lf_b, n_both, n_agree,
+       |    n_both * n_agree -
+       |      (ap * bp + (n_both - ap) * (n_both - bp)) AS kappa_num,
+       |    n_both * n_both -
+       |      (ap * bp + (n_both - ap) * (n_both - bp)) AS kappa_den
+       |  FROM g)
+       |SELECT lf_a, lf_b, n_both, n_agree, kappa_num, kappa_den,
+       |  CASE WHEN kappa_den <> 0
+       |    THEN CAST(kappa_num AS DOUBLE) / kappa_den END AS kappa
+       |FROM k ORDER BY lf_a, lf_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_deletion_audit" -> (deletionAudit _),
     "q189_memorization_attr" -> (memorizationAttribution _),
@@ -1820,6 +1922,7 @@ object Text {
     "q181_boundary_stitch" -> (boundaryStitch _),
     "q180_adaptive_gate" -> (adaptiveGate _),
     "q164_weak_labels"  -> (weakLabels _),
+    "q224_label_kappa"  -> (labelKappa _),
     "q159_pii_scrub"    -> (piiScrub _),
     "q114_dup_spans"    -> (dupSpans _),
     "q90_quota_sample"  -> (quotaSample _),
@@ -1851,6 +1954,7 @@ object Text {
     "q181_boundary_stitch" -> boundaryStitchSql,
     "q180_adaptive_gate" -> adaptiveGateSql,
     "q164_weak_labels"  -> weakLabelsSql,
+    "q224_label_kappa"  -> labelKappaSql,
     "q159_pii_scrub"    -> piiScrubSql,
     "q114_dup_spans"    -> dupSpansSql,
     "q90_quota_sample"  -> quotaSampleSql,

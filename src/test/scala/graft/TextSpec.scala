@@ -514,4 +514,32 @@ class TextSpec extends SparkSpec {
     }
     assert(rows.values.map(_._3).sum > 0, "request list empty — vacuous")
   }
+
+  test("q224: kappa replays driver-side from the raw votes, bounds hold") {
+    val votes = Text.lfVotes(spark, sf).collect()
+      .map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val names = Seq("lf_length", "lf_stopword", "lf_digit", "lf_lang")
+    val rows = Text.labelKappa(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    assert(rows.size === 6, "expected all 6 LF pairs")
+    for (i <- 0 until 4; j <- i + 1 until 4) {
+      val co = votes.filter(v => v(i) != 0 && v(j) != 0)
+      val n = co.length.toLong
+      val agree = co.count(v => v(i) == v(j)).toLong
+      val ap = co.count(_(i) == 1).toLong
+      val bp = co.count(_(j) == 1).toLong
+      val pe = ap * bp + (n - ap) * (n - bp)
+      val (num, den) = (n * agree - pe, n * n - pe)
+      val (gn, ga, gnum, gden, gk) = rows((names(i), names(j)))
+      assert((gn, ga, gnum, gden) === ((n, agree, num, den)),
+        s"${names(i)}/${names(j)} contingency replay")
+      if (den != 0) {
+        assert(gk === Some(num.toDouble / den))
+        assert(gk.get >= -1.0 && gk.get <= 1.0, "kappa out of [-1, 1]")
+      } else assert(gk.isEmpty, "degenerate pair must yield NULL kappa")
+      assert(ga <= gn && gn > 0, "vacuous pair — vote wiring?")
+    }
+  }
 }
