@@ -15,14 +15,17 @@ import graft.tables.Tables
   * IMAGE decode is REAL ([[MediaCodec.decodeImage]], via the JDK's
   * `javax.imageio` — PNG/BMP/GIF/JPEG, offline-safe). AUDIO decode is
   * REAL in the q201 feature arm ([[decodeWavPcm8]], via the JDK's
-  * `javax.sound.sampled` RIFF/WAVE parser — offline-safe). VIDEO codecs
-  * are NOT in this container, so [[MediaCodec.decodeStub]] is their
-  * clearly-marked deterministic stand-in, and unrecognizable image bytes
-  * (and the generic 16-dim feature path for audio) fall back to it too.
+  * `javax.sound.sampled` RIFF/WAVE parser — offline-safe). VIDEO decode
+  * is REAL in the q225/q226 feature arms ([[graft.ext.Avi]], an
+  * uncompressed-DIB RIFF/AVI container codec — offline-safe); only the
+  * generic 16-dim [[MediaCodec]] path still routes video through
+  * [[MediaCodec.decodeStub]], its clearly-marked deterministic stand-in
+  * for lossy third-party codecs, and unrecognizable image bytes (and the
+  * generic 16-dim feature path for audio) fall back to it too.
   * Everything around the codecs — schema, binary column handling,
   * partition-local batching, feature array shape, frame-sampling
-  * explode — is real and tested; swapping in a video codec touches only
-  * [[MediaCodec.decode]]'s dispatch.
+  * explode — is real and tested; swapping in a lossy video codec touches
+  * only [[MediaCodec.decode]]'s dispatch.
   *
   * Scale: content bytes stay columnar until the decode pass; partition
   * counts carry through (no repartition); features are fixed-width
@@ -506,15 +509,239 @@ object Multimodal {
        |FROM base b LEFT JOIN peak p ON p.doc_id = b.doc_id AND p.rn = 1
        |ORDER BY b.doc_id""".stripMargin
 
+  // ---- q225/q226: video features through the REAL RIFF/AVI codec ---------
+
+  /** q225 shot-cut threshold: a frame starts a new shot when the summed
+    * absolute pixel difference to its predecessor exceeds this (mean
+    * |Δgray| > 30 over the 64-pixel raster). The synthetic corpus keeps
+    * the two classes far apart: within a shot only the ≤2 jitter pixels
+    * change (mean ≤ 7.5 even across a mod-256 wrap), across a cut ≥62
+    * pixels move by ≥53 (mean ≥ 51) — so the detector is exact on the
+    * fixture and both engines agree bit-for-bit. */
+  final val ShotCutSum: Long = 30L * Avi.Side * Avi.Side
+
+  /** q225 pixel closed form: doc `id`, frame `f`, raster position `p`.
+    * Shots are runs of `L = id%4 + 2` frames sharing a scene pattern;
+    * the `f % 3` prefix-brighten is per-frame jitter so consecutive
+    * frames inside a shot are near- but not bit-identical. The DuckDB
+    * oracle evaluates the SAME closed form — any disagreement in the
+    * encoder/decoder/feature chain (row order, channel order, bottom-up
+    * flip) breaks the value match, the q135 discipline applied to
+    * video. */
+  private[graft] def vidScenePixel(id: Long, f: Int, p: Int): Int = {
+    val scene = f / ((id % 4) + 2)
+    (((id * 31 + scene * 53 + p * 17) % 256 +
+      (if (p < f % 3) 16 else 0)) % 256).toInt
+  }
+
+  /** q225 — video shot-boundary detection through the REAL container
+    * codec: per doc, synthesize `id%24 + 2` frames from
+    * [[vidScenePixel]], round-trip them through a genuine RIFF/AVI
+    * container ([[Avi.encode]]/[[Avi.decode]] — strict headers, movi
+    * chunks, idx1 index), then run the real detector over the DECODED
+    * pixels: total luminance and consecutive-frame difference cuts at
+    * [[ShotCutSum]]. A malformed container is a hard error, never a
+    * black frame. Integer arithmetic only, so the oracle's closed-form
+    * recomputation (no codec — that is the point) must match exactly.
+    *
+    * Scale shape: encode/decode/diff are partition-local (frame bytes
+    * never shuffle); one fixed-width row per video leaves the scan. */
+  def videoShotStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val nf = (id % 24 + 2).toInt
+          val raw = Array.tabulate(nf)(f =>
+            Array.tabulate(Avi.Side * Avi.Side)(p => vidScenePixel(id, f, p)))
+          val frames = Avi.decode(Avi.encode(raw))
+          var totalLuma = 0L
+          frames.foreach(fr => fr.foreach(totalLuma += _))
+          var shots = 1L
+          var f = 1
+          while (f < nf) {
+            var sumAbs = 0L
+            var p = 0
+            while (p < Avi.Side * Avi.Side) {
+              sumAbs += math.abs(frames(f)(p) - frames(f - 1)(p))
+              p += 1
+            }
+            if (sumAbs > ShotCutSum) shots += 1
+            f += 1
+          }
+          (id, nf.toLong, shots, totalLuma)
+        }
+      }.toDF("doc_id", "n_frames", "n_shots", "total_luma")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB spelling: the same closed-form pixels via correlated
+    * `range()` laterals, the same summed-|Δ| cut — no codec anywhere,
+    * which is exactly what pins the Spark side's container round-trip. */
+  val videoShotStatsSql: String =
+    s"""WITH meta AS (
+       |  SELECT doc_id, doc_id % 24 + 2 AS nf, doc_id % 4 + 2 AS L
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, f.f AS f, p.p AS p,
+       |    ((doc_id * 31 + (f.f // L) * 53 + p.p * 17) % 256
+       |      + CASE WHEN p.p < f.f % 3 THEN 16 ELSE 0 END) % 256 AS g
+       |  FROM meta, unnest(range(0, nf)) AS f(f),
+       |    range(${Avi.Side * Avi.Side}) p(p)),
+       |diff AS (
+       |  SELECT a.doc_id,
+       |    CASE WHEN sum(abs(a.g - b.g)) > $ShotCutSum THEN 1 ELSE 0 END
+       |      AS cut
+       |  FROM px a JOIN px b
+       |    ON a.doc_id = b.doc_id AND b.f = a.f - 1 AND a.p = b.p
+       |  GROUP BY a.doc_id, a.f),
+       |shots AS (
+       |  SELECT doc_id, CAST(1 + sum(cut) AS BIGINT) AS n_shots
+       |  FROM diff GROUP BY doc_id),
+       |luma AS (
+       |  SELECT doc_id, CAST(sum(g) AS BIGINT) AS total_luma
+       |  FROM px GROUP BY doc_id)
+       |SELECT m.doc_id, CAST(m.nf AS BIGINT) AS n_frames,
+       |  CAST(coalesce(s.n_shots, 1) AS BIGINT) AS n_shots, l.total_luma
+       |FROM meta m
+       |LEFT JOIN shots s ON s.doc_id = m.doc_id
+       |JOIN luma l ON l.doc_id = m.doc_id
+       |ORDER BY m.doc_id""".stripMargin
+
+  /** q226 pixel closed form: video `vid`, frame `f`, raster position
+    * `p`. The q135 grouping applied to video frames: videos in the same
+    * group of 4 (`vid / 4`) share per-frame base patterns, and the
+    * `vid % 4` low raster positions are brightened by +128 — so frame
+    * `f` of group-mates are genuine near-duplicates (≤3 perturbed
+    * pixels, all in dHash row 0 → Hamming ≤ 3) while unrelated frames
+    * stay apart. The base is QUADRATIC in `p` with two independent
+    * 8-bit frame parameters (A, B): an affine-in-p form has a constant
+    * adjacent-pixel delta, which would collapse every frame to a
+    * handful of dHash classes and blow the pair set up quadratically;
+    * a single-parameter form still leaves only 256 classes. Two
+    * parameters give ~65k classes, so incidental exact-hash collisions
+    * among the corpus's ~10³ frames stay at birthday-bound counts
+    * (both engines compute them identically either way). */
+  private[graft] def vidGroupPixel(vid: Long, f: Int, p: Int): Int = {
+    val a = ((vid / 4) * 37 + f * 29) % 256
+    val b = ((vid / 4) * 53 + f * 71 + 11) % 256
+    val base = (a * (p + 1) + b * (p + 1) * (p + 1)) % 256
+    (if (p < vid % 4) (base + 128) % 256 else base).toInt
+  }
+
+  /** dHash of a decoded top-down gray raster: bit `y·7+x` set iff
+    * pixel(x,y) < pixel(x+1,y) — [[dhash]]'s convention without the
+    * BufferedImage. */
+  private[graft] def dhashGray(g: Array[Int]): Long = {
+    var fp = 0L
+    var y = 0
+    while (y < Avi.Side) {
+      var x = 0
+      while (x < Avi.Side - 1) {
+        if (g(y * Avi.Side + x) < g(y * Avi.Side + x + 1))
+          fp |= 1L << (y * (Avi.Side - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** (doc_id·100 + frame, dHash) for every frame of the sampled videos
+    * (1-in-8 of the corpus, `vid = doc_id/8`, `vid%6 + 2` frames each),
+    * computed THROUGH the real AVI round-trip. The composite frame id
+    * keys the Hamming join; frame counts stay ≤ 7 so the id is
+    * unambiguous and lexicographic in (doc, frame). */
+  private def videoFrameHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 8 === 0)   // Column filter: reaches the scan
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val vid = id / 8
+          val nf = (vid % 6 + 2).toInt
+          val raw = Array.tabulate(nf)(f =>
+            Array.tabulate(Avi.Side * Avi.Side)(p => vidGroupPixel(vid, f, p)))
+          Avi.decode(Avi.encode(raw)).iterator.zipWithIndex.map {
+            case (fr, f) => (id * 100 + f, dhashGray(fr))
+          }
+        }
+      }.toDF("doc_id", "fp")
+  }
+
+  /** q226 — cross-video frame near-duplication: dHash fingerprints from
+    * the REAL AVI decode, then Hamming-≤3 pairs via the q25/q135
+    * chunk-pigeonhole equi-join (4×14-bit chunks) — deduplicating frames
+    * across a video corpus before vision-LM training, with no pairwise
+    * scan anywhere. The oracle recomputes the hash from
+    * [[vidGroupPixel]]'s closed form WITHOUT any codec and verifies the
+    * pair set exactly.
+    *
+    * Scale shape: frames decode partition-local; only (fid, 8-byte fp)
+    * leaves the scan, and the candidate join is chunk-keyed — the
+    * q24/q25 banding story applied to video frames. */
+  def videoFrameNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingPairs(videoFrameHashes(s, dir),
+      chunks = 4, chunkBits = DHashBits / 4, maxDist = 3)
+      .select(expr("a_id DIV 100").as("a_doc"),
+        expr("a_id % 100").as("a_frame"),
+        expr("b_id DIV 100").as("b_doc"),
+        expr("b_id % 100").as("b_frame"),
+        col("hamming"))
+      .orderBy(col("a_doc"), col("a_frame"), col("b_doc"), col("b_frame"))
+
+  /** DuckDB spelling: dHash bits from the same closed-form pixels via a
+    * lead() comparison (no codec — that is the point), O(F²) verify join
+    * over the sampled frames as in q135's oracle. */
+  val videoFrameNearDupSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id, doc_id // 8 AS vid, (doc_id // 8) % 6 + 2 AS nf
+       |  FROM documents WHERE doc_id % 8 = 0),
+       |ab AS (
+       |  SELECT doc_id, vid, nf, f.f AS f,
+       |    ((vid // 4) * 37 + f.f * 29) % 256 AS a,
+       |    ((vid // 4) * 53 + f.f * 71 + 11) % 256 AS b
+       |  FROM v, unnest(range(0, nf)) AS f(f)),
+       |px AS (
+       |  SELECT doc_id, f, p.p AS p,
+       |    CASE WHEN p.p < vid % 4
+       |      THEN ((a * (p.p + 1) + b * (p.p + 1) * (p.p + 1)) % 256 + 128)
+       |        % 256
+       |      ELSE (a * (p.p + 1) + b * (p.p + 1) * (p.p + 1)) % 256
+       |    END AS g
+       |  FROM ab, range(${Avi.Side * Avi.Side}) p(p)),
+       |fp AS (
+       |  SELECT doc_id, f, doc_id * 100 + f AS fid,
+       |    CAST(coalesce(sum(CASE WHEN p % ${Avi.Side} < ${Avi.Side - 1}
+       |        AND g < next_g
+       |      THEN 1::BIGINT
+       |        << CAST((p // ${Avi.Side}) * ${Avi.Side - 1}
+       |          + (p % ${Avi.Side}) AS INTEGER) END), 0) AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, f, p, g,
+       |          lead(g) OVER (PARTITION BY doc_id, f ORDER BY p) AS next_g
+       |        FROM px)
+       |  GROUP BY doc_id, f)
+       |SELECT a.doc_id AS a_doc, a.f AS a_frame,
+       |  b.doc_id AS b_doc, b.f AS b_frame,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.fid < b.fid
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY a_doc, a_frame, b_doc, b_frame""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_media_meta" -> (mediaMeta _),
     "q70_frame_sample" -> (frameSample _),
     "q135_image_neardup" -> (imageNearDup _),
-    "q201_audio_features" -> (audioFeatures _))
+    "q201_audio_features" -> (audioFeatures _),
+    "q225_video_shots" -> (videoShotStats _),
+    "q226_frame_neardup" -> (videoFrameNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q26_media_meta" -> mediaMetaSql,
     "q70_frame_sample" -> frameSampleSql,
     "q135_image_neardup" -> imageNearDupSql,
-    "q201_audio_features" -> audioFeaturesSql)
+    "q201_audio_features" -> audioFeaturesSql,
+    "q225_video_shots" -> videoShotStatsSql,
+    "q226_frame_neardup" -> videoFrameNearDupSql)
 }

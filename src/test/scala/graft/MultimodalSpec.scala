@@ -223,4 +223,93 @@ class MultimodalSpec extends SparkSpec {
     assert(sql.contains("coalesce(p.peak_window, 0)"))
     assert(sql.contains("coalesce(p.peak_energy, 0)"))
   }
+
+  test("AVI codec: encode→decode round-trips frames pixel-for-pixel") {
+    import graft.ext.Avi
+    // deterministic pseudo-random rasters, including 0 and 255 extremes
+    val frames = Array.tabulate(5)(f =>
+      Array.tabulate(Avi.Side * Avi.Side)(p => (f * 89 + p * 131 + 7) % 256))
+    frames(1)(0) = 0; frames(1)(1) = 255
+    val bytes = Avi.encode(frames)
+    // a genuine RIFF envelope with the documented size arithmetic
+    assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "AVI ")
+    assert(bytes.length === 232 + 216 * frames.length)
+    val back = Avi.decode(bytes)
+    assert(back.length === frames.length)
+    frames.indices.foreach { f =>
+      assert(back(f).toSeq === frames(f).toSeq,
+        s"frame $f must round-trip bit-exactly")
+    }
+    // single-frame videos are valid too
+    assert(Avi.decode(Avi.encode(frames.take(1))).length === 1)
+  }
+
+  test("AVI codec: malformed containers are hard errors, never black frames") {
+    import graft.ext.Avi
+    val good = Avi.encode(Array.tabulate(3)(f =>
+      Array.tabulate(Avi.Side * Avi.Side)(p => (f + p * 13) % 256)))
+    def corrupt(at: Int, v: Byte): Array[Byte] = {
+      val c = good.clone(); c(at) = v; c
+    }
+    // RIFF magic, truncation, movi frame fourcc, idx1 offset, trailing junk
+    intercept[IllegalArgumentException](Avi.decode(corrupt(0, 'X'.toByte)))
+    intercept[IllegalArgumentException](Avi.decode(good.take(good.length - 4)))
+    intercept[IllegalArgumentException](Avi.decode(good ++ Array[Byte](0)))
+    intercept[IllegalArgumentException](Avi.decode(Array[Byte](1, 2, 3)))
+    // flip one byte of the idx1 offset of frame 2 (last 16-byte entry:
+    // ckid, flags, offset, length → offset bytes are at -8..-5)
+    intercept[IllegalArgumentException](
+      Avi.decode(corrupt(good.length - 8, 99)))
+    // a non-gray pixel inside a movi chunk (G != B) must be rejected:
+    // the movi payload starts after RIFF(12)+hdrl(200)+LIST movi hdr(12)
+    // +chunk hdr(8); +1 lands on the G channel of the first pixel
+    intercept[IllegalArgumentException](
+      Avi.decode(corrupt(12 + 200 + 12 + 8 + 1,
+        ((good(12 + 200 + 12 + 8 + 1) & 0xff) ^ 0x80).toByte)))
+  }
+
+  test("q225: decoded-frame shot detection equals the scene structure") {
+    // the detector (sum |Δpixel| > ShotCutSum over REAL decoded frames)
+    // must reproduce the generator's scene arithmetic exactly: shots of
+    // length id%4+2 → 1 + (nf-1) / L boundaries... computed structurally
+    val out = Multimodal.videoShotStats(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size.toLong ===
+      graft.tables.Tables.documents(spark, sf).count())
+    out.foreach { case (id, (nf, shots)) =>
+      val l = id % 4 + 2
+      assert(nf === id % 24 + 2)
+      assert(shots === (nf - 1) / l + 1,
+        s"doc $id: detected $shots shots for nf=$nf L=$l")
+    }
+  }
+
+  test("q226: group-mate frames pair at Hamming ≤ 3; pairs are bounded") {
+    val pairs = Multimodal.videoFrameNearDup(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 3)
+      assert(r.getAs[Long]("a_doc") % 8 === 0)
+      assert(r.getAs[Long]("b_doc") % 8 === 0)
+    }
+    // every same-(group, frame) video pair is detected: vid = doc/8,
+    // group = vid/4 — group-mates share base patterns at each frame
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 8 == 0).sorted
+    val byGroup = docs.groupBy(id => (id / 8) / 4)
+    val expected = byGroup.values.flatMap { arr =>
+      val g = arr.toSeq
+      for {
+        a <- g; b <- g if a < b
+        nfA = ((a / 8) % 6 + 2).toInt; nfB = ((b / 8) % 6 + 2).toInt
+        f <- 0 until math.min(nfA, nfB)
+      } yield (a, f.toLong, b, f.toLong)
+    }.toSet
+    val got = pairs.map(r => (r.getAs[Long]("a_doc"), r.getAs[Long]("a_frame"),
+      r.getAs[Long]("b_doc"), r.getAs[Long]("b_frame"))).toSet
+    assert(expected.subsetOf(got),
+      s"missing ${expected.diff(got).size} in-group frame pairs")
+  }
 }

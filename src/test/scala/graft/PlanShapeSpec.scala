@@ -360,6 +360,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop appeared:\n$p")
   }
 
+  test("q226: video frame near-dup candidates never plan a cartesian") {
+    val p = plan(graft.ext.Multimodal.videoFrameNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in frame near-dup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop appeared:\n$p")
+  }
+
   test("q139: hard-negative mining joins on buckets/ids only, never all-pairs") {
     val p = plan(graft.ext.Similarity.hardNegatives(spark, sf))
     assert(!p.contains("CartesianProduct"), s"cartesian in hard-negative mining:\n$p")
