@@ -73,7 +73,9 @@ object SparkEntry {
     "q189_memorization_attr",  // per-probe provenance ranking
     "q198_weighted_sample",    // the per-source sample rank is the draw
     "q202_epoch_allocation",   // the greedy schedule IS an order
-    "q223_serve_suppress")     // the suppressed rerank IS the deliverable
+    "q223_serve_suppress",     // the suppressed rerank IS the deliverable
+    "q225_video_shots",        // unique per-doc key; free order pin
+    "q226_frame_neardup")      // unique (a,b,frame) key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
