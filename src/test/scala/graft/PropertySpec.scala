@@ -291,4 +291,38 @@ class PropertySpec extends SparkSpec {
       if (candidate) assert(lev(a, b) <= 2, s"absurd candidate ($a, $b)")
     }
   }
+
+  test("AVI codec: random videos round-trip; random corruption never " +
+      "decodes silently") {
+    import graft.ext.Avi
+    val frameGen: Gen[Array[Int]] =
+      Gen.listOfN(Avi.Side * Avi.Side, Gen.chooseNum(0, 255)).map(_.toArray)
+    val videoGen: Gen[Array[Array[Int]]] =
+      Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, frameGen))
+        .map(_.toArray)
+    (1 to 25).foreach { i =>
+      val vid = sample(videoGen, i)
+      val bytes = Avi.encode(vid)
+      val back = Avi.decode(bytes)
+      assert(back.length === vid.length, s"seed $i: frame count")
+      vid.indices.foreach(f =>
+        assert(back(f).toSeq === vid(f).toSeq, s"seed $i frame $f"))
+      // single-byte corruption: either the decoder REJECTS the
+      // container, or the flip landed in a don't-care field (reserved
+      // words, rate/quality hints — skipped by convention) and the
+      // decoded PIXELS are untouched. What must never happen is a
+      // silent pixel change: any movi channel flip breaks the B=G=R
+      // invariant, every structural field is validated.
+      val at = sample(Gen.chooseNum(0, bytes.length - 1), i + 31)
+      val flip = sample(Gen.chooseNum(1, 255), i + 63).toByte
+      val bad = bytes.clone(); bad(at) = (bad(at) ^ flip).toByte
+      try {
+        val decoded = Avi.decode(bad)
+        assert(decoded.length === vid.length &&
+          vid.indices.forall(f => decoded(f).toSeq == vid(f).toSeq),
+          s"seed $i: corruption at $at (xor $flip) silently CHANGED " +
+            "decoded pixels — a structural field is going unvalidated")
+      } catch { case _: IllegalArgumentException => () /* rejected: ok */ }
+    }
+  }
 }
