@@ -652,9 +652,10 @@ object Multimodal {
     * computed THROUGH the real AVI round-trip. The composite frame id
     * keys the Hamming join; frame counts stay ≤ 7 so the id is
     * unambiguous and lexicographic in (doc, frame). */
-  private def videoFrameHashes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def videoFrameHashesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
+    docs
       .filter(col("doc_id") % 8 === 0)   // Column filter: reaches the scan
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
@@ -670,6 +671,9 @@ object Multimodal {
       }.toDF("doc_id", "fp")
   }
 
+  private def videoFrameHashes(s: SparkSession, dir: String): DataFrame =
+    videoFrameHashesOf(Tables.documents(s, dir))
+
   /** q226 — cross-video frame near-duplication: dHash fingerprints from
     * the REAL AVI decode, then Hamming-≤3 pairs via the q25/q135
     * chunk-pigeonhole equi-join (4×14-bit chunks) — deduplicating frames
@@ -682,7 +686,13 @@ object Multimodal {
     * leaves the scan, and the candidate join is chunk-keyed — the
     * q24/q25 banding story applied to video frames. */
   def videoFrameNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.hammingPairs(videoFrameHashes(s, dir),
+    frameNearDupFrom(videoFrameHashes(s, dir))
+
+  /** The q226 pair report over any (fid, fp) frame-hash relation — the
+    * batch core [[graft.streaming.DocStreams.maintainFrameIndex]] serves
+    * incrementally over its carried index. */
+  private[graft] def frameNearDupFrom(hashes: DataFrame): DataFrame =
+    Dedup.hammingPairs(hashes,
       chunks = 4, chunkBits = DHashBits / 4, maxDist = 3)
       .select(expr("a_id DIV 100").as("a_doc"),
         expr("a_id % 100").as("a_frame"),

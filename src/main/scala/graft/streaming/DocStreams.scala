@@ -239,6 +239,40 @@ object DocStreams {
       .start()
   }
 
+  /** Video-frame-index maintenance — q226's continuous twin, the
+    * MULTIMODAL arm of the maintainer family: each micro-batch of
+    * arriving documents is decoded through the real RIFF/AVI codec into
+    * its per-frame dHashes ONLY (drop-sized work — indexed videos are
+    * never re-decoded), appended to the carried (fid, fp) index, and
+    * the cross-video near-dup pair report is served from the state —
+    * per wave ≡ a from-scratch q226 over everything ingested
+    * (StreamingSpec locks the equality over ≥3 drops + restart
+    * re-seed). The anti-join on the composite frame id makes a
+    * replayed batch idempotent (all frames of a redelivered doc share
+    * the delivery, so doc-granular redelivery inserts nothing).
+    *
+    * Scale shape: only 8-byte hashes are carried — frame pixels die in
+    * the decode partition; the per-wave report is the chunk-pigeonhole
+    * join over the index, same plan-locked shape as batch q226. At
+    * 100 TB the index is a persisted bucketed table the sink appends
+    * to; here it lives as an eagerly localCheckpointed frame so lineage
+    * cannot grow across an unbounded stream. */
+  def maintainFrameIndex(docStream: DataFrame, initialHashes: DataFrame,
+      checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var hashes = initialHashes.localCheckpoint()
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = graft.ext.Multimodal.videoFrameHashesOf(batch)
+          .join(hashes.select("doc_id").distinct(), Seq("doc_id"),
+            "left_anti")
+        hashes = hashes.unionByName(fresh).localCheckpoint()
+        sink(graft.ext.Multimodal.frameNearDupFrom(hashes), batchId)
+      }
+      .start()
+  }
+
   def maintainClusters(docStream: DataFrame, initialSigs: DataFrame,
       initialLabels: DataFrame, checkpointDir: String,
       minEst: Double = 0.5)(

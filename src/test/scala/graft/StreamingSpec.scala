@@ -765,4 +765,52 @@ class StreamingSpec extends SparkSpec {
     assert(latest.forall(_._6 == 1L), s"estimate escaped its bound: " +
       latest.mkString(", "))
   }
+
+  test("streaming frame index: per-wave report equals batch q226 rebuild; restart re-seeds") {
+    import graft.ext.Multimodal
+    import graft.streaming.DocStreams
+    // seed corpus = doc_id%4==0; three waves from the other residues.
+    // Each drop decodes ONLY its own videos through the real AVI codec;
+    // the served cross-video pair report must equal a from-scratch q226
+    // over everything ingested so far
+    val docs = Tables.documents(spark, sf).localCheckpoint(eager = false)
+    def slice(r: Int) = docs.filter(col("doc_id") % 4 === r)
+    type Pair = (Long, Long, Long, Long, Long)
+    def get5(r: org.apache.spark.sql.Row): Pair =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    def fullRebuild(upTo: Int): Set[Pair] =
+      Multimodal.frameNearDupFrom(Multimodal.videoFrameHashesOf(
+          docs.filter(col("doc_id") % 4 <= upTo)))
+        .collect().map(get5).toSet
+    val dropsDir = Files.createTempDirectory("graft-frame-drops").toString
+    val ckpt = Files.createTempDirectory("graft-frame-ckpt").toString
+    slice(1).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    slice(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    @volatile var latest = Array.empty[Pair]
+    val batchIds = scala.collection.mutable.Set.empty[Long]
+    def start(seed: org.apache.spark.sql.DataFrame) =
+      DocStreams.maintainFrameIndex(
+        DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+        Multimodal.videoFrameHashesOf(seed), ckpt) { (m, id) =>
+        this.synchronized {
+          latest = m.collect().map(get5)
+          batchIds += id
+        }
+      }
+    val q1 = start(slice(0))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(latest.toSet === fullRebuild(2),
+      "maintained frame report diverges from batch rebuild after waves 1+2")
+    // wave 3 lands while the maintainer is DOWN; the restart re-seeds
+    // the hash carry from the ingested corpus and must catch up
+    slice(3).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start(docs.filter(col("doc_id") % 4 <= 2))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchIds.size >= 3, s"expected >=3 micro-batches, got $batchIds")
+    assert(latest.toSet === fullRebuild(3),
+      "post-restart frame report diverges from batch rebuild")
+    // the maintained state must actually be finding cross-video pairs
+    assert(latest.exists(p => p._1 != p._3),
+      "no cross-video near-dup frames in the stream")
+  }
 }
