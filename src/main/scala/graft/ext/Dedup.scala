@@ -263,11 +263,19 @@ object Dedup {
     * candidates via chunk equality (pigeonhole: with `chunks` chunks of
     * `chunkBits` bits, dist ≤ chunks-1 ⇒ ≥1 chunk equal), then exact
     * bit_count filter. The chunk join is a plain equi-join on a small key
-    * — the scale-safe formulation (never all-pairs). */
+    * — the scale-safe formulation (never all-pairs).
+    *
+    * The input is materialized ONCE (lazy localCheckpoint, the shingle-
+    * index discipline): both self-join branches would otherwise recompute
+    * the fingerprint lineage, which for the q135/q226 callers means
+    * decoding every image/video TWICE — at 100 TB the decode is the
+    * dominant cost while the (id, 8-byte fp) relation is trivially
+    * storable. */
   private[ext] def hammingPairs(fp: DataFrame, chunks: Int, chunkBits: Int,
       maxDist: Int): DataFrame = {
     val mask = (1L << chunkBits) - 1
-    val chunked = fp.select(col("doc_id"), col("fp"),
+    val chunked = fp.localCheckpoint(eager = false)
+      .select(col("doc_id"), col("fp"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("fp"), c * chunkBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "chunk_val")))
