@@ -48,7 +48,14 @@ names = sorted(results["0.1"].keys())
 rows = []
 flagged = []
 for q in names:
-    t1, t2, t3 = (results[s][q] for s, _ in SFS)
+    t1, t2, t3 = (results[s].get(q) for s, _ in SFS)
+    # a query whose every rep failed at some SF is recorded as null by
+    # Bench (which still exits 0): FLAG it instead of dying on None math
+    if None in (t1, t2, t3):
+        rows.append((q, t1 or -1.0, t2 or -1.0, t3 or -1.0,
+                     "BENCH FAILURE at some SF (null timing)", True))
+        flagged.append(q)
+        continue
     # incremental slopes in sec per unit-SF (rows ~ SF)
     s1 = (t2 - t1) / (0.01 - 0.001)
     s2 = (t3 - t2) / (0.1 - 0.01)

@@ -491,20 +491,46 @@ object Retrieval {
     * with k = [[FuseK]] — serving-cost, corpus-independent; vectors
     * re-attach by id (the q49 ship-ids-not-payloads discipline) and
     * the rerank window runs over ≤ k rows per query. */
+  /** The fused shortlist with its int8 vectors attached — O(Q·k) rows,
+    * memoized like [[fusedList]] itself so a SERVE never re-runs the
+    * corpus-wide quantization projection: without this, every
+    * serveSuppress call would pay one full embeddings pass just to
+    * re-attach ≤ Q·k vectors by id, making per-serve cost scale with
+    * the corpus and contradicting the operator's corpus-independent
+    * contract. The one quantization pass happens at first build,
+    * amortized exactly like the shortlist. */
+  private val fusedVecCache = new graft.ops.SessionMemo[DataFrame]
+  private def fusedListWithVecs(s: SparkSession, dir: String): DataFrame =
+    fusedVecCache.getOrBuild(s, dir) {
+      attachVecs(fusedList(s, dir),
+        Similarity.quantizedVectors(Tables.embeddings(s, dir)))
+        .localCheckpoint()
+    }
+
+  private def attachVecs(sl: DataFrame, quant: DataFrame): DataFrame =
+    sl.join(quant.select(col("vec_id").as("doc_id"), col("q")),
+      Seq("doc_id"))
+
   def serveSuppress(s: SparkSession, dir: String): DataFrame =
-    // rides the q174/q194 session memo: the fused shortlist is built
-    // once per (session, dir) and all three consumers read the
-    // checkpointed O(Q·k) relation
-    serveSuppressOf(fusedList(s, dir),
-      Similarity.quantizedVectors(Tables.embeddings(s, dir)))
+    // rides the q174/q194 session memo: the fused shortlist (with its
+    // vectors attached) is built once per (session, dir) and every
+    // serve reads the checkpointed O(Q·k) relations
+    serveSuppressAttached(fusedList(s, dir), fusedListWithVecs(s, dir))
 
   /** [[serveSuppress]] over any (query_id, rnk, doc_id) shortlist and
     * (vec_id, q) quantized relation — the spec plants forced near-dups
     * through this. */
   private[graft] def serveSuppressOf(sl: DataFrame,
-      quant: DataFrame): DataFrame = {
-    val sv = sl
-      .join(quant.select(col("vec_id").as("doc_id"), col("q")), Seq("doc_id"))
+      quant: DataFrame): DataFrame =
+    serveSuppressAttached(sl, attachVecs(sl, quant))
+
+  /** Core suppression: `sl` is the FULL shortlist (rows without an
+    * embedding included — they can neither suppress nor be suppressed
+    * and always survive), `svIn` the vector-attached subset feeding the
+    * pair join. */
+  private def serveSuppressAttached(sl: DataFrame,
+      svIn: DataFrame): DataFrame = {
+    val sv = svIn
       .localCheckpoint(eager = false) // both sides of the pair join
     val hi = sv.select(col("query_id"), col("rnk").as("hi_rnk"),
       col("q").as("hi_q"))

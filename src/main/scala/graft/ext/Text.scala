@@ -501,12 +501,21 @@ object Text {
   /** Σ df·(df−1)/2 over the shingle index — q104's prediction as a
     * pre-flight scalar: the EXACT number of candidate pairs the uncapped
     * self-join would generate, computed by one partial-aggregated scan
-    * before any quadratic work. */
-  private[graft] def predictedCandidatePairs(docs: DataFrame): Long = {
+    * before any quadratic work. Summed in decimal(38,0) and returned as
+    * BigInt: int64 arithmetic would wrap at exactly the corpus sizes the
+    * guard exists to refuse (df·(df−1) overflows past df ≈ 3e9, and a
+    * silently wrapped NEGATIVE prediction would wave the quadratic join
+    * through). A null sum over a non-empty index means even the decimal
+    * overflowed — treated as "refuse", never as zero. */
+  private[graft] def predictedCandidatePairs(docs: DataFrame): BigInt = {
     val r = shingleIndexOf(docs)
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .agg(expr("sum(df * (df - 1) div 2)").as("p")).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+      .agg(sum(col("df").cast("decimal(38,0)") * (col("df") - lit(1)))
+          .as("p"),
+        count(lit(1)).as("n_shingles")).head()
+    if (r.getLong(1) == 0) BigInt(0)
+    else if (r.isNullAt(0)) BigInt(10).pow(40) // decimal overflow: refuse
+    else BigInt(r.getDecimal(0).toBigInteger) / 2
   }
 
   /** q23 — UNCAPPED n-gram Jaccard: the exactness BASELINE

@@ -130,8 +130,12 @@ object AvroIo {
   private def toSparkValue(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (l: java.lang.Long, TimestampType) =>
-      val ts = new java.sql.Timestamp(l / 1000L)
-      ts.setNanos(((l % 1000000L) * 1000L).toInt)
+      // floor semantics so pre-1970 micros work: truncating division
+      // would pair a rounded-toward-zero milli with a NEGATIVE nanos
+      // remainder, and Timestamp.setNanos throws on negatives (the NTZ
+      // branch below always had the floorDiv/floorMod form)
+      val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000L))
+      ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt)
       ts
     case (l: java.lang.Long, TimestampNTZType) =>
       java.time.LocalDateTime.ofEpochSecond(
@@ -148,23 +152,58 @@ object AvroIo {
 
   // ---- sink ----------------------------------------------------------------
 
+  /** The job-completion marker: written by the driver only after every
+    * partition task has committed its file, so a killed job can never
+    * masquerade as a complete dataset. */
+  private[graft] val SuccessMarker = "_SUCCESS"
+
+  /** Serialize the driver's effective Hadoop configuration so executor
+    * tasks resolve paths the same way (s3a credentials, nameservices,
+    * fs.*.impl — `new Configuration()` on an executor would silently
+    * drop every `spark.hadoop.*` setting). `iterator` yields the merged
+    * effective entries, so rebuilding from (k, v) pairs over an empty
+    * conf reproduces them. */
+  private def hadoopConfKv(spark: SparkSession): Array[(String, String)] =
+    spark.sparkContext.hadoopConfiguration.asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+  private def rebuildConf(kv: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    kv.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Write `df` as a directory of Avro container files, one per
     * partition. Deflate-compressed: the container format's own codec,
-    * readable by any Avro tool. */
+    * readable by any Avro tool.
+    *
+    * Commit protocol (write-temp → rename → driver marker): each task
+    * attempt writes `part-NNNNN.avro.inprogress-<attempt>` — attempt-
+    * unique, so speculative twins never interleave bytes into one
+    * stream — then renames to the final name; the loser of a rename
+    * race deletes its temp (both attempts carry identical rows). The
+    * driver writes [[SuccessMarker]] only after every task committed,
+    * and [[read]] refuses a directory without it — a job that died
+    * halfway can never be silently read as a complete (smaller)
+    * dataset. */
   def write(df: DataFrame, path: String): Unit = {
     val sparkSchema = df.schema
     val schemaJson = toAvroSchema(sparkSchema).toString
     val dir = new Path(path)
-    val fs = dir.getFileSystem(
+    val driverFs = dir.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) fs.delete(dir, true)
-    fs.mkdirs(dir)
+    if (driverFs.exists(dir)) driverFs.delete(dir, true)
+    driverFs.mkdirs(dir)
+    val confKv = df.sparkSession.sparkContext.broadcast(
+      hadoopConfKv(df.sparkSession))
     df.foreachPartition { (rows: Iterator[Row]) =>
-      val pid = TaskContext.getPartitionId()
+      val tc = TaskContext.get()
+      val pid = tc.partitionId()
       val schema = new Schema.Parser().parse(schemaJson)
-      val file = new Path(path, f"part-$pid%05d.avro")
-      val pfs = file.getFileSystem(new Configuration())
-      val out = pfs.create(file, true)
+      val finalFile = new Path(path, f"part-$pid%05d.avro")
+      val tmpFile = new Path(path,
+        f"part-$pid%05d.avro.inprogress-${tc.taskAttemptId()}")
+      val pfs = finalFile.getFileSystem(rebuildConf(confKv.value))
+      val out = pfs.create(tmpFile, true)
       val writer = new DataFileWriter(
         new GenericDatumWriter[GenericRecord](schema))
       writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
@@ -178,7 +217,16 @@ object AvroIo {
         }
         writer.append(rec)
       } finally writer.close() // closes the stream too
+      if (!pfs.rename(tmpFile, finalFile)) {
+        // rename refuses when the destination exists: a speculative twin
+        // already committed identical content — drop our copy
+        if (pfs.exists(finalFile)) pfs.delete(tmpFile, false)
+        else throw new java.io.IOException(
+          s"AvroIo: could not commit $tmpFile -> $finalFile")
+      }
+      ()
     }
+    driverFs.create(new Path(dir, SuccessMarker), true).close()
   }
 
   // ---- source --------------------------------------------------------------
@@ -189,9 +237,12 @@ object AvroIo {
   def read(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = fs.getFileStatus(p).isDirectory
+    if (isDir) require(fs.exists(new Path(p, SuccessMarker)),
+      s"AvroIo: $path has no $SuccessMarker marker — the writing job " +
+        "did not complete; refusing to read a partial dataset")
     val files =
-      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-       else Seq(fs.getFileStatus(p)))
+      (if (isDir) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
         .map(_.getPath)
         .filter(_.getName.endsWith(".avro"))
         .map(_.toString).sorted
@@ -200,11 +251,12 @@ object AvroIo {
       new FsInput(new Path(files.head), spark.sparkContext.hadoopConfiguration),
       new GenericDatumReader[GenericRecord]())
     val sparkSchema = try toSparkSchema(probe.getSchema) finally probe.close()
+    val confKv = spark.sparkContext.broadcast(hadoopConfKv(spark))
     val rdd = spark.sparkContext
       .parallelize(files, files.length)
       .flatMap { f =>
         val reader = new DataFileReader(
-          new FsInput(new Path(f), new Configuration()),
+          new FsInput(new Path(f), rebuildConf(confKv.value)),
           new GenericDatumReader[GenericRecord]())
         // a downstream limit may stop consuming mid-file: close on task
         // completion, not only on iterator exhaustion
@@ -212,9 +264,13 @@ object AvroIo {
           _.addTaskCompletionListener[Unit](_ =>
             try reader.close() catch { case _: Exception => () }))
         new Iterator[Row] {
-          def hasNext: Boolean = {
+          // latch exhaustion: the iterator contract allows hasNext after
+          // it returned false, but DataFileReader.hasNext throws once
+          // the reader is closed
+          private var finished = false
+          def hasNext: Boolean = !finished && {
             val h = reader.hasNext
-            if (!h) reader.close()
+            if (!h) { finished = true; reader.close() }
             h
           }
           def next(): Row = {

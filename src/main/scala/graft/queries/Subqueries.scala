@@ -135,7 +135,9 @@ object Subqueries {
   private[graft] def q42EmbeddingNearDupGuardedOf(e: DataFrame,
       bound: Long): DataFrame = {
     val n = e.count()
-    val predicted = n * (n - 1) / 2
+    // BigInt: n·(n−1)/2 wraps a Long past n ≈ 3.04e9 — i.e. the guard
+    // arithmetic itself would overflow at exactly the scale it refuses
+    val predicted = BigInt(n) * (n - 1) / 2
     if (predicted > bound) throw new IllegalStateException(
       s"exact all-pairs embedding near-dup (q42) would compare $predicted " +
         s"pairs (> $bound): this query is an exactness baseline — use the " +

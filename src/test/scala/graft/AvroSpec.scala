@@ -66,4 +66,47 @@ class AvroSpec extends SparkSpec {
     assert(magic.toSeq === Seq('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte),
       "missing Avro container magic (Obj\\x01)")
   }
+
+  test("pre-1970 timestamps with sub-second micros round-trip") {
+    import SparkSpec.spark.implicits._
+    // negative epoch micros: truncating division would pair a
+    // rounded-toward-zero milli with negative nanos and crash setNanos
+    val df = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("ts", when(col("id") === 1L,
+          to_timestamp(lit("1969-12-31 23:59:59.5")))
+        .when(col("id") === 2L,
+          to_timestamp(lit("1969-12-31 23:59:59.999999")))
+        .otherwise(to_timestamp(lit("1901-06-15 01:02:03.000001"))))
+    val back = roundTrip(df, 1)
+    assert(df.exceptAll(back).count() === 0 &&
+      back.exceptAll(df).count() === 0, "pre-1970 micros lost or shifted")
+  }
+
+  test("a directory without the _SUCCESS marker refuses to read") {
+    import SparkSpec.spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro_partial_").toString
+    AvroIo.write(Seq((1L, "x"), (2L, "y")).toDF("a", "b").repartition(2), dir)
+    // a complete write reads fine; simulate a died-halfway job by
+    // removing the marker the driver writes LAST
+    assert(AvroIo.read(spark, dir).count() === 2)
+    assert(new java.io.File(dir, AvroIo.SuccessMarker).delete())
+    val e = intercept[IllegalArgumentException](AvroIo.read(spark, dir))
+    assert(e.getMessage.contains(AvroIo.SuccessMarker),
+      s"refusal must name the missing marker: ${e.getMessage}")
+    // reading a single FILE (not a directory) needs no marker
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(parts.map(f => AvroIo.read(spark, f.toString).count()).sum === 2L)
+  }
+
+  test("exhausted read iterators tolerate repeated hasNext probes") {
+    import SparkSpec.spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro_iter_").toString
+    AvroIo.write((1L to 10L).toDF("n").coalesce(1), dir)
+    // a downstream limit stops consuming mid-file, and wrapper iterators
+    // (CompletionIterator et al.) probe hasNext after exhaustion — both
+    // paths must not throw on the closed reader
+    assert(AvroIo.read(spark, dir).limit(3).count() === 3)
+    assert(AvroIo.read(spark, dir).collect().length === 10)
+  }
 }

@@ -37,6 +37,24 @@ class SessionMemoSpec extends SparkSpec {
     assert(builds === 2, "live session's entry was wrongly invalidated")
   }
 
+  test("the LRU cap bounds growth when no session ever 'stops'") {
+    // newSession() clones share the context, so the stopped-predicate
+    // never fires for abandoned clones; the access-order cap is what
+    // bounds that case
+    val memo = new SessionMemo[Int](_ => false)
+    (0 to SessionMemo.MaxEntries + 10).foreach(i =>
+      memo.getOrBuild(spark, s"/d$i")(i))
+    assert(memo.size === SessionMemo.MaxEntries, "cap not enforced")
+    // the most recent entry is retained (no rebuild on re-access)…
+    var rebuilt = false
+    val last = SessionMemo.MaxEntries + 10
+    assert(memo.getOrBuild(spark, s"/d$last") { rebuilt = true; -1 } === last)
+    assert(!rebuilt, "hot entry was wrongly evicted")
+    // …and the eldest was the one evicted
+    assert(memo.getOrBuild(spark, "/d0") { rebuilt = true; -2 } === -2)
+    assert(rebuilt, "eldest entry survived past the cap")
+  }
+
   test("production memos default to sparkContext.isStopped") {
     // the default predicate is the real liveness check — a live local
     // session must be retained across accesses
