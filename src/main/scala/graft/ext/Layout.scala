@@ -50,9 +50,6 @@ object Layout {
       datediff(to_date(col("o_orderdate")),
         to_date(lit("1970-01-01"))).cast("long").as("y")))
 
-  /** [[zorderStats]] over any (x, y) long frame — split out so the
-    * property spec exercises the PRODUCTION interleave expression on the
-    * full grid, not a re-derivation of it. */
   /** The shared grid: equi-width bucketing of (x, y) to 2^[[Bits]] buckets
     * per dim plus the Morton interleave — one scan, one 1-row bounds
     * broadcast. Feeds [[zorderStatsOf]] and the q196 pruning audit. */
@@ -73,6 +70,9 @@ object Layout {
       .selectExpr("xb", "yb", s"($zTerms) AS z")
   }
 
+  /** [[zorderStats]] over any (x, y) long frame — split out so the
+    * property spec exercises the PRODUCTION interleave expression on the
+    * full grid, not a re-derivation of it. */
   private[graft] def zorderStatsOf(base: DataFrame): DataFrame = {
     zBucketedOf(base)
       .groupBy(expr(s"z div $RangeSize").as("z_range"))
@@ -159,13 +159,8 @@ object Layout {
         .withColumn("layout", lit(layout))
     val stats = statsBy(expr(s"z div $RangeSize"), "zorder")
       .unionByName(statsBy(col("xb"), "linear"))
-    val probes = PruneProbes
-      .map { case (id, xlo, xhi, ylo, yhi) =>
-        s"($id, $xlo, $xhi, $ylo, $yhi)" }
-      .mkString("VALUES ", ", ", "")
-    val pr = s.sql(
-      s"SELECT bigint(col1) AS probe_id, col2 AS xlo, col3 AS xhi, " +
-        s"col4 AS ylo, col5 AS yhi FROM ($probes)")
+    import s.implicits._
+    val pr = PruneProbes.toDF("probe_id", "xlo", "xhi", "ylo", "yhi")
     stats.crossJoin(broadcast(pr))
       .withColumn("hit",
         (col("xhi") >= col("min_xb")) && (col("xlo") <= col("max_xb")) &&
@@ -238,11 +233,17 @@ object Layout {
     * only — freshness is the fingerprint's job ([[fingerprintOf]]):
     * a path hash alone would serve a stale table silently if the data
     * under the same directory changed. */
-  private[graft] def dirTag(dir: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-    d.take(4).map(b => f"${b & 0xff}%02x").mkString
-  }
+  private[graft] def dirTag(dir: String): String = md5HexPrefix(dir, 4)
+
+  /** Driver-side md5 prefix as lowercase hex — the JVM spelling of the
+    * scan-side `substring(md5(x), 1, 2n)` convention ([[Text.md5Bucket]]
+    * is the Column side). One helper so the driver-computed constants
+    * (dir tags, schema fingerprints, bloom probe bits) can never drift
+    * from each other's digest spelling. */
+  private def md5HexPrefix(x: String, nBytes: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).take(nBytes)
+      .map(b => f"${b & 0xff}%02x").mkString
 
   /** Cheap data fingerprint of a source relation: row count, max of the
     * id column, and an md5 of the schema — enough to catch append,
@@ -258,9 +259,7 @@ object Layout {
     val row = df.agg(count(lit(1)).as("n"),
       max(col(idCol).cast("long")).as("m")).collect()(0)
     val maxId = if (row.isNullAt(1)) "-" else row.getLong(1).toString
-    val sch = java.security.MessageDigest.getInstance("MD5")
-      .digest(df.schema.catalogString.getBytes("UTF-8"))
-      .take(8).map(b => f"${b & 0xff}%02x").mkString
+    val sch = md5HexPrefix(df.schema.catalogString, 8)
     s"${row.getLong(0)}_${maxId}_$sch"
   }
 
@@ -321,44 +320,44 @@ object Layout {
     * storage). Writes are skipped when a FRESH copy exists — fresh per
     * the data fingerprint, not mere existence — so steady-state cost is
     * the O(1)-column fingerprint probe plus the join. */
-  /** Write `df` as a bucket-sorted managed table unless a FRESH copy
-    * (per `fp`, see [[isFresh]]) already exists — a stale or absent
-    * table is dropped and rebuilt, and the fingerprint sidecar written
-    * after the data so a failed rebuild re-runs. A PREVIOUS JVM's
-    * managed location may survive in the warehouse dir while the fresh
-    * in-memory catalog knows nothing of the table — Spark 4 then
-    * rejects even overwrite-mode `saveAsTable`
-    * (LOCATION_ALREADY_EXISTS), so the stale location is deleted
-    * first. */
-  private[graft] def writeBucketed(df: DataFrame, table: String,
-      key: String, buckets: Int = Buckets, fp: String): Unit = {
-    val s = df.sparkSession
+  /** The shared fresh-or-rebuild discipline both writers use: skip when
+    * a FRESH copy (per `fp`, see [[isFresh]]) already exists; otherwise
+    * drop the stale table, delete its surviving warehouse location (a
+    * PREVIOUS JVM's managed location may outlive the fresh in-memory
+    * catalog, and Spark 4 then rejects even overwrite-mode `saveAsTable`
+    * with LOCATION_ALREADY_EXISTS), run the write, and only THEN write
+    * the fingerprint sidecar — so a failed rebuild re-runs instead of
+    * serving a half-written table. Kept in ONE place: the rebuild
+    * ordering and the stale-location workaround are invariants, not
+    * per-writer details. */
+  private def ensureFresh(s: SparkSession, table: String, fp: String)(
+      write: => Unit): Unit =
     if (!isFresh(s, table, fp)) {
       if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE `$table`")
       val loc = tableLoc(s, table)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
-      df.write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+      write
       writeFp(s, table, fp)
     }
-  }
+
+  /** Write `df` as a bucket-sorted managed table under the
+    * [[ensureFresh]] discipline. */
+  private[graft] def writeBucketed(df: DataFrame, table: String,
+      key: String, buckets: Int = Buckets, fp: String): Unit =
+    ensureFresh(df.sparkSession, table, fp) {
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+    }
 
   /** [[writeBucketed]]'s plain-layout sibling for small side tables
     * (e.g. q153's PQ codebook): same fresh-or-rebuild + stale-location
     * semantics, no bucketing. */
   private[graft] def writeManaged(df: DataFrame, table: String,
-      fp: String): Unit = {
-    val s = df.sparkSession
-    if (!isFresh(s, table, fp)) {
-      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE `$table`")
-      val loc = tableLoc(s, table)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      fp: String): Unit =
+    ensureFresh(df.sparkSession, table, fp) {
       df.write.mode("overwrite").format("parquet").saveAsTable(table)
-      writeFp(s, table, fp)
     }
-  }
 
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val tag = dirTag(dir)
@@ -635,7 +634,7 @@ object Layout {
 
   // ---- q176: Bloom-filter data-skipping audit -----------------------------
 
-  /** q176 geometry: docs per file, bloom bits per file (16 × 64-bit
+  /** q176 geometry: docs per file, bloom bits per file (32 × 32-bit
     * words), hash count, and the fixed probe workload — three ids
     * present in every SF's corpus, three absent. */
   final val BloomFileDocs = 256L
@@ -649,10 +648,8 @@ object Layout {
     * then embedded as constants in both engines' plans. */
   private def bloomPositions(id: Long): Seq[(Long, Long)] =
     (0 until BloomHashes).map { i =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$i:$id".getBytes("UTF-8"))
       val h = java.lang.Long.parseLong(
-        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) % BloomBits
+        md5HexPrefix(s"$i:$id", 4), 16) % BloomBits
       (h / 32, 1L << (h % 32))
     }.groupBy(_._1).map { case (w, ms) =>
       (w, ms.map(_._2).reduce(_ | _))
@@ -674,7 +671,7 @@ object Layout {
     * candidate set.
     *
     * Scale shape: the filter build is one scan → per-(file, word)
-    * bit_or partial aggregate (16 words per file, constant metadata per
+    * bit_or partial aggregate (32 words per file, constant metadata per
     * file at any corpus size); probing touches ONLY the metadata
     * relation — probe bits are driver-computed constants, the
     * membership test is a widx equi-join plus a bitwise AND, O(#files ·
@@ -686,17 +683,20 @@ object Layout {
       .localCheckpoint(eager = false) // filter build + truth + file count
     val hashes = docs.select(col("file_id"), explode(array(
       (0 until BloomHashes).map(i =>
-        conv(substring(md5(concat(lit(s"$i:"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10)
-          .cast("long") % BloomBits): _*)).as("hv"))
+        // Text.md5Bucket IS this convention (8 hex digits, positive
+        // domain, so % ≡ pmod) — routed through the shared helper so a
+        // convention change cannot desync this scan from the
+        // driver-computed bloomPositions constants
+        Text.md5Bucket(concat(lit(s"$i:"), col("doc_id").cast("string")),
+          BloomBits)): _*)).as("hv"))
     val words = hashes
       .groupBy(col("file_id"), expr("hv div 32").as("widx"))
       .agg(expr("bit_or(shiftleft(1L, cast(hv % 32 as int)))").as("word"))
     val pb = BloomProbeIds.flatMap(p =>
       bloomPositions(p).map { case (w, m) => (p, w, m) })
       .toDF("probe_id", "widx", "mask")
-    val need = BloomProbeIds.map(p => (p, bloomPositions(p).size.toLong))
-      .toDF("probe_id", "needed")
+    // one row per (probe, word) in pb → needed is its per-probe count
+    val need = pb.groupBy(col("probe_id")).agg(count(lit(1)).as("needed"))
     val sat = pb.join(words, Seq("widx"))
       .groupBy(col("probe_id"), col("file_id"))
       .agg(sum(when(col("word").bitwiseAND(col("mask")) === col("mask"), 1L)
