@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.ext.Text
@@ -222,6 +223,200 @@ object Model {
        |  CAST(sum(score) AS BIGINT) AS score_sum,
        |  CAST(sum(is_long) AS DOUBLE) / count(*) AS long_rate
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q227/q228: ranking-quality + operating-point audits -----------------
+
+  /** Prefix-sum band width in µ-nats of quantized log-odds — the same
+    * 2-nat granularity as q129's reliability bins, so band counts stay
+    * in the hundreds at any corpus size (score magnitude is bounded by
+    * per-doc token count × the µ-nat weight range, not by corpus rows). */
+  final val AucBandWidth = 2000000L
+
+  /** Exact class counts strictly BELOW each distinct (grp, score) —
+    * the shared cumulative feed of q227 (rank statistic) and q228
+    * (threshold sweep). Input `g`: one row per (grp, score) with exact
+    * BIGINT `pos`/`neg` counts; output adds `cumpos`/`cumneg`.
+    *
+    * Scale shape: a bare `SUM(..) OVER (ORDER BY score)` is the
+    * single-partition WindowExec cliff (q197's lesson), so the prefix
+    * is banded two-phase: (1) per-(grp, band) totals, prefixed by a
+    * bounded non-equi self-join of the BAND relation — rows = occupied
+    * bands, bounded by score range / [[AucBandWidth]], hundreds
+    * regardless of corpus size; (2) the within-band prefix windowed per
+    * (grp, band) partition — each partition holds only that band's
+    * distinct scores. Nothing corpus-sized crosses one window
+    * partition. DuckDB's oracle keeps the naive one-window spelling —
+    * value-identical by construction. */
+  private def cumBefore(g: DataFrame): DataFrame = {
+    val banded = g.withColumn("band",
+      floor(col("score").cast("double") / AucBandWidth).cast("long"))
+      .localCheckpoint(eager = false) // feeds the prefix AND the offsets
+    // band offsets via a bounded non-equi self-join of the BAND-TOTAL
+    // relation (≤ hundreds of rows), not a window: every window below
+    // keeps a defined, non-constant partition key even when the caller
+    // runs a single corpus-wide lane (q228's grp = 'ALL')
+    val bt = banded.groupBy(col("grp"), col("band")).agg(
+      sum(col("pos")).as("bpos"), sum(col("neg")).as("bneg"))
+      .localCheckpoint(eager = false) // both sides of the offset join
+    val off = bt.select(col("grp"), col("band"))
+      .join(bt.select(col("grp").as("g2"), col("band").as("b2"),
+          col("bpos"), col("bneg")),
+        col("grp") === col("g2") && col("b2") < col("band"), "left")
+      .groupBy(col("grp"), col("band")).agg(
+        coalesce(sum(col("bpos")), lit(0L)).as("opos"),
+        coalesce(sum(col("bneg")), lit(0L)).as("oneg"))
+    val wIn = Window.partitionBy(col("grp"), col("band"))
+      .orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    banded.select(col("grp"), col("band"), col("score"), col("pos"),
+        col("neg"),
+        coalesce(sum(col("pos")).over(wIn), lit(0L)).as("wpos"),
+        coalesce(sum(col("neg")).over(wIn), lit(0L)).as("wneg"))
+      .join(off, Seq("grp", "band"))
+      .select(col("grp"), col("score"), col("pos"), col("neg"),
+        (col("opos") + col("wpos")).as("cumpos"),
+        (col("oneg") + col("wneg")).as("cumneg"))
+  }
+
+  /** Distinct-score class counts per grp over the held-out scoring
+    * scan; `withAll` adds a corpus-wide 'ALL' lane (a second pass over
+    * the same scan — 2× read, never 2× shuffle of corpus rows). */
+  private def scoreGroups(s: SparkSession, dir: String,
+      withAll: Boolean): DataFrame = {
+    val base = nbScoredHoldout(s, dir)
+      .select(col("source").as("grp"), col("is_long"), col("score"))
+    val keyed = if (withAll)
+      base.union(base.select(lit("ALL").as("grp"), col("is_long"),
+        col("score")))
+    else base.select(lit("ALL").as("grp"), col("is_long"), col("score"))
+    keyed.groupBy(col("grp"), col("score")).agg(
+      sum(col("is_long")).cast("long").as("pos"),
+      (count(lit(1)) - sum(col("is_long"))).cast("long").as("neg"))
+  }
+
+  /** q227 — exact ROC-AUC audit of the q125 quality classifier, per
+    * source plus a corpus-wide 'ALL' row: the threshold-FREE companion
+    * to q129's calibration bins (a filter can be perfectly calibrated
+    * per bin yet rank poorly within them, and vice versa). AUC is the
+    * Mann–Whitney rank statistic with exact midrank tie handling,
+    * carried as the integer 2U = Σ_s pos_s·(2·cumneg_<s + neg_s) so the
+    * only double in the result is ONE final IEEE division
+    * u2 / (2·P·N) — identical in both engines. Headroom: 2U ≤ 2·P·N
+    * overflows int64 only past ~4.3·10⁹ held-out docs per lane
+    * (balanced classes); past that the sum pre-widens to decimal(38,0)
+    * — the q213 wide-gate discipline.
+    *
+    * Scale shape: one scoring scan (zero corpus shuffle — q125's
+    * broadcast model), one groupBy(grp, score) exchange of the
+    * DISTINCT-SCORE relation, then the banded [[cumBefore]] prefix and
+    * a #lanes-group rollup. No corpus-sized window partition anywhere. */
+  def aucAudit(s: SparkSession, dir: String): DataFrame = {
+    val c = cumBefore(scoreGroups(s, dir, withAll = true))
+    c.groupBy(col("grp")).agg(
+      sum(col("pos")).as("n_pos"),
+      sum(col("neg")).as("n_neg"),
+      sum(col("pos") * (lit(2L) * col("cumneg") + col("neg"))).as("u2"))
+      .select(col("grp").as("source"), col("n_pos"), col("n_neg"),
+        col("u2"),
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling of [[aucAudit]]: same scoring CTEs, naive
+    * one-window prefix (value-identical to the banded two-phase). */
+  val aucAuditSql: String =
+    s"""WITH $nbScoredCtes,
+       |sg AS (
+       |  SELECT source AS grp, is_long, score FROM scored
+       |  UNION ALL SELECT 'ALL', is_long, score FROM scored),
+       |g AS (
+       |  SELECT grp, score, CAST(sum(is_long) AS BIGINT) AS pos,
+       |    CAST(count(*) - sum(is_long) AS BIGINT) AS neg
+       |  FROM sg GROUP BY 1, 2),
+       |c AS (
+       |  SELECT grp, score, pos, neg,
+       |    CAST(COALESCE(SUM(neg) OVER (PARTITION BY grp ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cumneg
+       |  FROM g),
+       |a AS (
+       |  SELECT grp, CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(neg) AS BIGINT) AS n_neg,
+       |    CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT) AS u2
+       |  FROM c GROUP BY 1)
+       |SELECT grp AS source, n_pos, n_neg, u2,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |       ELSE CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+       |  END AS auc
+       |FROM a ORDER BY source""".stripMargin
+
+  /** q228 — operating-point sweep for the q125 filter: every observed
+    * held-out score is a candidate keep-threshold (keep ⇔ score ≥ t);
+    * exact TP/FP/FN at each candidate fall out of the SAME banded
+    * prefix feed as q227 (TP = P − cumpos, FP = N − cumneg, FN =
+    * cumpos — no second pass), and the max-F1 point surfaces (ties →
+    * the more selective, larger threshold). This is the step that turns
+    * q129's calibration + q227's ranking into a deployable decision
+    * rule. prec/rec/f1 are single IEEE divisions of exact BIGINTs, so
+    * the sort key is bit-identical in both engines; the denominator
+    * 2·TP+FP+FN ≥ 1 always (the threshold row itself contributes).
+    *
+    * Scale shape: q227's exactly — scoring scan + distinct-score
+    * exchange + banded prefix; the argmax is TakeOrdered(1) over the
+    * distinct-score relation, never a corpus sort. */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val c = cumBefore(scoreGroups(s, dir, withAll = false))
+    val tot = broadcast(c.groupBy(col("grp")).agg(
+      sum(col("pos")).as("p"), sum(col("neg")).as("n")))
+    val tp = col("p") - col("cumpos")
+    val fp = col("n") - col("cumneg")
+    c.join(tot, Seq("grp"))
+      .select(col("score").as("threshold"),
+        tp.as("tp"), fp.as("fp"), col("cumpos").as("fn"),
+        (tp.cast("double") / (tp + fp).cast("double")).as("prec"),
+        when(col("p") === 0, lit(null).cast("double"))
+          .otherwise(tp.cast("double") / col("p").cast("double")).as("rec"),
+        ((lit(2L) * tp).cast("double") /
+          (lit(2L) * tp + fp + col("cumpos")).cast("double")).as("f1"))
+      .orderBy(col("f1").desc, col("threshold").desc)
+      .limit(1)
+  }
+
+  /** DuckDB spelling of [[thresholdSweep]]. */
+  val thresholdSweepSql: String =
+    s"""WITH $nbScoredCtes,
+       |g AS (
+       |  SELECT score, CAST(sum(is_long) AS BIGINT) AS pos,
+       |    CAST(count(*) - sum(is_long) AS BIGINT) AS neg
+       |  FROM scored GROUP BY 1),
+       |tt AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS p,
+       |    CAST(sum(neg) AS BIGINT) AS n FROM g),
+       |c AS (
+       |  SELECT score,
+       |    CAST(COALESCE(SUM(pos) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cumpos,
+       |    CAST(COALESCE(SUM(neg) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cumneg
+       |  FROM g)
+       |SELECT CAST(score AS BIGINT) AS threshold, (p - cumpos) AS tp,
+       |  (n - cumneg) AS fp,
+       |  cumpos AS fn,
+       |  CAST(p - cumpos AS DOUBLE) / CAST((p - cumpos) + (n - cumneg)
+       |    AS DOUBLE) AS prec,
+       |  CASE WHEN p = 0 THEN NULL
+       |       ELSE CAST(p - cumpos AS DOUBLE) / CAST(p AS DOUBLE)
+       |  END AS rec,
+       |  CAST(2 * (p - cumpos) AS DOUBLE) /
+       |    CAST(2 * (p - cumpos) + (n - cumneg) + cumpos AS DOUBLE) AS f1
+       |FROM c, tt
+       |ORDER BY f1 DESC, threshold DESC LIMIT 1""".stripMargin
 
   // ---- q126: bigram-LM perplexity filter -----------------------------------
 
@@ -821,7 +1016,9 @@ object Model {
     "q127_bpe_merges" -> (bpeMerges _),
     "q128_bpe_apply" -> (bpeApply _),
     "q157_tokenizer_parity" -> (tokenizerParity _),
-    "q129_nb_calibration" -> (nbCalibration _))
+    "q129_nb_calibration" -> (nbCalibration _),
+    "q227_auc_audit" -> (aucAudit _),
+    "q228_threshold_sweep" -> (thresholdSweep _))
 
   val oracles: Map[String, String] = Map(
     "q203_conformal_audit" -> conformalAuditSql,
@@ -831,5 +1028,7 @@ object Model {
     "q127_bpe_merges" -> bpeMergesSql,
     "q128_bpe_apply" -> bpeApplySql,
     "q157_tokenizer_parity" -> tokenizerParitySql,
-    "q129_nb_calibration" -> nbCalibrationSql)
+    "q129_nb_calibration" -> nbCalibrationSql,
+    "q227_auc_audit" -> aucAuditSql,
+    "q228_threshold_sweep" -> thresholdSweepSql)
 }

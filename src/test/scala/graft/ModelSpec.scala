@@ -96,6 +96,56 @@ class ModelSpec extends SparkSpec {
       Model.nbScoredHoldout(spark, sf).count())
   }
 
+  test("q227: banded 2U matches an in-memory Mann–Whitney replay; ALL row closes over sources") {
+    val rows = Model.aucAudit(spark, sf).collect()
+    val bySrc = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (np, nn, u2, auc) = bySrc("ALL")
+    // per-source lanes partition the ALL lane exactly
+    val rest = rows.filterNot(_.getString(0) == "ALL")
+    assert(rest.map(_.getLong(1)).sum === np)
+    assert(rest.map(_.getLong(2)).sum === nn)
+    // replay 2U = Σ_s pos_s·(2·cumneg_<s + neg_s) from the raw scores —
+    // the banded two-phase prefix must equal the naive definition
+    val sc = Model.nbScoredHoldout(spark, sf)
+      .select(col("is_long"), col("score")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val groups = sc.groupBy(_._2).view
+      .mapValues(v => (v.count(_._1 == 1).toLong, v.count(_._1 == 0).toLong))
+      .toSeq.sortBy(_._1)
+    var cumneg = 0L; var u2r = 0L
+    groups.foreach { case (_, (pos, neg)) =>
+      u2r += pos * (2L * cumneg + neg); cumneg += neg
+    }
+    assert(u2 === u2r, s"banded 2U $u2 != naive replay $u2r")
+    assert(np === sc.count(_._1 == 1) && nn === sc.count(_._1 == 0))
+    assert(auc === u2.toDouble / (2L * np * nn).toDouble)
+    // the length channel carries real ranking signal (accuracy ≈ 0.98)
+    assert(auc > 0.9, s"AUC $auc — classifier ranks no better than chance")
+  }
+
+  test("q228: swept operating point matches the argmax over every candidate threshold") {
+    val r = Model.thresholdSweep(spark, sf).collect()
+    assert(r.length === 1)
+    val sc = Model.nbScoredHoldout(spark, sf)
+      .select(col("is_long"), col("score")).collect()
+      .map(row => (row.getInt(0), row.getLong(1)))
+    val p = sc.count(_._1 == 1).toLong
+    val cands = sc.map(_._2).distinct.map { t =>
+      val tp = sc.count(x => x._1 == 1 && x._2 >= t).toLong
+      val fp = sc.count(x => x._1 == 0 && x._2 >= t).toLong
+      val fn = p - tp
+      (t, tp, fp, fn, (2L * tp).toDouble / (2L * tp + fp + fn).toDouble)
+    }
+    val best = cands.maxBy { case (t, _, _, _, f1) => (f1, t) }
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getDouble(6)) === best,
+      s"swept ${r(0)} vs replayed best $best")
+    // the chosen point beats the trivial keep-everything rule
+    val f1All = (2L * p).toDouble / (2L * p + (sc.length - p)).toDouble
+    assert(best._5 >= f1All)
+  }
+
   test("q128: applying seed-fit merges compresses the held-out corpus") {
     val rows = Model.bpeApply(spark, sf).collect()
     assert(rows.length === 20)
