@@ -247,7 +247,7 @@ object Model {
     * distinct scores. Nothing corpus-sized crosses one window
     * partition. DuckDB's oracle keeps the naive one-window spelling —
     * value-identical by construction. */
-  private def cumBefore(g: DataFrame): DataFrame = {
+  private[graft] def cumBefore(g: DataFrame): DataFrame = {
     val banded = g.withColumn("band",
       floor(col("score").cast("double") / AucBandWidth).cast("long"))
       .localCheckpoint(eager = false) // feeds the prefix AND the offsets

@@ -325,4 +325,39 @@ class PropertySpec extends SparkSpec {
       } catch { case _: IllegalArgumentException => () /* rejected: ok */ }
     }
   }
+
+  test("q227/q228 banded prefix equals the naive cumulative on random score tables") {
+    import graft.ext.Model
+    val rowGen = for {
+      grp <- Gen.oneOf("a", "b", "c")
+      // scores straddle many bands, including negatives and band edges
+      score <- Gen.oneOf(Gen.chooseNum(-5L, 5L)
+        .map(_ * Model.AucBandWidth), // exact band boundaries
+        Gen.chooseNum(-12000000L, 12000000L))
+      pos <- Gen.chooseNum(0L, 5L)
+      neg <- Gen.chooseNum(0L, 5L)
+    } yield (grp, score, pos, neg)
+    (1 to 6).foreach { i =>
+      val n = sample(Gen.chooseNum(5, 60), i)
+      val raw = sample(Gen.listOfN(n, rowGen), i + 17)
+        // one row per (grp, score) — cumBefore's input contract
+        .groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((g, s), v) =>
+          (g, s, v.map(_._3).sum, v.map(_._4).sum) }
+      val got = Model.cumBefore(
+          raw.toDF("grp", "score", "pos", "neg"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(4), r.getLong(5))).toMap
+      // naive replay: per grp, ascending-score running sums strictly below
+      raw.groupBy(_._1).foreach { case (g, rows) =>
+        var (cp, cn) = (0L, 0L)
+        rows.sortBy(_._2).foreach { case (_, s, p, ng) =>
+          assert(got((g, s)) === ((cp, cn)),
+            s"seed $i grp $g score $s: banded ${got((g, s))} vs naive ($cp,$cn)")
+          cp += p; cn += ng
+        }
+      }
+      assert(got.size === raw.size, s"seed $i: row count drift")
+    }
+  }
 }
