@@ -75,7 +75,12 @@ object SparkEntry {
     "q202_epoch_allocation",   // the greedy schedule IS an order
     "q223_serve_suppress",     // the suppressed rerank IS the deliverable
     "q225_video_shots",        // unique per-doc key; free order pin
-    "q226_frame_neardup")      // unique (a,b,frame) key; free order pin
+    "q226_frame_neardup",      // unique (a,b,frame) key; free order pin
+    "q229_containment_pairs",  // unique ordered (a,b) key; free order pin
+    "q230_source_divergence",  // unique per-source key; free order pin
+    "q231_dedup_weights",      // unique per-doc key; free order pin
+    "q232_filtered_ann",       // per-probe neighbor rank
+    "q233_postfilter_audit")   // unique per-probe key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

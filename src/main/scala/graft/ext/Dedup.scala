@@ -651,6 +651,52 @@ object Dedup {
     s"""WITH RECURSIVE $ccCtes
       |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
 
+  /** q231 — duplication-aware loss weights: every document gets training
+    * weight 1/|its near-dup cluster| (singletons weight 1), so a cluster
+    * of n near-copies contributes ONE document's worth of gradient in
+    * total instead of n — the soft alternative to dropping duplicates
+    * outright (q60 keep-best): the model still sees every surface
+    * variant, but duplicated content stops being over-weighted in
+    * proportion to how aggressively it was crawled. Deliverable is the
+    * per-doc (n_copies, weight) relation a training loader joins on
+    * doc_id.
+    *
+    * Scale shape: composes q57's session-memoized clustering (the
+    * pair-graph build runs once per release); the cluster relation is
+    * near-dup members ONLY — orders of magnitude smaller than the
+    * corpus — so both the size aggregate and the corpus left-join
+    * broadcast it (AQE picks the broadcast; no corpus reshuffle). One
+    * exact integer count per cluster, one double division per row. */
+  def dedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"))
+    val member = clusters.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("n"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(member, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(1L)).as("n_copies"),
+        (lit(1.0) / coalesce(col("n"), lit(1L)).cast("double")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB spelling of [[dedupWeights]]: the shared recursive cluster
+    * CTEs + the same per-cluster size and single division. */
+  val dedupWeightsSql: String =
+    s"""WITH RECURSIVE $ccCtes,
+      |sizes AS (
+      |  SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id),
+      |member AS (
+      |  SELECT c.doc_id, s.n FROM comp c
+      |  JOIN sizes s ON s.cluster_id = c.cluster_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(m.n, 1) AS BIGINT) AS n_copies,
+      |  CAST(1 AS DOUBLE) / CAST(coalesce(m.n, 1) AS DOUBLE) AS weight
+      |FROM documents d
+      |LEFT JOIN member m ON m.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q77 — leakage-free train/eval split: assign documents to splits by
     * NEAR-DUP CLUSTER, not by document — a per-doc hash split leaks
     * whenever near-duplicates straddle the boundary (the contamination
@@ -1849,6 +1895,7 @@ object Dedup {
     "q96_shard_similarity" -> (shardSimilarity _),
     "q86_link_prior" -> (linkPrior _),
     "q57_dedup_clusters" -> (dedupClusters _),
+    "q231_dedup_weights" -> (dedupWeights _),
     "q212_positive_pairs" -> (positivePairs _),
     "q58_cc_distributed" -> (dedupClustersDistributed _),
     "q60_cluster_keep_best" -> (clusterKeepBest _),
@@ -1880,6 +1927,7 @@ object Dedup {
     "q96_shard_similarity" -> shardSimilaritySql,
     "q86_link_prior"      -> linkPriorSql,
     "q57_dedup_clusters"  -> dedupClustersSql,
+    "q231_dedup_weights"  -> dedupWeightsSql,
     "q212_positive_pairs" -> positivePairsSql,
     "q58_cc_distributed"  -> dedupClustersSql,
     "q60_cluster_keep_best" -> clusterKeepBestSql,

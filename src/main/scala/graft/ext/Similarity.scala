@@ -213,6 +213,186 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
 
+  // ---- q232/q233: attribute-filtered ANN ---------------------------------
+
+  /** The q18 band index CARRYING the filterable attribute: filtered ANN
+    * stores filter columns inside the index rows (the design point every
+    * production vector store converges on), so a predicate can join as
+    * part of the bucket key instead of post-filtering results. */
+  private def lshLabeledIndexOf(e: DataFrame): DataFrame = e.select(
+    col("vec_id"), col("embedding"), col("label"),
+    posexplode(array(lshPlanes.map(tp =>
+      signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
+
+  /** Shared serve: top-k same-label neighbors per probe (vec_id < 10)
+    * from a labeled band index — the label participates in the
+    * CANDIDATE JOIN KEY, so off-label vectors never enter the candidate
+    * set at all (PRE-filtering). */
+  private def filteredServe(idx: DataFrame, k: Int): DataFrame = {
+    val q = idx.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("tbl"), col("bucket"), col("label"))
+    val cand = idx.select(col("vec_id").as("neighbor_id"),
+      col("embedding"), col("tbl"), col("bucket"), col("label"))
+    val pairs = q.join(cand, Seq("tbl", "bucket", "label"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        col("q_emb"), col("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = pairs.select(col("query_id"), col("label"),
+      col("neighbor_id"), cosine_sim(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** q232 — attribute-FILTERED approximate kNN: top-3 SAME-LABEL
+    * neighbors per probe, served from the q18 LSH band index extended
+    * with the filter attribute. The predicate is applied BEFORE ranking
+    * — the label is part of the candidate join key — which is the
+    * correctness-critical design choice in filtered vector search:
+    * filtering AFTER top-k (the naive spelling) silently returns fewer
+    * than k results and loses exactly the neighbors the filter was
+    * meant to find (q233 measures that loss). Real uses everywhere in a
+    * training pipeline: nearest neighbors within a language shard,
+    * within a time slice, within non-benchmark data.
+    *
+    * Scale shape: one posexplode over the vector relation builds the
+    * labeled index (identical cost to q18's); the (tbl, bucket, label)
+    * equi-join keeps candidate generation bucket-bounded AND
+    * label-bounded — a selective filter makes the search CHEAPER, not
+    * slower, because the filter prunes the join. Top-k per probe via
+    * one bounded window over the candidate set. */
+  def filteredAnn(s: SparkSession, dir: String): DataFrame =
+    filteredServe(lshLabeledIndexOf(Tables.embeddings(s, dir)), 3)
+      .select(col("query_id"), col("label"), col("neighbor_id"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** DuckDB spelling of [[filteredAnn]]: q18's bucket CTEs with the
+    * label equality inside the candidate join, same (cos DESC,
+    * neighbor_id) ranking. */
+  def filteredAnnSql: String =
+    s"""WITH ${lshSqlCtes(lshPlanes)},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (
+       |  SELECT s1.vec_id AS query_id, l1.label AS label,
+       |    s2.vec_id AS neighbor_id
+       |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
+       |  JOIN lab l1 ON l1.vec_id = s1.vec_id
+       |  JOIN lab l2 ON l2.vec_id = s2.vec_id
+       |  WHERE s1.vec_id < 10 AND s2.vec_id <> s1.vec_id
+       |    AND l2.label = l1.label
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT c.query_id, c.label, c.neighbor_id,
+       |    list_cosine_similarity(qe.de, ne.de) AS cos
+       |  FROM cand c
+       |  JOIN emb qe ON qe.vec_id = c.query_id
+       |  JOIN emb ne ON ne.vec_id = c.neighbor_id),
+       |r AS (
+       |  SELECT query_id, label, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, label, neighbor_id, rnk FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** q233 — post-filter recall audit: per probe, how many of the TRUE
+    * filtered top-3 ([[filteredAnn]]'s pre-filter serve) would be LOST
+    * by the naive filter-AFTER-search spelling (q18's unfiltered top-3,
+    * then keep same-label survivors). The naive form is what every
+    * vector-store user writes first — `search(k) |> filter(pred)` —
+    * and it under-returns whenever the filter is selective: this audit
+    * quantifies exactly that per-release. Output per probe: the true
+    * filtered depth (n_true ≤ 3 — buckets may hold fewer same-label
+    * candidates), the post-filter survivor count, and the miss count
+    * (n_true − survivors that coincide — the post-filter survivor set
+    * is provably a prefix of the true filtered ranking, which
+    * SimilaritySpec asserts). All counts integer → exact oracle.
+    *
+    * Scale shape: both arms reuse ONE labeled band index
+    * (localCheckpoint barrier — the posexplode runs once); counts
+    * aggregate per probe (≤Q·3 rows either side). */
+  def postFilterAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val idx = lshLabeledIndexOf(e).localCheckpoint(eager = false)
+    val lab = e.select(col("vec_id"), col("label"))
+    val truth = filteredServe(idx, 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("t"))
+    val post = knnLshServe(idx.drop("label"), 3)
+      .join(lab.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "q_lab"), Seq("query_id"))
+      .join(lab.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "n_lab"), Seq("neighbor_id"))
+      .filter(col("q_lab") === col("n_lab"))
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("p"))
+    val per = truth.join(post, Seq("query_id", "neighbor_id"), "full")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("p"), lit(0L))).as("n_post"),
+        sum(when(col("t").isNotNull && col("p").isNull, lit(1L))
+          .otherwise(lit(0L))).as("n_missed"))
+    lab.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label"))
+      .join(per, Seq("query_id"), "left")
+      .select(col("query_id"), col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("n_missed"), lit(0L)).as("n_missed"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB spelling of [[postFilterAudit]]: both arms from the same
+    * scored CTE, the same full-outer reconciliation. */
+  def postFilterAuditSql: String =
+    s"""WITH ${lshSqlCtes(lshPlanes)},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (
+       |  SELECT s1.vec_id AS query_id, s2.vec_id AS neighbor_id
+       |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
+       |  WHERE s1.vec_id < 10 AND s2.vec_id <> s1.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, lq.label AS q_lab,
+       |    ln.label AS n_lab, list_cosine_similarity(qe.de, ne.de) AS cos
+       |  FROM cand c
+       |  JOIN emb qe ON qe.vec_id = c.query_id
+       |  JOIN emb ne ON ne.vec_id = c.neighbor_id
+       |  JOIN lab lq ON lq.vec_id = c.query_id
+       |  JOIN lab ln ON ln.vec_id = c.neighbor_id),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |    FROM scored WHERE n_lab = q_lab)
+       |  WHERE rn <= 3),
+       |post AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, n_lab, q_lab,
+       |      row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 3 AND n_lab = q_lab),
+       |per AS (
+       |  SELECT coalesce(t.query_id, p.query_id) AS query_id,
+       |    CAST(count(t.neighbor_id) AS BIGINT) AS n_true,
+       |    CAST(count(p.neighbor_id) AS BIGINT) AS n_post,
+       |    CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+       |      AND p.neighbor_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_missed
+       |  FROM truth t
+       |  FULL OUTER JOIN post p
+       |    ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+       |  GROUP BY 1)
+       |SELECT l.vec_id AS query_id, l.label,
+       |  coalesce(x.n_true, 0) AS n_true,
+       |  coalesce(x.n_post, 0) AS n_post,
+       |  coalesce(x.n_missed, 0) AS n_missed
+       |FROM lab l LEFT JOIN per x ON x.query_id = l.vec_id
+       |WHERE l.vec_id < 10
+       |ORDER BY query_id""".stripMargin
+
   /** The q18 serving CTE chain with parametric list depth and probe set,
     * ending in `vlsh(query_id, doc_id, vec_rnk)` — consumed by the q158
     * hybrid-serve oracle. Same plane constants, buckets, cosine and
@@ -2766,6 +2946,8 @@ object Similarity {
     "q54_quantize_int8" -> (quantizeInt8 _),
     "q17_knn_brute"  -> (knnBruteForce _),
     "q18_knn_lsh"    -> ((s: SparkSession, d: String) => knnLsh(s, d)),
+    "q232_filtered_ann" -> (filteredAnn _),
+    "q233_postfilter_audit" -> (postFilterAudit _),
     "q44_knn_ivf"    -> (q44IvfRecall _),
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
@@ -2794,6 +2976,8 @@ object Similarity {
     "q54_quantize_int8" -> quantizeInt8Sql,
     "q17_knn_brute"  -> knnBruteForceSql,
     "q18_knn_lsh"    -> knnLshSql,
+    "q232_filtered_ann" -> filteredAnnSql,
+    "q233_postfilter_audit" -> postFilterAuditSql,
     "q44_knn_ivf"    -> q44Sql,
     "q49_neardup_lsh" -> nearDupLshSql)
 }

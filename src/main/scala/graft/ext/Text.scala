@@ -45,6 +45,89 @@ object Text {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** q230 — per-source unigram-distribution divergence from the corpus:
+    * exact total-variation distance TVD(Pₛ, P) = ½ Σ_t |Pₛ(t) − P(t)|
+    * between each source's token distribution and the corpus-wide one —
+    * the distribution-shift audit a mixture pipeline runs per source
+    * (which shard is driving vocabulary drift; which source is
+    * stylistically furthest from the blend it feeds). TVD instead of
+    * KL/JS is deliberate (the q52 log-free rule): with Pₛ(t) = c_t/Nₛ
+    * and P(t) = C_t/N, every |c_t·N − C_t·Nₛ| term is EXACT integer
+    * arithmetic (decimal(38,0) — products bounded by Nₛ·N < 10³⁸ far
+    * past 100 TB), summed exactly and divided ONCE at the end, so the
+    * oracle compares value-exactly where ln() would be flaky at ties.
+    * Tokens absent from a source contribute Σ_t∉s C_t·Nₛ = (N − Σ_t∈s C_t)·Nₛ
+    * — closed form from the same per-source aggregate, so the plan never
+    * builds the (source × vocabulary) dense matrix.
+    *
+    * Scale shape: one explode scan → (source, token) counts (partial
+    * agg collapses map-side), token-level corpus counts joined back on
+    * the token key (both sides partial-aggregated; no broadcast of the
+    * vocabulary), the 1-row corpus total broadcast via crossJoin, and a
+    * ≤|sources|-group final aggregate. No window, no driver loop. */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame =
+    sourceDivergenceOf(Tables.documents(s, dir))
+
+  def sourceDivergenceOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val cw = toks.groupBy(col("word")).agg(sum(col("c")).as("cw"))
+    val srcTot = toks.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val tot = srcTot.agg(sum(col("ns")).as("n"))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    toks.join(cw, Seq("word"))
+      .join(srcTot, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(
+        min(col("ns")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(abs(dec(col("c")) * dec(col("n")) -
+          dec(col("cw")) * dec(col("ns")))).as("s1"),
+        sum(col("cw")).as("sum_cw"),
+        min(col("n")).as("n"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        ((col("s1") +
+          dec(col("n_tokens")) * dec(col("n") - col("sum_cw"))).cast("double")
+          / (lit(2.0) * col("n_tokens").cast("double")
+             * col("n").cast("double"))).as("tvd"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB spelling of [[sourceDivergence]]: identical closed form in
+    * HUGEINT (exact like decimal(38,0)), one final double division. */
+  val sourceDivergenceSql: String =
+    """WITH toks AS (
+      |  SELECT source, word, count(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS word
+      |    FROM documents)
+      |  GROUP BY source, word),
+      |cw AS (SELECT word, sum(c) AS cw FROM toks GROUP BY word),
+      |st AS (SELECT source, sum(c) AS ns FROM toks GROUP BY source),
+      |tot AS (SELECT sum(ns) AS n FROM st),
+      |agg AS (
+      |  SELECT t.source,
+      |    min(s.ns) AS n_tokens,
+      |    count(*) AS n_types,
+      |    sum(abs(CAST(t.c AS HUGEINT) * CAST(tot.n AS HUGEINT) -
+      |            CAST(c2.cw AS HUGEINT) * CAST(s.ns AS HUGEINT))) AS s1,
+      |    sum(c2.cw) AS sum_cw,
+      |    min(tot.n) AS n
+      |  FROM toks t
+      |  JOIN cw c2 ON c2.word = t.word
+      |  JOIN st s ON s.source = t.source
+      |  CROSS JOIN tot
+      |  GROUP BY t.source)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(s1 + CAST(n_tokens AS HUGEINT) *
+      |         (CAST(n AS HUGEINT) - CAST(sum_cw AS HUGEINT)) AS DOUBLE)
+      |    / (2.0 * CAST(n_tokens AS DOUBLE) * CAST(n AS DOUBLE)) AS tvd
+      |FROM agg
+      |ORDER BY source""".stripMargin
+
   /** q20 — global term frequency via explode: top-20 words. */
   def termFrequency(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -756,6 +839,100 @@ object Text {
       |JOIN cnt ca ON ca.doc_id = a_id
       |JOIN cnt cb ON cb.doc_id = b_id
       |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.12
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Containment threshold for [[containmentPairs]]: a_id's capped
+    * shingle set must be ≥ this fraction inside b_id's. */
+  final val MinContainment = 0.5
+
+  /** q229 — ASYMMETRIC containment pairs over the df-capped shingle
+    * index: ordered pairs (a, b) where C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|
+    * ≥ [[MinContainment]]. Jaccard (q23/q51/q98) misses subset
+    * duplication — a document quoted whole inside a much longer one
+    * scores low Jaccard (the union is dominated by the long side) but
+    * containment 1.0; dedup pipelines that only gate on Jaccard keep
+    * both copies of every quoted/extended document. Emitting ORDERED
+    * pairs is the point: C(a→b) ≫ C(b→a) says a is the contained
+    * (redundant) side.
+    *
+    * Scale shape — identical to q51's: the SAME df-capped inverted
+    * index (shared localCheckpoint, hot shingles anti-joined out
+    * before the self-join bounds the join at Σ_capped df² ≤ cap·|index|),
+    * the same partial-aggregated intersection counts; only the final
+    * ratio differs (per-side denominator instead of the union), and the
+    * a≠b candidate set is the SAME a<b one — each unordered candidate
+    * is scored once and emitted in whichever directions pass, so the
+    * asymmetric output costs no second self-join. */
+  def containmentPairsOf(docs: DataFrame, cap: Int,
+      minC: Double): DataFrame = {
+    val sh0 = shingleIndexOf(docs)
+    val hot = sh0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(col("shingle"))
+    val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(cnt.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_sh", "a_sh"), Seq("a_id"))
+      .join(cnt.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_sh", "b_sh"), Seq("b_id"))
+    // score each unordered candidate once, then emit the passing
+    // directions: (a→b) uses a's denominator, (b→a) uses b's
+    val fwd = inter.select(col("a_id"), col("b_id"),
+      (col("n_inter").cast("double") / col("a_sh")).as("containment"))
+    val rev = inter.select(col("b_id").as("a_id"), col("a_id").as("b_id"),
+      (col("n_inter").cast("double") / col("b_sh")).as("containment"))
+    fwd.unionAll(rev)
+      .filter(col("containment") >= minC)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Tables.documents(s, dir), DfCap, MinContainment)
+
+  /** DuckDB spelling of [[containmentPairs]]: q51's capped CTEs, the
+    * same one-directional candidate scoring, both emitted directions. */
+  val containmentPairsSql: String =
+    s"""WITH sh_all AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2])) AS shingle
+      |    FROM documents
+      |    WHERE len(string_split(text,' ')) >= 3)),
+      |rare AS (
+      |  SELECT shingle FROM (
+      |    SELECT shingle, count(*) AS df FROM sh_all GROUP BY shingle)
+      |  WHERE df <= $DfCap),
+      |sh AS (
+      |  SELECT s.doc_id, s.shingle FROM sh_all s
+      |  JOIN rare r ON s.shingle = r.shingle),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT i.a_id, i.b_id, i.n_inter, ca.n_sh AS a_sh, cb.n_sh AS b_sh
+      |  FROM inter i
+      |  JOIN cnt ca ON ca.doc_id = i.a_id
+      |  JOIN cnt cb ON cb.doc_id = i.b_id),
+      |both_dirs AS (
+      |  SELECT a_id, b_id,
+      |    CAST(n_inter AS DOUBLE) / a_sh AS containment FROM scored
+      |  UNION ALL
+      |  SELECT b_id AS a_id, a_id AS b_id,
+      |    CAST(n_inter AS DOUBLE) / b_sh AS containment FROM scored)
+      |SELECT a_id, b_id, containment FROM both_dirs
+      |WHERE containment >= $MinContainment
       |ORDER BY a_id, b_id""".stripMargin
 
   /** q52 — rarity-weighted term scoring (tf/df — the df-reciprocal
@@ -1953,7 +2130,9 @@ object Text {
     "q21_quality_stats" -> (qualityStats _),
     "q22_exact_dedup"   -> (exactDedup _),
     "q23_ngram_jaccard" -> (ngramJaccard _),
-    "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _))
+    "q51_ngram_jaccard_capped" -> (ngramJaccardCapped _),
+    "q229_containment_pairs" -> (containmentPairs _),
+    "q230_source_divergence" -> (sourceDivergence _))
 
   val oracles: Map[String, String] = Map(
     "q191_deletion_audit" -> deletionAuditSql,
@@ -1985,5 +2164,7 @@ object Text {
     "q21_quality_stats" -> qualityStatsSql,
     "q22_exact_dedup"   -> exactDedupSql,
     "q23_ngram_jaccard" -> ngramJaccardSql,
-    "q51_ngram_jaccard_capped" -> ngramJaccardCappedSql)
+    "q51_ngram_jaccard_capped" -> ngramJaccardCappedSql,
+    "q229_containment_pairs" -> containmentPairsSql,
+    "q230_source_divergence" -> sourceDivergenceSql)
 }

@@ -492,4 +492,30 @@ class DedupSpec extends SparkSpec {
       assert(sz >= 2)
     }
   }
+
+  test("q231: weights are 1/cluster-size, every cluster's weights sum to " +
+      "exactly 1, and singletons keep weight 1") {
+    val w = Dedup.dedupWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nDocs = graft.tables.Tables.documents(spark, sf).count()
+    assert(w.length.toLong === nDocs, "one weight row per document")
+    w.foreach { case (_, n, wt) =>
+      assert(n >= 1L)
+      assert(wt === 1.0 / n, "weight must be exactly 1/n_copies")
+    }
+    // replay against the clustering: members carry the cluster size,
+    // non-members carry 1 — and each cluster contributes Σ 1/n = 1
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val size = clusters.groupBy(_._2).map { case (c, ms) => (c, ms.length) }
+    val byDoc = clusters.map { case (d, c) => (d, size(c).toLong) }.toMap
+    w.foreach { case (d, n, _) =>
+      assert(n === byDoc.getOrElse(d, 1L), s"doc $d: n_copies mismatch")
+    }
+    assert(byDoc.nonEmpty, "no clusters — weighting vacuous")
+    val perCluster = clusters.groupBy(_._2).values.map(ms =>
+      ms.map(m => 1.0 / byDoc(m._1)).sum)
+    perCluster.foreach(s => assert(math.abs(s - 1.0) < 1e-9,
+      "cluster weights must sum to 1"))
+  }
 }

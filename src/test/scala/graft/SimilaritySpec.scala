@@ -609,4 +609,42 @@ class SimilaritySpec extends SparkSpec {
       .q42EmbeddingNearDupGuardedOf(e, bound = 1000L)
     assert(ok.count() > 0)
   }
+
+  test("q232: filtered ANN returns only same-label neighbors, ranked, " +
+      "no self-matches, ≤3 per probe") {
+    val labels = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val rows = Similarity.filteredAnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, lab, n) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(lab === labels(q), "emitted label must be the probe's")
+      assert(labels(n) === lab, "neighbor label must equal probe label")
+      assert(n !== q, "self-match")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(3)).sorted.toSeq ===
+        (1L to rs.length.toLong).toSeq, "ranks must be dense from 1")
+    }
+  }
+
+  test("q233: post-filter survivors are a PREFIX of the true filtered " +
+      "ranking and the audit counts reconcile") {
+    val audit = Similarity.postFilterAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(audit.size === 10, "one audit row per probe")
+    audit.values.foreach { case (nTrue, nPost, nMissed) =>
+      assert(nTrue <= 3 && nPost <= nTrue,
+        "post-filter can never return MORE same-label results than truth")
+      assert(nMissed === nTrue - nPost,
+        "survivors must be a subset of the true filtered top-k")
+    }
+    // the audit must be measuring something: at fixture scale the naive
+    // filter-after-search spelling loses at least one true neighbor
+    assert(audit.values.map(_._3).sum > 0,
+      "no loss anywhere — audit vacuous at this scale")
+  }
 }

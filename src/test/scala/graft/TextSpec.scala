@@ -542,4 +542,63 @@ class TextSpec extends SparkSpec {
       assert(ga <= gn && gn > 0, "vacuous pair — vote wiring?")
     }
   }
+
+  test("q229: a document quoted whole scores containment 1.0 toward its " +
+      "superset, and the reverse direction scores its shingle share") {
+    // A's 2 shingles both occur in B (A is a verbatim quote inside B);
+    // B has 7 shingles total → C(A→B)=1.0, C(B→A)=2/7
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4"),
+      (2L, "p1 p2 w1 w2 w3 w4 p3 p4 p5")
+    ).toDF("doc_id", "text")
+    val rows = Text.containmentPairsOf(docs, Text.DfCap, 0.01).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((1L, 2L)) === 1.0)
+    assert(rows((2L, 1L)) === 2.0 / 7.0)
+  }
+
+  test("q229: containment dominates Jaccard on every near-dup pair " +
+      "(|∩|/|A| ≥ |∩|/|A∪B|) and respects the threshold") {
+    val jac = Text.ngramJaccardCapped(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cont = Text.containmentPairsOf(
+      graft.tables.Tables.documents(spark, sf), Text.DfCap, 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac.nonEmpty)
+    jac.foreach { case ((a, b), j) =>
+      assert(cont((a, b)) >= j - 1e-12, s"containment($a->$b) < jaccard")
+      assert(cont((b, a)) >= j - 1e-12, s"containment($b->$a) < jaccard")
+    }
+    val thresholded = Text.containmentPairs(spark, sf).collect()
+    thresholded.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= Text.MinContainment && c <= 1.0 + 1e-12)
+    }
+  }
+
+  test("q230: identical per-source distributions give TVD 0; disjoint " +
+      "vocabularies give TVD (N-Ns)/N") {
+    val same = Seq(
+      (1L, "a b c", "en", "s1", 5L), (2L, "a b c", "en", "s2", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    Text.sourceDivergenceOf(same).collect().foreach { r =>
+      assert(r.getDouble(3) === 0.0, s"${r.getString(0)}: expected TVD 0")
+    }
+    // disjoint: each source is 3 of 6 corpus tokens → TVD = 3/6 = 0.5
+    val disj = Seq(
+      (1L, "a b c", "en", "s1", 5L), (2L, "x y z", "en", "s2", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    Text.sourceDivergenceOf(disj).collect().foreach { r =>
+      assert(r.getDouble(3) === 0.5, s"${r.getString(0)}: expected TVD 0.5")
+    }
+    // fixture-scale invariants: TVD ∈ [0, 1), every source present
+    val rows = Text.sourceDivergence(spark, sf).collect()
+    val nSrc = graft.tables.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length.toLong === nSrc)
+    rows.foreach { r =>
+      val t = r.getDouble(3)
+      assert(t >= 0.0 && t < 1.0, s"${r.getString(0)}: TVD $t out of range")
+    }
+  }
 }
