@@ -101,10 +101,20 @@ object Bench {
     // guaranteed-FINAL line — small enough to always sit whole inside
     // the tail — carrying the totals and pointing at the verbatim
     // per-query detail in `outFile`.
+    // failed names are TRUNCATED to a sample here — a broad breakage
+    // (most of ~230 queries failing) would otherwise inflate this line
+    // right back to the multi-KB size whose tail-truncation it exists
+    // to avoid; the full list is always verbatim in outFile's "failed"
+    val failedSample = results.collect { case (k, None) => k }.toSeq
+    val failedCompact = (failedSample.take(10).map("\"" + _ + "\"") ++
+      (if (failedSample.size > 10)
+        Seq("\"...+" + (failedSample.size - 10) + " more\"")
+      else Nil)).mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""n_queries":${results.size},""" +
-        s""""n_failed":${results.count(_._2.isEmpty)},"failed":$failed,""" +
+        s""""n_failed":${results.count(_._2.isEmpty)},""" +
+        s""""failed":$failedCompact,""" +
         s""""sf":"$sfDir"$duckPart,"detail":"$outFile"}"""
     println(compact)
     spark.stop()

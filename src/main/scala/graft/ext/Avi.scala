@@ -154,6 +154,15 @@ object Avi {
     bb.position(bb.position() + 16)         // dwReserved
     expect((flags & AVIF_HASINDEX) != 0, "AVIF_HASINDEX not set")
     expect(totalFrames > 0, "dwTotalFrames == 0")
+    // pin the frame count to the file size in LONG arithmetic BEFORE any
+    // use: a hostile dwTotalFrames (~2^31/200) would otherwise wrap the
+    // `4 + 200 * totalFrames` movi-size check into agreement with a
+    // crafted size field and reach the frames allocation — turning the
+    // documented IllegalArgumentException into an OOM/BufferUnderflow.
+    // The container layout is exactly 232 + 216 bytes/frame, so this one
+    // equality also rejects every truncated or padded body up front.
+    expect(232L + 216L * totalFrames == bytes.length.toLong,
+      s"dwTotalFrames $totalFrames inconsistent with ${bytes.length} B file")
     expect(bb.getInt() == LIST && bb.getInt() == 116 &&
       bb.getInt() == STRL, "missing 'LIST strl'")
     expect(bb.getInt() == STRH && bb.getInt() == 56, "missing strh")

@@ -301,10 +301,11 @@ object Model {
     * Mann–Whitney rank statistic with exact midrank tie handling,
     * carried as the integer 2U = Σ_s pos_s·(2·cumneg_<s + neg_s) so the
     * only double in the result is ONE final IEEE division
-    * u2 / (2·P·N) — identical in both engines. Headroom: 2U ≤ 2·P·N
-    * overflows int64 only past ~4.3·10⁹ held-out docs per lane
-    * (balanced classes); past that the sum pre-widens to decimal(38,0)
-    * — the q213 wide-gate discipline.
+    * u2 / (2·P·N) — identical in both engines. 2U ≤ 2·P·N would wrap
+    * int64 past ~4.3·10⁹ held-out docs per lane (balanced classes), so
+    * the sum IS carried wide — decimal(38,0) here, HUGEINT in the
+    * oracle, both emitted as decimal(38,0) — the q213 wide-gate
+    * discipline (exact to ~10¹⁹ docs per class).
     *
     * Scale shape: one scoring scan (zero corpus shuffle — q125's
     * broadcast model), one groupBy(grp, score) exchange of the
@@ -312,16 +313,18 @@ object Model {
     * a #lanes-group rollup. No corpus-sized window partition anywhere. */
   def aucAudit(s: SparkSession, dir: String): DataFrame = {
     val c = cumBefore(scoreGroups(s, dir, withAll = true))
+    val d = (x: org.apache.spark.sql.Column) => x.cast("decimal(20,0)")
     c.groupBy(col("grp")).agg(
       sum(col("pos")).as("n_pos"),
       sum(col("neg")).as("n_neg"),
-      sum(col("pos") * (lit(2L) * col("cumneg") + col("neg"))).as("u2"))
+      sum(d(col("pos")) * (lit(2) * d(col("cumneg")) + d(col("neg"))))
+        .cast("decimal(38,0)").as("u2"))
       .select(col("grp").as("source"), col("n_pos"), col("n_neg"),
         col("u2"),
         when(col("n_pos") === 0 || col("n_neg") === 0,
           lit(null).cast("double"))
           .otherwise(col("u2").cast("double") /
-            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+            (lit(2) * d(col("n_pos")) * d(col("n_neg"))).cast("double"))
           .as("auc"))
       .orderBy(col("source"))
   }
@@ -346,11 +349,13 @@ object Model {
        |a AS (
        |  SELECT grp, CAST(sum(pos) AS BIGINT) AS n_pos,
        |    CAST(sum(neg) AS BIGINT) AS n_neg,
-       |    CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT) AS u2
+       |    CAST(sum(CAST(pos AS HUGEINT) * (2 * CAST(cumneg AS HUGEINT)
+       |      + neg)) AS DECIMAL(38,0)) AS u2
        |  FROM c GROUP BY 1)
        |SELECT grp AS source, n_pos, n_neg, u2,
        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-       |       ELSE CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+       |       ELSE CAST(u2 AS DOUBLE) /
+       |         CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
        |  END AS auc
        |FROM a ORDER BY source""".stripMargin
 

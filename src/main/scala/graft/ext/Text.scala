@@ -2047,21 +2047,32 @@ object Text {
       .agg(sum(col("both")).as("n_both"), sum(col("agree")).as("n_agree"),
         sum(col("a_pos")).as("ap"), sum(col("b_pos")).as("bp"))
       .select(col("lf_a"), col("lf_b"), col("n_both"), col("n_agree"),
-        (col("n_both") * col("n_agree") -
-          (col("ap") * col("bp") +
-            (col("n_both") - col("ap")) * (col("n_both") - col("bp"))))
-          .as("kappa_num"),
-        (col("n_both") * col("n_both") -
-          (col("ap") * col("bp") +
-            (col("n_both") - col("ap")) * (col("n_both") - col("bp"))))
-          .as("kappa_den"))
+        // κ num/den in WIDE integers (decimal(38,0); HUGEINT in the
+        // oracle): every term is a product of two ≤n_both counts, and
+        // n_both·n_both wraps int64 silently past n_both ≈ 3.04e9
+        // co-voting docs — the q213 wide-gate discipline (exact to
+        // ~1e19 per factor, far past any corpus)
+        (dec20(col("n_both")) * dec20(col("n_agree")) -
+          (dec20(col("ap")) * dec20(col("bp")) +
+            dec20(col("n_both") - col("ap")) *
+              dec20(col("n_both") - col("bp"))))
+          .cast("decimal(38,0)").as("kappa_num"),
+        (dec20(col("n_both")) * dec20(col("n_both")) -
+          (dec20(col("ap")) * dec20(col("bp")) +
+            dec20(col("n_both") - col("ap")) *
+              dec20(col("n_both") - col("bp"))))
+          .cast("decimal(38,0)").as("kappa_den"))
       .select(col("lf_a"), col("lf_b"), col("n_both"), col("n_agree"),
         col("kappa_num"), col("kappa_den"),
         when(col("kappa_den") =!= 0,
-          col("kappa_num").cast("double") / col("kappa_den"))
+          col("kappa_num").cast("double") / col("kappa_den").cast("double"))
           .as("kappa"))
       .orderBy(col("lf_a"), col("lf_b"))
   }
+
+  /** int64 → decimal(19,0)-capable wide cast used by the κ arithmetic
+    * (products of two of these land in decimal(38,0), exact). */
+  private def dec20(c: Column): Column = c.cast("decimal(20,0)")
 
   /** DuckDB spelling: the shared vote CTEs, a 6-arm UNION ALL of pair
     * diagnostics, the same exact integer κ. */
@@ -2089,14 +2100,19 @@ object Text {
        |  FROM arms GROUP BY 1, 2),
        |k AS (
        |  SELECT lf_a, lf_b, n_both, n_agree,
-       |    n_both * n_agree -
-       |      (ap * bp + (n_both - ap) * (n_both - bp)) AS kappa_num,
-       |    n_both * n_both -
-       |      (ap * bp + (n_both - ap) * (n_both - bp)) AS kappa_den
+       |    CAST(CAST(n_both AS HUGEINT) * n_agree -
+       |      (CAST(ap AS HUGEINT) * bp +
+       |       CAST(n_both - ap AS HUGEINT) * (n_both - bp))
+       |      AS DECIMAL(38,0)) AS kappa_num,
+       |    CAST(CAST(n_both AS HUGEINT) * n_both -
+       |      (CAST(ap AS HUGEINT) * bp +
+       |       CAST(n_both - ap AS HUGEINT) * (n_both - bp))
+       |      AS DECIMAL(38,0)) AS kappa_den
        |  FROM g)
        |SELECT lf_a, lf_b, n_both, n_agree, kappa_num, kappa_den,
        |  CASE WHEN kappa_den <> 0
-       |    THEN CAST(kappa_num AS DOUBLE) / kappa_den END AS kappa
+       |    THEN CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE)
+       |  END AS kappa
        |FROM k ORDER BY lf_a, lf_b""".stripMargin
   }
 

@@ -57,7 +57,16 @@ object AvroIo {
     case TimestampNTZType =>
       val s = Schema.create(Schema.Type.LONG)
       org.apache.avro.LogicalTypes.localTimestampMicros().addToSchema(s)
-    case ArrayType(et, _) => Schema.createArray(avroType(et))
+    case ArrayType(et, containsNull) =>
+      // element nullability needs its own [null, T] union — without it
+      // a Seq(1L, null) row dies in GenericDatumWriter ("null of long
+      // in array"); the read side's unwrap() already expects this form
+      val base = avroType(et)
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(java.util.List.of(
+            Schema.create(Schema.Type.NULL), base))
+        else base)
     case other => throw new IllegalArgumentException(
       s"AvroIo: unsupported Spark type $other")
   }

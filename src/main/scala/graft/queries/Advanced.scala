@@ -974,8 +974,12 @@ object Advanced {
   /** χ² critical value at α=0.05 for (5−1)(7−1) = 24 degrees of
     * freedom, embedded as a literal (the NdcgW discipline — no
     * query-time distribution functions). Valid ONLY when the derived
-    * dof is 24; Q213Spec pins the fixture vocabulary to 5 types ×
-    * 7 weekdays so the literal applies. */
+    * dof is 24, and BOTH engines enforce that: crit_05 and
+    * reject_independence are emitted NULL whenever the margins derive
+    * any other dof (a vanished type/weekday), so a vocabulary change
+    * can never yield a verdict tested against the wrong distribution.
+    * Q213Spec pins the fixture vocabulary to 5 types × 7 weekdays so
+    * the literal applies there. */
   final val Chi2Crit24 = 36.415
   /** Headroom note: the per-cell difference O·N − R·C is formed in
     * WIDE integers (decimal(38,0) in Spark, HUGEINT in DuckDB) — exact
@@ -1032,8 +1036,17 @@ object Advanced {
           .as("chi2"))
       .select(col("n"), col("n_cells"),
         ((col("n_types") - 1) * (col("n_days") - 1)).as("dof"),
-        col("chi2"), lit(Chi2Crit24).as("crit_05"),
-        (col("chi2") > Chi2Crit24).as("reject_independence"))
+        col("chi2"),
+        // the embedded critical value is the 24-dof one: if the margins
+        // ever produce a different dof (a vanished type/weekday), emit
+        // NULL instead of a verdict computed against the wrong
+        // distribution — both engines gate identically, so the paired
+        // output surfaces the vocabulary change as NULLs, not as a
+        // silently wrong reject bit
+        when(((col("n_types") - 1) * (col("n_days") - 1)) === 24,
+          lit(Chi2Crit24)).as("crit_05"),
+        when(((col("n_types") - 1) * (col("n_days") - 1)) === 24,
+          col("chi2") > Chi2Crit24).as("reject_independence"))
   }
 
   /** DuckDB spelling: same cells/margins, the same sorted fold with
@@ -1063,14 +1076,20 @@ object Advanced {
        |      * CAST(CAST(x.o AS HUGEINT) * x.n - CAST(x.r AS HUGEINT) * x.c
        |        AS DOUBLE) / (CAST(x.n AS DOUBLE) * x.r * x.c))),
        |    (a, b) -> a + b) AS chi2,
-       |  $Chi2Crit24 AS crit_05,
-       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |    list_transform(arr, x ->
-       |      CAST(CAST(x.o AS HUGEINT) * x.n - CAST(x.r AS HUGEINT) * x.c
-       |        AS DOUBLE)
-       |      * CAST(CAST(x.o AS HUGEINT) * x.n - CAST(x.r AS HUGEINT) * x.c
-       |        AS DOUBLE) / (CAST(x.n AS DOUBLE) * x.r * x.c))),
-       |    (a, b) -> a + b) > $Chi2Crit24 AS reject_independence
+       |  CASE WHEN (len(list_distinct(list_transform(arr, x -> x.t))) - 1)
+       |          * (len(list_distinct(list_transform(arr, x -> x.wd))) - 1)
+       |          = 24 THEN $Chi2Crit24 END AS crit_05,
+       |  CASE WHEN (len(list_distinct(list_transform(arr, x -> x.t))) - 1)
+       |          * (len(list_distinct(list_transform(arr, x -> x.wd))) - 1)
+       |          = 24 THEN
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(arr, x ->
+       |        CAST(CAST(x.o AS HUGEINT) * x.n - CAST(x.r AS HUGEINT) * x.c
+       |          AS DOUBLE)
+       |        * CAST(CAST(x.o AS HUGEINT) * x.n - CAST(x.r AS HUGEINT) * x.c
+       |          AS DOUBLE) / (CAST(x.n AS DOUBLE) * x.r * x.c))),
+       |      (a, b) -> a + b) > $Chi2Crit24
+       |  END AS reject_independence
        |FROM arr""".stripMargin
 
   // ---- q210: two-sample Kolmogorov–Smirnov drift test ---------------------

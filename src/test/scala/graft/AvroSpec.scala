@@ -56,6 +56,20 @@ class AvroSpec extends SparkSpec {
     assert(ts === "1999-12-31 23:59:59.123456")
   }
 
+  test("null ELEMENTS inside arrays survive (element-level union)") {
+    import SparkSpec.spark.implicits._
+    // Seq(Some, None, Some): without a [null, T] element union the
+    // writer dies with "null of long in array"
+    val df = Seq(
+      (1L, Seq(Option(10L), None, Option(30L))),
+      (2L, Seq.empty[Option[Long]]),
+      (3L, Seq(None: Option[Long])))
+      .toDF("id", "xs")
+    val back = roundTrip(df, 1)
+    assert(df.exceptAll(back).count() === 0 &&
+      back.exceptAll(df).count() === 0, "null array elements lost")
+  }
+
   test("written files are genuine Avro container files") {
     import SparkSpec.spark.implicits._
     val dir = Files.createTempDirectory("graft_avro_magic_").toString

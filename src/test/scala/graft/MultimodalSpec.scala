@@ -267,6 +267,16 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Avi.decode(corrupt(12 + 200 + 12 + 8 + 1,
         ((good(12 + 200 + 12 + 8 + 1) & 0xff) ^ 0x80).toByte)))
+    // a HOSTILE dwTotalFrames (~2^31/200 would wrap the int movi-size
+    // arithmetic into agreement with a crafted size field) must die in
+    // the long-arithmetic file-size pin — an IllegalArgumentException,
+    // never a multi-GB frames allocation or a BufferUnderflow
+    // (dwTotalFrames lives at offset 48: RIFF 12 + LIST hdr 12 +
+    // avih hdr 8 + 4 dwords)
+    val hostile = good.clone()
+    hostile(48 + 3) = 0x7f.toByte
+    val e = intercept[IllegalArgumentException](Avi.decode(hostile))
+    assert(e.getMessage.contains("inconsistent"), e.getMessage)
   }
 
   test("q225: decoded-frame shot detection equals the scene structure") {
