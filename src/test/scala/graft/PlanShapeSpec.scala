@@ -543,4 +543,32 @@ class PlanShapeSpec extends SparkSpec {
       s"idle-customer anti-join lost:\n$p21")
     assert(!p21.contains("CartesianProduct"), s"cartesian appeared:\n$p21")
   }
+
+  test("q229: containment rides the capped shingle equi-join — hot set " +
+      "broadcast-anti-joined out, never a cartesian") {
+    val p = plan(graft.ext.Text.containmentPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in containment:\n$p")
+    assert(p.contains("LeftAnti"), s"df-cap anti-join lost:\n$p")
+  }
+
+  test("q230: source divergence joins on the token key and broadcasts " +
+      "only the 1-row total — no cartesian beyond it, no window") {
+    val p = plan(graft.ext.Text.sourceDivergence(spark, sf))
+    // the deliberate crossJoin(broadcast(tot)) plans as a broadcast
+    // nested loop over ONE row; a CartesianProduct (unbroadcast) or any
+    // Window would mean the closed form regressed to a dense matrix
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+    assert(!p.contains("Window"), s"window appeared in divergence:\n$p")
+  }
+
+  test("q232/q233: filtered ANN joins carry the label INSIDE the bucket " +
+      "key; neither arm plans a cartesian") {
+    Seq(graft.ext.Similarity.filteredAnn(spark, sf),
+        graft.ext.Similarity.postFilterAudit(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop appeared:\n$p")
+    }
+  }
 }
