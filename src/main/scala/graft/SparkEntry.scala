@@ -80,7 +80,9 @@ object SparkEntry {
     "q230_source_divergence",  // unique per-source key; free order pin
     "q231_dedup_weights",      // unique per-doc key; free order pin
     "q232_filtered_ann",       // per-probe neighbor rank
-    "q233_postfilter_audit")   // unique per-probe key; free order pin
+    "q233_postfilter_audit",   // unique per-probe key; free order pin
+    "q234_semantic_decontam",  // unique per-train-vector key; free pin
+    "q235_mutual_knn")         // unique (a,b) pair key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -483,6 +483,166 @@ object Similarity {
        |SELECT a_id, b_id FROM pairs
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- q234: semantic eval↔train decontamination --------------------------
+
+  /** Eval-set boundary for the SEMANTIC decontamination audit: vectors
+    * below this id play the benchmark role ([[graft.ext.Text.EvalSetMax]]'s
+    * convention on the embedding table). */
+  val SemEvalMax = 50L
+
+  /** q234 — EMBEDDING-level decontamination: training vectors whose
+    * cosine to ANY eval-set vector reaches the q49 near-dup threshold,
+    * with the hit count per train vector. This is the semantic analogue
+    * of q59/q84/q178's n-gram decontamination — paraphrased or
+    * re-rendered benchmark items share no 5-gram but sit on top of the
+    * eval item in embedding space, exactly the leakage n-gram screens
+    * miss (and modern eval-hygiene pipelines screen for both).
+    *
+    * Scale shape: the eval side is SMALL by construction (benchmarks are
+    * thousands of items, the corpus is billions), so its (tbl, bucket)
+    * band rows BROADCAST; the train side explodes once into the same
+    * q49 band index (ids only — embeddings re-attach after the bucket
+    * join + dedup) and never reshuffles. Candidate generation is
+    * LSH-bucket-bounded: cost scales with bucket collisions against 50
+    * eval vectors, not with |train|·|eval|. */
+  def semanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val bucketed = e.select(col("vec_id"),
+      posexplode(array(ndPlanes.map(tp =>
+        signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
+    val ev = bucketed.filter(col("vec_id") < SemEvalMax)
+      .select(col("vec_id").as("eval_id"), col("tbl"), col("bucket"))
+    val tr = bucketed.filter(col("vec_id") >= SemEvalMax)
+      .select(col("vec_id").as("train_id"), col("tbl"), col("bucket"))
+    val cand = tr.join(broadcast(ev), Seq("tbl", "bucket"))
+      .select(col("train_id"), col("eval_id"))
+      .dropDuplicates("train_id", "eval_id")
+    cand
+      .join(e.select(col("vec_id").as("train_id"),
+        col("embedding").as("t_emb")), Seq("train_id"))
+      .join(broadcast(e.filter(col("vec_id") < SemEvalMax)
+        .select(col("vec_id").as("eval_id"),
+          col("embedding").as("e_emb"))), Seq("eval_id"))
+      .filter(cosine_sim(col("t_emb"), col("e_emb")) >= 0.35)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        min(col("eval_id")).as("first_eval_id"))
+      .orderBy(col("train_id"))
+  }
+
+  /** DuckDB spelling of [[semanticDecontam]]: the q49 band CTEs with the
+    * eval/train split inside the candidate join. */
+  def semanticDecontamSql: String =
+    s"""WITH ${lshSqlCtes(ndPlanes)},
+       |cand AS (
+       |  SELECT s2.vec_id AS train_id, s1.vec_id AS eval_id
+       |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
+       |  WHERE s1.vec_id < $SemEvalMax AND s2.vec_id >= $SemEvalMax
+       |  GROUP BY 1, 2)
+       |SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       |  min(eval_id) AS first_eval_id
+       |FROM cand
+       |JOIN emb et ON et.vec_id = train_id
+       |JOIN emb ee ON ee.vec_id = eval_id
+       |WHERE list_cosine_similarity(et.de, ee.de) >= 0.35
+       |GROUP BY train_id
+       |ORDER BY train_id""".stripMargin
+
+  // ---- q235: mutual-kNN pairs ----------------------------------------------
+
+  /** Neighborhood depth for the mutual-kNN graph. */
+  val MutualK = 5
+
+  /** q235 — MUTUAL nearest-neighbor pairs: (a, b) where b ranks in a's
+    * LSH top-[[MutualK]] AND a ranks in b's. Mutuality is the standard
+    * high-precision upgrade over one-directional kNN edges — a hub
+    * vector appears in thousands of top-k lists without reciprocating,
+    * so one-directional edges wire hubs into everything (exactly the
+    * false-positive mode that poisons dedup clusters and positive-pair
+    * mining); requiring the edge both ways removes hub edges with no
+    * threshold to tune. Output carries both ranks, so consumers can
+    * weight edges by rank agreement.
+    *
+    * Scale shape: EVERY vector is a probe here, so ranking goes through
+    * one window over the bucket-bounded candidate set — partitioned by
+    * query id (millions of small partitions, the well-shaped case), not
+    * a global sort. Candidates are the q49 band-join pairs (ids only
+    * through the shuffle); the mutuality check is a self-join of the
+    * ≤N·k top-k relation on the swapped key. */
+  def mutualKnn(s: SparkSession, dir: String): DataFrame = {
+    val topk = lshTopKAll(s, dir)
+      .localCheckpoint(eager = false) // feeds both sides of the self-join
+    val fwd = topk.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("rnk").as("rnk_ab"))
+    val rev = topk.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("a_id"), col("query_id").as("b_id"),
+        col("rnk").as("rnk_ba"))
+    fwd.join(rev, Seq("a_id", "b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The every-vector-as-probe LSH top-[[MutualK]] relation
+    * (query_id, neighbor_id, rnk) — [[mutualKnn]]'s feed, exposed so the
+    * spec can recompute mutuality independently of the production
+    * self-join. */
+  private[graft] def lshTopKAll(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val bucketed = e.select(col("vec_id"),
+      posexplode(array(ndPlanes.map(tp =>
+        signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("vec_id").as("query_id"), col("tbl"),
+      col("bucket"))
+    val b = bucketed.select(col("vec_id").as("neighbor_id"), col("tbl"),
+      col("bucket"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_emb"), col("n_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= MutualK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** DuckDB spelling of [[mutualKnn]]: same band candidates, same
+    * (cos DESC, neighbor_id) ranking, same swapped-key self-join. */
+  def mutualKnnSql: String =
+    s"""WITH ${lshSqlCtes(ndPlanes)},
+       |cand AS (
+       |  SELECT s1.vec_id AS query_id, s2.vec_id AS neighbor_id
+       |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
+       |  WHERE s1.vec_id <> s2.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(qe.de, ne.de) AS cos
+       |  FROM cand c
+       |  JOIN emb qe ON qe.vec_id = c.query_id
+       |  JOIN emb ne ON ne.vec_id = c.neighbor_id),
+       |topk AS (
+       |  SELECT query_id, neighbor_id, rnk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $MutualK)
+       |SELECT f.query_id AS a_id, f.neighbor_id AS b_id,
+       |  f.rnk AS rnk_ab, r.rnk AS rnk_ba
+       |FROM topk f
+       |JOIN topk r ON r.query_id = f.neighbor_id
+       |  AND r.neighbor_id = f.query_id
+       |WHERE f.query_id < f.neighbor_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ---- q44: IVF kNN ------------------------------------------------------
 
   /** Plain Lloyd's k-means over a driver-held sample: deterministic
@@ -2948,6 +3108,8 @@ object Similarity {
     "q18_knn_lsh"    -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "q232_filtered_ann" -> (filteredAnn _),
     "q233_postfilter_audit" -> (postFilterAudit _),
+    "q234_semantic_decontam" -> (semanticDecontam _),
+    "q235_mutual_knn" -> (mutualKnn _),
     "q44_knn_ivf"    -> (q44IvfRecall _),
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
@@ -2978,6 +3140,8 @@ object Similarity {
     "q18_knn_lsh"    -> knnLshSql,
     "q232_filtered_ann" -> filteredAnnSql,
     "q233_postfilter_audit" -> postFilterAuditSql,
+    "q234_semantic_decontam" -> semanticDecontamSql,
+    "q235_mutual_knn" -> mutualKnnSql,
     "q44_knn_ivf"    -> q44Sql,
     "q49_neardup_lsh" -> nearDupLshSql)
 }

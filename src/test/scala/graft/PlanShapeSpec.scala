@@ -571,4 +571,15 @@ class PlanShapeSpec extends SparkSpec {
         s"nested-loop appeared:\n$p")
     }
   }
+
+  test("q234/q235: semantic decontam and mutual-kNN stay band-bounded — " +
+      "no cartesian, no nested-loop") {
+    Seq(graft.ext.Similarity.semanticDecontam(spark, sf),
+        graft.ext.Similarity.mutualKnn(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop appeared:\n$p")
+    }
+  }
 }

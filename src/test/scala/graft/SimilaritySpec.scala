@@ -647,4 +647,64 @@ class SimilaritySpec extends SparkSpec {
     assert(audit.values.map(_._3).sum > 0,
       "no loss anywhere — audit vacuous at this scale")
   }
+
+  test("q234: semantic decontamination respects the eval/train split and " +
+      "reports only true cosine hits") {
+    val e = graft.tables.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = Similarity.semanticDecontam(spark, sf).collect()
+    assert(rows.nonEmpty, "no semantic contamination at fixture scale")
+    rows.foreach { r =>
+      val (t, n, fe) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(t >= Similarity.SemEvalMax, "eval vector reported as train")
+      assert(fe < Similarity.SemEvalMax, "train vector reported as eval hit")
+      assert(n >= 1L)
+      // no false positives: the reported first hit really clears 0.35
+      assert(cos(e(t), e(fe)) >= 0.35 - 1e-12,
+        s"train $t / eval $fe below the threshold")
+    }
+    // brute-force upper bound: LSH can only MISS true pairs, never add
+    val trueHits = for {
+      (t, tv) <- e.toSeq if t >= Similarity.SemEvalMax
+      (ev, evv) <- e.toSeq if ev < Similarity.SemEvalMax
+      if cos(tv, evv) >= 0.35
+    } yield (t, ev)
+    val byTrain = trueHits.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) <= byTrain.getOrElse(r.getLong(0), 0L),
+        s"train ${r.getLong(0)}: more hits than brute-force truth")
+    }
+  }
+
+  test("q235: mutual pairs are exactly the symmetric closure of the " +
+      "top-k relation, hub edges drop") {
+    val topk = Similarity.lshTopKAll(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mutual = Similarity.mutualKnn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    assert(mutual.nonEmpty, "no mutual neighbors at fixture scale")
+    // every emitted pair must be in BOTH top-k lists with the right ranks
+    mutual.foreach { case ((a, b), (rab, rba)) =>
+      assert(a < b, "pair not canonically oriented")
+      assert(topk.get((a, b)).contains(rab), s"rnk_ab wrong for ($a,$b)")
+      assert(topk.get((b, a)).contains(rba), s"rnk_ba wrong for ($a,$b)")
+    }
+    // completeness: every reciprocated top-k edge appears
+    val expected = topk.keys.filter { case (q, n) =>
+      q < n && topk.contains((n, q))
+    }.toSet
+    assert(mutual.map(_._1).toSet === expected,
+      "mutual set diverges from the reciprocated-edge replay")
+    // the filter bites: some one-directional edges exist and are dropped
+    assert(expected.size < topk.size / 2,
+      "every edge reciprocated — hub suppression vacuous here")
+  }
 }
