@@ -18,7 +18,8 @@ object SparkEntry {
       Dedup.queries ++ Multimodal.queries ++ Corpus.queries ++
       Linkage.queries ++ Index.queries ++ Layout.queries ++
       Model.queries ++ Report.queries ++ Retrieval.queries ++
-      Olap.queries ++ TpchCanon.queries ++ graft.io.AvroIo.queries
+      Olap.queries ++ TpchCanon.queries ++ graft.io.AvroIo.queries ++
+      graft.io.SnapTable.queries
 
   /** Keys in [[queries]] that are deliberate EXACTNESS BASELINES, not
     * production paths: quadratic all-pairs formulations kept as the
@@ -82,7 +83,9 @@ object SparkEntry {
     "q232_filtered_ann",       // per-probe neighbor rank
     "q233_postfilter_audit",   // unique per-probe key; free order pin
     "q234_semantic_decontam",  // unique per-train-vector key; free pin
-    "q235_mutual_knn")         // unique (a,b) pair key; free order pin
+    "q235_mutual_knn",         // unique (a,b) pair key; free order pin
+    "q236_snapshot_stats",     // unique per-source key; free order pin
+    "q237_time_travel")        // unique per-version key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -92,5 +95,6 @@ object SparkEntry {
       Dedup.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
       Linkage.oracles ++ Index.oracles ++ Layout.oracles ++
       Model.oracles ++ Report.oracles ++ Retrieval.oracles ++
-      Olap.oracles ++ TpchCanon.oracles ++ graft.io.AvroIo.oracles
+      Olap.oracles ++ TpchCanon.oracles ++ graft.io.AvroIo.oracles ++
+      graft.io.SnapTable.oracles
 }

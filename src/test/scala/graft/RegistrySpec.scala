@@ -22,7 +22,8 @@ class RegistrySpec extends SparkSpec {
       Similarity.queries, Text.queries, Dedup.queries, Multimodal.queries,
       Corpus.queries, Linkage.queries, Index.queries, Layout.queries,
       Model.queries, Report.queries, Retrieval.queries, Olap.queries,
-      TpchCanon.queries, graft.io.AvroIo.queries)
+      TpchCanon.queries, graft.io.AvroIo.queries,
+      graft.io.SnapTable.queries)
     assert(perModule.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules (Map ++ dropped one)")
   }

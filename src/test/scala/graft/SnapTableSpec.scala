@@ -1,0 +1,119 @@
+package graft
+
+import graft.io.SnapTable
+import org.apache.spark.sql.functions._
+
+/** The snapshot table format: versioning, time travel, copy-on-write
+  * delete granularity, vacuum retention, and the commit-protocol
+  * refusals. The oracle gate (q236/q237) proves value-invisibility on
+  * the fixture corpus; these tests pin the FORMAT mechanics on planted
+  * frames where file boundaries are controlled. */
+class SnapTableSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap_spec_").toString
+
+  test("create/append/read: current snapshot is the running union") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), d)
+    assert(SnapTable.currentVersion(spark, d) === 1)
+    SnapTable.append(Seq((3L, "c")).toDF("id", "s"), d)
+    assert(SnapTable.currentVersion(spark, d) === 2)
+    assert(SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L))
+    assert(SnapTable.read(spark, d, Some(1)).count() === 2)
+  }
+
+  test("time travel: every version still serves its original rows " +
+      "after a copy-on-write delete rewrote files") {
+    val d = tmp()
+    val ids = (0L until 100L).toDF("id")
+    SnapTable.create(ids.filter(col("id") < 60), d)
+    SnapTable.append(ids.filter(col("id") >= 60), d)
+    SnapTable.deleteWhere(spark, d, col("id") % 10 === 3)
+    def idsOf(v: Int): Seq[Long] =
+      SnapTable.read(spark, d, Some(v)).collect().map(_.getLong(0))
+        .sorted.toSeq
+    assert(idsOf(1) === (0L until 60L))
+    assert(idsOf(2) === (0L until 100L))
+    assert(idsOf(3) === (0L until 100L).filter(_ % 10 != 3))
+    // the current read IS v3
+    assert(SnapTable.read(spark, d).count() === 90)
+  }
+
+  test("copy-on-write touches only files that contain matches — " +
+      "untouched files carry over by reference") {
+    val d = tmp()
+    // range-partitioned create: file(s) holding 0-49 and 50-99 separate
+    val df = (0L until 100L).toDF("id").repartitionByRange(2, col("id"))
+    SnapTable.create(df, d)
+    val v1 = SnapTable.readManifest(spark, d, 1)
+    SnapTable.deleteWhere(spark, d, col("id") < 10)
+    val v2 = SnapTable.readManifest(spark, d, 2)
+    val carried = v1.toSet.intersect(v2.toSet)
+    assert(carried.nonEmpty,
+      "CoW rewrote every file — match-free files must carry by reference")
+    assert(v2.exists(!v1.contains(_)), "no rewritten file appeared")
+    assert(SnapTable.read(spark, d).count() === 90)
+  }
+
+  test("a delete with no matches commits a new version by reference only") {
+    val d = tmp()
+    SnapTable.create((0L until 10L).toDF("id"), d)
+    SnapTable.deleteWhere(spark, d, col("id") > 1000)
+    assert(SnapTable.currentVersion(spark, d) === 2)
+    assert(SnapTable.readManifest(spark, d, 2).toSet ===
+      SnapTable.readManifest(spark, d, 1).toSet)
+    assert(SnapTable.read(spark, d).count() === 10)
+  }
+
+  test("vacuum retires old snapshots and their exclusive files, keeps " +
+      "everything the retained versions reference") {
+    val d = tmp()
+    val ids = (0L until 100L).toDF("id")
+    SnapTable.create(ids.filter(col("id") < 60), d)
+    SnapTable.append(ids.filter(col("id") >= 60), d)
+    SnapTable.deleteWhere(spark, d, col("id") % 10 === 3)
+    SnapTable.vacuum(spark, d, retain = 1)
+    // old manifests gone: time travel to v1/v2 now refuses
+    intercept[IllegalArgumentException](SnapTable.read(spark, d, Some(1)))
+    intercept[IllegalArgumentException](SnapTable.read(spark, d, Some(2)))
+    // the current snapshot is intact
+    assert(SnapTable.read(spark, d).count() === 90)
+    // every file the current manifest references still exists; nothing
+    // else remains under data/ except the retained write-dirs' files
+    val cur = SnapTable.readManifest(spark, d, 3).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def allDataFiles(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    // keys are the manifest-relative tail: "wNNNNN/part-....parquet"
+    val onDisk = allDataFiles(new org.apache.hadoop.fs.Path(s"$d/data"))
+      .map(_.split('/').takeRight(2).mkString("/")).toSet
+    val curKeys = cur.map(_.stripPrefix("data/"))
+    assert(curKeys.forall(onDisk.contains),
+      "vacuum deleted a file the current snapshot references")
+    // and nothing EXCLUSIVE to the retired versions survived
+    assert(onDisk === curKeys,
+      s"orphan files survived vacuum: ${onDisk -- curKeys}")
+  }
+
+  test("commit-protocol refusals: double create, ops on a missing table") {
+    val d = tmp()
+    intercept[IllegalArgumentException](
+      SnapTable.read(spark, d))
+    intercept[IllegalArgumentException](
+      SnapTable.append(Seq(1L).toDF("id"), d))
+    SnapTable.create(Seq(1L).toDF("id"), d)
+    intercept[IllegalArgumentException](
+      SnapTable.create(Seq(2L).toDF("id"), d))
+  }
+}
