@@ -85,7 +85,8 @@ object SparkEntry {
     "q234_semantic_decontam",  // unique per-train-vector key; free pin
     "q235_mutual_knn",         // unique (a,b) pair key; free order pin
     "q236_snapshot_stats",     // unique per-source key; free order pin
-    "q237_time_travel")        // unique per-version key; free order pin
+    "q237_time_travel",        // unique per-version key; free order pin
+    "q238_snapshot_merge")     // unique per-source key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

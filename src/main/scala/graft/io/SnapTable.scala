@@ -138,6 +138,41 @@ object SnapTable {
     commitManifest(spark, dir, v + 1, kept ++ newFiles)
   }
 
+  /** MERGE (upsert) by key: rows of `updates` whose `key` exists in the
+    * current snapshot REPLACE the old rows; new keys insert. One atomic
+    * commit — the copy-on-write delete of matched keys and the append
+    * of `updates` land in the same manifest, so readers see either the
+    * whole merge or none of it.
+    *
+    * Scale shape: update batches are small next to the table (the CDC
+    * case), so the update KEY SET broadcasts into the file probe and
+    * the survivor anti-join; only files containing matched keys
+    * rewrite. */
+  def merge(updates: DataFrame, dir: String, key: String): Unit = {
+    val s = updates.sparkSession
+    val v = currentVersion(s, dir)
+    require(v > 0, s"SnapTable: $dir holds no table — create first")
+    val files = readManifest(s, dir, v)
+    val updKeys = updates.select(col(key)).distinct()
+    // input_file_name() must bind BEFORE the join — with two sources in
+    // the plan the expression is ambiguous and Spark rejects it
+    val cur = s.read.parquet(files.map(r => s"$dir/$r"): _*)
+      .withColumn("__file", input_file_name())
+    val touchedAbs = cur.join(broadcast(updKeys), Seq(key))
+      .select(col("__file"))
+      .distinct().collect().map(_.getString(0)).toSet
+    def k(p: String): String = p.split('/').takeRight(2).mkString("/")
+    val touchedKeys = touchedAbs.map(k)
+    val (touched, kept) = files.partition(r => touchedKeys.contains(k(r)))
+    val survivors =
+      if (touched.isEmpty) updates
+      else s.read.parquet(touched.map(r => s"$dir/$r"): _*)
+        .join(broadcast(updKeys), Seq(key), "left_anti")
+        .select(updates.columns.map(col): _*)
+        .unionByName(updates)
+    commitManifest(s, dir, v + 1, kept ++ writeData(survivors, dir, v + 1))
+  }
+
   /** Read a snapshot: the current one, or `asOf` for time travel. */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): DataFrame = {
@@ -171,10 +206,12 @@ object SnapTable {
 
   // ---- q236/q237: the format under the oracle gate -------------------------
 
-  /** The documents corpus rebuilt as a 3-version snapshot table, once
+  /** The documents corpus rebuilt as a 4-version snapshot table, once
     * per (session, dir): v1 = even doc_ids, v2 = append of the odd ones
-    * (full corpus), v3 = copy-on-write delete of doc_id % 10 == 3. All
-    * three predicates are closed-form, so the DuckDB oracle recomputes
+    * (full corpus), v3 = copy-on-write delete of doc_id % 10 == 3,
+    * v4 = MERGE of every doc_id % 7 == 0 re-labeled source='merged'
+    * (updates the surviving ones, re-INSERTS the ones v3 deleted). All
+    * four predicates are closed-form, so the DuckDB oracle recomputes
     * any version from the raw parquet. */
   private val snapCache = new graft.ops.SessionMemo[String]
   private def snapDocs(s: SparkSession, dir: String): String =
@@ -185,17 +222,19 @@ object SnapTable {
       create(docs.filter(col("doc_id") % 2 === 0), d)
       append(docs.filter(col("doc_id") % 2 =!= 0), d)
       deleteWhere(s, d, col("doc_id") % 10 === 3)
+      merge(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("source", lit("merged")), d, "doc_id")
       d
     }
 
-  /** q236 — per-source stats from the CURRENT snapshot (post-delete):
+  /** q236 — per-source stats from the POST-DELETE snapshot (as-of v3):
     * the create→append→CoW-delete chain, the manifest selection, and
     * the file-granular rewrite must all be value-invisible — the q124/
     * q222 storage discipline applied to a TABLE FORMAT. The oracle
     * recomputes the same stats from the raw parquet with the delete
     * predicate inlined. */
   def snapshotStats(s: SparkSession, dir: String): DataFrame =
-    read(s, snapDocs(s, dir))
+    read(s, snapDocs(s, dir), Some(3))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
@@ -242,11 +281,39 @@ object SnapTable {
       |FROM documents WHERE doc_id % 10 <> 3
       |ORDER BY version""".stripMargin
 
+  /** q238 — per-source stats from the CURRENT snapshot (post-merge):
+    * the upsert's two arms gate together — updated keys must show the
+    * new source label exactly once, keys the v3 delete removed must be
+    * re-inserted, everything else must carry through untouched. Oracle:
+    * the same closed form over raw parquet (id%7==0 → 'merged' rows for
+    * ALL such ids; otherwise original rows where id%10<>3). */
+  def snapshotMergeStats(s: SparkSession, dir: String): DataFrame =
+    read(s, snapDocs(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+
+  val snapshotMergeStatsSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, text, lang, 'merged' AS source, n_chars
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 10 <> 3)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  max(doc_id) AS max_doc_id
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q236_snapshot_stats" -> (snapshotStats _),
-    "q237_time_travel" -> (timeTravelAudit _))
+    "q237_time_travel" -> (timeTravelAudit _),
+    "q238_snapshot_merge" -> (snapshotMergeStats _))
 
   val oracles: Map[String, String] = Map(
     "q236_snapshot_stats" -> snapshotStatsSql,
-    "q237_time_travel" -> timeTravelAuditSql)
+    "q237_time_travel" -> timeTravelAuditSql,
+    "q238_snapshot_merge" -> snapshotMergeStatsSql)
 }

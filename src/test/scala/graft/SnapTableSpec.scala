@@ -106,6 +106,36 @@ class SnapTableSpec extends SparkSpec {
       s"orphan files survived vacuum: ${onDisk -- curKeys}")
   }
 
+  test("merge: matched keys update, new keys insert, one atomic version") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), d)
+    SnapTable.merge(Seq((2L, "B"), (9L, "I")).toDF("id", "s"), d, "id")
+    assert(SnapTable.currentVersion(spark, d) === 2)
+    val rows = SnapTable.read(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "I"))
+    // exactly once: no duplicate key survived the upsert
+    assert(SnapTable.read(spark, d).count() === 4)
+    // time travel still serves the pre-merge rows
+    assert(SnapTable.read(spark, d, Some(1)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("merge carry-by-reference: files without matched keys are not " +
+      "rewritten") {
+    val d = tmp()
+    SnapTable.create((0L until 100L).toDF("id")
+      .withColumn("s", lit("x")).repartitionByRange(2, col("id")), d)
+    val v1 = SnapTable.readManifest(spark, d, 1)
+    SnapTable.merge(Seq((5L, "y")).toDF("id", "s"), d, "id")
+    val v2 = SnapTable.readManifest(spark, d, 2)
+    assert(v1.toSet.intersect(v2.toSet).nonEmpty,
+      "merge rewrote a file holding no matched key")
+    assert(SnapTable.read(spark, d).filter(col("s") === "y").count() === 1)
+    assert(SnapTable.read(spark, d).count() === 100)
+  }
+
   test("commit-protocol refusals: double create, ops on a missing table") {
     val d = tmp()
     intercept[IllegalArgumentException](
