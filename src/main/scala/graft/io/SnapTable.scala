@@ -64,17 +64,39 @@ object SnapTable {
     val in = f.open(p)
     val txt = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    txt.split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+  }
+
+  /** `# key=value` header lines of a snapshot's manifest — commit
+    * metadata (e.g. the streaming batch id), atomic WITH the file list
+    * because it rides the same rename. */
+  private[graft] def manifestMeta(spark: SparkSession, dir: String,
+      v: Int): Map[String, String] = {
+    val f = fs(spark, dir)
+    val in = f.open(manifestPath(dir, v))
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    txt.split("\n").map(_.trim)
+      .filter(_.startsWith("#"))
+      .flatMap { l =>
+        l.drop(1).trim.split("=", 2) match {
+          case Array(k, v2) => Some(k -> v2)
+          case _ => None
+        }
+      }.toMap
   }
 
   /** Atomically commit `files` (relative paths) as snapshot v. */
   private def commitManifest(spark: SparkSession, dir: String, v: Int,
-      files: Seq[String]): Unit = {
+      files: Seq[String], meta: Map[String, String] = Map.empty): Unit = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val tmp = new Path(manifestDir(dir), f"v$v%05d.manifest.inprogress")
     val out = f.create(tmp, true)
-    try out.write((files.sorted.mkString("\n") + "\n")
+    val header = meta.toSeq.sortBy(_._1)
+      .map { case (k, v2) => s"# $k=$v2\n" }.mkString
+    try out.write((header + files.sorted.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fin = manifestPath(dir, v)
@@ -171,6 +193,32 @@ object SnapTable {
         .select(updates.columns.map(col): _*)
         .unionByName(updates)
     commitManifest(s, dir, v + 1, kept ++ writeData(survivors, dir, v + 1))
+  }
+
+  /** Highest streaming batch id any snapshot has committed, -1 if none —
+    * scans the (bounded, O(#versions)) manifest headers. */
+  private[graft] def lastAppliedBatch(spark: SparkSession,
+      dir: String): Long =
+    (1 to currentVersion(spark, dir))
+      .flatMap(v => manifestMeta(spark, dir, v).get("batch_id"))
+      .map(_.toLong).foldLeft(-1L)(math.max)
+
+  /** EXACTLY-ONCE streaming append: commit `df` as a new snapshot
+    * stamped with `batchId`, or do NOTHING if a snapshot already
+    * carries this or a later batch id — the foreachBatch sink contract
+    * (a restarted stream redelivers its last uncommitted batch; the
+    * stamp makes the redelivery a no-op instead of a duplicate). The
+    * stamp rides the manifest's atomic rename, so there is no window
+    * where data committed but the stamp did not. Creates the table on
+    * the first batch. Returns true if a commit happened. */
+  def appendOnce(df: DataFrame, dir: String, batchId: Long): Boolean = {
+    val s = df.sparkSession
+    if (lastAppliedBatch(s, dir) >= batchId) return false
+    val v = currentVersion(s, dir)
+    val prev = if (v == 0) Seq.empty else readManifest(s, dir, v)
+    commitManifest(s, dir, v + 1, prev ++ writeData(df, dir, v + 1),
+      Map("batch_id" -> batchId.toString))
+    true
   }
 
   /** Read a snapshot: the current one, or `asOf` for time travel. */

@@ -293,4 +293,29 @@ object DocStreams {
       }
       .start()
   }
+
+  /** EXACTLY-ONCE streaming ingest into a [[graft.io.SnapTable]]: each
+    * micro-batch commits as one batch-id-stamped snapshot via
+    * [[graft.io.SnapTable.appendOnce]], so a restart's redelivered batch
+    * is a NO-OP instead of a duplicate — the stamp rides the manifest's
+    * atomic rename, closing the gap every at-least-once foreachBatch
+    * sink has between "data landed" and "progress recorded". Readers
+    * meanwhile get snapshot isolation (a half-written drop is never
+    * visible) and per-drop time travel for free: version v = the table
+    * after drop v.
+    *
+    * Scale shape: the sink is one parquet write of drop-sized data plus
+    * an O(#files) manifest line append; nothing rereads the table.
+    * `onCommit` receives (batchId, committed) — false marks a skipped
+    * redelivery, which the spec asserts. */
+  def maintainSnapshotIngest(docStream: DataFrame, tableDir: String,
+      checkpointDir: String)(
+      onCommit: (Long, Boolean) => Unit): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onCommit(batchId,
+          graft.io.SnapTable.appendOnce(batch, tableDir, batchId))
+      }
+      .start()
 }

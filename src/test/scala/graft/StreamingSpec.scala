@@ -813,4 +813,45 @@ class StreamingSpec extends SparkSpec {
     assert(latest.exists(p => p._1 != p._3),
       "no cross-video near-dup frames in the stream")
   }
+
+  test("streaming snapshot ingest: exactly-once across restart, " +
+      "redelivered batches are no-ops, per-drop time travel") {
+    import graft.io.SnapTable
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, sf).localCheckpoint(eager = false)
+    def slice(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    val dropsDir = Files.createTempDirectory("graft-snap-drops").toString
+    val ckpt = Files.createTempDirectory("graft-snap-ckpt").toString
+    val table = Files.createTempDirectory("graft-snap-table").toString
+    val commits = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    def start() = DocStreams.maintainSnapshotIngest(
+      DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+      table, ckpt) { (id, committed) =>
+      this.synchronized { commits += ((id, committed)) }
+    }
+    slice(0).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(SnapTable.read(spark, table).count() === slice(0).count())
+    // two more drops land while the stream is DOWN; the restart resumes
+    // from the checkpoint and ingests both
+    slice(1).coalesce(1).write.mode("append").parquet(dropsDir)
+    slice(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ingested = SnapTable.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ingested === docs.collect().map(_.getLong(0)).sorted.toSeq,
+      "table diverges from the union of all drops")
+    assert(ingested.distinct === ingested, "duplicate rows — not exactly-once")
+    // a redelivery of an already-committed batch id must be a no-op
+    val v = SnapTable.currentVersion(spark, table)
+    assert(!SnapTable.appendOnce(slice(0).limit(5), table, 0L))
+    assert(SnapTable.currentVersion(spark, table) === v)
+    // every live commit reported true
+    assert(commits.nonEmpty && commits.forall(_._2),
+      s"unexpected skipped commits in $commits")
+    // per-drop time travel: v1 is exactly the first drop
+    assert(SnapTable.read(spark, table, Some(1)).count() === slice(0).count())
+  }
 }
