@@ -221,12 +221,17 @@ object SnapTable {
     true
   }
 
-  /** Read a snapshot: the current one, or `asOf` for time travel. */
+  /** Read a snapshot: the current one, or `asOf` for time travel.
+    * `mergeSchema` makes SCHEMA EVOLUTION work: an append that added a
+    * column reads as the union schema, with nulls for rows written
+    * before the column existed (time travel to a pre-evolution version
+    * still returns the old schema — its manifest lists only old files). */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(spark, dir))
     require(v > 0, s"SnapTable: no snapshot to read under $dir")
-    spark.read.parquet(readManifest(spark, dir, v).map(r => s"$dir/$r"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(readManifest(spark, dir, v).map(r => s"$dir/$r"): _*)
   }
 
   /** Retire history: keep the newest `retain` snapshots, delete older
@@ -355,13 +360,68 @@ object SnapTable {
       |  max(doc_id) AS max_doc_id
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  /** q239 — CHANGE DATA CAPTURE between consecutive snapshot versions:
+    * per (from_v, to_v) transition, how many keys were inserted,
+    * deleted, and updated (same key, different row content) — the diff
+    * feed a downstream consumer (an index maintainer, a replica)
+    * subscribes to instead of re-reading the table. Exercises the
+    * format's whole history: append (1→2: pure inserts), CoW delete
+    * (2→3: pure deletes), and MERGE (3→4: updates + the re-inserts of
+    * previously deleted keys). Oracle: each transition in closed form
+    * from the raw parquet.
+    *
+    * Scale shape: each transition is two key anti-joins plus one
+    * equi-join comparing row content — all on the snapshot's own key;
+    * a real deployment diffs MANIFESTS first so only rewritten files
+    * join, which this file-granular format enables (the query spells
+    * the semantic contract the manifest diff must reproduce). */
+  def snapshotCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = snapDocs(s, dir)
+    (1 to 3).map { v =>
+      val from = read(s, d, Some(v))
+      val to = read(s, d, Some(v + 1))
+      val fk = from.select(col("doc_id")); val tk = to.select(col("doc_id"))
+      val ins = tk.join(fk, Seq("doc_id"), "left_anti").count()
+      val del = fk.join(tk, Seq("doc_id"), "left_anti").count()
+      val upd = from.as("a").join(to.as("b"), Seq("doc_id"))
+        .filter(col("a.text") =!= col("b.text") ||
+          col("a.lang") =!= col("b.lang") ||
+          col("a.source") =!= col("b.source") ||
+          col("a.n_chars") =!= col("b.n_chars"))
+        .count()
+      (v.toLong, (v + 1).toLong, ins, del, upd)
+    }.toDF("from_v", "to_v", "n_inserted", "n_deleted", "n_updated")
+      .orderBy(col("from_v"))
+  }
+
+  val snapshotCdcSql: String =
+    """SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id % 2 <> 0) AS n_inserted,
+      |  CAST(0 AS BIGINT) AS n_deleted, CAST(0 AS BIGINT) AS n_updated
+      |UNION ALL
+      |SELECT 2, 3, 0,
+      |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 3), 0
+      |UNION ALL
+      |SELECT 3, 4,
+      |  (SELECT count(*) FROM documents
+      |   WHERE doc_id % 7 = 0 AND doc_id % 10 = 3),
+      |  0,
+      |  (SELECT count(*) FROM documents
+      |   WHERE doc_id % 7 = 0 AND doc_id % 10 <> 3
+      |     AND source <> 'merged')
+      |ORDER BY from_v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q236_snapshot_stats" -> (snapshotStats _),
     "q237_time_travel" -> (timeTravelAudit _),
-    "q238_snapshot_merge" -> (snapshotMergeStats _))
+    "q238_snapshot_merge" -> (snapshotMergeStats _),
+    "q239_snapshot_cdc" -> (snapshotCdc _))
 
   val oracles: Map[String, String] = Map(
     "q236_snapshot_stats" -> snapshotStatsSql,
     "q237_time_travel" -> timeTravelAuditSql,
-    "q238_snapshot_merge" -> snapshotMergeStatsSql)
+    "q238_snapshot_merge" -> snapshotMergeStatsSql,
+    "q239_snapshot_cdc" -> snapshotCdcSql)
 }

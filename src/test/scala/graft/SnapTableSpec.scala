@@ -136,6 +136,21 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.read(spark, d).count() === 100)
   }
 
+  test("schema evolution: an append that adds a column reads as the " +
+      "union schema; pre-evolution time travel keeps the old schema") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a")).toDF("id", "s"), d)
+    SnapTable.append(Seq((2L, "b", 7.5)).toDF("id", "s", "score"), d)
+    val cur = SnapTable.read(spark, d)
+    assert(cur.columns.toSeq === Seq("id", "s", "score"))
+    val byId = cur.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getDouble(2)))).toMap
+    assert(byId === Map(1L -> None, 2L -> Some(7.5)),
+      "pre-evolution rows must read the new column as NULL")
+    assert(SnapTable.read(spark, d, Some(1)).columns.toSeq === Seq("id", "s"))
+  }
+
   test("commit-protocol refusals: double create, ops on a missing table") {
     val d = tmp()
     intercept[IllegalArgumentException](
