@@ -46,38 +46,38 @@ object SnapTable {
   private def manifestPath(dir: String, v: Int) =
     new Path(manifestDir(dir), f"v$v%05d.manifest")
 
-  /** Highest committed snapshot version, 0 if none. */
+  /** Highest committed snapshot version, 0 if none. Accepts 5-or-more
+    * digit names: `f"v$v%05d"` widens past v99999 and both sides must
+    * keep matching, or the table wedges at version 100000. */
   def currentVersion(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
     if (!f.exists(manifestDir(dir))) 0
     else f.listStatus(manifestDir(dir)).map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{5}\\.manifest") =>
-        n.substring(1, 6).toInt }
+      .collect { case n if n.matches("v\\d{5,}\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
       .foldLeft(0)(math.max)
   }
 
-  private[graft] def readManifest(spark: SparkSession, dir: String,
-      v: Int): Seq[String] = {
+  private def readText(spark: SparkSession, dir: String, v: Int): String = {
     val f = fs(spark, dir)
     val p = manifestPath(dir, v)
     require(f.exists(p), s"SnapTable: no snapshot v$v under $dir")
     val in = f.open(p)
-    val txt = try new String(in.readAllBytes(),
+    try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    txt.split("\n").map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
   }
+
+  private[graft] def readManifest(spark: SparkSession, dir: String,
+      v: Int): Seq[String] =
+    readText(spark, dir, v).split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
 
   /** `# key=value` header lines of a snapshot's manifest — commit
     * metadata (e.g. the streaming batch id), atomic WITH the file list
     * because it rides the same rename. */
   private[graft] def manifestMeta(spark: SparkSession, dir: String,
-      v: Int): Map[String, String] = {
-    val f = fs(spark, dir)
-    val in = f.open(manifestPath(dir, v))
-    val txt = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    txt.split("\n").map(_.trim)
+      v: Int): Map[String, String] =
+    readText(spark, dir, v).split("\n").map(_.trim)
       .filter(_.startsWith("#"))
       .flatMap { l =>
         l.drop(1).trim.split("=", 2) match {
@@ -85,7 +85,12 @@ object SnapTable {
           case _ => None
         }
       }.toMap
-  }
+
+  /** The manifest-relative two-component key of a data file
+    * ("wNNNNN-token/part-....parquet") — how absolute/URI paths from
+    * `input_file_name()` are matched back to manifest entries. */
+  private def pathKey(p: String): String =
+    p.split('/').takeRight(2).mkString("/")
 
   /** Atomically commit `files` (relative paths) as snapshot v. */
   private def commitManifest(spark: SparkSession, dir: String, v: Int,
@@ -107,10 +112,17 @@ object SnapTable {
     }
   }
 
-  /** Write `df`'s rows into a fresh write-dir; return the new files'
-    * relative paths. */
+  /** Write `df`'s rows into a fresh ATTEMPT-UNIQUE write-dir; return
+    * the new files' relative paths. The random token is what makes a
+    * crashed writer harmless: a deterministic `w{v+1}` target would
+    * collide with the orphan dir a previous attempt left behind (a
+    * crash between data write and manifest rename), turning every
+    * retry into "path already exists" and wedging the table. Orphan
+    * dirs are unreferenced by any manifest and invisible to readers;
+    * they cost disk until manually swept. */
   private def writeData(df: DataFrame, dir: String, v: Int): Seq[String] = {
-    val rel = f"data/w$v%05d"
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"data/w$v%05d-$token"
     val target = s"$dir/$rel"
     df.write.mode("errorifexists").parquet(target)
     val f = fs(df.sparkSession, dir)
@@ -145,18 +157,26 @@ object SnapTable {
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     val files = readManifest(spark, dir, v)
     val abs = files.map(r => s"$dir/$r")
+    // mergeSchema on BOTH rewrite-path reads: after schema evolution a
+    // plain read infers from one arbitrary file — survivors rewritten
+    // through the narrower schema would silently lose the evolved
+    // column (or the predicate would fail to resolve)
     // bounded driver action: one distinct over ≤#files values
-    val touchedAbs = spark.read.parquet(abs: _*)
+    val touchedAbs = spark.read.option("mergeSchema", "true").parquet(abs: _*)
       .filter(pred).select(input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toSet
     // input_file_name yields URIs; match by (write-dir, file-name) suffix
-    def key(p: String): String = p.split('/').takeRight(2).mkString("/")
-    val touchedKeys = touchedAbs.map(key)
-    val (touched, kept) = files.partition(r => touchedKeys.contains(key(r)))
+    val touchedKeys = touchedAbs.map(pathKey)
+    val (touched, kept) =
+      files.partition(r => touchedKeys.contains(pathKey(r)))
+    // delete ⇔ pred is TRUE: survivors keep rows where pred is false
+    // OR NULL (plain !pred filters NULL-predicate rows out — silent
+    // data loss for rows the predicate never matched)
     val newFiles =
       if (touched.isEmpty) Seq.empty
-      else writeData(spark.read.parquet(touched.map(r => s"$dir/$r"): _*)
-        .filter(!pred), dir, v + 1)
+      else writeData(spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(r => s"$dir/$r"): _*)
+        .filter(!coalesce(pred, lit(false))), dir, v + 1)
     commitManifest(spark, dir, v + 1, kept ++ newFiles)
   }
 
@@ -175,33 +195,56 @@ object SnapTable {
     val v = currentVersion(s, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     val files = readManifest(s, dir, v)
+    // MERGE requires the FULL current schema in the update batch: the
+    // survivor rewrite projects to updates' columns, so a narrower
+    // batch would silently strip columns from rows that were never
+    // part of the upsert
+    val curSchema = s.read.option("mergeSchema", "true")
+      .parquet(files.map(r => s"$dir/$r"): _*)
+    require(updates.columns.toSet == curSchema.columns.toSet,
+      s"SnapTable: merge batch columns ${updates.columns.toSeq.sorted}" +
+        s" must equal the table's ${curSchema.columns.toSeq.sorted}")
     val updKeys = updates.select(col(key)).distinct()
     // input_file_name() must bind BEFORE the join — with two sources in
     // the plan the expression is ambiguous and Spark rejects it
-    val cur = s.read.parquet(files.map(r => s"$dir/$r"): _*)
-      .withColumn("__file", input_file_name())
+    val cur = curSchema.withColumn("__file", input_file_name())
     val touchedAbs = cur.join(broadcast(updKeys), Seq(key))
       .select(col("__file"))
       .distinct().collect().map(_.getString(0)).toSet
-    def k(p: String): String = p.split('/').takeRight(2).mkString("/")
-    val touchedKeys = touchedAbs.map(k)
-    val (touched, kept) = files.partition(r => touchedKeys.contains(k(r)))
+    val touchedKeys = touchedAbs.map(pathKey)
+    val (touched, kept) =
+      files.partition(r => touchedKeys.contains(pathKey(r)))
     val survivors =
       if (touched.isEmpty) updates
-      else s.read.parquet(touched.map(r => s"$dir/$r"): _*)
+      else s.read.option("mergeSchema", "true")
+        .parquet(touched.map(r => s"$dir/$r"): _*)
         .join(broadcast(updKeys), Seq(key), "left_anti")
         .select(updates.columns.map(col): _*)
         .unionByName(updates)
     commitManifest(s, dir, v + 1, kept ++ writeData(survivors, dir, v + 1))
   }
 
-  /** Highest streaming batch id any snapshot has committed, -1 if none —
-    * scans the (bounded, O(#versions)) manifest headers. */
+  /** Highest streaming batch id any snapshot has committed, -1 if none.
+    * Scans versions DESCENDING and stops at the first stamped manifest
+    * (batch ids commit in order, so the newest stamp is the max) — an
+    * ascending full scan would be O(versions) manifest reads per batch
+    * AND would throw on versions [[vacuum]] already retired; missing
+    * manifests are skipped for the same reason. */
   private[graft] def lastAppliedBatch(spark: SparkSession,
-      dir: String): Long =
-    (1 to currentVersion(spark, dir))
-      .flatMap(v => manifestMeta(spark, dir, v).get("batch_id"))
-      .map(_.toLong).foldLeft(-1L)(math.max)
+      dir: String): Long = {
+    val f = fs(spark, dir)
+    var v = currentVersion(spark, dir)
+    while (v >= 1) {
+      if (f.exists(manifestPath(dir, v))) {
+        manifestMeta(spark, dir, v).get("batch_id") match {
+          case Some(b) => return b.toLong
+          case None => () // a non-stream commit interleaved; keep looking
+        }
+      }
+      v -= 1
+    }
+    -1L
+  }
 
   /** EXACTLY-ONCE streaming append: commit `df` as a new snapshot
     * stamped with `batchId`, or do NOTHING if a snapshot already
@@ -384,11 +427,13 @@ object SnapTable {
       val fk = from.select(col("doc_id")); val tk = to.select(col("doc_id"))
       val ins = tk.join(fk, Seq("doc_id"), "left_anti").count()
       val del = fk.join(tk, Seq("doc_id"), "left_anti").count()
+      // null-SAFE comparisons: a column transitioning NULL↔value is an
+      // update; plain =!= evaluates NULL there and the row drops out
       val upd = from.as("a").join(to.as("b"), Seq("doc_id"))
-        .filter(col("a.text") =!= col("b.text") ||
-          col("a.lang") =!= col("b.lang") ||
-          col("a.source") =!= col("b.source") ||
-          col("a.n_chars") =!= col("b.n_chars"))
+        .filter(!(col("a.text") <=> col("b.text")) ||
+          !(col("a.lang") <=> col("b.lang")) ||
+          !(col("a.source") <=> col("b.source")) ||
+          !(col("a.n_chars") <=> col("b.n_chars")))
         .count()
       (v.toLong, (v + 1).toLong, ins, del, upd)
     }.toDF("from_v", "to_v", "n_inserted", "n_deleted", "n_updated")

@@ -151,6 +151,66 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.read(spark, d, Some(1)).columns.toSeq === Seq("id", "s"))
   }
 
+  test("a crashed writer's orphan write-dir neither blocks future " +
+      "commits nor leaks rows into reads") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a")).toDF("id", "s"), d)
+    // simulate a crash between data write and manifest rename: a full
+    // write-dir for the NEXT version exists but no manifest references it
+    Seq((99L, "orphan")).toDF("id", "s").write
+      .parquet(s"$d/data/w00002-deadbeef")
+    SnapTable.append(Seq((2L, "b")).toDF("id", "s"), d)
+    val ids = SnapTable.read(spark, d).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L), s"orphan rows leaked or append lost: $ids")
+  }
+
+  test("streaming ingest survives vacuum: lastAppliedBatch skips retired " +
+      "manifests and later batches still commit") {
+    val d = tmp()
+    assert(SnapTable.appendOnce(Seq((1L, "a")).toDF("id", "s"), d, 0L))
+    assert(SnapTable.appendOnce(Seq((2L, "b")).toDF("id", "s"), d, 1L))
+    assert(SnapTable.appendOnce(Seq((3L, "c")).toDF("id", "s"), d, 2L))
+    SnapTable.vacuum(spark, d, retain = 1)
+    // the stamp scan must not die on the vacuumed v1/v2 manifests
+    assert(SnapTable.lastAppliedBatch(spark, d) === 2L)
+    assert(!SnapTable.appendOnce(Seq((9L, "x")).toDF("id", "s"), d, 2L))
+    assert(SnapTable.appendOnce(Seq((4L, "d")).toDF("id", "s"), d, 3L))
+    assert(SnapTable.read(spark, d).count() === 4)
+  }
+
+  test("deleteWhere keeps rows whose predicate is NULL — delete means " +
+      "pred IS TRUE, not pred IS NOT FALSE") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, Option("en")), (2L, None: Option[String]),
+      (3L, Option("de"))).toDF("id", "lang").coalesce(1), d)
+    SnapTable.deleteWhere(spark, d, col("lang") === "en")
+    val ids = SnapTable.read(spark, d).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 3L),
+      s"NULL-predicate row silently deleted (or match kept): $ids")
+  }
+
+  test("copy-on-write rewrites read with mergeSchema: evolved columns " +
+      "survive a delete that touches pre- and post-evolution files") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), d)
+    SnapTable.append(Seq((3L, "c", 7.5)).toDF("id", "s", "score")
+      .coalesce(1), d)
+    SnapTable.deleteWhere(spark, d, col("id") === 1L)
+    val rows = SnapTable.read(spark, d).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getDouble(2)))).toMap
+    assert(rows === Map(2L -> None, 3L -> Some(7.5)),
+      "evolved column lost through the CoW rewrite")
+  }
+
+  test("merge refuses an update batch whose schema is not the table's") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a", 1.0)).toDF("id", "s", "score"), d)
+    val e = intercept[IllegalArgumentException](
+      SnapTable.merge(Seq((1L, "A")).toDF("id", "s"), d, "id"))
+    assert(e.getMessage.contains("score"), e.getMessage)
+  }
+
   test("commit-protocol refusals: double create, ops on a missing table") {
     val d = tmp()
     intercept[IllegalArgumentException](
