@@ -67,10 +67,18 @@ object SnapTable {
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
   }
 
-  private[graft] def readManifest(spark: SparkSession, dir: String,
+  /** Raw manifest entries: `path` or `path\tmin\tmax` when the table
+    * carries per-file column stats (the data-skipping metadata). */
+  private[graft] def readEntries(spark: SparkSession, dir: String,
       v: Int): Seq[String] =
     readText(spark, dir, v).split("\n").map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
+  private def entryPath(e: String): String = e.split('\t').head
+
+  private[graft] def readManifest(spark: SparkSession, dir: String,
+      v: Int): Seq[String] =
+    readEntries(spark, dir, v).map(entryPath)
 
   /** `# key=value` header lines of a snapshot's manifest — commit
     * metadata (e.g. the streaming batch id), atomic WITH the file list
@@ -120,31 +128,72 @@ object SnapTable {
     * retry into "path already exists" and wedging the table. Orphan
     * dirs are unreferenced by any manifest and invisible to readers;
     * they cost disk until manually swept. */
-  private def writeData(df: DataFrame, dir: String, v: Int): Seq[String] = {
+  private def writeData(df: DataFrame, dir: String, v: Int,
+      statsCol: Option[String] = None): Seq[String] = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"data/w$v%05d-$token"
     val target = s"$dir/$rel"
     df.write.mode("errorifexists").parquet(target)
     val f = fs(df.sparkSession, dir)
-    f.listStatus(new Path(target)).map(_.getPath.getName)
+    val rels = f.listStatus(new Path(target)).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
+    statsCol match {
+      case None => rels
+      case Some(c) =>
+        // per-file [min, max] of the stats column, one grouped scan of
+        // the just-written files — the data-skipping metadata; a file
+        // whose column is all-NULL stays unannotated (always read)
+        val stats = df.sparkSession.read.parquet(target)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c)).cast("long").as("lo"),
+            max(col(c)).cast("long").as("hi"))
+          .collect()
+          .filterNot(r => r.isNullAt(1))
+          .map(r => pathKey(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        rels.map { r =>
+          stats.get(pathKey(r)) match {
+            case Some((lo, hi)) => s"$r\t$lo\t$hi"
+            case None => r
+          }
+        }
+    }
   }
 
-  /** Create snapshot v1 from `df` (dir must hold no table yet). */
-  def create(df: DataFrame, dir: String): Unit = {
+  /** The table's declared stats column (set at [[create]], carried in
+    * every commit's meta), None when the table keeps no file stats. */
+  private[graft] def statsColOf(spark: SparkSession, dir: String,
+      v: Int): Option[String] =
+    if (v == 0) None else manifestMeta(spark, dir, v).get("stats_col")
+
+  private def statsMeta(spark: SparkSession, dir: String,
+      v: Int): Map[String, String] =
+    statsColOf(spark, dir, v).map("stats_col" -> _).toMap
+
+  /** Create snapshot v1 from `df` (dir must hold no table yet).
+    * `statsCol` (an integral column) turns on per-file min/max stats in
+    * every manifest from here on — the metadata [[readPruned]] skips
+    * files with. */
+  def create(df: DataFrame, dir: String,
+      statsCol: Option[String] = None): Unit = {
     require(currentVersion(df.sparkSession, dir) == 0,
       s"SnapTable: $dir already holds a table — use append/deleteWhere")
-    commitManifest(df.sparkSession, dir, 1, writeData(df, dir, 1))
+    commitManifest(df.sparkSession, dir, 1,
+      writeData(df, dir, 1, statsCol),
+      statsCol.map("stats_col" -> _).toMap)
   }
 
   /** Append `df`'s rows as a new snapshot: previous files carry over by
-    * reference, only the new rows are written. */
+    * reference (stats annotations included), only the new rows are
+    * written. */
   def append(df: DataFrame, dir: String): Unit = {
     val s = df.sparkSession
     val v = currentVersion(s, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     commitManifest(s, dir, v + 1,
-      readManifest(s, dir, v) ++ writeData(df, dir, v + 1))
+      readEntries(s, dir, v) ++
+        writeData(df, dir, v + 1, statsColOf(s, dir, v)),
+      statsMeta(s, dir, v))
   }
 
   /** Copy-on-write delete: rows matching `pred` disappear in the new
@@ -155,8 +204,8 @@ object SnapTable {
   def deleteWhere(spark: SparkSession, dir: String, pred: Column): Unit = {
     val v = currentVersion(spark, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
-    val files = readManifest(spark, dir, v)
-    val abs = files.map(r => s"$dir/$r")
+    val entries = readEntries(spark, dir, v)
+    val abs = entries.map(e => s"$dir/${entryPath(e)}")
     // mergeSchema on BOTH rewrite-path reads: after schema evolution a
     // plain read infers from one arbitrary file — survivors rewritten
     // through the narrower schema would silently lose the evolved
@@ -168,16 +217,18 @@ object SnapTable {
     // input_file_name yields URIs; match by (write-dir, file-name) suffix
     val touchedKeys = touchedAbs.map(pathKey)
     val (touched, kept) =
-      files.partition(r => touchedKeys.contains(pathKey(r)))
+      entries.partition(e => touchedKeys.contains(pathKey(entryPath(e))))
     // delete ⇔ pred is TRUE: survivors keep rows where pred is false
     // OR NULL (plain !pred filters NULL-predicate rows out — silent
     // data loss for rows the predicate never matched)
     val newFiles =
       if (touched.isEmpty) Seq.empty
       else writeData(spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(r => s"$dir/$r"): _*)
-        .filter(!coalesce(pred, lit(false))), dir, v + 1)
-    commitManifest(spark, dir, v + 1, kept ++ newFiles)
+        .parquet(touched.map(e => s"$dir/${entryPath(e)}"): _*)
+        .filter(!coalesce(pred, lit(false))), dir, v + 1,
+        statsColOf(spark, dir, v))
+    commitManifest(spark, dir, v + 1, kept ++ newFiles,
+      statsMeta(spark, dir, v))
   }
 
   /** MERGE (upsert) by key: rows of `updates` whose `key` exists in the
@@ -194,7 +245,8 @@ object SnapTable {
     val s = updates.sparkSession
     val v = currentVersion(s, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
-    val files = readManifest(s, dir, v)
+    val entries = readEntries(s, dir, v)
+    val files = entries.map(entryPath)
     // MERGE requires the FULL current schema in the update batch: the
     // survivor rewrite projects to updates' columns, so a narrower
     // batch would silently strip columns from rows that were never
@@ -213,15 +265,17 @@ object SnapTable {
       .distinct().collect().map(_.getString(0)).toSet
     val touchedKeys = touchedAbs.map(pathKey)
     val (touched, kept) =
-      files.partition(r => touchedKeys.contains(pathKey(r)))
+      entries.partition(e => touchedKeys.contains(pathKey(entryPath(e))))
     val survivors =
       if (touched.isEmpty) updates
       else s.read.option("mergeSchema", "true")
-        .parquet(touched.map(r => s"$dir/$r"): _*)
+        .parquet(touched.map(e => s"$dir/${entryPath(e)}"): _*)
         .join(broadcast(updKeys), Seq(key), "left_anti")
         .select(updates.columns.map(col): _*)
         .unionByName(updates)
-    commitManifest(s, dir, v + 1, kept ++ writeData(survivors, dir, v + 1))
+    commitManifest(s, dir, v + 1,
+      kept ++ writeData(survivors, dir, v + 1, statsColOf(s, dir, v)),
+      statsMeta(s, dir, v))
   }
 
   /** Highest streaming batch id any snapshot has committed, -1 if none.
@@ -258,9 +312,10 @@ object SnapTable {
     val s = df.sparkSession
     if (lastAppliedBatch(s, dir) >= batchId) return false
     val v = currentVersion(s, dir)
-    val prev = if (v == 0) Seq.empty else readManifest(s, dir, v)
-    commitManifest(s, dir, v + 1, prev ++ writeData(df, dir, v + 1),
-      Map("batch_id" -> batchId.toString))
+    val prev = if (v == 0) Seq.empty else readEntries(s, dir, v)
+    commitManifest(s, dir, v + 1,
+      prev ++ writeData(df, dir, v + 1, statsColOf(s, dir, v)),
+      Map("batch_id" -> batchId.toString) ++ statsMeta(s, dir, v))
     true
   }
 
@@ -275,6 +330,44 @@ object SnapTable {
     require(v > 0, s"SnapTable: no snapshot to read under $dir")
     spark.read.option("mergeSchema", "true")
       .parquet(readManifest(spark, dir, v).map(r => s"$dir/$r"): _*)
+  }
+
+  /** The manifest entries a [lo, hi] range predicate on the stats
+    * column CANNOT skip: annotated files whose [min, max] intersects
+    * the range, plus any unannotated file (no stats → must read).
+    * Exposed so the spec can assert real pruning happened. */
+  private[graft] def prunedPaths(spark: SparkSession, dir: String,
+      lo: Long, hi: Long, asOf: Option[Int] = None): Seq[String] = {
+    val v = asOf.getOrElse(currentVersion(spark, dir))
+    require(v > 0, s"SnapTable: no snapshot to read under $dir")
+    readEntries(spark, dir, v).filter { e =>
+      e.split('\t') match {
+        case Array(_, mn, mx) => !(mx.toLong < lo || mn.toLong > hi)
+        case _ => true
+      }
+    }.map(entryPath)
+  }
+
+  /** STATS-PRUNED range scan: rows with statsCol ∈ [lo, hi], reading
+    * ONLY the files whose manifest [min, max] intersects the range —
+    * manifest-level data skipping, the mechanism that makes a selective
+    * scan over a 100 TB table touch gigabytes (files that cannot
+    * contain a match are skipped from the DRIVER, before any task is
+    * scheduled). The residual filter still applies row-level, so the
+    * result is exactly `read(...).filter(between)` — q240 gates that
+    * equality against the raw-parquet oracle. */
+  def readPruned(spark: SparkSession, dir: String, lo: Long, hi: Long,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(spark, dir))
+    val c = statsColOf(spark, dir, v).getOrElse(throw
+      new IllegalArgumentException(
+        s"SnapTable: $dir carries no stats column — readPruned needs " +
+          "a table created with statsCol"))
+    val chosen = prunedPaths(spark, dir, lo, hi, Some(v))
+    if (chosen.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
+    else spark.read.option("mergeSchema", "true")
+      .parquet(chosen.map(r => s"$dir/$r"): _*)
+      .filter(col(c).between(lo, hi))
   }
 
   /** Retire history: keep the newest `retain` snapshots, delete older
@@ -458,15 +551,53 @@ object SnapTable {
       |     AND source <> 'merged')
       |ORDER BY from_v""".stripMargin
 
+  /** A stats-enabled snapshot of the corpus, range-partitioned on
+    * doc_id so the per-file [min, max] ranges are disjoint and pruning
+    * actually bites (hash-partitioned files all span the full range —
+    * nothing would skip; real tables get this clustering from q94's
+    * Z-order / q124's layout discipline). */
+  private val statsSnapCache = new graft.ops.SessionMemo[String]
+  private def statsSnap(s: SparkSession, dir: String): String =
+    statsSnapCache.getOrBuild(s, dir) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_snap_stats_").toString
+      create(graft.tables.Tables.documents(s, dir)
+        .repartitionByRange(8, col("doc_id")), d, Some("doc_id"))
+      d
+    }
+
+  /** q240 — MANIFEST-LEVEL DATA SKIPPING under the value gate: a
+    * doc_id range scan served through [[readPruned]] (only files whose
+    * manifest [min, max] intersects [100, 299] are read; the rest are
+    * skipped on the driver before any task schedules) must equal the
+    * raw-parquet oracle's plain WHERE — pruning is pure layout, so it
+    * has to be value-invisible. SnapTableSpec separately asserts the
+    * file subset is strict (the skipping is real, not vacuous). */
+  def snapshotSkipStats(s: SparkSession, dir: String): DataFrame =
+    readPruned(s, statsSnap(s, dir), 100L, 299L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+
+  val snapshotSkipStatsSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 100 AND 299
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q236_snapshot_stats" -> (snapshotStats _),
     "q237_time_travel" -> (timeTravelAudit _),
     "q238_snapshot_merge" -> (snapshotMergeStats _),
-    "q239_snapshot_cdc" -> (snapshotCdc _))
+    "q239_snapshot_cdc" -> (snapshotCdc _),
+    "q240_snapshot_skip" -> (snapshotSkipStats _))
 
   val oracles: Map[String, String] = Map(
     "q236_snapshot_stats" -> snapshotStatsSql,
     "q237_time_travel" -> timeTravelAuditSql,
     "q238_snapshot_merge" -> snapshotMergeStatsSql,
-    "q239_snapshot_cdc" -> snapshotCdcSql)
+    "q239_snapshot_cdc" -> snapshotCdcSql,
+    "q240_snapshot_skip" -> snapshotSkipStatsSql)
 }

@@ -203,6 +203,44 @@ class SnapTableSpec extends SparkSpec {
       "evolved column lost through the CoW rewrite")
   }
 
+  test("stats-based file skipping: the pruned file set is a strict " +
+      "subset, the result is identical, and stats survive every op") {
+    val d = tmp()
+    val ids = (0L until 100L).toDF("id").withColumn("s", lit("x"))
+    SnapTable.create(ids.repartitionByRange(4, col("id")), d, Some("id"))
+    // pruning bites: a narrow range reads fewer files than the manifest
+    val all = SnapTable.readManifest(spark, d, 1)
+    val pruned = SnapTable.prunedPaths(spark, d, 10L, 20L)
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"no files skipped: ${pruned.size}/${all.size}")
+    // value-invisible: pruned scan ≡ full scan + filter
+    def idsOfPruned(lo: Long, hi: Long): Seq[Long] =
+      SnapTable.readPruned(spark, d, lo, hi).collect()
+        .map(_.getLong(0)).sorted.toSeq
+    assert(idsOfPruned(10, 20) === (10L to 20L))
+    // stats propagate through append / delete / merge / appendOnce
+    SnapTable.append((100L until 120L).toDF("id")
+      .withColumn("s", lit("y")), d)
+    SnapTable.deleteWhere(spark, d, col("id") === 15L)
+    SnapTable.merge(Seq((10L, "z")).toDF("id", "s"), d, "id")
+    assert(SnapTable.appendOnce((200L until 210L).toDF("id")
+      .withColumn("s", lit("w")), d, 0L))
+    val entries = SnapTable.readEntries(spark, d,
+      SnapTable.currentVersion(spark, d))
+    assert(entries.forall(_.split('\t').length == 3),
+      s"a commit dropped the stats annotation: $entries")
+    assert(idsOfPruned(0, 300) ===
+      ((0L until 120L) ++ (200L until 210L)).filter(_ != 15L).sorted)
+    assert(idsOfPruned(205, 300) === (205L until 210L))
+    // an empty pruning result is a valid empty frame
+    assert(SnapTable.readPruned(spark, d, 5000L, 6000L).count() === 0)
+    // a stats-less table refuses the pruned read
+    val d2 = tmp()
+    SnapTable.create(Seq((1L, "a")).toDF("id", "s"), d2)
+    intercept[IllegalArgumentException](
+      SnapTable.readPruned(spark, d2, 0L, 10L))
+  }
+
   test("merge refuses an update batch whose schema is not the table's") {
     val d = tmp()
     SnapTable.create(Seq((1L, "a", 1.0)).toDF("id", "s", "score"), d)
