@@ -22,7 +22,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_SQL_ONLY=1: dump oracle_sql.json/ordered.json without
+    // executing the queries (local iteration: the paired DuckDB bench
+    // needs only the SQL, not the parquet results)
+    val sqlOnly = sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")
+    if (!sqlOnly) SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
