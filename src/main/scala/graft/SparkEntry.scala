@@ -88,7 +88,8 @@ object SparkEntry {
     "q237_time_travel",        // unique per-version key; free order pin
     "q238_snapshot_merge",     // unique per-source key; free order pin
     "q239_snapshot_cdc",       // unique per-transition key; free pin
-    "q240_snapshot_skip")      // unique per-source key; free order pin
+    "q240_snapshot_skip",      // unique per-source key; free order pin
+    "q241_snapshot_optimize")  // unique per-source key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

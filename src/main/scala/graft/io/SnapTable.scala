@@ -370,6 +370,28 @@ object SnapTable {
       .filter(col(c).between(lo, hi))
   }
 
+  /** OPTIMIZE — compact and re-cluster the current snapshot: rewrite
+    * ALL live data into `targetFiles` files, range-clustered on the
+    * stats column when the table has one (tight disjoint [min, max]
+    * ranges are what make [[readPruned]] effective). Pure maintenance:
+    * a new version with identical rows (q241 gates that), fixing the
+    * small-file problem an append-per-micro-batch ingest accumulates —
+    * thousands of tiny files mean thousands of tasks and useless
+    * per-file stats. Old versions still time-travel to the original
+    * files until [[vacuum]] retires them. */
+  def optimize(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
+    require(targetFiles >= 1, "SnapTable: targetFiles must be >= 1")
+    val v = currentVersion(spark, dir)
+    require(v > 0, s"SnapTable: $dir holds no table — create first")
+    val c = statsColOf(spark, dir, v)
+    val clustered = c match {
+      case Some(sc) => read(spark, dir).repartitionByRange(targetFiles, col(sc))
+      case None => read(spark, dir).repartition(targetFiles)
+    }
+    commitManifest(spark, dir, v + 1,
+      writeData(clustered, dir, v + 1, c), statsMeta(spark, dir, v))
+  }
+
   /** Retire history: keep the newest `retain` snapshots, delete older
     * manifests and every data file referenced ONLY by them. Time travel
     * reaches the retained versions; anything older is gone — the
@@ -587,17 +609,50 @@ object SnapTable {
       |WHERE doc_id BETWEEN 100 AND 299
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** One optimize per (session, corpus) on the stats table: q241 must
+    * observe the POST-compaction state, and re-optimizing on every call
+    * would grow the version chain per query run. */
+  private val optimizedCache = new graft.ops.SessionMemo[String]
+  private def optimizedSnap(s: SparkSession, dir: String): String =
+    optimizedCache.getOrBuild(s, dir) {
+      val d = statsSnap(s, dir)
+      optimize(s, d, targetFiles = 2)
+      d
+    }
+
+  /** q241 — OPTIMIZE under the value gate: the full compact-and-
+    * recluster rewrite (8 range files → 2, stats re-derived) must be
+    * value-invisible — per-source stats from the post-optimize snapshot
+    * equal the raw-parquet oracle with no predicate at all. The spec
+    * separately asserts the file count dropped, the stats ranges stayed
+    * disjoint, and pre-optimize versions still time-travel. */
+  def snapshotOptimizeStats(s: SparkSession, dir: String): DataFrame =
+    read(s, optimizedSnap(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+
+  val snapshotOptimizeStatsSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  max(doc_id) AS max_doc_id
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q236_snapshot_stats" -> (snapshotStats _),
     "q237_time_travel" -> (timeTravelAudit _),
     "q238_snapshot_merge" -> (snapshotMergeStats _),
     "q239_snapshot_cdc" -> (snapshotCdc _),
-    "q240_snapshot_skip" -> (snapshotSkipStats _))
+    "q240_snapshot_skip" -> (snapshotSkipStats _),
+    "q241_snapshot_optimize" -> (snapshotOptimizeStats _))
 
   val oracles: Map[String, String] = Map(
     "q236_snapshot_stats" -> snapshotStatsSql,
     "q237_time_travel" -> timeTravelAuditSql,
     "q238_snapshot_merge" -> snapshotMergeStatsSql,
     "q239_snapshot_cdc" -> snapshotCdcSql,
-    "q240_snapshot_skip" -> snapshotSkipStatsSql)
+    "q240_snapshot_skip" -> snapshotSkipStatsSql,
+    "q241_snapshot_optimize" -> snapshotOptimizeStatsSql)
 }

@@ -241,6 +241,39 @@ class SnapTableSpec extends SparkSpec {
       SnapTable.readPruned(spark, d2, 0L, 10L))
   }
 
+  test("optimize compacts to the target file count, keeps every row, " +
+      "re-derives disjoint stats, and old versions still time-travel") {
+    val d = tmp()
+    val ids = (0L until 100L).toDF("id").withColumn("s", lit("x"))
+    SnapTable.create(ids.filter(col("id") < 10)
+      .repartition(3), d, Some("id"))
+    (1 until 10).foreach { k =>
+      SnapTable.append(ids.filter(col("id") >= k * 10 &&
+        col("id") < (k + 1) * 10).repartition(3), d)
+    }
+    val before = SnapTable.readManifest(spark, d, 10)
+    assert(before.size >= 10, s"expected many small files, got $before")
+    SnapTable.optimize(spark, d, targetFiles = 2)
+    val after = SnapTable.readEntries(spark, d, 11)
+    assert(after.size <= 2, s"compaction missed: ${after.size} files")
+    // every row survived, stats re-derived and DISJOINT (range clustering)
+    assert(SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+      .toSeq === (0L until 100L))
+    val ranges = after.map(_.split('\t')).collect {
+      case Array(_, lo, hi) => (lo.toLong, hi.toLong)
+    }.sortBy(_._1)
+    assert(ranges.size === after.size, "optimize dropped stats annotations")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping post-optimize ranges: $ranges")
+      case _ => ()
+    }
+    // the pre-optimize version is untouched
+    assert(SnapTable.read(spark, d, Some(10)).count() === 100)
+    assert(SnapTable.readPruned(spark, d, 42L, 57L).collect()
+      .map(_.getLong(0)).sorted.toSeq === (42L to 57L))
+  }
+
   test("merge refuses an update batch whose schema is not the table's") {
     val d = tmp()
     SnapTable.create(Seq((1L, "a", 1.0)).toDF("id", "s", "score"), d)
