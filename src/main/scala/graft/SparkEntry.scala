@@ -1,8 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{Advanced, Core, Olap, Sketches, Subqueries, TpchCanon}
-import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Model, Multimodal,
-  Report, Retrieval, Similarity, Text}
+import graft.ext.{Corpus, Dedup, Graph, Index, Layout, Linkage, Model,
+  Multimodal, Report, Retrieval, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the query registries of each operator-family module. */
@@ -19,7 +19,7 @@ object SparkEntry {
       Linkage.queries ++ Index.queries ++ Layout.queries ++
       Model.queries ++ Report.queries ++ Retrieval.queries ++
       Olap.queries ++ TpchCanon.queries ++ graft.io.AvroIo.queries ++
-      graft.io.SnapTable.queries
+      graft.io.SnapTable.queries ++ Graph.queries
 
   /** Keys in [[queries]] that are deliberate EXACTNESS BASELINES, not
     * production paths: quadratic all-pairs formulations kept as the
@@ -89,7 +89,10 @@ object SparkEntry {
     "q238_snapshot_merge",     // unique per-source key; free order pin
     "q239_snapshot_cdc",       // unique per-transition key; free pin
     "q240_snapshot_skip",      // unique per-source key; free order pin
-    "q241_snapshot_optimize")  // unique per-source key; free order pin
+    "q241_snapshot_optimize",  // unique per-source key; free order pin
+    "q242_graph_bfs",          // unique per-vector key; free order pin
+    "q243_graph_triangles",    // unique (a,b,c) key; free order pin
+    "q244_graph_cheapest")     // unique per-vector key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -100,5 +103,5 @@ object SparkEntry {
       Linkage.oracles ++ Index.oracles ++ Layout.oracles ++
       Model.oracles ++ Report.oracles ++ Retrieval.oracles ++
       Olap.oracles ++ TpchCanon.oracles ++ graft.io.AvroIo.oracles ++
-      graft.io.SnapTable.oracles
+      graft.io.SnapTable.oracles ++ Graph.oracles
 }

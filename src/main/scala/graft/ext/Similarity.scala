@@ -569,7 +569,13 @@ object Similarity {
     * a global sort. Candidates are the q49 band-join pairs (ids only
     * through the shuffle); the mutuality check is a self-join of the
     * ≤N·k top-k relation on the swapped key. */
-  def mutualKnn(s: SparkSession, dir: String): DataFrame = {
+  def mutualKnn(s: SparkSession, dir: String): DataFrame =
+    mutualPairs(s, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** [[mutualKnn]] without the output sort — the edge relation
+    * [[Graph]] traverses (a traversal join would destroy the order
+    * anyway, so consumers that don't need it shouldn't pay for it). */
+  private[graft] def mutualPairs(s: SparkSession, dir: String): DataFrame = {
     val topk = lshTopKAll(s, dir)
       .localCheckpoint(eager = false) // feeds both sides of the self-join
     val fwd = topk.filter(col("query_id") < col("neighbor_id"))
@@ -579,7 +585,6 @@ object Similarity {
       .select(col("neighbor_id").as("a_id"), col("query_id").as("b_id"),
         col("rnk").as("rnk_ba"))
     fwd.join(rev, Seq("a_id", "b_id"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** The every-vector-as-probe LSH top-[[MutualK]] relation
@@ -613,10 +618,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
-  /** DuckDB spelling of [[mutualKnn]]: same band candidates, same
-    * (cos DESC, neighbor_id) ranking, same swapped-key self-join. */
-  def mutualKnnSql: String =
-    s"""WITH ${lshSqlCtes(ndPlanes)},
+  /** The [[mutualKnn]] CTE chain through `mutual(a_id, b_id, rnk_ab,
+    * rnk_ba)` — shared with [[Graph]]'s oracles, which traverse the same
+    * edge set. */
+  private[graft] def mutualCtes: String =
+    s"""${lshSqlCtes(ndPlanes)},
        |cand AS (
        |  SELECT s1.vec_id AS query_id, s2.vec_id AS neighbor_id
        |  FROM sigs s1 JOIN sigs s2 ON s1.tbl = s2.tbl AND s1.sig = s2.sig
@@ -634,13 +640,20 @@ object Similarity {
        |      CAST(row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
        |    FROM scored)
-       |  WHERE rnk <= $MutualK)
-       |SELECT f.query_id AS a_id, f.neighbor_id AS b_id,
-       |  f.rnk AS rnk_ab, r.rnk AS rnk_ba
-       |FROM topk f
-       |JOIN topk r ON r.query_id = f.neighbor_id
-       |  AND r.neighbor_id = f.query_id
-       |WHERE f.query_id < f.neighbor_id
+       |  WHERE rnk <= $MutualK),
+       |mutual AS (
+       |  SELECT f.query_id AS a_id, f.neighbor_id AS b_id,
+       |    f.rnk AS rnk_ab, r.rnk AS rnk_ba
+       |  FROM topk f
+       |  JOIN topk r ON r.query_id = f.neighbor_id
+       |    AND r.neighbor_id = f.query_id
+       |  WHERE f.query_id < f.neighbor_id)""".stripMargin
+
+  /** DuckDB spelling of [[mutualKnn]]: same band candidates, same
+    * (cos DESC, neighbor_id) ranking, same swapped-key self-join. */
+  def mutualKnnSql: String =
+    s"""WITH $mutualCtes
+       |SELECT a_id, b_id, rnk_ab, rnk_ba FROM mutual
        |ORDER BY a_id, b_id""".stripMargin
 
   // ---- q44: IVF kNN ------------------------------------------------------

@@ -1,7 +1,7 @@
 package graft
 
-import graft.ext.{Corpus, Dedup, Index, Layout, Linkage, Model, Multimodal,
-  Report, Retrieval, Similarity, Text}
+import graft.ext.{Corpus, Dedup, Graph, Index, Layout, Linkage, Model,
+  Multimodal, Report, Retrieval, Similarity, Text}
 import graft.queries.{Advanced, Core, Olap, Sketches, Subqueries, TpchCanon}
 
 /** Guards on the driver contract itself: the round-2 invariant is that
@@ -23,7 +23,7 @@ class RegistrySpec extends SparkSpec {
       Corpus.queries, Linkage.queries, Index.queries, Layout.queries,
       Model.queries, Report.queries, Retrieval.queries, Olap.queries,
       TpchCanon.queries, graft.io.AvroIo.queries,
-      graft.io.SnapTable.queries)
+      graft.io.SnapTable.queries, Graph.queries)
     assert(perModule.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules (Map ++ dropped one)")
   }
