@@ -100,24 +100,101 @@ object SnapTable {
   private def pathKey(p: String): String =
     p.split('/').takeRight(2).mkString("/")
 
-  /** Atomically commit `files` (relative paths) as snapshot v. */
-  private def commitManifest(spark: SparkSession, dir: String, v: Int,
-      files: Seq[String], meta: Map[String, String] = Map.empty): Unit = {
+  /** A writer lost an optimistic-concurrency race it cannot rebase
+    * over: the caller should re-plan against the new current snapshot
+    * and retry the whole operation. */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Rebase attempts before an optimistic writer gives up — livelock
+    * insurance, not a correctness bound (each loss means some OTHER
+    * writer committed, so the system as a whole makes progress). */
+  private val OccMaxRetries = 8
+
+  /** Per-table JVM commit locks: the exists-check + rename claim below
+    * is atomic cross-process only where the FS's no-overwrite rename is
+    * (HDFS — the deployment target); POSIX rename(2) silently REPLACES
+    * an existing destination, so same-JVM racers (the local[32] test
+    * surface, and any multi-threaded driver) serialize here instead. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Try to claim snapshot `v` with `files` (relative paths): write the
+    * manifest aside and rename it into place. Returns false if some
+    * other writer committed `v` first — the OCC loss signal. */
+  private def tryCommitManifest(spark: SparkSession, dir: String, v: Int,
+      files: Seq[String], meta: Map[String, String] = Map.empty): Boolean = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
-    val tmp = new Path(manifestDir(dir), f"v$v%05d.manifest.inprogress")
+    val fin = manifestPath(dir, v)
+    // token-unique tmp name: two racers writing the SAME .inprogress
+    // path would interleave bytes before either renames
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(manifestDir(dir),
+      f"v$v%05d.manifest.$token.inprogress")
     val out = f.create(tmp, true)
     val header = meta.toSeq.sortBy(_._1)
       .map { case (k, v2) => s"# $k=$v2\n" }.mkString
     try out.write((header + files.sorted.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fin = manifestPath(dir, v)
-    if (!f.rename(tmp, fin)) {
-      f.delete(tmp, false)
-      throw new java.io.IOException(
-        s"SnapTable: lost the commit race for v$v under $dir")
+    val lock = commitLocks.computeIfAbsent(
+      manifestDir(dir).toString, _ => new Object)
+    lock.synchronized {
+      if (f.exists(fin) || !f.rename(tmp, fin)) {
+        f.delete(tmp, false)
+        false
+      } else true
     }
+  }
+
+  private def commitManifest(spark: SparkSession, dir: String, v: Int,
+      files: Seq[String], meta: Map[String, String] = Map.empty): Unit =
+    if (!tryCommitManifest(spark, dir, v, files, meta))
+      throw new ConcurrentWriteException(
+        s"SnapTable: lost the commit race for v$v under $dir")
+
+  /** Optimistic commit of a transformation computed against snapshot
+    * `baseV`: the new snapshot is (current live entries − `removed`) +
+    * `added`. If other writers committed after `baseV`, their changes
+    * are REBASED over when they were pure appends — every entry of
+    * `readSet` (the base files this writer's computation scanned) must
+    * still be live; a missing one means a concurrent rewrite
+    * (delete/merge/optimize) invalidated what this writer read, and the
+    * commit throws [[ConcurrentWriteException]] instead of silently
+    * resurrecting or double-counting rows. `strict` refuses ANY
+    * interleaved commit (merge's serializable mode: rebasing a merge
+    * over a blind append could admit duplicate keys).
+    *
+    * This is write-serializable OCC — the Delta/Iceberg commit
+    * protocol's conflict rule — on the same rename-claimed manifests:
+    * appends never conflict (empty read set), maintenance rebases over
+    * appends, rewrites conflict with rewrites. */
+  private[graft] def occCommit(spark: SparkSession, dir: String, baseV: Int,
+      readSet: Set[String], removed: Set[String], added: Seq[String],
+      meta: Map[String, String], strict: Boolean = false): Int = {
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, dir)
+      val curEntries = readEntries(spark, dir, cur)
+      if (cur != baseV) {
+        if (strict) throw new ConcurrentWriteException(
+          s"SnapTable: $dir moved v$baseV→v$cur under a strict writer — " +
+            "re-plan against the current snapshot and retry")
+        val lost = readSet -- curEntries.toSet
+        if (lost.nonEmpty) throw new ConcurrentWriteException(
+          s"SnapTable: concurrent commit rewrote ${lost.size} file(s) " +
+            s"this writer read under $dir (v$baseV→v$cur) — re-plan " +
+            "against the current snapshot and retry")
+      }
+      val manifest = curEntries.filterNot(removed.contains) ++ added
+      if (tryCommitManifest(spark, dir, cur + 1, manifest, meta))
+        return cur + 1
+      attempt += 1
+      if (attempt > OccMaxRetries) throw new ConcurrentWriteException(
+        s"SnapTable: $OccMaxRetries commit attempts lost under $dir")
+    }
+    -1 // unreachable
   }
 
   /** Write `df`'s rows into a fresh ATTEMPT-UNIQUE write-dir; return
@@ -190,10 +267,13 @@ object SnapTable {
     val s = df.sparkSession
     val v = currentVersion(s, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
-    commitManifest(s, dir, v + 1,
-      readEntries(s, dir, v) ++
-        writeData(df, dir, v + 1, statsColOf(s, dir, v)),
-      statsMeta(s, dir, v))
+    // data lands once; only the manifest claim retries on a lost race
+    // (an append reads nothing, so it rebases over ANY interleaved
+    // commit — the write-dir name carries the PLANNED version, which
+    // may trail the committed one after a rebase; the token keeps it
+    // unique and manifests reference it either way)
+    val added = writeData(df, dir, v + 1, statsColOf(s, dir, v))
+    occCommit(s, dir, v, Set.empty, Set.empty, added, statsMeta(s, dir, v))
   }
 
   /** Copy-on-write delete: rows matching `pred` disappear in the new
@@ -201,8 +281,18 @@ object SnapTable {
     * surviving rows move to the new write-dir); untouched files carry
     * over by reference, and every previous snapshot still reads its
     * original data. */
-  def deleteWhere(spark: SparkSession, dir: String, pred: Column): Unit = {
-    val v = currentVersion(spark, dir)
+  def deleteWhere(spark: SparkSession, dir: String, pred: Column): Unit =
+    deleteWhereFrom(spark, dir, pred, currentVersion(spark, dir))
+
+  /** [[deleteWhere]] planned against an EXPLICIT base version — the OCC
+    * seam (and its deterministic test hook): the predicate scan and the
+    * file partition run on snapshot `v`, and [[occCommit]] rebases the
+    * result over any commits that landed after `v`, provided they were
+    * pure appends (whose rows this delete deliberately does NOT see —
+    * write-serializable semantics: a predicate applies to the snapshot
+    * it read, never to rows that didn't exist then). */
+  private[graft] def deleteWhereFrom(spark: SparkSession, dir: String,
+      pred: Column, v: Int): Unit = {
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     val entries = readEntries(spark, dir, v)
     val abs = entries.map(e => s"$dir/${entryPath(e)}")
@@ -227,7 +317,7 @@ object SnapTable {
         .parquet(touched.map(e => s"$dir/${entryPath(e)}"): _*)
         .filter(!coalesce(pred, lit(false))), dir, v + 1,
         statsColOf(spark, dir, v))
-    commitManifest(spark, dir, v + 1, kept ++ newFiles,
+    occCommit(spark, dir, v, entries.toSet, touched.toSet, newFiles,
       statsMeta(spark, dir, v))
   }
 
@@ -273,9 +363,12 @@ object SnapTable {
         .join(broadcast(updKeys), Seq(key), "left_anti")
         .select(updates.columns.map(col): _*)
         .unionByName(updates)
-    commitManifest(s, dir, v + 1,
-      kept ++ writeData(survivors, dir, v + 1, statsColOf(s, dir, v)),
-      statsMeta(s, dir, v))
+    // STRICT: a merge's contract is key uniqueness, and rebasing over a
+    // blind append could smuggle in an unmerged duplicate key — any
+    // interleaved commit aborts the merge for a caller-level retry
+    occCommit(s, dir, v, entries.toSet, touched.toSet,
+      writeData(survivors, dir, v + 1, statsColOf(s, dir, v)),
+      statsMeta(s, dir, v), strict = true)
   }
 
   /** Highest streaming batch id any snapshot has committed, -1 if none.
@@ -311,12 +404,23 @@ object SnapTable {
   def appendOnce(df: DataFrame, dir: String, batchId: Long): Boolean = {
     val s = df.sparkSession
     if (lastAppliedBatch(s, dir) >= batchId) return false
-    val v = currentVersion(s, dir)
-    val prev = if (v == 0) Seq.empty else readEntries(s, dir, v)
-    commitManifest(s, dir, v + 1,
-      prev ++ writeData(df, dir, v + 1, statsColOf(s, dir, v)),
-      Map("batch_id" -> batchId.toString) ++ statsMeta(s, dir, v))
-    true
+    val v0 = currentVersion(s, dir)
+    val added = writeData(df, dir, v0 + 1, statsColOf(s, dir, v0))
+    var attempt = 0
+    while (true) {
+      // recheck the stamp INSIDE the retry loop: the commit we lost to
+      // may have been this very batch (two racing sink instances)
+      if (lastAppliedBatch(s, dir) >= batchId) return false
+      val cur = currentVersion(s, dir)
+      val prev = if (cur == 0) Seq.empty else readEntries(s, dir, cur)
+      if (tryCommitManifest(s, dir, cur + 1, prev ++ added,
+          Map("batch_id" -> batchId.toString) ++ statsMeta(s, dir, cur)))
+        return true
+      attempt += 1
+      if (attempt > OccMaxRetries) throw new ConcurrentWriteException(
+        s"SnapTable: $OccMaxRetries appendOnce attempts lost under $dir")
+    }
+    false // unreachable
   }
 
   /** Read a snapshot: the current one, or `asOf` for time travel.
@@ -384,11 +488,16 @@ object SnapTable {
     val v = currentVersion(spark, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     val c = statsColOf(spark, dir, v)
+    // pin the snapshot being compacted: read(..., Some(v)) — reading
+    // "current" again at job time could see a concurrent commit and
+    // compact rows the OCC read-set below doesn't cover
     val clustered = c match {
-      case Some(sc) => read(spark, dir).repartitionByRange(targetFiles, col(sc))
-      case None => read(spark, dir).repartition(targetFiles)
+      case Some(sc) =>
+        read(spark, dir, Some(v)).repartitionByRange(targetFiles, col(sc))
+      case None => read(spark, dir, Some(v)).repartition(targetFiles)
     }
-    commitManifest(spark, dir, v + 1,
+    val entries = readEntries(spark, dir, v)
+    occCommit(spark, dir, v, entries.toSet, entries.toSet,
       writeData(clustered, dir, v + 1, c), statsMeta(spark, dir, v))
   }
 
@@ -640,13 +749,85 @@ object SnapTable {
       |  max(doc_id) AS max_doc_id
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** The deterministic OCC-interleave fixture, once per (session, dir):
+    * v1 = even doc_ids, v2 = +odds (full corpus); then writer A PLANS a
+    * copy-on-write delete of doc_id % 5 == 1 against v2, writer B
+    * commits an append of 'late' rows (doc_id % 10 == 6, re-keyed
+    * +1,000,000) as v3, and A commits LAST — [[occCommit]] rebases its
+    * delete over B's append as v4. Every late row MATCHES the delete
+    * predicate (id % 10 == 6 ⇒ id % 5 == 1, and +10⁶ ≡ 0 mod 5) yet
+    * must survive: write-serializable OCC applies a predicate to the
+    * snapshot the writer READ, never to rows that didn't exist then.
+    * An engine that re-ran the predicate at commit time (or resurrected
+    * A's base) shows up as a wrong v4 row. */
+  private val occCache = new graft.ops.SessionMemo[String]
+  private def occDocs(s: SparkSession, dir: String): String =
+    occCache.getOrBuild(s, dir) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_snap_occ_").toString
+      val docs = graft.tables.Tables.documents(s, dir)
+      create(docs.filter(col("doc_id") % 2 === 0), d)
+      append(docs.filter(col("doc_id") % 2 =!= 0), d)
+      val planBase = currentVersion(s, d) // = 2: writer A's stale base
+      append(docs.filter(col("doc_id") % 10 === 6)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("source", lit("late")), d) // writer B wins: v3
+      deleteWhereFrom(s, d, col("doc_id") % 5 === 1, planBase) // A: v4
+      d
+    }
+
+  /** q245 — optimistic concurrency under the value gate: per-version
+    * (rows, id sum, late-row count) across the interleaved history.
+    * v3 proves B's append is intact; v4 proves A's rebased delete
+    * removed exactly the v2 rows matching its predicate while every
+    * (predicate-matching!) late row survived. */
+  def snapshotOccAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = occDocs(s, dir)
+    (1 to 4).map { v =>
+      read(s, d, Some(v)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(when(col("source") === "late", 1L).otherwise(0L)).as("n_late"))
+        .select(lit(v.toLong).as("version"), col("n_docs"),
+          col("id_sum"), col("n_late"))
+    }.reduce(_ unionAll _).orderBy(col("version"))
+  }
+
+  val snapshotOccAuditSql: String =
+    """WITH late AS (
+      |  SELECT doc_id + 1000000 AS doc_id
+      |  FROM documents WHERE doc_id % 10 = 6)
+      |SELECT CAST(1 AS BIGINT) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(0 AS BIGINT) AS n_late
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT), 0 FROM documents
+      |UNION ALL
+      |SELECT 3,
+      |  (SELECT count(*) FROM documents) + (SELECT count(*) FROM late),
+      |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents) +
+      |    (SELECT CAST(sum(doc_id) AS BIGINT) FROM late),
+      |  (SELECT count(*) FROM late)
+      |UNION ALL
+      |SELECT 4,
+      |  (SELECT count(*) FROM documents WHERE doc_id % 5 <> 1) +
+      |    (SELECT count(*) FROM late),
+      |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+      |     WHERE doc_id % 5 <> 1) +
+      |    (SELECT CAST(sum(doc_id) AS BIGINT) FROM late),
+      |  (SELECT count(*) FROM late)
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q236_snapshot_stats" -> (snapshotStats _),
     "q237_time_travel" -> (timeTravelAudit _),
     "q238_snapshot_merge" -> (snapshotMergeStats _),
     "q239_snapshot_cdc" -> (snapshotCdc _),
     "q240_snapshot_skip" -> (snapshotSkipStats _),
-    "q241_snapshot_optimize" -> (snapshotOptimizeStats _))
+    "q241_snapshot_optimize" -> (snapshotOptimizeStats _),
+    "q245_snapshot_occ" -> (snapshotOccAudit _))
 
   val oracles: Map[String, String] = Map(
     "q236_snapshot_stats" -> snapshotStatsSql,
@@ -654,5 +835,6 @@ object SnapTable {
     "q238_snapshot_merge" -> snapshotMergeStatsSql,
     "q239_snapshot_cdc" -> snapshotCdcSql,
     "q240_snapshot_skip" -> snapshotSkipStatsSql,
-    "q241_snapshot_optimize" -> snapshotOptimizeStatsSql)
+    "q241_snapshot_optimize" -> snapshotOptimizeStatsSql,
+    "q245_snapshot_occ" -> snapshotOccAuditSql)
 }

@@ -292,4 +292,64 @@ class SnapTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       SnapTable.create(Seq(2L).toDF("id"), d))
   }
+
+  test("racing appends: every writer's rows land — lost manifest claims " +
+      "retry onto the new current instead of dropping a commit") {
+    val d = tmp()
+    SnapTable.create(Seq(0L).toDF("id"), d)
+    val writers = (1 to 6).map { w =>
+      new Thread(() =>
+        (0 until 3).foreach { i =>
+          SnapTable.append(Seq(w * 100L + i).toDF("id"), d)
+        })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    val got = SnapTable.read(spark, d).collect().map(_.getLong(0)).toSet
+    val expected = Set(0L) ++
+      (for (w <- 1 to 6; i <- 0 until 3) yield w * 100L + i)
+    assert(got === expected, "a racing append lost its commit")
+    // 1 create + 18 appends, each a distinct claimed version
+    assert(SnapTable.currentVersion(spark, d) === 19)
+  }
+
+  test("a delete planned against a stale base rebases over an " +
+      "interleaved append — and does NOT apply its predicate to it") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "x"), (2L, "x")).toDF("id", "s"), d)
+    val planBase = SnapTable.currentVersion(spark, d)
+    // interloper appends rows that MATCH the delete predicate
+    SnapTable.append(Seq((11L, "x"), (12L, "y")).toDF("id", "s"), d)
+    SnapTable.deleteWhereFrom(spark, d, col("s") === "x", planBase)
+    assert(SnapTable.currentVersion(spark, d) === 3)
+    val got = SnapTable.read(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // v1's x-rows gone; the interleaved 11/"x" SURVIVES (never read)
+    assert(got === Set((11L, "x"), (12L, "y")))
+  }
+
+  test("a delete whose base files a concurrent rewrite invalidated " +
+      "throws instead of resurrecting rows") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "x"), (2L, "y")).toDF("id", "s"), d)
+    val staleBase = SnapTable.currentVersion(spark, d)
+    // concurrent writer REWRITES v1's file (copy-on-write delete)
+    SnapTable.deleteWhere(spark, d, col("id") === 1L)
+    val e = intercept[SnapTable.ConcurrentWriteException](
+      SnapTable.deleteWhereFrom(spark, d, col("s") === "y", staleBase))
+    assert(e.getMessage.contains("rewrote"))
+    // the failed writer committed nothing
+    assert(SnapTable.currentVersion(spark, d) === 2)
+    assert(SnapTable.read(spark, d).count() === 1)
+  }
+
+  test("strict (merge-mode) commits refuse ANY interleaved commit") {
+    val d = tmp()
+    SnapTable.create(Seq(1L).toDF("id"), d)
+    SnapTable.append(Seq(2L).toDF("id"), d)
+    intercept[SnapTable.ConcurrentWriteException](
+      SnapTable.occCommit(spark, d, baseV = 1, readSet = Set.empty,
+        removed = Set.empty, added = Seq.empty, meta = Map.empty,
+        strict = true))
+  }
 }
