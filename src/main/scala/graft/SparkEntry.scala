@@ -93,7 +93,8 @@ object SparkEntry {
     "q242_graph_bfs",          // unique per-vector key; free order pin
     "q243_graph_triangles",    // unique (a,b,c) key; free order pin
     "q244_graph_cheapest",     // unique per-vector key; free order pin
-    "q245_snapshot_occ")       // unique per-version key; free order pin
+    "q245_snapshot_occ",       // unique per-version key; free order pin
+    "q246_snapshot_zorder")    // unique per-source key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -206,7 +206,7 @@ object SnapTable {
     * dirs are unreferenced by any manifest and invisible to readers;
     * they cost disk until manually swept. */
   private def writeData(df: DataFrame, dir: String, v: Int,
-      statsCol: Option[String] = None): Seq[String] = {
+      statsCols: Seq[String] = Seq.empty): Seq[String] = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"data/w$v%05d-$token"
     val target = s"$dir/$rel"
@@ -214,38 +214,54 @@ object SnapTable {
     val f = fs(df.sparkSession, dir)
     val rels = f.listStatus(new Path(target)).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
-    statsCol match {
-      case None => rels
-      case Some(c) =>
-        // per-file [min, max] of the stats column, one grouped scan of
-        // the just-written files — the data-skipping metadata; a file
-        // whose column is all-NULL stays unannotated (always read)
-        val stats = df.sparkSession.read.parquet(target)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(c)).cast("long").as("lo"),
-            max(col(c)).cast("long").as("hi"))
-          .collect()
-          .filterNot(r => r.isNullAt(1))
-          .map(r => pathKey(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
-          .toMap
-        rels.map { r =>
-          stats.get(pathKey(r)) match {
-            case Some((lo, hi)) => s"$r\t$lo\t$hi"
-            case None => r
-          }
+    if (statsCols.isEmpty) rels
+    else {
+      // per-file [min, max] of EACH stats column (1 for range layouts,
+      // 2 for Z-order), one grouped scan of the just-written files —
+      // the data-skipping metadata; a file where any stats column is
+      // all-NULL stays unannotated (always read, never wrongly skipped)
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c)).cast("long"), max(col(c)).cast("long")))
+      val stats = df.sparkSession.read.parquet(target)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .filterNot(r => (1 until 1 + 2 * statsCols.size).exists(r.isNullAt))
+        .map(r => pathKey(r.getString(0)) ->
+          (1 until 1 + 2 * statsCols.size).map(r.getLong).mkString("\t"))
+        .toMap
+      rels.map { r =>
+        stats.get(pathKey(r)) match {
+          case Some(pairs) => s"$r\t$pairs"
+          case None => r
         }
+      }
     }
   }
 
-  /** The table's declared stats column (set at [[create]], carried in
-    * every commit's meta), None when the table keeps no file stats. */
+  /** The table's declared stats columns (set at [[create]] or switched
+    * by [[optimizeZorder]], carried in every commit's meta): empty when
+    * the table keeps no file stats, one column for range layouts, two
+    * after a Z-order optimize. */
+  private[graft] def statsColsOf(spark: SparkSession, dir: String,
+      v: Int): Seq[String] =
+    if (v == 0) Seq.empty
+    else {
+      val m = manifestMeta(spark, dir, v)
+      m.get("stats_col").toSeq ++ m.get("stats_col2")
+    }
+
   private[graft] def statsColOf(spark: SparkSession, dir: String,
       v: Int): Option[String] =
-    if (v == 0) None else manifestMeta(spark, dir, v).get("stats_col")
+    statsColsOf(spark, dir, v).headOption
 
   private def statsMeta(spark: SparkSession, dir: String,
       v: Int): Map[String, String] =
-    statsColOf(spark, dir, v).map("stats_col" -> _).toMap
+    statsMetaFor(statsColsOf(spark, dir, v))
+
+  private def statsMetaFor(cols: Seq[String]): Map[String, String] =
+    cols.take(1).map("stats_col" -> _).toMap ++
+      cols.drop(1).take(1).map("stats_col2" -> _).toMap
 
   /** Create snapshot v1 from `df` (dir must hold no table yet).
     * `statsCol` (an integral column) turns on per-file min/max stats in
@@ -256,8 +272,8 @@ object SnapTable {
     require(currentVersion(df.sparkSession, dir) == 0,
       s"SnapTable: $dir already holds a table — use append/deleteWhere")
     commitManifest(df.sparkSession, dir, 1,
-      writeData(df, dir, 1, statsCol),
-      statsCol.map("stats_col" -> _).toMap)
+      writeData(df, dir, 1, statsCol.toSeq),
+      statsMetaFor(statsCol.toSeq))
   }
 
   /** Append `df`'s rows as a new snapshot: previous files carry over by
@@ -272,7 +288,7 @@ object SnapTable {
     // commit — the write-dir name carries the PLANNED version, which
     // may trail the committed one after a rebase; the token keeps it
     // unique and manifests reference it either way)
-    val added = writeData(df, dir, v + 1, statsColOf(s, dir, v))
+    val added = writeData(df, dir, v + 1, statsColsOf(s, dir, v))
     occCommit(s, dir, v, Set.empty, Set.empty, added, statsMeta(s, dir, v))
   }
 
@@ -316,7 +332,7 @@ object SnapTable {
       else writeData(spark.read.option("mergeSchema", "true")
         .parquet(touched.map(e => s"$dir/${entryPath(e)}"): _*)
         .filter(!coalesce(pred, lit(false))), dir, v + 1,
-        statsColOf(spark, dir, v))
+        statsColsOf(spark, dir, v))
     occCommit(spark, dir, v, entries.toSet, touched.toSet, newFiles,
       statsMeta(spark, dir, v))
   }
@@ -367,7 +383,7 @@ object SnapTable {
     // blind append could smuggle in an unmerged duplicate key — any
     // interleaved commit aborts the merge for a caller-level retry
     occCommit(s, dir, v, entries.toSet, touched.toSet,
-      writeData(survivors, dir, v + 1, statsColOf(s, dir, v)),
+      writeData(survivors, dir, v + 1, statsColsOf(s, dir, v)),
       statsMeta(s, dir, v), strict = true)
   }
 
@@ -405,7 +421,7 @@ object SnapTable {
     val s = df.sparkSession
     if (lastAppliedBatch(s, dir) >= batchId) return false
     val v0 = currentVersion(s, dir)
-    val added = writeData(df, dir, v0 + 1, statsColOf(s, dir, v0))
+    val added = writeData(df, dir, v0 + 1, statsColsOf(s, dir, v0))
     var attempt = 0
     while (true) {
       // recheck the stamp INSIDE the retry loop: the commit we lost to
@@ -436,21 +452,34 @@ object SnapTable {
       .parquet(readManifest(spark, dir, v).map(r => s"$dir/$r"): _*)
   }
 
-  /** The manifest entries a [lo, hi] range predicate on the stats
-    * column CANNOT skip: annotated files whose [min, max] intersects
-    * the range, plus any unannotated file (no stats → must read).
-    * Exposed so the spec can assert real pruning happened. */
-  private[graft] def prunedPaths(spark: SparkSession, dir: String,
-      lo: Long, hi: Long, asOf: Option[Int] = None): Seq[String] = {
+  /** The manifest entries a conjunction of per-stats-column [lo, hi]
+    * range predicates CANNOT skip: annotated files where EVERY given
+    * range intersects its column's [min, max], plus any unannotated
+    * file (no stats → must read). `ranges(i)` = None means no
+    * constraint on stats column i. Exposed so the spec can assert real
+    * pruning happened. */
+  private[graft] def prunedPathsBox(spark: SparkSession, dir: String,
+      ranges: Seq[Option[(Long, Long)]],
+      asOf: Option[Int] = None): Seq[String] = {
     val v = asOf.getOrElse(currentVersion(spark, dir))
     require(v > 0, s"SnapTable: no snapshot to read under $dir")
     readEntries(spark, dir, v).filter { e =>
-      e.split('\t') match {
-        case Array(_, mn, mx) => !(mx.toLong < lo || mn.toLong > hi)
-        case _ => true
+      val parts = e.split('\t')
+      val nPairs = (parts.length - 1) / 2
+      if (nPairs == 0) true // unannotated: must read
+      else ranges.zipWithIndex.forall {
+        case (Some((lo, hi)), i) if i < nPairs =>
+          val mn = parts(1 + 2 * i).toLong
+          val mx = parts(2 + 2 * i).toLong
+          !(mx < lo || mn > hi)
+        case _ => true // unconstrained dim, or stats missing for it
       }
     }.map(entryPath)
   }
+
+  private[graft] def prunedPaths(spark: SparkSession, dir: String,
+      lo: Long, hi: Long, asOf: Option[Int] = None): Seq[String] =
+    prunedPathsBox(spark, dir, Seq(Some((lo, hi))), asOf)
 
   /** STATS-PRUNED range scan: rows with statsCol ∈ [lo, hi], reading
     * ONLY the files whose manifest [min, max] intersects the range —
@@ -487,18 +516,93 @@ object SnapTable {
     require(targetFiles >= 1, "SnapTable: targetFiles must be >= 1")
     val v = currentVersion(spark, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
-    val c = statsColOf(spark, dir, v)
+    val cs = statsColsOf(spark, dir, v)
     // pin the snapshot being compacted: read(..., Some(v)) — reading
     // "current" again at job time could see a concurrent commit and
     // compact rows the OCC read-set below doesn't cover
-    val clustered = c match {
+    val clustered = cs.headOption match {
       case Some(sc) =>
         read(spark, dir, Some(v)).repartitionByRange(targetFiles, col(sc))
       case None => read(spark, dir, Some(v)).repartition(targetFiles)
     }
     val entries = readEntries(spark, dir, v)
     occCommit(spark, dir, v, entries.toSet, entries.toSet,
-      writeData(clustered, dir, v + 1, c), statsMeta(spark, dir, v))
+      writeData(clustered, dir, v + 1, cs), statsMeta(spark, dir, v))
+  }
+
+  /** Morton bit-spread: the 16 low bits of `x` spaced out to even bit
+    * positions (…b2·4, b1·2, b0·0) — plain integer arithmetic on long
+    * columns, all codegen'd built-ins. */
+  private def spreadBits16(x: Column): Column = {
+    var c = x.bitwiseAND(lit(0xFFFFL))
+    c = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    c = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    c = (c.bitwiseOR(shiftleft(c, 2))).bitwiseAND(lit(0x33333333L))
+    (c.bitwiseOR(shiftleft(c, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** OPTIMIZE ZORDER BY (c1, c2) — rewrite the current snapshot
+    * range-clustered on the two columns' interleaved Morton code, and
+    * switch the table's stats columns to (c1, c2) so every file gets a
+    * 2-D bounding box in the manifest. Z-ordering is what makes
+    * MULTI-column skipping work: a 1-D sort gives tight ranges on the
+    * sort column and useless full-range stats on everything else; the
+    * space-filling curve keeps each file a small tile in BOTH
+    * dimensions, so a 2-D box scan ([[readPrunedBox]]) skips on either
+    * predicate alone or both together. Each value is rank-normalized
+    * to 16 bits via its [min, max] span (one bounded 4-value agg), the
+    * codes interleave to 32 bits, and the rewrite is a single
+    * repartitionByRange on the code — the same shuffle shape as the
+    * 1-D optimize, so the cost at 100 TB is one full rewrite pass
+    * either way. NULLs in either column z-map as 0 (they sort first;
+    * their files stay unannotated and are never wrongly skipped). */
+  def optimizeZorder(spark: SparkSession, dir: String, targetFiles: Int,
+      c1: String, c2: String): Unit = {
+    require(targetFiles >= 1, "SnapTable: targetFiles must be >= 1")
+    val v = currentVersion(spark, dir)
+    require(v > 0, s"SnapTable: $dir holds no table — create first")
+    val snap = read(spark, dir, Some(v))
+    val mm = snap.agg(
+      min(col(c1)).cast("long"), max(col(c1)).cast("long"),
+      min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+    def norm(c: String, lo: Long, hi: Long): Column = {
+      val span = math.max(hi - lo, 1L)
+      // scale to [0, 65535] in long arithmetic; NULL → 0
+      coalesce(((col(c).cast("long") - lit(lo)) * lit(65535L) /
+        lit(span)).cast("long"), lit(0L))
+    }
+    val z = spreadBits16(norm(c1, mm.getLong(0), mm.getLong(1)))
+      .bitwiseOR(shiftleft(spreadBits16(
+        norm(c2, mm.getLong(2), mm.getLong(3))), 1))
+    val clustered = snap.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .drop("__z")
+    val entries = readEntries(spark, dir, v)
+    occCommit(spark, dir, v, entries.toSet, entries.toSet,
+      writeData(clustered, dir, v + 1, Seq(c1, c2)),
+      statsMetaFor(Seq(c1, c2)))
+  }
+
+  /** 2-D STATS-PRUNED box scan: rows with c1 ∈ [lo1, hi1] AND c2 ∈
+    * [lo2, hi2], reading only files whose manifest bounding box
+    * intersects the query box — the payoff of [[optimizeZorder]]. The
+    * residual row-level filter makes the result exactly
+    * `read(...).filter(box)`; q246 gates that equality. */
+  def readPrunedBox(spark: SparkSession, dir: String,
+      lo1: Long, hi1: Long, lo2: Long, hi2: Long,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(spark, dir))
+    val cs = statsColsOf(spark, dir, v)
+    require(cs.size == 2,
+      s"SnapTable: $dir carries ${cs.size} stats column(s) — " +
+        "readPrunedBox needs a Z-ordered table (optimizeZorder)")
+    val chosen = prunedPathsBox(spark, dir,
+      Seq(Some((lo1, hi1)), Some((lo2, hi2))), Some(v))
+    if (chosen.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
+    else spark.read.option("mergeSchema", "true")
+      .parquet(chosen.map(r => s"$dir/$r"): _*)
+      .filter(col(cs.head).between(lo1, hi1) &&
+        col(cs(1)).between(lo2, hi2))
   }
 
   /** Retire history: keep the newest `retain` snapshots, delete older
@@ -749,6 +853,42 @@ object SnapTable {
       |  max(doc_id) AS max_doc_id
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** The documents corpus Z-ordered on (doc_id, n_chars), once per
+    * (session, dir): created unclustered (8 hash files — every file
+    * spans both full value ranges, the worst case), then
+    * OPTIMIZE ZORDER BY rewrites it into 8 Morton tiles with 2-D
+    * bounding boxes in the manifest. */
+  private val zorderCache = new graft.ops.SessionMemo[String]
+  private def zorderSnap(s: SparkSession, dir: String): String =
+    zorderCache.getOrBuild(s, dir) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_snap_zorder_").toString
+      create(graft.tables.Tables.documents(s, dir).repartition(8), d)
+      optimizeZorder(s, d, targetFiles = 8, "doc_id", "n_chars")
+      d
+    }
+
+  /** q246 — Z-ORDER clustering under the value gate: a 2-D box scan
+    * (doc_id ∈ [100, 299] ∧ n_chars ∈ [100, 400]) served through
+    * [[readPrunedBox]] — only files whose manifest bounding box
+    * intersects the query box are read — must equal the raw-parquet
+    * oracle's plain conjunctive WHERE. The spec separately asserts the
+    * pruning is real on EACH dimension alone (the property a 1-D sort
+    * cannot give the second column). */
+  def snapshotZorderStats(s: SparkSession, dir: String): DataFrame =
+    readPrunedBox(s, zorderSnap(s, dir), 100L, 299L, 100L, 400L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+
+  val snapshotZorderStatsSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 100 AND 299 AND n_chars BETWEEN 100 AND 400
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** The deterministic OCC-interleave fixture, once per (session, dir):
     * v1 = even doc_ids, v2 = +odds (full corpus); then writer A PLANS a
     * copy-on-write delete of doc_id % 5 == 1 against v2, writer B
@@ -827,7 +967,8 @@ object SnapTable {
     "q239_snapshot_cdc" -> (snapshotCdc _),
     "q240_snapshot_skip" -> (snapshotSkipStats _),
     "q241_snapshot_optimize" -> (snapshotOptimizeStats _),
-    "q245_snapshot_occ" -> (snapshotOccAudit _))
+    "q245_snapshot_occ" -> (snapshotOccAudit _),
+    "q246_snapshot_zorder" -> (snapshotZorderStats _))
 
   val oracles: Map[String, String] = Map(
     "q236_snapshot_stats" -> snapshotStatsSql,
@@ -836,5 +977,6 @@ object SnapTable {
     "q239_snapshot_cdc" -> snapshotCdcSql,
     "q240_snapshot_skip" -> snapshotSkipStatsSql,
     "q241_snapshot_optimize" -> snapshotOptimizeStatsSql,
-    "q245_snapshot_occ" -> snapshotOccAuditSql)
+    "q245_snapshot_occ" -> snapshotOccAuditSql,
+    "q246_snapshot_zorder" -> snapshotZorderStatsSql)
 }

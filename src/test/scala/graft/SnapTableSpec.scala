@@ -343,6 +343,57 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.read(spark, d).count() === 1)
   }
 
+  test("Z-order optimize: a 2-D box scan prunes on EITHER dimension " +
+      "alone, and the box result equals the plain filtered read") {
+    val d = tmp()
+    // anti-correlated columns: a 1-D sort on `a` leaves `b` full-range
+    // in every file, so any b-pruning proves the Morton tiling works
+    val rows = (0L until 256L).map(i => (i, 255L - i, s"s$i"))
+    SnapTable.create(rows.toDF("a", "b", "s").repartition(4), d)
+    SnapTable.optimizeZorder(spark, d, targetFiles = 8, "a", "b")
+    val all = SnapTable.readManifest(spark, d,
+      SnapTable.currentVersion(spark, d))
+    assert(all.size === 8)
+    // dim-1-only, dim-2-only, and conjunctive boxes all prune
+    val p1 = SnapTable.prunedPathsBox(spark, d,
+      Seq(Some((0L, 63L)), None))
+    val p2 = SnapTable.prunedPathsBox(spark, d,
+      Seq(None, Some((0L, 63L))))
+    val pBox = SnapTable.prunedPathsBox(spark, d,
+      Seq(Some((0L, 63L)), Some((192L, 255L))))
+    assert(p1.size < all.size, "no pruning on the first dimension")
+    assert(p2.size < all.size, "no pruning on the second dimension")
+    assert(pBox.size <= math.min(p1.size, p2.size))
+    // value gate: the pruned box scan equals the unpruned filtered read
+    val got = SnapTable.readPrunedBox(spark, d, 0L, 63L, 192L, 255L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val exp = SnapTable.read(spark, d)
+      .filter(col("a").between(0, 63) && col("b").between(192, 255))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
+  test("appends after a Z-order optimize keep writing 2-D stats and " +
+      "stay box-prunable") {
+    val d = tmp()
+    SnapTable.create(
+      (0L until 64L).map(i => (i, i * 2, s"x$i")).toDF("a", "b", "s"), d)
+    SnapTable.optimizeZorder(spark, d, targetFiles = 4, "a", "b")
+    SnapTable.append(
+      (1000L until 1064L).map(i => (i, i * 2, s"x$i")).toDF("a", "b", "s"), d)
+    // the appended file's 2-D box [1000,1063]×[2000,2126] must be
+    // skippable by a low box and reachable by a matching one
+    val lowBox = SnapTable.prunedPathsBox(spark, d,
+      Seq(Some((0L, 63L)), Some((0L, 126L))))
+    val hiBox = SnapTable.readPrunedBox(spark, d, 1000L, 1063L,
+      2000L, 2126L)
+    assert(lowBox.size < SnapTable.readManifest(spark, d,
+      SnapTable.currentVersion(spark, d)).size,
+      "append dropped the stats annotations")
+    assert(hiBox.count() === 64L)
+  }
+
   test("strict (merge-mode) commits refuse ANY interleaved commit") {
     val d = tmp()
     SnapTable.create(Seq(1L).toDF("id"), d)
