@@ -19,7 +19,8 @@ object SparkEntry {
       Linkage.queries ++ Index.queries ++ Layout.queries ++
       Model.queries ++ Report.queries ++ Retrieval.queries ++
       Olap.queries ++ TpchCanon.queries ++ graft.io.AvroIo.queries ++
-      graft.io.SnapTable.queries ++ Graph.queries
+      graft.io.SnapTable.queries ++ Graph.queries ++
+      graft.io.JsonlIo.queries
 
   /** Keys in [[queries]] that are deliberate EXACTNESS BASELINES, not
     * production paths: quadratic all-pairs formulations kept as the
@@ -94,7 +95,9 @@ object SparkEntry {
     "q243_graph_triangles",    // unique (a,b,c) key; free order pin
     "q244_graph_cheapest",     // unique per-vector key; free order pin
     "q245_snapshot_occ",       // unique per-version key; free order pin
-    "q246_snapshot_zorder")    // unique per-source key; free order pin
+    "q246_snapshot_zorder",    // unique per-source key; free order pin
+    "q247_graph_pagerank",     // unique per-vector key; free order pin
+    "q248_jsonl_ingest")       // unique per-source key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -105,5 +108,6 @@ object SparkEntry {
       Linkage.oracles ++ Index.oracles ++ Layout.oracles ++
       Model.oracles ++ Report.oracles ++ Retrieval.oracles ++
       Olap.oracles ++ TpchCanon.oracles ++ graft.io.AvroIo.oracles ++
-      graft.io.SnapTable.oracles ++ Graph.oracles
+      graft.io.SnapTable.oracles ++ Graph.oracles ++
+      graft.io.JsonlIo.oracles
 }

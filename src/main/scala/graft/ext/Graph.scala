@@ -220,13 +220,93 @@ object Graph {
        |FROM dist d JOIN embeddings e USING (vec_id)
        |ORDER BY d.vec_id""".stripMargin
 
+  /** PageRank iterations (unrolled in the oracle, looped in Spark). */
+  val PrIters = 3
+
+  /** Initial integer mass per node: 10⁶ "rank units". */
+  val PrMass = 1000000L
+
+  /** q247 — INTEGER-EXACT PageRank over the mutual-kNN graph: every
+    * vector starts with [[PrMass]] rank units; each of [[PrIters]]
+    * rounds sends `mass · 85 div (100 · deg)` along every edge
+    * (integer floor division — the damping factor 0.85 in exact
+    * arithmetic) and re-seeds `15% · PrMass` of teleport mass. All
+    * arithmetic is integral, so the result is bit-identical across
+    * engines — the trick that makes an ITERATIVE FIXPOINT computation
+    * oracle-checkable where float PageRank would diverge in ULPs (sum
+    * order differs per engine). Floor-dropped remainders and
+    * non-redistributed dangling mass are part of the defined semantics
+    * (both engines drop identically); ranking fidelity is unaffected —
+    * the error is < deg units per node per round against ~10⁶-unit
+    * masses.
+    *
+    * Scale shape: each round is ONE join of the mass relation against
+    * the degree-annotated edge list plus a groupBy(dst) sum — the same
+    * bounded-round Pregel step as q242/q244; masses are longs (≤
+    * N·10⁶ total, overflow-safe to ~9·10¹² nodes). */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = mutualEdges(s, dir).select(col("src"), col("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
+    val emb = Tables.embeddings(s, dir)
+    val nodes = emb.select(col("vec_id")).localCheckpoint()
+    var mass = nodes.withColumn("mass", lit(PrMass))
+    for (_ <- 1 to PrIters) {
+      val in = mass.select(col("vec_id").as("src"), col("mass"))
+        .join(edgesDeg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("mass * 85 div (100 * deg)")).as("incoming"))
+      mass = nodes
+        .join(in.select(col("dst").as("vec_id"), col("incoming")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(PrMass * 15 / 100) + coalesce(col("incoming"), lit(0L)))
+            .as("mass"))
+        .localCheckpoint() // truncate per-round lineage (as in q242)
+    }
+    mass.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("mass"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB spelling of [[pagerank]]: the [[PrIters]] rounds unrolled
+    * as chained CTEs (recursive CTEs disallow the per-round GROUP BY),
+    * same `//` floor division, same teleport constant. */
+  def pagerankSql: String = {
+    val teleport = PrMass * 15 / 100
+    val rounds = (1 to PrIters).map { i =>
+      s"""m$i AS (
+         |  SELECT n.vec_id, $teleport + coalesce(inc.s, 0) AS mass
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(m.mass * 85 // (100 * e.deg)) AS s
+         |    FROM m${i - 1} m JOIN edeg e ON e.src = m.vec_id
+         |    GROUP BY e.dst) inc ON inc.dst = n.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Similarity.mutualCtes},
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM mutual
+       |  UNION ALL SELECT b_id, a_id FROM mutual),
+       |edeg AS (
+       |  SELECT src, dst,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM edges),
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |m0 AS (SELECT vec_id, CAST($PrMass AS BIGINT) AS mass FROM nodes),
+       |$rounds
+       |SELECT m.vec_id, CAST(m.mass AS BIGINT) AS mass, e.label
+       |FROM m$PrIters m JOIN embeddings e USING (vec_id)
+       |ORDER BY m.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q242_graph_bfs" -> (bfsHops _),
     "q243_graph_triangles" -> (triangles _),
-    "q244_graph_cheapest" -> (cheapestPaths _))
+    "q244_graph_cheapest" -> (cheapestPaths _),
+    "q247_graph_pagerank" -> (pagerank _))
 
   val oracles: Map[String, String] = Map(
     "q242_graph_bfs" -> bfsHopsSql,
     "q243_graph_triangles" -> trianglesSql,
-    "q244_graph_cheapest" -> cheapestPathsSql)
+    "q244_graph_cheapest" -> cheapestPathsSql,
+    "q247_graph_pagerank" -> pagerankSql)
 }

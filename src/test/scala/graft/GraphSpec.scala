@@ -79,6 +79,33 @@ class GraphSpec extends SparkSpec {
     assert(got === expected.toMap)
   }
 
+  test("q247 integer PageRank equals a driver-side reference run") {
+    val allNodes = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(_.getAs[Long]("vec_id"))
+    val deg = adj.map { case (v, es) => v -> es.size.toLong }
+    var mass = allNodes.map(_ -> Graph.PrMass).toMap
+    for (_ <- 1 to Graph.PrIters) {
+      val incoming = scala.collection.mutable.Map[Long, Long]()
+      mass.foreach { case (u, m) =>
+        adj.getOrElse(u, Nil).foreach { case (v, _) =>
+          incoming(v) = incoming.getOrElse(v, 0L) + m * 85 / (100 * deg(u))
+        }
+      }
+      mass = allNodes
+        .map(v => v -> (Graph.PrMass * 15 / 100 + incoming.getOrElse(v, 0L)))
+        .toMap
+    }
+    val got = Graph.pagerank(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("mass")).toMap
+    assert(got === mass)
+    // well-connected nodes must rise above isolated ones (pure teleport)
+    val isolated = allNodes.filterNot(adj.contains).toSet
+    assert(isolated.forall(v =>
+      got(v) === Graph.PrMass * 15 / 100), "isolated nodes keep teleport mass")
+    assert(got.exists(_._2 > Graph.PrMass),
+      "no node accumulated rank — propagation broken?")
+  }
+
   test("q244 reaches exactly the q242 node set, cost bounded by 10·hops") {
     val hops = Graph.bfsHops(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("hops")).toMap

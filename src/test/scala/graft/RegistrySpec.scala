@@ -23,7 +23,7 @@ class RegistrySpec extends SparkSpec {
       Corpus.queries, Linkage.queries, Index.queries, Layout.queries,
       Model.queries, Report.queries, Retrieval.queries, Olap.queries,
       TpchCanon.queries, graft.io.AvroIo.queries,
-      graft.io.SnapTable.queries, Graph.queries)
+      graft.io.SnapTable.queries, Graph.queries, graft.io.JsonlIo.queries)
     assert(perModule.map(_.size).sum === SparkEntry.queries.size,
       "duplicate query key across modules (Map ++ dropped one)")
   }

@@ -67,6 +67,29 @@ class SourcesSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { failfast.collect() }
   }
 
+  test("JSONL ingest: clean rows round-trip value-exactly, malformed " +
+      "lines quarantine with their raw text, and the counts reconcile") {
+    val d = Files.createTempDirectory("graft_jsonl_spec_").toString
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").json(d)
+    Files.writeString(java.nio.file.Paths.get(d, "part-corrupt.json"),
+      graft.io.JsonlIo.CorruptLines.mkString("\n") + "\n")
+    val got = graft.io.JsonlIo.ingest(spark, d).cache()
+    val corrupt = got.filter(col("_corrupt").isNotNull)
+    assert(corrupt.count() === graft.io.JsonlIo.CorruptLines.size.toLong)
+    // the raw line is preserved for forensics, data columns are null
+    assert(corrupt.collect().forall(r =>
+      r.isNullAt(r.fieldIndex("doc_id")) &&
+        graft.io.JsonlIo.CorruptLines.contains(
+          r.getAs[String]("_corrupt"))))
+    // clean rows equal the parquet source value-for-value
+    val clean = got.filter(col("_corrupt").isNull).drop("_corrupt")
+    val exp = docs.collect().map(_.toSeq).toSet
+    assert(clean.collect().map(_.toSeq).toSet === exp)
+    assert(clean.count() === docs.count())
+    got.unpersist()
+  }
+
   test("parquet schema evolution: mergeSchema unions old and new columns") {
     val dir = tmp("graft-evolve")
     // v1 files lack the column a later pipeline version added
