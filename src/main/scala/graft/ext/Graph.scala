@@ -57,17 +57,23 @@ object Graph {
 
   /** Undirected edge relation of the mutual-kNN graph: both directions
     * of each q235 pair, weighted by rank agreement (2 = mutual first
-    * neighbors … 2·[[Similarity.MutualK]] = barely mutual). Checkpointed:
-    * every traversal round re-reads it. */
-  private def mutualEdges(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Similarity.mutualPairs(s, dir)
-      .select(col("a_id"), col("b_id"),
-        (col("rnk_ab") + col("rnk_ba")).as("w"))
-    pairs.select(col("a_id").as("src"), col("b_id").as("dst"), col("w"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"),
-        col("w")))
-      .localCheckpoint()
-  }
+    * neighbors … 2·[[Similarity.MutualK]] = barely mutual).
+    * Checkpointed AND memoized per (session, dir): every traversal
+    * round of every q242–q247 query re-reads it, and rebuilding the
+    * LSH candidate join per query would dominate the whole family
+    * (measured 3.5 s of the 4–5 s per query at sf0.1 — a graph is
+    * built once and traversed many times). */
+  private val edgeCache = new graft.ops.SessionMemo[DataFrame]
+  private def mutualEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrBuild(s, dir) {
+      val pairs = Similarity.mutualPairs(s, dir)
+        .select(col("a_id"), col("b_id"),
+          (col("rnk_ab") + col("rnk_ba")).as("w"))
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"), col("w"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"),
+          col("w")))
+        .localCheckpoint()
+    }
 
   /** q242 — BFS hop distance ≤ [[MaxHops]] from the [[SeedLabel]] seed
     * vectors over the mutual-kNN graph: (vec_id, hops, label) for every
@@ -129,9 +135,11 @@ object Graph {
     * corner), and hub nodes generate no wedges toward lower-degree
     * neighbors, so skew cannot blow the wedge join up. */
   def triangles(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Similarity.mutualPairs(s, dir)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint() // feeds the degree agg AND the orientation join
+    // one canonical row per undirected edge, off the shared memo (the
+    // a<b orientation is recoverable from the symmetric relation)
+    val pairs = mutualEdges(s, dir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a_id"), col("dst").as("b_id"))
     val deg = pairs.select(col("a_id").as("v"))
       .union(pairs.select(col("b_id").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
