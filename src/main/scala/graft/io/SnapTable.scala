@@ -111,13 +111,16 @@ object SnapTable {
     * writer committed, so the system as a whole makes progress). */
   private val OccMaxRetries = 8
 
-  /** Per-table JVM commit locks: the exists-check + rename claim below
-    * is atomic cross-process only where the FS's no-overwrite rename is
-    * (HDFS — the deployment target); POSIX rename(2) silently REPLACES
-    * an existing destination, so same-JVM racers (the local[32] test
-    * surface, and any multi-threaded driver) serialize here instead. */
-  private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** JVM commit locks, STRIPED by table-dir hash: the exists-check +
+    * rename claim below is atomic cross-process only where the FS's
+    * no-overwrite rename is (HDFS — the deployment target); POSIX
+    * rename(2) silently REPLACES an existing destination, so same-JVM
+    * racers (the local[32] test surface, and any multi-threaded driver)
+    * serialize here instead. Striping keeps the structure O(1) for the
+    * life of the JVM — a per-dir map would grow one entry per table
+    * ever touched (the leak class SessionMemo bounds with an LRU); two
+    * tables sharing a stripe merely serialize their claims. */
+  private val commitLocks = Array.fill(64)(new Object)
 
   /** Try to claim snapshot `v` with `files` (relative paths): write the
     * manifest aside and rename it into place. Returns false if some
@@ -138,8 +141,8 @@ object SnapTable {
     try out.write((header + files.sorted.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val lock = commitLocks.computeIfAbsent(
-      manifestDir(dir).toString, _ => new Object)
+    val lock = commitLocks(
+      math.floorMod(manifestDir(dir).toString.hashCode, commitLocks.length))
     lock.synchronized {
       if (f.exists(fin) || !f.rename(tmp, fin)) {
         f.delete(tmp, false)
@@ -166,17 +169,42 @@ object SnapTable {
     * interleaved commit (merge's serializable mode: rebasing a merge
     * over a blind append could admit duplicate keys).
     *
+    * Stats annotations are column-POSITIONAL (`path\tlo\thi[\tlo2\thi2]`
+    * under the meta's declared columns), so a rebase must also keep the
+    * DECLARATION coherent: if an interloper switched the table's stats
+    * columns (a concurrent [[optimizeZorder]]), this writer's
+    * annotations and meta would be misread as bounds of the NEW columns
+    * — silent wrong skipping — so that drift conflicts too. Conversely,
+    * a writer that itself changes the declaration strips carried
+    * interloper entries down to bare paths (conservative: those files
+    * are always read until the next optimize re-annotates them).
+    *
+    * `skipIf` is re-evaluated before every claim: when it fires the
+    * commit returns None without claiming (the appendOnce batch-stamp
+    * recheck — the commit this writer lost to may have BEEN its batch).
+    *
     * This is write-serializable OCC — the Delta/Iceberg commit
     * protocol's conflict rule — on the same rename-claimed manifests:
     * appends never conflict (empty read set), maintenance rebases over
     * appends, rewrites conflict with rewrites. */
   private[graft] def occCommit(spark: SparkSession, dir: String, baseV: Int,
       readSet: Set[String], removed: Set[String], added: Seq[String],
-      meta: Map[String, String], strict: Boolean = false): Int = {
+      meta: Map[String, String], strict: Boolean = false,
+      skipIf: () => Boolean = () => false): Option[Int] = {
+    val baseCols = statsColsOf(spark, dir, baseV)
+    val declared = Seq(meta.get("stats_col"), meta.get("stats_col2")).flatten
     var attempt = 0
+    var lastSeen = -1
     while (true) {
+      if (skipIf()) return None
       val cur = currentVersion(spark, dir)
-      val curEntries = readEntries(spark, dir, cur)
+      // the cap bounds LIVELOCK, not contention: losing to a MOVING
+      // version means some other writer committed (system-wide
+      // progress), so the counter resets; only repeated losses at the
+      // same version — a stuck claim — exhaust it
+      if (cur != lastSeen) { attempt = 0; lastSeen = cur }
+      val curEntries =
+        if (cur == 0) Seq.empty else readEntries(spark, dir, cur)
       if (cur != baseV) {
         if (strict) throw new ConcurrentWriteException(
           s"SnapTable: $dir moved v$baseV→v$cur under a strict writer — " +
@@ -186,15 +214,26 @@ object SnapTable {
           s"SnapTable: concurrent commit rewrote ${lost.size} file(s) " +
             s"this writer read under $dir (v$baseV→v$cur) — re-plan " +
             "against the current snapshot and retry")
+        if (statsColsOf(spark, dir, cur) != baseCols)
+          throw new ConcurrentWriteException(
+            s"SnapTable: the stats-column declaration changed " +
+              s"(v$baseV→v$cur) under $dir — this writer's positional " +
+              "annotations would be misread; re-plan and retry")
       }
-      val manifest = curEntries.filterNot(removed.contains) ++ added
-      if (tryCommitManifest(spark, dir, cur + 1, manifest, meta))
-        return cur + 1
+      val carried = curEntries.filterNot(removed.contains)
+      // declaration-changing commit (optimizeZorder): interloper
+      // entries were annotated under the OLD columns — strip to paths
+      val carriedSafe =
+        if (declared != baseCols) carried.map(entryPath) else carried
+      if (tryCommitManifest(spark, dir, cur + 1, carriedSafe ++ added,
+          meta))
+        return Some(cur + 1)
       attempt += 1
       if (attempt > OccMaxRetries) throw new ConcurrentWriteException(
-        s"SnapTable: $OccMaxRetries commit attempts lost under $dir")
+        s"SnapTable: $OccMaxRetries claims lost at v$cur under $dir " +
+          "without the version advancing — claim path stuck")
     }
-    -1 // unreachable
+    None // unreachable
   }
 
   /** Write `df`'s rows into a fresh ATTEMPT-UNIQUE write-dir; return
@@ -422,21 +461,12 @@ object SnapTable {
     if (lastAppliedBatch(s, dir) >= batchId) return false
     val v0 = currentVersion(s, dir)
     val added = writeData(df, dir, v0 + 1, statsColsOf(s, dir, v0))
-    var attempt = 0
-    while (true) {
-      // recheck the stamp INSIDE the retry loop: the commit we lost to
-      // may have been this very batch (two racing sink instances)
-      if (lastAppliedBatch(s, dir) >= batchId) return false
-      val cur = currentVersion(s, dir)
-      val prev = if (cur == 0) Seq.empty else readEntries(s, dir, cur)
-      if (tryCommitManifest(s, dir, cur + 1, prev ++ added,
-          Map("batch_id" -> batchId.toString) ++ statsMeta(s, dir, cur)))
-        return true
-      attempt += 1
-      if (attempt > OccMaxRetries) throw new ConcurrentWriteException(
-        s"SnapTable: $OccMaxRetries appendOnce attempts lost under $dir")
-    }
-    false // unreachable
+    // a pure-append occCommit whose skipIf rechecks the stamp before
+    // every claim: the commit this writer lost to may have BEEN this
+    // very batch (two racing sink instances)
+    occCommit(s, dir, v0, Set.empty, Set.empty, added,
+      Map("batch_id" -> batchId.toString) ++ statsMeta(s, dir, v0),
+      skipIf = () => lastAppliedBatch(s, dir) >= batchId).isDefined
   }
 
   /** Read a snapshot: the current one, or `asOf` for time travel.
@@ -492,15 +522,26 @@ object SnapTable {
   def readPruned(spark: SparkSession, dir: String, lo: Long, hi: Long,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(spark, dir))
-    val c = statsColOf(spark, dir, v).getOrElse(throw
-      new IllegalArgumentException(
-        s"SnapTable: $dir carries no stats column — readPruned needs " +
-          "a table created with statsCol"))
-    val chosen = prunedPaths(spark, dir, lo, hi, Some(v))
+    require(statsColsOf(spark, dir, v).nonEmpty,
+      s"SnapTable: $dir carries no stats column — readPruned needs " +
+        "a table created with statsCol")
+    readPrunedRanges(spark, dir, Seq(Some((lo, hi))), v)
+  }
+
+  /** Shared pruned-scan core: skip by [[prunedPathsBox]], then apply
+    * the residual row-level range filters, so the result is exactly
+    * `read(...).filter(<ranges>)` regardless of dimension count. */
+  private def readPrunedRanges(spark: SparkSession, dir: String,
+      ranges: Seq[Option[(Long, Long)]], v: Int): DataFrame = {
+    val cs = statsColsOf(spark, dir, v)
+    val chosen = prunedPathsBox(spark, dir, ranges, Some(v))
+    val residual = cs.zip(ranges).collect {
+      case (c, Some((lo, hi))) => col(c).between(lo, hi)
+    }.reduce(_ && _)
     if (chosen.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
     else spark.read.option("mergeSchema", "true")
       .parquet(chosen.map(r => s"$dir/$r"): _*)
-      .filter(col(c).between(lo, hi))
+      .filter(residual)
   }
 
   /** OPTIMIZE — compact and re-cluster the current snapshot: rewrite
@@ -557,9 +598,17 @@ object SnapTable {
     * either way. NULLs in either column z-map as 0 (they sort first;
     * their files stay unannotated and are never wrongly skipped). */
   def optimizeZorder(spark: SparkSession, dir: String, targetFiles: Int,
-      c1: String, c2: String): Unit = {
+      c1: String, c2: String): Unit =
+    optimizeZorderFrom(spark, dir, targetFiles, c1, c2,
+      currentVersion(spark, dir))
+
+  /** [[optimizeZorder]] planned against an EXPLICIT base version — the
+    * OCC seam (mirrors [[deleteWhereFrom]]): rebasing over an
+    * interleaved append strips the carried entry's OLD-column
+    * annotations (the declaration is changing under it). */
+  private[graft] def optimizeZorderFrom(spark: SparkSession, dir: String,
+      targetFiles: Int, c1: String, c2: String, v: Int): Unit = {
     require(targetFiles >= 1, "SnapTable: targetFiles must be >= 1")
-    val v = currentVersion(spark, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     val snap = read(spark, dir, Some(v))
     val mm = snap.agg(
@@ -596,13 +645,8 @@ object SnapTable {
     require(cs.size == 2,
       s"SnapTable: $dir carries ${cs.size} stats column(s) — " +
         "readPrunedBox needs a Z-ordered table (optimizeZorder)")
-    val chosen = prunedPathsBox(spark, dir,
-      Seq(Some((lo1, hi1)), Some((lo2, hi2))), Some(v))
-    if (chosen.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .parquet(chosen.map(r => s"$dir/$r"): _*)
-      .filter(col(cs.head).between(lo1, hi1) &&
-        col(cs(1)).between(lo2, hi2))
+    readPrunedRanges(spark, dir,
+      Seq(Some((lo1, hi1)), Some((lo2, hi2))), v)
   }
 
   /** Retire history: keep the newest `retain` snapshots, delete older

@@ -394,6 +394,51 @@ class SnapTableSpec extends SparkSpec {
     assert(hiBox.count() === 64L)
   }
 
+  test("a writer planned under the OLD stats declaration refuses to " +
+      "commit after a concurrent Z-order switched it") {
+    val d = tmp()
+    SnapTable.create(
+      (0L until 32L).map(i => (i, i * 3, s"r$i")).toDF("a", "b", "s"), d,
+      statsCol = Some("a"))
+    // writer plans an annotated append against v1 (stats = [a]) …
+    // (fabricated entry — the conflict must fire before it's used)
+    val plannedMeta = Map("stats_col" -> "a")
+    // … but a concurrent OPTIMIZE ZORDER commits v2 with stats = [a, b]
+    SnapTable.optimizeZorder(spark, d, targetFiles = 2, "a", "b")
+    val e = intercept[SnapTable.ConcurrentWriteException](
+      SnapTable.occCommit(spark, d, baseV = 1, readSet = Set.empty,
+        removed = Set.empty, added = Seq("data/w-fake/part-x.parquet\t0\t9"),
+        meta = plannedMeta))
+    assert(e.getMessage.contains("declaration"))
+  }
+
+  test("a Z-order rebasing over an interleaved append strips the " +
+      "append's old-column annotations instead of misreading them") {
+    val d = tmp()
+    SnapTable.create(
+      (0L until 64L).map(i => (i, 63L - i, s"r$i")).toDF("a", "b", "s"), d,
+      statsCol = Some("a"))
+    val planBase = SnapTable.currentVersion(spark, d)
+    // interloper appends rows annotated under the 1-D [a] declaration
+    SnapTable.append(
+      (500L until 516L).map(i => (i, i + 7, s"x$i")).toDF("a", "b", "s"), d)
+    SnapTable.optimizeZorderFrom(spark, d, 4, "a", "b", planBase)
+    val v = SnapTable.currentVersion(spark, d)
+    assert(v === 3)
+    // every carried (non-zorder) entry is a bare path: 1-D [a] bounds
+    // must NOT survive into a manifest whose declaration is [a, b]
+    val entries = SnapTable.readEntries(spark, d, v)
+    val (annotated, bare) = entries.partition(_.contains("\t"))
+    assert(bare.nonEmpty, "the interloper's entry should be carried bare")
+    assert(annotated.forall(_.split('\t').length === 5),
+      "zorder entries carry exactly two [min,max] pairs")
+    // no rows lost, and the box scan still sees the appended rows
+    // (their file is unannotated → always read)
+    assert(SnapTable.read(spark, d).count() === 80L)
+    assert(SnapTable.readPrunedBox(spark, d, 500L, 515L, 0L, 1000L)
+      .count() === 16L)
+  }
+
   test("strict (merge-mode) commits refuse ANY interleaved commit") {
     val d = tmp()
     SnapTable.create(Seq(1L).toDF("id"), d)
