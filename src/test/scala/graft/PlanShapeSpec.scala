@@ -582,4 +582,22 @@ class PlanShapeSpec extends SparkSpec {
         s"nested-loop appeared:\n$p")
     }
   }
+
+  // The per-round frontier joins run eagerly inside the traversal (each
+  // round is checkpointed), so the plans below cover each query's final
+  // stage — for q243 that includes the wedge + closing joins, the part
+  // where a mis-keyed join WOULD go cartesian; the round joins
+  // themselves are using-column equi-joins by construction.
+  test("q242–q247: graph traversal final stages are equi-join only — " +
+      "no cartesian, no nested-loop") {
+    Seq(graft.ext.Graph.bfsHops(spark, sf),
+        graft.ext.Graph.triangles(spark, sf),
+        graft.ext.Graph.cheapestPaths(spark, sf),
+        graft.ext.Graph.pagerank(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop appeared:\n$p")
+    }
+  }
 }
