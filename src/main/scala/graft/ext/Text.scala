@@ -882,6 +882,10 @@ object Text {
         .withColumnRenamed("n_sh", "a_sh"), Seq("a_id"))
       .join(cnt.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("n_sh", "b_sh"), Seq("b_id"))
+      // barrier: inter feeds BOTH union branches below — without it the
+      // capped self-join subtree is planned twice (ReuseExchange does
+      // not cover the post-join aggregate)
+      .localCheckpoint(eager = false)
     // score each unordered candidate once, then emit the passing
     // directions: (a→b) uses a's denominator, (b→a) uses b's
     val fwd = inter.select(col("a_id"), col("b_id"),
