@@ -410,7 +410,108 @@ object Report {
        |  abs(noisy_n - true_n) AS abs_err
        |FROM noised ORDER BY event_type, day""".stripMargin
 
+  // ---- q249: robust outlier stats (median / MAD) ---------------------------
+
+  /** MAD multiplier for the outlier fence: |x − med| > 3·MAD is the
+    * conventional "definitely anomalous" cut (≈4.5σ if the data were
+    * normal), robust to the outliers themselves — unlike mean/stddev
+    * fences, which the anomalies being hunted inflate until they hide
+    * themselves. */
+  final val MadK = 3.0
+
+  /** Lower median of `valCol` per `key`, computed in the SCALABLE exact
+    * shape: group to (key, value, count) — partial-aggregable, one small
+    * exchange — then a cumulative count over the DISTINCT values per key
+    * picks the smallest value whose cumsum reaches ⌈n/2⌉. No row-level
+    * window ever runs (5 event types would mean 5 giant window
+    * partitions — the q197 cliff); the window here orders distinct
+    * VALUES, whose count is what bounds the state. Regime note: exact
+    * medians are only scale-sane while value cardinality compresses
+    * under grouping; near-continuous measures at 100 TB should use the
+    * mergeable quantile sketches (q195) instead — this is the exact
+    * twin for auditable fences. Lower (element-picked) median, not the
+    * interpolated one: picking an EXISTING value needs no arithmetic,
+    * so both engines select bit-identical doubles. */
+  private def lowerMedian(df: DataFrame, key: String, valCol: String,
+      as: String): DataFrame = {
+    val g = df.groupBy(col(key), col(valCol))
+      .agg(count(lit(1)).as("c"))
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(valCol))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+    g.select(col(key), col(valCol),
+        sum(col("c")).over(byVal).as("cum"),
+        sum(col("c")).over(all).as("n"))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col(key))
+      .agg(min(col(valCol)).as(as))
+  }
+
+  /** q249 — per-event-type ROBUST outlier stats: lower median of value,
+    * MAD (lower median of |value − med|), and the count beyond the
+    * med ± [[MadK]]·MAD fence — the data-quality screen that survives
+    * its own anomalies. All selections pick existing doubles and the
+    * only arithmetic is one IEEE subtract/abs/multiply, identical in
+    * both engines, so the audit is hash-exact despite double columns. */
+  def robustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = lowerMedian(ev, "event_type", "value", "med")
+    val dev = ev.join(med, Seq("event_type"))
+      .select(col("event_type"), col("value"),
+        abs(col("value") - col("med")).as("dev"))
+      .localCheckpoint(eager = false) // feeds the MAD pass AND the fence
+    val mad = lowerMedian(dev, "event_type", "dev", "mad")
+    dev.join(mad, Seq("event_type"))
+      .join(med, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(MadK) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val robustOutliersSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+       |g1 AS (
+       |  SELECT event_type, value, count(*) AS c FROM ev GROUP BY 1, 2),
+       |t1 AS (
+       |  SELECT event_type, value,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS n
+       |  FROM g1),
+       |med AS (
+       |  SELECT event_type, min(value) AS med FROM t1
+       |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+       |dev AS (
+       |  SELECT e.event_type, e.value, abs(e.value - m.med) AS dv,
+       |    m.med
+       |  FROM ev e JOIN med m USING (event_type)),
+       |g2 AS (
+       |  SELECT event_type, dv, count(*) AS c FROM dev GROUP BY 1, 2),
+       |t2 AS (
+       |  SELECT event_type, dv,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS n
+       |  FROM g2),
+       |mad AS (
+       |  SELECT event_type, min(dv) AS mad FROM t2
+       |  WHERE cum >= (n + 1) // 2 GROUP BY 1)
+       |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+       |  min(d.med) AS med, min(a.mad) AS mad,
+       |  CAST(sum(CASE WHEN d.dv > $MadK * a.mad THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |FROM dev d JOIN mad a USING (event_type)
+       |GROUP BY d.event_type
+       |ORDER BY d.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_robust_outliers" -> (robustOutliers _),
     "q209_dp_release" -> (dpRelease _),
     "q168_index_coverage" -> (indexCoverage _),
     "q141_k_anonymity" -> (kAnonymity _),
@@ -420,6 +521,7 @@ object Report {
     "q108_quality_rules" -> (qualityRules _))
 
   val oracles: Map[String, String] = Map(
+    "q249_robust_outliers" -> robustOutliersSql,
     "q209_dp_release" -> dpReleaseSql,
     "q168_index_coverage" -> indexCoverageSql,
     "q141_k_anonymity" -> kAnonymitySql,

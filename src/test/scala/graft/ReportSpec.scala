@@ -128,4 +128,33 @@ class ReportSpec extends SparkSpec {
     assert(rows.exists(r => r._4 > r._3) && rows.exists(r => r._4 < r._3),
       "noise never goes one of the directions")
   }
+
+  test("q249: median/MAD/outlier-count equal a driver-side replay, and " +
+      "the fence is robust (outliers are a small minority per type)") {
+    def lowerMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(((s.size + 1) / 2 - 1).max(0))
+    }
+    val rows = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expected = rows.groupBy(_._1).map { case (t, vs0) =>
+      val vs = vs0.map(_._2).toSeq
+      val med = lowerMedian(vs)
+      val dev = vs.map(v => math.abs(v - med))
+      val mad = lowerMedian(dev)
+      t -> (vs.size.toLong, med, mad,
+        dev.count(_ > Report.MadK * mad).toLong)
+    }
+    val got = Report.robustOutliers(spark, sf).collect().map { r =>
+      r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("med"),
+        r.getAs[Double]("mad"), r.getAs[Long]("n_outliers"))
+    }.toMap
+    assert(got === expected)
+    got.foreach { case (t, (n, _, mad, out)) =>
+      assert(mad > 0, s"$t: degenerate MAD")
+      assert(out < n / 4, s"$t: fence flags $out of $n — not robust")
+    }
+  }
 }
