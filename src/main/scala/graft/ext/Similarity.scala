@@ -575,17 +575,8 @@ object Similarity {
   /** [[mutualKnn]] without the output sort — the edge relation
     * [[Graph]] traverses (a traversal join would destroy the order
     * anyway, so consumers that don't need it shouldn't pay for it). */
-  private[graft] def mutualPairs(s: SparkSession, dir: String): DataFrame = {
-    val topk = lshTopKAll(s, dir)
-      .localCheckpoint(eager = false) // feeds both sides of the self-join
-    val fwd = topk.filter(col("query_id") < col("neighbor_id"))
-      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
-        col("rnk").as("rnk_ab"))
-    val rev = topk.filter(col("query_id") > col("neighbor_id"))
-      .select(col("neighbor_id").as("a_id"), col("query_id").as("b_id"),
-        col("rnk").as("rnk_ba"))
-    fwd.join(rev, Seq("a_id", "b_id"))
-  }
+  private[graft] def mutualPairs(s: SparkSession, dir: String): DataFrame =
+    mutualPairsFromTopK(lshTopKAll(s, dir))
 
   /** The every-vector-as-probe LSH top-[[MutualK]] relation
     * (query_id, neighbor_id, rnk) — [[mutualKnn]]'s feed, exposed so the
@@ -593,11 +584,32 @@ object Similarity {
     * self-join. */
   private[graft] def lshTopKAll(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val bucketed = e.select(col("vec_id"),
-      posexplode(array(ndPlanes.map(tp =>
-        signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
-    val a = bucketed.select(col("vec_id").as("query_id"), col("tbl"),
-      col("bucket"))
+    lshTopKFor(ndIndexOf(e), e.select(col("vec_id")))
+  }
+
+  /** Band rows of `e` under the q235 (ndPlanes) tables — the mutual-kNN
+    * graph's index schema (vec_id, embedding, tbl, bucket); the carried
+    * state of [[graft.streaming.DocStreams.maintainMutualKnn]]. */
+  private[graft] def ndIndexOf(e: DataFrame): DataFrame = e.select(
+    col("vec_id"), col("embedding"),
+    posexplode(array(ndPlanes.map(tp =>
+      signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
+
+  /** Top-[[MutualK]] lists from an EXPLICIT band index, restricted to
+    * the `queryIds` (vec_id) relation: each restricted query ranks the
+    * full index's bucket-bounded candidates. Ids only through the band
+    * shuffle; embeddings re-attach by id afterwards. The restriction is
+    * what makes incremental maintenance exact: a query whose buckets no
+    * new vector landed in has an UNCHANGED candidate set, so its list
+    * never needs recomputation. */
+  private[graft] def lshTopKFor(index: DataFrame,
+      queryIds: DataFrame): DataFrame = {
+    val vecs = index.dropDuplicates("vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = false) // feeds both re-attach joins
+    val bucketed = index.select(col("vec_id"), col("tbl"), col("bucket"))
+    val a = bucketed.join(queryIds, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("neighbor_id"), col("tbl"),
       col("bucket"))
     val cand = a.join(b, Seq("tbl", "bucket"))
@@ -605,9 +617,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand
-      .join(e.select(col("vec_id").as("query_id"),
+      .join(vecs.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb")), Seq("query_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"),
+      .join(vecs.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine_sim(col("q_emb"), col("n_emb")).as("cos"))
@@ -617,6 +629,28 @@ object Similarity {
       .filter(col("rnk") <= MutualK)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
+
+  /** The mutuality self-join over a (query_id, neighbor_id, rnk) top-k
+    * relation — [[mutualPairs]]' second stage, exposed so the streaming
+    * maintainer emits pairs from its CARRIED top-k state. O(N·k) input,
+    * one swapped-key equi-join. */
+  private[graft] def mutualPairsFromTopK(topk: DataFrame): DataFrame = {
+    val t = topk.localCheckpoint(eager = false) // feeds both join sides
+    val fwd = t.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("rnk").as("rnk_ab"))
+    val rev = t.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("a_id"), col("query_id").as("b_id"),
+        col("rnk").as("rnk_ba"))
+    fwd.join(rev, Seq("a_id", "b_id"))
+  }
+
+  /** From-scratch mutual-kNN pairs of an arbitrary vector relation —
+    * the batch-rebuild reference the streaming maintainer is checked
+    * against ([[graft.streaming.DocStreams.maintainMutualKnn]]). */
+  private[graft] def mutualPairsOfVecs(vecs: DataFrame): DataFrame =
+    mutualPairsFromTopK(
+      lshTopKFor(ndIndexOf(vecs), vecs.select(col("vec_id"))))
 
   /** The [[mutualKnn]] CTE chain through `mutual(a_id, b_id, rnk_ab,
     * rnk_ba)` — shared with [[Graph]]'s oracles, which traverse the same

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming document-pipeline operators — the streaming twins of the
@@ -290,6 +291,63 @@ object DocStreams {
           .localCheckpoint()
         sigs = index
         sink(labels, batchId)
+      }
+      .start()
+  }
+
+  /** Start streaming MUTUAL-kNN GRAPH maintenance — the graph twin of
+    * [[maintainAnnIndex]] for the q235/q242–q247 edge substrate. The
+    * carried state is the ndPlanes band index (vec_id, embedding, tbl,
+    * bucket) plus the top-[[graft.ext.Similarity.MutualK]] relation.
+    * Mutuality is NON-monotonic — a new vector can evict an old edge
+    * from someone's top-k list, killing a pair that used to be mutual —
+    * so "just append edges" is wrong. What IS exact: a query's LSH
+    * candidate set only changes when a new vector lands in one of its
+    * buckets. So each micro-batch (1) signs ONLY its own vectors,
+    * (2) finds the AFFECTED queries — new vectors plus index vectors
+    * sharing a (tbl, bucket) with one — and (3) recomputes top-k lists
+    * for exactly those, carrying everyone else's untouched. The
+    * resulting top-k relation is row-identical to a from-scratch
+    * rebuild over everything ingested, BY CONSTRUCTION, and the emitted
+    * mutual pairs follow (StreamingSpec asserts equality per wave and
+    * across a restart — including an eviction wave where a previously
+    * mutual pair must DISAPPEAR).
+    *
+    * Scale shape: per drop, work is |drop's band rows| × bucket
+    * occupancy for the affected-set probe and |affected|·bucket for the
+    * re-rank — never corpus². The mutual self-join runs over the O(N·k)
+    * top-k relation (ids + ranks only). Replay-safe: the append
+    * anti-joins on vec_id, a redelivered batch contributes no fresh
+    * rows, the affected set is empty, and the sink re-emits the same
+    * pairs. */
+  def maintainMutualKnn(vecStream: DataFrame, initialVecs: DataFrame,
+      checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.ext.Similarity
+    var index = Similarity.ndIndexOf(initialVecs).localCheckpoint()
+    var topk = Similarity.lshTopKFor(index,
+      initialVecs.select(col("vec_id"))).localCheckpoint()
+    vecStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = Similarity.ndIndexOf(batch)
+          .join(index.select("vec_id").distinct(), Seq("vec_id"),
+            "left_anti")
+          .localCheckpoint() // feeds the append AND the affected probe
+        index = index.unionByName(fresh).localCheckpoint()
+        val affected = index.select(col("vec_id"), col("tbl"),
+            col("bucket"))
+          .join(fresh.select(col("tbl"), col("bucket")).distinct(),
+            Seq("tbl", "bucket"))
+          .select(col("vec_id")).distinct()
+          .localCheckpoint() // feeds the re-rank AND the carry anti-join
+        val refreshed = Similarity.lshTopKFor(index, affected)
+        topk = topk
+          .join(affected.withColumnRenamed("vec_id", "query_id"),
+            Seq("query_id"), "left_anti")
+          .unionByName(refreshed)
+          .localCheckpoint()
+        sink(Similarity.mutualPairsFromTopK(topk), batchId)
       }
       .start()
   }

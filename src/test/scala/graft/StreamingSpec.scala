@@ -332,6 +332,57 @@ class StreamingSpec extends SparkSpec {
     assert(latest.nonEmpty, "fixture must produce clusters")
   }
 
+  test("streaming mutual-kNN maintenance: per-wave pairs equal a batch " +
+      "rebuild (including evictions); restart re-seeds") {
+    import graft.ext.Similarity
+    import graft.streaming.DocStreams
+    val vecs = Tables.embeddings(spark, sf).localCheckpoint(eager = false)
+    def slice(r: Int) = vecs.filter(col("vec_id") % 4 === r)
+    def ingested(upTo: Int) = vecs.filter(col("vec_id") % 4 <= upTo)
+    def fullRebuild(upTo: Int): Set[(Long, Long, Long, Long)] =
+      Similarity.mutualPairsOfVecs(ingested(upTo)).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Long]("rnk_ab"), r.getAs[Long]("rnk_ba"))).toSet
+    val dropsDir = Files.createTempDirectory("graft-mknn-drops").toString
+    val ckpt = Files.createTempDirectory("graft-mknn-ckpt").toString
+    slice(1).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    slice(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    @volatile var latest = Array.empty[(Long, Long, Long, Long)]
+    val waves = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long, Long)]]
+    def start(seed: org.apache.spark.sql.DataFrame) =
+      DocStreams.maintainMutualKnn(
+        DocStreams.readVecStream(spark, dropsDir, maxFilesPerTrigger = 1),
+        seed, ckpt) { (pairs, id) =>
+        this.synchronized {
+          latest = pairs.collect().map(r =>
+            (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+              r.getAs[Long]("rnk_ab"), r.getAs[Long]("rnk_ba")))
+          waves(id) = latest.toSet
+        }
+      }
+    val q1 = start(slice(0))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(latest.toSet === fullRebuild(2),
+      "maintained mutual pairs diverge from batch rebuild after waves 1+2")
+    // non-monotonicity is REAL on this fixture: at least one wave must
+    // change some existing pair (eviction or rank shift), or the
+    // incremental path never exercised its re-rank arm
+    val w = waves.toSeq.sortBy(_._1).map(_._2)
+    if (w.size >= 2)
+      assert(w.sliding(2).exists {
+        case Seq(p1, p2) => (p1 -- p2).nonEmpty
+        case _ => false
+      }, "every wave only grew the pair set — eviction path unexercised")
+    // wave 3 lands while the maintainer is DOWN; restart re-seeds from
+    // the full ingested corpus and must catch up
+    slice(3).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start(ingested(2))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(latest.toSet === fullRebuild(3),
+      "post-restart mutual pairs diverge from batch rebuild")
+    assert(latest.nonEmpty, "fixture must produce mutual pairs")
+  }
+
   test("streaming ANN index maintenance: per-wave probes equal batch q18 rebuild; restart re-seeds") {
     import graft.ext.Similarity
     import graft.streaming.DocStreams
