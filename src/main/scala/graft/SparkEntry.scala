@@ -98,7 +98,8 @@ object SparkEntry {
     "q246_snapshot_zorder",    // unique per-source key; free order pin
     "q247_graph_pagerank",     // unique per-vector key; free order pin
     "q248_jsonl_ingest",       // unique per-source key; free order pin
-    "q249_robust_outliers")    // unique per-type key; free order pin
+    "q249_robust_outliers",    // unique per-type key; free order pin
+    "q250_snapshot_wap")       // unique per-source key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -649,6 +649,88 @@ object SnapTable {
       Seq(Some((lo1, hi1)), Some((lo2, hi2))), v)
   }
 
+  // ---- write-audit-publish ---------------------------------------------
+
+  private def stagedPath(dir: String, id: String) =
+    new Path(new Path(dir, "_staged"), s"$id.list")
+
+  /** WRITE-AUDIT-PUBLISH, stage 1: write `df`'s rows into the table's
+    * data area and record them in a STAGED manifest aside — no snapshot
+    * references them, so readers see nothing. Returns the stage id.
+    * The staged list records the base version (for [[publish]]'s OCC
+    * read point) and the stats annotations under the CURRENT
+    * declaration; a declaration change between stage and publish is
+    * caught by occCommit's drift conflict. This is the Iceberg/Delta
+    * WAP workflow: land data, run quality audits against the staged
+    * rows only, then make one atomic go/no-go call — a bad drop never
+    * becomes visible, not even transiently. */
+  def stage(df: DataFrame, dir: String): String = {
+    val s = df.sparkSession
+    val v = currentVersion(s, dir)
+    require(v > 0, s"SnapTable: $dir holds no table — create first")
+    val files = writeData(df, dir, v + 1, statsColsOf(s, dir, v))
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val f = fs(s, dir)
+    f.mkdirs(new Path(dir, "_staged"))
+    val out = f.create(stagedPath(dir, id), true)
+    try out.write((s"# base=$v\n" + files.sorted.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    id
+  }
+
+  private def stagedEntries(spark: SparkSession, dir: String,
+      id: String): (Int, Seq[String]) = {
+    val f = fs(spark, dir)
+    val p = stagedPath(dir, id)
+    require(f.exists(p), s"SnapTable: no staged batch $id under $dir")
+    val in = f.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    val base = lines.find(_.startsWith("# base="))
+      .map(_.stripPrefix("# base=").toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"SnapTable: staged list $id carries no base version"))
+    (base, lines.filterNot(_.startsWith("#")).toSeq)
+  }
+
+  /** The staged rows, for the AUDIT step — exactly the batch's files,
+    * never the table. */
+  def readStaged(spark: SparkSession, dir: String, id: String): DataFrame = {
+    val (_, entries) = stagedEntries(spark, dir, id)
+    spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(e => s"$dir/${entryPath(e)}"): _*)
+  }
+
+  /** WAP stage 3a — PUBLISH: append the staged files to the current
+    * snapshot in one atomic commit (pure-append OCC: rebases over
+    * anything except a stats-declaration change). The staged list is
+    * removed after the commit; a crash between commit and removal
+    * leaves a harmless already-published list (re-publishing would
+    * duplicate, so publish refuses a list whose files are already
+    * live). */
+  def publish(spark: SparkSession, dir: String, id: String): Int = {
+    val (base, entries) = stagedEntries(spark, dir, id)
+    val live = readEntries(spark, dir, currentVersion(spark, dir))
+      .map(entryPath).toSet
+    require(!entries.exists(e => live.contains(entryPath(e))),
+      s"SnapTable: staged batch $id is already published")
+    val v = occCommit(spark, dir, base, Set.empty, Set.empty, entries,
+      statsMeta(spark, dir, base)).get
+    fs(spark, dir).delete(stagedPath(dir, id), false)
+    v
+  }
+
+  /** WAP stage 3b — DISCARD: drop the staged list and its data files;
+    * the audit said no, and nothing was ever visible. */
+  def discard(spark: SparkSession, dir: String, id: String): Unit = {
+    val (_, entries) = stagedEntries(spark, dir, id)
+    val f = fs(spark, dir)
+    entries.foreach(e => f.delete(new Path(s"$dir/${entryPath(e)}"), false))
+    f.delete(stagedPath(dir, id), false)
+  }
+
   /** Retire history: keep the newest `retain` snapshots, delete older
     * manifests and every data file referenced ONLY by them. Time travel
     * reaches the retained versions; anything older is gone — the
@@ -933,6 +1015,53 @@ object SnapTable {
       |WHERE doc_id BETWEEN 100 AND 299 AND n_chars BETWEEN 100 AND 400
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** The WAP-cycle fixture, once per (session, dir): v1 = even doc_ids;
+    * batch A (odds with n_chars ≥ 100) stages, AUDITS clean (the q108
+    * length floor as the go/no-go rule), publishes as v2; batch B (odds
+    * with n_chars < 100) stages, FAILS the same audit, discards — its
+    * rows must never appear in any snapshot. */
+  private val wapCache = new graft.ops.SessionMemo[String]
+  private def wapDocs(s: SparkSession, dir: String): String =
+    wapCache.getOrBuild(s, dir) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_snap_wap_").toString
+      val docs = graft.tables.Tables.documents(s, dir)
+      create(docs.filter(col("doc_id") % 2 === 0), d)
+      def audit(id: String): Boolean =
+        readStaged(s, d, id)
+          .agg(min(col("n_chars")).as("mn")).head().getLong(0) >= 100L
+      val a = stage(docs.filter(col("doc_id") % 2 =!= 0 &&
+        col("n_chars") >= 100), d)
+      val b = stage(docs.filter(col("doc_id") % 2 =!= 0 &&
+        col("n_chars") < 100), d)
+      require(audit(a), "WAP fixture: batch A must pass the audit")
+      publish(s, d, a)
+      require(!audit(b), "WAP fixture: batch B must fail the audit")
+      discard(s, d, b)
+      d
+    }
+
+  /** q250 — WRITE-AUDIT-PUBLISH under the value gate: per-source stats
+    * from the post-cycle snapshot must equal the oracle's closed form
+    * (evens ∪ long-enough odds) — the published batch is exactly
+    * visible, the discarded one exactly invisible, and the staging
+    * machinery itself value-invisible. */
+  def snapshotWapStats(s: SparkSession, dir: String): DataFrame =
+    read(s, wapDocs(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+
+  val snapshotWapStatsSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  max(doc_id) AS max_doc_id
+      |FROM documents
+      |WHERE doc_id % 2 = 0 OR n_chars >= 100
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** The deterministic OCC-interleave fixture, once per (session, dir):
     * v1 = even doc_ids, v2 = +odds (full corpus); then writer A PLANS a
     * copy-on-write delete of doc_id % 5 == 1 against v2, writer B
@@ -1012,7 +1141,8 @@ object SnapTable {
     "q240_snapshot_skip" -> (snapshotSkipStats _),
     "q241_snapshot_optimize" -> (snapshotOptimizeStats _),
     "q245_snapshot_occ" -> (snapshotOccAudit _),
-    "q246_snapshot_zorder" -> (snapshotZorderStats _))
+    "q246_snapshot_zorder" -> (snapshotZorderStats _),
+    "q250_snapshot_wap" -> (snapshotWapStats _))
 
   val oracles: Map[String, String] = Map(
     "q236_snapshot_stats" -> snapshotStatsSql,
@@ -1022,5 +1152,6 @@ object SnapTable {
     "q240_snapshot_skip" -> snapshotSkipStatsSql,
     "q241_snapshot_optimize" -> snapshotOptimizeStatsSql,
     "q245_snapshot_occ" -> snapshotOccAuditSql,
-    "q246_snapshot_zorder" -> snapshotZorderStatsSql)
+    "q246_snapshot_zorder" -> snapshotZorderStatsSql,
+    "q250_snapshot_wap" -> snapshotWapStatsSql)
 }

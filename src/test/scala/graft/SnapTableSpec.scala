@@ -439,6 +439,32 @@ class SnapTableSpec extends SparkSpec {
       .count() === 16L)
   }
 
+  test("write-audit-publish: staged rows are invisible until publish, " +
+      "discard leaves no trace, double-publish refuses") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), d)
+    val good = SnapTable.stage(Seq((3L, "c"), (4L, "d")).toDF("id", "s"), d)
+    val bad = SnapTable.stage(Seq((9L, "zz")).toDF("id", "s"), d)
+    // staging commits nothing: still v1, still 2 rows
+    assert(SnapTable.currentVersion(spark, d) === 1)
+    assert(SnapTable.read(spark, d).count() === 2)
+    // the audit sees exactly the staged batch
+    assert(SnapTable.readStaged(spark, d, good).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    val v = SnapTable.publish(spark, d, good)
+    assert(v === 2)
+    assert(SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L, 4L))
+    // published list is gone; a re-publish attempt must refuse
+    intercept[IllegalArgumentException](SnapTable.publish(spark, d, good))
+    // the bad batch discards without ever having been visible
+    SnapTable.discard(spark, d, bad)
+    intercept[IllegalArgumentException](SnapTable.readStaged(spark, d, bad))
+    assert(SnapTable.read(spark, d).count() === 4)
+    // and time travel to v1 still shows the pre-publish table
+    assert(SnapTable.read(spark, d, Some(1)).count() === 2)
+  }
+
   test("strict (merge-mode) commits refuse ANY interleaved commit") {
     val d = tmp()
     SnapTable.create(Seq(1L).toDF("id"), d)
