@@ -710,14 +710,15 @@ object SnapTable {
     * leaves a harmless already-published list (re-publishing would
     * duplicate, so publish refuses a list whose files are already
     * live). */
-  def publish(spark: SparkSession, dir: String, id: String): Int = {
+  def publish(spark: SparkSession, dir: String, id: String,
+      extraMeta: Map[String, String] = Map.empty): Int = {
     val (base, entries) = stagedEntries(spark, dir, id)
     val live = readEntries(spark, dir, currentVersion(spark, dir))
       .map(entryPath).toSet
     require(!entries.exists(e => live.contains(entryPath(e))),
       s"SnapTable: staged batch $id is already published")
     val v = occCommit(spark, dir, base, Set.empty, Set.empty, entries,
-      statsMeta(spark, dir, base)).get
+      extraMeta ++ statsMeta(spark, dir, base)).get
     fs(spark, dir).delete(stagedPath(dir, id), false)
     v
   }

@@ -376,4 +376,44 @@ object DocStreams {
           graft.io.SnapTable.appendOnce(batch, tableDir, batchId))
       }
       .start()
+
+  /** AUDITED exactly-once streaming ingest — [[maintainSnapshotIngest]]
+    * with a WRITE-AUDIT-PUBLISH gate per micro-batch: the drop lands as
+    * a STAGED batch (invisible to readers), `audit` judges exactly the
+    * staged rows, and only a passing batch publishes — one atomic
+    * batch-id-stamped commit; a failing batch discards without ever
+    * having been visible. This closes the gap [[maintainSnapshotIngest]]
+    * leaves open: there, a poisoned drop is readable the instant its
+    * commit lands, and undoing it needs a delete; here the table NEVER
+    * serves an unaudited row.
+    *
+    * Replay safety: the batch stamp is consulted first, so a restarted
+    * stream's redelivery of a PUBLISHED batch is a no-op; a redelivered
+    * REJECTED batch re-stages and re-discards (no data duplicated either
+    * way — the original rejected staging left only unreferenced files,
+    * swept by its own discard). `onResult` receives
+    * (batchId, published). */
+  def maintainAuditedIngest(docStream: DataFrame, tableDir: String,
+      checkpointDir: String)(audit: DataFrame => Boolean)(
+      onResult: (Long, Boolean) => Unit): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import graft.io.SnapTable
+        if (SnapTable.lastAppliedBatch(s, tableDir) >= batchId)
+          onResult(batchId, false) // already applied (or superseded)
+        else {
+          val id = SnapTable.stage(batch, tableDir)
+          if (audit(SnapTable.readStaged(s, tableDir, id))) {
+            SnapTable.publish(s, tableDir, id,
+              Map("batch_id" -> batchId.toString))
+            onResult(batchId, true)
+          } else {
+            SnapTable.discard(s, tableDir, id)
+            onResult(batchId, false)
+          }
+        }
+      }
+      .start()
 }

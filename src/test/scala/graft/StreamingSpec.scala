@@ -905,4 +905,54 @@ class StreamingSpec extends SparkSpec {
     // per-drop time travel: v1 is exactly the first drop
     assert(SnapTable.read(spark, table, Some(1)).count() === slice(0).count())
   }
+
+  test("audited streaming ingest: failing drops discard invisibly, " +
+      "passing drops publish exactly-once, restart redelivery no-ops") {
+    import graft.io.SnapTable
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, sf)
+      .filter(col("n_chars").isNotNull).localCheckpoint(eager = false)
+    // drop 0 (seed, via create) and drop 1 pass the length-floor audit;
+    // drop 2 is ALL short docs — it must fail and never become visible
+    val pass1 = docs.filter(col("doc_id") % 2 === 1 && col("n_chars") >= 100)
+    val fail2 = docs.filter(col("n_chars") < 100)
+    val pass3 = docs.filter(col("doc_id") % 2 === 0 && col("n_chars") >= 100)
+    val dropsDir = Files.createTempDirectory("graft-wap-drops").toString
+    val ckpt = Files.createTempDirectory("graft-wap-ckpt").toString
+    val table = Files.createTempDirectory("graft-wap-table").toString
+    SnapTable.create(pass1, table) // seed corpus (already audited)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    def start() = DocStreams.maintainAuditedIngest(
+      DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+      table, ckpt) { staged =>
+      staged.agg(min(col("n_chars"))).head().getLong(0) >= 100L
+    } { (id, published) =>
+      this.synchronized { results += ((id, published)) }
+    }
+    fail2.coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterReject = SnapTable.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(afterReject === pass1.collect().map(_.getLong(0)).sorted.toSeq,
+      "table must still hold exactly the seed — rejected rows leaked")
+    // the rejected drop is invisible in EVERY version, not just current
+    (1 to SnapTable.currentVersion(spark, table)).foreach { v =>
+      assert(SnapTable.read(spark, table, Some(v))
+        .filter(col("n_chars") < 100).count() === 0L,
+        s"rejected rows visible at v$v")
+    }
+    assert(results.toSeq.map(_._2) === Seq(false),
+      s"expected one rejection — got $results")
+    // drop 3 lands while the stream is DOWN; restart publishes it once
+    pass3.coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val finalIds = SnapTable.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(finalIds === (pass1.collect().map(_.getLong(0)) ++
+      pass3.collect().map(_.getLong(0))).sorted.toSeq)
+    assert(finalIds.distinct === finalIds,
+      "duplicate rows — audited ingest not exactly-once")
+  }
 }
