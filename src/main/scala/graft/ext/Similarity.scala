@@ -584,7 +584,8 @@ object Similarity {
     * self-join. */
   private[graft] def lshTopKAll(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    lshTopKFor(ndIndexOf(e), e.select(col("vec_id")))
+    lshTopKFor(ndIndexOf(e), e.select(col("vec_id")),
+      e.select(col("vec_id"), col("embedding")))
   }
 
   /** Band rows of `e` under the q235 (ndPlanes) tables — the mutual-kNN
@@ -598,14 +599,19 @@ object Similarity {
   /** Top-[[MutualK]] lists from an EXPLICIT band index, restricted to
     * the `queryIds` (vec_id) relation: each restricted query ranks the
     * full index's bucket-bounded candidates. Ids only through the band
-    * shuffle; embeddings re-attach by id afterwards. The restriction is
-    * what makes incremental maintenance exact: a query whose buckets no
-    * new vector landed in has an UNCHANGED candidate set, so its list
-    * never needs recomputation. */
-  private[graft] def lshTopKFor(index: DataFrame,
-      queryIds: DataFrame): DataFrame = {
-    val vecs = index.dropDuplicates("vec_id")
-      .select(col("vec_id"), col("embedding"))
+    * shuffle; embeddings re-attach afterwards from `vecRelation` — the
+    * caller's N-row (vec_id, embedding) relation when it has one (batch
+    * paths do; deriving it from the index would shuffle every
+    * embedding-carrying band row through a dedup), or None for the
+    * streaming maintainer, whose ONLY state is the index. The
+    * restriction is what makes incremental maintenance exact: a query
+    * whose buckets no new vector landed in has an UNCHANGED candidate
+    * set, so its list never needs recomputation. */
+  private[graft] def lshTopKFor(index: DataFrame, queryIds: DataFrame,
+      vecRelation: DataFrame = null): DataFrame = {
+    val vecs = (if (vecRelation != null) vecRelation
+      else index.dropDuplicates("vec_id")
+        .select(col("vec_id"), col("embedding")))
       .localCheckpoint(eager = false) // feeds both re-attach joins
     val bucketed = index.select(col("vec_id"), col("tbl"), col("bucket"))
     val a = bucketed.join(queryIds, Seq("vec_id"))
@@ -650,7 +656,8 @@ object Similarity {
     * against ([[graft.streaming.DocStreams.maintainMutualKnn]]). */
   private[graft] def mutualPairsOfVecs(vecs: DataFrame): DataFrame =
     mutualPairsFromTopK(
-      lshTopKFor(ndIndexOf(vecs), vecs.select(col("vec_id"))))
+      lshTopKFor(ndIndexOf(vecs), vecs.select(col("vec_id")),
+        vecs.select(col("vec_id"), col("embedding"))))
 
   /** The [[mutualKnn]] CTE chain through `mutual(a_id, b_id, rnk_ab,
     * rnk_ba)` — shared with [[Graph]]'s oracles, which traverse the same

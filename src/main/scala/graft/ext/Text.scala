@@ -882,17 +882,18 @@ object Text {
         .withColumnRenamed("n_sh", "a_sh"), Seq("a_id"))
       .join(cnt.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("n_sh", "b_sh"), Seq("b_id"))
-      // barrier: inter feeds BOTH union branches below — without it the
-      // capped self-join subtree is planned twice (ReuseExchange does
-      // not cover the post-join aggregate)
-      .localCheckpoint(eager = false)
-    // score each unordered candidate once, then emit the passing
-    // directions: (a→b) uses a's denominator, (b→a) uses b's
-    val fwd = inter.select(col("a_id"), col("b_id"),
-      (col("n_inter").cast("double") / col("a_sh")).as("containment"))
-    val rev = inter.select(col("b_id").as("a_id"), col("a_id").as("b_id"),
-      (col("n_inter").cast("double") / col("b_sh")).as("containment"))
-    fwd.unionAll(rev)
+    // score each unordered candidate once and emit BOTH directions from
+    // the same row via explode — one pass over the join output (a union
+    // of two branches would re-plan the capped self-join per branch),
+    // and no checkpoint, so the plan stays inspectable for the
+    // PlanShapeSpec lock
+    inter.select(explode(array(
+        struct(col("a_id"), col("b_id"),
+          (col("n_inter").cast("double") / col("a_sh")).as("containment")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id"),
+          (col("n_inter").cast("double") / col("b_sh")).as("containment"))))
+        .as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.containment"))
       .filter(col("containment") >= minC)
       .orderBy(col("a_id"), col("b_id"))
   }

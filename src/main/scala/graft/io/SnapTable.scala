@@ -664,19 +664,64 @@ object SnapTable {
     * WAP workflow: land data, run quality audits against the staged
     * rows only, then make one atomic go/no-go call — a bad drop never
     * becomes visible, not even transiently. */
-  def stage(df: DataFrame, dir: String): String = {
+  def stage(df: DataFrame, dir: String, tag: String = ""): String = {
     val s = df.sparkSession
-    val v = currentVersion(s, dir)
-    require(v > 0, s"SnapTable: $dir holds no table — create first")
+    val v = currentVersion(s, dir) // v == 0 is fine: publish creates v1
     val files = writeData(df, dir, v + 1, statsColsOf(s, dir, v))
     val id = java.util.UUID.randomUUID().toString.take(12)
     val f = fs(s, dir)
     f.mkdirs(new Path(dir, "_staged"))
     val out = f.create(stagedPath(dir, id), true)
-    try out.write((s"# base=$v\n" + files.sorted.mkString("\n") + "\n")
+    val tagLine = if (tag.nonEmpty) s"# tag=$tag\n" else ""
+    try out.write((s"# base=$v\n" + tagLine +
+      files.sorted.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     id
+  }
+
+  /** Every staged-but-unresolved batch as (id, tag) — the sweep surface
+    * for crashed WAP cycles: a crash between [[stage]] and
+    * publish/discard leaves the staging behind (it is referenced by no
+    * manifest, so vacuum never touches it); callers that tag their
+    * stagings (the audited ingest tags with the batch id) discard a
+    * redelivered batch's leftovers before re-staging. */
+  private[graft] def stagedIds(spark: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val f = fs(spark, dir)
+    val sd = new Path(dir, "_staged")
+    if (!f.exists(sd)) Seq.empty
+    else f.listStatus(sd).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".list") => n.stripSuffix(".list") }
+      .map { id =>
+        val in = f.open(stagedPath(dir, id))
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        val tag = text.split("\n").map(_.trim)
+          .find(_.startsWith("# tag="))
+          .map(_.stripPrefix("# tag=")).getOrElse("")
+        (id, tag)
+      }.toSeq
+  }
+
+  /** True iff some retained snapshot's meta records `id` as its staged
+    * source — the publish-idempotence backstop that survives an
+    * OPTIMIZE rewriting the published files (the path-based check then
+    * no longer recognizes them). Descending scan like
+    * [[lastAppliedBatch]]; vacuumed-away manifests bound the lookback,
+    * so a leftover staged list older than the retention window must be
+    * swept manually rather than re-published. */
+  private def stagedIdPublished(spark: SparkSession, dir: String,
+      id: String): Boolean = {
+    val f = fs(spark, dir)
+    var v = currentVersion(spark, dir)
+    while (v >= 1) {
+      if (f.exists(manifestPath(dir, v)) &&
+          manifestMeta(spark, dir, v).get("staged_id").contains(id))
+        return true
+      v -= 1
+    }
+    false
   }
 
   private def stagedEntries(spark: SparkSession, dir: String,
@@ -705,22 +750,39 @@ object SnapTable {
 
   /** WAP stage 3a — PUBLISH: append the staged files to the current
     * snapshot in one atomic commit (pure-append OCC: rebases over
-    * anything except a stats-declaration change). The staged list is
-    * removed after the commit; a crash between commit and removal
-    * leaves a harmless already-published list (re-publishing would
-    * duplicate, so publish refuses a list whose files are already
-    * live). */
+    * anything except a stats-declaration change), stamping the staged
+    * id into the commit meta. Returns None without committing when the
+    * staging turns out to be ALREADY PUBLISHED — its files live in the
+    * current snapshot, or some retained snapshot carries its staged-id
+    * stamp (the post-OPTIMIZE case, where the files were compacted
+    * away) — in which case the stale list is also swept; the check
+    * re-runs before every claim, so two racers publishing the same id
+    * cannot both append (the loser's re-check sees the winner's
+    * commit). `skipIf` is the caller's own per-claim no-op test (the
+    * audited ingest rechecks its batch stamp); a caller-skip leaves the
+    * staging in place for the caller to [[discard]]. */
   def publish(spark: SparkSession, dir: String, id: String,
-      extraMeta: Map[String, String] = Map.empty): Int = {
+      extraMeta: Map[String, String] = Map.empty,
+      skipIf: () => Boolean = () => false): Option[Int] = {
     val (base, entries) = stagedEntries(spark, dir, id)
-    val live = readEntries(spark, dir, currentVersion(spark, dir))
-      .map(entryPath).toSet
-    require(!entries.exists(e => live.contains(entryPath(e))),
-      s"SnapTable: staged batch $id is already published")
-    val v = occCommit(spark, dir, base, Set.empty, Set.empty, entries,
-      extraMeta ++ statsMeta(spark, dir, base)).get
-    fs(spark, dir).delete(stagedPath(dir, id), false)
-    v
+    val paths = entries.map(entryPath).toSet
+    def alreadyLive(): Boolean = {
+      val cur = currentVersion(spark, dir)
+      cur > 0 && readEntries(spark, dir, cur)
+        .exists(e => paths.contains(entryPath(e)))
+    }
+    var stale = false
+    val committed = occCommit(spark, dir, base, Set.empty, Set.empty,
+      entries,
+      extraMeta ++ Map("staged_id" -> id) ++ statsMeta(spark, dir, base),
+      skipIf = () => {
+        if (alreadyLive() || stagedIdPublished(spark, dir, id)) {
+          stale = true; true
+        } else skipIf()
+      })
+    if (committed.isDefined || stale)
+      fs(spark, dir).delete(stagedPath(dir, id), false)
+    committed
   }
 
   /** WAP stage 3b — DISCARD: drop the staged list and its data files;

@@ -388,10 +388,15 @@ object DocStreams {
     * serves an unaudited row.
     *
     * Replay safety: the batch stamp is consulted first, so a restarted
-    * stream's redelivery of a PUBLISHED batch is a no-op; a redelivered
-    * REJECTED batch re-stages and re-discards (no data duplicated either
-    * way — the original rejected staging left only unreferenced files,
-    * swept by its own discard). `onResult` receives
+    * stream's redelivery of a PUBLISHED batch is a no-op; stagings are
+    * TAGGED with the batch id, and a redelivery first sweeps any
+    * leftover staging a crashed prior attempt abandoned (stage-then-die
+    * would otherwise leak one batch of unreferenced files per crash —
+    * vacuum never touches staged data). Against a ZOMBIE twin of the
+    * same query, publish rechecks the batch stamp before every claim,
+    * so the loser's batch cannot land twice — it discards its own
+    * never-committed staging instead. Works on a not-yet-created table
+    * (the first published batch creates v1). `onResult` receives
     * (batchId, published). */
   def maintainAuditedIngest(docStream: DataFrame, tableDir: String,
       checkpointDir: String)(audit: DataFrame => Boolean)(
@@ -404,11 +409,19 @@ object DocStreams {
         if (SnapTable.lastAppliedBatch(s, tableDir) >= batchId)
           onResult(batchId, false) // already applied (or superseded)
         else {
-          val id = SnapTable.stage(batch, tableDir)
+          SnapTable.stagedIds(s, tableDir)
+            .filter(_._2 == batchId.toString)
+            .foreach { case (sid, _) => SnapTable.discard(s, tableDir, sid) }
+          val id = SnapTable.stage(batch, tableDir,
+            tag = batchId.toString)
           if (audit(SnapTable.readStaged(s, tableDir, id))) {
-            SnapTable.publish(s, tableDir, id,
-              Map("batch_id" -> batchId.toString))
-            onResult(batchId, true)
+            val published = SnapTable.publish(s, tableDir, id,
+              Map("batch_id" -> batchId.toString),
+              skipIf =
+                () => SnapTable.lastAppliedBatch(s, tableDir) >= batchId)
+            if (published.isEmpty) // a zombie twin won; ours never landed
+              SnapTable.discard(s, tableDir, id)
+            onResult(batchId, published.isDefined)
           } else {
             SnapTable.discard(s, tableDir, id)
             onResult(batchId, false)

@@ -452,7 +452,7 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.readStaged(spark, d, good).collect()
       .map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
     val v = SnapTable.publish(spark, d, good)
-    assert(v === 2)
+    assert(v === Some(2))
     assert(SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
       .toSeq === Seq(1L, 2L, 3L, 4L))
     // published list is gone; a re-publish attempt must refuse
@@ -463,6 +463,42 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.read(spark, d).count() === 4)
     // and time travel to v1 still shows the pre-publish table
     assert(SnapTable.read(spark, d, Some(1)).count() === 2)
+  }
+
+  test("WAP publish is idempotent against stale leftovers: a re-driven " +
+      "staged list whose commit already landed no-ops and sweeps") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a")).toDF("id", "s"), d)
+    val id = SnapTable.stage(Seq((2L, "b"), (3L, "c")).toDF("id", "s"), d)
+    assert(SnapTable.publish(spark, d, id) === Some(2))
+    // simulate the crash-between-commit-and-delete leftover: rewrite
+    // the staged list with the SAME id and entries of version 2
+    val entries = SnapTable.readEntries(spark, d, 2)
+      .filterNot(SnapTable.readEntries(spark, d, 1).toSet)
+    val p = new org.apache.hadoop.fs.Path(s"$d/_staged/$id.list")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    out.write(("# base=1\n" + entries.mkString("\n") + "\n").getBytes)
+    out.close()
+    // path-recognized leftover: no-op, list swept
+    assert(SnapTable.publish(spark, d, id) === None)
+    assert(!f.exists(p), "stale staged list must be swept")
+    assert(SnapTable.read(spark, d).count() === 3)
+    // post-OPTIMIZE leftover: the published files were compacted away,
+    // so only the staged-id stamp can recognize it
+    out.close()
+    val out2 = f.create(p, true)
+    out2.write(("# base=1\n" + entries.mkString("\n") + "\n").getBytes)
+    out2.close()
+    SnapTable.optimize(spark, d, targetFiles = 1)
+    assert(SnapTable.publish(spark, d, id) === None,
+      "stamp backstop failed — a compacted-away publish re-landed")
+    assert(SnapTable.read(spark, d).count() === 3)
+    // a tagged staging surfaces in the sweep list until resolved
+    val t = SnapTable.stage(Seq((9L, "z")).toDF("id", "s"), d, tag = "b7")
+    assert(SnapTable.stagedIds(spark, d).contains((t, "b7")))
+    SnapTable.discard(spark, d, t)
+    assert(!SnapTable.stagedIds(spark, d).exists(_._1 == t))
   }
 
   test("strict (merge-mode) commits refuse ANY interleaved commit") {
