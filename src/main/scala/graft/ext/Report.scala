@@ -419,23 +419,29 @@ object Report {
     * themselves. */
   final val MadK = 3.0
 
-  /** Lower median of `valCol` per `key`, computed in the SCALABLE exact
-    * shape: group to (key, value, count) — partial-aggregable, one small
-    * exchange — then a cumulative count over the DISTINCT values per key
-    * picks the smallest value whose cumsum reaches ⌈n/2⌉. No row-level
-    * window ever runs (5 event types would mean 5 giant window
-    * partitions — the q197 cliff); the window here orders distinct
-    * VALUES, whose count is what bounds the state. Regime note: exact
-    * medians are only scale-sane while value cardinality compresses
-    * under grouping; near-continuous measures at 100 TB should use the
-    * mergeable quantile sketches (q195) instead — this is the exact
-    * twin for auditable fences. Lower (element-picked) median, not the
-    * interpolated one: picking an EXISTING value needs no arithmetic,
-    * so both engines select bit-identical doubles. */
-  private def lowerMedian(df: DataFrame, key: String, valCol: String,
-      as: String): DataFrame = {
-    val g = df.groupBy(col(key), col(valCol))
+  /** (event_type, value, c) — the audit's MERGEABLE state: counts add
+    * under union, so a streaming maintainer carries this relation
+    * instead of raw events and every derived statistic below recomputes
+    * from ≤|value-domain| rows
+    * ([[graft.streaming.EventStreams.maintainRobustStats]]). */
+  private[graft] def valueCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("c"))
+
+  /** Lower median of `valCol` per `key` from a pre-grouped
+    * (key, value, c) relation — the SCALABLE exact shape: the grouping
+    * is partial-aggregable (one small exchange), and the cumulative
+    * window orders DISTINCT values per key, never rows (5 event types
+    * over raw rows would be 5 giant window partitions — the q197
+    * cliff); value cardinality is what bounds the state. Regime note:
+    * exact medians are only scale-sane while values compress under
+    * grouping; near-continuous measures at 100 TB should use the
+    * mergeable quantile sketches (q195) — this is the exact twin for
+    * auditable fences. Lower (element-picked) median, not interpolated:
+    * picking an EXISTING value needs no arithmetic, so both engines
+    * select bit-identical doubles. */
+  private def lowerMedianOfCounts(g: DataFrame, key: String,
+      valCol: String, as: String): DataFrame = {
     val byVal = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col(valCol))
     val all = org.apache.spark.sql.expressions.Window
@@ -448,32 +454,40 @@ object Report {
       .agg(min(col(valCol)).as(as))
   }
 
+  /** The q249 report from a (event_type, value, c) counts relation —
+    * shared verbatim by the batch query and the streaming maintainer,
+    * so the maintainer's per-wave output equals the batch recompute BY
+    * CONSTRUCTION. */
+  private[graft] def robustFromCounts(counts: DataFrame): DataFrame = {
+    val cnts = counts.localCheckpoint(eager = false) // med + dev + fence
+    val med = lowerMedianOfCounts(cnts, "event_type", "value", "med")
+    val dev = cnts.join(med, Seq("event_type"))
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("dev"), col("c"))
+      .localCheckpoint(eager = false) // feeds the MAD pass AND the fence
+    val devCounts = dev.groupBy(col("event_type"), col("dev"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedianOfCounts(devCounts, "event_type", "dev", "mad")
+    dev.join(mad, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(MadK) * col("mad"), col("c"))
+          .otherwise(lit(0L))).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** q249 — per-event-type ROBUST outlier stats: lower median of value,
     * MAD (lower median of |value − med|), and the count beyond the
     * med ± [[MadK]]·MAD fence — the data-quality screen that survives
     * its own anomalies. All selections pick existing doubles and the
     * only arithmetic is one IEEE subtract/abs/multiply, identical in
     * both engines, so the audit is hash-exact despite double columns. */
-  def robustOutliers(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  def robustOutliers(s: SparkSession, dir: String): DataFrame =
+    robustFromCounts(valueCounts(Tables.events(s, dir)
       .filter(col("value").isNotNull)
-      .select(col("event_type"), col("value"))
-    val med = lowerMedian(ev, "event_type", "value", "med")
-    val dev = ev.join(med, Seq("event_type"))
-      .select(col("event_type"), col("value"),
-        abs(col("value") - col("med")).as("dev"))
-      .localCheckpoint(eager = false) // feeds the MAD pass AND the fence
-    val mad = lowerMedian(dev, "event_type", "dev", "mad")
-    dev.join(mad, Seq("event_type"))
-      .join(med, Seq("event_type"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        min(col("med")).as("med"),
-        min(col("mad")).as("mad"),
-        sum(when(col("dev") > lit(MadK) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"))
-      .orderBy(col("event_type"))
-  }
+      .select(col("event_type"), col("value"))))
 
   val robustOutliersSql: String =
     s"""WITH ev AS (

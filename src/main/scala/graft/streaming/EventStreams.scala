@@ -219,6 +219,44 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming robust-outlier-stats maintenance — q249's continuous
+    * twin: the carried state is the MERGEABLE (event_type, value, c)
+    * value-count relation ([[graft.ext.Report.valueCounts]] — counts
+    * add under union), merged per micro-batch with a full-outer
+    * count-add; each wave's sink frame is the full q249 median/MAD/
+    * fence report over EVERYTHING ingested, recomputed from the
+    * ≤|value-domain| state by the SAME [[graft.ext.Report
+    * .robustFromCounts]] the batch query uses — equality with a batch
+    * rebuild is by construction, and raw events are never rescanned.
+    * Replay-guarded exactly like [[maintainDriftMonitor]] (foreachBatch
+    * is at-least-once and counts are NOT idempotent); restart re-seeds
+    * from the persisted corpus via `initialCounts` + `initialBatchId`. */
+  def maintainRobustStats(events: DataFrame, initialCounts: DataFrame,
+      checkpointDir: String, initialBatchId: Long = -1L)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var counts = initialCounts.localCheckpoint()
+    var lastApplied = initialBatchId
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastApplied) {
+          val inc = graft.ext.Report.valueCounts(
+            batch.filter(col("value").isNotNull)
+              .select(col("event_type"), col("value")))
+          counts = counts.withColumnRenamed("c", "oc")
+            .join(inc.withColumnRenamed("c", "nc"),
+              Seq("event_type", "value"), "full_outer")
+            .select(col("event_type"), col("value"),
+              (coalesce(col("oc"), lit(0L)) + coalesce(col("nc"), lit(0L)))
+                .as("c"))
+            .localCheckpoint()
+          lastApplied = batchId
+        }
+        sink(graft.ext.Report.robustFromCounts(counts), batchId)
+      }
+      .start()
+  }
+
   /** Streaming quantile-sketch maintenance — q165's continuous twin:
     * the carried state is the (c, cnt) cent-histogram (the mergeable
     * form [[graft.queries.Sketches.quantileSketchFromCents]] consumes),

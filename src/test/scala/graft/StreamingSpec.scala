@@ -817,6 +817,60 @@ class StreamingSpec extends SparkSpec {
       latest.mkString(", "))
   }
 
+  test("streaming robust stats: per-wave median/MAD report equals batch " +
+      "q249 recompute; restart re-seeds the counts") {
+    import graft.ext.Report
+    val ev = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def wave(r: Int) = ev.filter(col("event_id") % 4 === r)
+    def countsOver(rs: Int) = Report.valueCounts(
+      ev.filter(col("event_id") % 4 <= rs)
+        .select(col("event_type"), col("value")))
+    type R = (String, Long, Double, Double, Long)
+    def get5(r: org.apache.spark.sql.Row): R =
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))
+    def batchOver(rs: Int): Set[R] =
+      Report.robustFromCounts(countsOver(rs)).collect().map(get5).toSet
+    val dropsDir = Files.createTempDirectory("graft-rob-drops").toString
+    val ckpt = Files.createTempDirectory("graft-rob-ckpt").toString
+    wave(0).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    wave(1).coalesce(1).write.mode("append").parquet(dropsDir)
+    @volatile var latest: Array[R] = Array.empty
+    val batchIds = scala.collection.mutable.ArrayBuffer[Long]()
+    def start(init: org.apache.spark.sql.DataFrame, initId: Long) =
+      EventStreams.maintainRobustStats(
+        EventStreams.readEventStream(spark, dropsDir)
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+        init, ckpt, initId) { (report, id) =>
+        this.synchronized {
+          latest = report.collect().map(get5)
+          batchIds += id
+        }
+      }
+    val empty = Seq.empty[(String, Double, Long)]
+      .toDF("event_type", "value", "c")
+    val q1 = start(empty, -1L)
+    try {
+      q1.processAllAvailable()
+      assert(latest.toSet === batchOver(1),
+        "maintained stats diverge from batch recompute after waves 1+2")
+    } finally q1.stop()
+    // waves 3+4 land while the maintainer is DOWN; restart re-seeds from
+    // the persisted counts + last applied id
+    wave(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    wave(3).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start(countsOver(1), batchIds.max)
+    try {
+      q2.processAllAvailable()
+      assert(latest.toSet === batchOver(3),
+        "post-restart stats diverge from batch recompute")
+    } finally q2.stop()
+    assert(latest.nonEmpty && latest.forall(_._4 > 0),
+      "degenerate MAD in the maintained report")
+  }
+
   test("streaming frame index: per-wave report equals batch q226 rebuild; restart re-seeds") {
     import graft.ext.Multimodal
     import graft.streaming.DocStreams
