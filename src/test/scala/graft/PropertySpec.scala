@@ -360,4 +360,67 @@ class PropertySpec extends SparkSpec {
       assert(got.size === raw.size, s"seed $i: row count drift")
     }
   }
+
+  test("SnapTable model check: random op sequences match an in-memory " +
+      "model at every version, including time travel and WAP") {
+    import graft.io.SnapTable
+    val rnd = new scala.util.Random(42) // deterministic
+    (1 to 3).foreach { run =>
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_snap_model_$run").toString
+      var nextId = 100L * run
+      def rows(n: Int): Seq[(Long, Long)] =
+        (0 until n).map { _ => nextId += 1; (nextId, rnd.nextInt(50).toLong) }
+      // the model: committed history as one row-set per version
+      val history = scala.collection.mutable.ArrayBuffer
+        .empty[Set[(Long, Long)]]
+      val first = rows(4).toSet
+      SnapTable.create(first.toSeq.toDF("id", "v"), d)
+      history += first
+      (1 to 12).foreach { _ =>
+        val cur = history.last
+        rnd.nextInt(5) match {
+          case 0 => // append
+            val add = rows(1 + rnd.nextInt(3)).toSet
+            SnapTable.append(add.toSeq.toDF("id", "v"), d)
+            history += cur ++ add
+          case 1 => // copy-on-write delete by value predicate
+            val cut = rnd.nextInt(50).toLong
+            SnapTable.deleteWhere(spark, d, col("v") < cut)
+            history += cur.filterNot(_._2 < cut)
+          case 2 => // merge: update a random live key + insert a new one
+            val upd = cur.toSeq.sortBy(_._1)
+              .lift(rnd.nextInt(math.max(cur.size, 1)))
+              .map { case (id, _) => (id, 999L) }.toSeq
+            val ins = rows(1)
+            SnapTable.merge((upd ++ ins).toDF("id", "v"), d, "id")
+            history += cur.filterNot(r => upd.exists(_._1 == r._1)) ++
+              upd ++ ins
+          case 3 => // optimize: value-invisible rewrite
+            SnapTable.optimize(spark, d, targetFiles = 2)
+            history += cur
+          case 4 => // WAP: stage two batches, publish one, discard one
+            val keep = rows(2).toSet
+            val drop = rows(2).toSet
+            val kId = SnapTable.stage(keep.toSeq.toDF("id", "v"), d)
+            val dId = SnapTable.stage(drop.toSeq.toDF("id", "v"), d)
+            assert(SnapTable.read(spark, d).count() === cur.size.toLong,
+              s"run $run: staging leaked into reads")
+            SnapTable.discard(spark, d, dId)
+            assert(SnapTable.publish(spark, d, kId).isDefined)
+            history += cur ++ keep
+        }
+        val got = SnapTable.read(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === history.last,
+          s"run $run v${history.size}: table diverged from model")
+      }
+      // every retained version still time-travels to its model state
+      history.zipWithIndex.foreach { case (expected, i) =>
+        val got = SnapTable.read(spark, d, Some(i + 1)).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === expected, s"run $run: time travel to v${i + 1}")
+      }
+    }
+  }
 }
