@@ -22,9 +22,11 @@ def load_queries(path):
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         return d["parsed"]["queries"]
     # driver wrapper whose stdout JSON was truncated: scrape the tail
+    # (null = graft.Bench's explicit all-reps-failed marker — keep it)
     tail = d.get("tail", "")
-    return {m.group(1): float(m.group(2)) for m in
-            re.finditer(r'"(q\d+[a-z0-9_]*)":([0-9.]+)', tail)}
+    return {m.group(1): (None if m.group(2) == "null" else float(m.group(2)))
+            for m in
+            re.finditer(r'"(q\d+[a-z0-9_]*)":(null|[0-9.]+)', tail)}
 
 
 old_p, new_p = sys.argv[1], sys.argv[2]
@@ -38,6 +40,13 @@ print(f"{len(common)} queries in both ({len(old)} old, {len(new)} new)")
 regressions, improved = [], []
 for q in common:
     o, n = old[q], new[q]
+    # null = graft.Bench's all-reps-failed marker: working -> broken is
+    # the worst regression there is, never a silent skip
+    if n is None and o is not None:
+        regressions.append((float("inf"), q, o, float("nan")))
+        continue
+    if o is None:
+        continue  # was already broken; nothing to regress from
     if n > o * ratio and n - o > floor:
         regressions.append((n - o, q, o, n))
     elif o > n * ratio and o - n > floor:
@@ -50,6 +59,7 @@ if regressions:
     for d, q, o, n in sorted(regressions, reverse=True):
         print(f"  REGRESSED {q}: {o:.2f}s -> {n:.2f}s (+{d:.2f}s)")
     sys.exit(1)
+timed = [q for q in common if old[q] is not None and new[q] is not None]
 print(f"\n0 regressions at the {ratio}x-or-{floor}s threshold; "
-      f"totals {sum(old[q] for q in common):.1f}s -> "
-      f"{sum(new[q] for q in common):.1f}s on the common set")
+      f"totals {sum(old[q] for q in timed):.1f}s -> "
+      f"{sum(new[q] for q in timed):.1f}s on the common timed set")

@@ -459,7 +459,11 @@ object Report {
     * so the maintainer's per-wave output equals the batch recompute BY
     * CONSTRUCTION. */
   private[graft] def robustFromCounts(counts: DataFrame): DataFrame = {
-    val cnts = counts.localCheckpoint(eager = false) // med + dev + fence
+    // no checkpoint here: the streaming maintainer passes an ALREADY
+    // checkpointed state relation every wave (a second copy per
+    // micro-batch would pile up in the block manager); the batch entry
+    // point below adds its own barrier
+    val cnts = counts
     val med = lowerMedianOfCounts(cnts, "event_type", "value", "med")
     val dev = cnts.join(med, Seq("event_type"))
       .select(col("event_type"), col("med"),
@@ -487,7 +491,9 @@ object Report {
   def robustOutliers(s: SparkSession, dir: String): DataFrame =
     robustFromCounts(valueCounts(Tables.events(s, dir)
       .filter(col("value").isNotNull)
-      .select(col("event_type"), col("value"))))
+      .select(col("event_type"), col("value")))
+      // barrier: the counts feed the median pass AND the dev join
+      .localCheckpoint(eager = false))
 
   val robustOutliersSql: String =
     s"""WITH ev AS (
