@@ -920,6 +920,61 @@ object SnapTable {
       |  max(doc_id) AS max_doc_id
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  /** q251 — INCREMENTAL VIEW MAINTENANCE from manifest deltas: the
+    * per-source aggregate at the CURRENT version computed by folding
+    * each version transition's FILE-level delta into the v1 aggregate —
+    * the manifest diff names exactly the files a commit added and
+    * removed (copy-on-write: untouched files carry by reference), so
+    * each fold step reads ONLY changed files, never the table. This is
+    * the workflow the format exists for: at 100 TB, a downstream
+    * aggregate tracks a snapshot table by reading per-commit deltas
+    * (each drop-sized), where a rescan per version would read the
+    * corpus × versions. Only INVERTIBLE aggregates fold (count, sum —
+    * a removed row subtracts); max/min do not, which is why this
+    * report deliberately omits q238's max_doc_id column. The oracle is
+    * the full-rescan closed form, so the gate proves fold ≡ rescan
+    * value-exactly across an append, a CoW delete (file rewrite), and
+    * a MERGE (rewrite + re-insert). */
+  def snapshotIvmStats(s: SparkSession, dir: String): DataFrame = {
+    val d = snapDocs(s, dir)
+    val vmax = currentVersion(s, d)
+    def filesOf(v: Int): Set[String] =
+      readEntries(s, d, v).map(entryPath).toSet
+    def signedAgg(paths: Set[String], sign: Long): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(s.read.option("mergeSchema", "true")
+        .parquet(paths.toSeq.sorted.map(p => s"$d/$p"): _*)
+        .groupBy(col("source"))
+        .agg((count(lit(1)) * sign).as("dn"),
+          (sum(col("n_chars")) * sign).as("dchars")))
+    val deltas = (2 to vmax).flatMap { v =>
+      val (prev, cur) = (filesOf(v - 1), filesOf(v))
+      signedAgg(cur -- prev, 1L) ++ signedAgg(prev -- cur, -1L)
+    }
+    (signedAgg(filesOf(1), 1L).get +: deltas)
+      .reduce(_ unionByName _)
+      .groupBy(col("source"))
+      .agg(sum(col("dn")).as("n_docs"),
+        sum(col("dchars")).as("total_chars"))
+      .filter(col("n_docs") > 0) // a fully-deleted source vanishes, as
+      .orderBy(col("source"))    // it does from a rescan
+  }
+
+  /** Full-rescan closed form of the post-merge state (q238's oracle
+    * without the non-invertible max column). */
+  val snapshotIvmStatsSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, source, n_chars
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars
+      |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 10 <> 3)
+      |SELECT CASE WHEN doc_id % 7 = 0 THEN 'merged' ELSE source END
+      |    AS source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q239 — CHANGE DATA CAPTURE between consecutive snapshot versions:
     * per (from_v, to_v) transition, how many keys were inserted,
     * deleted, and updated (same key, different row content) — the diff
@@ -1205,7 +1260,8 @@ object SnapTable {
     "q241_snapshot_optimize" -> (snapshotOptimizeStats _),
     "q245_snapshot_occ" -> (snapshotOccAudit _),
     "q246_snapshot_zorder" -> (snapshotZorderStats _),
-    "q250_snapshot_wap" -> (snapshotWapStats _))
+    "q250_snapshot_wap" -> (snapshotWapStats _),
+    "q251_snapshot_ivm" -> (snapshotIvmStats _))
 
   val oracles: Map[String, String] = Map(
     "q236_snapshot_stats" -> snapshotStatsSql,
@@ -1216,5 +1272,6 @@ object SnapTable {
     "q241_snapshot_optimize" -> snapshotOptimizeStatsSql,
     "q245_snapshot_occ" -> snapshotOccAuditSql,
     "q246_snapshot_zorder" -> snapshotZorderStatsSql,
-    "q250_snapshot_wap" -> snapshotWapStatsSql)
+    "q250_snapshot_wap" -> snapshotWapStatsSql,
+    "q251_snapshot_ivm" -> snapshotIvmStatsSql)
 }
