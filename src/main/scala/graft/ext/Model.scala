@@ -303,9 +303,13 @@ object Model {
     * only double in the result is ONE final IEEE division
     * u2 / (2·P·N) — identical in both engines. 2U ≤ 2·P·N would wrap
     * int64 past ~4.3·10⁹ held-out docs per lane (balanced classes), so
-    * the sum IS carried wide — decimal(38,0) here, HUGEINT in the
-    * oracle, both emitted as decimal(38,0) — the q213 wide-gate
-    * discipline (exact to ~10¹⁹ docs per class).
+    * the SUM is carried wide — decimal(38,0) here, HUGEINT in the
+    * oracle — the q213 wide-gate discipline (exact to ~10¹⁹ docs per
+    * class). The wide type stays INTERNAL: the OUTPUT u2 is BIGINT,
+    * because decimal columns in a result contract hash differently
+    * across checker pandas/duckdb versions (Decimal('42') vs 42). The
+    * ANSI decimal→bigint cast THROWS on overflow, so emission past
+    * ~4.3e9 docs/lane fails loudly instead of wrapping.
     *
     * Scale shape: one scoring scan (zero corpus shuffle — q125's
     * broadcast model), one groupBy(grp, score) exchange of the
@@ -318,7 +322,7 @@ object Model {
       sum(col("pos")).as("n_pos"),
       sum(col("neg")).as("n_neg"),
       sum(d(col("pos")) * (lit(2) * d(col("cumneg")) + d(col("neg"))))
-        .cast("decimal(38,0)").as("u2"))
+        .cast("bigint").as("u2"))
       .select(col("grp").as("source"), col("n_pos"), col("n_neg"),
         col("u2"),
         when(col("n_pos") === 0 || col("n_neg") === 0,
@@ -350,7 +354,7 @@ object Model {
        |  SELECT grp, CAST(sum(pos) AS BIGINT) AS n_pos,
        |    CAST(sum(neg) AS BIGINT) AS n_neg,
        |    CAST(sum(CAST(pos AS HUGEINT) * (2 * CAST(cumneg AS HUGEINT)
-       |      + neg)) AS DECIMAL(38,0)) AS u2
+       |      + neg)) AS BIGINT) AS u2
        |  FROM c GROUP BY 1)
        |SELECT grp AS source, n_pos, n_neg, u2,
        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL

@@ -2052,21 +2052,26 @@ object Text {
       .agg(sum(col("both")).as("n_both"), sum(col("agree")).as("n_agree"),
         sum(col("a_pos")).as("ap"), sum(col("b_pos")).as("bp"))
       .select(col("lf_a"), col("lf_b"), col("n_both"), col("n_agree"),
-        // κ num/den in WIDE integers (decimal(38,0); HUGEINT in the
-        // oracle): every term is a product of two ≤n_both counts, and
-        // n_both·n_both wraps int64 silently past n_both ≈ 3.04e9
-        // co-voting docs — the q213 wide-gate discipline (exact to
-        // ~1e19 per factor, far past any corpus)
+        // κ num/den computed in WIDE integers (decimal(20,0) factors →
+        // exact decimal(38,0) products; HUGEINT in the oracle): every
+        // term is a product of two ≤n_both counts, and n_both·n_both
+        // wraps int64 silently past n_both ≈ 3.04e9 co-voting docs —
+        // the q213 wide-gate discipline. The wide type stays INTERNAL:
+        // the OUTPUT is BIGINT, because decimal columns in a result
+        // contract hash differently across checker pandas/duckdb
+        // versions (Decimal('42') vs 42). The ANSI decimal→bigint cast
+        // THROWS on overflow, so emission past ~3e9 co-voting docs
+        // fails loudly instead of wrapping.
         (dec20(col("n_both")) * dec20(col("n_agree")) -
           (dec20(col("ap")) * dec20(col("bp")) +
             dec20(col("n_both") - col("ap")) *
               dec20(col("n_both") - col("bp"))))
-          .cast("decimal(38,0)").as("kappa_num"),
+          .cast("bigint").as("kappa_num"),
         (dec20(col("n_both")) * dec20(col("n_both")) -
           (dec20(col("ap")) * dec20(col("bp")) +
             dec20(col("n_both") - col("ap")) *
               dec20(col("n_both") - col("bp"))))
-          .cast("decimal(38,0)").as("kappa_den"))
+          .cast("bigint").as("kappa_den"))
       .select(col("lf_a"), col("lf_b"), col("n_both"), col("n_agree"),
         col("kappa_num"), col("kappa_den"),
         when(col("kappa_den") =!= 0,
@@ -2108,11 +2113,11 @@ object Text {
        |    CAST(CAST(n_both AS HUGEINT) * n_agree -
        |      (CAST(ap AS HUGEINT) * bp +
        |       CAST(n_both - ap AS HUGEINT) * (n_both - bp))
-       |      AS DECIMAL(38,0)) AS kappa_num,
+       |      AS BIGINT) AS kappa_num,
        |    CAST(CAST(n_both AS HUGEINT) * n_both -
        |      (CAST(ap AS HUGEINT) * bp +
        |       CAST(n_both - ap AS HUGEINT) * (n_both - bp))
-       |      AS DECIMAL(38,0)) AS kappa_den
+       |      AS BIGINT) AS kappa_den
        |  FROM g)
        |SELECT lf_a, lf_b, n_both, n_agree, kappa_num, kappa_den,
        |  CASE WHEN kappa_den <> 0

@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   * anti-join degrade to full-relation scale. A count-based guard catches
   * this: when the local fronts fail to shrink the input below
   * `broadcastGuard`, the global check switches to an O(C log C)
-  * sort-sweep (the partition-local sweep re-expressed as a running
-  * `min(struct(y, x))` window over the globally (x, y)-sorted
-  * candidates). That path pays one single-partition sort instead of an
-  * O(C²) broadcast join — the right trade exactly when C is large.
+  * sort-sweep — the partition-local sweep re-expressed as a running
+  * `min(struct(y, x))` over all strictly-preceding candidates in
+  * (x, y, key) order. That prefix is BANDED two-phase (the
+  * cumBefore/q197 shape), never one global window: range-partition on
+  * the sort key, window the running min WITHIN each band, and fold in
+  * the preceding bands' min via a bounded non-equi self-join of the
+  * ≤P-row band-summary relation. Nothing candidate-set-sized crosses a
+  * single window partition — the fallback stays distributed exactly in
+  * the case (numerous candidates) that triggers it.
   *
   * mapPartitions is justified here (SURVEY §7.4 preference order): the
   * local sweep is genuinely per-partition imperative state — no
@@ -84,11 +89,32 @@ object Skyline {
       // Anti-correlated fallback: the partition sweep's (minY, minYminX)
       // running state IS min(struct(y, x)) over all strictly-preceding
       // rows in (x, y, key) order — proven equal to the broadcast path in
-      // SkylineSpec. One global sort, no quadratic join, no broadcast.
-      val w = Window.orderBy(col("x"), col("y"), col(keyCol))
+      // PropertySpec (guard = 0 forces this branch). The prefix is banded
+      // two-phase: range partitioning puts band i's rows strictly before
+      // band i+1's in the total order, so a row's prefix = min over its
+      // own band's preceding rows (per-band window) ∧ min over ALL rows
+      // of earlier bands (non-equi join of the ≤P-row summary relation).
+      val p = math.max(sess.sessionState.conf.numShufflePartitions, 2)
+      val banded = cand
+        .repartitionByRange(p, col("x"), col("y"), col(keyCol))
+        .withColumn("band", spark_partition_id())
+        .localCheckpoint(eager = false) // feeds summaries AND the prefix
+      val bs = banded.groupBy(col("band"))
+        .agg(min(struct(col("y"), col("x"))).as("bmin"))
+        .localCheckpoint(eager = false) // both sides of the offset join
+      val off = bs.select(col("band"))
+        .join(bs.select(col("band").as("b2"), col("bmin")),
+          col("b2") < col("band"), "left")
+        .groupBy(col("band")).agg(min(col("bmin")).as("pband"))
+      val wIn = Window.partitionBy(col("band"))
+        .orderBy(col("x"), col("y"), col(keyCol))
         .rowsBetween(Window.unboundedPreceding, -1)
-      cand
-        .withColumn("prev", min(struct(col("y"), col("x"))).over(w))
+      banded
+        .withColumn("wprev", min(struct(col("y"), col("x"))).over(wIn))
+        .join(off, Seq("band"))
+        // least() skips NULLs (first row of a band / first band), so it
+        // combines the two partial prefixes exactly like the running min
+        .withColumn("prev", least(col("wprev"), col("pband")))
         .filter(col("prev").isNull ||
           !(col("prev.y") < col("y") ||
             (col("prev.y") === col("y") && col("prev.x") < col("x"))))

@@ -99,7 +99,7 @@ class ModelSpec extends SparkSpec {
   test("q227: banded 2U matches an in-memory Mann–Whitney replay; ALL row closes over sources") {
     val rows = Model.aucAudit(spark, sf).collect()
     val bySrc = rows.map(r => r.getString(0) ->
-      (r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact(),
+      (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).toMap
     val (np, nn, u2, auc) = bySrc("ALL")
     // per-source lanes partition the ALL lane exactly

@@ -110,6 +110,42 @@ class RegistrySpec extends SparkSpec {
     "q137_file_packing" -> "file_id manifest key emitted as a column",
     "q197_window_ranks" -> "rank/ntile/percent_rank emitted as columns")
 
+  test("no output schema carries checker-fragile types " +
+      "(decimal / interval / binary / calendar-interval)") {
+    // The driver's checker hashes values after a duckdb→pandas round
+    // trip, and decimal128 canonicalization is VERSION-DEPENDENT there
+    // (Decimal('42') vs 42.0 stringify differently) — q224/q227 were
+    // the round-10 driver reds for exactly this, with rows and schema
+    // matching. Same hazard class for intervals and raw binary. Wide
+    // decimal is fine as INTERNAL arithmetic; it must never reach an
+    // output contract. This walks every registered query's analyzed
+    // output schema, recursing through arrays/maps/structs, so query
+    // 252+ cannot reintroduce the trap.
+    import org.apache.spark.sql.types._
+    def fragile(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType          => Seq(s"$path: ${dt.simpleString}")
+      case BinaryType              => Seq(s"$path: binary")
+      case CalendarIntervalType    => Seq(s"$path: interval")
+      case _: DayTimeIntervalType  => Seq(s"$path: ${dt.simpleString}")
+      case _: YearMonthIntervalType => Seq(s"$path: ${dt.simpleString}")
+      case ArrayType(e, _)         => fragile(e, s"$path[]")
+      case MapType(k, v, _) =>
+        fragile(k, s"$path.key") ++ fragile(v, s"$path.value")
+      case StructType(fs) =>
+        fs.toSeq.flatMap(f => fragile(f.dataType, s"$path.${f.name}"))
+      case _ => Nil
+    }
+    val offenders = for {
+      name <- SparkEntry.queries.keySet.toSeq.sorted
+      df = SparkEntry.queries(name)(spark, sf)
+      f <- df.schema.fields.toSeq
+      hit <- fragile(f.dataType, f.name)
+    } yield s"$name.$hit"
+    assert(offenders.isEmpty,
+      s"checker-fragile output columns (emit bigint/double/string " +
+        s"instead): ${offenders.mkString("; ")}")
+  }
+
   test("every rank/sample/schedule-shaped query is ordered or justified") {
     // heuristic candidate net: any query whose NAME suggests its
     // deliverable is a ranking, sample draw, schedule, or serving list

@@ -522,7 +522,7 @@ class TextSpec extends SparkSpec {
     val rows = Text.labelKappa(spark, sf).collect().map(r =>
       (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3),
-          r.getDecimal(4).longValueExact(), r.getDecimal(5).longValueExact(),
+          r.getLong(4), r.getLong(5),
           if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
     assert(rows.size === 6, "expected all 6 LF pairs")
     for (i <- 0 until 4; j <- i + 1 until 4) {
