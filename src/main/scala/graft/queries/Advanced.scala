@@ -2189,24 +2189,47 @@ object Advanced {
   /** q81 — GROUPING SETS with explicit grouping flags: the third member
     * of the grouping family next to q10's ROLLUP and q34's CUBE, but with
     * a hand-picked set list — (flag, status), (flag), () — the shape a
-    * reporting layer uses when the full cube is wasteful. One Expand over
-    * exactly the 3 requested groupings (vs 4 for the cube), then one
-    * partial-agg shuffle; at 100 TB the saving over CUBE is proportional
-    * to the sets omitted. Per-grouping flags are emitted as separate
-    * `grouping(col)` ints (engine-portable; grouping_id bit orders are
-    * not guaranteed to agree across engines). */
-  def q81GroupingSets(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupingSets(
-        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
-          Seq(col("l_returnflag")), Seq()),
-        col("l_returnflag"), col("l_linestatus"))
-      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
-        grouping(col("l_linestatus")).cast("long").as("g_ls"),
-        count(lit(1)).as("n"),
-        Det.dsum(col("l_quantity")).as("sum_qty"))
+    * reporting layer uses when the full cube is wasteful.
+    *
+    * These three sets form a CHAIN ((rf,ls) ⊃ (rf) ⊃ ()), and count/sum
+    * re-aggregate, so the native `groupingSets` plan — an Expand that
+    * replicates EVERY input row once per set (3× the corpus through the
+    * partial aggregate) — is the wrong shape at 100 TB. Instead: one
+    * ordinary partial-agg pass to the FINEST grouping (map-side combine
+    * compacts to ≲|rf×ls| rows per task before any shuffle), then the
+    * coarser sets re-aggregate the few-row finest RESULT. Input rows
+    * cross the aggregate exactly once; the Expand multiplier is gone.
+    * Sums stay exact decimals through both levels and cast to double
+    * ONCE at emission (Det discipline), so values are bit-identical to
+    * the one-level plan. q10/q34 keep the native ROLLUP/CUBE operators —
+    * this rewrite applies only when the requested sets nest.
+    * Per-grouping flags are emitted as separate `grouping(col)`-style
+    * ints (engine-portable; grouping_id bit orders are not guaranteed
+    * to agree across engines). */
+  def q81GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    // finest grouping once; feeds all three levels (multi-consumer rule)
+    val base = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("qd"))
+      .localCheckpoint(eager = false)
+    val nullS = lit(null).cast("string")
+    val lvl0 = base.select(col("l_returnflag"), col("l_linestatus"),
+      lit(0L).as("g_rf"), lit(0L).as("g_ls"), col("n"), col("qd"))
+    val lvl1 = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("qd")).as("qd"))
+      .select(col("l_returnflag"), nullS.as("l_linestatus"),
+        lit(0L).as("g_rf"), lit(1L).as("g_ls"), col("n"), col("qd"))
+    val lvl2 = base
+      .agg(sum(col("n")).as("n"), sum(col("qd")).as("qd"))
+      .select(nullS.as("l_returnflag"), nullS.as("l_linestatus"),
+        lit(1L).as("g_rf"), lit(1L).as("g_ls"), col("n"), col("qd"))
+    lvl0.unionByName(lvl1).unionByName(lvl2)
+      .select(col("l_returnflag"), col("l_linestatus"), col("g_rf"),
+        col("g_ls"), col("n"), col("qd").cast("double").as("sum_qty"))
       .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
         col("l_linestatus"))
+  }
 
   val q81Sql: String =
     s"""SELECT l_returnflag, l_linestatus,

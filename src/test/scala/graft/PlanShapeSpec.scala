@@ -460,6 +460,20 @@ class PlanShapeSpec extends SparkSpec {
       s"Expand sits directly on the fact scan (4x the table at 100 TB):\n$p")
   }
 
+  test("q81: chained grouping sets re-aggregate the finest grain — " +
+      "no Expand, fact rows cross the aggregate once") {
+    val df = graft.queries.Advanced.q81GroupingSets(spark, sf)
+    df.collect() // materialize the lazy localCheckpoint barrier
+    val p = plan(df)
+    // the native groupingSets plan Expands every fact row once per set
+    // (3x the corpus through the partial agg); the chained-sets rewrite
+    // must keep the coarser sets on the few-row finest RESULT instead
+    assert(!p.contains("Expand"),
+      s"q81 regressed to the Expand plan (3x the fact scan at 100 TB):\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      s"q81 scans lineitem more than once:\n$p")
+  }
+
   test("q193: pinned-vocabulary pivot is one scan, one aggregate, no join") {
     val p = plan(graft.queries.Olap.q193PivotEvents(spark, sf))
     assert("Scan parquet".r.findAllIn(p).length == 1,
