@@ -75,6 +75,51 @@ object Model {
     * doc `(source, is_long, score)`. Scoring is a single corpus scan
     * against the one-row broadcast model — zero corpus shuffle. */
   private[graft] def nbScoredHoldout(s: SparkSession, dir: String): DataFrame = {
+    val (docs, cnts, tot, pri) = nbFitInputs(s, dir)
+    def qlog(num: Column, den: Column): Column =
+      floor(qraw(num, den)).cast("long")
+    val wts = cnts.crossJoin(broadcast(tot)).select(col("w"),
+      qlog((col("cp") + 1) * (col("tn") + col("v")),
+           (col("cn") + 1) * (col("tp") + col("v"))).as("wt"))
+    // the whole fitted model as ONE broadcastable row
+    val model = wts
+      .agg(map_from_entries(collect_list(struct(col("w"), col("wt")))).as("m"))
+      .crossJoin(tot).crossJoin(pri)
+      .select(col("m"),
+        qlog(col("tn") + col("v"), col("tp") + col("v")).as("w0"),
+        qlog(col("np") + 1, col("nn") + 1).as("prior"),
+        log((col("tp") * col("nn")).cast("double") / (col("tn") * col("np")))
+          .as("lnlam"),
+        floor(lamdiffRaw).cast("long").as("lamdiff"))
+    docs.filter(!col("seed")).crossJoin(broadcast(model))
+      .select(col("doc_id"), col("source"), col("is_long"),
+        (col("prior")
+          + aggregate(split(col("text"), " "), lit(0L),
+              (acc, t) => acc + coalesce(element_at(col("m"), t), col("w0")))
+          + floor(lenRaw(col("n_tok"), col("lnlam"))).cast("long")
+          - col("lamdiff")).as("score"))
+  }
+
+  /** Raw (pre-floor) µ-nat quantization argument `S·ln(num/den)` — ONE
+    * expression shared by the fitted weights and the boundary audit, so
+    * the audit checks the pipeline's exact arithmetic, not a copy. */
+  private[graft] def qraw(num: Column, den: Column): Column =
+    lit(Scale) * log(num.cast("double") / den)
+
+  /** Raw lamdiff argument `S·(tp/np − tn/nn)` over `tot × pri`. */
+  private[graft] def lamdiffRaw: Column =
+    lit(Scale) * (col("tp").cast("double") / col("np")
+      - col("tn").cast("double") / col("nn"))
+
+  /** Raw per-doc Poisson length term `S·n_tok·lnλ`. */
+  private[graft] def lenRaw(nTok: Column, lnlam: Column): Column =
+    lit(Scale) * nTok * lnlam
+
+  /** The NB fit's input relations — held-out+seed docs, per-word seed
+    * class counts, count totals, class priors — shared by the scoring
+    * pipeline and the quantization boundary audit. */
+  private[graft] def nbFitInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), col("source"),
         (col("n_chars") >= LongDocChars).cast("int").as("is_long"),
@@ -89,29 +134,45 @@ object Model {
       count(lit(1)).as("v"))
     val pri = docs.filter(col("seed")).agg(
       sum(col("is_long")).as("np"), sum(lit(1) - col("is_long")).as("nn"))
-    def qlog(num: Column, den: Column): Column =
-      floor(lit(Scale) * log(num.cast("double") / den)).cast("long")
-    val wts = cnts.crossJoin(broadcast(tot)).select(col("w"),
-      qlog((col("cp") + 1) * (col("tn") + col("v")),
-           (col("cn") + 1) * (col("tp") + col("v"))).as("wt"))
-    // the whole fitted model as ONE broadcastable row
-    val model = wts
-      .agg(map_from_entries(collect_list(struct(col("w"), col("wt")))).as("m"))
-      .crossJoin(tot).crossJoin(pri)
-      .select(col("m"),
-        qlog(col("tn") + col("v"), col("tp") + col("v")).as("w0"),
-        qlog(col("np") + 1, col("nn") + 1).as("prior"),
-        log((col("tp") * col("nn")).cast("double") / (col("tn") * col("np")))
-          .as("lnlam"),
-        floor(lit(Scale) * (col("tp").cast("double") / col("np")
-          - col("tn").cast("double") / col("nn"))).cast("long").as("lamdiff"))
-    docs.filter(!col("seed")).crossJoin(broadcast(model))
-      .select(col("doc_id"), col("source"), col("is_long"),
-        (col("prior")
-          + aggregate(split(col("text"), " "), lit(0L),
-              (acc, t) => acc + coalesce(element_at(col("m"), t), col("w0")))
-          + floor(lit(Scale) * col("n_tok") * col("lnlam")).cast("long")
-          - col("lamdiff")).as("score"))
+    (docs, cnts, tot, pri)
+  }
+
+  /** Every pre-floor quantization argument the fitted pipelines emit —
+    * q125's vocab weights / w0 / prior / lamdiff, the per-held-out-doc
+    * Poisson length terms, and a SUPERSET of q126's realizable bigram
+    * costs ((c1,c12) pairs from the fitted LM, (c1,0) unigram-only
+    * misses, and the (0,0) full miss) — as one `arg` double column.
+    *
+    * Rationale: `floor(S·ln(x))` agrees across engines only while no
+    * fitted argument sits within the engines' ln() disagreement
+    * (≲1 ulp ⇒ ≲1e-9 µ-nats here) of an integer boundary. ModelSpec
+    * computes min |arg − rint(arg)| over this relation and asserts a
+    * 1000× safety band — turning "engines happen to agree" into a
+    * checked property of the fixture corpus (SCALE.md "Quantization"). */
+  private[graft] def quantBoundaryArgs(s: SparkSession, dir: String): DataFrame = {
+    val (docs, cnts, tot, pri) = nbFitInputs(s, dir)
+    val wArgs = cnts.crossJoin(broadcast(tot)).select(
+      qraw((col("cp") + 1) * (col("tn") + col("v")),
+        (col("cn") + 1) * (col("tp") + col("v"))).as("arg"))
+    val w0Arg = tot.select(
+      qraw(col("tn") + col("v"), col("tp") + col("v")).as("arg"))
+    val priArg = pri.select(qraw(col("np") + 1, col("nn") + 1).as("arg"))
+    val lamArg = tot.crossJoin(pri).select(lamdiffRaw.as("arg"))
+    val lnlam = tot.crossJoin(pri).select(
+      log((col("tp") * col("nn")).cast("double") / (col("tn") * col("np")))
+        .as("lnlam"))
+    val lenArgs = docs.filter(!col("seed")).select(col("n_tok")).distinct()
+      .crossJoin(broadcast(lnlam))
+      .select(lenRaw(col("n_tok"), col("lnlam")).as("arg"))
+    val (_, bic, unic, vRel) = lmFitInputs(s, dir)
+    val lmArgs = bic.join(unic, Seq("w1")).select(col("c1"), col("c12"))
+      .union(unic.select(col("c1"), lit(0L).as("c12")))
+      .distinct()
+      .crossJoin(broadcast(vRel))
+      .select(qraw(col("c1") + col("v"), col("c12") + 1).as("arg"))
+    val lmMissArg = vRel.select(qraw(col("v"), lit(1L)).as("arg"))
+    Seq(wArgs, w0Arg, priArg, lamArg, lenArgs, lmArgs, lmMissArg)
+      .reduce(_ union _)
   }
 
   /** DuckDB spelling of the shared q125/q129 scoring pipeline (CTEs up
@@ -481,8 +542,11 @@ object Model {
     * Spark broadcast comfort zone; far below driver OOM territory. */
   final val LmBroadcastBytes: Long = 64L << 20
 
-  private[graft] def lmPerplexityVia(s: SparkSession, dir: String,
-      broadcastBound: Long): DataFrame = {
+  /** The fitted LM's input relations — docs (with split token lists),
+    * seed bigram counts, unigram margins, vocab-size scalar — shared by
+    * the scoring pipeline and the quantization boundary audit. */
+  private[graft] def lmFitInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), seedCol.as("seed"),
         split(col("text"), " ").as("l"))
@@ -497,6 +561,13 @@ object Model {
       // scoring joins then reuse
       .localCheckpoint(eager = false)
     val unic = bic.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vRel = unic.agg(count(lit(1)).as("v"))
+    (docs, bic, unic, vRel)
+  }
+
+  private[graft] def lmPerplexityVia(s: SparkSession, dir: String,
+      broadcastBound: Long): DataFrame = {
+    val (docs, bic, unic, vRel) = lmFitInputs(s, dir)
     val lmBytes = bic
       .agg(coalesce(sum(length(col("w1")) + length(col("w2")) + lit(24)),
         lit(0L)).as("b"))
@@ -504,7 +575,6 @@ object Model {
     // the gate decides how the LM ships into the scoring joins
     def ship(lm: DataFrame): DataFrame =
       if (lmBytes <= broadcastBound) broadcast(lm) else lm
-    val vRel = unic.agg(count(lit(1)).as("v"))
     val scored = docs.filter(!col("seed"))
       .select(col("doc_id"), col("source"),
         explode(pairList(col("l"))).as("pr"))
@@ -515,9 +585,8 @@ object Model {
       .join(ship(bic), Seq("w1", "w2"), "left")
       .crossJoin(broadcast(vRel))
       .select(col("doc_id"), col("source"),
-        floor(lit(Scale) * log(
-          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
-            / (coalesce(col("c12"), lit(0L)) + 1))).cast("long").as("cost"))
+        floor(qraw(coalesce(col("c1"), lit(0L)) + col("v"),
+          coalesce(col("c12"), lit(0L)) + 1)).cast("long").as("cost"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("nll"))
     scored.filter(col("n_bigrams") >= 1)
