@@ -615,10 +615,17 @@ object SnapTable {
       min(col(c1)).cast("long"), max(col(c1)).cast("long"),
       min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
     def norm(c: String, lo: Long, hi: Long): Column = {
-      val span = math.max(hi - lo, 1L)
-      // scale to [0, 65535] in long arithmetic; NULL → 0
-      coalesce(((col(c).cast("long") - lit(lo)) * lit(65535L) /
-        lit(span)).cast("long"), lit(0L))
+      // rank-normalize in DOUBLE: the long spelling's (value − lo)·65535
+      // product overflows int64 once the column span reaches ~2^47,
+      // silently scrambling the Morton codes (results stay correct —
+      // file stats are measured post-write — but clustering, and with
+      // it pruning, degrades to full scans). A double mantissa loses
+      // only low-order rank bits instead, and 16-bit codes only need
+      // the high ones. Clamped to [0, 65535]; NULL → 0.
+      val span = math.max(hi.toDouble - lo.toDouble, 1.0)
+      coalesce(least(greatest(
+        ((col(c).cast("double") - lit(lo.toDouble)) * lit(65535.0) /
+          lit(span)).cast("long"), lit(0L)), lit(65535L)), lit(0L))
     }
     val z = spreadBits16(norm(c1, mm.getLong(0), mm.getLong(1)))
       .bitwiseOR(shiftleft(spreadBits16(
@@ -704,18 +711,22 @@ object SnapTable {
       }.toSeq
   }
 
-  /** True iff some retained snapshot's meta records `id` as its staged
-    * source — the publish-idempotence backstop that survives an
-    * OPTIMIZE rewriting the published files (the path-based check then
-    * no longer recognizes them). Descending scan like
-    * [[lastAppliedBatch]]; vacuumed-away manifests bound the lookback,
-    * so a leftover staged list older than the retention window must be
-    * swept manually rather than re-published. */
-  private def stagedIdPublished(spark: SparkSession, dir: String,
-      id: String): Boolean = {
+  /** True iff some retained snapshot in (downTo, current] records `id`
+    * as its staged source — the publish-idempotence backstop that
+    * survives an OPTIMIZE rewriting the published files (the path-based
+    * check then no longer recognizes them). The walk stops at `downTo`
+    * (a staged id can only be stamped in a version GREATER than its
+    * recorded base), so a publish is O(versions since stage), not
+    * O(table lifetime) — the difference between constant and quadratic
+    * total manifest reads for a long-lived WAP-ingested table.
+    * Vacuumed-away manifests bound the lookback, so a leftover staged
+    * list older than the retention window must be swept manually rather
+    * than re-published. */
+  private[graft] def stagedIdPublished(spark: SparkSession, dir: String,
+      id: String, downTo: Int = 0): Boolean = {
     val f = fs(spark, dir)
     var v = currentVersion(spark, dir)
-    while (v >= 1) {
+    while (v >= math.max(downTo + 1, 1)) {
       if (f.exists(manifestPath(dir, v)) &&
           manifestMeta(spark, dir, v).get("staged_id").contains(id))
         return true
@@ -771,12 +782,23 @@ object SnapTable {
       cur > 0 && readEntries(spark, dir, cur)
         .exists(e => paths.contains(entryPath(e)))
     }
+    // incremental cache across this publish's claims: versions ≤
+    // scannedTo were already checked id-free, so each retry scans only
+    // manifests committed since the previous claim (a racer may stamp
+    // the id at any time — only NEW versions can change the answer)
+    var scannedTo = base
+    def idPublished(): Boolean = {
+      val cur = currentVersion(spark, dir)
+      val hit = stagedIdPublished(spark, dir, id, downTo = scannedTo)
+      if (!hit) scannedTo = math.max(scannedTo, cur)
+      hit
+    }
     var stale = false
     val committed = occCommit(spark, dir, base, Set.empty, Set.empty,
       entries,
       extraMeta ++ Map("staged_id" -> id) ++ statsMeta(spark, dir, base),
       skipIf = () => {
-        if (alreadyLive() || stagedIdPublished(spark, dir, id)) {
+        if (alreadyLive() || idPublished()) {
           stale = true; true
         } else skipIf()
       })
@@ -786,12 +808,56 @@ object SnapTable {
   }
 
   /** WAP stage 3b — DISCARD: drop the staged list and its data files;
-    * the audit said no, and nothing was ever visible. */
+    * the audit said no, and nothing was ever visible. IDEMPOTENT: a
+    * no-op when the staged list is already gone (e.g. publish's stale
+    * path swept it, or a twin discarded first) — cleanup must never be
+    * the call that kills a stream. Data files go by deleting their
+    * attempt-unique write-dir(s) RECURSIVELY, so the `_SUCCESS` marker
+    * and the empty dir don't accumulate (each [[writeData]] call gets
+    * its own random-token dir, so no other writer shares it). */
   def discard(spark: SparkSession, dir: String, id: String): Unit = {
-    val (_, entries) = stagedEntries(spark, dir, id)
     val f = fs(spark, dir)
-    entries.foreach(e => f.delete(new Path(s"$dir/${entryPath(e)}"), false))
+    if (!f.exists(stagedPath(dir, id))) return
+    val (_, entries) = stagedEntries(spark, dir, id)
+    entries.map(e => entryPath(e).split('/').dropRight(1).mkString("/"))
+      .distinct
+      .foreach(d0 => f.delete(new Path(s"$dir/$d0"), true))
     f.delete(stagedPath(dir, id), false)
+  }
+
+  /** Sweep PROVABLY-ABANDONED stagings: every staged batch whose
+    * numeric tag is ≤ `upToBatch` (the caller's last-applied batch id).
+    * Such a staging can never publish — its batch already landed (or
+    * was superseded), and a publish attempt's own stamp recheck would
+    * skip — so it is crash litter, not in-flight work. A staging tagged
+    * with a batch GREATER than `upToBatch` is left alone: it may belong
+    * to a LIVE zombie twin mid-publish, and discarding it under the
+    * twin would either kill its stream (list gone at publish time) or,
+    * worse, delete files a just-committed manifest references.
+    *
+    * A swept staging whose files turn out to be LIVE (its publish
+    * committed but the crash hit before the list cleanup) loses only
+    * its stale LIST — the data files stay, exactly like publish's own
+    * stale path. Returns the number of stagings resolved. */
+  def sweepAbandonedStagings(spark: SparkSession, dir: String,
+      upToBatch: Long): Int = {
+    val f = fs(spark, dir)
+    var swept = 0
+    stagedIds(spark, dir).foreach { case (id, tag) =>
+      val abandoned = scala.util.Try(tag.toLong).toOption.exists(_ <= upToBatch)
+      if (abandoned && f.exists(stagedPath(dir, id))) {
+        val (base, entries) = stagedEntries(spark, dir, id)
+        val paths = entries.map(entryPath).toSet
+        val cur = currentVersion(spark, dir)
+        val live = cur > 0 && readEntries(spark, dir, cur)
+          .exists(e => paths.contains(entryPath(e)))
+        if (live || stagedIdPublished(spark, dir, id, downTo = base))
+          f.delete(stagedPath(dir, id), false) // files live; list stale
+        else discard(spark, dir, id)
+        swept += 1
+      }
+    }
+    swept
   }
 
   /** Retire history: keep the newest `retain` snapshots, delete older

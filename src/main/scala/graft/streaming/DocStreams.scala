@@ -389,15 +389,22 @@ object DocStreams {
     *
     * Replay safety: the batch stamp is consulted first, so a restarted
     * stream's redelivery of a PUBLISHED batch is a no-op; stagings are
-    * TAGGED with the batch id, and a redelivery first sweeps any
-    * leftover staging a crashed prior attempt abandoned (stage-then-die
-    * would otherwise leak one batch of unreferenced files per crash —
-    * vacuum never touches staged data). Against a ZOMBIE twin of the
-    * same query, publish rechecks the batch stamp before every claim,
-    * so the loser's batch cannot land twice — it discards its own
-    * never-committed staging instead. Works on a not-yet-created table
-    * (the first published batch creates v1). `onResult` receives
-    * (batchId, published). */
+    * TAGGED with the batch id, and each batch first sweeps stagings
+    * whose tag is ≤ the last APPLIED batch — provably abandoned crash
+    * litter (stage-then-die would otherwise leak one batch of
+    * unreferenced files per crash; vacuum never touches staged data).
+    * The sweep deliberately does NOT touch stagings tagged with a
+    * not-yet-applied batch: one of those may be a LIVE zombie twin's
+    * in-flight staging, and discarding it under the twin would kill its
+    * publish (or delete committed files); a crashed CURRENT-batch
+    * leftover therefore survives until the next applied batch, a
+    * bounded one-batch deferral. Against a ZOMBIE twin of the same
+    * query, publish rechecks the batch stamp before every claim, so the
+    * loser's batch cannot land twice — it discards its own
+    * never-committed staging instead (discard is idempotent, so the
+    * twins' cleanups cannot kill each other either). Works on a
+    * not-yet-created table (the first published batch creates v1).
+    * `onResult` receives (batchId, published). */
   def maintainAuditedIngest(docStream: DataFrame, tableDir: String,
       checkpointDir: String)(audit: DataFrame => Boolean)(
       onResult: (Long, Boolean) => Unit): StreamingQuery =
@@ -406,12 +413,11 @@ object DocStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         import graft.io.SnapTable
-        if (SnapTable.lastAppliedBatch(s, tableDir) >= batchId)
+        val applied = SnapTable.lastAppliedBatch(s, tableDir)
+        if (applied >= batchId)
           onResult(batchId, false) // already applied (or superseded)
         else {
-          SnapTable.stagedIds(s, tableDir)
-            .filter(_._2 == batchId.toString)
-            .foreach { case (sid, _) => SnapTable.discard(s, tableDir, sid) }
+          SnapTable.sweepAbandonedStagings(s, tableDir, applied)
           val id = SnapTable.stage(batch, tableDir,
             tag = batchId.toString)
           if (audit(SnapTable.readStaged(s, tableDir, id))) {

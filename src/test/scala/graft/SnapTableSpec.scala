@@ -501,6 +501,60 @@ class SnapTableSpec extends SparkSpec {
     assert(!SnapTable.stagedIds(spark, d).exists(_._1 == t))
   }
 
+  test("abandoned-staging sweep: crash litter <= last-applied discards " +
+      "fully, a published leftover keeps its live files, an in-flight " +
+      "staging of a newer batch survives; discard is idempotent") {
+    val d = tmp()
+    val fsys = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$d/data")
+      if (!fsys.exists(p)) Set.empty
+      else fsys.listStatus(p).map(_.getPath.getName).toSet
+    }
+    SnapTable.create(Seq((1L, "a")).toDF("id", "s"), d)
+    val b0 = SnapTable.stage(Seq((2L, "b")).toDF("id", "s"), d, tag = "0")
+    assert(SnapTable.publish(spark, d, b0,
+      Map("batch_id" -> "0")) === Some(2))
+    // crash litter: an abandoned prior attempt of batch 0
+    val preLitter = dataDirs()
+    val litter = SnapTable.stage(Seq((99L, "x")).toDF("id", "s"), d,
+      tag = "0")
+    val litterDirs = dataDirs() -- preLitter
+    assert(litterDirs.nonEmpty)
+    // published-but-unswept leftover: re-craft b0's list by hand
+    // (crash between manifest commit and list cleanup)
+    val liveEntries = SnapTable.readEntries(spark, d, 2)
+      .filterNot(SnapTable.readEntries(spark, d, 1).toSet)
+    val lp = new org.apache.hadoop.fs.Path(s"$d/_staged/$b0.list")
+    val out = fsys.create(lp, true)
+    out.write(("# base=1\n# tag=0\n" +
+      liveEntries.mkString("\n") + "\n").getBytes)
+    out.close()
+    // in-flight staging of a NOT-yet-applied batch (a live twin's work)
+    val inflight = SnapTable.stage(Seq((3L, "c")).toDF("id", "s"), d,
+      tag = "1")
+    assert(SnapTable.sweepAbandonedStagings(spark, d, upToBatch = 0L) === 2)
+    // litter fully gone: list AND its whole write-dir (no _SUCCESS residue)
+    assert(!SnapTable.stagedIds(spark, d).exists(_._1 == litter))
+    assert(litterDirs.intersect(dataDirs()).isEmpty,
+      "litter write-dir survived the sweep")
+    // published leftover: only the stale LIST went; live rows intact
+    assert(!fsys.exists(lp))
+    assert(SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L))
+    // the in-flight staging was untouched and still publishes
+    assert(SnapTable.stagedIds(spark, d).contains((inflight, "1")))
+    assert(SnapTable.publish(spark, d, inflight,
+      Map("batch_id" -> "1")).isDefined)
+    assert(SnapTable.read(spark, d).count() === 3)
+    // discard is idempotent: after publish swept the list, and after a
+    // prior discard, a cleanup call is a no-op — never an exception
+    SnapTable.discard(spark, d, inflight)
+    SnapTable.discard(spark, d, litter)
+    assert(SnapTable.read(spark, d).count() === 3)
+  }
+
   test("strict (merge-mode) commits refuse ANY interleaved commit") {
     val d = tmp()
     SnapTable.create(Seq(1L).toDF("id"), d)
