@@ -100,7 +100,8 @@ object SparkEntry {
     "q248_jsonl_ingest",       // unique per-source key; free order pin
     "q249_robust_outliers",    // unique per-type key; free order pin
     "q250_snapshot_wap",       // unique per-source key; free order pin
-    "q251_snapshot_ivm")       // unique per-source key; free order pin
+    "q251_snapshot_ivm",       // unique per-source key; free order pin
+    "q252_merge_rebase")       // unique per-version key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -190,9 +190,11 @@ object SnapTable {
   private[graft] def occCommit(spark: SparkSession, dir: String, baseV: Int,
       readSet: Set[String], removed: Set[String], added: Seq[String],
       meta: Map[String, String], strict: Boolean = false,
-      skipIf: () => Boolean = () => false): Option[Int] = {
+      skipIf: () => Boolean = () => false,
+      interloperGuard: Seq[String] => Unit = _ => ()): Option[Int] = {
     val baseCols = statsColsOf(spark, dir, baseV)
     val declared = Seq(meta.get("stats_col"), meta.get("stats_col2")).flatten
+    val readPaths = readSet.map(entryPath)
     var attempt = 0
     var lastSeen = -1
     while (true) {
@@ -219,6 +221,13 @@ object SnapTable {
             s"SnapTable: the stats-column declaration changed " +
               s"(v$baseV→v$cur) under $dir — this writer's positional " +
               "annotations would be misread; re-plan and retry")
+        // per-claim SEMANTIC validation of the interloper-added entries
+        // (merge's key-disjointness): throws ConcurrentWriteException
+        // when carrying them by reference would break this writer's
+        // contract. Re-evaluated on every claim — each retry may face
+        // new interlopers.
+        interloperGuard(curEntries.filterNot(e =>
+          readPaths.contains(entryPath(e))))
       }
       val carried = curEntries.filterNot(removed.contains)
       // declaration-changing commit (optimizeZorder): interloper
@@ -382,13 +391,33 @@ object SnapTable {
     * of `updates` land in the same manifest, so readers see either the
     * whole merge or none of it.
     *
+    * Concurrency contract: a merge REBASES over an interleaved commit
+    * iff it is a pure append whose files contain NONE of the merge's
+    * update keys (checked per claim via [[occCommit]]'s interloper
+    * guard — carrying a key-bearing file by reference would leave a
+    * duplicate key the merge promised to replace). Everything else —
+    * a key-clashing append, and ANY rewrite of files this merge read
+    * (compaction / delete / another merge: the read-set rule fires
+    * because a merge reads every file for its probe) — throws
+    * [[ConcurrentWriteException]] for a caller-level re-plan + retry.
+    * Merge-vs-compaction is therefore REFUSE-AND-RETRY by design:
+    * survivors were computed from files the compaction unreferenced,
+    * so no commit-time patch-up short of re-planning is sound.
+    *
     * Scale shape: update batches are small next to the table (the CDC
     * case), so the update KEY SET broadcasts into the file probe and
     * the survivor anti-join; only files containing matched keys
     * rewrite. */
-  def merge(updates: DataFrame, dir: String, key: String): Unit = {
+  def merge(updates: DataFrame, dir: String, key: String): Unit =
+    mergeFrom(updates, dir, key,
+      currentVersion(updates.sparkSession, dir))
+
+  /** [[merge]] planned against an EXPLICIT base version — the OCC seam
+    * (mirrors [[deleteWhereFrom]]); deterministic interleave fixtures
+    * (q252) and concurrency specs drive this directly. */
+  private[graft] def mergeFrom(updates: DataFrame, dir: String,
+      key: String, v: Int): Unit = {
     val s = updates.sparkSession
-    val v = currentVersion(s, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     val entries = readEntries(s, dir, v)
     val files = entries.map(entryPath)
@@ -418,12 +447,27 @@ object SnapTable {
         .join(broadcast(updKeys), Seq(key), "left_anti")
         .select(updates.columns.map(col): _*)
         .unionByName(updates)
-    // STRICT: a merge's contract is key uniqueness, and rebasing over a
-    // blind append could smuggle in an unmerged duplicate key — any
-    // interleaved commit aborts the merge for a caller-level retry
+    // the merge's contract is key uniqueness: rebasing over a blind
+    // append is sound ONLY when the appended files carry none of the
+    // update keys — otherwise a just-appended duplicate of a merged key
+    // would ride in by reference. The guard re-reads only the
+    // interloper files (small: whatever landed since the plan) per
+    // claim; a clash aborts for a caller-level re-plan + retry.
     occCommit(s, dir, v, entries.toSet, touched.toSet,
       writeData(survivors, dir, v + 1, statsColsOf(s, dir, v)),
-      statsMeta(s, dir, v), strict = true)
+      statsMeta(s, dir, v),
+      interloperGuard = { newEntries =>
+        if (newEntries.nonEmpty) {
+          val clash = s.read.option("mergeSchema", "true")
+            .parquet(newEntries.map(e => s"$dir/${entryPath(e)}"): _*)
+            .join(broadcast(updKeys), Seq(key), "left_semi")
+            .limit(1).count()
+          if (clash > 0) throw new ConcurrentWriteException(
+            s"SnapTable: a concurrent append under $dir carries a key " +
+              "this merge replaces — rebasing would admit a duplicate " +
+              "key; re-plan against the current snapshot and retry")
+        }
+      })
   }
 
   /** Highest streaming batch id any snapshot has committed, -1 if none.
@@ -1317,7 +1361,69 @@ object SnapTable {
       |  (SELECT count(*) FROM late)
       |ORDER BY version""".stripMargin
 
+  /** The deterministic merge-rebase interleave fixture, once per
+    * (session, dir): v1 = even doc_ids; writer A PLANS a MERGE against
+    * v1 — updates = the doc_id % 10 == 0 rows re-labeled
+    * source='merged' with n_chars + 1000 — writer B commits an append
+    * of every odd doc as v2 (keys DISJOINT from A's update keys), and
+    * A commits LAST: the merge rebases over B's append as v3, carrying
+    * B's files by reference after the per-claim key-clash probe clears
+    * them. Under the former refuse-any-interleave contract this merge
+    * threw; a key-CLASHING interleave still does (SnapTableSpec). */
+  private val mergeRebaseCache = new graft.ops.SessionMemo[String]
+  private def mergeRebaseDocs(s: SparkSession, dir: String): String =
+    mergeRebaseCache.getOrBuild(s, dir) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_snap_mrebase_").toString
+      val docs = graft.tables.Tables.documents(s, dir)
+      create(docs.filter(col("doc_id") % 2 === 0), d)
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("source", lit("merged"))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      append(docs.filter(col("doc_id") % 2 =!= 0), d) // writer B wins: v2
+      mergeFrom(updates, d, "doc_id", 1)              // A rebases: v3
+      d
+    }
+
+  /** q252 — merge REBASING over a key-disjoint concurrent append, under
+    * the value gate: per-version (rows, char sum, merged-row count)
+    * across the interleaved history. v2 proves B's append is intact; v3
+    * proves A's rebased merge replaced exactly its planned keys (+1000
+    * chars each, NULLs staying NULL) while every appended key-disjoint
+    * row survived by reference. */
+  def snapshotMergeRebase(s: SparkSession, dir: String): DataFrame = {
+    val d = mergeRebaseDocs(s, dir)
+    (1 to 3).map { v =>
+      read(s, d, Some(v)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("char_sum"),
+        sum(when(col("source") === "merged", 1L).otherwise(0L))
+          .as("n_merged"))
+        .select(lit(v.toLong).as("version"), col("n_docs"),
+          col("char_sum"), col("n_merged"))
+    }.reduce(_ unionAll _).orderBy(col("version"))
+  }
+
+  val snapshotMergeRebaseSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS char_sum,
+      |  CAST(0 AS BIGINT) AS n_merged
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 2, (SELECT count(*) FROM documents),
+      |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents),
+      |  0
+      |UNION ALL
+      |SELECT 3, (SELECT count(*) FROM documents),
+      |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+      |    + 1000 * (SELECT count(n_chars) FROM documents
+      |              WHERE doc_id % 10 = 0),
+      |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_merge_rebase" -> (snapshotMergeRebase _),
     "q236_snapshot_stats" -> (snapshotStats _),
     "q237_time_travel" -> (timeTravelAudit _),
     "q238_snapshot_merge" -> (snapshotMergeStats _),
@@ -1330,6 +1436,7 @@ object SnapTable {
     "q251_snapshot_ivm" -> (snapshotIvmStats _))
 
   val oracles: Map[String, String] = Map(
+    "q252_merge_rebase" -> snapshotMergeRebaseSql,
     "q236_snapshot_stats" -> snapshotStatsSql,
     "q237_time_travel" -> timeTravelAuditSql,
     "q238_snapshot_merge" -> snapshotMergeStatsSql,

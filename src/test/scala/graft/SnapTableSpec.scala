@@ -555,6 +555,41 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.read(spark, d).count() === 3)
   }
 
+  test("merge rebases over a KEY-DISJOINT concurrent append; a " +
+      "key-clashing append and a concurrent compaction both refuse") {
+    // key-disjoint append: rebase carries the appended file by reference
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), d)
+    SnapTable.append(Seq((5L, "e")).toDF("id", "s"), d) // interloper: v2
+    SnapTable.mergeFrom(Seq((2L, "B2"), (3L, "c")).toDF("id", "s"),
+      d, "id", v = 1) // planned against v1, commits as v3
+    val rows = SnapTable.read(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a", 2L -> "B2", 3L -> "c", 5L -> "e"),
+      "rebased merge lost the append or missed an update")
+    assert(SnapTable.read(spark, d).count() === 4, "duplicate keys")
+    // key-CLASHING append: the appended file carries a merge key —
+    // rebasing would admit a duplicate of it, so the merge must refuse
+    SnapTable.append(Seq((7L, "dup")).toDF("id", "s"), d) // v4
+    val vBefore = SnapTable.currentVersion(spark, d)
+    intercept[SnapTable.ConcurrentWriteException] {
+      SnapTable.mergeFrom(Seq((7L, "NEW")).toDF("id", "s"), d, "id", v = 3)
+    }
+    assert(SnapTable.currentVersion(spark, d) === vBefore,
+      "refused merge must not commit")
+    // concurrent COMPACTION: rewrites files the merge read — the
+    // read-set rule refuses (re-plan + retry is the documented contract)
+    val planBase = SnapTable.currentVersion(spark, d)
+    SnapTable.optimize(spark, d, targetFiles = 1)
+    intercept[SnapTable.ConcurrentWriteException] {
+      SnapTable.mergeFrom(Seq((1L, "A9")).toDF("id", "s"), d, "id",
+        v = planBase)
+    }
+    // the caller-level retry against the current snapshot succeeds
+    SnapTable.merge(Seq((1L, "A9")).toDF("id", "s"), d, "id")
+    assert(SnapTable.read(spark, d).filter(col("s") === "A9").count() === 1)
+  }
+
   test("strict (merge-mode) commits refuse ANY interleaved commit") {
     val d = tmp()
     SnapTable.create(Seq(1L).toDF("id"), d)
