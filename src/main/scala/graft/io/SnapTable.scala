@@ -166,8 +166,11 @@ object SnapTable {
     * (delete/merge/optimize) invalidated what this writer read, and the
     * commit throws [[ConcurrentWriteException]] instead of silently
     * resurrecting or double-counting rows. `strict` refuses ANY
-    * interleaved commit (merge's serializable mode: rebasing a merge
-    * over a blind append could admit duplicate keys).
+    * interleaved commit — the opt-in fully-serializable mode for
+    * writers whose invariants no per-entry check can validate. [[merge]]
+    * formerly ran strict; it now uses `interloperGuard` to validate
+    * interleaved appends for key-disjointness and rebase over the safe
+    * ones.
     *
     * Stats annotations are column-POSITIONAL (`path\tlo\thi[\tlo2\thi2]`
     * under the meta's declared columns), so a rebase must also keep the
@@ -780,19 +783,31 @@ object SnapTable {
   }
 
   private def stagedEntries(spark: SparkSession, dir: String,
-      id: String): (Int, Seq[String]) = {
+      id: String): (Int, Seq[String]) =
+    stagedEntriesOpt(spark, dir, id).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: SnapTable: no staged batch $id under $dir"))
+
+  /** [[stagedEntries]] that answers None for a missing list — the
+    * cleanup paths (discard, the abandoned sweep) read through this so
+    * a twin racing the same cleanup cannot turn idempotent no-op into a
+    * stream-killing exception (the exists-then-read TOCTOU window). A
+    * list deleted between exists() and open() lands here too. */
+  private def stagedEntriesOpt(spark: SparkSession, dir: String,
+      id: String): Option[(Int, Seq[String])] = {
     val f = fs(spark, dir)
     val p = stagedPath(dir, id)
-    require(f.exists(p), s"SnapTable: no staged batch $id under $dir")
-    val in = f.open(p)
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val text = try {
+      val in = f.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    } catch { case _: java.io.FileNotFoundException => return None }
     val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
     val base = lines.find(_.startsWith("# base="))
       .map(_.stripPrefix("# base=").toInt)
       .getOrElse(throw new IllegalStateException(
         s"SnapTable: staged list $id carries no base version"))
-    (base, lines.filterNot(_.startsWith("#")).toSeq)
+    Some((base, lines.filterNot(_.startsWith("#")).toSeq))
   }
 
   /** The staged rows, for the AUDIT step — exactly the batch's files,
@@ -861,23 +876,28 @@ object SnapTable {
     * its own random-token dir, so no other writer shares it). */
   def discard(spark: SparkSession, dir: String, id: String): Unit = {
     val f = fs(spark, dir)
-    if (!f.exists(stagedPath(dir, id))) return
-    val (_, entries) = stagedEntries(spark, dir, id)
-    entries.map(e => entryPath(e).split('/').dropRight(1).mkString("/"))
-      .distinct
-      .foreach(d0 => f.delete(new Path(s"$dir/$d0"), true))
-    f.delete(stagedPath(dir, id), false)
+    stagedEntriesOpt(spark, dir, id) match {
+      case None => // already swept (publish's stale path, or a twin)
+      case Some((_, entries)) =>
+        entries.map(e => entryPath(e).split('/').dropRight(1).mkString("/"))
+          .distinct
+          .foreach(d0 => f.delete(new Path(s"$dir/$d0"), true))
+        f.delete(stagedPath(dir, id), false)
+    }
   }
 
   /** Sweep PROVABLY-ABANDONED stagings: every staged batch whose
     * numeric tag is ≤ `upToBatch` (the caller's last-applied batch id).
     * Such a staging can never publish — its batch already landed (or
     * was superseded), and a publish attempt's own stamp recheck would
-    * skip — so it is crash litter, not in-flight work. A staging tagged
-    * with a batch GREATER than `upToBatch` is left alone: it may belong
-    * to a LIVE zombie twin mid-publish, and discarding it under the
-    * twin would either kill its stream (list gone at publish time) or,
-    * worse, delete files a just-committed manifest references.
+    * skip. It is USUALLY crash litter; it can also be a zombie twin
+    * still mid-cycle on the already-applied batch, which is why the
+    * audited-ingest loop wraps its cycle in a supersession guard (any
+    * failure once the stamp covers the batch reports "not published",
+    * never a stream death) and why discard/publish tolerate a missing
+    * list. A staging tagged with a batch GREATER than `upToBatch` is
+    * left alone: it may belong to a LIVE twin whose batch has NOT
+    * landed, and discarding it would forfeit data, not just work.
     *
     * A swept staging whose files turn out to be LIVE (its publish
     * committed but the crash hit before the list cleanup) loses only
@@ -889,16 +909,16 @@ object SnapTable {
     var swept = 0
     stagedIds(spark, dir).foreach { case (id, tag) =>
       val abandoned = scala.util.Try(tag.toLong).toOption.exists(_ <= upToBatch)
-      if (abandoned && f.exists(stagedPath(dir, id))) {
-        val (base, entries) = stagedEntries(spark, dir, id)
-        val paths = entries.map(entryPath).toSet
-        val cur = currentVersion(spark, dir)
-        val live = cur > 0 && readEntries(spark, dir, cur)
-          .exists(e => paths.contains(entryPath(e)))
-        if (live || stagedIdPublished(spark, dir, id, downTo = base))
-          f.delete(stagedPath(dir, id), false) // files live; list stale
-        else discard(spark, dir, id)
-        swept += 1
+      if (abandoned) stagedEntriesOpt(spark, dir, id).foreach {
+        case (base, entries) => // None = a racing twin swept it first
+          val paths = entries.map(entryPath).toSet
+          val cur = currentVersion(spark, dir)
+          val live = cur > 0 && readEntries(spark, dir, cur)
+            .exists(e => paths.contains(entryPath(e)))
+          if (live || stagedIdPublished(spark, dir, id, downTo = base))
+            f.delete(stagedPath(dir, id), false) // files live; list stale
+          else discard(spark, dir, id)
+          swept += 1
       }
     }
     swept

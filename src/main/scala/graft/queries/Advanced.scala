@@ -2206,13 +2206,18 @@ object Advanced {
     * Per-grouping flags are emitted as separate `grouping(col)`-style
     * ints (engine-portable; grouping_id bit orders are not guaranteed
     * to agree across engines). */
-  def q81GroupingSets(s: SparkSession, dir: String): DataFrame = {
-    // finest grouping once; feeds all three levels (multi-consumer rule)
-    val base = Tables.lineitem(s, dir)
+  /** q81's finest-grouping aggregate BEFORE the checkpoint barrier —
+    * separate so PlanShapeSpec can lock the real scan+agg shape (the
+    * barrier hides everything upstream from the outer query's plan). */
+  private[graft] def q81Base(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,2)")).as("qd"))
-      .localCheckpoint(eager = false)
+
+  def q81GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    // finest grouping once; feeds all three levels (multi-consumer rule)
+    val base = q81Base(s, dir).localCheckpoint(eager = false)
     val nullS = lit(null).cast("string")
     val lvl0 = base.select(col("l_returnflag"), col("l_linestatus"),
       lit(0L).as("g_rf"), lit(0L).as("g_ls"), col("n"), col("qd"))

@@ -418,19 +418,34 @@ object DocStreams {
           onResult(batchId, false) // already applied (or superseded)
         else {
           SnapTable.sweepAbandonedStagings(s, tableDir, applied)
-          val id = SnapTable.stage(batch, tableDir,
-            tag = batchId.toString)
-          if (audit(SnapTable.readStaged(s, tableDir, id))) {
-            val published = SnapTable.publish(s, tableDir, id,
-              Map("batch_id" -> batchId.toString),
-              skipIf =
-                () => SnapTable.lastAppliedBatch(s, tableDir) >= batchId)
-            if (published.isEmpty) // a zombie twin won; ours never landed
+          // SUPERSESSION GUARD around the whole stage→audit→publish
+          // cycle: once the winner's stamp covers this batch, any
+          // failure here is by definition a superseded zombie — e.g.
+          // the winner's NEXT batch swept this twin's still-tagged
+          // staging mid-audit (tag ≤ its lastApplied), so the audit
+          // scan or publish would otherwise die on missing files. The
+          // batch IS in the table; report "not published by me" and
+          // keep the stream alive. Failures while the batch is NOT
+          // applied rethrow untouched — those are real.
+          try {
+            val id = SnapTable.stage(batch, tableDir,
+              tag = batchId.toString)
+            if (audit(SnapTable.readStaged(s, tableDir, id))) {
+              val published = SnapTable.publish(s, tableDir, id,
+                Map("batch_id" -> batchId.toString),
+                skipIf =
+                  () => SnapTable.lastAppliedBatch(s, tableDir) >= batchId)
+              if (published.isEmpty) // a zombie twin won; ours never landed
+                SnapTable.discard(s, tableDir, id)
+              onResult(batchId, published.isDefined)
+            } else {
               SnapTable.discard(s, tableDir, id)
-            onResult(batchId, published.isDefined)
-          } else {
-            SnapTable.discard(s, tableDir, id)
-            onResult(batchId, false)
+              onResult(batchId, false)
+            }
+          } catch {
+            case e: Throwable
+                if SnapTable.lastAppliedBatch(s, tableDir) >= batchId =>
+              onResult(batchId, false)
           }
         }
       }

@@ -246,23 +246,29 @@ class ModelSpec extends SparkSpec {
   test("quantization boundary audit: every fitted floor(S·ln x) argument " +
       "clears the cross-libm ULP band") {
     // floor(S·ln(x)) agrees across engines only while no fitted argument
-    // sits within the engines' ln() disagreement of an integer boundary.
-    // ln is faithfully-rounded in both JDK StrictMath-backed Math.log and
-    // DuckDB's libm: ≤1 ulp each ⇒ cross-engine gap ≤ ~2 ulp of ln(x)
-    // ≲ 1e-15, i.e. ≲ 1e-9 in µ-nat units after the S = 1e6 scale. This
-    // turns "both engines floor to the same integer" from an observation
-    // into a checked property of the fixture corpus: every argument the
-    // fitted q125-family NB and q126 LM pipelines emit must clear the
-    // band with 1000× slack (min distance to an integer > 1e-6 µ-nats).
+    // sits within the engines' disagreement of an integer boundary. ln
+    // is faithfully rounded in both JDK Math.log and DuckDB's libm
+    // (≤1 ulp each), and the subsequent scale multiplies are correctly
+    // rounded, so the cross-engine gap is RELATIVE: a few ulp of the
+    // ARGUMENT, ≲ |arg|·1e-15 — NOT a flat 1e-9. The n_tok-amplified
+    // Poisson length terms reach |arg| ~ 1e9, where the band is ~1e-6
+    // µ-nats; a flat threshold there would "pass" arguments the engines
+    // can genuinely floor apart. So the demanded clearance scales with
+    // magnitude: dist > max(1e-9, |arg|·1e-15) · 1000 — three orders of
+    // slack over the disagreement band at every magnitude.
     val args = graft.ext.Model.quantBoundaryArgs(spark, sf)
       .collect().map(_.getDouble(0))
     assert(args.length > 100, s"audit relation too small (${args.length})")
     assert(args.forall(v => !v.isNaN && !v.isInfinite),
       "non-finite quantization argument")
-    val minDist = args.map(v => math.abs(v - math.rint(v))).min
-    assert(minDist > 1e-6,
-      f"a fitted argument sits $minDist%.3g µ-nats from an integer " +
-        "boundary — inside/near the cross-libm disagreement band; " +
-        "engines may floor it differently")
+    val offenders = args.filter { v =>
+      val band = math.max(1e-9, math.abs(v) * 1e-15)
+      math.abs(v - math.rint(v)) <= band * 1000
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.length} fitted argument(s) sit within 1000× the " +
+        "cross-libm disagreement band of an integer boundary " +
+        s"(sample: ${offenders.take(3).mkString(", ")}) — engines may " +
+        "floor them differently")
   }
 }

@@ -462,16 +462,29 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q81: chained grouping sets re-aggregate the finest grain — " +
       "no Expand, fact rows cross the aggregate once") {
+    // assert on the PRE-checkpoint base: the localCheckpoint barrier in
+    // the full query hides everything upstream (Scan ExistingRDD), so a
+    // plan lock on the outer query would pass vacuously — the exact
+    // "plan lock a checkpoint blinded" failure class from round 10
+    val base = graft.queries.Advanced.q81Base(spark, sf)
+    val pb = plan(base)
+    // the native groupingSets plan Expands every fact row once per set
+    // (3x the corpus through the partial agg); the chained-sets rewrite
+    // must keep the fact scan feeding ONE ordinary hash aggregate
+    assert(!pb.contains("Expand"),
+      s"q81 base regressed to the Expand plan (3x the scan at 100 TB):\n$pb")
+    assert("Scan parquet".r.findAllIn(pb).length == 1,
+      s"q81 base must scan lineitem exactly once:\n$pb")
+    assert(pb.contains("HashAggregate"),
+      s"q81 base lost its partial-aggregable hash agg:\n$pb")
+    // and the OUTER query (coarser sets over the checkpointed result)
+    // must not smuggle an Expand or a re-scan behind the barrier either
     val df = graft.queries.Advanced.q81GroupingSets(spark, sf)
     df.collect() // materialize the lazy localCheckpoint barrier
     val p = plan(df)
-    // the native groupingSets plan Expands every fact row once per set
-    // (3x the corpus through the partial agg); the chained-sets rewrite
-    // must keep the coarser sets on the few-row finest RESULT instead
-    assert(!p.contains("Expand"),
-      s"q81 regressed to the Expand plan (3x the fact scan at 100 TB):\n$p")
-    assert("Scan parquet".r.findAllIn(p).length <= 1,
-      s"q81 scans lineitem more than once:\n$p")
+    assert(!p.contains("Expand"), s"q81 outer plan grew an Expand:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"q81 outer plan re-scans parquet past the barrier:\n$p")
   }
 
   test("q193: pinned-vocabulary pivot is one scan, one aggregate, no join") {

@@ -590,7 +590,8 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.read(spark, d).filter(col("s") === "A9").count() === 1)
   }
 
-  test("strict (merge-mode) commits refuse ANY interleaved commit") {
+  test("strict (opt-in serializable mode) commits refuse ANY " +
+      "interleaved commit") {
     val d = tmp()
     SnapTable.create(Seq(1L).toDF("id"), d)
     SnapTable.append(Seq(2L).toDF("id"), d)
