@@ -95,12 +95,13 @@ class SkewSketchSpec extends SparkSpec {
   }
 
   test("q187: AMS sketch replays driver-side; median lane lands near F2") {
+    // estimator j's sign = bit j of md5(shingle): hex nibble (j div 4),
+    // bit (j mod 4) — one digest supplies all 32 draws (mirrors q187)
     def sign(j: Long, sh: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$j|$sh".getBytes("UTF-8"))
-      val b = java.lang.Long.parseLong(
-        d.take(4).map(x => f"${x & 0xff}%02x").mkString, 16) % 2
-      if (b == 0) 1L else -1L
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sh.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+      val nib = Integer.parseInt(hex.charAt((j / 4).toInt).toString, 16)
+      if (((nib >> (j % 4).toInt) & 1) == 0) 1L else -1L
     }
     val dfs = graft.tables.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
