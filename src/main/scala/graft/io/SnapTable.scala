@@ -747,14 +747,18 @@ object SnapTable {
     if (!f.exists(sd)) Seq.empty
     else f.listStatus(sd).map(_.getPath.getName)
       .collect { case n if n.endsWith(".list") => n.stripSuffix(".list") }
-      .map { id =>
-        val in = f.open(stagedPath(dir, id))
-        val text = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        val tag = text.split("\n").map(_.trim)
-          .find(_.startsWith("# tag="))
-          .map(_.stripPrefix("# tag=")).getOrElse("")
-        (id, tag)
+      .flatMap { id =>
+        // a twin's cleanup can delete a list between listStatus and
+        // open — a vanished staging is RESOLVED, not an error
+        try {
+          val in = f.open(stagedPath(dir, id))
+          val text = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          val tag = text.split("\n").map(_.trim)
+            .find(_.startsWith("# tag="))
+            .map(_.stripPrefix("# tag=")).getOrElse("")
+          Some((id, tag))
+        } catch { case _: java.io.FileNotFoundException => None }
       }.toSeq
   }
 

@@ -419,34 +419,53 @@ object DocStreams {
         else {
           SnapTable.sweepAbandonedStagings(s, tableDir, applied)
           // SUPERSESSION GUARD around the whole stage→audit→publish
-          // cycle: once the winner's stamp covers this batch, any
-          // failure here is by definition a superseded zombie — e.g.
-          // the winner's NEXT batch swept this twin's still-tagged
-          // staging mid-audit (tag ≤ its lastApplied), so the audit
-          // scan or publish would otherwise die on missing files. The
-          // batch IS in the table; report "not published by me" and
-          // keep the stream alive. Failures while the batch is NOT
-          // applied rethrow untouched — those are real.
-          try {
-            val id = SnapTable.stage(batch, tableDir,
-              tag = batchId.toString)
-            if (audit(SnapTable.readStaged(s, tableDir, id))) {
-              val published = SnapTable.publish(s, tableDir, id,
-                Map("batch_id" -> batchId.toString),
-                skipIf =
-                  () => SnapTable.lastAppliedBatch(s, tableDir) >= batchId)
-              if (published.isEmpty) // a zombie twin won; ours never landed
+          // cycle: once the winner's stamp covers this batch, a failure
+          // here is a superseded zombie — e.g. the winner's NEXT batch
+          // swept this twin's still-tagged staging mid-audit (tag ≤ its
+          // lastApplied), so the audit scan or publish would otherwise
+          // die on missing files. The batch IS in the table; report the
+          // TRUTHFUL outcome and keep the stream alive. Specifically:
+          // if OUR OWN staged id turns out stamped (publish committed,
+          // then e.g. its list cleanup threw), the outcome is
+          // published=true, not false; only NonFatal failures are
+          // caught (OOM/interrupt propagate); the recovery probes are
+          // Try-wrapped so a probe failure can't mask the original
+          // error; onResult fires exactly once, AFTER the cycle, so its
+          // own exceptions are never double-reported.
+          var stagedId: Option[String] = None
+          val outcome: Boolean =
+            try {
+              val id = SnapTable.stage(batch, tableDir,
+                tag = batchId.toString)
+              stagedId = Some(id)
+              if (audit(SnapTable.readStaged(s, tableDir, id))) {
+                val published = SnapTable.publish(s, tableDir, id,
+                  Map("batch_id" -> batchId.toString),
+                  skipIf =
+                    () => SnapTable.lastAppliedBatch(s, tableDir) >= batchId)
+                if (published.isEmpty) // a zombie twin won; ours never landed
+                  SnapTable.discard(s, tableDir, id)
+                published.isDefined
+              } else {
                 SnapTable.discard(s, tableDir, id)
-              onResult(batchId, published.isDefined)
-            } else {
-              SnapTable.discard(s, tableDir, id)
-              onResult(batchId, false)
+                false
+              }
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                val minePublished = stagedId.exists(sid => scala.util.Try(
+                  SnapTable.stagedIdPublished(s, tableDir, sid))
+                  .getOrElse(false))
+                val superseded = scala.util.Try(
+                  SnapTable.lastAppliedBatch(s, tableDir) >= batchId)
+                  .getOrElse(false)
+                if (!minePublished && !superseded) throw e
+                System.err.println(s"[graft] audited-ingest batch $batchId " +
+                  (if (minePublished)
+                    "committed; post-commit failure suppressed: "
+                  else "superseded mid-cycle; failure suppressed: ") + e)
+                minePublished
             }
-          } catch {
-            case e: Throwable
-                if SnapTable.lastAppliedBatch(s, tableDir) >= batchId =>
-              onResult(batchId, false)
-          }
+          onResult(batchId, outcome)
         }
       }
       .start()
