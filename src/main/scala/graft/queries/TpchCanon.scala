@@ -487,7 +487,139 @@ object TpchCanon {
        |GROUP BY n_name
        |ORDER BY n_name""".stripMargin
 
+  // ---- q253: small-quantity revenue loss (TPC-H Q17 shape) ---------------
+
+  /** The audited brand (Q17's Brand#23 analogue; populated at every SF). */
+  final val SmallQtyBrand = "Brand#4"
+
+  /** q253 — average yearly revenue lost by refusing small-quantity
+    * orders of one brand: lineitems of the brand's parts whose quantity
+    * falls below 20% of that PART's average quantity — TPC-H Q17's
+    * correlated-aggregate topology, decorrelated: the per-part average
+    * pre-aggregates ONCE over the brand-pruned fact rows (the same
+    * relation the outer query reads, materialized once behind a lazy
+    * localCheckpoint), then joins back on the part key. The threshold
+    * never becomes a double: `qty < avg/5` is spelled
+    * `5·qty·cnt < Σqty` in exact integers (quantities are integral),
+    * so boundary rows cannot flip on a ULP — the [[Det]] discipline
+    * applied to a PREDICATE, not just an output.
+    *
+    * Scale shape: the brand-filtered part list broadcasts into the
+    * fact scan (fact rows prune before anything widens); the per-part
+    * (Σqty, cnt) relation exchanges once on partkey and equi-joins the
+    * same pruned relation; output is ONE row — exact decimal Σrev,
+    * one IEEE division by 7. */
+  def q253SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_brand") === SmallQtyBrand)
+      .select(col("p_partkey"))
+    val pruned = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+      .localCheckpoint(eager = false) // feeds the stats AND the outer join
+    val stats = pruned.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qsum"),
+        count(lit(1)).as("qcnt"))
+    pruned.join(stats, Seq("l_partkey"))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("qcnt")
+        < col("qsum"))
+      .agg(count(lit(1)).as("n_small"),
+        (sum(col("l_extendedprice").cast(D)).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+  }
+
+  val q253Sql: String =
+    s"""WITH pr AS (
+       |  SELECT l_partkey, l_quantity, l_extendedprice
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = '$SmallQtyBrand'),
+       |st AS (
+       |  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS qsum,
+       |    CAST(count(*) AS BIGINT) AS qcnt
+       |  FROM pr GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_small,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       |    AS avg_yearly
+       |FROM pr JOIN st USING (l_partkey)
+       |WHERE CAST(l_quantity AS BIGINT) * 5 * qcnt < qsum""".stripMargin
+
+  // ---- q254: recently-hot promo-part suppliers (TPC-H Q20 shape) ---------
+
+  /** Recency cutoff and serve size for the promo-supplier worklist. */
+  final val PromoCutoff = "2000-01-01"
+  final val PromoTopK = 20
+
+  /** q254 — suppliers whose shipping of a promo part line has gone
+    * RECENT: the TPC-H Q20 topology — a nested name-filtered part list
+    * feeding a correlated aggregate on the COMPOSITE (part, supplier)
+    * key, resolved into a supplier→nation chain. The fixture ships no
+    * `partsupp`, so Q20's `availqty > ½·volume` re-anchors on lineitem
+    * itself: a (part, supplier) pair is HOT when >80% of its all-time
+    * shipped quantity shipped on/after [[PromoCutoff]]
+    * (`5·recent > 4·total`, exact integers); the serve is the top
+    * [[PromoTopK]] suppliers by hot-pair count (suppkey tie-break —
+    * unique row order, so the driver compares order-sensitively).
+    *
+    * Scale shape: the name-filtered part list broadcasts into the fact
+    * scan; ONE exchange on the composite (partkey, suppkey) key with
+    * map-side partial aggregation; the per-supplier rollup re-exchanges
+    * the pair-level relation (≤ |matched parts|·|suppliers per part|
+    * rows, already corpus-independent per pair); supplier and nation
+    * broadcast; TakeOrderedAndProject serves the top-k. */
+  def q254PromoSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.part(s, dir)
+      .filter(col("p_name").contains(ProfitPartToken))
+      .select(col("p_partkey"))
+    val qty = col("l_quantity").cast("long")
+    val g = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_shipdate"))
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(qty).as("total_qty"),
+        sum(when(col("l_shipdate") >= lit(PromoCutoff).cast("timestamp"),
+          qty).otherwise(0L)).as("recent_qty"))
+    val per = g.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(when(col("recent_qty") * 5 > col("total_qty") * 4, 1L)
+          .otherwise(0L)).as("n_hot"))
+    per
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_matched"), col("n_hot"))
+      .orderBy(col("n_hot").desc, col("s_suppkey"))
+      .limit(PromoTopK)
+  }
+
+  val q254Sql: String =
+    s"""WITH pp AS (
+       |  SELECT p_partkey FROM part
+       |  WHERE p_name LIKE '%$ProfitPartToken%'),
+       |g AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+       |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '$PromoCutoff'
+       |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS recent_qty
+       |  FROM lineitem JOIN pp ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |per AS (
+       |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_matched,
+       |    CAST(SUM(CASE WHEN recent_qty * 5 > total_qty * 4
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+       |  FROM g GROUP BY 1)
+       |SELECT s_suppkey, s_name, n_name, n_matched, n_hot
+       |FROM per
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |ORDER BY n_hot DESC, s_suppkey
+       |LIMIT $PromoTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_small_qty_revenue" -> (q253SmallQtyRevenue _),
+    "q254_promo_suppliers" -> (q254PromoSuppliers _),
     "q214_nation_volume" -> (q214NationVolume _),
     "q215_product_profit" -> (q215ProductProfit _),
     "q216_market_share" -> (q216MarketShare _),
@@ -498,6 +630,8 @@ object TpchCanon {
     "q221_idle_rich_customers" -> (q221IdleRichCustomers _))
 
   val oracles: Map[String, String] = Map(
+    "q253_small_qty_revenue" -> q253Sql,
+    "q254_promo_suppliers" -> q254Sql,
     "q214_nation_volume" -> q214Sql,
     "q215_product_profit" -> q215Sql,
     "q216_market_share" -> q216Sql,

@@ -571,6 +571,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p21.contains("CartesianProduct"), s"cartesian appeared:\n$p21")
   }
 
+  test("q253/q254: decorrelated-aggregate topologies stay equi-joined — " +
+      "promo serve is bounded top-k over broadcast dims") {
+    // q253: the per-part stats join must be an equi-join on the part
+    // key (the stats side is partkey-partitioned by its own groupBy, so
+    // no cartesian and no extra exchange on that side)
+    val p253 = plan(graft.queries.TpchCanon.q253SmallQtyRevenue(spark, sf))
+    assert(!p253.contains("CartesianProduct") &&
+      !p253.contains("BroadcastNestedLoopJoin"),
+      s"q253 planned an all-pairs join:\n$p253")
+    // q254: supplier/nation broadcast; the serve is TakeOrdered, never a
+    // global sort; nothing cartesian anywhere
+    val p254 = plan(graft.queries.TpchCanon.q254PromoSuppliers(spark, sf))
+    assert(p254.contains("TakeOrderedAndProject"),
+      s"q254 serve lost its bounded top-k:\n$p254")
+    assert("BroadcastHashJoin".r.findAllIn(p254).length >= 3,
+      s"q254 dimension joins stopped broadcasting:\n$p254")
+    assert(!p254.contains("CartesianProduct") &&
+      !p254.contains("BroadcastNestedLoopJoin"),
+      s"q254 planned an all-pairs join:\n$p254")
+  }
+
   test("q229: containment rides the capped shingle equi-join — hot set " +
       "broadcast-anti-joined out, never a cartesian") {
     val p = plan(graft.ext.Text.containmentPairs(spark, sf))
