@@ -377,9 +377,9 @@ class PropertySpec extends SparkSpec {
       val first = rows(4).toSet
       SnapTable.create(first.toSeq.toDF("id", "v"), d)
       history += first
-      (1 to 12).foreach { _ =>
+      (1 to 14).foreach { _ =>
         val cur = history.last
-        rnd.nextInt(5) match {
+        rnd.nextInt(7) match {
           case 0 => // append
             val add = rows(1 + rnd.nextInt(3)).toSet
             SnapTable.append(add.toSeq.toDF("id", "v"), d)
@@ -409,6 +409,31 @@ class PropertySpec extends SparkSpec {
             SnapTable.discard(spark, d, dId)
             assert(SnapTable.publish(spark, d, kId).isDefined)
             history += cur ++ keep
+          case 5 => // stale-base merge REBASES over a key-disjoint append
+            val base = history.size
+            val appended = rows(2).toSet
+            val upd = cur.toSeq.sortBy(_._1)
+              .lift(rnd.nextInt(math.max(cur.size, 1)))
+              .map { case (id, _) => (id, 777L) }.toSeq
+            val ins = rows(1)
+            SnapTable.append(appended.toSeq.toDF("id", "v"), d)
+            history += cur ++ appended
+            SnapTable.mergeFrom((upd ++ ins).toDF("id", "v"), d, "id", base)
+            history += history.last
+              .filterNot(r => upd.exists(_._1 == r._1)) ++ upd ++ ins
+          case 6 => // key-CLASHING interleave refuses; a retry against the
+            // current snapshot then succeeds
+            val base = history.size
+            val clash = rows(1)
+            val upd2 = clash.map { case (id, _) => (id, 555L) }
+            SnapTable.append(clash.toDF("id", "v"), d)
+            history += cur ++ clash
+            intercept[SnapTable.ConcurrentWriteException] {
+              SnapTable.mergeFrom(upd2.toDF("id", "v"), d, "id", base)
+            }
+            SnapTable.merge(upd2.toDF("id", "v"), d, "id")
+            history += history.last
+              .filterNot(r => clash.exists(_._1 == r._1)) ++ upd2
         }
         val got = SnapTable.read(spark, d).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
