@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, LangId, PortableSimHash, RollingHash, SimHash, SortedIntersectCount, SquaredDistance}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, IntDotProduct, IntSquaredDistance, LangId, PortableSimHash, RollingHash, SimHash, SortedIntersectCount, SquaredDistance}
 
 /** Session-build-time registration of the engine's custom Catalyst
   * expressions (the `SparkSessionExtensions` integration point — SURVEY.md
@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("squared_distance",
       "squared_distance(a, b) - squared Euclidean distance of two double arrays",
       es => SquaredDistance(es(0), es(1))))
+    e.injectFunction(fn("int_dot",
+      "int_dot(a, b) - exact integer dot product of two bigint arrays",
+      es => IntDotProduct(es(0), es(1))))
+    e.injectFunction(fn("int_squared_distance",
+      "int_squared_distance(a, b) - exact integer squared L2 distance of two bigint arrays",
+      es => IntSquaredDistance(es(0), es(1))))
     e.injectFunction(fn("rolling_hash",
       "rolling_hash(s) - 58-bit polynomial content fingerprint",
       es => RollingHash(es.head)))

@@ -1683,8 +1683,8 @@ object Similarity {
     short.join(qv, Seq("vec_id"))
       .join(broadcast(qints), Seq("qid"))
       .select(col("qid"), col("vec_id"),
-        aggregate(zip_with(col("q"), col("qq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, x) => a + x).as("d2i"))
+        graft.functions.VectorFunctions
+          .int_squared_distance(col("q"), col("qq")).as("d2i"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2i"), col("vec_id")))
         .cast("long"))
@@ -1925,8 +1925,8 @@ object Similarity {
       .join(broadcast(short), Seq("vec_id"))
       .join(broadcast(qints), Seq("qid"))
       .select(col("qid"), col("vec_id"),
-        aggregate(zip_with(col("q"), col("qq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, x) => a + x).as("d2i"))
+        graft.functions.VectorFunctions
+          .int_squared_distance(col("q"), col("qq")).as("d2i"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2i"), col("vec_id")))
         .cast("long"))
@@ -1966,8 +1966,8 @@ object Similarity {
     val exact = qv.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("q"), col("qq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, x) => a + x).as("d2i"))
+        graft.functions.VectorFunctions
+          .int_squared_distance(col("q"), col("qq")).as("d2i"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.top_k(PqTopK)(col("vec_id"),
         -col("d2i").cast("double")).as("top"))
@@ -2214,9 +2214,10 @@ object Similarity {
         .crossJoin(broadcast(q))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
-          // |dot| ≤ Dim·127² ≈ 2²⁰ — exact in the double TopK scores
-          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-            lit(0L), (acc, x) => acc + x).cast("double").as("dot"))
+          // |dot| ≤ Dim·127² ≈ 2²⁰ — exact in the double TopK scores;
+          // codegen'd (the lambda fold ran interpreted per pair)
+          graft.functions.VectorFunctions.int_dot(col("qa"), col("qb"))
+            .cast("double").as("dot"))
         .groupBy(col("query_id"))
         .agg(graft.functions.TopK.top_k(3)(col("neighbor_id"), col("dot"))
           .as("top"))
@@ -2521,8 +2522,8 @@ object Similarity {
       .join(quant.select(col("vec_id").as("nid"), col("q").as("qn")),
         Seq("nid"))
       .select(col("query_id"), col("nid"),
-        aggregate(zip_with(col("qp"), col("qn"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("dot"))
+        graft.functions.VectorFunctions.int_dot(col("qp"), col("qn"))
+          .as("dot"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("nid"))
     rr.withColumn("rnk", row_number().over(w).cast("long"))
@@ -2603,8 +2604,10 @@ object Similarity {
         col("label").as("neg_label")), Seq("nid"))
       .filter(col("label") =!= col("neg_label"))
       .select(col("vid"), col("label"), col("nid"), col("neg_label"),
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("dot"))
+        // codegen'd exact integer dot (value-identical to the
+        // aggregate(zip_with) fold, which ran interpreted per pair)
+        graft.functions.VectorFunctions.int_dot(col("qa"), col("qb"))
+          .as("dot"))
     val w = Window.partitionBy(col("vid"))
       .orderBy(col("dot").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))

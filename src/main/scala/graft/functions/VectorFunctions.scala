@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, Shim, SquaredDistance}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, IntDotProduct, IntSquaredDistance, Shim, SquaredDistance}
 
 /** User-facing Column API for the custom vector expressions
   * (implementation in org.apache.spark.sql.graft — see the Scaladoc there
@@ -16,6 +16,12 @@ object VectorFunctions {
   def squared_distance(a: Column, b: Column): Column =
     Shim.column(SquaredDistance(Shim.expression(a), Shim.expression(b)))
 
+  def int_dot(a: Column, b: Column): Column =
+    Shim.column(IntDotProduct(Shim.expression(a), Shim.expression(b)))
+
+  def int_squared_distance(a: Column, b: Column): Column =
+    Shim.column(IntSquaredDistance(Shim.expression(a), Shim.expression(b)))
+
   /** Make the functions SQL-callable on a session:
     * `SELECT cosine_sim(a.embedding, b.embedding) ...`. */
   def register(spark: SparkSession): Unit = {
@@ -25,5 +31,9 @@ object VectorFunctions {
       es => DotProduct(es(0), es(1)))
     Shim.registerFunction(spark, "squared_distance",
       es => SquaredDistance(es(0), es(1)))
+    Shim.registerFunction(spark, "int_dot",
+      es => IntDotProduct(es(0), es(1)))
+    Shim.registerFunction(spark, "int_squared_distance",
+      es => IntSquaredDistance(es(0), es(1)))
   }
 }

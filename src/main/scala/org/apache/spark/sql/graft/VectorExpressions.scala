@@ -261,3 +261,110 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Exact integer dot product of two `array<bigint>` columns — the
+  * q54-quantized int8 vectors' similarity kernel. The declarative
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)` spelling is value-identical
+  * but its higher-order-function lambdas evaluate INTERPRETED per row
+  * (the q126 lesson); on candidate-pair relations (q139 hard negatives,
+  * q158 re-rank) that per-pair CPU dominates the query. This expression
+  * keeps the multiply-add loop inside whole-stage codegen reading longs
+  * straight from UnsafeArrayData. |dot| ≤ D·127² ≈ 2²⁰ at D = 64 — no
+  * overflow headroom concern until D ~ 5·10¹³. NULL element or a length
+  * mismatch → NULL, exactly the fold's semantics (zip_with pads the
+  * shorter array with NULLs, which poison the sum). */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_dot"
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getLong(i) * y.getLong(i); i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $x.numElements();
+         |long $dot = 0L;
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $dot += $x.getLong($i) * $y.getLong($i);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $dot; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer squared L2 distance of two `array<bigint>` columns —
+  * the codegen twin of [[IntDotProduct]] for the PQ/IVF re-rank stages
+  * (q97/q153/q142), whose `(x−y)²` fold previously ran as interpreted
+  * lambdas per shortlist pair. Σ(x−y)² ≤ D·254² at int8 scale — exact
+  * in int64 with ~2⁴⁴ of headroom at D = 64. NULL element or a length
+  * mismatch → NULL (the fold's semantics). */
+case class IntSquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_squared_distance"
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $x.numElements();
+         |long $acc = 0L;
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $d = $x.getLong($i) - $y.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

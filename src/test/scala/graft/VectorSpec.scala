@@ -99,4 +99,40 @@ class VectorSpec extends SparkSpec {
       .collect()
     assert(r.forall(_.isNullAt(0)))
   }
+
+  test("int_dot / int_squared_distance equal the declarative integer " +
+      "fold exactly on corpus-quantized vectors; NULL semantics match") {
+    // the q139/q97 contract: the codegen loops must produce the SAME
+    // exact integers as aggregate(zip_with(...)) on real q54-quantized
+    // vectors — integer arithmetic, so equality is outright
+    val qv = graft.ext.Similarity.quantizedVectors(
+      graft.tables.Tables.embeddings(spark, sf))
+    val probes = qv.filter(col("vec_id") < 5).select(col("q").as("qq"))
+    val both = qv.crossJoin(probes).select(
+      graft.functions.VectorFunctions.int_dot(col("q"), col("qq"))
+        .as("fd"),
+      aggregate(zip_with(col("q"), col("qq"), (x, y) => x * y),
+        lit(0L), (a, v) => a + v).as("sd"),
+      graft.functions.VectorFunctions
+        .int_squared_distance(col("q"), col("qq")).as("fs"),
+      aggregate(zip_with(col("q"), col("qq"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, v) => a + v).as("ss"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "int_dot != fold")
+      assert(r.getLong(2) === r.getLong(3), "int_squared_distance != fold")
+    }
+    // NULL element poisons; NULL input propagates; length mismatch NULL
+    register(spark)
+    val n = spark.sql(
+      "SELECT int_dot(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)), " +
+        "int_squared_distance(array(1L, 2L), array(CAST(NULL AS BIGINT), 1L)), " +
+        "int_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)), " +
+        "int_squared_distance(array(1L, 2L), array(1L))")
+      .collect()(0)
+    // length mismatch → NULL too: zip_with pads the shorter array with
+    // NULLs, which poison the fold, so the expressions must match
+    (0 to 3).foreach(i => assert(n.isNullAt(i), s"col $i should be NULL"))
+  }
 }
