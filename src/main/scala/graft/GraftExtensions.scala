@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, IntDotProduct, IntSquaredDistance, LangId, PortableSimHash, RollingHash, SimHash, SortedIntersectCount, SquaredDistance}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, IntDotProduct, IntMatchCount, IntSquaredDistance, LangId, PortableSimHash, RollingHash, SimHash, SortedIntersectCount, SquaredDistance}
 
 /** Session-build-time registration of the engine's custom Catalyst
   * expressions (the `SparkSessionExtensions` integration point — SURVEY.md
@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("int_squared_distance",
       "int_squared_distance(a, b) - exact integer squared L2 distance of two bigint arrays",
       es => IntSquaredDistance(es(0), es(1))))
+    e.injectFunction(fn("int_match_count",
+      "int_match_count(a, b) - count of equal positions of two bigint arrays",
+      es => IntMatchCount(es(0), es(1))))
     e.injectFunction(fn("rolling_hash",
       "rolling_hash(s) - 58-bit polynomial content fingerprint",
       es => RollingHash(es.head)))

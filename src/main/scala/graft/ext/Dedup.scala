@@ -107,9 +107,11 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"),
-        (aggregate(zip_with(col("a_sig"), col("b_sig"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / P).as("est_jaccard"))
+        // codegen signature-agreement count (value-identical to the
+        // interpreted when(x === y, 1) fold)
+        (graft.functions.VectorFunctions
+          .int_match_count(col("a_sig"), col("b_sig"))
+          .cast("double") / P).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -142,9 +144,11 @@ object Dedup {
         col("a_sig"), col("b_sig"))
       .dropDuplicates("lid", "gid")
       .select(col("lid").as("a_id"), col("gid").as("b_id"),
-        (aggregate(zip_with(col("a_sig"), col("b_sig"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / P).as("est_jaccard"))
+        // codegen signature-agreement count (value-identical to the
+        // interpreted when(x === y, 1) fold)
+        (graft.functions.VectorFunctions
+          .int_match_count(col("a_sig"), col("b_sig"))
+          .cast("double") / P).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
   }
 
@@ -1823,9 +1827,8 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"),
-        aggregate(zip_with(col("a_sig"), col("b_sig"),
-          (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).as("est"))
+        graft.functions.VectorFunctions
+          .int_match_count(col("a_sig"), col("b_sig")).as("est"))
     cand
       .join(staged.select(col("doc_id").as("a_id"), col("hset").as("ha")),
         Seq("a_id"))

@@ -65,8 +65,8 @@ object Retrieval {
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id"),
         // |dot| ≤ 64·127² ≈ 2²⁰ — exact in the double TopK score
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).cast("double").as("dot"))
+        graft.functions.VectorFunctions.int_dot(col("qa"), col("qb"))
+          .cast("double").as("dot"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.top_k(FuseK)(col("doc_id"), col("dot"))
         .as("top"))
@@ -295,8 +295,8 @@ object Retrieval {
         .crossJoin(broadcast(q))
         .filter(col("doc_id") =!= col("query_id"))
         .select(col("query_id"), col("doc_id"),
-          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-            lit(0L), (acc, x) => acc + x).cast("double").as("dot"))
+          graft.functions.VectorFunctions.int_dot(col("qa"), col("qb"))
+            .cast("double").as("dot"))
         .groupBy(col("query_id"))
         .agg(graft.functions.TopK.top_k(MrrTruthK)(col("doc_id"), col("dot"))
           .as("top"))
@@ -536,8 +536,8 @@ object Retrieval {
       col("q").as("hi_q"))
     val suppressed = sv.join(hi, Seq("query_id"))
       .filter(col("hi_rnk") < col("rnk"))
-      .filter(aggregate(zip_with(col("q"), col("hi_q"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x) >= SuppressDotMin)
+      .filter(graft.functions.VectorFunctions
+        .int_dot(col("q"), col("hi_q")) >= SuppressDotMin)
       .select(col("query_id"), col("doc_id")).distinct()
     sl.join(suppressed, Seq("query_id", "doc_id"), "left_anti")
       .withColumn("new_rnk", row_number().over(

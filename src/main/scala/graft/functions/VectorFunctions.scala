@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, IntDotProduct, IntSquaredDistance, Shim, SquaredDistance}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, IntDotProduct, IntMatchCount, IntSquaredDistance, Shim, SquaredDistance}
 
 /** User-facing Column API for the custom vector expressions
   * (implementation in org.apache.spark.sql.graft — see the Scaladoc there
@@ -22,6 +22,9 @@ object VectorFunctions {
   def int_squared_distance(a: Column, b: Column): Column =
     Shim.column(IntSquaredDistance(Shim.expression(a), Shim.expression(b)))
 
+  def int_match_count(a: Column, b: Column): Column =
+    Shim.column(IntMatchCount(Shim.expression(a), Shim.expression(b)))
+
   /** Make the functions SQL-callable on a session:
     * `SELECT cosine_sim(a.embedding, b.embedding) ...`. */
   def register(spark: SparkSession): Unit = {
@@ -35,5 +38,7 @@ object VectorFunctions {
       es => IntDotProduct(es(0), es(1)))
     Shim.registerFunction(spark, "int_squared_distance",
       es => IntSquaredDistance(es(0), es(1)))
+    Shim.registerFunction(spark, "int_match_count",
+      es => IntMatchCount(es(0), es(1)))
   }
 }

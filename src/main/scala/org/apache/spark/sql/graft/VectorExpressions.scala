@@ -368,3 +368,54 @@ case class IntSquaredDistance(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Count of positions where two `array<bigint>` columns hold EQUAL
+  * values — the MinHash signature-agreement kernel (est_jaccard =
+  * matches / P), codegen'd for the candidate-pair hot loops (q24/q49
+  * and the incremental-cluster gates) where the
+  * `aggregate(zip_with(.., when(x === y, 1)..))` spelling evaluated
+  * interpreted per pair. Fold semantics preserved EXACTLY: that fold's
+  * `when` counts a NULL on either side (and zip_with's padding beyond
+  * the shorter array) as 0 — it never poisons — so this expression
+  * loops the shorter length, skips null elements, and returns NULL only
+  * for a NULL input array. */
+case class IntMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_match_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0L; var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        c += 1L
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $c = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)
+         |      && $x.getLong($i) == $y.getLong($i)) { $c += 1L; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
