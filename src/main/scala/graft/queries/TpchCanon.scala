@@ -617,7 +617,58 @@ object TpchCanon {
        |ORDER BY n_hot DESC, s_suppkey
        |LIMIT $PromoTopK""".stripMargin
 
+  // ---- q255: top revenue supplier(s) (TPC-H Q15 shape) --------------------
+
+  /** Q15's quarter window (inclusive start, exclusive end). */
+  final val TopRevStart = "2000-01-01"
+  final val TopRevEnd = "2000-04-01"
+
+  /** q255 — supplier(s) achieving the MAXIMUM quarterly revenue: the
+    * TPC-H Q15 topology — an aggregate view (revenue per supplier over
+    * a shipdate window) joined against its own scalar max. The equality
+    * join runs on EXACT decimals (the [[Det]] discipline): `rev` and
+    * `max(rev)` are the same exact decimal sums, so the winning row
+    * matches bit-for-bit in both engines — with double revenue this is
+    * the canonical ULP trap (a tie at the max flips on summation
+    * order). The decimal stays INTERNAL; the output emits double.
+    *
+    * Scale shape: one windowed fact scan partial-aggregated on suppkey
+    * (the revenue view materializes once — it feeds the scalar max AND
+    * the equality filter); the max is a 1-row broadcast; supplier
+    * broadcasts; output is the winner row(s). */
+  def q255TopRevenueSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(TopRevStart).cast("timestamp") &&
+        col("l_shipdate") < lit(TopRevEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revDec).as("revd"))
+      .localCheckpoint(eager = false) // feeds the max AND the filter
+    val mx = rev.agg(max(col("revd")).as("mxd"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("revd") === col("mxd"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("revd").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q255Sql: String =
+    s"""WITH r AS (
+       |  SELECT l_suppkey, sum($revSql) AS revd
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$TopRevStart'
+       |    AND l_shipdate < TIMESTAMP '$TopRevEnd'
+       |  GROUP BY 1),
+       |m AS (SELECT max(revd) AS mxd FROM r)
+       |SELECT s_suppkey, s_name, CAST(revd AS DOUBLE) AS total_rev
+       |FROM r CROSS JOIN m
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE revd = mxd
+       |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_top_rev_supplier" -> (q255TopRevenueSupplier _),
     "q253_small_qty_revenue" -> (q253SmallQtyRevenue _),
     "q254_promo_suppliers" -> (q254PromoSuppliers _),
     "q214_nation_volume" -> (q214NationVolume _),
@@ -630,6 +681,7 @@ object TpchCanon {
     "q221_idle_rich_customers" -> (q221IdleRichCustomers _))
 
   val oracles: Map[String, String] = Map(
+    "q255_top_rev_supplier" -> q255Sql,
     "q253_small_qty_revenue" -> q253Sql,
     "q254_promo_suppliers" -> q254Sql,
     "q214_nation_volume" -> q214Sql,

@@ -34,4 +34,29 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("observed telemetry rides the production action: curation drop " +
+      "counts arrive with zero extra scans and match a recount") {
+    import org.apache.spark.sql.functions._
+    // observe the INPUT stage of the q55 curation pipeline: rows in,
+    // null-text rows, short rows — the per-drop audit numbers an ingest
+    // dashboard wants, accumulated on the same tasks that run the query
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val (observed, obs) = graft.ops.Telemetry.observed(docs, "ingest",
+      "n_in" -> count(lit(1)),
+      "n_null_text" -> sum(col("text").isNull.cast("long")),
+      "n_short" -> sum((col("n_chars") < 100).cast("long")))
+    val kept = observed.filter(col("text").isNotNull &&
+      col("n_chars") >= 100).count() // the ONE production action
+    val m = obs.get
+    assert(m("n_in").asInstanceOf[Long] === docs.count())
+    assert(m("n_null_text").asInstanceOf[Long] ===
+      docs.filter(col("text").isNull).count())
+    assert(m("n_short").asInstanceOf[Long] ===
+      docs.filter(col("n_chars") < 100).count())
+    // the observed numbers reconcile with the kept count (nulls have
+    // NULL n_chars in this corpus check — recount directly)
+    assert(kept === docs.filter(col("text").isNotNull &&
+      col("n_chars") >= 100).count())
+  }
 }
