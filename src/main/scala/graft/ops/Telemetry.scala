@@ -38,4 +38,17 @@ object Telemetry {
     val cols = metrics.map { case (n, c) => c.as(n) }
     (df.observe(obs, cols.head, cols.tail: _*), obs)
   }
+
+  /** The STREAMING spelling: `Observation` refuses streaming frames
+    * (one handle, many micro-batches), so streams observe by NAME and
+    * the per-micro-batch values surface on every progress event —
+    * `query.recentProgress.map(_.observedMetrics.get(name))` (or a
+    * StreamingQueryListener for push delivery). Same expressions, same
+    * plan node, same zero-extra-pass property per micro-batch. */
+  def observedStream(df: DataFrame, name: String,
+      metrics: (String, Column)*): DataFrame = {
+    require(metrics.nonEmpty, "Telemetry.observedStream: no metrics given")
+    val cols = metrics.map { case (n, c) => c.as(n) }
+    df.observe(name, cols.head, cols.tail: _*)
+  }
 }

@@ -960,6 +960,37 @@ class StreamingSpec extends SparkSpec {
     assert(SnapTable.read(spark, table, Some(1)).count() === slice(0).count())
   }
 
+  test("streaming observed metrics: per-micro-batch ingest audit rides " +
+      "the stream's own tasks (observe + progress.observedMetrics)") {
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, sf)
+      .filter(col("n_chars").isNotNull).limit(200).localCheckpoint()
+    val dropsDir = Files.createTempDirectory("graft-obs-drops").toString
+    val ckpt = Files.createTempDirectory("graft-obs-ckpt").toString
+    // two drops → maxFilesPerTrigger=1 forces ≥2 micro-batches
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dropsDir)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dropsDir)
+    val obsDf = graft.ops.Telemetry.observedStream(
+      DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+      "ingest",
+      "n_in" -> count(lit(1)),
+      "n_short" -> sum((col("n_chars") < 100).cast("long")))
+    val q = obsDf.writeStream
+      .option("checkpointLocation", ckpt)
+      .format("noop").start()
+    try q.processAllAvailable() finally q.stop()
+    // per-micro-batch metrics surface on the progress events; their sum
+    // must reconcile exactly with the corpus — no second scan ran
+    val per = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest")))
+    assert(per.size >= 2, s"expected ≥2 observed micro-batches, got $per")
+    assert(per.map(_.getLong(0)).sum === docs.count())
+    assert(per.map(_.getLong(1)).sum ===
+      docs.filter(col("n_chars") < 100).count())
+  }
+
   test("audited streaming ingest: failing drops discard invisibly, " +
       "passing drops publish exactly-once, restart redelivery no-ops") {
     import graft.io.SnapTable
