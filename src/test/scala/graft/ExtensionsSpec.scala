@@ -29,6 +29,29 @@ class ExtensionsSpec extends SparkSpec {
       assert(rh.getLong(0) > 0)
       assert(rh.getDouble(2) === 6.0)
       assert(rh.getLong(3) > 0)
+      // optimizer tier: the declarative sorted-intersect-size spelling
+      // auto-upgrades to the allocation-free merge kernel — plan shows
+      // sorted_intersect_count, value unchanged (inputs reference `id`
+      // so constant folding cannot pre-evaluate the whole expression)
+      val up = s2.range(1).selectExpr(
+        "size(array_intersect(sort_array(array(3L, id + 1L, 2L)), " +
+          "sort_array(array(2L, 9L, 3L)))) AS c")
+      assert(up.collect()(0).getInt(0) === 2)
+      assert(up.queryExecution.optimizedPlan.toString
+        .contains("sorted_intersect_count"),
+        up.queryExecution.optimizedPlan.toString)
+      // guards hold: unsorted inputs and nullable elements do NOT rewrite
+      val noRw = s2.range(1).selectExpr(
+        "size(array_intersect(array(3L, id + 1L, 2L), " +
+          "array(2L, 9L, 3L))) AS a",
+        "size(array_intersect(sort_array(array(id + 1L, " +
+          "CAST(NULL AS BIGINT))), sort_array(array(id + 1L, " +
+          "CAST(NULL AS BIGINT))))) AS b")
+      assert(!noRw.queryExecution.optimizedPlan.toString
+        .contains("sorted_intersect_count"))
+      val noRwRow = noRw.collect()(0)
+      assert(noRwRow.getInt(0) === 2)
+      assert(noRwRow.getInt(1) === 2) // null elements COUNT in intersect
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
