@@ -509,13 +509,20 @@ object TpchCanon {
     * (Σqty, cnt) relation exchanges once on partkey and equi-joins the
     * same pruned relation; output is ONE row — exact decimal Σrev,
     * one IEEE division by 7. */
-  def q253SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+  /** q253's brand-pruned fact rows BEFORE the checkpoint barrier —
+    * separate so PlanShapeSpec can lock the broadcast prune shape (the
+    * barrier hides everything upstream from the outer query's plan). */
+  private[graft] def q253Pruned(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir).filter(col("p_brand") === SmallQtyBrand)
       .select(col("p_partkey"))
-    val pruned = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .drop("p_partkey")
+  }
+
+  def q253SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val pruned = q253Pruned(s, dir)
       .localCheckpoint(eager = false) // feeds the stats AND the outer join
     val stats = pruned.groupBy(col("l_partkey"))
       .agg(sum(col("l_quantity").cast("long")).as("qsum"),

@@ -433,6 +433,11 @@ object DocStreams {
           // error; onResult fires exactly once, AFTER the cycle, so its
           // own exceptions are never double-reported.
           var stagedId: Option[String] = None
+          // our publish can only stamp a version committed AFTER this
+          // cycle started — bounds the recovery probe's manifest walk
+          // (stagedIdPublished is O(versions since downTo), and the
+          // staged list itself may already be swept when we need it)
+          val cycleBaseV = SnapTable.currentVersion(s, tableDir)
           val outcome: Boolean =
             try {
               val id = SnapTable.stage(batch, tableDir,
@@ -453,7 +458,8 @@ object DocStreams {
             } catch {
               case scala.util.control.NonFatal(e) =>
                 val minePublished = stagedId.exists(sid => scala.util.Try(
-                  SnapTable.stagedIdPublished(s, tableDir, sid))
+                  SnapTable.stagedIdPublished(s, tableDir, sid,
+                    downTo = cycleBaseV))
                   .getOrElse(false))
                 val superseded = scala.util.Try(
                   SnapTable.lastAppliedBatch(s, tableDir) >= batchId)

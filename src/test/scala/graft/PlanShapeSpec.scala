@@ -573,9 +573,18 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q253/q254: decorrelated-aggregate topologies stay equi-joined — " +
       "promo serve is bounded top-k over broadcast dims") {
-    // q253: the per-part stats join must be an equi-join on the part
-    // key (the stats side is partkey-partitioned by its own groupBy, so
-    // no cartesian and no extra exchange on that side)
+    // q253: assert on the PRE-checkpoint prune (the barrier hides it
+    // from the outer plan — the vacuous-lock trap): the brand filter
+    // must broadcast into the fact scan as an equi-join
+    val pp = plan(graft.queries.TpchCanon.q253Pruned(spark, sf))
+    assert(pp.contains("BroadcastHashJoin"),
+      s"q253 brand prune stopped broadcasting:\n$pp")
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"q253 prune planned an all-pairs join:\n$pp")
+    assert("Scan parquet".r.findAllIn(pp).length == 2,
+      s"q253 prune should scan lineitem + part exactly once each:\n$pp")
+    // and the post-barrier stats join stays equi-keyed
     val p253 = plan(graft.queries.TpchCanon.q253SmallQtyRevenue(spark, sf))
     assert(!p253.contains("CartesianProduct") &&
       !p253.contains("BroadcastNestedLoopJoin"),
