@@ -1094,6 +1094,43 @@ object SnapTable {
       .orderBy(col("source"))    // it does from a rescan
   }
 
+  /** Fold the manifest deltas of versions (fromV, toV] into a carried
+    * per-source (n_docs, char_sum) state — q251's IVM step as a
+    * REUSABLE primitive for maintained views (the streaming twin folds
+    * each micro-batch's new versions; `fromV = 0` re-seeds from v1).
+    * Each step reads ONLY the files the transition added/removed; the
+    * per-delta aggregates are #sources rows, so the driver fold is
+    * bounded regardless of corpus size. Invertible aggregates only —
+    * a removed file's rows subtract. Sources folded to zero docs drop
+    * from the state (a re-appearing source re-enters fresh — (0,0)
+    * plus the new delta is the same state either way). */
+  def ivmFoldSourceStats(s: SparkSession, dir: String, fromV: Int,
+      toV: Int, state: Map[String, (Long, Long)])
+      : Map[String, (Long, Long)] = {
+    def filesOf(v: Int): Set[String] =
+      if (v <= 0) Set.empty else readEntries(s, dir, v).map(entryPath).toSet
+    var st = state
+    (fromV + 1 to toV).foreach { v =>
+      val (prev, cur) = (filesOf(v - 1), filesOf(v))
+      def fold(paths: Set[String], sign: Long): Unit =
+        if (paths.nonEmpty)
+          s.read.option("mergeSchema", "true")
+            .parquet(paths.toSeq.sorted.map(p => s"$dir/$p"): _*)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("dn"), sum(col("n_chars")).as("dchars"))
+            .collect().foreach { r =>
+              val k = r.getString(0)
+              val dch = if (r.isNullAt(2)) 0L else r.getLong(2)
+              val (n0, c0) = st.getOrElse(k, (0L, 0L))
+              st = st.updated(k, (n0 + sign * r.getLong(1),
+                c0 + sign * dch))
+            }
+      fold(cur -- prev, 1L)
+      fold(prev -- cur, -1L)
+    }
+    st.filter { case (_, (n, _)) => n > 0 }
+  }
+
   /** Full-rescan closed form of the post-merge state (q238's oracle
     * without the non-invertible max column). */
   val snapshotIvmStatsSql: String =

@@ -991,6 +991,58 @@ class StreamingSpec extends SparkSpec {
       docs.filter(col("n_chars") < 100).count())
   }
 
+  test("streaming IVM over snapshot ingest: per-wave maintained view " +
+      "equals a full rescan; restart re-seeds; redelivery no-ops") {
+    import graft.io.SnapTable
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, sf)
+      .filter(col("n_chars").isNotNull).localCheckpoint(eager = false)
+    def slice(i: Int) = docs.filter(col("doc_id") % 3 === i)
+    val dropsDir = Files.createTempDirectory("graft-ivm-drops").toString
+    val ckpt = Files.createTempDirectory("graft-ivm-ckpt").toString
+    val table = Files.createTempDirectory("graft-ivm-table").toString
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Map[String, (Long, Long)])]
+    def start() = DocStreams.maintainSnapshotIngestIvm(
+      DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+      table, ckpt) { (id, c, st) =>
+      this.synchronized { reports += ((id, c, st)) }
+    }
+    def rescan(): Map[String, (Long, Long)] =
+      SnapTable.read(spark, table).groupBy(col("source"))
+        .agg(count(lit(1)), sum(col("n_chars"))).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    slice(0).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    slice(1).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(reports.size >= 2 && reports.forall(_._2),
+      s"expected >=2 committed waves: $reports")
+    // the LAST maintained state must equal a full rescan of the table
+    assert(reports.last._3 === rescan(), "maintained view diverged")
+    // a delete commits OUT-OF-BAND (maintenance, not a stream batch) —
+    // the next wave's fold must pick its file-delta up too
+    SnapTable.deleteWhere(spark, table, col("doc_id") % 9 === 0)
+    slice(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q2 = start() // restart: re-seeds from v1 then folds the rest
+    try q2.processAllAvailable() finally q2.stop()
+    assert(reports.last._3 === rescan(),
+      "restarted view diverged after out-of-band delete + new drop")
+    // redelivered batch (fresh checkpoint, same drops): commits no-op
+    // but the report still carries the correct current state
+    val ckpt2 = Files.createTempDirectory("graft-ivm-ckpt2").toString
+    val before = SnapTable.currentVersion(spark, table)
+    val q3 = DocStreams.maintainSnapshotIngestIvm(
+      DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+      table, ckpt2) { (id, c, st) =>
+      this.synchronized { reports += ((id, c, st)) }
+    }
+    try q3.processAllAvailable() finally q3.stop()
+    assert(SnapTable.currentVersion(spark, table) === before,
+      "redelivery committed — not exactly-once")
+    assert(reports.last._2 === false && reports.last._3 === rescan())
+  }
+
   test("audited streaming ingest: failing drops discard invisibly, " +
       "passing drops publish exactly-once, restart redelivery no-ops") {
     import graft.io.SnapTable
