@@ -1072,8 +1072,6 @@ object SnapTable {
   def snapshotIvmStats(s: SparkSession, dir: String): DataFrame = {
     val d = snapDocs(s, dir)
     val vmax = currentVersion(s, d)
-    def filesOf(v: Int): Set[String] =
-      readEntries(s, d, v).map(entryPath).toSet
     def signedAgg(paths: Set[String], sign: Long): Option[DataFrame] =
       if (paths.isEmpty) None
       else Some(s.read.option("mergeSchema", "true")
@@ -1081,11 +1079,13 @@ object SnapTable {
         .groupBy(col("source"))
         .agg((count(lit(1)) * sign).as("dn"),
           (sum(col("n_chars")) * sign).as("dchars")))
-    val deltas = (2 to vmax).flatMap { v =>
-      val (prev, cur) = (filesOf(v - 1), filesOf(v))
-      signedAgg(cur -- prev, 1L) ++ signedAgg(prev -- cur, -1L)
+    // fromV = 0: v1's "delta" is its whole file set — the same shared
+    // manifest-delta rule the streaming fold uses (no drift possible)
+    val deltas = manifestDeltas(s, d, 0, vmax).flatMap {
+      case (added, removed) =>
+        signedAgg(added, 1L) ++ signedAgg(removed, -1L)
     }
-    (signedAgg(filesOf(1), 1L).get +: deltas)
+    deltas
       .reduce(_ unionByName _)
       .groupBy(col("source"))
       .agg(sum(col("dn")).as("n_docs"),
@@ -1094,39 +1094,78 @@ object SnapTable {
       .orderBy(col("source"))    // it does from a rescan
   }
 
+  /** (added, removed) file-path deltas of each version transition in
+    * (fromV, toV] — THE manifest-delta rule, shared by the q251 batch
+    * IVM and the streaming fold so the two cannot drift. Each manifest
+    * is read exactly once (the previous version's file set carries
+    * forward), so a walk over V versions costs V+1 manifest reads, not
+    * 2V — on HDFS that is NameNode round-trips on a stream's recovery
+    * path. `fromV = 0` starts from the empty table (v1's delta = its
+    * whole file set). */
+  private[graft] def manifestDeltas(s: SparkSession, dir: String,
+      fromV: Int, toV: Int): Seq[(Set[String], Set[String])] = {
+    var prev: Set[String] =
+      if (fromV <= 0) Set.empty
+      else readEntries(s, dir, fromV).map(entryPath).toSet
+    (fromV + 1 to toV).map { v =>
+      val cur = readEntries(s, dir, v).map(entryPath).toSet
+      val d = (cur -- prev, prev -- cur)
+      prev = cur
+      d
+    }
+  }
+
   /** Fold the manifest deltas of versions (fromV, toV] into a carried
     * per-source (n_docs, char_sum) state — q251's IVM step as a
     * REUSABLE primitive for maintained views (the streaming twin folds
-    * each micro-batch's new versions; `fromV = 0` re-seeds from v1).
-    * Each step reads ONLY the files the transition added/removed; the
-    * per-delta aggregates are #sources rows, so the driver fold is
-    * bounded regardless of corpus size. Invertible aggregates only —
-    * a removed file's rows subtract. Sources folded to zero docs drop
-    * from the state (a re-appearing source re-enters fresh — (0,0)
-    * plus the new delta is the same state either way). */
+    * each micro-batch's new versions; `fromV = 0` re-seeds). Each step
+    * reads ONLY the files the transition added/removed; the per-delta
+    * aggregates are #sources rows, so the driver fold is bounded
+    * regardless of corpus size. Invertible aggregates only — a removed
+    * file's rows subtract. Sources folded to zero docs drop from the
+    * state (a re-appearing source re-enters fresh).
+    *
+    * VACUUM-AWARE: delta folding needs `fromV`'s manifest and every
+    * subsequent transition's removed files. When vacuum retired the
+    * fold point (manifest gone), the carried state cannot be advanced
+    * delta-wise — the fold RESETS and re-seeds from the oldest RETAINED
+    * manifest, treating it as a whole-table add; transitions between
+    * retained versions stay safe (their removed files are referenced
+    * by a retained manifest, which vacuum preserves). A plain `fromV =
+    * 0` restart on a vacuumed table takes the same path instead of
+    * dying on the retired v1. */
   def ivmFoldSourceStats(s: SparkSession, dir: String, fromV: Int,
       toV: Int, state: Map[String, (Long, Long)])
       : Map[String, (Long, Long)] = {
-    def filesOf(v: Int): Set[String] =
-      if (v <= 0) Set.empty else readEntries(s, dir, v).map(entryPath).toSet
+    val f = fs(s, dir)
+    def retained(v: Int): Boolean =
+      v >= 1 && f.exists(manifestPath(dir, v))
     var st = state
-    (fromV + 1 to toV).foreach { v =>
-      val (prev, cur) = (filesOf(v - 1), filesOf(v))
-      def fold(paths: Set[String], sign: Long): Unit =
-        if (paths.nonEmpty)
-          s.read.option("mergeSchema", "true")
-            .parquet(paths.toSeq.sorted.map(p => s"$dir/$p"): _*)
-            .groupBy(col("source"))
-            .agg(count(lit(1)).as("dn"), sum(col("n_chars")).as("dchars"))
-            .collect().foreach { r =>
-              val k = r.getString(0)
-              val dch = if (r.isNullAt(2)) 0L else r.getLong(2)
-              val (n0, c0) = st.getOrElse(k, (0L, 0L))
-              st = st.updated(k, (n0 + sign * r.getLong(1),
-                c0 + sign * dch))
-            }
-      fold(cur -- prev, 1L)
-      fold(prev -- cur, -1L)
+    def fold(paths: Set[String], sign: Long): Unit =
+      if (paths.nonEmpty)
+        s.read.option("mergeSchema", "true")
+          .parquet(paths.toSeq.sorted.map(p => s"$dir/$p"): _*)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("dn"), sum(col("n_chars")).as("dchars"))
+          .collect().foreach { r =>
+            val k = r.getString(0)
+            val dch = if (r.isNullAt(2)) 0L else r.getLong(2)
+            val (n0, c0) = st.getOrElse(k, (0L, 0L))
+            st = st.updated(k, (n0 + sign * r.getLong(1), c0 + sign * dch))
+          }
+    var base = fromV
+    if (base <= 0 || !retained(base)) {
+      var r = 1
+      while (r <= toV && !retained(r)) r += 1
+      require(r <= toV,
+        s"SnapTable: no retained manifest ≤ v$toV under $dir")
+      st = Map.empty // stale carried state cannot be advanced delta-wise
+      fold(readEntries(s, dir, r).map(entryPath).toSet, 1L)
+      base = r
+    }
+    manifestDeltas(s, dir, base, toV).foreach { case (added, removed) =>
+      fold(added, 1L)
+      fold(removed, -1L)
     }
     st.filter { case (_, (n, _)) => n > 0 }
   }

@@ -1041,6 +1041,16 @@ class StreamingSpec extends SparkSpec {
     assert(SnapTable.currentVersion(spark, table) === before,
       "redelivery committed — not exactly-once")
     assert(reports.last._2 === false && reports.last._3 === rescan())
+    // VACUUM retires old manifests/files between restarts: the re-seed
+    // must fall back to the oldest RETAINED manifest as a whole-table
+    // add instead of dying on the vacuumed v1
+    SnapTable.vacuum(spark, table, retain = 2)
+    docs.filter(col("doc_id") % 9 === 4).limit(20).coalesce(1)
+      .write.mode("append").parquet(dropsDir)
+    val q4 = start()
+    try q4.processAllAvailable() finally q4.stop()
+    assert(reports.last._3 === rescan(),
+      "restarted view diverged after vacuum retired the fold base")
   }
 
   test("audited streaming ingest: failing drops discard invisibly, " +
