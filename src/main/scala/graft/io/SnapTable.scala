@@ -58,6 +58,21 @@ object SnapTable {
       .foldLeft(0)(math.max)
   }
 
+  /** Lowest RETAINED snapshot version, 0 if none — one directory
+    * listing, never a per-version exists() probe (on a heavily-vacuumed
+    * table that would be O(versions) NameNode round-trips). */
+  private[graft] def oldestRetainedVersion(spark: SparkSession,
+      dir: String): Int = {
+    val f = fs(spark, dir)
+    if (!f.exists(manifestDir(dir))) 0
+    else {
+      val vs = f.listStatus(manifestDir(dir)).map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d{5,}\\.manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      if (vs.isEmpty) 0 else vs.min
+    }
+  }
+
   private def readText(spark: SparkSession, dir: String, v: Int): String = {
     val f = fs(spark, dir)
     val p = manifestPath(dir, v)
@@ -1072,19 +1087,17 @@ object SnapTable {
   def snapshotIvmStats(s: SparkSession, dir: String): DataFrame = {
     val d = snapDocs(s, dir)
     val vmax = currentVersion(s, d)
+    // both the delta rule (manifestDeltas) AND the per-delta aggregate
+    // (ivmSourceAgg) are the shared primitives the streaming fold uses
+    // — neither spelling can drift from the other
     def signedAgg(paths: Set[String], sign: Long): Option[DataFrame] =
-      if (paths.isEmpty) None
-      else Some(s.read.option("mergeSchema", "true")
-        .parquet(paths.toSeq.sorted.map(p => s"$d/$p"): _*)
-        .groupBy(col("source"))
-        .agg((count(lit(1)) * sign).as("dn"),
-          (sum(col("n_chars")) * sign).as("dchars")))
-    // fromV = 0: v1's "delta" is its whole file set — the same shared
-    // manifest-delta rule the streaming fold uses (no drift possible)
+      ivmSourceAgg(s, d, paths).map(_.select(col("source"),
+        (col("dn") * sign).as("dn"), (col("dchars") * sign).as("dchars")))
     val deltas = manifestDeltas(s, d, 0, vmax).flatMap {
       case (added, removed) =>
         signedAgg(added, 1L) ++ signedAgg(removed, -1L)
     }
+    require(deltas.nonEmpty, s"SnapTable: $d holds no foldable deltas")
     deltas
       .reduce(_ unionByName _)
       .groupBy(col("source"))
@@ -1104,6 +1117,7 @@ object SnapTable {
     * whole file set). */
   private[graft] def manifestDeltas(s: SparkSession, dir: String,
       fromV: Int, toV: Int): Seq[(Set[String], Set[String])] = {
+    if (fromV >= toV) return Seq.empty // no-op walk reads no manifest
     var prev: Set[String] =
       if (fromV <= 0) Set.empty
       else readEntries(s, dir, fromV).map(entryPath).toSet
@@ -1114,6 +1128,18 @@ object SnapTable {
       d
     }
   }
+
+  /** Per-source (dn, dchars) aggregate of a file-path set — THE IVM
+    * aggregate spelling, shared by the q251 batch query and the
+    * streaming fold so the two compute the same view by construction.
+    * None for an empty path set. */
+  private def ivmSourceAgg(s: SparkSession, dir: String,
+      paths: Set[String]): Option[DataFrame] =
+    if (paths.isEmpty) None
+    else Some(s.read.option("mergeSchema", "true")
+      .parquet(paths.toSeq.sorted.map(p => s"$dir/$p"): _*)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("dn"), sum(col("n_chars")).as("dchars")))
 
   /** Fold the manifest deltas of versions (fromV, toV] into a carried
     * per-source (n_docs, char_sum) state — q251's IVM step as a
@@ -1129,35 +1155,52 @@ object SnapTable {
     * subsequent transition's removed files. When vacuum retired the
     * fold point (manifest gone), the carried state cannot be advanced
     * delta-wise — the fold RESETS and re-seeds from the oldest RETAINED
-    * manifest, treating it as a whole-table add; transitions between
-    * retained versions stay safe (their removed files are referenced
-    * by a retained manifest, which vacuum preserves). A plain `fromV =
-    * 0` restart on a vacuumed table takes the same path instead of
-    * dying on the retired v1. */
+    * manifest (one directory listing, never per-version probes),
+    * treating it as a whole-table add; transitions between retained
+    * versions stay safe (their removed files are referenced by a
+    * retained manifest, which vacuum preserves). A plain `fromV = 0`
+    * restart on a vacuumed table takes the same path instead of dying
+    * on the retired v1; an empty or not-yet-created table (`toV = 0`)
+    * is a no-op. Retention is re-sampled per ATTEMPT: a vacuum landing
+    * MID-fold surfaces as a missing manifest/file, and the fold retries
+    * from scratch (bounded) rather than killing the caller's stream. */
   def ivmFoldSourceStats(s: SparkSession, dir: String, fromV: Int,
       toV: Int, state: Map[String, (Long, Long)])
       : Map[String, (Long, Long)] = {
+    var attempt = 0
+    while (true) {
+      try {
+        return ivmFoldOnce(s, dir, if (attempt == 0) fromV else 0, toV,
+          if (attempt == 0) state else Map.empty)
+      } catch {
+        case scala.util.control.NonFatal(e) if attempt < 2 =>
+          // a vacuum racing the fold retired something we were reading;
+          // re-seed from whatever is retained NOW (itself re-sampled)
+          attempt += 1
+      }
+    }
+    state // unreachable
+  }
+
+  private def ivmFoldOnce(s: SparkSession, dir: String, fromV: Int,
+      toV: Int, state: Map[String, (Long, Long)])
+      : Map[String, (Long, Long)] = {
+    def keep(st: Map[String, (Long, Long)]) =
+      st.filter { case (_, (n, _)) => n > 0 }
+    if (toV <= 0) return keep(state) // empty table: benign no-op
     val f = fs(s, dir)
-    def retained(v: Int): Boolean =
-      v >= 1 && f.exists(manifestPath(dir, v))
     var st = state
     def fold(paths: Set[String], sign: Long): Unit =
-      if (paths.nonEmpty)
-        s.read.option("mergeSchema", "true")
-          .parquet(paths.toSeq.sorted.map(p => s"$dir/$p"): _*)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("dn"), sum(col("n_chars")).as("dchars"))
-          .collect().foreach { r =>
-            val k = r.getString(0)
-            val dch = if (r.isNullAt(2)) 0L else r.getLong(2)
-            val (n0, c0) = st.getOrElse(k, (0L, 0L))
-            st = st.updated(k, (n0 + sign * r.getLong(1), c0 + sign * dch))
-          }
+      ivmSourceAgg(s, dir, paths).foreach(_.collect().foreach { r =>
+        val k = r.getString(0)
+        val dch = if (r.isNullAt(2)) 0L else r.getLong(2)
+        val (n0, c0) = st.getOrElse(k, (0L, 0L))
+        st = st.updated(k, (n0 + sign * r.getLong(1), c0 + sign * dch))
+      })
     var base = fromV
-    if (base <= 0 || !retained(base)) {
-      var r = 1
-      while (r <= toV && !retained(r)) r += 1
-      require(r <= toV,
+    if (base <= 0 || !f.exists(manifestPath(dir, base))) {
+      val r = oldestRetainedVersion(s, dir)
+      require(r >= 1 && r <= toV,
         s"SnapTable: no retained manifest ≤ v$toV under $dir")
       st = Map.empty // stale carried state cannot be advanced delta-wise
       fold(readEntries(s, dir, r).map(entryPath).toSet, 1L)
@@ -1167,7 +1210,7 @@ object SnapTable {
       fold(added, 1L)
       fold(removed, -1L)
     }
-    st.filter { case (_, (n, _)) => n > 0 }
+    keep(st)
   }
 
   /** Full-rescan closed form of the post-merge state (q238's oracle
