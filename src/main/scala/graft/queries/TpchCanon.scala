@@ -643,12 +643,18 @@ object TpchCanon {
     * (the revenue view materializes once — it feeds the scalar max AND
     * the equality filter); the max is a 1-row broadcast; supplier
     * broadcasts; output is the winner row(s). */
-  def q255TopRevenueSupplier(s: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(s, dir)
+  /** q255's revenue view BEFORE the checkpoint barrier — separate so
+    * PlanShapeSpec can lock the windowed scan + partial-agg shape (the
+    * barrier hides everything upstream from the outer query's plan). */
+  private[graft] def q255Rev(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit(TopRevStart).cast("timestamp") &&
         col("l_shipdate") < lit(TopRevEnd).cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(revDec).as("revd"))
+
+  def q255TopRevenueSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = q255Rev(s, dir)
       .localCheckpoint(eager = false) // feeds the max AND the filter
     val mx = rev.agg(max(col("revd")).as("mxd"))
     rev.crossJoin(broadcast(mx))

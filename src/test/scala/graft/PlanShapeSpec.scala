@@ -599,6 +599,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p254.contains("CartesianProduct") &&
       !p254.contains("BroadcastNestedLoopJoin"),
       s"q254 planned an all-pairs join:\n$p254")
+    // q255: the PRE-barrier revenue view must be one pushed-down
+    // windowed scan feeding a partial-aggregable hash agg (the shipdate
+    // filter reaching the scan is the whole windowed-view economy)
+    val p255 = plan(graft.queries.TpchCanon.q255Rev(spark, sf))
+    assert("Scan parquet".r.findAllIn(p255).length == 1,
+      s"q255 rev view scans lineitem more than once:\n$p255")
+    assert(p255.contains("HashAggregate"),
+      s"q255 rev view lost its hash agg:\n$p255")
+    assert(p255.contains("PushedFilters: [") &&
+      p255.contains("l_shipdate"),
+      s"q255 shipdate window did not reach the scan:\n$p255")
   }
 
   test("q229: containment rides the capped shingle equi-join — hot set " +
