@@ -9,33 +9,70 @@ more than `floor_s` absolute seconds (default 0.5) — the same
 graft.Bench detail file ({"queries": {...}}) or a driver BENCH_rN.json
 wrapper (reads "parsed", falling back to recovering the queries map
 from the raw "tail" text). Exits nonzero on any flagged regression.
+
+DRIFT NORMALIZATION: when BOTH files carry graft.Bench's calibration
+sentinel (one pinned query timed at bench start and end), the new
+run's times are divided by the sentinel ratio (new mid-bench sentinel
+mean / old) before comparison, so whole-environment drift — a noisier
+shared box — doesn't read as dozens of phantom per-query regressions
+(round 11: +9% median drift, 33 of 35 apparent regressions phantom).
+The normalization is capped to ±30%: a sentinel moving more than that
+is itself suspect and is reported instead of silently trusted.
 """
 import json
 import re
 import sys
 
 
-def load_queries(path):
+def load_bench(path):
     d = json.load(open(path))
-    if "queries" in d:
-        return d["queries"]
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-        return d["parsed"]["queries"]
+        d = d["parsed"]
+    if "queries" in d:
+        return d["queries"], d.get("sentinel")
     # driver wrapper whose stdout JSON was truncated: scrape the tail
     # (null = graft.Bench's explicit all-reps-failed marker — keep it)
     tail = d.get("tail", "")
-    return {m.group(1): (None if m.group(2) == "null" else float(m.group(2)))
-            for m in
-            re.finditer(r'"(q\d+[a-z0-9_]*)":(null|[0-9.]+)', tail)}
+    qs = {m.group(1): (None if m.group(2) == "null" else float(m.group(2)))
+          for m in
+          re.finditer(r'"(q\d+[a-z0-9_]*)":(null|[0-9.]+)', tail)}
+    sm = re.search(r'"sentinel":\{"name":"([^"]+)","start":([0-9.]+),'
+                   r'"end":([0-9.]+)\}', tail)
+    sent = ({"name": sm.group(1), "start": float(sm.group(2)),
+             "end": float(sm.group(3))} if sm else None)
+    return qs, sent
 
 
 old_p, new_p = sys.argv[1], sys.argv[2]
 ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
 
-old, new = load_queries(old_p), load_queries(new_p)
+(old, old_sent), (new, new_sent) = load_bench(old_p), load_bench(new_p)
 common = sorted(set(old) & set(new))
 print(f"{len(common)} queries in both ({len(old)} old, {len(new)} new)")
+
+drift = 1.0
+if (old_sent and new_sent and old_sent.get("name") == new_sent.get("name")
+        and min(old_sent["start"], old_sent["end"]) > 0):
+    o_s = (old_sent["start"] + old_sent["end"]) / 2
+    n_s = (new_sent["start"] + new_sent["end"]) / 2
+    raw = n_s / o_s
+    if 0.7 <= raw <= 1.3:
+        drift = raw
+        print(f"sentinel {old_sent['name']}: {o_s:.3f}s -> {n_s:.3f}s; "
+              f"normalizing new times by /{drift:.3f}")
+    else:
+        print(f"WARNING: sentinel moved {raw:.2f}x "
+              f"({o_s:.3f}s -> {n_s:.3f}s) — beyond the 0.7-1.3 trust "
+              f"band; comparing UNNORMALIZED")
+    spread = max(new_sent["start"], new_sent["end"]) / max(
+        min(new_sent["start"], new_sent["end"]), 1e-9)
+    if spread > 1.5:
+        print(f"WARNING: new run's sentinel drifted {spread:.2f}x "
+              f"START->END ({new_sent['start']:.3f}s -> "
+              f"{new_sent['end']:.3f}s) — the box changed speed "
+              f"MID-BENCH; per-query flags are low-confidence")
+new = {q: (None if t is None else t / drift) for q, t in new.items()}
 
 regressions, improved = [], []
 for q in common:

@@ -26,11 +26,35 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same extensions the gate (Verify) runs under: the optimizer-rule
+      // tier (declarative → kernel rewrites) must be IN the measurement
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/parquet-footer costs shouldn't be
     // attributed to whichever query the map happens to order first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // CALIBRATION SENTINEL: one pinned cheap query timed at bench START
+    // and again at bench END (min of 3 — same rationale as the per-query
+    // min). Two rounds' sentinel ratio separates environment drift (a
+    // noisier shared box inflates the sentinel identically) from real
+    // plan regressions (the sentinel holds while a query moves) —
+    // scripts/bench_diff.py normalizes by it before flagging. Round 11
+    // burned adjudication time on a +9% whole-suite drift where only 2
+    // of 35 apparent regressions were real.
+    val sentinelName = "q22_exact_dedup"
+    def runSentinel(): Option[Double] = SparkEntry.queries.get(sentinelName)
+      .flatMap { fn =>
+        val ts = (1 to 3).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        }
+        if (ts.nonEmpty) Some(ts.min) else None
+      }
+    val sentinelStart = runSentinel()
     // Min of 2 repetitions per query: single-shot timings on a shared box
     // showed ±40% noise round-over-round (r2's phantom q10/q34
     // "regressions"); the min is the stable signal.
@@ -59,6 +83,7 @@ object Bench {
       // plausible-looking timing a ratio tool could silently compare against
       name -> (if (good.nonEmpty) Some(good.min) else None)
     }
+    val sentinelEnd = runSentinel()
     // 3-decimal rounding: with 77 queries a 9-decimal line exceeds 4 KB and
     // overflows the driver's stdout tail window — the whole line must stay
     // parseable from a bounded tail. (Double.toString of a 3-dp-rounded
@@ -90,8 +115,13 @@ object Bench {
         s""","duckdb_total":$t,"duckdb_queries":${nq.getOrElse("null")}"""
       case _ => ""
     }
+    val sentinelPart = (sentinelStart, sentinelEnd) match {
+      case (Some(a), Some(b)) =>
+        s""","sentinel":{"name":"$sentinelName","start":${r3(a)},"end":${r3(b)}}"""
+      case _ => ""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"$duckPart}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"$duckPart$sentinelPart}"""
     println(line)
     try Files.writeString(Paths.get(outFile), line + "\n")
     catch { case _: Throwable => () }
@@ -115,7 +145,7 @@ object Bench {
         s""""n_queries":${results.size},""" +
         s""""n_failed":${results.count(_._2.isEmpty)},""" +
         s""""failed":$failedCompact,""" +
-        s""""sf":"$sfDir"$duckPart,"detail":"$outFile"}"""
+        s""""sf":"$sfDir"$duckPart$sentinelPart,"detail":"$outFile"}"""
     println(compact)
     spark.stop()
   }

@@ -103,7 +103,8 @@ object SparkEntry {
     "q251_snapshot_ivm",       // unique per-source key; free order pin
     "q252_merge_rebase",       // unique per-version key; free order pin
     "q254_promo_suppliers",    // ranked serve; suppkey tie-break
-    "q255_top_rev_supplier")   // unique suppkey; free order pin
+    "q255_top_rev_supplier",   // unique suppkey; free order pin
+    "q258_vocab_overlap")      // unique (src_a, src_b) key; free pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -19,6 +19,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the engine's deployment contract: sessions are built with the
+      // extensions, so the optimizer-rule tier (declarative → kernel
+      // rewrites) is load-bearing in the correctness gate itself
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

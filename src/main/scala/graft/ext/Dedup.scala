@@ -104,14 +104,19 @@ object Dedup {
       col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
-      .dropDuplicates("a_id", "b_id")
+      // est BEFORE the pair dedup: the match count is deterministic per
+      // pair (same per-doc sigs on every banded duplicate), so firsting
+      // the scalar ≡ computing from firsted arrays — and it turns the
+      // dedup from a SortAggregate (first() over array columns is not
+      // hash-aggregatable: two extra sorts, 64 longs per row through
+      // the exchange) into a HashAggregate over three scalars
       .select(col("a_id"), col("b_id"),
         // codegen signature-agreement count (value-identical to the
         // interpreted when(x === y, 1) fold)
         (graft.functions.VectorFunctions
           .int_match_count(col("a_sig"), col("b_sig"))
           .cast("double") / P).as("est_jaccard"))
+      .dropDuplicates("a_id", "b_id")
       .filter(col("est_jaccard") >= minEst)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -139,16 +144,19 @@ object Dedup {
       col("sig").as("b_sig"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
       .filter(col("a_id") =!= col("b_id"))
+      // est BEFORE the pair dedup (see minhashPairsFromSignatures):
+      // hash-aggregatable scalars instead of a first(array) SortAggregate
       .select(least(col("a_id"), col("b_id")).as("lid"),
         greatest(col("a_id"), col("b_id")).as("gid"),
-        col("a_sig"), col("b_sig"))
-      .dropDuplicates("lid", "gid")
-      .select(col("lid").as("a_id"), col("gid").as("b_id"),
         // codegen signature-agreement count (value-identical to the
-        // interpreted when(x === y, 1) fold)
+        // interpreted when(x === y, 1) fold; symmetric in (a, b), so
+        // the least/greatest normalization cannot flip it)
         (graft.functions.VectorFunctions
           .int_match_count(col("a_sig"), col("b_sig"))
           .cast("double") / P).as("est_jaccard"))
+      .dropDuplicates("lid", "gid")
+      .select(col("lid").as("a_id"), col("gid").as("b_id"),
+        col("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
   }
 
@@ -289,10 +297,12 @@ object Dedup {
       col("chunk"), col("chunk_val"))
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+      // hamming BEFORE the pair dedup: deterministic per pair, and the
+      // dedup exchange then carries one long instead of two fingerprints
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long")
           .as("hamming"))
+      .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxDist)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -1802,40 +1812,76 @@ object Dedup {
     * IEEE ratios, which would be accumulation-order-dependent.
     *
     * Scale shape: candidates come from the same banded equi-join as q24
-    * (never all-pairs); the exact-verify joins attach each side's
-    * distinct-hash set BY ID; union size is computed as |A|+|B|−inter
-    * so no union array materializes; the output partial-aggregates into
-    * ≤33 rows. */
+    * (never all-pairs); the corpus-wide pass carries only signatures
+    * (32 longs/doc) and the exact shingle-hash sets are RE-DERIVED for
+    * candidate docs only (a semi-join slice — recompute-narrow beats
+    * ship-wide), attached by id, sorted once so the per-pair verify is
+    * the two-pointer merge kernel; union size is computed as
+    * |A|+|B|−inter so no union array materializes; the output
+    * partial-aggregates into ≤33 rows. */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
-    val staged = Tables.documents(s, dir)
+    // corpus-wide pass carries ONLY doc_id + the 32-long signature —
+    // the round-11 shape also checkpointed every document's full
+    // hashed-shingle SET here, paying its materialization + shuffle for
+    // all N docs when only the banded candidates (a tiny fraction) are
+    // ever verified; measured ~0.6 s of q140's 2.7 s at sf0.1, and at
+    // 100 TB it is the difference between corpus-wide state of 256
+    // bytes/doc and corpus-wide state of the whole token payload
+    val words = Tables.documents(s, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .localCheckpoint(eager = false) // split-inlining barrier
+      .localCheckpoint(eager = false) // split-inlining barrier; feeds
+    // the sig pass AND the candidate-only hset re-pass
+    def hashedShingles(d: DataFrame): DataFrame = d
       .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
       .select(col("doc_id"), transform(col("sh"), s =>
         pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"),
           lit(MersennePrime))).as("hs"))
-      .select(col("doc_id"), array_distinct(col("hs")).as("hset"),
-        minhashSignature(col("hs")).as("sig"))
-      .localCheckpoint(eager = false) // feeds band rows AND both verify joins
-    val banded = bandedOf(staged.select(col("doc_id"), col("sig")))
+    val staged = hashedShingles(words)
+      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
+      .localCheckpoint(eager = false) // feeds both band-join sides
+    val banded = bandedOf(staged)
     val cand = banded
       .select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
         col("band"), col("band_sig"))
       .join(banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
         col("band"), col("band_sig")), Seq("band", "band_sig"))
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+      // est BEFORE the pair dedup: deterministic per pair, so the dedup
+      // is a HashAggregate over three scalars instead of a first(array)
+      // SortAggregate carrying both 32-long sigs through the exchange
       .select(col("a_id"), col("b_id"),
         graft.functions.VectorFunctions
           .int_match_count(col("a_sig"), col("b_sig")).as("est"))
+      .dropDuplicates("a_id", "b_id")
+      .localCheckpoint(eager = false) // feeds the id semi-join AND the
+    // verify joins (≤ candidate-pair rows of three scalars)
+    // SECOND, candidate-only pass: re-derive the exact shingle-hash set
+    // (same md5 domain ⇒ bit-identical values) for JUST the docs that
+    // appear in a candidate pair. Recomputing a narrow slice beats
+    // shipping every document's set: the semi-join keys broadcast, the
+    // md5 work applies only to survivors, and the sets are SORTED here —
+    // once per candidate doc — so the per-pair verify below is the
+    // allocation-free two-pointer merge kernel (the q98 lesson)
+    val candIds = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val hsets = hashedShingles(
+        words.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), sort_array(array_distinct(col("hs"))).as("hset"))
+      .localCheckpoint(eager = false) // feeds both verify attaches
     cand
-      .join(staged.select(col("doc_id").as("a_id"), col("hset").as("ha")),
+      .join(hsets.select(col("doc_id").as("a_id"), col("hset").as("ha")),
         Seq("a_id"))
-      .join(staged.select(col("doc_id").as("b_id"), col("hset").as("hb")),
+      .join(hsets.select(col("doc_id").as("b_id"), col("hset").as("hb")),
         Seq("b_id"))
+      // two-pointer merge over the staged-sorted sets (same kernel as
+      // q98's verify; value-identical to size(array_intersect(...)) —
+      // PropertySpec proves the equality on random arrays)
       .select(col("est"),
-        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
+        Shim.column(org.apache.spark.sql.graft.SortedIntersectCount(
+          Shim.expression(col("ha")), Shim.expression(col("hb"))))
+          .as("inter"),
         (size(col("ha")) + size(col("hb"))).cast("long").as("sz"))
       .select(col("est"), col("inter"), (col("sz") - col("inter")).as("uni"))
       .groupBy(col("est"))
@@ -1884,7 +1930,80 @@ object Dedup {
        |ORDER BY est""".stripMargin
   }
 
+  // ---- q258: cross-source vocabulary overlap (declarative kernel) --------
+
+  /** q258 — pairwise VOCABULARY overlap between sources: for every
+    * source pair, |vocab(a) ∩ vocab(b)| beside each side's vocabulary
+    * size — the corpus-mixing diagnostic (two crawls sharing most of
+    * their vocabulary are near-redundant for training; a source with a
+    * disjoint vocabulary is the one worth upweighting).
+    *
+    * Deliberately spelled DECLARATIVELY: the overlap is plain
+    * `size(array_intersect(sort_array(va), sort_array(vb)))` in a
+    * `selectExpr`, and the session's [[graft.GraftExtensions]]-injected
+    * [[org.apache.spark.sql.graft.RewriteSortedIntersectCount]] rule
+    * upgrades it to the allocation-free two-pointer merge kernel (the
+    * rewrite is provable here because `collect_set` output is
+    * `containsNull = false`). PlanShapeSpec locks the kernel into this
+    * query's optimized plan — the optimizer-rule tier is load-bearing
+    * in the gate, not just unit-tested. q140/q98 call the kernel
+    * directly because their sorted arrays cross a checkpoint + join and
+    * arrive as bare attributes the rule cannot prove sorted; here the
+    * `sort_array` sits syntactically inside the expression, which is
+    * exactly the spelling a USER of the library would write.
+    *
+    * Scale shape: one tokenize+distinct pass over the corpus (the only
+    * data-sized stage), then everything is #sources-bounded: the vocab
+    * relation has one row per source, the pair join is
+    * #sources·(#sources−1)/2 rows (sources are a catalog-sized
+    * dimension — tens, not millions), and each per-pair merge is linear
+    * in vocabulary size. Token hashes use the 60-bit md5 spelling
+    * shared with q25 so the DuckDB oracle reproduces them bit-exactly
+    * (collisions, if any, collapse identically in both engines). */
+  def sourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .select(col("source"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("source"))
+      .agg(collect_set(col("h")).as("vs"))
+    val a = vocab.select(col("source").as("src_a"), col("vs").as("va"))
+    val b = vocab.select(col("source").as("src_b"), col("vs").as("vb"))
+    a.join(b, col("src_a") < col("src_b")) // #sources² nested loop: tiny
+      .select(col("src_a"), col("src_b"),
+        expr("size(array_intersect(sort_array(va), sort_array(vb)))")
+          .cast("long").as("inter"),
+        size(col("va")).cast("long").as("na"),
+        size(col("vb")).cast("long").as("nb"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Same 60-bit md5 token hash; zero-overlap pairs kept via the size
+    * cross join + left join (the Spark side emits them with inter=0). */
+  val sourceVocabOverlapSql: String =
+    """WITH words AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |v AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+      |  FROM words),
+      |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |x AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(count(*) AS BIGINT) AS inter
+      |  FROM v a JOIN v b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT na.source AS src_a, nb.source AS src_b,
+      |  CAST(COALESCE(x.inter, 0) AS BIGINT) AS inter,
+      |  na.n AS na, nb.n AS nb
+      |FROM n na JOIN n nb ON na.source < nb.source
+      |LEFT JOIN x ON x.src_a = na.source AND x.src_b = nb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_vocab_overlap" -> (sourceVocabOverlap _),
     "q190_quality_survival" -> (qualitySurvival _),
     "q185_fold_leak_audit" -> (foldLeakAudit _),
     "q184_rebalance_quota" -> (rebalanceQuota _),
@@ -1914,6 +2033,7 @@ object Dedup {
     * (xxhash64 minhash, FNV SimHash) remain the cheap production
     * spellings, spec-verified in DedupSpec against planted dups. */
   val oracles: Map[String, String] = Map(
+    "q258_vocab_overlap" -> sourceVocabOverlapSql,
     "q190_quality_survival" -> qualitySurvivalSql,
     "q185_fold_leak_audit" -> foldLeakAuditSql,
     "q184_rebalance_quota" -> rebalanceQuotaSql,

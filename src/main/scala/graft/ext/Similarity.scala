@@ -174,13 +174,15 @@ object Similarity {
     val cand = bucketed.select(col("vec_id").as("neighbor_id"),
       col("embedding"), col("tbl"), col("bucket"))
 
-    val pairs = q.join(cand, Seq("tbl", "bucket"))
+    // cos BEFORE the pair dedup: deterministic per pair, so firsting the
+    // scalar ≡ scoring the firsted arrays — and the dedup becomes a
+    // HashAggregate over scalars instead of a first(array) SortAggregate
+    // (not hash-aggregatable) shuffling both embeddings per candidate row
+    val scored = q.join(cand, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"),
-        col("embedding"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_emb"), col("embedding")).as("cos"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = pairs.select(col("query_id"), col("neighbor_id"),
-      cosine_sim(col("q_emb"), col("embedding")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -234,13 +236,16 @@ object Similarity {
         col("tbl"), col("bucket"), col("label"))
     val cand = idx.select(col("vec_id").as("neighbor_id"),
       col("embedding"), col("tbl"), col("bucket"), col("label"))
-    val pairs = q.join(cand, Seq("tbl", "bucket", "label"))
+    // cos BEFORE the pair dedup (see the q18 rationale); label rides as a
+    // dedup KEY — it is functionally dependent on the pair (a per-vector
+    // constant equal on both sides of the bucket join), so keying on it
+    // changes nothing, while first()-ing a string would force the
+    // aggregate back to sort-based
+    val scored = q.join(cand, Seq("tbl", "bucket", "label"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("label"), col("neighbor_id"),
-        col("q_emb"), col("embedding"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = pairs.select(col("query_id"), col("label"),
-      col("neighbor_id"), cosine_sim(col("q_emb"), col("embedding")).as("cos"))
+        cosine_sim(col("q_emb"), col("embedding")).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id", "label")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -827,11 +832,14 @@ object Similarity {
         (a, qq)
       }
 
+    // cos BEFORE the pair dedup (see the q18 rationale): the dedup then
+    // hash-aggregates three scalars instead of sort-aggregating
+    // first(embedding)/first(q_emb) arrays per probe-candidate row
     val pairs = q.join(assigned, Seq("centroid"))
       .filter(col("vec_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine_sim(col("q_emb"), col("embedding")).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))

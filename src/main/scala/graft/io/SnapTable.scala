@@ -118,8 +118,9 @@ object SnapTable {
   /** A writer lost an optimistic-concurrency race it cannot rebase
     * over: the caller should re-plan against the new current snapshot
     * and retry the whole operation. */
-  final class ConcurrentWriteException(msg: String)
-    extends RuntimeException(msg)
+  final class ConcurrentWriteException(msg: String,
+      cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
   /** Rebase attempts before an optimistic writer gives up — livelock
     * insurance, not a correctness bound (each loss means some OTHER
@@ -476,10 +477,28 @@ object SnapTable {
       statsMeta(s, dir, v),
       interloperGuard = { newEntries =>
         if (newEntries.nonEmpty) {
-          val clash = s.read.option("mergeSchema", "true")
-            .parquet(newEntries.map(e => s"$dir/${entryPath(e)}"): _*)
-            .join(broadcast(updKeys), Seq(key), "left_semi")
-            .limit(1).count()
+          // the probe itself can fail on a malformed interleave — e.g.
+          // an append whose files LACK the merge key column (append
+          // does not validate schema), which would surface as an
+          // AnalysisException from the join instead of the documented
+          // re-plan signal. Either way the interloper makes this
+          // merge's rebase unsound, so every probe failure maps to
+          // ConcurrentWriteException; the re-plan then sees those
+          // files in ITS base read and reports the schema problem
+          // deterministically (merge's own columns require).
+          val clash = try {
+            s.read.option("mergeSchema", "true")
+              .parquet(newEntries.map(e => s"$dir/${entryPath(e)}"): _*)
+              .join(broadcast(updKeys), Seq(key), "left_semi")
+              .limit(1).count()
+          } catch {
+            case scala.util.control.NonFatal(t) =>
+              throw new ConcurrentWriteException(
+                s"SnapTable: could not verify a concurrent append under " +
+                  s"$dir is disjoint from this merge's keys " +
+                  s"(${t.getMessage}) — re-plan against the current " +
+                  "snapshot and retry", t)
+          }
           if (clash > 0) throw new ConcurrentWriteException(
             s"SnapTable: a concurrent append under $dir carries a key " +
               "this merge replaces — rebasing would admit a duplicate " +
@@ -849,7 +868,20 @@ object SnapTable {
     * cannot both append (the loser's re-check sees the winner's
     * commit). `skipIf` is the caller's own per-claim no-op test (the
     * audited ingest rechecks its batch stamp); a caller-skip leaves the
-    * staging in place for the caller to [[discard]]. */
+    * staging in place for the caller to [[discard]].
+    *
+    * SWEEP INTERACTION: a staging whose numeric tag falls under a
+    * concurrent [[sweepAbandonedStagings]] can have its DATA FILES
+    * deleted between this publish's staged-list read and its claim.
+    * Every claim therefore re-verifies the staged list still exists
+    * (the sweeper removes the list before/with the files) and returns
+    * None when it is gone — committing would reference deleted files.
+    * The re-check shrinks the race to a single claim window; closing
+    * it entirely is the caller's supersession `skipIf` (the audited
+    * ingest's batch stamp — a sweep only targets stagings whose batch
+    * PROVABLY landed, so the stamp recheck skips first). Callers that
+    * tag stagings numerically AND run a sweeper MUST pass such a
+    * skipIf; untagged/non-numeric stagings are never swept. */
   def publish(spark: SparkSession, dir: String, id: String,
       extraMeta: Map[String, String] = Map.empty,
       skipIf: () => Boolean = () => false): Option[Int] = {
@@ -872,15 +904,21 @@ object SnapTable {
       hit
     }
     var stale = false
+    var swept = false
     val committed = occCommit(spark, dir, base, Set.empty, Set.empty,
       entries,
       extraMeta ++ Map("staged_id" -> id) ++ statsMeta(spark, dir, base),
       skipIf = () => {
         if (alreadyLive() || idPublished()) {
           stale = true; true
+        } else if (stagedEntriesOpt(spark, dir, id).isEmpty) {
+          // a sweeper discarded this staging (list AND data files gone)
+          // after our read above — committing now would publish a
+          // manifest of deleted files. Nothing live, nothing to clean.
+          swept = true; true
         } else skipIf()
       })
-    if (committed.isDefined || stale)
+    if (!swept && (committed.isDefined || stale))
       fs(spark, dir).delete(stagedPath(dir, id), false)
     committed
   }
@@ -1173,13 +1211,36 @@ object SnapTable {
         return ivmFoldOnce(s, dir, if (attempt == 0) fromV else 0, toV,
           if (attempt == 0) state else Map.empty)
       } catch {
-        case scala.util.control.NonFatal(e) if attempt < 2 =>
+        case scala.util.control.NonFatal(e)
+            if attempt < 2 && vacuumRaceSignature(e) =>
           // a vacuum racing the fold retired something we were reading;
           // re-seed from whatever is retained NOW (itself re-sampled)
           attempt += 1
       }
     }
     state // unreachable
+  }
+
+  /** Does this failure look like a vacuum retiring files/manifests out
+    * from under a reader? ONLY such failures are worth the fold's
+    * re-seed retry — a deterministic error (schema drift, analysis
+    * failure) would just fail twice more from scratch and surface with
+    * the ORIGINAL context lost, so it propagates immediately instead.
+    * The signature: a FileNotFoundException anywhere in the cause
+    * chain (manifest or data file deleted mid-read; Spark wraps these
+    * in SparkException/AnalysisException layers), a PATH_NOT_FOUND
+    * analysis error (the parquet source rejecting already-retired
+    * paths up front), or the fold's own "no retained manifest" reseed
+    * guard (the retained window moved between sampling and reading). */
+  private def vacuumRaceSignature(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(8).toSeq
+    chain.exists {
+      case _: java.io.FileNotFoundException => true
+      case t =>
+        val m = Option(t.getMessage).getOrElse("")
+        m.contains("PATH_NOT_FOUND") || m.contains("no retained manifest")
+    }
   }
 
   private def ivmFoldOnce(s: SparkSession, dir: String, fromV: Int,

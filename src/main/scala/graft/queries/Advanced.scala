@@ -2221,12 +2221,20 @@ object Advanced {
     val nullS = lit(null).cast("string")
     val lvl0 = base.select(col("l_returnflag"), col("l_linestatus"),
       lit(0L).as("g_rf"), lit(0L).as("g_ls"), col("n"), col("qd"))
+    // coalesce(sum(n), 0): lvl2 is a GLOBAL aggregate, so an empty base
+    // still emits one row — its sum(n) is NULL where GROUPING SETS' ()
+    // set yields count(*) = 0. qd stays NULL (sum over empty IS NULL in
+    // both spellings). lvl1's groups can't have NULL n (a group exists
+    // only with rows, each carrying n >= 1) — coalesced anyway so the
+    // two levels state the same contract.
     val lvl1 = base.groupBy(col("l_returnflag"))
-      .agg(sum(col("n")).as("n"), sum(col("qd")).as("qd"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        sum(col("qd")).as("qd"))
       .select(col("l_returnflag"), nullS.as("l_linestatus"),
         lit(0L).as("g_rf"), lit(1L).as("g_ls"), col("n"), col("qd"))
     val lvl2 = base
-      .agg(sum(col("n")).as("n"), sum(col("qd")).as("qd"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        sum(col("qd")).as("qd"))
       .select(nullS.as("l_returnflag"), nullS.as("l_linestatus"),
         lit(1L).as("g_rf"), lit(1L).as("g_ls"), col("n"), col("qd"))
     lvl0.unionByName(lvl1).unionByName(lvl2)

@@ -651,6 +651,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q140: the exact verify runs the sorted-merge kernel, not " +
+      "per-pair set intersection") {
+    // the hash sets are sorted ONCE at staging (sort_array before the
+    // checkpoint), so the per-candidate-pair verify is the
+    // allocation-free two-pointer merge — the same class of fix as
+    // q98's measured 2.3 s win; a regression to size(array_intersect)
+    // re-buys a hash set + intersection array per pair
+    val p = plan(graft.ext.Dedup.minhashCalibration(spark, sf))
+    assert(p.contains("sorted_intersect_count"),
+      s"q140 verify lost the merge kernel:\n$p")
+    assert(!p.contains("array_intersect"),
+      s"q140 still allocates per-pair intersections:\n$p")
+  }
+
+  test("q258: the DECLARATIVE overlap spelling plans to the merge " +
+      "kernel — the injected optimizer rule is load-bearing") {
+    // q258 spells its overlap as plain
+    // size(array_intersect(sort_array(a), sort_array(b))) in a
+    // selectExpr; RewriteSortedIntersectCount (injected by
+    // GraftExtensions on every gate/bench/test session) must upgrade
+    // it to the kernel
+    val p = plan(graft.ext.Dedup.sourceVocabOverlap(spark, sf))
+    assert(p.contains("sorted_intersect_count"),
+      s"declarative spelling did not rewrite to the kernel:\n$p")
+    // …and the lock is load-bearing: with the rule excluded, the same
+    // query plans WITHOUT the kernel (so a green above can only come
+    // from the injection path, not from some other rewrite)
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.graft.RewriteSortedIntersectCount")
+    try {
+      val p2 = plan(graft.ext.Dedup.sourceVocabOverlap(spark, sf))
+      assert(!p2.contains("sorted_intersect_count"),
+        "rule exclusion did not remove the kernel — the q258 lock " +
+          s"would pass vacuously:\n$p2")
+      assert(p2.contains("array_intersect"),
+        s"excluded-rule plan lost the declarative spelling too:\n$p2")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   // The per-round frontier joins run eagerly inside the traversal (each
   // round is checkpointed), so the plans below cover each query's final
   // stage — for q243 that includes the wedge + closing joins, the part

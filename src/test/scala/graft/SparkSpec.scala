@@ -23,6 +23,9 @@ object SparkSpec {
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$tmp/metastore_db;create=true")
       .enableHiveSupport()
+      // match the Verify/Bench sessions: the extension-injected
+      // functions and optimizer rules are part of what the suite tests
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
