@@ -104,6 +104,7 @@ object SparkEntry {
     "q252_merge_rebase",       // unique per-version key; free order pin
     "q254_promo_suppliers",    // ranked serve; suppkey tie-break
     "q255_top_rev_supplier",   // unique suppkey; free order pin
+    "q256_big_orders",         // totalprice-ranked serve; orderkey tiebreak
     "q258_vocab_overlap")      // unique (src_a, src_b) key; free pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

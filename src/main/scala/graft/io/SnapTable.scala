@@ -433,7 +433,22 @@ object SnapTable {
 
   /** [[merge]] planned against an EXPLICIT base version — the OCC seam
     * (mirrors [[deleteWhereFrom]]); deterministic interleave fixtures
-    * (q252) and concurrency specs drive this directly. */
+    * (q252) and concurrency specs drive this directly.
+    *
+    * CONCURRENT-MERGE CONTRACT: a merge's OCC read set is exactly the
+    * files it REWRITES (the ones carrying its update keys). Two merges
+    * racing from the same base therefore compose when they touch
+    * DISJOINT FILES: the loser rebases over the winner's commit after
+    * its interloper guard verifies every file added since its base
+    * carries none of its own keys (the winner's rewrite output, like
+    * any concurrent append, rides into the rebased manifest by
+    * reference). Two merges touching the SAME file cannot both apply —
+    * the loser's rebase would resurrect rows the winner rewrote — so
+    * the loser's read-set check throws [[ConcurrentWriteException]]
+    * for a caller-level re-plan against the new snapshot. Key-disjoint
+    * is NECESSARY but not sufficient: file-granular CoW makes the FILE
+    * the conflict unit (two key-disjoint merges interleaved in one
+    * file still conflict — re-planning then serializes them). */
   private[graft] def mergeFrom(updates: DataFrame, dir: String,
       key: String, v: Int): Unit = {
     val s = updates.sparkSession
@@ -467,15 +482,26 @@ object SnapTable {
         .select(updates.columns.map(col): _*)
         .unionByName(updates)
     // the merge's contract is key uniqueness: rebasing over a blind
-    // append is sound ONLY when the appended files carry none of the
-    // update keys — otherwise a just-appended duplicate of a merged key
-    // would ride in by reference. The guard re-reads only the
-    // interloper files (small: whatever landed since the plan) per
-    // claim; a clash aborts for a caller-level re-plan + retry.
-    occCommit(s, dir, v, entries.toSet, touched.toSet,
+    // append OR a file-disjoint concurrent merge is sound ONLY when
+    // the files added since this merge's base carry none of its update
+    // keys — otherwise a duplicate of a merged key would ride in by
+    // reference. The guard re-reads only those added files (small:
+    // whatever landed since the plan) per claim; a clash aborts for a
+    // caller-level re-plan + retry. The OCC read set is the TOUCHED
+    // files only (see the contract above): an untouched base file
+    // provably carries no update key (touched-set completeness over
+    // the base read), so a concurrent rewrite of it conflicts exactly
+    // when its REPLACEMENT files clash — which the guard checks.
+    val basePaths = files.toSet
+    occCommit(s, dir, v, touched.toSet, touched.toSet,
       writeData(survivors, dir, v + 1, statsColsOf(s, dir, v)),
       statsMeta(s, dir, v),
-      interloperGuard = { newEntries =>
+      interloperGuard = { interlopers =>
+        // occCommit hands us current entries outside our read set; the
+        // surviving ORIGINAL base files are key-free by construction —
+        // only files added since the base need the key probe
+        val newEntries = interlopers.filterNot(e =>
+          basePaths.contains(entryPath(e)))
         if (newEntries.nonEmpty) {
           // the probe itself can fail on a malformed interleave — e.g.
           // an append whose files LACK the merge key column (append
@@ -1122,27 +1148,56 @@ object SnapTable {
     * the full-rescan closed form, so the gate proves fold ≡ rescan
     * value-exactly across an append, a CoW delete (file rewrite), and
     * a MERGE (rewrite + re-insert). */
-  def snapshotIvmStats(s: SparkSession, dir: String): DataFrame = {
-    val d = snapDocs(s, dir)
+  def snapshotIvmStats(s: SparkSession, dir: String): DataFrame =
+    snapshotIvmStatsOf(s, snapDocs(s, dir))
+
+  /** History depth past which the batch IVM stops building one united
+    * plan and delegates to the incremental fold: the union spelling
+    * stacks 2 aggregates per version into a single DAG, which is the
+    * right shape for a shallow history (one job, full pipeline
+    * parallelism) but grows the PLAN linearly with versions — at
+    * thousands of snapshots the driver pays analysis/codegen on a
+    * multi-thousand-node tree before any task runs. */
+  final val IvmUnionMaxVersions = 16
+
+  private[graft] def snapshotIvmStatsOf(s: SparkSession,
+      d: String): DataFrame = {
     val vmax = currentVersion(s, d)
-    // both the delta rule (manifestDeltas) AND the per-delta aggregate
-    // (ivmSourceAgg) are the shared primitives the streaming fold uses
-    // — neither spelling can drift from the other
-    def signedAgg(paths: Set[String], sign: Long): Option[DataFrame] =
-      ivmSourceAgg(s, d, paths).map(_.select(col("source"),
-        (col("dn") * sign).as("dn"), (col("dchars") * sign).as("dchars")))
-    val deltas = manifestDeltas(s, d, 0, vmax).flatMap {
-      case (added, removed) =>
-        signedAgg(added, 1L) ++ signedAgg(removed, -1L)
+    if (vmax > IvmUnionMaxVersions) {
+      // deep history: walk the SAME manifest-delta rule and per-delta
+      // aggregate through the streaming fold (value-equality with the
+      // union spelling is by construction — shared primitives; the
+      // SnapTableSpec ≥32-version case asserts it anyway), carrying a
+      // bounded ≤#sources driver state instead of a 2·V-branch plan
+      val st = ivmFoldSourceStats(s, d, 0, vmax, Map.empty)
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val rows = st.toSeq.sortBy(_._1).map { case (src, (n, c)) =>
+        org.apache.spark.sql.Row(src, n, c) }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("source", StringType),
+          StructField("n_docs", LongType),
+          StructField("total_chars", LongType))))
+        .orderBy(col("source"))
+    } else {
+      // both the delta rule (manifestDeltas) AND the per-delta aggregate
+      // (ivmSourceAgg) are the shared primitives the streaming fold uses
+      // — neither spelling can drift from the other
+      def signedAgg(paths: Set[String], sign: Long): Option[DataFrame] =
+        ivmSourceAgg(s, d, paths).map(_.select(col("source"),
+          (col("dn") * sign).as("dn"), (col("dchars") * sign).as("dchars")))
+      val deltas = manifestDeltas(s, d, 0, vmax).flatMap {
+        case (added, removed) =>
+          signedAgg(added, 1L) ++ signedAgg(removed, -1L)
+      }
+      require(deltas.nonEmpty, s"SnapTable: $d holds no foldable deltas")
+      deltas
+        .reduce(_ unionByName _)
+        .groupBy(col("source"))
+        .agg(sum(col("dn")).as("n_docs"),
+          sum(col("dchars")).as("total_chars"))
+        .filter(col("n_docs") > 0) // a fully-deleted source vanishes, as
+        .orderBy(col("source"))    // it does from a rescan
     }
-    require(deltas.nonEmpty, s"SnapTable: $d holds no foldable deltas")
-    deltas
-      .reduce(_ unionByName _)
-      .groupBy(col("source"))
-      .agg(sum(col("dn")).as("n_docs"),
-        sum(col("dchars")).as("total_chars"))
-      .filter(col("n_docs") > 0) // a fully-deleted source vanishes, as
-      .orderBy(col("source"))    // it does from a rescan
   }
 
   /** (added, removed) file-path deltas of each version transition in
@@ -1305,24 +1360,41 @@ object SnapTable {
     * join, which this file-granular format enables (the query spells
     * the semantic contract the manifest diff must reproduce). */
   def snapshotCdc(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val d = snapDocs(s, dir)
-    (1 to 3).map { v =>
-      val from = read(s, d, Some(v))
-      val to = read(s, d, Some(v + 1))
-      val fk = from.select(col("doc_id")); val tk = to.select(col("doc_id"))
-      val ins = tk.join(fk, Seq("doc_id"), "left_anti").count()
-      val del = fk.join(tk, Seq("doc_id"), "left_anti").count()
-      // null-SAFE comparisons: a column transitioning NULL↔value is an
-      // update; plain =!= evaluates NULL there and the row drops out
-      val upd = from.as("a").join(to.as("b"), Seq("doc_id"))
-        .filter(!(col("a.text") <=> col("b.text")) ||
-          !(col("a.lang") <=> col("b.lang")) ||
-          !(col("a.source") <=> col("b.source")) ||
-          !(col("a.n_chars") <=> col("b.n_chars")))
-        .count()
-      (v.toLong, (v + 1).toLong, ins, del, upd)
-    }.toDF("from_v", "to_v", "n_inserted", "n_deleted", "n_updated")
+    // ONE action, not nine: the round-11 spelling ran 3 blocking driver
+    // counts per transition (anti-join ins, anti-join del, inner-join
+    // upd) — 9 sequential jobs whose scheduling floor, not data, was
+    // the measured cost (and whose round-over-round drift the bench
+    // kept flagging). Each transition is now a single FULL OUTER join
+    // on the key: an insert is a to-only row, a delete a from-only row,
+    // an update a both-sides row whose content differs — the same three
+    // sets by definition, counted in one aggregate over the union of
+    // the three tagged transitions. Scale shape unchanged: one keyed
+    // shuffle per transition (strictly fewer than the previous three).
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val transitions = (1 to 3).map { v =>
+      def side(df: DataFrame, tag: String) =
+        df.select(col("doc_id") +: lit(1L).as(s"${tag}_present") +:
+          cols.map(c => col(c).as(s"${tag}_$c")): _*)
+      side(read(s, d, Some(v)), "a")
+        .join(side(read(s, d, Some(v + 1)), "b"), Seq("doc_id"), "full_outer")
+        .select(lit(v.toLong).as("from_v"), lit(v + 1L).as("to_v"),
+          col("a_present"), col("b_present"),
+          // null-SAFE comparisons: a column transitioning NULL↔value is
+          // an update; plain =!= evaluates NULL there and the row would
+          // drop out of the count
+          cols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+            .reduce(_ || _).as("differs"))
+    }
+    transitions.reduce(_ unionByName _)
+      .groupBy(col("from_v"), col("to_v"))
+      .agg(
+        sum(when(col("a_present").isNull, 1L).otherwise(0L))
+          .as("n_inserted"),
+        sum(when(col("b_present").isNull, 1L).otherwise(0L))
+          .as("n_deleted"),
+        sum(when(col("a_present").isNotNull && col("b_present").isNotNull
+          && col("differs"), 1L).otherwise(0L)).as("n_updated"))
       .orderBy(col("from_v"))
   }
 

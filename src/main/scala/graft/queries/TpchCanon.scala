@@ -680,7 +680,137 @@ object TpchCanon {
        |WHERE revd = mxd
        |ORDER BY s_suppkey""".stripMargin
 
+  // ---- q256: large-volume customers (TPC-H Q18 shape) --------------------
+
+  /** Q18's spec threshold (sum of quantities per order); populated at
+    * every fixture SF (5 orders at sf0.001, 473 at sf0.1). */
+  final val BigOrderQty = 300L
+
+  /** q256 — LARGE-VOLUME customers: orders whose total lineitem
+    * quantity exceeds [[BigOrderQty]], with their customer and the
+    * total — TPC-H Q18's `o_orderkey IN (SELECT l_orderkey … GROUP BY
+    * l_orderkey HAVING sum(l_quantity) > T)` topology, the
+    * HAVING-sum-subquery-on-the-fact-key decorrelation class: the
+    * literal SQL reads lineitem TWICE (once in the subquery, once in
+    * the outer join re-summing the same per-order quantity). Here the
+    * per-order sum aggregates ONCE; because the outer GROUP BY is per
+    * order (every grouping column is order- or customer-functional),
+    * the outer sum IS the subquery's sum, so carrying it through the
+    * join is value-identical to the spec's double scan.
+    *
+    * Scale shape: one fact-wide partial aggregate on the order key
+    * (map-side combine compacts to per-order rows before the
+    * exchange); the HAVING filter leaves a rare set (~1 in 3k orders
+    * at spec selectivity) which BROADCASTS into orders — the fact-side
+    * prune — and the surviving orders broadcast again into the
+    * customer scan, so neither big table reshuffles; the top-100 serve
+    * is a TakeOrderedAndProject, never a global sort. Quantities are
+    * integral, so the threshold compares exact BIGINTs (never a double
+    * sum on a boundary row). Ordered contract: spec's (o_totalprice
+    * DESC, o_orderdate) plus o_orderkey — a unique total order, so the
+    * row sequence is pinned (the fixture's totalprice ties would
+    * otherwise make the serve order engine-dependent). */
+  def q256BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > BigOrderQty)
+    val surv = Tables.orders(s, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+    Tables.customer(s, dir)
+      .join(broadcast(surv), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+        col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q256Sql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING SUM(CAST(l_quantity AS BIGINT)) > $BigOrderQty)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  total_qty
+       |FROM big
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+       |LIMIT 100""".stripMargin
+
+  // ---- q257: discounted revenue, disjunctive join (TPC-H Q19 shape) ------
+
+  /** q257 — promotion revenue under an OR of conjunction groups
+    * spanning BOTH join sides: each disjunct repeats the
+    * `p_partkey = l_partkey` key, a shared shipdate recency predicate,
+    * and its own (type-prefix, quantity-range, size-range) band —
+    * TPC-H Q19's topology, THE test of predicate factoring through a
+    * join. A naive planner sees a non-conjunctive join condition and
+    * degrades to a nested-loop cross product; the correct plan
+    * CNF-extracts the common equi-key (hash join on partkey), factors
+    * the shared recency predicate to the fact scan, and pushes each
+    * side's OR-of-bands into ITS scan as a residual filter (both
+    * parquet scans show the Or in PushedFilters — locked in
+    * PlanShapeSpec). Spark's own extraction does all three from the
+    * declarative spelling; nothing is hand-factored.
+    *
+    * Fixture re-anchoring (as q253/q254): the fixture's `part` has no
+    * container/brand density to populate the spec's
+    * (brand, container) bands at sf0.001 (200 parts × 25 brands × 6
+    * types leave joint cells empty), so the bands anchor on
+    * p_type prefix × p_size × l_quantity, and the spec's repeated
+    * shipmode/shipinstruct conjunct becomes a repeated shipdate
+    * recency cut. The SHAPE — disjunction of multi-predicate
+    * conjunctions straddling the join, with common factors — is what
+    * this query exists to cover and is faithful.
+    *
+    * Det discipline: revenue sums exact decimals, ONE cast to double;
+    * n_items pins the matched-row set exactly (a revenue ULP could
+    * never mask a row-membership bug). */
+  final val DisjShipCut = "1995-01-01"
+
+  def q257DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_shipdate"))
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_type"), col("p_size"))
+    def band(t: String, q1: Int, q2: Int, s1: Int, s2: Int) =
+      col("p_partkey") === col("l_partkey") &&
+        col("l_shipdate") >= lit(DisjShipCut).cast("timestamp") &&
+        col("p_type").startsWith(t) &&
+        col("l_quantity").between(q1, q2) &&
+        col("p_size").between(s1, s2)
+    l.join(broadcast(p),
+        band("SMALL", 1, 15, 1, 15) ||
+        band("MEDIUM", 10, 25, 1, 25) ||
+        band("LARGE", 20, 35, 1, 35))
+      .agg(count(lit(1)).as("n_items"),
+        sum(revDec).cast("double").as("revenue"))
+  }
+
+  val q257Sql: String =
+    s"""SELECT count(*) AS n_items, CAST(sum($revSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON
+       |  (p_partkey = l_partkey AND l_shipdate >= TIMESTAMP '$DisjShipCut'
+       |    AND p_type LIKE 'SMALL%'
+       |    AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 15)
+       |  OR
+       |  (p_partkey = l_partkey AND l_shipdate >= TIMESTAMP '$DisjShipCut'
+       |    AND p_type LIKE 'MEDIUM%'
+       |    AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 1 AND 25)
+       |  OR
+       |  (p_partkey = l_partkey AND l_shipdate >= TIMESTAMP '$DisjShipCut'
+       |    AND p_type LIKE 'LARGE%'
+       |    AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 35)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_big_orders" -> (q256BigOrders _),
+    "q257_disjunctive_revenue" -> (q257DisjunctiveRevenue _),
     "q255_top_rev_supplier" -> (q255TopRevenueSupplier _),
     "q253_small_qty_revenue" -> (q253SmallQtyRevenue _),
     "q254_promo_suppliers" -> (q254PromoSuppliers _),
@@ -694,6 +824,8 @@ object TpchCanon {
     "q221_idle_rich_customers" -> (q221IdleRichCustomers _))
 
   val oracles: Map[String, String] = Map(
+    "q256_big_orders" -> q256Sql,
+    "q257_disjunctive_revenue" -> q257Sql,
     "q255_top_rev_supplier" -> q255Sql,
     "q253_small_qty_revenue" -> q253Sql,
     "q254_promo_suppliers" -> q254Sql,

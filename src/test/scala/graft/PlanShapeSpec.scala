@@ -612,6 +612,43 @@ class PlanShapeSpec extends SparkSpec {
       s"q255 shipdate window did not reach the scan:\n$p255")
   }
 
+  test("q256: the HAVING-sum prune broadcasts into orders then customer; " +
+      "the serve is bounded top-k") {
+    val p = plan(graft.queries.TpchCanon.q256BigOrders(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q256 planned an all-pairs join:\n$p")
+    // the rare big-order set and then the surviving orders both
+    // broadcast — neither orders nor customer reshuffles
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"q256 fact-side prune stopped broadcasting:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q256 top-100 serve lost its bounded top-k:\n$p")
+    // per-order quantity totals partial-aggregate before the exchange
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"q256 per-order sum lost its map-side combine:\n$p")
+  }
+
+  test("q257: the disjunctive join condition CNF-factors — equi hash " +
+      "join on partkey, per-side OR bands pushed into BOTH scans") {
+    val p = plan(graft.queries.TpchCanon.q257DisjunctiveRevenue(spark, sf))
+    // the repeated p_partkey = l_partkey must be extracted from the OR:
+    // a planner that fails this degrades to an all-pairs nested loop
+    assert(p.contains("BroadcastHashJoin"),
+      s"q257 common join key was not factored out of the OR:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q257 degraded to an all-pairs join:\n$p")
+    // each side's OR-of-bands reaches ITS parquet scan as a pushed
+    // residual (quantity bands on lineitem, type/size bands on part),
+    // and the repeated shipdate conjunct factors to the fact scan
+    assert(
+      "PushedFilters: \\[[^\\]]*Or".r.findAllIn(p).length >= 2,
+      s"q257 per-side disjunctions did not reach both scans:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"q257 repeated shipdate conjunct did not factor to the scan:\n$p")
+  }
+
   test("q229: containment rides the capped shingle equi-join — hot set " +
       "broadcast-anti-joined out, never a cartesian") {
     val p = plan(graft.ext.Text.containmentPairs(spark, sf))

@@ -590,6 +590,71 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.read(spark, d).filter(col("s") === "A9").count() === 1)
   }
 
+  test("two concurrent merges with disjoint keys COMPOSE when they " +
+      "touch disjoint files; same-file merges serialize via refusal") {
+    val d = tmp()
+    // two files with controlled key ranges: file A holds {1,2}, file B
+    // holds {3,4} (range partitioning makes the boundaries exact)
+    SnapTable.create(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "s").repartitionByRange(2, col("id")), d)
+    // both merges plan against v1; the winner commits v2, the loser
+    // must REBASE (its touched file is untouched by the winner, and the
+    // winner's rewrite output carries none of the loser's keys)
+    SnapTable.mergeFrom(Seq((1L, "A2")).toDF("id", "s"), d, "id", v = 1)
+    SnapTable.mergeFrom(Seq((4L, "D2")).toDF("id", "s"), d, "id", v = 1)
+    val rows = SnapTable.read(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "A2", 2L -> "b", 3L -> "c", 4L -> "D2"),
+      "file-disjoint merges did not both apply")
+    assert(SnapTable.read(spark, d).count() === 4, "duplicate keys")
+    // SAME-FILE conflict: both merges rewrite the file carrying key 1 —
+    // the loser's touched file is gone from the current manifest, so
+    // its read-set check must refuse (rebasing would resurrect the
+    // pre-winner rows of that file)
+    val base = SnapTable.currentVersion(spark, d)
+    SnapTable.mergeFrom(Seq((1L, "A3")).toDF("id", "s"), d, "id", v = base)
+    intercept[SnapTable.ConcurrentWriteException] {
+      SnapTable.mergeFrom(Seq((1L, "A4")).toDF("id", "s"), d, "id",
+        v = base)
+    }
+    // the documented re-plan + retry then applies cleanly
+    SnapTable.merge(Seq((1L, "A4")).toDF("id", "s"), d, "id")
+    assert(SnapTable.read(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "A4", 2L -> "b", 3L -> "c", 4L -> "D2"))
+  }
+
+  test("deep-history batch IVM delegates to the fold: ≥32 versions fold " +
+      "to the same view as a full rescan, with no per-version plan") {
+    val d = tmp()
+    SnapTable.create(
+      Seq((1L, "s0", 10L)).toDF("id", "source", "n_chars"), d)
+    (2 to 33).foreach { i =>
+      SnapTable.append(Seq((i.toLong, s"s${i % 3}", i * 10L))
+        .toDF("id", "source", "n_chars"), d)
+    }
+    SnapTable.deleteWhere(spark, d, col("id") % 5 === 0) // removals fold too
+    assert(SnapTable.currentVersion(spark, d) > SnapTable.IvmUnionMaxVersions)
+    val folded = SnapTable.ivmFoldSourceStats(spark, d, 0,
+      SnapTable.currentVersion(spark, d), Map.empty)
+    // the fold state equals the full rescan...
+    val rescan = SnapTable.read(spark, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("cs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(folded === rescan, "fold drifted from the rescan")
+    // ...and the batch IVM spelling above the threshold must NOT build
+    // the 2·V-branch union plan: it delegates to the fold and serves a
+    // bounded local relation (no parquet scan, no Union in the plan)
+    val df = SnapTable.snapshotIvmStatsOf(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet") && !plan.contains("Union"),
+      s"deep-history IVM still built the per-version union plan:\n$plan")
+    val served = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(served === rescan, "delegated batch IVM drifted from rescan")
+  }
+
   test("strict (opt-in serializable mode) commits refuse ANY " +
       "interleaved commit") {
     val d = tmp()
