@@ -28,6 +28,28 @@ object EventStreams {
     * Spark's bean/product encoder requires an accessible constructor). */
   case class OpenSession(startMs: Long, endMs: Long, n: Long)
 
+  /** Micro-exact timestamp conversions, in their own Serializable holder
+    * because closures shipped to executors reference them (the enclosing
+    * module object is not serializable). `getTime` alone truncates to
+    * milliseconds, which silently shaved the sub-ms part off every
+    * emitted session boundary (the events corpus carries micros; the
+    * count-only assertions never noticed, exact session-for-session
+    * equality did). */
+  private[streaming] object Micros extends Serializable {
+    /** Exact MICROSECOND epoch: `getTime/1000` floors to whole seconds,
+      * `getNanos` carries the full fractional part. */
+    def of(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    /** Inverse of [[of]]: rebuild the timestamp with its full
+      * microsecond fraction. */
+    def ts(us: Long): Timestamp = {
+      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+  }
+
   /** File-based event stream with the micro-timestamp schema produced by
     * [[graft.tables.Tables.events]] (one parquet dir, new files = new
     * micro-batches). */
@@ -130,34 +152,38 @@ object EventStreams {
     * session_end + gap. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
 
+    // OpenSession start/end fields carry MICROSECONDS ([[Micros]]) so
+    // emitted boundaries are exact; the timeout API is ms-granular, so
+    // the deadline rounds UP (a timer must never fire before end+gap).
     def fn(userId: Long, batch: Iterator[Event],
         state: GroupState[OpenSession]): Iterator[Session] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        return Iterator(Session(userId, new Timestamp(s.startMs),
-          new Timestamp(s.endMs), s.n))
+        return Iterator(Session(userId, Micros.ts(s.startMs),
+          Micros.ts(s.endMs), s.n))
       }
-      val sorted = batch.toArray.sortBy(_.ts.getTime)
+      val sorted = batch.toArray.sortBy(e => Micros.of(e.ts))
       var closed = List.empty[Session]
       var open = state.getOption
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = Micros.of(e.ts)
         open = open match {
-          case Some(s) if t - s.endMs <= gapMs =>
+          case Some(s) if t - s.endMs <= gapUs =>
             Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
           case Some(s) =>
-            closed ::= Session(userId, new Timestamp(s.startMs),
-              new Timestamp(s.endMs), s.n)
+            closed ::= Session(userId, Micros.ts(s.startMs),
+              Micros.ts(s.endMs), s.n)
             Some(OpenSession(t, t, 1))
           case None => Some(OpenSession(t, t, 1))
         }
       }
       open.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.endMs + gapMs)
+        state.setTimeoutTimestamp(
+          math.floorDiv(s.endMs + gapUs + 999L, 1000L))
       }
       closed.reverseIterator
     }
@@ -167,6 +193,111 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** State record for [[sessionizeTws]]: the open session (MICROSECOND
+    * bounds, [[Micros]]) PLUS the ms-granular event-time timer
+    * currently registered for it, so a session update can delete the
+    * stale timer before registering the new one (the
+    * `transformWithState` API exposes raw timers, not the
+    * one-timeout-per-key sugar `GroupState.setTimeoutTimestamp` gives). */
+  case class TwsOpen(startUs: Long, endUs: Long, n: Long, timerMs: Long)
+
+  /** Gap-based sessionizer on Spark 4's `transformWithState` arbitrary-
+    * state API ([[StatefulProcessor]] + `ValueState` + explicit
+    * event-time timers) — the same session contract as [[sessionize]]
+    * (which uses the older `flatMapGroupsWithState`), kept as the
+    * API-v2 twin because the new surface is what long-lived pipelines
+    * should target: typed per-key state primitives (value/list/map),
+    * multiple states per key, raw timers, and state-schema evolution —
+    * all backed by the RocksDB state store (the only provider
+    * `transformWithState` supports), whose changelog checkpointing is
+    * the 100 TB-state operability path.
+    *
+    * Semantics (identical to [[sessionize]], asserted in
+    * `StreamingSpec`): events within `gapMinutes` of the session's end
+    * extend it; a larger gap closes it and opens a new one; the
+    * watermark passing `end + gap` fires the timer that closes an idle
+    * session. In-batch closures emit from `handleInputRows`; idle
+    * closures emit from `handleExpiredTimer`. */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var open: ValueState[TwsOpen] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: streaming.TimeMode): Unit =
+      open = getHandle.getValueState[TwsOpen]("open",
+        Encoders.product[TwsOpen], TTLConfig.NONE)
+
+    private val gapUs = gapMs * 1000L
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = rows.toArray.sortBy(e => Micros.of(e.ts))
+      if (sorted.isEmpty) return Iterator.empty
+      var closed = List.empty[Session]
+      var cur: Option[TwsOpen] =
+        if (open.exists()) Some(open.get()) else None
+      val staleTimer = cur.map(_.timerMs)
+      sorted.foreach { e =>
+        val t = Micros.of(e.ts)
+        cur = cur match {
+          case Some(s) if t - s.endUs <= gapUs =>
+            Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= Session(userId, Micros.ts(s.startUs),
+              Micros.ts(s.endUs), s.n)
+            Some(TwsOpen(t, t, 1, 0L))
+          case None => Some(TwsOpen(t, t, 1, 0L))
+        }
+      }
+      cur.foreach { s =>
+        // ms-granular timer, rounded UP: it must never fire before the
+        // exact micro deadline end+gap
+        val timerAt = math.floorDiv(s.endUs + gapUs + 999L, 1000L)
+        staleTimer.filter(old => old != 0L && old != timerAt)
+          .foreach(getHandle.deleteTimer)
+        if (!staleTimer.contains(timerAt)) getHandle.registerTimer(timerAt)
+        open.update(s.copy(timerMs = timerAt))
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long,
+        timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Session] = {
+      // A fired timer may be stale if the session advanced in the same
+      // micro-batch that moved the watermark past the OLD deadline (the
+      // delete above races the eviction scan within one batch) — only a
+      // timer matching the CURRENT deadline closes the session.
+      if (open.exists()) {
+        val s = open.get()
+        if (s.timerMs == expired.getExpiryTimeInMs) {
+          open.clear()
+          return Iterator(Session(userId, Micros.ts(s.startUs),
+            Micros.ts(s.endUs), s.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** [[sessionize]] re-expressed on the `transformWithState` API — see
+    * [[SessionProcessor]]. Requires the RocksDB state store provider on
+    * the session (`spark.sql.streaming.stateStore.providerClass`). */
+  def sessionizeTws(events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime, OutputMode.Append)
   }
 
   /** Streaming drift monitor — q146's continuous-ingest twin (the

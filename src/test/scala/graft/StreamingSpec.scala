@@ -558,12 +558,67 @@ class StreamingSpec extends SparkSpec {
 
       val streamed = spark.table("sess_out")
         .filter(col("session_start") < lit("2090-01-01").cast("timestamp"))
+        .select("user_id", "session_start", "session_end", "n_events")
       val batch = graft.queries.Core.q16Sessionize(spark, sf)
-      assert(streamed.count() === batch.count())
-      val sTotal = streamed.agg(sum("n_events")).collect()(0).getLong(0)
-      val bTotal = batch.agg(sum("n_events")).collect()(0).getLong(0)
-      assert(sTotal === bTotal)
+        .select("user_id", "session_start", "session_end", "n_events")
+      // exact session-for-session equality (micro-exact boundaries, not
+      // just matching counts — the Micros fix makes this assertable)
+      assert(streamed.exceptAll(batch).isEmpty,
+        "flatMapGroupsWithState emitted a session batch q16 does not have")
+      assert(batch.exceptAll(streamed).isEmpty,
+        "flatMapGroupsWithState missed a session batch q16 has")
     } finally q.stop()
+  }
+
+  test("transformWithState sessionization equals batch q16 session-for-session") {
+    // Spark 4's arbitrary-state v2 API only runs on the RocksDB state
+    // store; swap the provider for this query and restore after.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val twsDir = Files.createTempDirectory("graft-tws-src").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(twsDir)
+    val q = EventStreams.sessionizeTws(
+      EventStreams.readEventStream(spark, twsDir)
+        .as[EventStreams.Event])
+      .writeStream.format("memory").queryName("tws_sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // flush batch: one far-future event per user advances the watermark
+      // past every real session's end+gap, firing the close timers
+      val users = Tables.events(spark, sf).select("user_id").distinct()
+        .as[Long].collect()
+      import java.sql.Timestamp
+      val far = new Timestamp(4102444800000L) // 2100-01-01
+      users.map(u => (2000000L + u, far, u, "flush", 0.0)).toSeq
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(twsDir)
+      q.processAllAvailable()
+
+      val streamed = spark.table("tws_sess_out")
+        .filter(col("session_start") < lit("2090-01-01").cast("timestamp"))
+        .select("user_id", "session_start", "session_end", "n_events")
+      // exact session-for-session equality with the batch spelling, not
+      // just matching counts: every (user, start, end, n) must coincide
+      val batch = graft.queries.Core.q16Sessionize(spark, sf)
+        .select("user_id", "session_start", "session_end", "n_events")
+      val extra = streamed.exceptAll(batch).collect()
+      val missing = batch.exceptAll(streamed).collect()
+      assert(extra.isEmpty,
+        s"transformWithState emitted sessions batch q16 does not have: ${extra.take(5).mkString("; ")}")
+      assert(missing.isEmpty,
+        s"transformWithState missed sessions batch q16 has: ${missing.take(5).mkString("; ")}")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
   }
 
   test("streaming drift monitor: maintained CUSUM equals batch q146 per wave") {
