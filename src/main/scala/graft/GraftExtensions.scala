@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, IntDotProduct, IntMatchCount, IntSquaredDistance, LangId, PortableSimHash, RewriteSortedIntersectCount, RollingHash, SimHash, SortedIntersectCount, SquaredDistance}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, IntDotProduct, IntMatchCount, IntSquaredDistance, LangId, PortableSimHash, RewriteSortedIntersectCount, RewriteIntDotFold, RollingHash, SimHash, SortedIntersectCount, SquaredDistance}
 
 /** Session-build-time registration of the engine's custom Catalyst
   * expressions (the `SparkSessionExtensions` integration point — SURVEY.md
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer tier: declarative spellings auto-upgrade to the custom
     // kernels where the rewrite is provably value-identical
     e.injectOptimizerRule(_ => RewriteSortedIntersectCount)
+    e.injectOptimizerRule(_ => RewriteIntDotFold)
     e.injectFunction(fn("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two float arrays",
       es => CosineSimilarity(es(0), es(1))))

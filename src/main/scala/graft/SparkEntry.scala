@@ -105,7 +105,8 @@ object SparkEntry {
     "q254_promo_suppliers",    // ranked serve; suppkey tie-break
     "q255_top_rev_supplier",   // unique suppkey; free order pin
     "q256_big_orders",         // totalprice-ranked serve; orderkey tiebreak
-    "q258_vocab_overlap")      // unique (src_a, src_b) key; free pin
+    "q258_vocab_overlap",      // unique (src_a, src_b) key; free pin
+    "q259_anchor_dot")         // unique per-label key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -3146,7 +3146,71 @@ object Similarity {
        |FROM fixed JOIN d ON d.doc_id = fixed.neg_id
        |ORDER BY anchor_id, j""".stripMargin
 
+  // ---- q259: per-label anchor agreement, spelled declaratively -----------
+
+  /** q259 — per-label ANCHOR AGREEMENT: each label's anchor is its
+    * min-vec_id quantized vector; every member's exact integer dot
+    * product against its label anchor rolls up to per-label
+    * (n_vecs, sum_dot, min_dot, max_dot) — the cheap class-cohesion
+    * audit a labeled embedding corpus publishes per release (a label
+    * whose members stop agreeing with a pinned exemplar has drifted or
+    * been polluted; the q115 centroid-drift signal with an anchored,
+    * exactly-reproducible reference point).
+    *
+    * Deliberately spelled with the DECLARATIVE fold
+    * `aggregate(zip_with(q, aq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)`
+    * rather than the direct `int_dot` call: this query exists (like
+    * q258 for the intersect rule) to keep the injected
+    * `RewriteIntDotFold` optimizer tier LOAD-BEARING in the driver gate
+    * — the plan must show the codegen kernel, and `PlanShapeSpec`
+    * asserts the lock turns red when the rule is excluded. Under the
+    * session's ANSI mode the rewrite engages the kernel's
+    * overflow-checked arm (error-set-identical to the fold).
+    *
+    * Scale shape: anchors are one ≤#labels-row relation (broadcast);
+    * the corpus scans once, the dot runs inside whole-stage codegen per
+    * row, and the rollup partial-aggregates map-side — nothing
+    * corpus-sized shuffles. */
+  def anchorDot(s: SparkSession, dir: String): DataFrame = {
+    val q = quantizedLabeled(Tables.embeddings(s, dir))
+    val anchors = q.groupBy(col("label"))
+      .agg(min(col("vec_id")).as("a_id"))
+      .join(q.select(col("vec_id").as("a_id"), col("q").as("aq")),
+        Seq("a_id"))
+      .select(col("label"), col("aq"))
+    q.join(broadcast(anchors), Seq("label"))
+      .selectExpr("label", "vec_id",
+        "aggregate(zip_with(q, aq, (x, y) -> x * y), 0L, " +
+          "(acc, v) -> acc + v) AS dot")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dot")).as("sum_dot"),
+        min(col("dot")).as("min_dot"), max(col("dot")).as("max_dot"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB spelling: the shared quantization CTEs, the same min-id
+    * anchor join, the same exact integer dot (fixed 64-dim lattice). */
+  val anchorDotSql: String =
+    s"""WITH $quantCtes,
+       |anch AS (
+       |  SELECT label, min(vec_id) AS a_id FROM q GROUP BY label),
+       |aqv AS (
+       |  SELECT a.label, qq.q AS aq
+       |  FROM anch a JOIN q qq ON qq.vec_id = a.a_id),
+       |dots AS (
+       |  SELECT v.label, v.vec_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 65), i -> v.q[i] * a.aq[i])),
+       |      (x, y) -> x + y) AS BIGINT) AS dot
+       |  FROM q v JOIN aqv a ON a.label = v.label)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(dot) AS BIGINT) AS sum_dot,
+       |  min(dot) AS min_dot, max(dot) AS max_dot
+       |FROM dots GROUP BY label
+       |ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_anchor_dot" -> (anchorDot _),
     "q211_negative_sampling" -> (negativeSampling _),
     "q160_graph_centrality" -> (graphCentrality _),
     "q161_label_propagation" -> (labelPropagation _),
@@ -3179,6 +3243,7 @@ object Similarity {
     "q49_neardup_lsh" -> ((s: SparkSession, d: String) => nearDupLsh(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q259_anchor_dot" -> anchorDotSql,
     "q211_negative_sampling" -> negativeSamplingSql,
     "q160_graph_centrality" -> graphCentralitySql,
     "q161_label_propagation" -> labelPropagationSql,

@@ -64,3 +64,80 @@ object RewriteSortedIntersectCount extends Rule[LogicalPlan] {
         Cast(SortedIntersectCount(l, r), IntegerType)
     }
 }
+
+/** Optimizer rule:
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)`
+  * over `array<bigint>` rewrites to `int_dot(a, b)` — the declarative
+  * integer-dot-product fold becomes the whole-stage-codegen kernel.
+  *
+  * The fold is THE natural SQL spelling of a quantized-vector dot
+  * product, and it evaluates interpreted per row (boxed lambdas,
+  * per-element closure dispatch) plus materializes the zip_with product
+  * array per pair; [[IntDotProduct]] reads longs straight out of
+  * UnsafeArrayData with zero allocation — on candidate-pair relations
+  * that difference dominates the query (the q139/q158 lesson that
+  * motivated the kernel; this rule gives a USER's declarative query the
+  * same kernel automatically, the [[RewriteSortedIntersectCount]]
+  * escalation tier applied to arithmetic folds).
+  *
+  * Soundness guards (the rewrite fires only when provably
+  * value-identical):
+  *   - the zip function is EXACTLY `x * y` over the two lambda
+  *     variables (one reference each, either order — multiplication is
+  *     commutative and long-exact), the merge is exactly `acc + v`, the
+  *     zero is `0L`, and the finish lambda is the identity;
+  *   - element type is BIGINT (nullable elements are FINE, unlike the
+  *     intersect rule: a null element poisons both spellings to NULL by
+  *     the same prefix-fold path, and the kernel reproduces it);
+  *   - eval modes: LEGACY Multiply/Add → wrapping kernel; ANSI → the
+  *     kernel's `ansi = true` arm, which reproduces the fold's overflow
+  *     ERROR SET and ordering exactly (see [[IntDotProduct]]); a TRY_*
+  *     spelling (overflow → NULL) never rewrites.
+  * Length mismatch → NULL in both spellings (zip_with pads with nulls,
+  * which poison the fold; the kernel returns NULL after running the
+  * same ANSI multiply checks zip_with would). */
+object RewriteIntDotFold extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, EvalMode, LambdaFunction, Multiply, NamedLambdaVariable, ZipWith}
+
+  /** The binary op's operands are exactly one reference to each of the
+    * two lambda variables (either order). */
+  private def usesBoth(opL: Expression, opR: Expression,
+      v1: NamedLambdaVariable, v2: NamedLambdaVariable): Boolean =
+    (opL, opR) match {
+      case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+        (a.exprId == v1.exprId && b.exprId == v2.exprId) ||
+          (a.exprId == v2.exprId && b.exprId == v1.exprId)
+      case _ => false
+    }
+
+  private def identityFinish(f: Expression): Boolean = f match {
+    case LambdaFunction(body: NamedLambdaVariable,
+        Seq(arg: NamedLambdaVariable), _) => body.exprId == arg.exprId
+    case _ => false
+  }
+
+  private def longArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(mul: Multiply,
+            Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(0L, LongType),
+          LambdaFunction(add: Add,
+            Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          finish)
+          if longArray(a) && longArray(b) &&
+            usesBoth(mul.left, mul.right, x, y) &&
+            usesBoth(add.left, add.right, acc, v) &&
+            identityFinish(finish) &&
+            mul.evalContext.evalMode == add.evalContext.evalMode &&
+            (mul.evalContext.evalMode == EvalMode.LEGACY ||
+              mul.evalContext.evalMode == EvalMode.ANSI) =>
+        IntDotProduct(a, b,
+          ansi = mul.evalContext.evalMode == EvalMode.ANSI)
+    }
+}

@@ -272,8 +272,21 @@ case class DotProduct(left: Expression, right: Expression)
   * straight from UnsafeArrayData. |dot| ≤ D·127² ≈ 2²⁰ at D = 64 — no
   * overflow headroom concern until D ~ 5·10¹³. NULL element or a length
   * mismatch → NULL, exactly the fold's semantics (zip_with pads the
-  * shorter array with NULLs, which poison the sum). */
-case class IntDotProduct(left: Expression, right: Expression)
+  * shorter array with NULLs, which poison the sum).
+  *
+  * `ansi = true` (used only by [[RewriteIntDotFold]], never the direct
+  * `int_dot` API) reproduces the fold's ANSI-mode behavior exactly,
+  * including its ERROR set and error ordering: `zip_with` materializes
+  * every product of the overlapping prefix (overflow-CHECKED multiplies,
+  * in index order, null elements skipped) before `aggregate` folds
+  * (overflow-checked adds up to the first null product, which poisons
+  * the rest of the fold to NULL unchecked). The kernel therefore runs a
+  * check-only multiply pass, then the checked fold — two passes, zero
+  * allocation, and an input overflows the kernel iff it overflows the
+  * declarative spelling (same SparkArithmeticException class via
+  * [[QueryExecutionErrors.arithmeticOverflowError]]). */
+case class IntDotProduct(left: Expression, right: Expression,
+    ansi: Boolean = false)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
@@ -287,11 +300,26 @@ case class IntDotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n != y.numElements()) return null
+    val ny = y.numElements()
+    if (ansi) {
+      // phase 1 — zip_with's semantics: every overlapping non-null
+      // product is overflow-checked BEFORE any add runs
+      val m = math.min(n, ny)
+      var i = 0
+      while (i < m) {
+        if (!x.isNullAt(i) && !y.isNullAt(i)) {
+          IntDotProduct.mulExact(x.getLong(i), y.getLong(i))
+        }
+        i += 1
+      }
+    }
+    if (n != ny) return null
     var dot = 0L; var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      dot += x.getLong(i) * y.getLong(i); i += 1
+      val p = x.getLong(i) * y.getLong(i)
+      dot = if (ansi) IntDotProduct.addExact(dot, p) else dot + p
+      i += 1
     }
     dot
   }
@@ -300,13 +328,30 @@ case class IntDotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      // companion-object call from generated Java: class IntDotProduct$
+      // (no static forwarders — the companion CLASS is the case class)
+      val kernel = IntDotProduct.getClass.getName + ".MODULE$"
+      val mulCheck = if (!ansi) "" else {
+        val m = ctx.freshName("m"); val j = ctx.freshName("j")
+        s"""
+           |int $m = java.lang.Math.min($n, $y.numElements());
+           |for (int $j = 0; $j < $m; $j++) {
+           |  if (!$x.isNullAt($j) && !$y.isNullAt($j)) {
+           |    $kernel.mulExact($x.getLong($j), $y.getLong($j));
+           |  }
+           |}""".stripMargin
+      }
+      val addStep =
+        if (ansi) s"$dot = $kernel.addExact($dot, $x.getLong($i) * $y.getLong($i));"
+        else s"$dot += $x.getLong($i) * $y.getLong($i);"
       s"""
          |int $n = $x.numElements();
          |long $dot = 0L;
+         |$mulCheck
          |if ($n != $y.numElements()) { ${ev.isNull} = true; }
          |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $dot += $x.getLong($i) * $y.getLong($i);
+         |  $addStep
          |}
          |if (!${ev.isNull}) { ${ev.value} = $dot; }
        """.stripMargin
@@ -315,6 +360,27 @@ case class IntDotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object IntDotProduct {
+  import org.apache.spark.sql.errors.QueryExecutionErrors
+
+  /** ANSI-faithful checked multiply: same error class + hint the
+    * declarative `x * y` raises under ANSI mode. */
+  def mulExact(a: Long, b: Long): Long =
+    try java.lang.Math.multiplyExact(a, b)
+    catch { case _: ArithmeticException =>
+      throw QueryExecutionErrors.arithmeticOverflowError(
+        "long overflow", "try_multiply", null)
+    }
+
+  /** ANSI-faithful checked add — the fold's `acc + v`. */
+  def addExact(a: Long, b: Long): Long =
+    try java.lang.Math.addExact(a, b)
+    catch { case _: ArithmeticException =>
+      throw QueryExecutionErrors.arithmeticOverflowError(
+        "long overflow", "try_add", null)
+    }
 }
 
 /** Exact integer squared L2 distance of two `array<bigint>` columns —

@@ -58,6 +58,78 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("declarative int-dot fold rewrites to the codegen kernel with " +
+      "ANSI-exact semantics; guards hold") {
+    import org.apache.spark.sql.functions.col
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    val fold = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, " +
+      "(acc, v) -> acc + v)"
+    // arrays reference `id` so ConvertToLocalRelation/constant folding
+    // cannot pre-evaluate the fold before the rule sees it
+    val base = spark.range(2).selectExpr(
+      "array(id + 1L, 2L, 3L) AS qa", "array(4L, 5L, id + 6L) AS qb")
+
+    // plan upgrade + value (ANSI session — Spark 4 default): the fold
+    // becomes int_dot and the values are the exact dot products
+    val up = base.selectExpr("qa", "qb", s"$fold AS dot")
+    assert(planOf(up).contains("int_dot"), planOf(up))
+    assert(up.orderBy(col("dot")).collect().map(_.getLong(2)).toSeq ===
+      Seq(32L, 39L))
+
+    // the kernel reproduces the fold's null semantics: null element →
+    // NULL, length mismatch (zip_with null padding) → NULL
+    val nulls = spark.range(1).selectExpr(
+      "array(id + 1L, CAST(NULL AS BIGINT)) AS qa", "array(2L, 3L) AS qb")
+      .union(spark.range(1).selectExpr(
+        "array(id + 1L, 2L, 3L)", "array(4L)"))
+      .selectExpr(s"$fold AS dot")
+    assert(planOf(nulls).contains("int_dot"), planOf(nulls))
+    assert(nulls.collect().forall(_.isNullAt(0)))
+
+    // ANSI-exactness: an overflowing multiply must THROW through the
+    // kernel exactly as the declarative fold does (same error class) —
+    // compare against the fold with the rule excluded
+    val ovf = spark.range(1).selectExpr(
+      "array(id + 9223372036854775807L) AS qa", "array(2L) AS qb")
+      .selectExpr(s"$fold AS dot")
+    assert(planOf(ovf).contains("int_dot"), planOf(ovf))
+    val viaKernel = intercept[Exception](ovf.collect())
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.graft.RewriteIntDotFold")
+    val viaFold = try {
+      val raw = spark.range(1).selectExpr(
+        "array(id + 9223372036854775807L) AS qa", "array(2L) AS qb")
+        .selectExpr(s"$fold AS dot")
+      assert(!planOf(raw).contains("int_dot"),
+        s"rule exclusion did not remove the kernel:\n${planOf(raw)}")
+      intercept[Exception](raw.collect())
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    def arithmeticRoot(e: Throwable): Throwable = {
+      var c: Throwable = e
+      while (c.getCause != null && !c.isInstanceOf[ArithmeticException])
+        c = c.getCause
+      c
+    }
+    assert(arithmeticRoot(viaKernel).getClass ===
+      arithmeticRoot(viaFold).getClass,
+      s"kernel error ${arithmeticRoot(viaKernel)} != " +
+        s"fold error ${arithmeticRoot(viaFold)}")
+
+    // guards: a non-dot zip function, a TRY-mode multiply, and a non-0L
+    // zero must all keep the declarative fold
+    Seq(
+      "aggregate(zip_with(qa, qb, (x, y) -> x * x), 0L, (acc, v) -> acc + v)",
+      "aggregate(zip_with(qa, qb, (x, y) -> try_multiply(x, y)), 0L, " +
+        "(acc, v) -> acc + v)",
+      "aggregate(zip_with(qa, qb, (x, y) -> x * y), 1L, (acc, v) -> acc + v)"
+    ).foreach { spelled =>
+      val p = planOf(base.selectExpr(s"$spelled AS r"))
+      assert(!p.contains("int_dot"), s"guard failed for $spelled:\n$p")
+    }
+  }
+
   test("observed telemetry rides the production action: curation drop " +
       "counts arrive with zero extra scans and match a recount") {
     import org.apache.spark.sql.functions._

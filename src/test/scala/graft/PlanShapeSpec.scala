@@ -729,6 +729,30 @@ class PlanShapeSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("q259: the DECLARATIVE dot fold plans to the int_dot kernel — " +
+      "the second injected optimizer rule is load-bearing") {
+    // q259 spells its per-vector anchor dot as the plain
+    // aggregate(zip_with(...)) fold in a selectExpr; RewriteIntDotFold
+    // (injected by GraftExtensions on every gate/bench/test session)
+    // must upgrade it to the whole-stage-codegen kernel
+    val p = plan(graft.ext.Similarity.anchorDot(spark, sf))
+    assert(p.contains("int_dot"),
+      s"declarative dot fold did not rewrite to the kernel:\n$p")
+    // …and the lock is load-bearing: with the rule excluded, the same
+    // query plans WITHOUT the kernel
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.graft.RewriteIntDotFold")
+    try {
+      val p2 = plan(graft.ext.Similarity.anchorDot(spark, sf))
+      assert(!p2.contains("int_dot"),
+        "rule exclusion did not remove the kernel — the q259 lock " +
+          s"would pass vacuously:\n$p2")
+      assert(p2.contains("zip_with"),
+        s"excluded-rule plan lost the declarative spelling too:\n$p2")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   // The per-round frontier joins run eagerly inside the traversal (each
   // round is checkpointed), so the plans below cover each query's final
   // stage — for q243 that includes the wedge + closing joins, the part
