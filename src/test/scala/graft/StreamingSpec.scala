@@ -621,6 +621,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionization restarts exactly-once: " +
+      "RocksDB state carries open sessions across the gap") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val srcDir = Files.createTempDirectory("graft-tws-ckpt-src").toString
+    val ckpt = Files.createTempDirectory("graft-tws-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-tws-out").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // split by TIME, not id: everything in the second file is newer than
+    // the run-1 watermark, so nothing is dropped as late and sessions
+    // STRADDLING the cutoff must be merged from restored RocksDB state
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    ev.filter(col("ts") < cutoff).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+
+    // parquet sink: its _spark_metadata commit log is the exactly-once
+    // guarantee being tested — emitted sessions survive the restart,
+    // redelivered micro-batches overwrite idempotently
+    def start() = EventStreams.sessionizeTws(
+      EventStreams.readEventStream(spark, srcDir)
+        .as[EventStreams.Event])
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    try {
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop()
+      // rest of the corpus + the far-future flush arrive while down
+      import java.sql.Timestamp
+      val far = new Timestamp(4102444800000L) // 2100-01-01
+      val users = ev.select("user_id").distinct().as[Long].collect()
+      ev.filter(col("ts") >= cutoff)
+        .union(users.map(u => (3000000L + u, far, u, "flush", 0.0)).toSeq
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val streamed = spark.read.parquet(outDir)
+        .filter(col("session_start") < lit("2090-01-01").cast("timestamp"))
+        .select("user_id", "session_start", "session_end", "n_events")
+      val batch = graft.queries.Core.q16Sessionize(spark, sf)
+        .select("user_id", "session_start", "session_end", "n_events")
+      assert(streamed.exceptAll(batch).isEmpty,
+        "restart duplicated or fabricated a session")
+      assert(batch.exceptAll(streamed).isEmpty,
+        "restart lost a session (cutoff-straddling state not restored?)")
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("streaming drift monitor: maintained CUSUM equals batch q146 per wave") {
     val ev = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
