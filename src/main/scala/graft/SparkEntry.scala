@@ -106,7 +106,8 @@ object SparkEntry {
     "q255_top_rev_supplier",   // unique suppkey; free order pin
     "q256_big_orders",         // totalprice-ranked serve; orderkey tiebreak
     "q258_vocab_overlap",      // unique (src_a, src_b) key; free pin
-    "q259_anchor_dot")         // unique per-label key; free order pin
+    "q259_anchor_dot",         // unique per-label key; free order pin
+    "q260_supplier_variety")   // cnt-ranked; (brand,type,size) tiebreak
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

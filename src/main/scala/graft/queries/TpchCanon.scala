@@ -808,7 +808,71 @@ object TpchCanon {
        |    AND p_type LIKE 'LARGE%'
        |    AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 35)""".stripMargin
 
+  // ---- q260: supplier variety per part class (TPC-H Q16 shape) -----------
+
+  /** The Q16 size list (all within the fixture's 1–50 domain). */
+  final val VarietySizes: Seq[Int] = Seq(3, 9, 14, 19, 23, 36, 45, 49)
+
+  /** q260 — SUPPLIER VARIETY per part class: how many DISTINCT
+    * suppliers ship each (brand, type, size) class, excluding one brand,
+    * one type prefix, and a blacklisted supplier set — TPC-H Q16's
+    * topology, the DISTINCT-AGGREGATE-over-an-ANTI-JOIN class the canon
+    * still lacked (q07 has the anti-join, q09 the distinct counts; Q16
+    * composes them under part-side attribute pruning). The fixture has
+    * no partsupp or comment column, so the supply relation re-anchors on
+    * lineitem's (l_partkey, l_suppkey) — the same re-anchoring as
+    * q215/q217 — and the spec's complaint-comment blacklist becomes the
+    * negative-balance suppliers (`s_acctbal < 0`), the same
+    * "problem supplier" role.
+    *
+    * Scale shape: the part side prunes FIRST (brand ≠, type NOT LIKE,
+    * size IN — all pushed into its scan) and the survivors broadcast
+    * into the fact scan; the blacklist is a ≤#suppliers relation that
+    * also broadcasts, as a LEFT ANTI join (spec's NOT IN is
+    * null-safe-equivalent here — s_suppkey is never NULL). The distinct
+    * count is spelled TWO-PHASE (dedupe on (class, suppkey) first, then
+    * count) per the engine's no-Expand-next-to-distinct rule, so both
+    * exchanges carry id-width rows and partial aggregation collapses
+    * map-side. Ordered contract: spec's (cnt DESC, brand, type, size) —
+    * a unique total order since (brand, type, size) is the group key. */
+  def q260SupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#13" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(VarietySizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+    val blacklist = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(blacklist), col("s_suppkey") === col("l_suppkey"),
+        "left_anti")
+      // two-phase distinct: dedupe to (class, suppkey) rows map-side…
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"),
+        col("l_suppkey"))
+      .agg(count(lit(1)).as("_dup"))
+      // …then count the survivors per class
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q260Sql: String =
+    s"""SELECT p_brand, p_type, p_size,
+       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+       |  AND p_size IN (${VarietySizes.mkString(", ")})
+       |  AND NOT EXISTS (SELECT 1 FROM supplier
+       |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_supplier_variety" -> (q260SupplierVariety _),
     "q256_big_orders" -> (q256BigOrders _),
     "q257_disjunctive_revenue" -> (q257DisjunctiveRevenue _),
     "q255_top_rev_supplier" -> (q255TopRevenueSupplier _),
@@ -824,6 +888,7 @@ object TpchCanon {
     "q221_idle_rich_customers" -> (q221IdleRichCustomers _))
 
   val oracles: Map[String, String] = Map(
+    "q260_supplier_variety" -> q260Sql,
     "q256_big_orders" -> q256Sql,
     "q257_disjunctive_revenue" -> q257Sql,
     "q255_top_rev_supplier" -> q255Sql,

@@ -753,6 +753,21 @@ class PlanShapeSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("q260: distinct-over-anti-join plans broadcast-only with no " +
+      "Expand and part predicates pushed") {
+    val p = plan(graft.queries.TpchCanon.q260SupplierVariety(spark, sf))
+    // the blacklist exclusion must be a broadcast ANTI join and the
+    // part class join a broadcast — the fact table never reshuffles
+    // for either join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"q260 lost the broadcast anti-join:\n$p")
+    // the two-phase distinct spelling must hold: no Expand anywhere
+    assert(!p.contains("Expand"), s"q260 grew an Expand:\n$p")
+    // part-side attribute pruning reaches the scan
+    assert(p.contains("PushedFilters") && p.contains("p_size"),
+      s"q260 part predicates not pushed:\n$p")
+  }
+
   // The per-round frontier joins run eagerly inside the traversal (each
   // round is checkpointed), so the plans below cover each query's final
   // stage — for q243 that includes the wedge + closing joins, the part

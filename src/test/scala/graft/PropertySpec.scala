@@ -249,6 +249,40 @@ class PropertySpec extends SparkSpec {
     assert(bad.isEmpty, s"kernel diverges from array_intersect: ${bad.toSeq}")
   }
 
+  test("int_dot rewrite is value-invisible on random arrays (nulls, " +
+      "length mismatches, either eval mode)") {
+    // RewriteIntDotFold must be a pure plan upgrade: for every input the
+    // declarative fold (rule EXCLUDED) and the kernel (rule ACTIVE)
+    // agree, including null elements (poison → NULL) and mismatched
+    // lengths (zip_with null padding → NULL); values small enough that
+    // ANSI never throws, so both spellings complete
+    import org.apache.spark.sql.functions._
+    val elemGen: Gen[Option[Long]] = Gen.frequency(
+      9 -> Gen.chooseNum(-1000L, 1000L).map(Some(_)),
+      1 -> Gen.const(None))
+    val arrGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, elemGen))
+    val pairs = (1 to 50).map(i =>
+      (sample(arrGen, i.toLong), sample(arrGen, i + 5000L)))
+    val df = pairs.toDF("qa", "qb").localCheckpoint() // pin the input
+    val fold = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, " +
+      "(acc, v) -> acc + v) AS dot"
+    def run(excludeRule: Boolean): Seq[Option[Long]] = {
+      val key = "spark.sql.optimizer.excludedRules"
+      val prev = spark.conf.getOption(key)
+      if (excludeRule)
+        spark.conf.set(key, "org.apache.spark.sql.graft.RewriteIntDotFold")
+      try {
+        val out = df.selectExpr("monotonically_increasing_id() AS i", fold)
+        val p = out.queryExecution.optimizedPlan.toString
+        if (excludeRule) assert(!p.contains("int_dot"), p)
+        else assert(p.contains("int_dot"), p)
+        out.orderBy(col("i")).collect()
+          .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    assert(run(excludeRule = false) === run(excludeRule = true))
+  }
+
   test("Det.dstddev matches built-in stddev_samp within 1e-9 relative") {
     val li = graft.tables.Tables.lineitem(spark, sf)
     val rows = li.groupBy(col("l_returnflag"))
