@@ -52,6 +52,16 @@ common = sorted(set(old) & set(new))
 print(f"{len(common)} queries in both ({len(old)} old, {len(new)} new)")
 
 drift = 1.0
+if new_sent:
+    # mid-bench drift only needs the NEW run's sentinel — warn even when
+    # the old run predates the sentinel feature (or names differ)
+    spread = max(new_sent["start"], new_sent["end"]) / max(
+        min(new_sent["start"], new_sent["end"]), 1e-9)
+    if spread > 1.5:
+        print(f"WARNING: new run's sentinel drifted {spread:.2f}x "
+              f"START->END ({new_sent['start']:.3f}s -> "
+              f"{new_sent['end']:.3f}s) — the box changed speed "
+              f"MID-BENCH; per-query flags are low-confidence")
 if (old_sent and new_sent and old_sent.get("name") == new_sent.get("name")
         and min(old_sent["start"], old_sent["end"]) > 0):
     o_s = (old_sent["start"] + old_sent["end"]) / 2
@@ -65,13 +75,6 @@ if (old_sent and new_sent and old_sent.get("name") == new_sent.get("name")
         print(f"WARNING: sentinel moved {raw:.2f}x "
               f"({o_s:.3f}s -> {n_s:.3f}s) — beyond the 0.7-1.3 trust "
               f"band; comparing UNNORMALIZED")
-    spread = max(new_sent["start"], new_sent["end"]) / max(
-        min(new_sent["start"], new_sent["end"]), 1e-9)
-    if spread > 1.5:
-        print(f"WARNING: new run's sentinel drifted {spread:.2f}x "
-              f"START->END ({new_sent['start']:.3f}s -> "
-              f"{new_sent['end']:.3f}s) — the box changed speed "
-              f"MID-BENCH; per-query flags are low-confidence")
 new = {q: (None if t is None else t / drift) for q, t in new.items()}
 
 regressions, improved = [], []

@@ -1170,13 +1170,9 @@ object SnapTable {
       // SnapTableSpec ≥32-version case asserts it anyway), carrying a
       // bounded ≤#sources driver state instead of a 2·V-branch plan
       val st = ivmFoldSourceStats(s, d, 0, vmax, Map.empty)
-      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val rows = st.toSeq.sortBy(_._1).map { case (src, (n, c)) =>
-        org.apache.spark.sql.Row(src, n, c) }
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
-        StructType(Seq(StructField("source", StringType),
-          StructField("n_docs", LongType),
-          StructField("total_chars", LongType))))
+      import s.implicits._
+      st.toSeq.sortBy(_._1).map { case (src, (n, c)) => (src, n, c) }
+        .toDF("source", "n_docs", "total_chars")
         .orderBy(col("source"))
     } else {
       // both the delta rule (manifestDeltas) AND the per-delta aggregate

@@ -25,8 +25,12 @@ object EventStreams {
       session_end: Timestamp, n_events: Long)
 
   /** State-store record for one user's in-progress session (public:
-    * Spark's bean/product encoder requires an accessible constructor). */
-  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+    * Spark's bean/product encoder requires an accessible constructor).
+    * Bounds are MICROSECONDS ([[Micros]]); the field rename from the
+    * original ms-unit fields is deliberate so a checkpoint written
+    * before the unit change fails LOUDLY on state-schema mismatch
+    * instead of silently reinterpreting ms values as micros. */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
   /** Micro-exact timestamp conversions, in their own Serializable holder
     * because closures shipped to executors reference them (the enclosing
@@ -40,6 +44,11 @@ object EventStreams {
       * `getNanos` carries the full fractional part. */
     def of(t: Timestamp): Long =
       math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    /** Ceiling ms of a micro instant — the shared deadline rounding
+      * for ms-granular timer APIs: a timer must never fire BEFORE the
+      * exact micro deadline, so round up. */
+    def ceilMs(us: Long): Long = math.floorDiv(us + 999L, 1000L)
 
     /** Inverse of [[of]]: rebuild the timestamp with its full
       * microsecond fraction. */
@@ -162,8 +171,8 @@ object EventStreams {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        return Iterator(Session(userId, Micros.ts(s.startMs),
-          Micros.ts(s.endMs), s.n))
+        return Iterator(Session(userId, Micros.ts(s.startUs),
+          Micros.ts(s.endUs), s.n))
       }
       val sorted = batch.toArray.sortBy(e => Micros.of(e.ts))
       var closed = List.empty[Session]
@@ -171,19 +180,18 @@ object EventStreams {
       sorted.foreach { e =>
         val t = Micros.of(e.ts)
         open = open match {
-          case Some(s) if t - s.endMs <= gapUs =>
-            Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+          case Some(s) if t - s.endUs <= gapUs =>
+            Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
           case Some(s) =>
-            closed ::= Session(userId, Micros.ts(s.startMs),
-              Micros.ts(s.endMs), s.n)
+            closed ::= Session(userId, Micros.ts(s.startUs),
+              Micros.ts(s.endUs), s.n)
             Some(OpenSession(t, t, 1))
           case None => Some(OpenSession(t, t, 1))
         }
       }
       open.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(
-          math.floorDiv(s.endMs + gapUs + 999L, 1000L))
+        state.setTimeoutTimestamp(Micros.ceilMs(s.endUs + gapUs))
       }
       closed.reverseIterator
     }
@@ -256,9 +264,7 @@ object EventStreams {
         }
       }
       cur.foreach { s =>
-        // ms-granular timer, rounded UP: it must never fire before the
-        // exact micro deadline end+gap
-        val timerAt = math.floorDiv(s.endUs + gapUs + 999L, 1000L)
+        val timerAt = Micros.ceilMs(s.endUs + gapUs)
         staleTimer.filter(old => old != 0L && old != timerAt)
           .foreach(getHandle.deleteTimer)
         if (!staleTimer.contains(timerAt)) getHandle.registerTimer(timerAt)

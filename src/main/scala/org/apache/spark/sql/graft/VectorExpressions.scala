@@ -279,11 +279,14 @@ case class DotProduct(left: Expression, right: Expression)
   * including its ERROR set and error ordering: `zip_with` materializes
   * every product of the overlapping prefix (overflow-CHECKED multiplies,
   * in index order, null elements skipped) before `aggregate` folds
-  * (overflow-checked adds up to the first null product, which poisons
-  * the rest of the fold to NULL unchecked). The kernel therefore runs a
-  * check-only multiply pass, then the checked fold — two passes, zero
-  * allocation, and an input overflows the kernel iff it overflows the
-  * declarative spelling (same SparkArithmeticException class via
+  * (overflow-checked adds up to the FIRST NULL PRODUCT — which on a
+  * length mismatch is the first padding slot — after which null poisons
+  * the rest of the fold unchecked). The kernel therefore runs a
+  * check-only multiply pass, then the checked prefix fold, EVEN on rows
+  * whose result is NULL (a mismatched row's prefix adds can still
+  * throw, exactly like the fold) — two passes, zero allocation, and an
+  * input overflows the kernel iff it overflows the declarative spelling
+  * (same SparkArithmeticException class via
   * [[QueryExecutionErrors.arithmeticOverflowError]]). */
 case class IntDotProduct(left: Expression, right: Expression,
     ansi: Boolean = false)
@@ -301,60 +304,79 @@ case class IntDotProduct(left: Expression, right: Expression,
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     val ny = y.numElements()
-    if (ansi) {
-      // phase 1 — zip_with's semantics: every overlapping non-null
-      // product is overflow-checked BEFORE any add runs
-      val m = math.min(n, ny)
-      var i = 0
-      while (i < m) {
-        if (!x.isNullAt(i) && !y.isNullAt(i)) {
-          IntDotProduct.mulExact(x.getLong(i), y.getLong(i))
-        }
-        i += 1
+    if (!ansi) {
+      if (n != ny) return null
+      var dot = 0L; var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        dot += x.getLong(i) * y.getLong(i); i += 1
       }
+      return dot
     }
-    if (n != ny) return null
-    var dot = 0L; var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val p = x.getLong(i) * y.getLong(i)
-      dot = if (ansi) IntDotProduct.addExact(dot, p) else dot + p
+    // ANSI arm — the fold's error set exactly, INCLUDING on rows whose
+    // result is NULL: zip_with materializes checked products for the
+    // whole overlapping prefix (phase 1), then aggregate runs checked
+    // adds until the FIRST null product — which on a length mismatch is
+    // the first padding slot at index min(n, ny), so the prefix adds
+    // still run (and can still throw) before the null poisons the fold.
+    val m = math.min(n, ny)
+    var i = 0
+    while (i < m) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        IntDotProduct.mulExact(x.getLong(i), y.getLong(i))
+      }
       i += 1
     }
-    dot
+    var dot = 0L; i = 0
+    while (i < m) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // first null product
+      dot = IntDotProduct.addExact(dot, x.getLong(i) * y.getLong(i))
+      i += 1
+    }
+    if (n != ny) null else dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
-      // companion-object call from generated Java: class IntDotProduct$
-      // (no static forwarders — the companion CLASS is the case class)
-      val kernel = IntDotProduct.getClass.getName + ".MODULE$"
-      val mulCheck = if (!ansi) "" else {
-        val m = ctx.freshName("m"); val j = ctx.freshName("j")
+      if (!ansi) {
         s"""
+           |int $n = $x.numElements();
+           |long $dot = 0L;
+           |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+           |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+           |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $dot += $x.getLong($i) * $y.getLong($i);
+           |}
+           |if (!${ev.isNull}) { ${ev.value} = $dot; }
+         """.stripMargin
+      } else {
+        // companion-object call from generated Java: class IntDotProduct$
+        // (no static forwarders — the companion CLASS is the case class)
+        val kernel = IntDotProduct.getClass.getName + ".MODULE$"
+        val m = ctx.freshName("m"); val j = ctx.freshName("j")
+        // mirror of nullSafeEval's ANSI arm: phase-1 checked multiplies
+        // over the whole overlapping prefix, then checked adds until the
+        // first null product — these run (and can throw) even when a
+        // length mismatch makes the result NULL, exactly like the fold
+        s"""
+           |int $n = $x.numElements();
            |int $m = java.lang.Math.min($n, $y.numElements());
+           |long $dot = 0L;
            |for (int $j = 0; $j < $m; $j++) {
            |  if (!$x.isNullAt($j) && !$y.isNullAt($j)) {
            |    $kernel.mulExact($x.getLong($j), $y.getLong($j));
            |  }
-           |}""".stripMargin
+           |}
+           |for (int $i = 0; $i < $m; $i++) {
+           |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $dot = $kernel.addExact($dot, $x.getLong($i) * $y.getLong($i));
+           |}
+           |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+           |if (!${ev.isNull}) { ${ev.value} = $dot; }
+         """.stripMargin
       }
-      val addStep =
-        if (ansi) s"$dot = $kernel.addExact($dot, $x.getLong($i) * $y.getLong($i));"
-        else s"$dot += $x.getLong($i) * $y.getLong($i);"
-      s"""
-         |int $n = $x.numElements();
-         |long $dot = 0L;
-         |$mulCheck
-         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
-         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
-         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $addStep
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $dot; }
-       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

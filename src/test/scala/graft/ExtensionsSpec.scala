@@ -117,6 +117,25 @@ class ExtensionsSpec extends SparkSpec {
       s"kernel error ${arithmeticRoot(viaKernel)} != " +
         s"fold error ${arithmeticRoot(viaFold)}")
 
+    // ANSI-exactness on a NULL-result row: a LENGTH-MISMATCHED pair
+    // whose overlapping-prefix SUM overflows must still throw (zip_with
+    // pads with null at index min, so the fold's checked adds run over
+    // the prefix first) — a kernel that short-circuits mismatch to NULL
+    // would silently turn this error into a value
+    val big = "4611686018427387904L" // 2^62: each product fine, sum overflows
+    def mismatchOvf() = spark.range(1).selectExpr(
+      s"array(id + $big, $big, 1L) AS qa", "array(1L, 1L) AS qb")
+      .selectExpr(s"$fold AS dot")
+    assert(planOf(mismatchOvf()).contains("int_dot"), planOf(mismatchOvf()))
+    val viaKernel2 = intercept[Exception](mismatchOvf().collect())
+    spark.conf.set(key, "org.apache.spark.sql.graft.RewriteIntDotFold")
+    val viaFold2 = try intercept[Exception](mismatchOvf().collect())
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    assert(arithmeticRoot(viaKernel2).getClass ===
+      arithmeticRoot(viaFold2).getClass,
+      s"mismatch-row error diverged: ${arithmeticRoot(viaKernel2)} vs " +
+        s"${arithmeticRoot(viaFold2)}")
+
     // guards: a non-dot zip function, a TRY-mode multiply, and a non-0L
     // zero must all keep the declarative fold
     Seq(
