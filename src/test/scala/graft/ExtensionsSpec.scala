@@ -136,6 +136,34 @@ class ExtensionsSpec extends SparkSpec {
       s"mismatch-row error diverged: ${arithmeticRoot(viaKernel2)} vs " +
         s"${arithmeticRoot(viaFold2)}")
 
+    // LEGACY arm: under ansi=false the fold's Multiply/Add WRAP on
+    // overflow — the rewrite must still fire and wrap to the SAME value
+    // (not throw); compare kernel vs rule-excluded fold on a wrapping
+    // input and on normal values
+    val ansiKey = "spark.sql.ansi.enabled"
+    val prevAnsi = spark.conf.getOption(ansiKey)
+    spark.conf.set(ansiKey, "false")
+    try {
+      def legacyDf() = spark.range(1).selectExpr(
+        s"array(id + $big, $big, 3L) AS qa", "array(2L, 2L, 5L) AS qb")
+        .selectExpr(s"$fold AS dot")
+      val viaK = legacyDf()
+      assert(planOf(viaK).contains("int_dot"),
+        s"legacy-mode fold did not rewrite:\n${planOf(viaK)}")
+      val kv = viaK.collect()(0).getLong(0)
+      spark.conf.set(key, "org.apache.spark.sql.graft.RewriteIntDotFold")
+      val fv = try {
+        val raw = legacyDf()
+        assert(!planOf(raw).contains("int_dot"), planOf(raw))
+        raw.collect()(0).getLong(0)
+      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      assert(kv === fv, s"legacy wrap values diverged: kernel $kv vs fold $fv")
+      // 2^62·2 wraps to Long.MinValue twice; MinValue+MinValue wraps to
+      // 0; +15 — wrapped arithmetic, not an error
+      assert(kv === 15L)
+    } finally prevAnsi.fold(spark.conf.unset(ansiKey))(
+      spark.conf.set(ansiKey, _))
+
     // guards: a non-dot zip function, a TRY-mode multiply, and a non-0L
     // zero must all keep the declarative fold
     Seq(
