@@ -53,24 +53,27 @@ print(f"{len(common)} queries in both ({len(old)} old, {len(new)} new)")
 
 drift = 1.0
 if new_sent:
-    # mid-bench drift only needs the NEW run's sentinel — warn even when
-    # the old run predates the sentinel feature (or names differ)
-    spread = max(new_sent["start"], new_sent["end"]) / max(
-        min(new_sent["start"], new_sent["end"]), 1e-9)
-    if spread > 1.5:
-        print(f"WARNING: new run's sentinel drifted {spread:.2f}x "
+    # mid-bench SLOWDOWN only needs the NEW run's sentinel — warn even
+    # when the old run predates the sentinel feature. A start-faster-
+    # than-end pattern is the anomaly: progressive JVM warmup always
+    # makes the END sentinel FASTER (observed ~2x on an idle box), so
+    # only end-slower-than-start means the box degraded mid-bench.
+    if new_sent["end"] > new_sent["start"] * 1.3:
+        print(f"WARNING: new run's sentinel SLOWED "
+              f"{new_sent['end'] / max(new_sent['start'], 1e-9):.2f}x "
               f"START->END ({new_sent['start']:.3f}s -> "
-              f"{new_sent['end']:.3f}s) — the box changed speed "
-              f"MID-BENCH; per-query flags are low-confidence")
+              f"{new_sent['end']:.3f}s) — the box degraded MID-BENCH; "
+              f"per-query flags are low-confidence")
 if (old_sent and new_sent and old_sent.get("name") == new_sent.get("name")
         and min(old_sent["start"], old_sent["end"]) > 0):
-    o_s = (old_sent["start"] + old_sent["end"]) / 2
-    n_s = (new_sent["start"] + new_sent["end"]) / 2
+    # normalize by the END sentinels: both runs' end-of-bench JVMs are
+    # fully warm (the start ones are only partially warmed and noisier)
+    o_s, n_s = old_sent["end"], new_sent["end"]
     raw = n_s / o_s
     if 0.7 <= raw <= 1.3:
         drift = raw
-        print(f"sentinel {old_sent['name']}: {o_s:.3f}s -> {n_s:.3f}s; "
-              f"normalizing new times by /{drift:.3f}")
+        print(f"sentinel {old_sent['name']} (end): {o_s:.3f}s -> "
+              f"{n_s:.3f}s; normalizing new times by /{drift:.3f}")
     else:
         print(f"WARNING: sentinel moved {raw:.2f}x "
               f"({o_s:.3f}s -> {n_s:.3f}s) — beyond the 0.7-1.3 trust "

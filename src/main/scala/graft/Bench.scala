@@ -45,6 +45,12 @@ object Bench {
     val sentinelName = "q22_exact_dedup"
     def runSentinel(): Option[Double] = SparkEntry.queries.get(sentinelName)
       .flatMap { fn =>
+        // one UNTIMED pass first: the START sentinel otherwise measures
+        // its own JIT/codegen warmup (observed 2.3x start-vs-end spread
+        // on an idle box), which would trip bench_diff's mid-bench-drift
+        // warning every round and skew the cross-round drift ratio
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         val ts = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
