@@ -621,6 +621,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionization under drip-feed: four time " +
+      "slices with watermark advances between still equal batch q16") {
+    // unlike the single-batch test, each wave advances the watermark and
+    // fires close timers for sessions idled by earlier waves while LIVE
+    // sessions must delete + re-register their timers — the timer-churn
+    // path a one-shot load never exercises
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val srcDir = Files.createTempDirectory("graft-tws-drip").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+      .map(c => lit(c).cast("timestamp"))
+    val slices = Seq(
+      ev.filter(col("ts") < cuts(0)),
+      ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+      ev.filter(col("ts") >= cuts(1) && col("ts") < cuts(2)),
+      ev.filter(col("ts") >= cuts(2)))
+    slices.head.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val q = EventStreams.sessionizeTws(
+      EventStreams.readEventStream(spark, srcDir)
+        .as[EventStreams.Event])
+      .writeStream.format("memory").queryName("tws_drip_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      slices.tail.foreach { s =>
+        s.coalesce(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      import java.sql.Timestamp
+      val far = new Timestamp(4102444800000L) // 2100-01-01
+      val users = ev.select("user_id").distinct().as[Long].collect()
+      users.map(u => (4000000L + u, far, u, "flush", 0.0)).toSeq
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+
+      val streamed = spark.table("tws_drip_out")
+        .filter(col("session_start") < lit("2090-01-01").cast("timestamp"))
+        .select("user_id", "session_start", "session_end", "n_events")
+      val batch = graft.queries.Core.q16Sessionize(spark, sf)
+        .select("user_id", "session_start", "session_end", "n_events")
+      assert(streamed.exceptAll(batch).isEmpty,
+        "drip-feed emitted a session batch q16 does not have " +
+          "(double-close from a stale timer?)")
+      assert(batch.exceptAll(streamed).isEmpty,
+        "drip-feed missed a session batch q16 has " +
+          "(timer lost across a wave?)")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("transformWithState sessionization restarts exactly-once: " +
       "RocksDB state carries open sessions across the gap") {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
