@@ -49,28 +49,28 @@ object SnapTable {
   /** Highest committed snapshot version, 0 if none. Accepts 5-or-more
     * digit names: `f"v$v%05d"` widens past v99999 and both sides must
     * keep matching, or the table wedges at version 100000. */
-  def currentVersion(spark: SparkSession, dir: String): Int = {
+  /** One directory listing → every retained version number. The name
+    * regex lives HERE ONCE: it must stay in lockstep with
+    * [[manifestPath]]'s `f"v$v%05d"` format or version discovery
+    * silently wedges (see the widening note above). */
+  private def listVersions(spark: SparkSession, dir: String): Seq[Int] = {
     val f = fs(spark, dir)
-    if (!f.exists(manifestDir(dir))) 0
+    if (!f.exists(manifestDir(dir))) Seq.empty
     else f.listStatus(manifestDir(dir)).map(_.getPath.getName)
       .collect { case n if n.matches("v\\d{5,}\\.manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .foldLeft(0)(math.max)
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }.toSeq
   }
+
+  def currentVersion(spark: SparkSession, dir: String): Int =
+    listVersions(spark, dir).foldLeft(0)(math.max)
 
   /** Lowest RETAINED snapshot version, 0 if none — one directory
     * listing, never a per-version exists() probe (on a heavily-vacuumed
     * table that would be O(versions) NameNode round-trips). */
   private[graft] def oldestRetainedVersion(spark: SparkSession,
       dir: String): Int = {
-    val f = fs(spark, dir)
-    if (!f.exists(manifestDir(dir))) 0
-    else {
-      val vs = f.listStatus(manifestDir(dir)).map(_.getPath.getName)
-        .collect { case n if n.matches("v\\d{5,}\\.manifest") =>
-          n.stripPrefix("v").stripSuffix(".manifest").toInt }
-      if (vs.isEmpty) 0 else vs.min
-    }
+    val vs = listVersions(spark, dir)
+    if (vs.isEmpty) 0 else vs.min
   }
 
   private def readText(spark: SparkSession, dir: String, v: Int): String = {
@@ -198,9 +198,14 @@ object SnapTable {
     * interloper entries down to bare paths (conservative: those files
     * are always read until the next optimize re-annotates them).
     *
-    * `skipIf` is re-evaluated before every claim: when it fires the
-    * commit returns None without claiming (the appendOnce batch-stamp
-    * recheck — the commit this writer lost to may have BEEN its batch).
+    * `skipIf` is re-evaluated on every claim attempt, strictly AFTER
+    * that attempt's `currentVersion` read: any interloper commit
+    * landing after the read occupies cur+1 and fails this writer's
+    * rename, forcing a retry that re-runs skipIf — so a commit skipIf
+    * should have seen can never be silently claimed over. When it
+    * fires, the commit returns None without claiming (the appendOnce
+    * batch-stamp recheck — the commit this writer lost to may have
+    * BEEN its batch).
     *
     * This is write-serializable OCC — the Delta/Iceberg commit
     * protocol's conflict rule — on the same rename-claimed manifests:
@@ -217,8 +222,14 @@ object SnapTable {
     var attempt = 0
     var lastSeen = -1
     while (true) {
-      if (skipIf()) return None
+      // ORDER MATTERS: read the version FIRST, then skipIf. A commit
+      // landing after this read occupies cur+1, so our claim below
+      // FAILS and the loop re-runs skipIf — whereas a commit landing
+      // between a skipIf-first check and the read would be invisible
+      // to skipIf yet leave cur+1 free for us to claim over it
+      // (double-commit: the lost interloper may have BEEN our batch).
       val cur = currentVersion(spark, dir)
+      if (skipIf()) return None
       // the cap bounds LIVELOCK, not contention: losing to a MOVING
       // version means some other writer committed (system-wide
       // progress), so the counter resets; only repeated losses at the
@@ -272,7 +283,7 @@ object SnapTable {
     * retry into "path already exists" and wedging the table. Orphan
     * dirs are unreferenced by any manifest and invisible to readers;
     * they cost disk until manually swept. */
-  private def writeData(df: DataFrame, dir: String, v: Int,
+  private[graft] def writeData(df: DataFrame, dir: String, v: Int,
       statsCols: Seq[String] = Seq.empty): Seq[String] = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"data/w$v%05d-$token"
@@ -322,7 +333,7 @@ object SnapTable {
       v: Int): Option[String] =
     statsColsOf(spark, dir, v).headOption
 
-  private def statsMeta(spark: SparkSession, dir: String,
+  private[graft] def statsMeta(spark: SparkSession, dir: String,
       v: Int): Map[String, String] =
     statsMetaFor(statsColsOf(spark, dir, v))
 
@@ -389,17 +400,20 @@ object SnapTable {
       .distinct().collect().map(_.getString(0)).toSet
     // input_file_name yields URIs; match by (write-dir, file-name) suffix
     val touchedKeys = touchedAbs.map(pathKey)
-    val (touched, kept) =
-      entries.partition(e => touchedKeys.contains(pathKey(entryPath(e))))
+    val touched =
+      entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
+    // no row matched: committing would write an IDENTICAL manifest —
+    // pure version churn that shrinks the vacuum window and lengthens
+    // every descending manifest scan. Return without a commit (Delta's
+    // no-op DELETE behavior).
+    if (touched.isEmpty) return
     // delete ⇔ pred is TRUE: survivors keep rows where pred is false
     // OR NULL (plain !pred filters NULL-predicate rows out — silent
     // data loss for rows the predicate never matched)
-    val newFiles =
-      if (touched.isEmpty) Seq.empty
-      else writeData(spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(e => s"$dir/${entryPath(e)}"): _*)
-        .filter(!coalesce(pred, lit(false))), dir, v + 1,
-        statsColsOf(spark, dir, v))
+    val newFiles = writeData(spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(e => s"$dir/${entryPath(e)}"): _*)
+      .filter(!coalesce(pred, lit(false))), dir, v + 1,
+      statsColsOf(spark, dir, v))
     occCommit(spark, dir, v, entries.toSet, touched.toSet, newFiles,
       statsMeta(spark, dir, v))
   }
@@ -464,6 +478,18 @@ object SnapTable {
     require(updates.columns.toSet == curSchema.columns.toSet,
       s"SnapTable: merge batch columns ${updates.columns.toSeq.sorted}" +
         s" must equal the table's ${curSchema.columns.toSeq.sorted}")
+    // the whole merge (survivor anti-join, interloper guard, CDC
+    // semantics) is built on KEY UNIQUENESS — an in-batch duplicate
+    // would anti-join the old row away once and then insert BOTH
+    // copies, silently leaving a multi-row key in the snapshot
+    val (updN, updDistinct) = {
+      val r = updates.agg(count(lit(1)), count_distinct(col(key))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(updN == updDistinct,
+      s"SnapTable: merge batch carries duplicate '$key' values " +
+        s"($updN rows, $updDistinct distinct keys) — a merge upserts " +
+        "each key exactly once; dedupe the batch first")
     val updKeys = updates.select(col(key)).distinct()
     // input_file_name() must bind BEFORE the join — with two sources in
     // the plan the expression is ambiguous and Spark rejects it
@@ -472,8 +498,8 @@ object SnapTable {
       .select(col("__file"))
       .distinct().collect().map(_.getString(0)).toSet
     val touchedKeys = touchedAbs.map(pathKey)
-    val (touched, kept) =
-      entries.partition(e => touchedKeys.contains(pathKey(entryPath(e))))
+    val touched =
+      entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
     val survivors =
       if (touched.isEmpty) updates
       else s.read.option("mergeSchema", "true")
@@ -721,6 +747,15 @@ object SnapTable {
     val mm = snap.agg(
       min(col(c1)).cast("long"), max(col(c1)).cast("long"),
       min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+    // an all-NULL or non-castable column yields NULL bounds; getLong
+    // below would NPE with a bare "value at index N is null" — name
+    // the actual problem instead (e.g. a column added by schema
+    // evolution that no row has populated yet)
+    Seq(c1 -> 0, c2 -> 2).foreach { case (c, i) =>
+      require(!mm.isNullAt(i),
+        s"SnapTable: cannot Z-order $dir on '$c' — the column has no " +
+          "non-NULL long-castable values in the current snapshot")
+    }
     def norm(c: String, lo: Long, hi: Long): Column = {
       // rank-normalize in DOUBLE: the long spelling's (value − lo)·65535
       // product overflows int64 once the column span reaches ~2^47,
@@ -912,6 +947,15 @@ object SnapTable {
       extraMeta: Map[String, String] = Map.empty,
       skipIf: () => Boolean = () => false): Option[Int] = {
     val (base, entries) = stagedEntries(spark, dir, id)
+    // a vacuum that retired the staging's base manifest leaves nothing
+    // to anchor the stats-declaration continuity check on (statsMeta
+    // and occCommit both read it); failing HERE with the remedy named
+    // beats the raw "no snapshot v<base>" require they'd hit
+    if (base > 0 && !fs(spark, dir).exists(manifestPath(dir, base)))
+      throw new IllegalStateException(
+        s"SnapTable: staging '$id' was staged against v$base, which a " +
+          s"vacuum has since retired from $dir — discard() and re-stage " +
+          "against the current snapshot")
     val paths = entries.map(entryPath).toSet
     def alreadyLive(): Boolean = {
       val cur = currentVersion(spark, dir)
@@ -1018,7 +1062,12 @@ object SnapTable {
     val cutoff = cur - retain + 1
     if (cutoff <= 1) return
     val keepVs = (cutoff to cur).toSeq
-    val keepFiles = keepVs.flatMap(readManifest(spark, dir, _)).toSet
+    // exists-guarded like the deletion loop below: a PREVIOUS deeper
+    // vacuum may already have retired the older end of this window
+    // (vacuum(3) then vacuum(10) must not crash reading v11..v17)
+    val keepFiles = keepVs
+      .filter(v => f.exists(manifestPath(dir, v)))
+      .flatMap(readManifest(spark, dir, _)).toSet
     (1 until cutoff).foreach { v =>
       val p = manifestPath(dir, v)
       if (f.exists(p)) {
@@ -1252,7 +1301,16 @@ object SnapTable {
     * on the retired v1; an empty or not-yet-created table (`toV = 0`)
     * is a no-op. Retention is re-sampled per ATTEMPT: a vacuum landing
     * MID-fold surfaces as a missing manifest/file, and the fold retries
-    * from scratch (bounded) rather than killing the caller's stream. */
+    * from scratch (bounded) rather than killing the caller's stream.
+    *
+    * NULL boundary: the carried (n_docs, total_chars) state is plain
+    * longs, so a source whose EVERY row has NULL n_chars would report
+    * total_chars = 0 here where SQL's all-NULL sum (the union spelling
+    * and the rescan closed form) reports NULL. The documents corpus
+    * guarantees non-NULL n_chars, and any source with at least one
+    * non-NULL value agrees exactly (sum ignores NULLs in both
+    * spellings); widening the state to carry SQL's NULL-sum semantics
+    * for a row the table never produces is deliberately not done. */
   def ivmFoldSourceStats(s: SparkSession, dir: String, fromV: Int,
       toV: Int, state: Map[String, (Long, Long)])
       : Map[String, (Long, Long)] = {
@@ -1281,8 +1339,11 @@ object SnapTable {
     * chain (manifest or data file deleted mid-read; Spark wraps these
     * in SparkException/AnalysisException layers), a PATH_NOT_FOUND
     * analysis error (the parquet source rejecting already-retired
-    * paths up front), or the fold's own "no retained manifest" reseed
-    * guard (the retained window moved between sampling and reading). */
+    * paths up front), the fold's own "no retained manifest" reseed
+    * guard (the retained window moved between sampling and reading),
+    * or readText's "no snapshot v" require (a MANIFEST retired between
+    * the fold's base-exists check and the delta walk reading it — the
+    * mid-fold vacuum case the retry exists for). */
   private def vacuumRaceSignature(e: Throwable): Boolean = {
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .take(8).toSeq
@@ -1290,7 +1351,8 @@ object SnapTable {
       case _: java.io.FileNotFoundException => true
       case t =>
         val m = Option(t.getMessage).getOrElse("")
-        m.contains("PATH_NOT_FOUND") || m.contains("no retained manifest")
+        m.contains("PATH_NOT_FOUND") || m.contains("no retained manifest") ||
+          m.contains("no snapshot v")
     }
   }
 

@@ -58,14 +58,94 @@ class SnapTableSpec extends SparkSpec {
     assert(SnapTable.read(spark, d).count() === 90)
   }
 
-  test("a delete with no matches commits a new version by reference only") {
+  test("a delete with no matches is a no-op: no version churn") {
+    // committing an identical manifest would shrink the vacuum window
+    // and lengthen every descending manifest scan for nothing (Delta's
+    // no-op DELETE behavior)
     val d = tmp()
     SnapTable.create((0L until 10L).toDF("id"), d)
     SnapTable.deleteWhere(spark, d, col("id") > 1000)
-    assert(SnapTable.currentVersion(spark, d) === 2)
-    assert(SnapTable.readManifest(spark, d, 2).toSet ===
-      SnapTable.readManifest(spark, d, 1).toSet)
+    assert(SnapTable.currentVersion(spark, d) === 1)
     assert(SnapTable.read(spark, d).count() === 10)
+  }
+
+  test("occCommit: an interloper landing between skipIf and the claim " +
+      "is never claimed over (the appendOnce exactly-once window)") {
+    // deterministic replay of the check-then-claim race: the skipIf
+    // closure decides on PRE-interloper state, then the interloper (a
+    // racing twin of the SAME batch) commits before our claim. The
+    // version read preceding skipIf means the interloper occupies our
+    // claim slot, the rename fails, and the retried skipIf sees the
+    // stamp — with the old skipIf-before-read order this double-commits
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a")).toDF("id", "s"), d)
+    val batch = Seq((2L, "b")).toDF("id", "s")
+    val added = SnapTable.writeData(batch, d, 2,
+      SnapTable.statsColsOf(spark, d, 1))
+    var injected = false
+    val committed = SnapTable.occCommit(spark, d, 1, Set.empty, Set.empty,
+      added,
+      Map("batch_id" -> "5") ++ SnapTable.statsMeta(spark, d, 1),
+      skipIf = () => {
+        val decidedBefore = SnapTable.lastAppliedBatch(spark, d) >= 5L
+        if (!injected) {
+          injected = true
+          assert(SnapTable.appendOnce(batch, d, 5L), "twin failed to land")
+        }
+        decidedBefore
+      })
+    assert(committed.isEmpty,
+      "batch 5 was committed twice — the skipIf window is open")
+    assert(SnapTable.currentVersion(spark, d) === 2) // create + ONE batch
+    assert(SnapTable.read(spark, d).count() === 2)
+  }
+
+  test("a shallower vacuum after a deeper one does not crash on " +
+      "already-retired manifests") {
+    val d = tmp()
+    SnapTable.create(Seq((0L, "a")).toDF("id", "s"), d)
+    (1L to 11L).foreach(i =>
+      SnapTable.append(Seq((i, "a")).toDF("id", "s"), d))
+    SnapTable.vacuum(spark, d, retain = 2)  // retires v1..v10
+    SnapTable.vacuum(spark, d, retain = 6)  // window reaches into them
+    assert(SnapTable.read(spark, d).count() === 12)
+  }
+
+  test("merge refuses a batch with duplicate keys instead of silently " +
+      "writing a multi-row key") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), d)
+    val dup = Seq((2L, "x"), (2L, "y")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException](
+      SnapTable.merge(dup, d, "id"))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
+  test("Z-order on an all-NULL column fails with the column named, " +
+      "not an NPE") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), d)
+    // schema evolution: later rows carry c2, the snapshot's old rows
+    // don't; then delete the carriers so c2 is all-NULL
+    SnapTable.append(Seq((3L, "c", 9L)).toDF("id", "s", "c2"), d)
+    SnapTable.deleteWhere(spark, d, col("id") === 3L)
+    val e = intercept[IllegalArgumentException](
+      SnapTable.optimizeZorder(spark, d, 2, "id", "c2"))
+    assert(e.getMessage.contains("c2"), e.getMessage)
+  }
+
+  test("publish after a vacuum retired the staging's base names the " +
+      "re-stage remedy instead of a raw missing-manifest failure") {
+    val d = tmp()
+    SnapTable.create(Seq((0L, "a")).toDF("id", "s"), d)
+    val id = SnapTable.stage(Seq((100L, "w")).toDF("id", "s"), d)
+    (1L to 6L).foreach(i =>
+      SnapTable.append(Seq((i, "a")).toDF("id", "s"), d))
+    SnapTable.vacuum(spark, d, retain = 2) // retires the staging's base v1
+    val e = intercept[IllegalStateException](
+      SnapTable.publish(spark, d, id))
+    assert(e.getMessage.contains("re-stage"), e.getMessage)
+    SnapTable.discard(spark, d, id) // the named remedy works
   }
 
   test("vacuum retires old snapshots and their exclusive files, keeps " +
