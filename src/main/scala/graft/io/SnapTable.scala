@@ -913,9 +913,20 @@ object SnapTable {
     * never the table. */
   def readStaged(spark: SparkSession, dir: String, id: String): DataFrame = {
     val (_, entries) = stagedEntries(spark, dir, id)
+    require(entries.nonEmpty,
+      s"SnapTable: staging '$id' is EMPTY (a 0-row stage writes no " +
+        "files, so there is no schema to read) — check stagedIsEmpty " +
+        "and skip the read; publish still works and stamps its meta")
     spark.read.option("mergeSchema", "true")
       .parquet(entries.map(e => s"$dir/${entryPath(e)}"): _*)
   }
+
+  /** Does this staging hold zero files? A 0-row batch stages an empty
+    * list: [[readStaged]] cannot serve it (no schema), but [[publish]]
+    * handles it fine (an empty-add commit that still stamps its meta) —
+    * auditing callers check this to pass an empty drop through. */
+  def stagedIsEmpty(spark: SparkSession, dir: String, id: String): Boolean =
+    stagedEntries(spark, dir, id)._2.isEmpty
 
   /** WAP stage 3a — PUBLISH: append the staged files to the current
     * snapshot in one atomic commit (pure-append OCC: rebases over

@@ -68,26 +68,6 @@ object DocStreams {
       }
       .start()
 
-  /** Start streaming incremental dedup-cluster maintenance — q112's
-    * continuous-ingest twin. Unlike the stateless gates above, this
-    * operator CARRIES state between micro-batches: the corpus signature
-    * index and the (doc_id, cluster_id) labels, both evolving per drop.
-    * Each batch (1) signs its documents, (2) discovers only the pairs
-    * TOUCHING the batch via [[graft.ext.Dedup.minhashPairsAgainst]]
-    * (drop-sized work — old×old pairs never recompute), and (3) merges
-    * them into the stored labels through the contracted-graph algebra of
-    * [[graft.ext.Dedup.incrementalClusterMerge]], so after every batch
-    * the labels are bit-identical to a from-scratch clustering of
-    * everything seen so far (StreamingSpec asserts it per wave).
-    *
-    * The merge is IDEMPOTENT (re-merging a replayed batch's pairs
-    * contracts them to loops, which drop), so foreachBatch's
-    * at-least-once replay after a mid-batch crash still converges to
-    * the exact answer. At 100 TB both state relations are persisted
-    * tables the sink maintains between drops (the spec's restart path
-    * re-seeds them the same way); here they live as eagerly
-    * localCheckpointed frames so lineage cannot grow across an
-    * unbounded stream. */
   /** File-based embedding stream (new parquet files = new vector drops),
     * schema of TESTDATA.md embeddings. */
   def readVecStream(spark: SparkSession, dir: String,
@@ -230,10 +210,13 @@ object DocStreams {
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fresh is consumed exactly once (by the union) — checkpointing
+        // it separately would materialize every drop's chunk relation
+        // twice per batch; the union's checkpoint below is the one that
+        // cuts lineage
         val fresh = graft.ext.Text.chunkRelationOf(batch)
           .join(chunks.select("doc_id").distinct(), Seq("doc_id"),
             "left_anti")
-          .localCheckpoint()
         chunks = chunks.unionByName(fresh).localCheckpoint()
         sink(graft.ext.Text.cdcReportOf(chunks), batchId)
       }
@@ -274,6 +257,28 @@ object DocStreams {
       .start()
   }
 
+  /** Start streaming incremental dedup-cluster maintenance — q112's
+    * continuous-ingest twin. Unlike the stateless gates above, this
+    * operator CARRIES state between micro-batches: the corpus signature
+    * index and the (doc_id, cluster_id) labels, both evolving per drop.
+    * Each batch (1) signs its documents, (2) discovers only the pairs
+    * TOUCHING the batch via [[graft.ext.Dedup.minhashPairsAgainst]]
+    * (drop-sized work — old×old pairs never recompute), and (3) merges
+    * them into the stored labels through the contracted-graph algebra of
+    * [[graft.ext.Dedup.incrementalClusterMerge]], so after every batch
+    * the labels are bit-identical to a from-scratch clustering of
+    * everything seen so far (StreamingSpec asserts it per wave).
+    *
+    * The merge is IDEMPOTENT (re-merging a replayed batch's pairs
+    * contracts them to loops, which drop), so foreachBatch's
+    * at-least-once replay after a mid-batch crash still converges to
+    * the exact answer — and the signature union below carries the same
+    * anti-join redelivery guard as every sibling maintainer, so a
+    * replayed batch cannot duplicate carried STATE rows either. At
+    * 100 TB both state relations are persisted tables the sink
+    * maintains between drops (the spec's restart path re-seeds them the
+    * same way); here they live as eagerly localCheckpointed frames so
+    * lineage cannot grow across an unbounded stream. */
   def maintainClusters(docStream: DataFrame, initialSigs: DataFrame,
       initialLabels: DataFrame, checkpointDir: String,
       minEst: Double = 0.5)(
@@ -283,7 +288,15 @@ object DocStreams {
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val batchSigs = graft.ext.Dedup.signatures(batch).localCheckpoint()
+        // redelivery guard: a replayed batch (restart re-seed already
+        // contains it) must not union its signatures into the carried
+        // index twice — labels stay correct either way (idempotent
+        // merge), but duplicated STATE rows would inflate every later
+        // candidate join for the stream's lifetime
+        val batchSigs = graft.ext.Dedup.signatures(batch)
+          .join(sigs.select(org.apache.spark.sql.functions.col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         val index = sigs.unionByName(batchSigs).localCheckpoint()
         val dropPairs =
           graft.ext.Dedup.minhashPairsAgainst(batchSigs, index, minEst)
@@ -325,8 +338,13 @@ object DocStreams {
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import graft.ext.Similarity
     var index = Similarity.ndIndexOf(initialVecs).localCheckpoint()
+    // pass the N-row vector relation: without it lshTopKFor re-derives
+    // embeddings by deduping the band index — ndPlanes× the rows through
+    // a shuffle on every stream (re)start
     var topk = Similarity.lshTopKFor(index,
-      initialVecs.select(col("vec_id"))).localCheckpoint()
+      initialVecs.select(col("vec_id")),
+      initialVecs.select(col("vec_id"), col("embedding")))
+      .localCheckpoint()
     vecStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -477,7 +495,17 @@ object DocStreams {
               val id = SnapTable.stage(batch, tableDir,
                 tag = batchId.toString)
               stagedId = Some(id)
-              if (audit(SnapTable.readStaged(s, tableDir, id))) {
+              // a 0-row drop has NOTHING TO AUDIT — depending on the
+              // writer it stages either an empty file list (readStaged
+              // then has no schema to serve) or 0-row files (the audit
+              // closure would aggregate over no rows — NULL mins under
+              // ANSI). Either way it publishes directly (an empty-add
+              // commit) so the batch ledger stays stamped instead of
+              // the stream dying on an empty wave.
+              val stagedRows =
+                if (SnapTable.stagedIsEmpty(s, tableDir, id)) None
+                else Some(SnapTable.readStaged(s, tableDir, id))
+              if (stagedRows.forall(df => df.isEmpty || audit(df))) {
                 val published = SnapTable.publish(s, tableDir, id,
                   Map("batch_id" -> batchId.toString),
                   skipIf =

@@ -1276,5 +1276,17 @@ class StreamingSpec extends SparkSpec {
       pass3.collect().map(_.getLong(0))).sorted.toSeq)
     assert(finalIds.distinct === finalIds,
       "duplicate rows — audited ingest not exactly-once")
+    // a 0-ROW drop must pass through (nothing to audit, empty publish
+    // stamps the ledger) — not kill the stream on readStaged's
+    // no-schema failure
+    docs.filter(lit(false)).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(q3.exception.isEmpty,
+      s"empty drop killed the stream: ${q3.exception}")
+    assert(SnapTable.read(spark, table).count() === finalIds.size.toLong,
+      "an empty drop changed the table")
+    assert(results.toSeq.last._2 === true,
+      s"empty drop should report published=true — got $results")
   }
 }
