@@ -87,13 +87,32 @@ object Dedup {
     * est is k/P (exact rational in double) → deterministic output. */
   /** (doc_id, sig, band, band_sig) band rows of a (doc_id, sig) frame:
     * band_sig = "_"-joined minhashes of the band's [[Rows]] rows. Shared
-    * by the pair join (q24) and the admission gate (q113). */
+    * by the pair join (q24) and the admission gate (q113).
+    *
+    * NULL signatures (NULL/empty text → no shingles) emit NO band rows —
+    * enforced HERE, because concat_ws skips NULL inputs and would
+    * otherwise band every signature-less doc into a shared "" bucket in
+    * all [[Bands]] bands: pairwise candidate blowup among them, and the
+    * q113 gate would mark every signature-less batch doc near_dup where
+    * its oracle (text IS NOT NULL) says accepted. */
+  /** The oracle-side spelling of the band layout: an OR of per-band
+    * conjunctions over sig positions. Defined ONCE next to [[bandedOf]]
+    * (the Spark-side layout) so the q24 and q140 oracles cannot drift
+    * from each other — or from the banding — if (Bands, Rows) changes. */
+  private def bandCondsSql: String = (0 until Bands).map { bnd =>
+    (0 until Rows).map { r =>
+      val i = bnd * Rows + r + 1
+      s"a.sig[$i] = b.sig[$i]"
+    }.mkString("(", " AND ", ")")
+  }.mkString("\n      OR ")
+
   private def bandedOf(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until Bands).map { bnd =>
-        concat_ws("_", (0 until Rows).map(r =>
-          element_at(col("sig"), bnd * Rows + r + 1)): _*)
-      }: _*)).as(Seq("band", "band_sig")))
+    sig.filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until Bands).map { bnd =>
+          concat_ws("_", (0 until Rows).map(r =>
+            element_at(col("sig"), bnd * Rows + r + 1)): _*)
+        }: _*)).as(Seq("band", "band_sig")))
 
   def minhashPairsFromSignatures(sig: DataFrame, minEst: Double): DataFrame = {
     // band rows: (band_idx, band_signature=concat of Rows minhashes)
@@ -216,12 +235,7 @@ object Dedup {
     * join — fine for the oracle at sf0.01; the Spark side stays the banded
     * equi-join), same k/32 estimate and threshold. */
   def minhashPairsSql: String = {
-    val bandConds = (0 until Bands).map { bnd =>
-      (0 until Rows).map { r =>
-        val i = bnd * Rows + r + 1
-        s"a.sig[$i] = b.sig[$i]"
-      }.mkString("(", " AND ", ")")
-    }.mkString("\n      OR ")
+    val bandConds = bandCondsSql
     s"""WITH ${portableSigCtes()},
        |est AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -253,9 +267,13 @@ object Dedup {
       .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
 
   /** q48 — portable minhash signatures, flattened to CSV for exact
-    * cross-engine comparison. */
+    * cross-engine comparison. NULL signatures (NULL-text docs) are
+    * dropped to match the oracle's `WHERE text IS NOT NULL` — without
+    * the filter Spark keeps a (doc_id, NULL sig_csv) row the oracle
+    * never produces. */
   def minhashPortable(s: SparkSession, dir: String): DataFrame =
     portableSignaturesFast(Tables.documents(s, dir))
+      .filter(col("sig").isNotNull)
       .select(col("doc_id"),
         array_join(transform(col("sig"), x => x.cast("string")), ",")
           .as("sig_csv"))
@@ -382,7 +400,8 @@ object Dedup {
       s"(a.fp >> $sh) & 32767 = (b.fp >> $sh) & 32767"
     }.mkString("\n      OR ")
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL),
        |hashed AS (
        |  SELECT doc_id, list_transform(w,
        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
@@ -772,10 +791,15 @@ object Dedup {
       .filter(col("doc_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("doc_id").as("pos_id"),
         col("cluster_size"))
-      .join(broadcast(src.select(col("doc_id").as("anchor_id"),
-        col("source").as("a_source"))), Seq("anchor_id"))
-      .join(broadcast(src.select(col("doc_id").as("pos_id"),
-        col("source").as("p_source"))), Seq("pos_id"))
+      // NO broadcast hint on src: it is the corpus-sized (doc_id,
+      // source) relation — hinting it would broadcast the corpus at
+      // scale. The PAIR relation is the small side of each re-attach;
+      // left unhinted so the planner/AQE broadcasts whichever side is
+      // actually small at runtime.
+      .join(src.select(col("doc_id").as("anchor_id"),
+        col("source").as("a_source")), Seq("anchor_id"))
+      .join(src.select(col("doc_id").as("pos_id"),
+        col("source").as("p_source")), Seq("pos_id"))
       .select(col("anchor_id"), col("pos_id"), col("cluster_size"),
         (col("a_source") =!= col("p_source")).as("cross_source"))
       .orderBy(col("anchor_id"), col("pos_id"))
@@ -921,17 +945,29 @@ object Dedup {
     * contains near-duplicates — orders of magnitude smaller than the
     * corpus — so the membership join BROADCASTS it; the corpus is
     * scanned once into a #sources-group rollup. */
-  def survivorshipAudit(s: SparkSession, dir: String): DataFrame = {
-    val members = dedupClusters(s, dir)
+  /** (doc_id, won) for every near-dup cluster MEMBER — won = true for
+    * the cluster's keep-best survivor. The one place the survivor rule
+    * joins into an audit: q182 (survivorship), q184 (rebalance quotas)
+    * and q190 (quality survival) all consume this relation, so a change
+    * to the keep rule cannot leave the three audits disagreeing. */
+  private def keepBestMembers(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
       .join(clusterKeepBest(s, dir)
           .select(col("keep_doc_id").as("doc_id"), lit(true).as("won")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("won"), lit(false)).as("won"))
+
+  /** is_kept after the corpus left-joins [[keepBestMembers]]: NULL won
+    * = not a cluster member = singleton (survives); otherwise only the
+    * winner survives. */
+  private def isKeptCol: Column =
+    when(coalesce(col("won"), lit(true)), 1L).otherwise(0L)
+
+  def survivorshipAudit(s: SparkSession, dir: String): DataFrame = {
+    val members = keepBestMembers(s, dir)
     Tables.documents(s, dir).select(col("doc_id"), col("source"))
       .join(broadcast(members), Seq("doc_id"), "left")
-      .withColumn("is_kept",
-        when(col("won").isNull, 1L)            // singleton: survives
-          .when(col("won"), 1L).otherwise(0L)) // member: only the winner
+      .withColumn("is_kept", isKeptCol)
       .rollup(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("is_kept")).as("n_kept"))
       .select(coalesce(col("source"), lit("ALL")).as("source"),
@@ -986,15 +1022,10 @@ object Dedup {
     * a 1-row broadcast, the remainder rank and leftover sum are
     * #sources-row windows. */
   def rebalanceQuota(s: SparkSession, dir: String): DataFrame = {
-    val members = dedupClusters(s, dir)
-      .join(clusterKeepBest(s, dir)
-          .select(col("keep_doc_id").as("doc_id"), lit(true).as("won")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("won"), lit(false)).as("won"))
+    val members = keepBestMembers(s, dir)
     val per = Tables.documents(s, dir).select(col("doc_id"), col("source"))
       .join(broadcast(members), Seq("doc_id"), "left")
-      .withColumn("is_kept",
-        when(col("won").isNull, 1L).when(col("won"), 1L).otherwise(0L))
+      .withColumn("is_kept", isKeptCol)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("is_kept")).as("n_kept"))
     val tot = per.agg(sum(col("n_docs")).as("t"), sum(col("n_kept")).as("b"))
@@ -1003,8 +1034,16 @@ object Dedup {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))
     per.crossJoin(broadcast(tot))
-      .withColumn("base", expr("b * n_docs div t"))
-      .withColumn("rem", expr("(b * n_docs) % t"))
+      // b·n_docs ≤ N² overflows int64 past N ≈ 3·10⁹ documents — inside
+      // this engine's 10¹¹-doc scale target (the PrScale rule) — and
+      // under ANSI that is a job-killing ARITHMETIC_OVERFLOW, so the
+      // product runs in DECIMAL(38,0) internally (≤10²² fits) and only
+      // the ≤b-sized quotient/remainder come back to BIGINT; the output
+      // schema stays decimal-free per the gate's type contract
+      .withColumn("__prod", col("b").cast("decimal(38,0)") * col("n_docs"))
+      .withColumn("base", floor(col("__prod") / col("t")).cast("long"))
+      .withColumn("rem", (col("__prod") -
+        col("base").cast("decimal(38,0)") * col("t")).cast("long"))
       .withColumn("leftover", col("b") - sum(col("base")).over(wAll))
       .withColumn("rrank", row_number().over(wRank).cast("long"))
       .withColumn("quota",
@@ -1041,7 +1080,8 @@ object Dedup {
       |    CAST(sum(n_kept) AS BIGINT) AS b FROM per),
       |w AS (
       |  SELECT per.*, t, b,
-      |    b * n_docs // t AS base, (b * n_docs) % t AS rem
+      |    CAST(b::HUGEINT * n_docs // t AS BIGINT) AS base,
+      |    CAST((b::HUGEINT * n_docs) % t AS BIGINT) AS rem
       |  FROM per CROSS JOIN tot),
       |w2 AS (
       |  SELECT *, b - sum(base) OVER () AS leftover,
@@ -1184,11 +1224,7 @@ object Dedup {
       percentile(col("score"), lit(0.25)).as("q25"),
       percentile(col("score"), lit(0.5)).as("q50"),
       percentile(col("score"), lit(0.75)).as("q75"))
-    val members = dedupClusters(s, dir)
-      .join(clusterKeepBest(s, dir)
-          .select(col("keep_doc_id").as("doc_id"), lit(true).as("won")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("won"), lit(false)).as("won"))
+    val members = keepBestMembers(s, dir)
     scores.crossJoin(broadcast(th))
       .join(broadcast(members), Seq("doc_id"), "left")
       .select(
@@ -1197,8 +1233,7 @@ object Dedup {
           when(col("score").cast("double") > col("q50"), 1L).otherwise(0L) +
           when(col("score").cast("double") > col("q75"), 1L).otherwise(0L))
           .as("quartile"),
-        when(col("won").isNull, 1L).when(col("won"), 1L).otherwise(0L)
-          .as("is_kept"))
+        isKeptCol.as("is_kept"))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("is_kept")).as("n_kept"))
       .select(col("quartile"), col("n_docs"), col("n_kept"),
@@ -1896,12 +1931,7 @@ object Dedup {
 
   /** Same signatures/banding/hash domain in SQL; union via |A|+|B|−inter. */
   def minhashCalibrationSql: String = {
-    val bandConds = (0 until Bands).map { bnd =>
-      (0 until Rows).map { r =>
-        val i = bnd * Rows + r + 1
-        s"a.sig[$i] = b.sig[$i]"
-      }.mkString("(", " AND ", ")")
-    }.mkString("\n      OR ")
+    val bandConds = bandCondsSql
     s"""WITH ${portableSigCtes()},
        |hset AS (
        |  SELECT doc_id, list_distinct(hs) AS hset FROM hashed),

@@ -518,4 +518,28 @@ class DedupSpec extends SparkSpec {
     perCluster.foreach(s => assert(math.abs(s - 1.0) < 1e-9,
       "cluster weights must sum to 1"))
   }
+
+  test("NULL-text docs band nowhere: no shared empty bucket, the gate " +
+      "accepts them, and portable pairs/signatures match their oracles") {
+    import SparkSpec.spark.implicits._
+    // two NULL-text docs in the corpus, one in the batch: without the
+    // NULL-signature filter in bandedOf they would all share a "" band
+    // signature in every band — the corpus pair would collide in all 8
+    // bands and the batch doc would gate as near_dup with 8 hits, where
+    // the oracle (text IS NOT NULL) says accepted with 0
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val bands = Dedup.corpusBandIndexOf(corpus)
+    assert(bands.filter(col("band_sig") === "").count() === 0L,
+      "NULL signatures leaked empty band signatures into the index")
+    assert(bands.filter(col("doc_id").isin(2L, 3L)).count() === 0L,
+      "signature-less docs must emit no band rows")
+    val batch = Seq((10L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val gate = Dedup.minhashGateOf(batch, bands).collect()
+    assert(gate.length === 1 && gate(0).getString(2) === "accepted" &&
+      gate(0).getLong(1) === 0L,
+      s"NULL-text batch doc must gate as accepted/0 hits: ${gate.toSeq}")
+  }
 }
