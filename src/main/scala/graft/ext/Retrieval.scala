@@ -190,8 +190,8 @@ object Retrieval {
       .filter(col("rnk") <= FuseK) // Bm25K == FuseK today; future-proof
       .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
     val vec = Similarity.knnLshServe(
-        Similarity.lshIndexOf(Tables.embeddings(s, dir)), FuseK)
-      .filter(col("query_id").isin(fuseQueryIds: _*))
+        Similarity.lshIndexOf(Tables.embeddings(s, dir)), FuseK,
+        probe = col("vec_id").isin(fuseQueryIds: _*))
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("vec_rnk"))
     rrfFuse(lex, vec)

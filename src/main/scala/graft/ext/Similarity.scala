@@ -36,8 +36,9 @@ object Similarity {
   /** Deterministic Gaussian hyperplanes in DOUBLE (fixed seed — results
     * must be reproducible across runs AND engines; doubles, not floats,
     * so Spark and the generated DuckDB SQL do identical IEEE arithmetic). */
-  private def hyperplanes(tables: Int, bits: Int): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(42)
+  private def hyperplanes(tables: Int, bits: Int,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
     Array.fill(tables, bits, Dim)(rnd.nextGaussian())
   }
 
@@ -119,7 +120,15 @@ object Similarity {
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine_sim(col("q_emb"), col("embedding")).as("cos"))
+        // cosine_sim is NULL on a zero-norm vector; the TopK aggregator
+        // downstream decodes a NON-NULLABLE score (a NULL would kill
+        // q17 at runtime), and DuckDB's list_cosine_similarity scores
+        // the same pair -1.0 — coalesce to exactly the oracle's value
+        // (maximally dissimilar, ranked last). The quantized family
+        // instead FILTERS zero vectors (quantizedVectors' ss > 0); the
+        // float paths keep them, ranked last, like the oracle.
+        coalesce(cosine_sim(col("q_emb"), col("embedding")), lit(-1.0d))
+          .as("cos"))
   }
 
   val knnBruteForceSql: String =
@@ -167,8 +176,14 @@ object Similarity {
     * candidate set. Duplicate index rows (e.g. an at-least-once
     * redelivery) cannot change the result — candidate pairs dedup on
     * (query_id, neighbor_id) before scoring. */
-  def knnLshServe(bucketed: DataFrame, k: Int = 3): DataFrame = {
-    val q = bucketed.filter(col("vec_id") < 10)
+  /** @param probe which index rows act as QUERIES — defaults to the
+    *   q17/q18 doc-as-query convention (vec_id < 10); q158 passes its
+    *   fused probe set so the vector arm mechanically serves whatever
+    *   workload the lexical arm serves (a probe outside the default
+    *   range would otherwise silently fuse lexical-only). */
+  def knnLshServe(bucketed: DataFrame, k: Int = 3,
+      probe: Column = col("vec_id") < 10): DataFrame = {
+    val q = bucketed.filter(probe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bucket"))
     val cand = bucketed.select(col("vec_id").as("neighbor_id"),
@@ -427,7 +442,13 @@ object Similarity {
 
   private val NdTables = 8
   private val NdBits = 4
-  private lazy val ndPlanes = hyperplanes(NdTables, NdBits)
+  // FRESH seed, independent of lshPlanes' 42: drawing both families
+  // from one Random(42) stream made q18's table-0 planes bit-identical
+  // to q49's, so the two index families' recall audits measured
+  // CORRELATED structures (the exact hazard the ivfPlanes seed note
+  // guards against). The oracles regenerate from these constants, so
+  // cross-engine parity is unaffected by the seed choice.
+  private lazy val ndPlanes = hyperplanes(NdTables, NdBits, seed = 4343L)
 
   /** q49 — embedding near-duplicate pairs via LSH prefilter: candidates =
     * pairs sharing any of 8×4-bit buckets, exact cosine ≥ 0.35 applied to
@@ -832,14 +853,16 @@ object Similarity {
         (a, qq)
       }
 
-    // cos BEFORE the pair dedup (see the q18 rationale): the dedup then
-    // hash-aggregates three scalars instead of sort-aggregating
-    // first(embedding)/first(q_emb) arrays per probe-candidate row
+    // NO pair dedup here, unlike the multi-table LSH joins: every
+    // candidate is assigned exactly ONE centroid and a query's probe
+    // list is distinct, so the centroid equi-join emits each
+    // (query, neighbor) pair at most once — a dropDuplicates would add
+    // a full shuffle + hash aggregate over the largest intermediate
+    // relation to remove nothing
     val pairs = q.join(assigned, Seq("centroid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine_sim(col("q_emb"), col("embedding")).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rnk", row_number().over(w).cast("long"))
@@ -1184,7 +1207,9 @@ object Similarity {
     // per-label Σᵢ|qᵢ|² and n
     val norms = qlab
       .select(col("label"),
-        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("nn"))
+        graft.functions.VectorFunctions.int_dot(col("q"), col("q"))
+          .as("nn")) // codegen kernel; a direct ArrayAggregate fold (no
+                     // zip_with) cannot be auto-upgraded by the rule
       .groupBy(col("label"))
       .agg(sum(col("nn")).as("ss"), count(lit(1)).as("n"))
     sumSq.join(norms, Seq("label"))
@@ -2585,7 +2610,10 @@ object Similarity {
     * no float cosine in the ordering, no ULP tie risk (ties break by
     * neighbor id).
     *
-    * Scale shape: q49's production LSH geometry — candidates are
+    * Scale shape: q49's production LSH DISCIPLINE under q18's plane
+    * geometry (lshPlanes, 4 tables × 6 bits — the committed oracle is
+    * generated from exactly these constants; tuning q49's NdTables/
+    * NdBits does NOT move this query) — candidates are
     * same-(table, bucket) pairs only, so the corpus never self-joins
     * all-pairs; the quantized vectors join candidates BY ID (8-byte keys
     * shuffle, embeddings stay in place); the per-anchor argmax is a
@@ -2794,10 +2822,13 @@ object Similarity {
     * curation pipeline would: over the ANN near-dup graph it already
     * built, with the held-out agreement rate as the quality gate).
     *
-    * Determinism: the per-node argmax is `max_by(label, cnt·1024 +
-    * (1023 − label))` — the key is injective in label for any count, so
-    * the max is unique: majority first, smallest label on ties, no
-    * engine-ordering dependence anywhere. Labeled-ness grows
+    * Determinism: the per-node argmax key is `cnt·2⁶³ − label` in
+    * 128-bit integers (DECIMAL(38,0) on the Spark side, HUGEINT in the
+    * oracle — internal only, the output stays BIGINT): injective and
+    * order-correct for EVERY long label, so the max is unique —
+    * majority first, smallest label on ties, no engine-ordering
+    * dependence anywhere. (An earlier `cnt·1024 + (1023 − label)` key
+    * silently inverted majorities once labels reached 1024.) Labeled-ness grows
     * monotonically (seeds never move; a labeled neighbor stays labeled),
     * but vote VALUES may legitimately shift between rounds — both
     * engines replay the identical recurrence.
@@ -2818,7 +2849,9 @@ object Similarity {
         .filter(col("v") % LpSeedMod =!= 0) // seeds are clamped, never voted
         .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("v"))
-        .agg(expr("max_by(nl, cnt * 1024 + (1023 - nl))").as("label"))
+        .agg(expr("max_by(nl, CAST(cnt AS DECIMAL(38,0)) * " +
+          "CAST('9223372036854775808' AS DECIMAL(38,0)) - nl)")
+          .as("label"))
       cur = seeds.union(votes.select(col("v").as("vec_id"), col("label")))
     }
     e.select(col("vec_id"), col("label").cast("long").as("truth"))
@@ -2846,7 +2879,7 @@ object Similarity {
          |c$r AS (
          |  SELECT vec_id, label FROM seeds
          |  UNION ALL
-         |  SELECT v AS vec_id, arg_max(nl, cnt * 1024 + (1023 - nl)) AS label
+         |  SELECT v AS vec_id, arg_max(nl, cnt::HUGEINT * 9223372036854775808::HUGEINT - nl) AS label
          |  FROM v$r GROUP BY v)"""
     }.mkString(",\n")
     s"""WITH $nearDupPairCtes,
@@ -3015,7 +3048,7 @@ object Similarity {
          |c$r AS (
          |  SELECT vec_id, label FROM seeds
          |  UNION ALL
-         |  SELECT v AS vec_id, arg_max(nl, cnt * 1024 + (1023 - nl)) AS label
+         |  SELECT v AS vec_id, arg_max(nl, cnt::HUGEINT * 9223372036854775808::HUGEINT - nl) AS label
          |  FROM v$r GROUP BY v)"""
     }.mkString(",\n")
     s"""WITH $nearDupPairCtes,
@@ -3200,7 +3233,7 @@ object Similarity {
        |dots AS (
        |  SELECT v.label, v.vec_id,
        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(1, 65), i -> v.q[i] * a.aq[i])),
+       |      list_transform(range(1, ${Dim + 1}), i -> v.q[i] * a.aq[i])),
        |      (x, y) -> x + y) AS BIGINT) AS dot
        |  FROM q v JOIN aqv a ON a.label = v.label)
        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
