@@ -155,8 +155,7 @@ object Text {
       col("source"),
       size(toks).cast("long").as("n_tok"),
       size(stop).cast("long").as("n_stop"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"),
-      col("n_chars"))
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
     docs.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -389,12 +388,21 @@ object Text {
         .as("h"))
     val pre = w.select(col("k"), col("doc_id").as("b_id"),
       md5(concat_ws(" ", slice(col("w"), lit(1), col("k")))).as("h"))
-    val m = suf.join(pre, Seq("k", "h"))
+    // two-phase distincts, never two countDistinct mixed into one
+    // aggregate: that plans an Expand (×3 row multiplication of the
+    // stitch-join output before the exchange) — the exact anti-pattern
+    // the q36/q64 rule locks out elsewhere. The join output
+    // materializes once and feeds three single-purpose rollups.
+    val m0 = suf.join(pre, Seq("k", "h"))
       .filter(col("a_id") =!= col("b_id"))
-      .groupBy(col("k"))
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("a_id")).as("n_tail_docs"),
-        countDistinct(col("b_id")).as("n_head_docs"))
+      .select(col("k"), col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
+    val pairs = m0.groupBy(col("k")).agg(count(lit(1)).as("n_pairs"))
+    val tails = m0.select(col("k"), col("a_id")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n_tail_docs"))
+    val heads = m0.select(col("k"), col("b_id")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n_head_docs"))
+    val m = pairs.join(tails, Seq("k")).join(heads, Seq("k"))
     Seq(2, 3, 4).toDF("k")
       .join(m, Seq("k"), "left")
       .select(col("k").cast("long").as("k"),
@@ -550,28 +558,51 @@ object Text {
   private[graft] def shingleIndexOf(docs: DataFrame): DataFrame =
     ngramIndexOf(docs, 3)
 
-  /** Jaccard pairs ≥ minJ from an inverted index: self-join on shingle →
-    * intersection counts → Jaccard from exact int counts. */
-  private def jaccardFromIndex(sh: DataFrame, minJ: Double): DataFrame = {
+  /** The shared intersection core of the Jaccard (q23/q51) and
+    * containment (q229) families: for every a<b candidate of an
+    * inverted index, (a_id, b_id, n_inter, a_sh, b_sh) — self-join on
+    * shingle, partial-aggregated intersection counts, per-side set
+    * sizes joined back BY ID. One definition so the two score families
+    * cannot drift in candidate generation. */
+  private def intersectionsOf(sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
     val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
       .join(cnt.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n_sh", "a_sh"), Seq("a_id"))
       .join(cnt.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("n_sh", "b_sh"), Seq("b_id"))
+  }
+
+  /** df-capped index: HOT shingles (df > cap) removed via broadcast
+    * anti-join — the hot set is tiny by construction (heavy-hitters),
+    * so the full index never reshuffles (unlike an inner join against
+    * the rare set, which is nearly the whole vocabulary). The ONE place
+    * the cap discipline lives; q51 and q229 both build on it. */
+  private[graft] def cappedShingleIndexOf(docs: DataFrame,
+      cap: Int): DataFrame = {
+    val sh0 = shingleIndexOf(docs)
+    val hot = sh0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(col("shingle"))
+    sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  /** Jaccard pairs ≥ minJ from an inverted index: self-join on shingle →
+    * intersection counts → Jaccard from exact int counts. */
+  private def jaccardFromIndex(sh: DataFrame, minJ: Double): DataFrame =
+    intersectionsOf(sh)
       .select(col("a_id"), col("b_id"),
         (col("n_inter").cast("double") /
           (col("a_sh") + col("b_sh") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJ)
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   def ngramJaccardOf(docs: DataFrame, minJ: Double): DataFrame =
     jaccardFromIndex(shingleIndexOf(docs), minJ)
@@ -590,8 +621,15 @@ object Text {
     * silently wrapped NEGATIVE prediction would wave the quadratic join
     * through). A null sum over a non-empty index means even the decimal
     * overflowed — treated as "refuse", never as zero. */
-  private[graft] def predictedCandidatePairs(docs: DataFrame): BigInt = {
-    val r = shingleIndexOf(docs)
+  private[graft] def predictedCandidatePairs(docs: DataFrame): BigInt =
+    predictedFromIndex(shingleIndexOf(docs))
+
+  /** [[predictedCandidatePairs]] over a PREBUILT index, so the guarded
+    * q23 path can share one materialized index between the pre-flight
+    * prediction and the Jaccard join instead of building (and fully
+    * re-exploding) it twice. */
+  private def predictedFromIndex(sh: DataFrame): BigInt = {
+    val r = sh
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .agg(sum(col("df").cast("decimal(38,0)") * (col("df") - lit(1)))
           .as("p"),
@@ -616,13 +654,18 @@ object Text {
     * refusal on a small corpus. */
   def ngramJaccardGuardedOf(docs: DataFrame, minJ: Double,
       bound: Long): DataFrame = {
-    val predicted = predictedCandidatePairs(docs)
+    // ONE index for the guard and the join: the lazy localCheckpoint in
+    // ngramIndexOf materializes on the prediction's action and the
+    // Jaccard pass reads the same blocks — previously each built its
+    // own index, paying the tokenize + explode + distinct pass twice
+    val sh = shingleIndexOf(docs)
+    val predicted = predictedFromIndex(sh)
     if (predicted > bound) throw new IllegalStateException(
       s"uncapped n-gram Jaccard (q23) would generate $predicted candidate " +
         s"pairs (> $bound): this query is an exactness baseline — use the " +
         "df-capped path (q51/ngramJaccardCapped) or the prefix-filtered " +
         "exact join (q98/prefixFilterJoin) at this scale")
-    ngramJaccardOf(docs, minJ)
+    jaccardFromIndex(sh, minJ)
   }
 
   /** df-cap applied to [[ngramJaccard]]'s inverted index. Compile-time
@@ -639,19 +682,8 @@ object Text {
     * (TextSpec proves both directions). The cap is implemented identically
     * in the oracle SQL, so the check stays value-exact even where it does
     * bind. */
-  def ngramJaccardCappedOf(docs: DataFrame, cap: Int, minJ: Double): DataFrame = {
-    val sh0 = shingleIndexOf(docs)
-    // Remove HOT shingles (df > cap) via broadcast anti-join: the hot set
-    // is tiny by construction (heavy-hitters), so the full index never
-    // reshuffles — unlike an inner join against the rare set, which is
-    // nearly the whole vocabulary.
-    val hot = sh0.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap)
-      .select(col("shingle"))
-    jaccardFromIndex(
-      sh0.join(broadcast(hot), Seq("shingle"), "left_anti"), minJ)
-  }
+  def ngramJaccardCappedOf(docs: DataFrame, cap: Int, minJ: Double): DataFrame =
+    jaccardFromIndex(cappedShingleIndexOf(docs, cap), minJ)
 
   def ngramJaccardCapped(s: SparkSession, dir: String): DataFrame =
     ngramJaccardCappedOf(Tables.documents(s, dir), DfCap, 0.12)
@@ -715,6 +747,10 @@ object Text {
   def fingerprints(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{portable_simhash, rolling_hash}
     Tables.documents(s, dir)
+      // NULL text → NULL fingerprints on this side, but the oracle's
+      // NULL-tolerant folds would emit 0s (list_prepend(0, NULL) → [0]);
+      // drop the doc on BOTH sides instead (the q48 precedent)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), rolling_hash(col("text")).as("roll_fp"),
         portable_simhash(col("text")).as("sim_fp"))
       .orderBy(col("doc_id"))
@@ -736,7 +772,7 @@ object Text {
        |        || 'in doc_id=' || doc_id || ' (this SQL folds per CHARACTER; '
        |        || 'the Spark RollingHash folds per UTF-8 BYTE)')
        |      ELSE text END AS text
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |hashed AS (
        |  SELECT doc_id, text, list_transform(string_split(text, ' '),
        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
@@ -865,23 +901,7 @@ object Text {
     * asymmetric output costs no second self-join. */
   def containmentPairsOf(docs: DataFrame, cap: Int,
       minC: Double): DataFrame = {
-    val sh0 = shingleIndexOf(docs)
-    val hot = sh0.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap)
-      .select(col("shingle"))
-    val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(cnt.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n_sh", "a_sh"), Seq("a_id"))
-      .join(cnt.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n_sh", "b_sh"), Seq("b_id"))
+    val inter = intersectionsOf(cappedShingleIndexOf(docs, cap))
     // score each unordered candidate once and emit BOTH directions from
     // the same row via explode — one pass over the join output (a union
     // of two branches would re-plan the capped self-join per branch),
