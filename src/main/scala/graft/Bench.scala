@@ -33,7 +33,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/parquet-footer costs shouldn't be
     // attributed to whichever query the map happens to order first.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // NonFatal only: an OOM/thread-death here means the JVM is already
+    // broken and the whole bench would be garbage — let it crash loudly.
+    try SparkEntry.entry(spark).count()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] entry warmup failed: ${e.getMessage}") }
     // CALIBRATION SENTINEL: one pinned cheap query timed at bench START
     // and again at bench END (min of 3 — same rationale as the per-query
     // min). Two rounds' sentinel ratio separates environment drift (a
@@ -48,9 +52,13 @@ object Bench {
         // one UNTIMED pass first: the START sentinel otherwise measures
         // its own JIT/codegen warmup (observed 2.3x start-vs-end spread
         // on an idle box), which would trip bench_diff's mid-bench-drift
-        // warning every round and skew the cross-round drift ratio
+        // warning every round and skew the cross-round drift ratio.
+        // NonFatal only (OOM/fatal must surface, not silently skew the
+        // drift normalization), and the failure is logged so an unwarmed
+        // sentinel is visible in the round record
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] sentinel warmup failed: ${e.getMessage}") }
         val ts = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()
           try {

@@ -1039,11 +1039,15 @@ object Dedup {
       // under ANSI that is a job-killing ARITHMETIC_OVERFLOW, so the
       // product runs in DECIMAL(38,0) internally (≤10²² fits) and only
       // the ≤b-sized quotient/remainder come back to BIGINT; the output
-      // schema stays decimal-free per the gate's type contract
+      // schema stays decimal-free per the gate's type contract.
+      // `div`/`%` are EXACT integral decimal ops (IntegralDivide →
+      // BIGINT), mirroring the oracle's HUGEINT `//`/`%` — a
+      // floor-of-rounded-divide spelling would resolve to DECIMAL(38,6)
+      // HALF_UP and, once t ≳ 2·10⁶, could round the quotient up past
+      // the true floor (base+1, negative rem, quotas no longer sum to B)
       .withColumn("__prod", col("b").cast("decimal(38,0)") * col("n_docs"))
-      .withColumn("base", floor(col("__prod") / col("t")).cast("long"))
-      .withColumn("rem", (col("__prod") -
-        col("base").cast("decimal(38,0)") * col("t")).cast("long"))
+      .withColumn("base", expr("__prod div t"))
+      .withColumn("rem", expr("__prod % t").cast("long"))
       .withColumn("leftover", col("b") - sum(col("base")).over(wAll))
       .withColumn("rrank", row_number().over(wRank).cast("long"))
       .withColumn("quota",

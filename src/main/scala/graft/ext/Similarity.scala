@@ -2825,9 +2825,13 @@ object Similarity {
     * Determinism: the per-node argmax key is `cnt·2⁶³ − label` in
     * 128-bit integers (DECIMAL(38,0) on the Spark side, HUGEINT in the
     * oracle — internal only, the output stays BIGINT): injective and
-    * order-correct for EVERY long label, so the max is unique —
-    * majority first, smallest label on ties, no engine-ordering
-    * dependence anywhere. (An earlier `cnt·1024 + (1023 − label)` key
+    * order-correct for every NON-NEGATIVE long label, so the max is
+    * unique — majority first, smallest label on ties, no
+    * engine-ordering dependence anywhere. (`label = Long.MinValue`
+    * would collide — key(cnt, MinValue) = key(cnt+1, 0) — but labels
+    * here are `embeddings.label` class ids, non-negative by the fixture
+    * contract in TESTDATA.md, and both engines key on the same column
+    * so even a violation stays engine-parallel.) (An earlier `cnt·1024 + (1023 − label)` key
     * silently inverted majorities once labels reached 1024.) Labeled-ness grows
     * monotonically (seeds never move; a labeled neighbor stays labeled),
     * but vote VALUES may legitimately shift between rounds — both
