@@ -36,6 +36,16 @@ import org.apache.spark.sql.functions._
   * the same) and rewrites their survivors; untouched files carry over
   * by reference. Time travel (`read(asOf)`) is free: old manifests and
   * their files stay until [[vacuum]] retires them.
+  *
+  * MERGE-ON-READ deletes ([[deleteWhereMor]]) write NO data files at
+  * all: a deletion-vector sidecar under `<dir>/_deletes/` records
+  * (file, row-position) pairs, referenced by the manifest's
+  * `delete_files` meta line (atomic with the file list) and anti-joined
+  * away by every reader — Delta's deletion vectors / Iceberg v2
+  * positional deletes, on the same commit protocol. [[optimize]] folds
+  * the vectors into a clean rewrite; time travel, vacuum, and OCC all
+  * compose (a rewrite racing a DV change conflicts — the vector's
+  * positions refer to files the rewrite replaces).
   */
 object SnapTable {
 
@@ -114,6 +124,65 @@ object SnapTable {
     * `input_file_name()` are matched back to manifest entries. */
   private def pathKey(p: String): String =
     p.split('/').takeRight(2).mkString("/")
+
+  // ---- merge-on-read deletion vectors ------------------------------------
+
+  /** The snapshot's DELETION-VECTOR files (manifest-relative parquet
+    * paths under `_deletes/`, comma-listed in the manifest's
+    * `delete_files` meta — atomic with the file list because it rides
+    * the same rename). Each DV file holds (file_key, pos) rows: row
+    * `pos` of data file `file_key` is deleted in this snapshot. Empty
+    * for a table no merge-on-read delete ever touched — every reader
+    * keeps its original plan then. */
+  private[graft] def deleteFilesOf(spark: SparkSession, dir: String,
+      v: Int): Seq[String] =
+    if (v == 0) Seq.empty
+    else manifestMeta(spark, dir, v).get("delete_files").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** [[pathKey]] as a codegen'd column over the hidden `_metadata`
+    * file-source column — the join key that matches scanned rows back
+    * to deletion-vector entries (absolute/URI `file_path` forms reduce
+    * to the same two trailing components the manifests store). */
+  private def fileKeyCol: Column = {
+    val parts = split(col("_metadata.file_path"), "/")
+    concat_ws("/", element_at(parts, -2), element_at(parts, -1))
+  }
+
+  /** DV-aware scoped read of manifest-relative data paths: the rows of
+    * `rels` minus any (file, pos) the deletion vectors cover, KEEPING
+    * the row identity columns `__fk` (file key) and `__pos` (row
+    * position in its file — parquet `_metadata.row_index`, stable
+    * across split planning). The anti-join is keyed on (file, pos) —
+    * well-distributed at any scale — and Spark auto-broadcasts the DV
+    * side whenever it is small (the selective-delete case the format
+    * exists for); no hint is forced, so a pathological
+    * most-of-the-table DV degrades to a shuffle join instead of an
+    * executor OOM. */
+  private[graft] def readKeyed(spark: SparkSession, dir: String,
+      rels: Seq[String], delFiles: Seq[String]): DataFrame = {
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(rels.map(r => s"$dir/$r"): _*)
+      .withColumn("__fk", fileKeyCol)
+      .withColumn("__pos", col("_metadata.row_index"))
+    if (delFiles.isEmpty) base
+    else base.join(
+      spark.read.parquet(delFiles.map(r => s"$dir/$r"): _*)
+        .select(col("file_key").as("__fk"), col("pos").as("__pos")),
+      Seq("__fk", "__pos"), "left_anti")
+  }
+
+  /** Scoped table read under snapshot `v`'s deletion vectors; the plan
+    * is the original plain parquet scan when the snapshot carries no
+    * DVs (no metadata projection, no join — DV support costs existing
+    * tables nothing). */
+  private def readScoped(spark: SparkSession, dir: String,
+      rels: Seq[String], v: Int): DataFrame = {
+    val delFiles = deleteFilesOf(spark, dir, v)
+    if (delFiles.isEmpty) spark.read.option("mergeSchema", "true")
+      .parquet(rels.map(r => s"$dir/$r"): _*)
+    else readKeyed(spark, dir, rels, delFiles).drop("__fk", "__pos")
+  }
 
   /** A writer lost an optimistic-concurrency race it cannot rebase
     * over: the caller should re-plan against the new current snapshot
@@ -215,10 +284,13 @@ object SnapTable {
       readSet: Set[String], removed: Set[String], added: Seq[String],
       meta: Map[String, String], strict: Boolean = false,
       skipIf: () => Boolean = () => false,
-      interloperGuard: Seq[String] => Unit = _ => ()): Option[Int] = {
+      interloperGuard: Seq[String] => Unit = _ => (),
+      addDeleteFiles: Seq[String] = Seq.empty,
+      dropDeleteFiles: Set[String] = Set.empty): Option[Int] = {
     val baseCols = statsColsOf(spark, dir, baseV)
     val declared = Seq(meta.get("stats_col"), meta.get("stats_col2")).flatten
     val readPaths = readSet.map(entryPath)
+    val baseDel = deleteFilesOf(spark, dir, baseV)
     var attempt = 0
     var lastSeen = -1
     while (true) {
@@ -259,13 +331,37 @@ object SnapTable {
         interloperGuard(curEntries.filterNot(e =>
           readPaths.contains(entryPath(e))))
       }
+      // DELETE-VECTOR carry/merge: every commit must re-reference the
+      // CURRENT snapshot's DV set (an append whose meta dropped it
+      // would resurrect deleted rows), minus this writer's explicit
+      // drops (optimize folding DVs away), plus its additions (a new
+      // merge-on-read delete). Two DV-only writers therefore compose —
+      // each carries the other's file by reference — but a writer that
+      // REWRITES or DROPS anything conflicts with a concurrent DV
+      // change: the interloper's row positions refer to files this
+      // writer replaces (a rebase would silently strand that delete),
+      // and symmetrically this writer's drops were planned against
+      // baseV's vectors, not the interloper's.
+      val curDel = deleteFilesOf(spark, dir, cur)
+      if (cur != baseV && curDel != baseDel &&
+          (removed.nonEmpty || dropDeleteFiles.nonEmpty))
+        throw new ConcurrentWriteException(
+          s"SnapTable: the delete-vector set changed (v$baseV→v$cur) " +
+            s"under a rewriting commit on $dir — its row positions " +
+            "refer to files this writer replaces; re-plan against the " +
+            "current snapshot and retry")
+      val newDel = (curDel.filterNot(dropDeleteFiles) ++ addDeleteFiles)
+        .distinct.sorted
+      val delMeta =
+        if (newDel.isEmpty) Map.empty[String, String]
+        else Map("delete_files" -> newDel.mkString(","))
       val carried = curEntries.filterNot(removed.contains)
       // declaration-changing commit (optimizeZorder): interloper
       // entries were annotated under the OLD columns — strip to paths
       val carriedSafe =
         if (declared != baseCols) carried.map(entryPath) else carried
       if (tryCommitManifest(spark, dir, cur + 1, carriedSafe ++ added,
-          meta))
+          meta ++ delMeta))
         return Some(cur + 1)
       attempt += 1
       if (attempt > OccMaxRetries) throw new ConcurrentWriteException(
@@ -389,17 +485,19 @@ object SnapTable {
       pred: Column, v: Int): Unit = {
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     val entries = readEntries(spark, dir, v)
-    val abs = entries.map(e => s"$dir/${entryPath(e)}")
-    // mergeSchema on BOTH rewrite-path reads: after schema evolution a
-    // plain read infers from one arbitrary file — survivors rewritten
-    // through the narrower schema would silently lose the evolved
-    // column (or the predicate would fail to resolve)
+    val delFiles = deleteFilesOf(spark, dir, v)
+    // DV-AWARE rewrite-path reads (readKeyed): on a table with
+    // merge-on-read vectors, a raw file scan would see rows the
+    // vectors already deleted — the touched probe would rewrite files
+    // for them, and the survivor rewrite would RESURRECT them.
+    // mergeSchema (inside readKeyed) on BOTH reads: after schema
+    // evolution a plain read infers from one arbitrary file —
+    // survivors rewritten through the narrower schema would silently
+    // lose the evolved column (or the predicate would fail to resolve)
     // bounded driver action: one distinct over ≤#files values
-    val touchedAbs = spark.read.option("mergeSchema", "true").parquet(abs: _*)
-      .filter(pred).select(input_file_name().as("f"))
+    val touchedKeys = readKeyed(spark, dir, entries.map(entryPath), delFiles)
+      .filter(pred).select(col("__fk"))
       .distinct().collect().map(_.getString(0)).toSet
-    // input_file_name yields URIs; match by (write-dir, file-name) suffix
-    val touchedKeys = touchedAbs.map(pathKey)
     val touched =
       entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
     // no row matched: committing would write an IDENTICAL manifest —
@@ -409,13 +507,78 @@ object SnapTable {
     if (touched.isEmpty) return
     // delete ⇔ pred is TRUE: survivors keep rows where pred is false
     // OR NULL (plain !pred filters NULL-predicate rows out — silent
-    // data loss for rows the predicate never matched)
-    val newFiles = writeData(spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(e => s"$dir/${entryPath(e)}"): _*)
-      .filter(!coalesce(pred, lit(false))), dir, v + 1,
-      statsColsOf(spark, dir, v))
+    // data loss for rows the predicate never matched). DV entries for
+    // the rewritten files dangle harmlessly (their keys match nothing);
+    // untouched files keep their vectors, carried by occCommit.
+    val newFiles = writeData(
+      readKeyed(spark, dir, touched.map(entryPath), delFiles)
+        .filter(!coalesce(pred, lit(false))).drop("__fk", "__pos"),
+      dir, v + 1, statsColsOf(spark, dir, v))
     occCommit(spark, dir, v, entries.toSet, touched.toSet, newFiles,
       statsMeta(spark, dir, v))
+  }
+
+  /** MERGE-ON-READ delete: rows matching `pred` disappear in the new
+    * snapshot WITHOUT rewriting any data file — the delete writes only
+    * a deletion-vector sidecar of (file, row-position) pairs, applied
+    * at read time by every reader ([[read]], [[readPruned]], the CoW
+    * rewrite paths). This is the selective-delete path at 100 TB: a
+    * 1-row GDPR delete costs one corpus scan + a KB-sized sidecar,
+    * where [[deleteWhere]]'s copy-on-write rewrites every file the row
+    * touches. The trade: every subsequent read pays the (file, pos)
+    * anti-join until [[optimize]] folds the vectors into a clean
+    * rewrite. Vectors compose: a second MoR delete adds its own
+    * sidecar, and positions are recorded against the DV-APPLIED view,
+    * so re-deleting an already-deleted row is impossible and sidecar
+    * sizes track the marginal delete, not the table. */
+  def deleteWhereMor(spark: SparkSession, dir: String,
+      pred: Column): Unit =
+    deleteWhereMorFrom(spark, dir, pred, currentVersion(spark, dir))
+
+  /** [[deleteWhereMor]] planned against an EXPLICIT base version — the
+    * OCC seam (mirrors [[deleteWhereFrom]]). The commit's read set is
+    * exactly the files whose positions the vector records: a
+    * concurrent REWRITE of one of them strands those positions (the
+    * rewritten file carries the rows under a new name), so it
+    * conflicts via the read-set rule; concurrent appends and other
+    * MoR deletes rebase — DV-only commits compose by meta merge. */
+  private[graft] def deleteWhereMorFrom(spark: SparkSession, dir: String,
+      pred: Column, v: Int): Unit = {
+    require(v > 0, s"SnapTable: $dir holds no table — create first")
+    val entries = readEntries(spark, dir, v)
+    val delFiles = deleteFilesOf(spark, dir, v)
+    // delete ⇔ pred is TRUE (NULL keeps the row), same as the CoW path.
+    // repartition(1): ONE sidecar file per delete commit — the scan
+    // stays fully parallel (only the matched positions shuffle, and a
+    // selective delete's positions are small by definition); a delete
+    // so broad that single-writer sidecar output hurts should be the
+    // copy-on-write [[deleteWhere]] anyway — it is rewriting the table
+    val matches = readKeyed(spark, dir, entries.map(entryPath), delFiles)
+      .filter(coalesce(pred, lit(false)))
+      .select(col("__fk").as("file_key"), col("__pos").as("pos"))
+      .repartition(1)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"_deletes/d${v + 1}%05d-$token"
+    matches.write.mode("errorifexists").parquet(s"$dir/$rel")
+    val f = fs(spark, dir)
+    val parts = f.listStatus(new Path(s"$dir/$rel")).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
+    // the touched keys come from reading the just-written sidecar back
+    // (tiny), not a second corpus scan; no match → no-op delete (the
+    // CoW path's no-version-churn rule), sidecar litter removed
+    val touchedKeys =
+      if (parts.isEmpty) Set.empty[String]
+      else spark.read.parquet(parts.map(r => s"$dir/$r"): _*)
+        .select(col("file_key")).distinct()
+        .collect().map(_.getString(0)).toSet
+    if (touchedKeys.isEmpty) {
+      f.delete(new Path(s"$dir/$rel"), true)
+      return
+    }
+    val touched =
+      entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
+    occCommit(spark, dir, v, touched.toSet, Set.empty, Seq.empty,
+      statsMeta(spark, dir, v), addDeleteFiles = parts)
   }
 
   /** MERGE (upsert) by key: rows of `updates` whose `key` exists in the
@@ -491,19 +654,20 @@ object SnapTable {
         s"($updN rows, $updDistinct distinct keys) — a merge upserts " +
         "each key exactly once; dedupe the batch first")
     val updKeys = updates.select(col(key)).distinct()
-    // input_file_name() must bind BEFORE the join — with two sources in
-    // the plan the expression is ambiguous and Spark rejects it
-    val cur = curSchema.withColumn("__file", input_file_name())
-    val touchedAbs = cur.join(broadcast(updKeys), Seq(key))
-      .select(col("__file"))
+    // DV-AWARE probe and survivor reads (readKeyed): on a table with
+    // merge-on-read vectors a raw scan would probe/rewrite rows the
+    // vectors already deleted — a merge of an already-MoR-deleted key
+    // must INSERT it, not resurrect the old row next to it
+    val delFiles = deleteFilesOf(s, dir, v)
+    val cur = readKeyed(s, dir, files, delFiles)
+    val touchedKeys = cur.join(broadcast(updKeys), Seq(key))
+      .select(col("__fk"))
       .distinct().collect().map(_.getString(0)).toSet
-    val touchedKeys = touchedAbs.map(pathKey)
     val touched =
       entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
     val survivors =
       if (touched.isEmpty) updates
-      else s.read.option("mergeSchema", "true")
-        .parquet(touched.map(e => s"$dir/${entryPath(e)}"): _*)
+      else readKeyed(s, dir, touched.map(entryPath), delFiles)
         .join(broadcast(updKeys), Seq(key), "left_anti")
         .select(updates.columns.map(col): _*)
         .unionByName(updates)
@@ -611,8 +775,7 @@ object SnapTable {
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(spark, dir))
     require(v > 0, s"SnapTable: no snapshot to read under $dir")
-    spark.read.option("mergeSchema", "true")
-      .parquet(readManifest(spark, dir, v).map(r => s"$dir/$r"): _*)
+    readScoped(spark, dir, readManifest(spark, dir, v), v)
   }
 
   /** The manifest entries a conjunction of per-stats-column [lo, hi]
@@ -672,8 +835,7 @@ object SnapTable {
       case (c, Some((lo, hi))) => col(c).between(lo, hi)
     }.reduce(_ && _)
     if (chosen.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .parquet(chosen.map(r => s"$dir/$r"): _*)
+    else readScoped(spark, dir, chosen, v) // DV-aware, like read()
       .filter(residual)
   }
 
@@ -700,8 +862,12 @@ object SnapTable {
       case None => read(spark, dir, Some(v)).repartition(targetFiles)
     }
     val entries = readEntries(spark, dir, v)
+    // the compaction read DV-applied rows (read() above), so the new
+    // files carry no deleted rows — the vectors FOLD AWAY here: drop
+    // them all, and every subsequent read is a plain scan again
     occCommit(spark, dir, v, entries.toSet, entries.toSet,
-      writeData(clustered, dir, v + 1, cs), statsMeta(spark, dir, v))
+      writeData(clustered, dir, v + 1, cs), statsMeta(spark, dir, v),
+      dropDeleteFiles = deleteFilesOf(spark, dir, v).toSet)
   }
 
   /** Morton bit-spread: the 16 low bits of `x` spaced out to even bit
@@ -776,9 +942,11 @@ object SnapTable {
       .repartitionByRange(targetFiles, col("__z"))
       .drop("__z")
     val entries = readEntries(spark, dir, v)
+    // full DV-applied rewrite, same as optimize: vectors fold away
     occCommit(spark, dir, v, entries.toSet, entries.toSet,
       writeData(clustered, dir, v + 1, Seq(c1, c2)),
-      statsMetaFor(Seq(c1, c2)))
+      statsMetaFor(Seq(c1, c2)),
+      dropDeleteFiles = deleteFilesOf(spark, dir, v).toSet)
   }
 
   /** 2-D STATS-PRUNED box scan: rows with c1 ∈ [lo1, hi1] AND c2 ∈
@@ -1075,14 +1243,19 @@ object SnapTable {
     val keepVs = (cutoff to cur).toSeq
     // exists-guarded like the deletion loop below: a PREVIOUS deeper
     // vacuum may already have retired the older end of this window
-    // (vacuum(3) then vacuum(10) must not crash reading v11..v17)
+    // (vacuum(3) then vacuum(10) must not crash reading v11..v17).
+    // Deletion-vector sidecars follow the same rule as data files:
+    // retained while any kept manifest's delete_files references them,
+    // retired with the last snapshot that did.
+    def filesOfVersion(v: Int): Seq[String] =
+      readManifest(spark, dir, v) ++ deleteFilesOf(spark, dir, v)
     val keepFiles = keepVs
       .filter(v => f.exists(manifestPath(dir, v)))
-      .flatMap(readManifest(spark, dir, _)).toSet
+      .flatMap(filesOfVersion).toSet
     (1 until cutoff).foreach { v =>
       val p = manifestPath(dir, v)
       if (f.exists(p)) {
-        readManifest(spark, dir, v)
+        filesOfVersion(v)
           .filterNot(keepFiles.contains)
           .foreach(r => f.delete(new Path(s"$dir/$r"), false))
         f.delete(p, false)
@@ -1267,10 +1440,26 @@ object SnapTable {
   private[graft] def manifestDeltas(s: SparkSession, dir: String,
       fromV: Int, toV: Int): Seq[(Set[String], Set[String])] = {
     if (fromV >= toV) return Seq.empty // no-op walk reads no manifest
+    // FILE-level deltas are blind to merge-on-read deletion vectors:
+    // a DV commit changes visible rows with an IDENTICAL file list
+    // (delta = ∅ → the fold silently misses the delete), and a later
+    // rewrite of a DV-covered file would subtract the file's FULL
+    // contents where the view only ever held the un-deleted part. The
+    // whole walk therefore requires a DV-free window — OPTIMIZE folds
+    // vectors into a clean rewrite, after which folding resumes (the
+    // fold's vacuum-reseed path re-seeds from a post-optimize
+    // manifest; see [[ivmFoldSourceStats]]).
+    def requireDvFree(v: Int): Unit =
+      if (v >= 1) require(deleteFilesOf(s, dir, v).isEmpty,
+        s"SnapTable: v$v of $dir carries merge-on-read deletion " +
+          "vectors — file-level IVM/CDC deltas cannot see row-level " +
+          "deletes; OPTIMIZE to fold them away, then re-seed the fold")
+    requireDvFree(fromV)
     var prev: Set[String] =
       if (fromV <= 0) Set.empty
       else readEntries(s, dir, fromV).map(entryPath).toSet
     (fromV + 1 to toV).map { v =>
+      requireDvFree(v)
       val cur = readEntries(s, dir, v).map(entryPath).toSet
       val d = (cur -- prev, prev -- cur)
       prev = cur
@@ -1387,6 +1576,13 @@ object SnapTable {
       val r = oldestRetainedVersion(s, dir)
       require(r >= 1 && r <= toV,
         s"SnapTable: no retained manifest ≤ v$toV under $dir")
+      // a whole-table re-seed from a DV-carrying snapshot would count
+      // rows the vectors deleted — same blindness manifestDeltas
+      // refuses; a post-OPTIMIZE (vector-free) manifest re-seeds fine
+      require(deleteFilesOf(s, dir, r).isEmpty,
+        s"SnapTable: v$r of $dir carries merge-on-read deletion " +
+          "vectors — file-level IVM cannot re-seed from it; OPTIMIZE " +
+          "to fold them away first")
       st = Map.empty // stale carried state cannot be advanced delta-wise
       fold(readEntries(s, dir, r).map(entryPath).toSet, 1L)
       base = r
@@ -1767,7 +1963,104 @@ object SnapTable {
       |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
       |ORDER BY version""".stripMargin
 
+  /** The merge-on-read fixture, once per (session, dir): v1 = the full
+    * corpus; v2 = MoR delete of doc_id % 10 == 3 (a deletion-vector
+    * sidecar, ZERO data files rewritten); v3 = a second MoR delete
+    * (source='src4' ∧ doc_id % 7 == 2) stacking its own vector; v4 = an
+    * append of doc_id % 1000 == 7 re-labeled source='restated' — new
+    * files the vectors must NOT touch (positions are per-file), while
+    * the carried vectors keep applying to v1's files. All predicates
+    * are closed-form, so the DuckDB oracle recomputes any version from
+    * the raw parquet. */
+  private val morCache = new graft.ops.SessionMemo[String]
+  private def morDocs(s: SparkSession, dir: String): String =
+    morCache.getOrBuild(s, dir) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_snap_mor_").toString
+      val docs = graft.tables.Tables.documents(s, dir)
+      create(docs, d)
+      deleteWhereMor(s, d, col("doc_id") % 10 === 3)
+      deleteWhereMor(s, d,
+        col("source") === "src4" && col("doc_id") % 7 === 2)
+      append(docs.filter(col("doc_id") % 1000 === 7)
+        .withColumn("source", lit("restated")), d)
+      d
+    }
+
+  /** q261 — MERGE-ON-READ deletes under the value gate: per-source
+    * stats from the current snapshot, where both deletes exist ONLY as
+    * deletion-vector sidecars (SnapTableSpec asserts the data-file set
+    * never changed) and an append rode over them. The whole MoR
+    * machinery — position capture, vector stacking, the read-side
+    * anti-join, carry-through-append — must be value-invisible: the
+    * oracle recomputes from raw parquet with the predicates inlined. */
+  def snapshotMorStats(s: SparkSession, dir: String): DataFrame =
+    read(s, morDocs(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+
+  val snapshotMorStatsSql: String =
+    """WITH live AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE doc_id % 10 <> 3
+      |    AND NOT (source = 'src4' AND doc_id % 7 = 2)
+      |  UNION ALL
+      |  SELECT doc_id, 'restated' AS source, n_chars FROM documents
+      |  WHERE doc_id % 1000 = 7)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  max(doc_id) AS max_doc_id
+      |FROM live GROUP BY source ORDER BY source""".stripMargin
+
+  /** q262 — TIME TRAVEL across deletion vectors: per-version (rows, id
+    * sum, char sum) for all four snapshots. v1 must still serve the
+    * FULL corpus after both vectors landed (a DV commit rewrites
+    * nothing, so time travel is pure meta — the old manifest simply
+    * carries no `delete_files`); v2/v3 apply exactly their own vector
+    * stack; v4 proves the append carried the vectors forward. */
+  def morTimeTravelAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = morDocs(s, dir)
+    (1 to 4).map { v =>
+      read(s, d, Some(v)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("char_sum"))
+        .select(lit(v.toLong).as("version"), col("n_docs"),
+          col("id_sum"), col("char_sum"))
+    }.reduce(_ unionAll _).orderBy(col("version"))
+  }
+
+  val morTimeTravelAuditSql: String =
+    """WITH v2 AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+      |v3 AS (SELECT * FROM v2
+      |  WHERE NOT (source = 'src4' AND doc_id % 7 = 2)),
+      |app AS (SELECT * FROM documents WHERE doc_id % 1000 = 7)
+      |SELECT CAST(1 AS BIGINT) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+      |FROM documents
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(doc_id) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT) FROM v3
+      |UNION ALL
+      |SELECT 4,
+      |  (SELECT count(*) FROM v3) + (SELECT count(*) FROM app),
+      |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM v3) +
+      |    (SELECT CAST(sum(doc_id) AS BIGINT) FROM app),
+      |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM v3) +
+      |    (SELECT CAST(sum(n_chars) AS BIGINT) FROM app)
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_mor_delete" -> (snapshotMorStats _),
+    "q262_mor_time_travel" -> (morTimeTravelAudit _),
     "q252_merge_rebase" -> (snapshotMergeRebase _),
     "q236_snapshot_stats" -> (snapshotStats _),
     "q237_time_travel" -> (timeTravelAudit _),
@@ -1781,6 +2074,8 @@ object SnapTable {
     "q251_snapshot_ivm" -> (snapshotIvmStats _))
 
   val oracles: Map[String, String] = Map(
+    "q261_mor_delete" -> snapshotMorStatsSql,
+    "q262_mor_time_travel" -> morTimeTravelAuditSql,
     "q252_merge_rebase" -> snapshotMergeRebaseSql,
     "q236_snapshot_stats" -> snapshotStatsSql,
     "q237_time_travel" -> timeTravelAuditSql,

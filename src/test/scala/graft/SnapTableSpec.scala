@@ -745,4 +745,191 @@ class SnapTableSpec extends SparkSpec {
         removed = Set.empty, added = Seq.empty, meta = Map.empty,
         strict = true))
   }
+
+  // ---- merge-on-read deletion vectors ------------------------------------
+
+  private def dataEntries(d: String, v: Int): Set[String] =
+    SnapTable.readManifest(spark, d, v).toSet
+
+  test("merge-on-read delete rewrites ZERO data files: a 1-row delete " +
+      "costs one sidecar, the data-file set is byte-identical") {
+    val d = tmp()
+    SnapTable.create((0L until 100L).toDF("id")
+      .repartitionByRange(4, col("id")), d)
+    SnapTable.deleteWhereMor(spark, d, col("id") === 42L)
+    assert(SnapTable.currentVersion(spark, d) === 2)
+    // THE point of the feature: no data file was written or dropped
+    assert(dataEntries(d, 2) === dataEntries(d, 1),
+      "a MoR delete must not touch the data-file set")
+    assert(SnapTable.deleteFilesOf(spark, d, 1).isEmpty)
+    assert(SnapTable.deleteFilesOf(spark, d, 2).nonEmpty)
+    val ids = SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 100L).filterNot(_ == 42L))
+  }
+
+  test("MoR vectors stack, ride over appends, and time-travel: old " +
+      "versions serve pre-delete rows as pure meta") {
+    val d = tmp()
+    SnapTable.create((0L until 50L).toDF("id"), d)
+    SnapTable.deleteWhereMor(spark, d, col("id") % 10 === 3) // v2
+    SnapTable.deleteWhereMor(spark, d, col("id") % 10 === 7) // v3 stacks
+    SnapTable.append((100L until 110L).toDF("id"), d)        // v4 carries
+    assert(SnapTable.deleteFilesOf(spark, d, 3).size === 2)
+    assert(SnapTable.deleteFilesOf(spark, d, 4).size === 2,
+      "an append must carry the current delete-vector set forward")
+    def idsOf(v: Int): Seq[Long] =
+      SnapTable.read(spark, d, Some(v)).collect().map(_.getLong(0))
+        .sorted.toSeq
+    assert(idsOf(1) === (0L until 50L), "v1 must still serve everything")
+    assert(idsOf(2) === (0L until 50L).filter(_ % 10 != 3))
+    assert(idsOf(3) === (0L until 50L).filter(i => i % 10 != 3 && i % 10 != 7))
+    assert(idsOf(4) === ((0L until 50L).filter(i => i % 10 != 3 && i % 10 != 7)
+      ++ (100L until 110L)))
+  }
+
+  test("a MoR delete with no matches is a no-op: no version churn, no " +
+      "sidecar litter") {
+    val d = tmp()
+    SnapTable.create((0L until 10L).toDF("id"), d)
+    SnapTable.deleteWhereMor(spark, d, col("id") > 1000L)
+    assert(SnapTable.currentVersion(spark, d) === 1)
+    // marking an already-MoR-deleted row again is also a no-op: the
+    // positions are captured against the DV-APPLIED view
+    SnapTable.deleteWhereMor(spark, d, col("id") === 5L)
+    SnapTable.deleteWhereMor(spark, d, col("id") === 5L)
+    assert(SnapTable.currentVersion(spark, d) === 2)
+    assert(SnapTable.deleteFilesOf(spark, d, 2).size === 1)
+  }
+
+  test("optimize folds deletion vectors away: clean rewrite, empty " +
+      "delete_files, pre-optimize versions still travel") {
+    val d = tmp()
+    SnapTable.create((0L until 100L).toDF("id")
+      .repartitionByRange(4, col("id")), d, statsCol = Some("id"))
+    SnapTable.deleteWhereMor(spark, d, col("id") % 4 === 1) // v2
+    SnapTable.optimize(spark, d, targetFiles = 2)           // v3 folds
+    assert(SnapTable.deleteFilesOf(spark, d, 3).isEmpty,
+      "optimize must fold the vectors into the rewrite")
+    val ids = SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 100L).filter(_ % 4 != 1))
+    assert(SnapTable.read(spark, d, Some(1)).count() === 100)
+    assert(SnapTable.read(spark, d, Some(2)).count() === 75)
+    // post-fold stats pruning still equals the filtered read (q240 rule)
+    assert(SnapTable.readPruned(spark, d, 10L, 29L).collect()
+      .map(_.getLong(0)).sorted.toSeq ===
+      (10L until 30L).filter(_ % 4 != 1))
+  }
+
+  test("readPruned applies deletion vectors (pruned scan ≡ filtered " +
+      "read on a DV table)") {
+    val d = tmp()
+    SnapTable.create((0L until 100L).toDF("id")
+      .repartitionByRange(4, col("id")), d, statsCol = Some("id"))
+    SnapTable.deleteWhereMor(spark, d, col("id").between(20L, 24L))
+    assert(SnapTable.readPruned(spark, d, 10L, 39L).collect()
+      .map(_.getLong(0)).sorted.toSeq ===
+      (10L until 40L).filterNot(i => i >= 20 && i <= 24))
+  }
+
+  test("vacuum retires DV sidecars with their last referencing " +
+      "snapshot and keeps the ones retained manifests reference") {
+    val d = tmp()
+    val f = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapTable.create((0L until 40L).toDF("id"), d)        // v1
+    SnapTable.deleteWhereMor(spark, d, col("id") === 1L)  // v2: dv1
+    val dv1 = SnapTable.deleteFilesOf(spark, d, 2)
+    SnapTable.optimize(spark, d, targetFiles = 1)         // v3: folds dv1
+    SnapTable.deleteWhereMor(spark, d, col("id") === 2L)  // v4: dv2
+    val dv2 = SnapTable.deleteFilesOf(spark, d, 4)
+    SnapTable.append((100L until 101L).toDF("id"), d)     // v5 carries dv2
+    SnapTable.vacuum(spark, d, retain = 2)                // keep v4, v5
+    assert(dv1.forall(r => !f.exists(
+      new org.apache.hadoop.fs.Path(s"$d/$r"))),
+      "dv1 is referenced only by retired v2 — vacuum must delete it")
+    assert(dv2.forall(r => f.exists(
+      new org.apache.hadoop.fs.Path(s"$d/$r"))),
+      "dv2 is referenced by retained v4/v5 — vacuum must keep it")
+    // id=1 went at v2 (dv1, folded into v3's rewrite); id=2 at v4 (dv2)
+    assert(SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+      .toSeq === ((0L until 40L).filterNot(Set(1L, 2L)) :+ 100L))
+  }
+
+  test("OCC composition: a MoR delete rebases over a concurrent " +
+      "append, and two MoR deletes from the same base both apply") {
+    val d = tmp()
+    SnapTable.create((0L until 30L).toDF("id"), d)
+    val base = SnapTable.currentVersion(spark, d) // = 1
+    // interloper append wins v2; the stale-based MoR delete rebases
+    SnapTable.append((100L until 105L).toDF("id"), d)
+    SnapTable.deleteWhereMorFrom(spark, d, col("id") === 7L, base)
+    assert(SnapTable.currentVersion(spark, d) === 3)
+    // two MoR deletes planned against the SAME base: DV-only commits
+    // compose by meta merge (neither rewrites anything)
+    val b2 = SnapTable.currentVersion(spark, d)
+    SnapTable.deleteWhereMorFrom(spark, d, col("id") === 8L, b2)
+    SnapTable.deleteWhereMorFrom(spark, d, col("id") === 9L, b2)
+    val ids = SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq ===
+      ((0L until 30L).filterNot(Set(7L, 8L, 9L)) ++ (100L until 105L)))
+  }
+
+  test("OCC conflicts: a rewrite racing a DV change refuses in BOTH " +
+      "directions (stranded positions / stranded rewrite)") {
+    // direction 1: a CoW delete planned before a MoR delete landed —
+    // rebasing would carry a vector whose positions the rewrite strands
+    val d1 = tmp()
+    SnapTable.create((0L until 20L).toDF("id"), d1)
+    val b1 = SnapTable.currentVersion(spark, d1)
+    SnapTable.deleteWhereMor(spark, d1, col("id") === 3L)
+    intercept[SnapTable.ConcurrentWriteException](
+      SnapTable.deleteWhereFrom(spark, d1, col("id") === 5L, b1))
+    // direction 2: a MoR delete planned before a rewrite landed — its
+    // positions refer to files the rewrite replaced (read-set rule).
+    // coalesce(1): the conflict is FILE-granular, so the rewrite must
+    // hit the very file the vector records (disjoint files compose)
+    val d2 = tmp()
+    SnapTable.create((0L until 20L).toDF("id").coalesce(1), d2)
+    val b2 = SnapTable.currentVersion(spark, d2)
+    SnapTable.deleteWhere(spark, d2, col("id") === 3L) // CoW rewrite wins
+    intercept[SnapTable.ConcurrentWriteException](
+      SnapTable.deleteWhereMorFrom(spark, d2, col("id") === 5L, b2))
+  }
+
+  test("CoW delete and MERGE on a DV table apply the vectors: no " +
+      "resurrection through the rewrite path") {
+    val d = tmp()
+    SnapTable.create((0L until 20L).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1), d)
+    SnapTable.deleteWhereMor(spark, d, col("id") === 5L)
+    // CoW rewrite of the (single) touched file must NOT resurrect id=5
+    SnapTable.deleteWhere(spark, d, col("id") === 10L)
+    assert(SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+      .toSeq === (0L until 20L).filterNot(Set(5L, 10L)))
+    // merging the MoR-deleted key INSERTS it exactly once (the hidden
+    // physical row must not ride back in next to the insert)
+    SnapTable.merge(Seq((5L, "NEW")).toDF("id", "s"), d, "id")
+    val rows = SnapTable.read(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(5L) === "NEW")
+    assert(rows.size === 19) // 0..19 minus {10} (5 re-inserted)
+  }
+
+  test("file-level IVM/CDC deltas refuse a DV-carrying history and " +
+      "resume after optimize folds the vectors") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a", 10L)).toDF("doc_id", "source", "n_chars"), d)
+    SnapTable.deleteWhereMor(spark, d, col("doc_id") === 99L) // no-op, v stays 1
+    SnapTable.append(Seq((2L, "a", 20L)).toDF("doc_id", "source", "n_chars"), d)
+    SnapTable.deleteWhereMor(spark, d, col("doc_id") === 1L) // v3: DV
+    val e = intercept[IllegalArgumentException](
+      SnapTable.manifestDeltas(spark, d, 0, SnapTable.currentVersion(spark, d)))
+    assert(e.getMessage.contains("deletion"), e.getMessage)
+    // fold-away-then-reseed: after optimize the walk from the clean
+    // version works again
+    SnapTable.optimize(spark, d, targetFiles = 1) // v4: folds
+    val deltas = SnapTable.manifestDeltas(spark, d, 4,
+      SnapTable.currentVersion(spark, d))
+    assert(deltas.isEmpty) // nothing after v4 yet — and no refusal
+  }
 }
