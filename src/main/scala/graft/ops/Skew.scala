@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
   * fix: spray the big side's hot key across `salts` sub-keys and replicate
   * the small side once per sub-key. Shuffle balance improves by ~`salts`×
   * at the cost of replicating the small side.
+  *
+  * WHEN TO USE WHICH (the decision rule; `AqeSkewSpec` proves the AQE
+  * half fires, `SkewSketchSpec` the salted half):
+  *
+  *  - **AQE skew split** (`OptimizeSkewedJoin`, on by default) is the
+  *    FIRST resort and usually enough: it detects an oversized shuffle
+  *    PARTITION at runtime from map output sizes and splits it across
+  *    tasks, with zero query changes. It handles hot keys in JOINS —
+  *    the matching small-side partition is replicated per split — and
+  *    costs nothing when data is balanced. Let it work: don't pre-salt
+  *    a join "just in case".
+  *  - **Salting** ([[saltedJoin]]) is for what AQE cannot split:
+  *    (a) a hot key under an AGGREGATION or window (AQE never splits a
+  *    partition whose consumer needs all rows of a key together —
+  *    pre-aggregate on (key, salt), then re-aggregate); (b) joins AQE
+  *    won't touch — a skew split that would break a required child
+  *    distribution (the join feeds a same-key aggregate/bucketed
+  *    write) unless `forceOptimizeSkewedJoin` accepts the extra
+  *    shuffle, and full outer joins (neither side splittable);
+  *    (c) planner-stage certainty: a KNOWN pathological key (the q100
+  *    audit's output) where per-run re-planning is unwanted.
+  *  - At 100 TB prefer AQE + a raised
+  *    `skewJoin.skewedPartitionThresholdInBytes` review over blanket
+  *    salting: salting replicates the small side `salts`× and poisons
+  *    every downstream equi-optimization on the original key.
   */
 object Skew {
 
