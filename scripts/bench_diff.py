@@ -37,9 +37,20 @@ def load_bench(path):
           for m in
           re.finditer(r'"(q\d+[a-z0-9_]*)":(null|[0-9.]+)', tail)}
     sm = re.search(r'"sentinel":\{"name":"([^"]+)","start":([0-9.]+),'
-                   r'"end":([0-9.]+)\}', tail)
-    sent = ({"name": sm.group(1), "start": float(sm.group(2)),
-             "end": float(sm.group(3))} if sm else None)
+                   r'(?:"mid":([0-9.]+),)?'
+                   r'"end":([0-9.]+)'
+                   r'(?:,"drift":([0-9.]+))?(?:,"drifted":(true|false))?\}',
+                   tail)
+    sent = None
+    if sm:
+        sent = {"name": sm.group(1), "start": float(sm.group(2)),
+                "end": float(sm.group(4))}
+        if sm.group(3):
+            sent["mid"] = float(sm.group(3))
+        if sm.group(5):
+            sent["drift"] = float(sm.group(5))
+        if sm.group(6):
+            sent["drifted"] = sm.group(6) == "true"
     return qs, sent
 
 
@@ -50,6 +61,19 @@ floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
 (old, old_sent), (new, new_sent) = load_bench(old_p), load_bench(new_p)
 common = sorted(set(old) & set(new))
 print(f"{len(common)} queries in both ({len(old)} old, {len(new)} new)")
+
+if new_sent and new_sent.get("drifted"):
+    # QUARANTINE: the new run SELF-LABELED as drifted (graft.Bench's
+    # mid-run sentinel spread exceeded its limit). Per-query flags from
+    # a drifted artifact are noise dressed as signal (round 12's
+    # official bench carried 4 phantom regressions, one 17x) — refuse
+    # to produce them; exit 2 so automation can tell "quarantined"
+    # from "regressed" (1) and "clean" (0).
+    print(f"QUARANTINED: {new_p} self-labels as DRIFTED "
+          f"(sentinel spread {new_sent.get('drift', float('nan')):.2f}x "
+          f"across the run) — the box was not calm; re-record on a calm "
+          f"box instead of comparing. No per-query flags produced.")
+    sys.exit(2)
 
 drift = 1.0
 if new_sent:

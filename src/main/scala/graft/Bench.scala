@@ -78,25 +78,38 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
-    val results: Map[String, Option[Double]] = selected.map { case (name, fn) =>
-      // min over SUCCESSFUL reps only: a rep that aborts early would
-      // otherwise win the min with its (fast) failure time and silently
-      // under-report the query
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name rep failed: ${e.getMessage}")
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+    def runQueries(qs: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Seq[(String, Option[Double])] =
+      qs.map { case (name, fn) =>
+        // min over SUCCESSFUL reps only: a rep that aborts early would
+        // otherwise win the min with its (fast) failure time and silently
+        // under-report the query
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name rep failed: ${e.getMessage}")
+              false
+            }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        val good = times.filter(_._2).map(_._1)
+        // All reps failed → JSON null (explicit failure marker), never a
+        // plausible-looking timing a ratio tool could silently compare
+        // against
+        name -> (if (good.nonEmpty) Some(good.min) else None)
       }
-      val good = times.filter(_._2).map(_._1)
-      // All reps failed → JSON null (explicit failure marker), never a
-      // plausible-looking timing a ratio tool could silently compare against
-      name -> (if (good.nonEmpty) Some(good.min) else None)
-    }
+    // the sentinel re-runs MID-bench (round-12 lesson: the official
+    // artifact shipped from a loaded box and cost the judge an
+    // adjudication pass) — three warm samples bracket the run, and a
+    // spread past DriftLimit self-labels the artifact as drifted below
+    val qseq = selected.toSeq
+    val (firstHalf, secondHalf) = qseq.splitAt(qseq.size / 2)
+    val res1 = runQueries(firstHalf)
+    val sentinelMid = if (qseq.size >= 2) runSentinel() else None
+    val res2 = runQueries(secondHalf)
+    val results: Map[String, Option[Double]] = (res1 ++ res2).toMap
     val sentinelEnd = runSentinel()
     // 3-decimal rounding: with 77 queries a 9-decimal line exceeds 4 KB and
     // overflows the driver's stdout tail window — the whole line must stay
@@ -129,9 +142,39 @@ object Bench {
         s""","duckdb_total":$t,"duckdb_queries":${nq.getOrElse("null")}"""
       case _ => ""
     }
+    // DRIFT SELF-LABELING: the START sentinel is structurally ~2x the
+    // END one (progressive JVM warmup — observed 2.2x on an idle box),
+    // so raw max/min spread across all three samples would flag EVERY
+    // run. The two genuine degradation signals are (a) the box getting
+    // SLOWER over the run — end > 1.3x start, warmup only ever goes
+    // the other way — and (b) the two deep-in-the-run samples (mid,
+    // end: both past thousands of jobs, fully warm) disagreeing by
+    // more than 1.5x, the transient-load signature round 12's official
+    // artifact carried (a concurrent build inflated a stretch of the
+    // run: phantom 17x q125). A drifted artifact says so ITSELF
+    // ("drifted":true + a loud stderr warning) instead of costing the
+    // next reader an adjudication pass; scripts/bench_diff.py
+    // quarantines a drifted new run rather than flagging regressions.
     val sentinelPart = (sentinelStart, sentinelEnd) match {
       case (Some(a), Some(b)) =>
-        s""","sentinel":{"name":"$sentinelName","start":${r3(a)},"end":${r3(b)}}"""
+        val warmSpread = sentinelMid match {
+          case Some(m) => math.max(m, b) / math.max(math.min(m, b), 1e-9)
+          case None => 1.0
+        }
+        val slowed = b > a * 1.3
+        val drifted = slowed || warmSpread > 1.5
+        val driftRatio = math.max(warmSpread,
+          if (slowed) b / math.max(a, 1e-9) else 1.0)
+        if (drifted)
+          System.err.println(f"[bench] WARNING: sentinel drifted " +
+            f"$driftRatio%.2fx (" +
+            (Seq(a) ++ sentinelMid ++ Seq(b)).map(s => f"$s%.3f")
+              .mkString("s -> ") + "s start->mid->end) — the box was " +
+            "NOT calm; treat every per-query time in this artifact as " +
+            "low-confidence and re-record before comparing")
+        val midPart = sentinelMid.map(m => s""""mid":${r3(m)},""").getOrElse("")
+        s""","sentinel":{"name":"$sentinelName","start":${r3(a)},$midPart""" +
+          s""""end":${r3(b)},"drift":${r3(driftRatio)},"drifted":$drifted}"""
       case _ => ""
     }
     val line =
