@@ -99,7 +99,30 @@ object EventStreams {
     * event-time range bound in the join condition — the two requirements
     * that let Spark evict join state (without them, state grows forever;
     * with them, each side buffers only the watermark horizon). */
-  def purchasesWithRecentSignup(events: DataFrame): DataFrame = {
+  def purchasesWithRecentSignup(events: DataFrame): DataFrame =
+    purchaseSignupJoin(events, "inner")
+
+  /** Stream-stream LEFT OUTER interval join —
+    * [[purchasesWithRecentSignup]] with watermark-driven NULL emission:
+    * every purchase eventually emits. Matched rows emit eagerly, in the
+    * micro-batch that pairs them (same as the inner join); a
+    * signup-LESS purchase emits exactly ONE NULL-signup row, and only
+    * once the watermark has passed its join horizon — until then a
+    * matching signup could still legally arrive, so emitting the NULL
+    * form earlier would be wrong (and a late match after it would make
+    * the purchase emit BOTH forms). Spark derives that horizon from the
+    * same two requirements the inner join already needs (both sides
+    * watermarked, an event-time range bound in the condition); the NULL
+    * emission is the state-EVICTION path itself, so the outer spelling
+    * adds no state over the inner one. A signup later than the horizon
+    * is discarded (standard late-data rule), never matched, never
+    * resurrecting an already-NULL-emitted purchase — `StreamingSpec`
+    * pins the emission timing wave-by-wave, across a restart. */
+  def purchasesWithSignupOuter(events: DataFrame): DataFrame =
+    purchaseSignupJoin(events, "left_outer")
+
+  private def purchaseSignupJoin(events: DataFrame,
+      joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -111,7 +134,7 @@ object EventStreams {
     purchases.join(signups,
       col("user_id") === col("s_user") &&
         col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"), joinType)
       .select(col("p_id"), col("user_id"), col("p_ts"), col("s_id"),
         col("s_ts"))
   }
@@ -304,6 +327,87 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000L),
         TimeMode.EventTime, OutputMode.Append)
+  }
+
+  /** One maintained top-k entry: the (value DESC, event_id ASC) ranking
+    * key q67 pins, carried per event type. */
+  case class TopEntry(eventId: Long, value: Double)
+
+  /** One emitted top-k row — the maintained leaderboard, re-emitted in
+    * full for every key a micro-batch touches. */
+  case class TopRow(eventType: String, rnk: Long, eventId: Long,
+    value: Double)
+
+  /** Per-event-type top-k maintainer on `transformWithState`'s LIST and
+    * MAP state primitives — the streaming twin of q67's incremental
+    * top-k, and the `ListState`/`MapState` half of the API-v2 surface
+    * ([[SessionProcessor]] covers `ValueState` + timers):
+    *
+    *  - `ListState[TopEntry]` holds the key's current top-k, kept
+    *    sorted and TRUNCATED to k on every update — per-key state is
+    *    O(k) forever, the bounded-state contract that makes a
+    *    leaderboard over an unbounded stream operable;
+    *  - `MapState[Long, Boolean]` indexes the event ids CURRENTLY in
+    *    the list, so a REDELIVERED event (the at-least-once file
+    *    source's failure mode) is recognized and skipped instead of
+    *    occupying two leaderboard slots — membership is point-lookup
+    *    state, exactly what MapState exists for (a ValueState of the
+    *    whole set would rewrite O(k) per probe). Evicted ids leave the
+    *    map with their entry, keeping it O(k) too: a redelivery of an
+    *    EVICTED id re-competes by value and loses, which is harmless.
+    *
+    * Each micro-batch emits the full refreshed top-k for every key it
+    * touched; the newest emission per key IS the leaderboard
+    * (`StreamingSpec` pins it equal to the batch q67-shape recompute
+    * wave-by-wave, across a restart and a redelivered wave). */
+  class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, TopRow] {
+    import org.apache.spark.sql.streaming.{ListState, MapState, TTLConfig, TimerValues}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var top: ListState[TopEntry] = _
+    @transient private var present: MapState[Long, Boolean] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: streaming.TimeMode): Unit = {
+      top = getHandle.getListState[TopEntry]("top",
+        Encoders.product[TopEntry], TTLConfig.NONE)
+      present = getHandle.getMapState[Long, Boolean]("present",
+        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(eventType: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TopRow] = {
+      val cur = top.get().toArray
+      val fresh = rows.filter(e => !present.containsKey(e.event_id))
+        .map(e => TopEntry(e.event_id, e.value)).toArray
+      // (-value, id): value DESC with event_id ASC tie-break — q67's
+      // total order, so the leaderboard is engine-deterministic
+      val merged = (cur ++ fresh)
+        .sortBy(t => (-t.value, t.eventId)).take(k)
+      top.put(merged)
+      val keep = merged.map(_.eventId).toSet
+      (cur ++ fresh).map(_.eventId).distinct.filterNot(keep)
+        .foreach(present.removeKey)
+      fresh.map(_.eventId).filter(keep).foreach(present.updateValue(_, true))
+      merged.iterator.zipWithIndex.map { case (t, i) =>
+        TopRow(eventType, i + 1L, t.eventId, t.value) }
+    }
+  }
+
+  /** The q67-shape leaderboard as a maintained stream — see
+    * [[TopKProcessor]]. `TimeMode.None`: ranking needs no timers or
+    * watermark (late rows still compete — a leaderboard has no
+    * event-time horizon). RocksDB state store required, as for
+    * [[sessionizeTws]]. */
+  def maintainTopK(events: Dataset[Event], k: Int = 10): Dataset[TopRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new TopKProcessor(k),
+        TimeMode.None, OutputMode.Append)
   }
 
   /** Streaming drift monitor — q146's continuous-ingest twin (the

@@ -101,6 +101,112 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: matched rows emit " +
+      "eagerly, NULL rows only after the watermark closes the horizon " +
+      "(across a restart), late signups discard, final set equals the " +
+      "batch left-outer join") {
+    import java.sql.Timestamp
+    val srcDir = Files.createTempDirectory("graft-ssoj-src").toString
+    val ckpt = Files.createTempDirectory("graft-ssoj-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-ssoj-out").toString
+    def t(min: Long) = new Timestamp(3600L * 1000L + min * 60000L)
+    def write(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    // memory sink is not restart-durable (committed rows vanish with
+    // the table on restart) — accumulate through the idempotent
+    // batch_id-partitioned foreachBatch pattern instead
+    def start() = EventStreams.purchasesWithSignupOuter(
+        EventStreams.readEventStream(spark, srcDir))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }.start()
+    def emitted(): Map[Long, Set[Option[Long]]] =
+      spark.read.parquet(outDir).select("p_id", "s_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rs) =>
+          p -> rs.map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+            .toSet
+        }
+
+    // wave 1: u1's purchase has a signup 30 min before (matched pair);
+    // u2's purchase has NO signup; u3 signs up without purchasing.
+    // Watermark after the wave = t(90) − 10 min = t(80) < every
+    // purchase's horizon, so no NULL row may emit yet.
+    write(Seq(
+      (101L, t(60), 1L, "signup", 0.0),
+      (201L, t(90), 1L, "purchase", 5.0),
+      (202L, t(90), 2L, "purchase", 7.0),
+      (102L, t(80), 3L, "signup", 0.0)))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      val e1 = emitted()
+      assert(e1.get(201L).contains(Set(Some(101L))),
+        s"matched pair must emit eagerly: $e1")
+      assert(!e1.contains(202L),
+        s"the NULL row emitted BEFORE the watermark closed u2's " +
+          s"horizon: $e1")
+    } finally q1.stop()
+
+    // wave 2 lands while the query is DOWN: one far-future event per
+    // SIDE (each side's watermark node only sees rows that pass its
+    // filter) pushes the global watermark past every open horizon —
+    // the restarted query must now emit u2's NULL row exactly once
+    write(Seq(
+      (901L, t(60 * 24), 8L, "signup", 0.0),
+      (902L, t(60 * 24), 9L, "purchase", 0.0)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val e2 = emitted()
+      assert(e2.get(202L).contains(Set(None)),
+        s"the watermark passed u2's horizon — exactly one NULL row " +
+          s"must emit: $e2")
+      assert(e2.get(201L).contains(Set(Some(101L))),
+        s"restart duplicated or lost the matched pair: $e2")
+
+      // wave 3: a LATE signup for u2, inside the purchase's hour window
+      // but far behind the watermark — discarded by the late-data rule,
+      // it must neither produce a matched row nor un-emit the NULL one
+      write(Seq((103L, t(85), 2L, "signup", 0.0)))
+      q2.processAllAvailable()
+      val e3 = emitted()
+      assert(e3.get(202L).contains(Set(None)),
+        s"a late signup resurrected an already-NULL-emitted purchase: $e3")
+
+      // batch equivalence on the closed horizon: the streamed rows for
+      // wave-1 purchases equal the batch LEFT OUTER interval join over
+      // the non-late events (the far-future purchase 902 is excluded —
+      // its own horizon is still open, so the stream rightly withholds)
+      val ev = spark.read.parquet(srcDir)
+        .filter(col("event_id") =!= 103L) // the discarded late row
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val s = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"))
+      val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .filter(col("p_id") < 900L)
+        .select("p_id", "s_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (pp, rs) =>
+          pp -> rs.map(r =>
+            if (r.isNullAt(1)) None else Some(r.getLong(1))).toSet
+        }
+      assert(e3.filter(_._1 < 900L) === batch)
+    } finally q2.stop()
+  }
+
   test("checkpointed stream restarts exactly-once (no dupes, no loss)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
@@ -614,6 +720,83 @@ class StreamingSpec extends SparkSpec {
         s"transformWithState missed sessions batch q16 has: ${missing.take(5).mkString("; ")}")
     } finally {
       q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  test("transformWithState ListState/MapState top-k maintainer: the " +
+      "per-wave leaderboard equals the batch q67-shape recompute, " +
+      "across a restart and a fully REDELIVERED wave") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val srcDir = Files.createTempDirectory("graft-topk-src").toString
+    val ckpt = Files.createTempDirectory("graft-topk-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-topk-out").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val w1 = ev.filter(col("event_id") < 300)
+    val w2 = ev.filter(col("event_id") >= 300 && col("event_id") < 700)
+    def start() = EventStreams.maintainTopK(
+        EventStreams.readEventStream(spark, srcDir)
+          .as[EventStreams.Event], k = 10)
+      .toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }.start()
+    // the NEWEST emission per key is the leaderboard (each batch that
+    // touches a key re-emits its full top-k)
+    def leaderboard(): Set[(String, Long, Long, Double)] = {
+      spark.read.parquet(outDir)
+        .withColumn("mx", max(col("batch_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("eventType"))))
+        .filter(col("batch_id") === col("mx"))
+        .select("eventType", "rnk", "eventId", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    def batchTop(df: org.apache.spark.sql.DataFrame)
+        : Set[(String, Long, Long, Double)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      df.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("event_type", "rnk", "event_id", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    w1.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(leaderboard() === batchTop(w1))
+    } finally q1.stop()
+    // wave 2 lands while the query is DOWN — the restarted maintainer's
+    // ListState must carry wave 1's leaderboard through the checkpoint
+    w2.coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(leaderboard() === batchTop(w1.union(w2)),
+        "restart lost or corrupted the carried ListState")
+      // wave 3 REDELIVERS wave 1 verbatim (the at-least-once source's
+      // failure mode): MapState membership must recognize ids already
+      // on the leaderboard, and evicted ids re-compete and lose — the
+      // leaderboard must not change
+      w1.coalesce(1).write.mode("append").parquet(srcDir)
+      q2.processAllAvailable()
+      assert(leaderboard() === batchTop(w1.union(w2)),
+        "a redelivered wave perturbed the leaderboard")
+    } finally {
+      q2.stop()
       prevProv match {
         case Some(p) => spark.conf.set(provKey, p)
         case None => spark.conf.unset(provKey)
