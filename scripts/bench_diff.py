@@ -62,18 +62,20 @@ floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
 common = sorted(set(old) & set(new))
 print(f"{len(common)} queries in both ({len(old)} old, {len(new)} new)")
 
-if new_sent and new_sent.get("drifted"):
-    # QUARANTINE: the new run SELF-LABELED as drifted (graft.Bench's
-    # mid-run sentinel spread exceeded its limit). Per-query flags from
-    # a drifted artifact are noise dressed as signal (round 12's
-    # official bench carried 4 phantom regressions, one 17x) — refuse
-    # to produce them; exit 2 so automation can tell "quarantined"
-    # from "regressed" (1) and "clean" (0).
-    print(f"QUARANTINED: {new_p} self-labels as DRIFTED "
-          f"(sentinel spread {new_sent.get('drift', float('nan')):.2f}x "
-          f"across the run) — the box was not calm; re-record on a calm "
-          f"box instead of comparing. No per-query flags produced.")
-    sys.exit(2)
+# QUARANTINE: either side SELF-LABELING as drifted (graft.Bench's
+# mid-run sentinel spread exceeded its limit) poisons the comparison —
+# a drifted NEW run produces phantom regressions (round 12: 4 phantom,
+# one 17x), and a drifted OLD baseline hides REAL regressions behind
+# its inflated times (they read as 'improved'). Refuse per-query flags;
+# exit 2 so automation can tell "quarantined" from "regressed" (1) and
+# "clean" (0).
+for side, path, sent in (("new", new_p, new_sent), ("old", old_p, old_sent)):
+    if sent and sent.get("drifted"):
+        print(f"QUARANTINED: {side} run {path} self-labels as DRIFTED "
+              f"(sentinel spread {sent.get('drift', float('nan')):.2f}x "
+              f"across the run) — re-record on a calm box instead of "
+              f"comparing. No per-query flags produced.")
+        sys.exit(2)
 
 drift = 1.0
 if new_sent:

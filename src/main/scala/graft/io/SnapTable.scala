@@ -161,8 +161,15 @@ object SnapTable {
     * executor OOM. */
   private[graft] def readKeyed(spark: SparkSession, dir: String,
       rels: Seq[String], delFiles: Seq[String]): DataFrame = {
-    val base = spark.read.option("mergeSchema", "true")
+    val raw = spark.read.option("mergeSchema", "true")
       .parquet(rels.map(r => s"$dir/$r"): _*)
+    // the row-identity columns are internal; a user column of the same
+    // name would be silently OVERWRITTEN here and then dropped by every
+    // caller — refuse loudly instead of corrupting reads/rewrites
+    Seq("__fk", "__pos").foreach(c => require(!raw.columns.contains(c),
+      s"SnapTable: column name '$c' is reserved for the row-identity " +
+        s"machinery (deletion vectors / rewrite paths) — rename it in $dir"))
+    val base = raw
       .withColumn("__fk", fileKeyCol)
       .withColumn("__pos", col("_metadata.row_index"))
     if (delFiles.isEmpty) base
@@ -577,8 +584,17 @@ object SnapTable {
     }
     val touched =
       entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
-    occCommit(spark, dir, v, touched.toSet, Set.empty, Seq.empty,
+    // a conflicted commit (e.g. a concurrent rewrite of a touched file)
+    // leaves the just-written sidecar referenced by NOTHING — vacuum
+    // only retires files listed in retired manifests, so without this
+    // cleanup every conflicted/retried delete leaks its sidecar forever
+    try occCommit(spark, dir, v, touched.toSet, Set.empty, Seq.empty,
       statsMeta(spark, dir, v), addDeleteFiles = parts)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        f.delete(new Path(s"$dir/$rel"), true)
+        throw e
+    }
   }
 
   /** MERGE (upsert) by key: rows of `updates` whose `key` exists in the
@@ -1448,19 +1464,25 @@ object SnapTable {
     // whole walk therefore requires a DV-free window — OPTIMIZE folds
     // vectors into a clean rewrite, after which folding resumes (the
     // fold's vacuum-reseed path re-seeds from a post-optimize
-    // manifest; see [[ivmFoldSourceStats]]).
-    def requireDvFree(v: Int): Unit =
-      if (v >= 1) require(deleteFilesOf(s, dir, v).isEmpty,
+    // manifest; see [[ivmFoldSourceStats]]). ONE readText per version:
+    // entries and the DV check parse the same manifest text (this walk
+    // runs per micro-batch on the streaming IVM path — a second fetch
+    // per version would double the NameNode/object-store round-trips
+    // the V+1-reads design note above exists to bound).
+    def pathsOfDvFree(v: Int): Set[String] = {
+      val text = readText(s, dir, v)
+      require(!text.split("\n").exists(_.trim.startsWith("# delete_files=")),
         s"SnapTable: v$v of $dir carries merge-on-read deletion " +
           "vectors — file-level IVM/CDC deltas cannot see row-level " +
           "deletes; OPTIMIZE to fold them away, then re-seed the fold")
-    requireDvFree(fromV)
+      text.split("\n").map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(entryPath).toSet
+    }
     var prev: Set[String] =
-      if (fromV <= 0) Set.empty
-      else readEntries(s, dir, fromV).map(entryPath).toSet
+      if (fromV <= 0) Set.empty else pathsOfDvFree(fromV)
     (fromV + 1 to toV).map { v =>
-      requireDvFree(v)
-      val cur = readEntries(s, dir, v).map(entryPath).toSet
+      val cur = pathsOfDvFree(v)
       val d = (cur -- prev, prev -- cur)
       prev = cur
       d

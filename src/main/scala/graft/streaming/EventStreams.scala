@@ -380,8 +380,14 @@ object EventStreams {
     override def handleInputRows(eventType: String, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[TopRow] = {
       val cur = top.get().toArray
+      // dedup BOTH against the membership map (ids already on the
+      // leaderboard from earlier batches) and WITHIN the batch
+      // (distinctBy): a redelivery can land in the same micro-batch as
+      // the original (crash before batch commit), where the map alone
+      // would admit both copies into two slots
       val fresh = rows.filter(e => !present.containsKey(e.event_id))
         .map(e => TopEntry(e.event_id, e.value)).toArray
+        .distinctBy(_.eventId)
       // (-value, id): value DESC with event_id ASC tie-break — q67's
       // total order, so the leaderboard is engine-deterministic
       val merged = (cur ++ fresh)

@@ -894,6 +894,25 @@ class SnapTableSpec extends SparkSpec {
     SnapTable.deleteWhere(spark, d2, col("id") === 3L) // CoW rewrite wins
     intercept[SnapTable.ConcurrentWriteException](
       SnapTable.deleteWhereMorFrom(spark, d2, col("id") === 5L, b2))
+    // the conflicted delete's already-written sidecar must be cleaned
+    // up — no manifest references it, so it would otherwise leak past
+    // every vacuum forever
+    val delDir = new org.apache.hadoop.fs.Path(s"$d2/_deletes")
+    val f2 = delDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f2.exists(delDir) || f2.listStatus(delDir).isEmpty,
+      "a conflicted MoR delete leaked its sidecar")
+  }
+
+  test("reserved row-identity column names refuse loudly instead of " +
+      "being silently clobbered by the DV machinery") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, 9L)).toDF("id", "__pos"), d)
+    val e = intercept[IllegalArgumentException](
+      SnapTable.deleteWhereMor(spark, d, col("id") === 1L))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // the CoW path routes through the same reader — same refusal
+    intercept[IllegalArgumentException](
+      SnapTable.deleteWhere(spark, d, col("id") === 1L))
   }
 
   test("CoW delete and MERGE on a DV table apply the vectors: no " +

@@ -795,6 +795,15 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(leaderboard() === batchTop(w1.union(w2)),
         "a redelivered wave perturbed the leaderboard")
+      // wave 4: the redelivery lands IN THE SAME micro-batch as the
+      // original (crash before batch commit) — the in-batch distinctBy
+      // must keep the duplicate out of two slots, where the MapState
+      // alone cannot (neither copy is in the map yet)
+      val w4 = ev.filter(col("event_id") >= 700 && col("event_id") < 900)
+      w4.union(w4).coalesce(1).write.mode("append").parquet(srcDir)
+      q2.processAllAvailable()
+      assert(leaderboard() === batchTop(w1.union(w2).union(w4)),
+        "a same-batch duplicate occupied two leaderboard slots")
     } finally {
       q2.stop()
       prevProv match {
