@@ -109,7 +109,8 @@ object SparkEntry {
     "q259_anchor_dot",         // unique per-label key; free order pin
     "q260_supplier_variety",   // cnt-ranked; (brand,type,size) tiebreak
     "q261_mor_delete",         // unique per-source key; free order pin
-    "q262_mor_time_travel")    // unique per-version key; free order pin
+    "q262_mor_time_travel",    // unique per-version key; free order pin
+    "q263_mor_merge")          // unique per-source key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

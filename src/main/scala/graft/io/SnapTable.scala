@@ -642,25 +642,20 @@ object SnapTable {
     * is NECESSARY but not sufficient: file-granular CoW makes the FILE
     * the conflict unit (two key-disjoint merges interleaved in one
     * file still conflict — re-planning then serializes them). */
-  private[graft] def mergeFrom(updates: DataFrame, dir: String,
-      key: String, v: Int): Unit = {
+  /** Shared MERGE-batch validation (both the CoW and merge-on-read
+    * spellings): the batch must carry the table's FULL schema (the
+    * survivor rewrite / upsert projects to updates' columns — a
+    * narrower batch would silently strip columns) and UNIQUE keys (a
+    * duplicate would land both copies next to each other). Returns the
+    * distinct update-key relation. */
+  private def mergeValidate(updates: DataFrame, dir: String,
+      files: Seq[String], key: String): DataFrame = {
     val s = updates.sparkSession
-    require(v > 0, s"SnapTable: $dir holds no table — create first")
-    val entries = readEntries(s, dir, v)
-    val files = entries.map(entryPath)
-    // MERGE requires the FULL current schema in the update batch: the
-    // survivor rewrite projects to updates' columns, so a narrower
-    // batch would silently strip columns from rows that were never
-    // part of the upsert
     val curSchema = s.read.option("mergeSchema", "true")
       .parquet(files.map(r => s"$dir/$r"): _*)
     require(updates.columns.toSet == curSchema.columns.toSet,
       s"SnapTable: merge batch columns ${updates.columns.toSeq.sorted}" +
         s" must equal the table's ${curSchema.columns.toSeq.sorted}")
-    // the whole merge (survivor anti-join, interloper guard, CDC
-    // semantics) is built on KEY UNIQUENESS — an in-batch duplicate
-    // would anti-join the old row away once and then insert BOTH
-    // copies, silently leaving a multi-row key in the snapshot
     val (updN, updDistinct) = {
       val r = updates.agg(count(lit(1)), count_distinct(col(key))).head()
       (r.getLong(0), r.getLong(1))
@@ -669,7 +664,48 @@ object SnapTable {
       s"SnapTable: merge batch carries duplicate '$key' values " +
         s"($updN rows, $updDistinct distinct keys) — a merge upserts " +
         "each key exactly once; dedupe the batch first")
-    val updKeys = updates.select(col(key)).distinct()
+    updates.select(col(key)).distinct()
+  }
+
+  /** Shared per-claim interloper guard for both merge spellings: a
+    * rebase is sound only when every file ADDED since the base carries
+    * none of this merge's keys — otherwise a duplicate of a merged key
+    * rides into the rebased manifest by reference. Probe failures
+    * (e.g. an interloper append lacking the key column) also abort:
+    * either way the rebase is unverifiable. */
+  private def mergeKeyGuard(s: SparkSession, dir: String,
+      basePaths: Set[String], updKeys: DataFrame, key: String)
+      : Seq[String] => Unit = { interlopers =>
+    val newEntries = interlopers.filterNot(e =>
+      basePaths.contains(entryPath(e)))
+    if (newEntries.nonEmpty) {
+      val clash = try {
+        s.read.option("mergeSchema", "true")
+          .parquet(newEntries.map(e => s"$dir/${entryPath(e)}"): _*)
+          .join(broadcast(updKeys), Seq(key), "left_semi")
+          .limit(1).count()
+      } catch {
+        case scala.util.control.NonFatal(t) =>
+          throw new ConcurrentWriteException(
+            s"SnapTable: could not verify a concurrent append under " +
+              s"$dir is disjoint from this merge's keys " +
+              s"(${t.getMessage}) — re-plan against the current " +
+              "snapshot and retry", t)
+      }
+      if (clash > 0) throw new ConcurrentWriteException(
+        s"SnapTable: a concurrent append under $dir carries a key " +
+          "this merge replaces — rebasing would admit a duplicate " +
+          "key; re-plan against the current snapshot and retry")
+    }
+  }
+
+  private[graft] def mergeFrom(updates: DataFrame, dir: String,
+      key: String, v: Int): Unit = {
+    val s = updates.sparkSession
+    require(v > 0, s"SnapTable: $dir holds no table — create first")
+    val entries = readEntries(s, dir, v)
+    val files = entries.map(entryPath)
+    val updKeys = mergeValidate(updates, dir, files, key)
     // DV-AWARE probe and survivor reads (readKeyed): on a table with
     // merge-on-read vectors a raw scan would probe/rewrite rows the
     // vectors already deleted — a merge of an already-MoR-deleted key
@@ -698,45 +734,74 @@ object SnapTable {
     // provably carries no update key (touched-set completeness over
     // the base read), so a concurrent rewrite of it conflicts exactly
     // when its REPLACEMENT files clash — which the guard checks.
-    val basePaths = files.toSet
     occCommit(s, dir, v, touched.toSet, touched.toSet,
       writeData(survivors, dir, v + 1, statsColsOf(s, dir, v)),
       statsMeta(s, dir, v),
-      interloperGuard = { interlopers =>
-        // occCommit hands us current entries outside our read set; the
-        // surviving ORIGINAL base files are key-free by construction —
-        // only files added since the base need the key probe
-        val newEntries = interlopers.filterNot(e =>
-          basePaths.contains(entryPath(e)))
-        if (newEntries.nonEmpty) {
-          // the probe itself can fail on a malformed interleave — e.g.
-          // an append whose files LACK the merge key column (append
-          // does not validate schema), which would surface as an
-          // AnalysisException from the join instead of the documented
-          // re-plan signal. Either way the interloper makes this
-          // merge's rebase unsound, so every probe failure maps to
-          // ConcurrentWriteException; the re-plan then sees those
-          // files in ITS base read and reports the schema problem
-          // deterministically (merge's own columns require).
-          val clash = try {
-            s.read.option("mergeSchema", "true")
-              .parquet(newEntries.map(e => s"$dir/${entryPath(e)}"): _*)
-              .join(broadcast(updKeys), Seq(key), "left_semi")
-              .limit(1).count()
-          } catch {
-            case scala.util.control.NonFatal(t) =>
-              throw new ConcurrentWriteException(
-                s"SnapTable: could not verify a concurrent append under " +
-                  s"$dir is disjoint from this merge's keys " +
-                  s"(${t.getMessage}) — re-plan against the current " +
-                  "snapshot and retry", t)
-          }
-          if (clash > 0) throw new ConcurrentWriteException(
-            s"SnapTable: a concurrent append under $dir carries a key " +
-              "this merge replaces — rebasing would admit a duplicate " +
-              "key; re-plan against the current snapshot and retry")
-        }
-      })
+      interloperGuard = mergeKeyGuard(s, dir, files.toSet, updKeys, key))
+  }
+
+  /** MERGE-ON-READ upsert: matched keys' OLD rows are deleted via a
+    * deletion-vector sidecar (their (file, position) pairs, captured
+    * against the DV-applied view) and the whole update batch appends
+    * as new files — one atomic commit, ZERO data files rewritten.
+    * This is Iceberg v2's positional-delete upsert, the CDC path at
+    * 100 TB: a small update batch costs one keyed probe plus its own
+    * write, where [[merge]]'s copy-on-write rewrites every file any
+    * matched key lives in. Same contract as [[merge]]: full-schema
+    * batches, unique keys, key-clashing interleaves refused; reads pay
+    * the vector anti-join until [[optimize]] folds it away. */
+  def mergeMor(updates: DataFrame, dir: String, key: String): Unit =
+    mergeMorFrom(updates, dir, key,
+      currentVersion(updates.sparkSession, dir))
+
+  /** [[mergeMor]] planned against an EXPLICIT base version — the OCC
+    * seam. Read set = the files whose positions the new vector records
+    * (a concurrent rewrite of one strands the delete — refused by the
+    * read-set rule); concurrent appends rebase through the same
+    * key-disjointness guard as [[mergeFrom]], and concurrent DV-only
+    * commits compose by meta merge. */
+  private[graft] def mergeMorFrom(updates: DataFrame, dir: String,
+      key: String, v: Int): Unit = {
+    val s = updates.sparkSession
+    require(v > 0, s"SnapTable: $dir holds no table — create first")
+    val entries = readEntries(s, dir, v)
+    val files = entries.map(entryPath)
+    val updKeys = mergeValidate(updates, dir, files, key)
+    val delFiles = deleteFilesOf(s, dir, v)
+    // the old rows of matched keys, as (file, position) — the DV rows
+    val matches = readKeyed(s, dir, files, delFiles)
+      .join(broadcast(updKeys), Seq(key))
+      .select(col("__fk").as("file_key"), col("__pos").as("pos"))
+      .repartition(1)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"_deletes/d${v + 1}%05d-$token"
+    matches.write.mode("errorifexists").parquet(s"$dir/$rel")
+    val f = fs(s, dir)
+    val parts = f.listStatus(new Path(s"$dir/$rel")).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
+    val touchedKeys =
+      if (parts.isEmpty) Set.empty[String]
+      else s.read.parquet(parts.map(r => s"$dir/$r"): _*)
+        .select(col("file_key")).distinct()
+        .collect().map(_.getString(0)).toSet
+    // pure-insert batch (no key matched): drop the empty sidecar, the
+    // commit is a plain guarded append
+    if (touchedKeys.isEmpty) f.delete(new Path(s"$dir/$rel"), true)
+    val touched =
+      entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
+    val newFiles = writeData(updates, dir, v + 1, statsColsOf(s, dir, v))
+    // same sidecar-leak rule as deleteWhereMorFrom: a conflicted commit
+    // leaves the vector (and the update files — orphan-dir litter like
+    // any crashed writer's) unreferenced; clean the vector up
+    try occCommit(s, dir, v, touched.toSet, Set.empty, newFiles,
+      statsMeta(s, dir, v),
+      addDeleteFiles = (if (touchedKeys.isEmpty) Seq.empty else parts),
+      interloperGuard = mergeKeyGuard(s, dir, files.toSet, updKeys, key))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (touchedKeys.nonEmpty) f.delete(new Path(s"$dir/$rel"), true)
+        throw e
+    }
   }
 
   /** Highest streaming batch id any snapshot has committed, -1 if none.
@@ -2080,9 +2145,70 @@ object SnapTable {
       |    (SELECT CAST(sum(n_chars) AS BIGINT) FROM app)
       |ORDER BY version""".stripMargin
 
+  /** The merge-on-read UPSERT fixture, once per (session, dir): v1 =
+    * the full corpus; v2 = [[mergeMor]] of a batch with BOTH arms —
+    * doc_id % 9 == 4 re-labeled source='upserted' with n_chars + 1000
+    * (updates: their old rows become deletion-vector positions) and
+    * doc_id % 1000 == 3 re-keyed +2,000,000, source='inserted'
+    * (inserts) — zero data files rewritten; v3 = a MoR DELETE of
+    * doc_id % 10 == 8 stacked on top, whose positions land in BOTH
+    * vintages of files (the original corpus AND the v2 upsert files —
+    * per-file positions are file-agnostic). Closed-form predicates
+    * throughout, so the oracle recomputes from raw parquet. */
+  private val morMergeCache = new graft.ops.SessionMemo[String]
+  private def morMergeDocs(s: SparkSession, dir: String): String =
+    morMergeCache.getOrBuild(s, dir) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_snap_mormerge_").toString
+      val docs = graft.tables.Tables.documents(s, dir)
+      create(docs, d)
+      val updates = docs.filter(col("doc_id") % 9 === 4)
+        .withColumn("source", lit("upserted"))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(docs.filter(col("doc_id") % 1000 === 3)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("source", lit("inserted")))
+      mergeMor(updates, d, "doc_id")
+      deleteWhereMor(s, d, col("doc_id") % 10 === 8)
+      d
+    }
+
+  /** q263 — MERGE-ON-READ upsert under the value gate: per-source
+    * stats from the current snapshot, where the merge's delete arm and
+    * the follow-up delete exist ONLY as deletion-vector sidecars
+    * (SnapTableSpec asserts zero rewrites) and the vectors hit both
+    * file vintages. The oracle inlines the closed-form arms over raw
+    * parquet — position capture, the vector stacking ACROSS a merge,
+    * and the read-side anti-join must all be value-invisible. */
+  def snapshotMorMergeStats(s: SparkSession, dir: String): DataFrame =
+    read(s, morMergeDocs(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+
+  val snapshotMorMergeStatsSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE doc_id % 9 <> 4
+      |  UNION ALL
+      |  SELECT doc_id, 'upserted' AS source, n_chars + 1000 AS n_chars
+      |  FROM documents WHERE doc_id % 9 = 4
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, 'inserted' AS source, n_chars
+      |  FROM documents WHERE doc_id % 1000 = 3)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  max(doc_id) AS max_doc_id
+      |FROM merged
+      |WHERE doc_id % 10 <> 8
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q261_mor_delete" -> (snapshotMorStats _),
     "q262_mor_time_travel" -> (morTimeTravelAudit _),
+    "q263_mor_merge" -> (snapshotMorMergeStats _),
     "q252_merge_rebase" -> (snapshotMergeRebase _),
     "q236_snapshot_stats" -> (snapshotStats _),
     "q237_time_travel" -> (timeTravelAudit _),
@@ -2098,6 +2224,7 @@ object SnapTable {
   val oracles: Map[String, String] = Map(
     "q261_mor_delete" -> snapshotMorStatsSql,
     "q262_mor_time_travel" -> morTimeTravelAuditSql,
+    "q263_mor_merge" -> snapshotMorMergeStatsSql,
     "q252_merge_rebase" -> snapshotMergeRebaseSql,
     "q236_snapshot_stats" -> snapshotStatsSql,
     "q237_time_travel" -> timeTravelAuditSql,

@@ -903,6 +903,75 @@ class SnapTableSpec extends SparkSpec {
       "a conflicted MoR delete leaked its sidecar")
   }
 
+  test("merge-on-read MERGE rewrites ZERO data files: old rows of " +
+      "matched keys become vector positions, the batch appends, both " +
+      "arms land in one commit") {
+    val d = tmp()
+    SnapTable.create((0L until 40L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id")), d)
+    val v1 = dataEntries(d, 1)
+    // update ids 5 and 25 (two different files), insert id 100
+    SnapTable.mergeMor(
+      Seq((5L, "NEW5"), (25L, "NEW25"), (100L, "NEW100")).toDF("id", "s"),
+      d, "id")
+    assert(SnapTable.currentVersion(spark, d) === 2)
+    val v2 = dataEntries(d, 2)
+    assert(v1.subsetOf(v2), "a MoR merge must carry every base file")
+    assert((v2 -- v1).nonEmpty, "the update batch must append new files")
+    assert(SnapTable.deleteFilesOf(spark, d, 2).nonEmpty,
+      "the matched keys' old rows must become a deletion vector")
+    val rows = SnapTable.read(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size === 41) // 40 originals − 0 net + 1 insert
+    assert(rows(5L) === "NEW5" && rows(25L) === "NEW25" &&
+      rows(100L) === "NEW100")
+    assert(rows(6L) === "v6", "an unmatched row changed")
+    // time travel: v1 still serves the pre-merge rows (pure meta)
+    assert(SnapTable.read(spark, d, Some(1)).filter(col("id") === 5L)
+      .head().getString(1) === "v5")
+    // a pure-insert merge leaves NO vector behind (empty sidecar dropped)
+    SnapTable.mergeMor(Seq((200L, "NEW200")).toDF("id", "s"), d, "id")
+    assert(SnapTable.deleteFilesOf(spark, d, 3) ===
+      SnapTable.deleteFilesOf(spark, d, 2))
+    // shared validation still guards the MoR spelling
+    intercept[IllegalArgumentException](SnapTable.mergeMor(
+      Seq((1L, "a"), (1L, "b")).toDF("id", "s"), d, "id"))
+    intercept[IllegalArgumentException](SnapTable.mergeMor(
+      Seq(1L).toDF("id"), d, "id"))
+  }
+
+  test("MoR merge OCC: rebases over a key-disjoint append, refuses a " +
+      "key-clashing one, and a conflicted commit leaks no sidecar") {
+    val d = tmp()
+    SnapTable.create((0L until 20L).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1), d)
+    val base = SnapTable.currentVersion(spark, d)
+    // key-DISJOINT interloper append → the stale-based MoR merge rebases
+    SnapTable.append(Seq((50L, "x")).toDF("id", "s"), d)
+    SnapTable.mergeMorFrom(Seq((3L, "NEW3")).toDF("id", "s"), d, "id", base)
+    val rows = SnapTable.read(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(3L) === "NEW3" && rows(50L) === "x" && rows.size === 21)
+    // key-CLASHING interloper append → refuse (duplicate key otherwise)
+    val b2 = SnapTable.currentVersion(spark, d)
+    SnapTable.append(Seq((7L, "clash")).toDF("id", "s"), d)
+    intercept[SnapTable.ConcurrentWriteException](
+      SnapTable.mergeMorFrom(Seq((7L, "NEW7")).toDF("id", "s"), d, "id", b2))
+    // a concurrent REWRITE of a touched file → read-set refusal, and
+    // the conflicted merge's sidecar must not leak
+    val d2 = tmp()
+    SnapTable.create((0L until 20L).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(1), d2)
+    val b3 = SnapTable.currentVersion(spark, d2)
+    SnapTable.deleteWhere(spark, d2, col("id") === 2L) // CoW rewrite wins
+    intercept[SnapTable.ConcurrentWriteException](
+      SnapTable.mergeMorFrom(Seq((5L, "NEW5")).toDF("id", "s"), d2, "id", b3))
+    val delDir = new org.apache.hadoop.fs.Path(s"$d2/_deletes")
+    val f2 = delDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f2.exists(delDir) || f2.listStatus(delDir).isEmpty,
+      "a conflicted MoR merge leaked its sidecar")
+  }
+
   test("reserved row-identity column names refuse loudly instead of " +
       "being silently clobbered by the DV machinery") {
     val d = tmp()
