@@ -43,10 +43,11 @@ object Corpus {
       // bigram lambda's element_at calls — O(L²) re-split per element
       .localCheckpoint(eager = false)
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("w")) - 1),
-        i => concat_ws(" ", element_at(col("w"), i),
-          element_at(col("w"), i + 1)))).as("bg"))
+      // the ONE bigram constructor (Text.ngramsCol) — q116 and the
+      // shingle family use the same builder, so gram semantics can
+      // never drift between queries
+      .select(col("doc_id"),
+        explode(Text.ngramsCol(col("w"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -345,7 +346,10 @@ object Corpus {
     // a present-but-NULL fingerprint (e.g. a NULL-text doc) must compare
     // like the oracle's `o.doc_id IS NULL` key test, not like absence
     val oldSnap = Tables.documents(s, dir)
-      .filter(Text.md5Bucket1000(col("doc_id")) < 900)
+      // IngestOldMax IS this release split ("the q89 release
+      // convention" q99/q109 reference) — one constant, not four
+      // desynchronizable literals
+      .filter(Text.md5Bucket1000(col("doc_id")) < IngestOldMax)
       .select(col("doc_id"),
         md5(array_join(tokens(col("text")), " ")).as("fp"),
         lit(true).as("in_old"))
@@ -370,7 +374,7 @@ object Corpus {
        |    md5(array_to_string(string_split(text, ' '), ' ')) AS fp
        |  FROM documents
        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-       |        % 1000 < 900),
+       |        % 1000 < $IngestOldMax),
        |snap_new AS (
        |  SELECT doc_id, scrub_fp FROM scrub
        |  WHERE kept_tok >= $DiffMinKept)
@@ -696,10 +700,12 @@ object Corpus {
       .orderBy(col("rnk"))
   }
 
-  /** DuckDB spelling of [[waterfillBudget]]: same ranking, same integer
-    * saturation predicate, same floor+remainder split. */
-  val waterfillBudgetSql: String =
-    s"""WITH caps AS (
+  /** THE waterfill CTE chain (caps → budget → rank/prefix → saturation
+    * point), shared by the q120 and q121 oracles — the scrubSqlCtes
+    * discipline applied here so the allocation arithmetic can never
+    * drift between the two spellings. */
+  private val waterfillSqlCtes: String =
+    s"""caps AS (
        |  SELECT source, lang,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
@@ -715,18 +721,24 @@ object Corpus {
        |      WHERE pfx + cap*(n-rnk) <= budget) AS BIGINT) AS sat,
        |    coalesce(max(pfx) FILTER (
        |      WHERE pfx + cap*(n-rnk) <= budget), 0) AS pfx_s
-       |  FROM r, b)
+       |  FROM r, b)""".stripMargin
+
+  /** The per-rank allocation CASE (floor + largest-remainder split) —
+    * ONE spelling, wrapped by each consumer's outer cast. */
+  private val waterfillAllocCase: String =
+    """CASE WHEN rnk <= sat THEN cap
+      |    ELSE (budget - pfx_s) // (n - sat) +
+      |      CASE WHEN rnk - sat <= (budget - pfx_s) % (n - sat)
+      |           THEN 1 ELSE 0 END
+      |  END""".stripMargin
+
+  /** DuckDB spelling of [[waterfillBudget]]: same ranking, same integer
+    * saturation predicate, same floor+remainder split. */
+  val waterfillBudgetSql: String =
+    s"""WITH $waterfillSqlCtes
        |SELECT source, lang, cap, rnk, rnk <= sat AS saturated,
-       |  CAST(CASE WHEN rnk <= sat THEN cap
-       |    ELSE (budget - pfx_s) // (n - sat) +
-       |      CASE WHEN rnk - sat <= (budget - pfx_s) % (n - sat)
-       |           THEN 1 ELSE 0 END
-       |  END AS BIGINT) AS alloc,
-       |  CAST(CASE WHEN rnk <= sat THEN cap
-       |    ELSE (budget - pfx_s) // (n - sat) +
-       |      CASE WHEN rnk - sat <= (budget - pfx_s) % (n - sat)
-       |           THEN 1 ELSE 0 END
-       |  END AS DOUBLE) / budget AS share
+       |  CAST($waterfillAllocCase AS BIGINT) AS alloc,
+       |  CAST($waterfillAllocCase AS DOUBLE) / budget AS share
        |FROM r, b, s ORDER BY rnk""".stripMargin
 
   // ---- q121: greedy quota sample consuming the waterfill ------------------
@@ -770,29 +782,9 @@ object Corpus {
   /** DuckDB spelling of [[quotaSample]]: the full [[waterfillBudgetSql]]
     * allocation pipeline as CTEs + the same per-domain greedy cumsum. */
   val quotaSampleSql: String =
-    s"""WITH caps AS (
-       |  SELECT source, lang,
-       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
-       |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
-       |b AS (SELECT CAST(sum(cap) * $WaterfillNum AS BIGINT) // $WaterfillDen
-       |        AS budget, CAST(count(*) AS BIGINT) AS n FROM caps),
-       |r AS (SELECT source, lang, cap,
-       |    CAST(row_number() OVER ord AS BIGINT) AS rnk,
-       |    CAST(sum(cap) OVER (ord ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
-       |  FROM caps WINDOW ord AS (ORDER BY cap,
-       |    ('0x' || substr(md5(source || '|' || lang), 1, 15))::BIGINT)),
-       |s AS (SELECT
-       |    CAST(count(*) FILTER (
-       |      WHERE pfx + cap*(n-rnk) <= budget) AS BIGINT) AS sat,
-       |    coalesce(max(pfx) FILTER (
-       |      WHERE pfx + cap*(n-rnk) <= budget), 0) AS pfx_s
-       |  FROM r, b),
+    s"""WITH $waterfillSqlCtes,
        |alloc AS (SELECT source, lang,
-       |    CAST(CASE WHEN rnk <= sat THEN cap
-       |      ELSE (budget - pfx_s) // (n - sat) +
-       |        CASE WHEN rnk - sat <= (budget - pfx_s) % (n - sat)
-       |             THEN 1 ELSE 0 END
-       |    END AS BIGINT) AS alloc
+       |    CAST($waterfillAllocCase AS BIGINT) AS alloc
        |  FROM r, b, s),
        |d AS (SELECT doc_id, source, lang,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
@@ -1180,8 +1172,12 @@ object Corpus {
       .select(col("source"), posexplode(col("top")).as(Seq("p", "st")))
       .select(col("source"), (col("p") + 1).cast("long").as("rank"),
         col("st.id").as("doc_id"), col("st.score").cast("long").as("kq"))
-    top.join(broadcast(docs.select(col("doc_id"), col("n_chars"))),
-        Seq("doc_id"))
+    // broadcast the SAMPLED side (k·#sources rows), never the corpus
+    // projection: at 100 TB broadcast(docs) would collect the whole
+    // documents (doc_id, n_chars) relation onto the driver — the exact
+    // cliff this family's scale discipline exists to avoid
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(top), Seq("doc_id"))
       .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
         col("kq"))
       .orderBy(col("source"), col("rank"))

@@ -74,28 +74,51 @@ object Model {
     * seed split, score every HELD-OUT doc, return one row per held-out
     * doc `(source, is_long, score)`. Scoring is a single corpus scan
     * against the one-row broadcast model — zero corpus shuffle. */
+  /** The fitted one-row NB model, memoized per (session, dir) — FIVE
+    * queries (q125/q129/q169/q227/q228) score against this artifact,
+    * and without the memo each re-ran the seed scan + vocab exchange +
+    * single-row collect per action (the seedFit/BPE lesson applied to
+    * the NB tier). `localCheckpoint(eager=false)`: the fit runs once,
+    * at the first consumer's first action; the row is 1-row (a
+    * vocab-sized map + 4 scalars), so the checkpoint is KBs — never
+    * checkpoint the corpus-sized scored relation, only the model. */
+  private val nbModelCache = new graft.ops.SessionMemo[DataFrame]
+  private def nbModel(s: SparkSession, dir: String): DataFrame =
+    nbModelCache.getOrBuild(s, dir) {
+      val (_, cnts, tot, pri) = nbFitInputs(s, dir)
+      def qlog(num: Column, den: Column): Column =
+        floor(qraw(num, den)).cast("long")
+      val wts = cnts.crossJoin(broadcast(tot)).select(col("w"),
+        qlog((col("cp") + 1) * (col("tn") + col("v")),
+             (col("cn") + 1) * (col("tp") + col("v"))).as("wt"))
+      // the whole fitted model as ONE broadcastable row
+      wts
+        .agg(map_from_entries(collect_list(struct(col("w"), col("wt"))))
+          .as("m"))
+        .crossJoin(tot).crossJoin(pri)
+        .select(col("m"),
+          qlog(col("tn") + col("v"), col("tp") + col("v")).as("w0"),
+          qlog(col("np") + 1, col("nn") + 1).as("prior"),
+          log((col("tp") * col("nn")).cast("double")
+            / (col("tn") * col("np"))).as("lnlam"),
+          floor(lamdiffRaw).cast("long").as("lamdiff"))
+        .localCheckpoint(eager = false)
+    }
+
   private[graft] def nbScoredHoldout(s: SparkSession, dir: String): DataFrame = {
-    val (docs, cnts, tot, pri) = nbFitInputs(s, dir)
-    def qlog(num: Column, den: Column): Column =
-      floor(qraw(num, den)).cast("long")
-    val wts = cnts.crossJoin(broadcast(tot)).select(col("w"),
-      qlog((col("cp") + 1) * (col("tn") + col("v")),
-           (col("cn") + 1) * (col("tp") + col("v"))).as("wt"))
-    // the whole fitted model as ONE broadcastable row
-    val model = wts
-      .agg(map_from_entries(collect_list(struct(col("w"), col("wt")))).as("m"))
-      .crossJoin(tot).crossJoin(pri)
-      .select(col("m"),
-        qlog(col("tn") + col("v"), col("tp") + col("v")).as("w0"),
-        qlog(col("np") + 1, col("nn") + 1).as("prior"),
-        log((col("tp") * col("nn")).cast("double") / (col("tn") * col("np")))
-          .as("lnlam"),
-        floor(lamdiffRaw).cast("long").as("lamdiff"))
-    docs.filter(!col("seed")).crossJoin(broadcast(model))
+    val (docs, _, _, _) = nbFitInputs(s, dir)
+    docs.filter(!col("seed")).crossJoin(broadcast(nbModel(s, dir)))
       .select(col("doc_id"), col("source"), col("is_long"),
         (col("prior")
+          // try_element_at, NOT element_at: under Spark 4's default
+          // ANSI mode a plain map element_at THROWS on a missing key,
+          // so the w0 out-of-vocabulary fallback would be dead code and
+          // the first held-out token absent from the seed vocabulary
+          // would kill the query (the oracle's LEFT JOIN + coalesce
+          // spelling never throws — this matches it)
           + aggregate(split(col("text"), " "), lit(0L),
-              (acc, t) => acc + coalesce(element_at(col("m"), t), col("w0")))
+              (acc, t) => acc + coalesce(try_element_at(col("m"), t),
+                col("w0")))
           + floor(lenRaw(col("n_tok"), col("lnlam"))).cast("long")
           - col("lamdiff")).as("score"))
   }
