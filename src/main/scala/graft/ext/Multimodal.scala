@@ -140,7 +140,11 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
+      // a NULL payload (a NULL-text doc casts to NULL binary) has
+      // nothing to decode — skip it instead of NPEing the partition;
+      // the SQL metadata arms (q26) pass such rows through with NULL
+      // metrics, which is their own documented semantics
+      rows.filter(_.content != null).map { r =>
         val (w, h, f, feat) = MediaCodec.decode(r.media_type, r.content)
         MediaFeatures(r.doc_id, r.media_type, w, h, f, feat)
       }
@@ -452,7 +456,8 @@ object Multimodal {
   def audioFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow]
-      .filter(_.media_type == "audio")
+      // NULL payloads skipped like extractFeatures — no clip, no row
+      .filter(r => r.media_type == "audio" && r.content != null)
       .mapPartitions { rows =>
         rows.map { r =>
           // payload synthesis (the fixture ships text bytes, not WAV

@@ -175,7 +175,11 @@ object Advanced {
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id") &&
         abs(col("a_us") - col("b_us")) <= 1000000L)
-      .dropDuplicates("a_id", "b_id")
+      // no dedup needed — and none would ever fire: b carries ONE
+      // bucket and a's three exploded buckets are distinct values, so
+      // a qualifying pair matches on exactly one bucket; a
+      // dropDuplicates here cost a full extra (a_id, b_id) exchange
+      // over the candidate-pair relation for nothing
       .groupBy(col("a_type"), col("b_type"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("a_type"), col("b_type"))
@@ -309,6 +313,17 @@ object Advanced {
     * exchange carries (pair, partial count), bounded by #types² — the
     * q93 shape applied to sets instead of sequences. The oracle uses
     * the equivalent self-join spelling. */
+  /** In-row unordered-pair expansion of a SORTED array column: every
+    * (i < j) element pair as struct(ta, tb) — ONE definition shared by
+    * q110 and q151 so their candidate generation cannot drift (the
+    * Text.intersectionsOf anti-drift discipline). */
+  private def sortedPairsCol(ts: Column): Column =
+    flatten(transform(
+      sequence(lit(1), size(ts) - 1),
+      i => transform(sequence(i + 1, size(ts)),
+        j => struct(element_at(ts, i).as("ta"),
+          element_at(ts, j).as("tb")))))
+
   def q110ItemsetPairs(s: SparkSession, dir: String): DataFrame = {
     val baskets = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
@@ -317,11 +332,7 @@ object Advanced {
       .agg(sort_array(collect_set(col("event_type"))).as("ts"))
       .filter(size(col("ts")) >= 2)
     baskets
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("ts")) - 1),
-        i => transform(sequence(i + 1, size(col("ts"))),
-          j => struct(element_at(col("ts"), i).as("ta"),
-            element_at(col("ts"), j).as("tb")))))).as("p"))
+      .select(explode(sortedPairsCol(col("ts"))).as("p"))
       .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
       .agg(count(lit(1)).as("support"))
       .orderBy(col("ta"), col("tb"))
@@ -559,6 +570,9 @@ object Advanced {
       .groupBy(col("user_id"))
       .agg(array_join(transform(array_sort(collect_list(col("ev"))),
         e => e.getField("ini")), "").as("seq"))
+      // multi-consumer rule: WITHOUT this, the 4-arm union re-plans the
+      // events scan + user-keyed sort-aggregate once PER PATTERN
+      .localCheckpoint(eager = false)
     val arms = SeqPatterns.map { case (name, pat) =>
       seqs.select(
         lit(name).as("pattern"),
@@ -727,7 +741,13 @@ object Advanced {
     * ([[graft.streaming.EventStreams.maintainDriftMonitor]]) can
     * recompute the SAME detector from its incrementally-maintained
     * daily counts without rescanning any corpus. */
-  private[graft] def changePointFromDaily(daily: DataFrame): DataFrame = {
+  private[graft] def changePointFromDaily(daily0: DataFrame): DataFrame = {
+    // multi-consumer rule: `daily` feeds BOTH the span grid and the
+    // left join below — un-checkpointed, the daily aggregate (and in
+    // the q146 batch path, the events scan under it) planned and ran
+    // twice; the relation is (type, day)-sized, so the checkpoint is
+    // tiny even when the streaming drift monitor calls this per wave
+    val daily = daily0.localCheckpoint(eager = false)
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
         sum(col("n")).as("t"))
@@ -1006,10 +1026,21 @@ object Advanced {
     * cells; margins by re-aggregation of cells (never the corpus); the
     * fold runs on ONE row holding ≤35 structs. */
   def q213Chi2Independence(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.events(s, dir)
+    val observed = Tables.events(s, dir)
       .select(col("event_type").as("t"),
         expr("datediff(to_date(ts), to_date('1970-01-01')) % 7").as("wd"))
       .groupBy(col("t"), col("wd")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false) // feeds the grid sides AND the pad
+    // pad to the FULL observed-type × observed-day grid: an UNOBSERVED
+    // cell still contributes its expected-count term (O=0 → R·C/N) to
+    // the statistic — omitting empty cells understates chi² in both
+    // engines identically, which the cross-engine gate cannot see.
+    // Padding with the OBSERVED distincts keeps the dof margins (and
+    // the vanished-type/weekday NULL-verdict gate below) unchanged.
+    val grid = observed.select(col("t")).distinct()
+      .crossJoin(observed.select(col("wd")).distinct()) // ≤ |types|·7 rows
+    val cells = grid.join(observed, Seq("t", "wd"), "left")
+      .select(col("t"), col("wd"), coalesce(col("o"), lit(0L)).as("o"))
       .localCheckpoint(eager = false) // cells feed margins AND the fold
     val rowm = cells.groupBy(col("t")).agg(sum(col("o")).as("r"))
     val colm = cells.groupBy(col("wd")).agg(sum(col("o")).as("c"))
@@ -1052,11 +1083,19 @@ object Advanced {
   /** DuckDB spelling: same cells/margins, the same sorted fold with
     * the same parenthesization. */
   val q213Sql: String =
-    s"""WITH cells AS (
+    s"""WITH observed AS (
        |  SELECT event_type AS t,
        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS wd,
        |    CAST(count(*) AS BIGINT) AS o
        |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT t, wd
+       |  FROM (SELECT DISTINCT t FROM observed),
+       |       (SELECT DISTINCT wd FROM observed)),
+       |cells AS (
+       |  SELECT grid.t, grid.wd, coalesce(o, 0) AS o
+       |  FROM grid LEFT JOIN observed
+       |    ON observed.t = grid.t AND observed.wd = grid.wd),
        |rowm AS (SELECT t, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
        |colm AS (SELECT wd, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
@@ -1137,7 +1176,10 @@ object Advanced {
       .groupBy(col("t"), col("n1"), col("n2"))
       .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("a"))
       .select(col("t").as("event_type"), col("n1"), col("n2"), col("a"),
-        expr("a * 1000000 div (n1 * n2)").as("d_x1e6"),
+        // nullif: a type whose events all fall in ONE half-month has
+        // n1·n2 = 0 — ANSI integer division would abort the query; the
+        // degenerate split reports NULL distance in both engines
+        expr("a * 1000000 div nullif(n1 * n2, 0)").as("d_x1e6"),
         (col("a") * col("a") >
           expr(s"($KsCrit2Num * (n1 + n2) * n1 * n2) div $KsCrit2Den"))
           .as("reject_same_dist"))
@@ -1171,7 +1213,7 @@ object Advanced {
        |  FROM cum JOIN ns ON ns.t = cum.t
        |  GROUP BY cum.t, ns.n1, ns.n2)
        |SELECT t AS event_type, n1, n2, a,
-       |  a * 1000000 // (n1 * n2) AS d_x1e6,
+       |  a * 1000000 // nullif(n1 * n2, 0) AS d_x1e6,
        |  a * a > ($KsCrit2Num * (n1 + n2) * n1 * n2) // $KsCrit2Den
        |    AS reject_same_dist
        |FROM agg ORDER BY event_type""".stripMargin
@@ -1698,11 +1740,7 @@ object Advanced {
       .agg(sort_array(collect_set(col("event_type"))).as("ts"))
     val pairs = basketsGrouped
       .filter(size(col("ts")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(1), size(col("ts")) - 1),
-        i => transform(sequence(i + 1, size(col("ts"))),
-          j => struct(element_at(col("ts"), i).as("ta"),
-            element_at(col("ts"), j).as("tb")))))).as("p"))
+      .select(explode(sortedPairsCol(col("ts"))).as("p"))
       .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
       .agg(count(lit(1)).as("c_ab"))
     val items = baskets.groupBy(col("event_type"))
@@ -1858,7 +1896,12 @@ object Advanced {
       .select(
         col("doc_id"),
         array_join(slice(col("w"), 1, 3), "-").as("first3"),
-        array_join(slice(col("w"), -2, 2), "-").as("last2"),
+        // clamp like DuckDB's w[-2:]: Spark's slice(w, -2, 2) returns
+        // EMPTY for a 1-token doc (negative start past the front) where
+        // the oracle returns the lone token — latent only because the
+        // fixture's min doc length is 10 tokens
+        array_join(when(size(col("w")) >= 2, slice(col("w"), -2, 2))
+          .otherwise(col("w")), "-").as("last2"),
         reverse(array_join(slice(col("w"), 1, 2), " ")).as("rev2"),
         array_join(array_sort(array_distinct(slice(col("w"), 1, 10))), ",")
           .as("sorted_distinct_10"),
@@ -1964,6 +2007,10 @@ object Advanced {
   def q100SkewAudit(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(s, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      // multi-consumer rule: counts feeds the totals aggregate AND the
+      // join — un-checkpointed, the events scan + per-user aggregate
+      // (the only corpus-sized stage) planned and ran twice
+      .localCheckpoint(eager = false)
     val totals = counts.agg(sum(col("cnt")).as("total"),
       count(lit(1)).as("n_keys"))
     counts.join(broadcast(totals))
@@ -2409,10 +2456,15 @@ object Advanced {
       armAgg("A", col("x") * col("x")).as("ss_a"),
       armAgg("B", lit(1L)).as("n_b"), armAgg("B", col("x")).as("s_b"),
       armAgg("B", col("x") * col("x")).as("ss_b"))
-    def mean(sc: Column, n: Column) = sc.cast("double") / n.cast("double")
+    // NULLIF-guarded denominators (the q82 portability rule): an arm
+    // with 0 or 1 users would otherwise emit x/0 or 0/0, whose double
+    // handling is engine-version-dependent — both spellings emit NULL
+    def mean(sc: Column, n: Column) =
+      sc.cast("double") / nullif(n.cast("double"), lit(0.0))
     def variance(sc: Column, ss: Column, n: Column) =
       (ss.cast("double") - sc.cast("double") * sc.cast("double")
-        / n.cast("double")) / (n - 1).cast("double")
+        / nullif(n.cast("double"), lit(0.0))) /
+        nullif((n - 1).cast("double"), lit(0.0))
     agg.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
       mean(col("s_a"), col("n_a")).as("mean_a"),
       mean(col("s_b"), col("n_b")).as("mean_b"),
@@ -2448,16 +2500,18 @@ object Advanced {
       |      AS ss_b
       |  FROM armed)
       |SELECT n_a, s_a, n_b, s_b,
-      |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
-      |  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
-      |  ((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-      |    - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))) /
+      |  CAST(s_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0) AS mean_a,
+      |  CAST(s_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0) AS mean_b,
+      |  ((CAST(s_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0))
+      |    - (CAST(s_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0))) /
       |  sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
-      |      / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))
-      |      / CAST(n_a AS DOUBLE)
+      |      / NULLIF(CAST(n_a AS DOUBLE), 0))
+      |        / NULLIF(CAST(n_a - 1 AS DOUBLE), 0))
+      |      / NULLIF(CAST(n_a AS DOUBLE), 0)
       |    + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
-      |      / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))
-      |      / CAST(n_b AS DOUBLE)) AS z
+      |      / NULLIF(CAST(n_b AS DOUBLE), 0))
+      |        / NULLIF(CAST(n_b - 1 AS DOUBLE), 0))
+      |      / NULLIF(CAST(n_b AS DOUBLE), 0)) AS z
       |FROM agg""".stripMargin
 
   // ---- q172: CUPED variance-reduction readout -----------------------------
@@ -2498,13 +2552,16 @@ object Advanced {
       sum(col("pre") * col("post")).as("s12"),
       sum(col("post") * col("post")).as("s22"))
     def c(x: Column) = x.cast("double")
-    val n = col("n"); val nm1 = (col("n") - 1).cast("double")
-    val cov = (c(col("s12")) - c(col("s1")) * c(col("s2")) / c(n)) / nm1
-    val varp = (c(col("s11")) - c(col("s1")) * c(col("s1")) / c(n)) / nm1
-    val varq = (c(col("s22")) - c(col("s2")) * c(col("s2")) / c(n)) / nm1
+    // NULLIF-guarded like q171: 0 or 1 users, or a zero pre-period
+    // variance, would emit engine-version-dependent 0/0 — NULL instead
+    val n = nullif(col("n").cast("double"), lit(0.0))
+    val nm1 = nullif((col("n") - 1).cast("double"), lit(0.0))
+    val cov = (c(col("s12")) - c(col("s1")) * c(col("s2")) / n) / nm1
+    val varp = (c(col("s11")) - c(col("s1")) * c(col("s1")) / n) / nm1
+    val varq = (c(col("s22")) - c(col("s2")) * c(col("s2")) / n) / nm1
     agg.select(col("n"), col("s1"), col("s2"), col("s11"), col("s12"),
-      col("s22"), (cov / varp).as("theta"),
-      ((cov * cov) / (varp * varq)).as("rho2"))
+      col("s22"), (cov / nullif(varp, lit(0.0))).as("theta"),
+      ((cov * cov) / nullif(varp * varq, lit(0.0))).as("rho2"))
   }
 
   /** DuckDB spelling: identical midpoint, moments, and float chains. */
@@ -2530,17 +2587,23 @@ object Advanced {
       |  FROM pu)
       |SELECT n, s1, s2, s11, s12, s22,
       |  ((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
-      |    / ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS theta,
+      |      / NULLIF(CAST(n AS DOUBLE), 0))
+      |        / NULLIF(CAST(n - 1 AS DOUBLE), 0))
+      |    / NULLIF((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0))
+      |        / NULLIF(CAST(n - 1 AS DOUBLE), 0), 0) AS theta,
       |  (((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+      |      / NULLIF(CAST(n AS DOUBLE), 0))
+      |        / NULLIF(CAST(n - 1 AS DOUBLE), 0))
       |    * ((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)))
-      |    / (((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
-      |      * ((CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) AS rho2
+      |      / NULLIF(CAST(n AS DOUBLE), 0))
+      |        / NULLIF(CAST(n - 1 AS DOUBLE), 0)))
+      |    / NULLIF(((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0))
+      |        / NULLIF(CAST(n - 1 AS DOUBLE), 0))
+      |      * ((CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+      |        * CAST(s2 AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0))
+      |        / NULLIF(CAST(n - 1 AS DOUBLE), 0)), 0) AS rho2
       |FROM a""".stripMargin
 
   // ---- q175: leakage-free training-label construction ---------------------
