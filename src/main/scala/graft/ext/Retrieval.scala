@@ -18,6 +18,13 @@ object Retrieval {
   /** RRF smoothing constant (the conventional 60). */
   final val RrfK = 60L
 
+  /** Reciprocal-rank scale for the exact-integer MRR (q174/q194):
+    * LCM(1..FuseK) so `MrrScale div rank` is exact for every fused
+    * rank. Deliberately its OWN constant — it coincidentally equals
+    * [[RrfK]], but retuning the RRF smoothing knob must not silently
+    * break the integer-exactness of the audit metric. */
+  final val MrrScale = 60L
+
   /** List depth per retriever AND fused results per query. */
   final val FuseK = 5
 
@@ -54,13 +61,31 @@ object Retrieval {
     * never shuffled; only ids, ranks and 8-byte scores move. */
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     val lex = Index.bm25TopK(s, dir)
+      // rnk <= FuseK: Bm25K == FuseK today, but the oracle hard-codes
+      // the FuseK cut — raising Bm25K alone would feed ranks the oracle
+      // excludes into the fusion (hybridLshServe carries the same
+      // future-proof filter)
+      .filter(col("rnk") <= FuseK)
       .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val vec = exactDotTop(s, dir, FuseK)
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "st")))
+      .select(col("query_id"), col("st.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("vec_rnk"))
+    rrfFuse(lex, vec)
+  }
+
+  /** Exact int8-dot top-k per probe query over the quantized corpus —
+    * ONE pipeline shared by q155's vector arm (k = [[FuseK]]) and the
+    * q174/q194 ground truth (k = [[MrrTruthK]]), so the ranking and
+    * the audit that judges it can never drift. Returns
+    * (query_id, top: array<struct<id, score>>). */
+  private def exactDotTop(s: SparkSession, dir: String, k: Int): DataFrame = {
     val quant = Similarity.quantizedVectors(Tables.embeddings(s, dir))
       // feeds the probe side and the candidate side
       .localCheckpoint(eager = false)
     val q = quant.filter(col("vec_id").isin(fuseQueryIds: _*))
       .select(col("vec_id").as("query_id"), col("q").as("qa"))
-    val vec = quant.select(col("vec_id").as("doc_id"), col("q").as("qb"))
+    quant.select(col("vec_id").as("doc_id"), col("q").as("qb"))
       .crossJoin(broadcast(q))
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id"),
@@ -68,12 +93,8 @@ object Retrieval {
         graft.functions.VectorFunctions.int_dot(col("qa"), col("qb"))
           .cast("double").as("dot"))
       .groupBy(col("query_id"))
-      .agg(graft.functions.TopK.top_k(FuseK)(col("doc_id"), col("dot"))
+      .agg(graft.functions.TopK.top_k(k)(col("doc_id"), col("dot"))
         .as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "st")))
-      .select(col("query_id"), col("st.id").as("doc_id"),
-        (col("pos") + 1).cast("long").as("vec_rnk"))
-    rrfFuse(lex, vec)
   }
 
   /** The fusion step alone: full-outer-join two k-bounded ranked lists
@@ -287,19 +308,7 @@ object Retrieval {
   private val truthCache = new graft.ops.SessionMemo[DataFrame]
   private def truthTop(s: SparkSession, dir: String): DataFrame =
     truthCache.getOrBuild(s, dir) {
-      val quant = Similarity.quantizedVectors(Tables.embeddings(s, dir))
-        .localCheckpoint(eager = false)
-      val q = quant.filter(col("vec_id").isin(fuseQueryIds: _*))
-        .select(col("vec_id").as("query_id"), col("q").as("qa"))
-      quant.select(col("vec_id").as("doc_id"), col("q").as("qb"))
-        .crossJoin(broadcast(q))
-        .filter(col("doc_id") =!= col("query_id"))
-        .select(col("query_id"), col("doc_id"),
-          graft.functions.VectorFunctions.int_dot(col("qa"), col("qb"))
-            .cast("double").as("dot"))
-        .groupBy(col("query_id"))
-        .agg(graft.functions.TopK.top_k(MrrTruthK)(col("doc_id"), col("dot"))
-          .as("top"))
+      exactDotTop(s, dir, MrrTruthK) // the q155 pipeline, truth depth
         .select(col("query_id"), col("top.id").as("top"))
         .localCheckpoint()
     }
@@ -334,7 +343,7 @@ object Retrieval {
     val per = fuseQueryIds.toDF("query_id")
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"), col("first_hit"),
-        coalesce(expr(s"$RrfK div first_hit"), lit(0L)).as("rr_x60"))
+        coalesce(expr(s"$MrrScale div first_hit"), lit(0L)).as("rr_x60"))
       .localCheckpoint(eager = false) // rows + total both consume it
     val total = per.agg(sum(col("rr_x60")).as("rr_x60"))
       .select(lit(-1L).as("query_id"),
@@ -359,7 +368,7 @@ object Retrieval {
        |pr AS (SELECT CAST(unnest([$ids]) AS BIGINT) AS query_id),
        |per AS (
        |  SELECT pr.query_id, h.first_hit,
-       |    COALESCE($RrfK // h.first_hit, 0) AS rr_x60
+       |    COALESCE($MrrScale // h.first_hit, 0) AS rr_x60
        |  FROM pr LEFT JOIN hits h ON h.query_id = pr.query_id)
        |SELECT query_id, first_hit, rr_x60 FROM per
        |UNION ALL

@@ -235,6 +235,18 @@ object AvroIo {
       }
       ()
     }
+    // a 0-PARTITION input (AQE can coalesce an empty result to zero
+    // partitions) runs zero tasks and writes zero part files — the
+    // marker would then bless a dataset read() can never serve (its
+    // schema probe needs a file). The driver writes one empty
+    // schema-bearing container so every committed dataset round-trips.
+    if (!driverFs.listStatus(dir).exists(_.getPath.getName.endsWith(".avro"))) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val out = driverFs.create(new Path(dir, "part-00000.avro"), true)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      w.close()
+    }
     driverFs.create(new Path(dir, SuccessMarker), true).close()
   }
 
@@ -301,8 +313,7 @@ object AvroIo {
   private val avroDocsCache = new graft.ops.SessionMemo[String]
   private def avroDocs(s: SparkSession, dir: String): DataFrame = {
     val path = avroDocsCache.getOrBuild(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_avro_docs_").toString
+      val d = graft.ops.TempDirs.create("graft_avro_docs_") // JVM-exit cleaned
       write(graft.tables.Tables.documents(s, dir), d)
       d
     }

@@ -52,8 +52,7 @@ object JsonlIo {
   private val jsonlCache = new graft.ops.SessionMemo[String]
   private def jsonlDocs(s: SparkSession, dir: String): String =
     jsonlCache.getOrBuild(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_jsonl_docs_").toString
+      val d = graft.ops.TempDirs.create("graft_jsonl_docs_") // JVM-exit cleaned
       graft.tables.Tables.documents(s, dir)
         .write.mode("overwrite").json(d)
       java.nio.file.Files.writeString(

@@ -1356,8 +1356,7 @@ object SnapTable {
   private val snapCache = new graft.ops.SessionMemo[String]
   private def snapDocs(s: SparkSession, dir: String): String =
     snapCache.getOrBuild(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_snap_docs_").toString
+      val d = graft.ops.TempDirs.create("graft_snap_docs_") // JVM-exit cleaned
       val docs = graft.tables.Tables.documents(s, dir)
       create(docs.filter(col("doc_id") % 2 === 0), d)
       append(docs.filter(col("doc_id") % 2 =!= 0), d)
@@ -1776,8 +1775,7 @@ object SnapTable {
   private val statsSnapCache = new graft.ops.SessionMemo[String]
   private def statsSnap(s: SparkSession, dir: String): String =
     statsSnapCache.getOrBuild(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_snap_stats_").toString
+      val d = graft.ops.TempDirs.create("graft_snap_stats_") // JVM-exit cleaned
       create(graft.tables.Tables.documents(s, dir)
         .repartitionByRange(8, col("doc_id")), d, Some("doc_id"))
       d
@@ -1843,8 +1841,7 @@ object SnapTable {
   private val zorderCache = new graft.ops.SessionMemo[String]
   private def zorderSnap(s: SparkSession, dir: String): String =
     zorderCache.getOrBuild(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_snap_zorder_").toString
+      val d = graft.ops.TempDirs.create("graft_snap_zorder_") // JVM-exit cleaned
       create(graft.tables.Tables.documents(s, dir).repartition(8), d)
       optimizeZorder(s, d, targetFiles = 8, "doc_id", "n_chars")
       d
@@ -1879,8 +1876,7 @@ object SnapTable {
   private val wapCache = new graft.ops.SessionMemo[String]
   private def wapDocs(s: SparkSession, dir: String): String =
     wapCache.getOrBuild(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_snap_wap_").toString
+      val d = graft.ops.TempDirs.create("graft_snap_wap_") // JVM-exit cleaned
       val docs = graft.tables.Tables.documents(s, dir)
       create(docs.filter(col("doc_id") % 2 === 0), d)
       def audit(id: String): Boolean =
@@ -1932,8 +1928,7 @@ object SnapTable {
   private val occCache = new graft.ops.SessionMemo[String]
   private def occDocs(s: SparkSession, dir: String): String =
     occCache.getOrBuild(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_snap_occ_").toString
+      val d = graft.ops.TempDirs.create("graft_snap_occ_") // JVM-exit cleaned
       val docs = graft.tables.Tables.documents(s, dir)
       create(docs.filter(col("doc_id") % 2 === 0), d)
       append(docs.filter(col("doc_id") % 2 =!= 0), d)
@@ -2001,8 +1996,7 @@ object SnapTable {
   private val mergeRebaseCache = new graft.ops.SessionMemo[String]
   private def mergeRebaseDocs(s: SparkSession, dir: String): String =
     mergeRebaseCache.getOrBuild(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_snap_mrebase_").toString
+      val d = graft.ops.TempDirs.create("graft_snap_mrebase_") // JVM-exit cleaned
       val docs = graft.tables.Tables.documents(s, dir)
       create(docs.filter(col("doc_id") % 2 === 0), d)
       val updates = docs.filter(col("doc_id") % 10 === 0)
@@ -2062,8 +2056,7 @@ object SnapTable {
   private val morCache = new graft.ops.SessionMemo[String]
   private def morDocs(s: SparkSession, dir: String): String =
     morCache.getOrBuild(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_snap_mor_").toString
+      val d = graft.ops.TempDirs.create("graft_snap_mor_") // JVM-exit cleaned
       val docs = graft.tables.Tables.documents(s, dir)
       create(docs, d)
       deleteWhereMor(s, d, col("doc_id") % 10 === 3)
@@ -2158,8 +2151,7 @@ object SnapTable {
   private val morMergeCache = new graft.ops.SessionMemo[String]
   private def morMergeDocs(s: SparkSession, dir: String): String =
     morMergeCache.getOrBuild(s, dir) {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_snap_mormerge_").toString
+      val d = graft.ops.TempDirs.create("graft_snap_mormerge_") // JVM-exit cleaned
       val docs = graft.tables.Tables.documents(s, dir)
       create(docs, d)
       val updates = docs.filter(col("doc_id") % 9 === 4)

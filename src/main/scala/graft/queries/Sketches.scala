@@ -372,6 +372,10 @@ object Sketches {
     val groups = x
       .groupBy(expr("bigint(j) div 8").as("grp"))
       .agg(expr("sum(x * x) div 8").as("est"))
+      // multi-consumer rule: groups feeds the lanes AND med — without
+      // this the 32-way explode + two-level aggregation over the
+      // vocabulary ran twice per action (4-row checkpoint)
+      .localCheckpoint(eager = false)
     val med = groups
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -446,8 +450,15 @@ object Sketches {
     * RollDays× the (day, user) DISTINCT relation — bounded by users,
     * not events. */
   def q205RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    // EPOCH day, not dayofmonth: a day-of-month key conflates Jan 15
+    // with Feb 15 (and both spellings made the identical mistake, so
+    // the gate could not see it) — any corpus longer than one month
+    // would merge cross-month users into one "day". Epoch days make
+    // the rolling window correct at any span; the completeness filter
+    // anchors on the observed minimum day instead of day-of-month 1.
     val ev = Tables.events(s, dir)
-      .select(dayofmonth(col("ts")).cast("long").as("day"), col("user_id"))
+      .select(expr("datediff(to_date(ts), to_date('1970-01-01'))")
+        .cast("long").as("day"), col("user_id"))
     val daily = ev.groupBy(col("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
@@ -461,13 +472,14 @@ object Sketches {
     // falls in — distinct-reduced BEFORE the explode
     val exact = ev.distinct()
       .select(explode(sequence(col("day"),
-        least(col("day") + (RollDays - 1), lit(31L)))).as("wday"),
+        col("day") + (RollDays - 1))).as("wday"),
         col("user_id"))
       .groupBy(col("wday"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
       .withColumnRenamed("wday", "day")
-    est.join(exact, Seq("day"))
-      .filter(col("day") >= RollDays) // complete windows only
+    val minDay = ev.agg(min(col("day")).as("mn"))
+    est.join(exact, Seq("day")).crossJoin(broadcast(minDay))
+      .filter(col("day") >= col("mn") + (RollDays - 1)) // complete windows
       .select(col("day"), col("exact_users"),
         (abs(col("est") - col("exact_users")).cast("double") <=
           col("exact_users").cast("double") * 0.05).as("est_within_5pct"))
@@ -478,7 +490,8 @@ object Sketches {
     * flags — the q36/q37 oracle pattern for engine-specific sketches. */
   val q205Sql: String =
     s"""WITH du AS (
-       |  SELECT DISTINCT CAST(day(ts) AS BIGINT) AS day, user_id
+       |  SELECT DISTINCT CAST(date_diff('day', DATE '1970-01-01',
+       |      CAST(ts AS DATE)) AS BIGINT) AS day, user_id
        |  FROM events),
        |win AS (
        |  SELECT w.day AS wday, du.user_id
@@ -487,7 +500,8 @@ object Sketches {
        |SELECT wday AS day,
        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
        |  TRUE AS est_within_5pct
-       |FROM win WHERE wday >= $RollDays
+       |FROM win
+       |WHERE wday >= (SELECT min(day) FROM du) + ${RollDays - 1}
        |GROUP BY wday ORDER BY day""".stripMargin
 
   // ---- q195: KMV/theta distinct sketch with merge + intersection ---------

@@ -90,9 +90,16 @@ object Subqueries {
     * Outputs only count/max (order-independent) so the oracle matches. */
   def q41TypedAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // primitive-Double decode requires non-NULL inputs (a NULL would
+    // throw "Null value appeared in non-nullable field", where the
+    // oracle's aggregate silently skips) — the q02/q03 defensive
+    // filter, declared in BOTH spellings so parity holds by
+    // construction even on a corpus with NULL numerics
     val ds: Dataset[LineItem] = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
         "l_returnflag")
+      .filter(col("l_quantity").isNotNull &&
+        col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
       .as[LineItem]
     ds.groupByKey(_.l_returnflag)
       .mapGroups { (flag, rows) =>
@@ -107,6 +114,8 @@ object Subqueries {
   val q41Sql: String =
     """SELECT l_returnflag, count(*) AS n, max(l_quantity) AS max_qty
       |FROM lineitem
+      |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  AND l_discount IS NOT NULL
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
@@ -115,7 +124,7 @@ object Subqueries {
   /** Pair count above which the exact all-pairs baseline refuses to run
     * raw — the q23/[[graft.ext.Text.UncappedPairBound]] discipline
     * applied to the embedding crossJoin. */
-  val AllPairsBound: Long = 1L << 31
+  val AllPairsBound: Long = graft.ext.Text.UncappedPairBound // ONE policy
 
   /** q42 — embedding-cosine near-duplicate pairs (exact all-pairs ≥ 0.35,
     * integer-only output). Exact formulation, kept as the oracle baseline

@@ -186,11 +186,15 @@ class SkewSketchSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.nonEmpty)
     assert(rows.forall(_._3), s"an estimate escaped 5%: ${rows.mkString(",")}")
+    // EPOCH days, matching the query's fixed key (dayofmonth conflated
+    // months — see q205's comment)
     val du = graft.tables.Tables.events(spark, sf)
-      .select(dayofmonth(col("ts")).cast("long").as("d"), col("user_id"))
+      .select(expr("datediff(to_date(ts), to_date('1970-01-01'))")
+        .cast("long").as("d"), col("user_id"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val minDay = du.map(_._1).min
     rows.foreach { case (day, exact, _) =>
-      assert(day >= Sketches.RollDays)
+      assert(day >= minDay + Sketches.RollDays - 1)
       val expect = du.filter(t => t._1 > day - Sketches.RollDays &&
         t._1 <= day).map(_._2).distinct.length.toLong
       assert(exact === expect, s"day $day exact rolling distinct")
