@@ -461,6 +461,9 @@ object Sketches {
         .cast("long").as("day"), col("user_id"))
     val daily = ev.groupBy(col("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      // feeds the window union AND the min-day anchor (≤#days rows);
+      // un-checkpointed, the anchor would re-run the sketch scan
+      .localCheckpoint(eager = false)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
       // RANGE on the day VALUE (not row offsets): a day with no events
       // must not stretch the window (≤31 rows total: bounded window)
@@ -477,7 +480,9 @@ object Sketches {
       .groupBy(col("wday"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
       .withColumnRenamed("wday", "day")
-    val minDay = ev.agg(min(col("day")).as("mn"))
+    // min day from the ≤#days DAILY relation, not the corpus — the
+    // plan lock pins ≤2 corpus scans (sketch arm + exact arm)
+    val minDay = daily.agg(min(col("day")).as("mn"))
     est.join(exact, Seq("day")).crossJoin(broadcast(minDay))
       .filter(col("day") >= col("mn") + (RollDays - 1)) // complete windows
       .select(col("day"), col("exact_users"),
