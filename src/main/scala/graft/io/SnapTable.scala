@@ -92,12 +92,31 @@ object SnapTable {
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
   }
 
+  /** The non-comment entry lines of a manifest's text — THE entry
+    * parse, shared by every reader of a fetched manifest (readEntries,
+    * the delta walk) so no caller can drift on comment/blank handling. */
+  private def entriesOfText(text: String): Seq[String] =
+    text.split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
+  /** The `# key=value` header map of a manifest's text — THE meta
+    * parse, shared by manifestMeta and the delta walk (a literal-prefix
+    * string match would silently diverge on any formatting change). */
+  private def metaOfText(text: String): Map[String, String] =
+    text.split("\n").map(_.trim)
+      .filter(_.startsWith("#"))
+      .flatMap { l =>
+        l.drop(1).trim.split("=", 2) match {
+          case Array(k, v2) => Some(k -> v2)
+          case _ => None
+        }
+      }.toMap
+
   /** Raw manifest entries: `path` or `path\tmin\tmax` when the table
     * carries per-file column stats (the data-skipping metadata). */
   private[graft] def readEntries(spark: SparkSession, dir: String,
       v: Int): Seq[String] =
-    readText(spark, dir, v).split("\n").map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    entriesOfText(readText(spark, dir, v))
 
   private def entryPath(e: String): String = e.split('\t').head
 
@@ -110,14 +129,7 @@ object SnapTable {
     * because it rides the same rename. */
   private[graft] def manifestMeta(spark: SparkSession, dir: String,
       v: Int): Map[String, String] =
-    readText(spark, dir, v).split("\n").map(_.trim)
-      .filter(_.startsWith("#"))
-      .flatMap { l =>
-        l.drop(1).trim.split("=", 2) match {
-          case Array(k, v2) => Some(k -> v2)
-          case _ => None
-        }
-      }.toMap
+    metaOfText(readText(spark, dir, v))
 
   /** The manifest-relative two-component key of a data file
     * ("wNNNNN-token/part-....parquet") — how absolute/URI paths from
@@ -134,11 +146,14 @@ object SnapTable {
     * `pos` of data file `file_key` is deleted in this snapshot. Empty
     * for a table no merge-on-read delete ever touched — every reader
     * keeps its original plan then. */
+  private def delFilesOfMeta(meta: Map[String, String]): Seq[String] =
+    meta.get("delete_files").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   private[graft] def deleteFilesOf(spark: SparkSession, dir: String,
       v: Int): Seq[String] =
     if (v == 0) Seq.empty
-    else manifestMeta(spark, dir, v).get("delete_files").toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    else delFilesOfMeta(manifestMeta(spark, dir, v))
 
   /** [[pathKey]] as a codegen'd column over the hidden `_metadata`
     * file-source column — the join key that matches scanned rows back
@@ -159,8 +174,13 @@ object SnapTable {
     * exists for); no hint is forced, so a pathological
     * most-of-the-table DV degrades to a shuffle join instead of an
     * executor OOM. */
-  private[graft] def readKeyed(spark: SparkSession, dir: String,
-      rels: Seq[String], delFiles: Seq[String]): DataFrame = {
+  /** Scoped scan of manifest-relative data paths KEEPING the row
+    * identity columns `__fk`/`__pos`, before any deletion vector is
+    * applied — the shared base of [[readKeyed]] and the DV-aware IVM
+    * terms (which need an INNER join against vector positions, not the
+    * anti-join). */
+  private def rawKeyed(spark: SparkSession, dir: String,
+      rels: Seq[String]): DataFrame = {
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(rels.map(r => s"$dir/$r"): _*)
     // the row-identity columns are internal; a user column of the same
@@ -169,13 +189,24 @@ object SnapTable {
     Seq("__fk", "__pos").foreach(c => require(!raw.columns.contains(c),
       s"SnapTable: column name '$c' is reserved for the row-identity " +
         s"machinery (deletion vectors / rewrite paths) — rename it in $dir"))
-    val base = raw
+    raw
       .withColumn("__fk", fileKeyCol)
       .withColumn("__pos", col("_metadata.row_index"))
+  }
+
+  /** A deletion-vector file set as its (`__fk`, `__pos`) pair relation —
+    * the join key shape both the read-side anti-join and the IVM's
+    * covered-row lookup consume. */
+  private def dvPairs(spark: SparkSession, dir: String,
+      delFiles: Seq[String]): DataFrame =
+    spark.read.parquet(delFiles.map(r => s"$dir/$r"): _*)
+      .select(col("file_key").as("__fk"), col("pos").as("__pos"))
+
+  private[graft] def readKeyed(spark: SparkSession, dir: String,
+      rels: Seq[String], delFiles: Seq[String]): DataFrame = {
+    val base = rawKeyed(spark, dir, rels)
     if (delFiles.isEmpty) base
-    else base.join(
-      spark.read.parquet(delFiles.map(r => s"$dir/$r"): _*)
-        .select(col("file_key").as("__fk"), col("pos").as("__pos")),
+    else base.join(dvPairs(spark, dir, delFiles),
       Seq("__fk", "__pos"), "left_anti")
   }
 
@@ -791,8 +822,9 @@ object SnapTable {
       entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
     val newFiles = writeData(updates, dir, v + 1, statsColsOf(s, dir, v))
     // same sidecar-leak rule as deleteWhereMorFrom: a conflicted commit
-    // leaves the vector (and the update files — orphan-dir litter like
-    // any crashed writer's) unreferenced; clean the vector up
+    // leaves the vector AND the just-written update files unreferenced
+    // (vacuum only retires files listed in retired manifests, so both
+    // would leak forever); both paths are known here — delete both
     try occCommit(s, dir, v, touched.toSet, Set.empty, newFiles,
       statsMeta(s, dir, v),
       addDeleteFiles = (if (touchedKeys.isEmpty) Seq.empty else parts),
@@ -800,6 +832,9 @@ object SnapTable {
     catch {
       case scala.util.control.NonFatal(e) =>
         if (touchedKeys.nonEmpty) f.delete(new Path(s"$dir/$rel"), true)
+        newFiles.map(p =>
+          entryPath(p).split('/').dropRight(1).mkString("/")).distinct
+          .foreach(d0 => f.delete(new Path(s"$dir/$d0"), true))
         throw e
     }
   }
@@ -1488,16 +1523,10 @@ object SnapTable {
         .toDF("source", "n_docs", "total_chars")
         .orderBy(col("source"))
     } else {
-      // both the delta rule (manifestDeltas) AND the per-delta aggregate
-      // (ivmSourceAgg) are the shared primitives the streaming fold uses
-      // — neither spelling can drift from the other
-      def signedAgg(paths: Set[String], sign: Long): Option[DataFrame] =
-        ivmSourceAgg(s, d, paths).map(_.select(col("source"),
-          (col("dn") * sign).as("dn"), (col("dchars") * sign).as("dchars")))
-      val deltas = manifestDeltas(s, d, 0, vmax).flatMap {
-        case (added, removed) =>
-          signedAgg(added, 1L) ++ signedAgg(removed, -1L)
-      }
+      // the per-transition signed frames (ivmDeltaFrames) are the shared
+      // primitive the streaming fold uses too — neither spelling can
+      // drift from the other
+      val deltas = ivmDeltaFramesBetween(s, d, 0, vmax)
       require(deltas.nonEmpty, s"SnapTable: $d holds no foldable deltas")
       deltas
         .reduce(_ unionByName _)
@@ -1509,61 +1538,118 @@ object SnapTable {
     }
   }
 
-  /** (added, removed) file-path deltas of each version transition in
-    * (fromV, toV] — THE manifest-delta rule, shared by the q251 batch
-    * IVM and the streaming fold so the two cannot drift. Each manifest
-    * is read exactly once (the previous version's file set carries
-    * forward), so a walk over V versions costs V+1 manifest reads, not
-    * 2V — on HDFS that is NameNode round-trips on a stream's recovery
-    * path. `fromV = 0` starts from the empty table (v1's delta = its
-    * whole file set). */
-  private[graft] def manifestDeltas(s: SparkSession, dir: String,
-      fromV: Int, toV: Int): Seq[(Set[String], Set[String])] = {
+  /** One version transition's DV-AWARE delta: the data files the commit
+    * added/removed/carried, plus both endpoints' deletion-vector sets —
+    * everything the IVM/CDC fold needs to account row-level (sidecar)
+    * deletes alongside file-level changes. */
+  private[graft] case class VersionDelta(addedFiles: Set[String],
+      removedFiles: Set[String], carriedFiles: Set[String],
+      dvFrom: Seq[String], dvTo: Seq[String]) {
+    def sidecarsAdded: Seq[String] = dvTo.filterNot(dvFrom.toSet)
+    def sidecarsDropped: Seq[String] = dvFrom.filterNot(dvTo.toSet)
+  }
+
+  /** The DV-aware delta of each version transition in (fromV, toV] —
+    * THE delta rule, shared by the q251/q264 batch IVM and the streaming
+    * fold so the spellings cannot drift. Each manifest is read exactly
+    * once (entries AND delete_files parse from the same fetched text,
+    * via the same metaOfText/entriesOfText logic every other reader
+    * uses), so a walk over V versions costs V+1 manifest reads — on
+    * HDFS that is NameNode round-trips on a stream's recovery path.
+    * `fromV = 0` starts from the empty table (v1's delta = its whole
+    * file set). */
+  private[graft] def versionDeltas(s: SparkSession, dir: String,
+      fromV: Int, toV: Int): Seq[VersionDelta] = {
     if (fromV >= toV) return Seq.empty // no-op walk reads no manifest
-    // FILE-level deltas are blind to merge-on-read deletion vectors:
-    // a DV commit changes visible rows with an IDENTICAL file list
-    // (delta = ∅ → the fold silently misses the delete), and a later
-    // rewrite of a DV-covered file would subtract the file's FULL
-    // contents where the view only ever held the un-deleted part. The
-    // whole walk therefore requires a DV-free window — OPTIMIZE folds
-    // vectors into a clean rewrite, after which folding resumes (the
-    // fold's vacuum-reseed path re-seeds from a post-optimize
-    // manifest; see [[ivmFoldSourceStats]]). ONE readText per version:
-    // entries and the DV check parse the same manifest text (this walk
-    // runs per micro-batch on the streaming IVM path — a second fetch
-    // per version would double the NameNode/object-store round-trips
-    // the V+1-reads design note above exists to bound).
-    def pathsOfDvFree(v: Int): Set[String] = {
-      val text = readText(s, dir, v)
-      require(!text.split("\n").exists(_.trim.startsWith("# delete_files=")),
-        s"SnapTable: v$v of $dir carries merge-on-read deletion " +
-          "vectors — file-level IVM/CDC deltas cannot see row-level " +
-          "deletes; OPTIMIZE to fold them away, then re-seed the fold")
-      text.split("\n").map(_.trim)
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map(entryPath).toSet
-    }
-    var prev: Set[String] =
-      if (fromV <= 0) Set.empty else pathsOfDvFree(fromV)
+    def parse(v: Int): (Set[String], Seq[String]) =
+      if (v <= 0) (Set.empty, Seq.empty)
+      else {
+        val text = readText(s, dir, v)
+        (entriesOfText(text).map(entryPath).toSet,
+          delFilesOfMeta(metaOfText(text)))
+      }
+    var (prevFiles, prevDv) = parse(fromV)
     (fromV + 1 to toV).map { v =>
-      val cur = pathsOfDvFree(v)
-      val d = (cur -- prev, prev -- cur)
-      prev = cur
+      val (curFiles, curDv) = parse(v)
+      val d = VersionDelta(curFiles -- prevFiles, prevFiles -- curFiles,
+        curFiles intersect prevFiles, prevDv, curDv)
+      prevFiles = curFiles; prevDv = curDv
       d
     }
   }
 
-  /** Per-source (dn, dchars) aggregate of a file-path set — THE IVM
-    * aggregate spelling, shared by the q251 batch query and the
-    * streaming fold so the two compute the same view by construction.
-    * None for an empty path set. */
-  private def ivmSourceAgg(s: SparkSession, dir: String,
-      paths: Set[String]): Option[DataFrame] =
-    if (paths.isEmpty) None
-    else Some(s.read.option("mergeSchema", "true")
-      .parquet(paths.toSeq.sorted.map(p => s"$dir/$p"): _*)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("dn"), sum(col("n_chars")).as("dchars")))
+  /** Signed per-source (source, dn, dchars) aggregate of a row relation
+    * — the IVM aggregate spelling, shared by every delta term. */
+  private def ivmSignedAgg(rows: DataFrame, sign: Long): DataFrame =
+    rows.groupBy(col("source"))
+      .agg((count(lit(1)) * sign).as("dn"),
+        (sum(col("n_chars")) * sign).as("dchars"))
+
+  /** The rows a sidecar set covers WITHIN `scope` files: a scoped read
+    * of ONLY the data files the sidecars actually touch (one bounded
+    * ≤#files distinct over the sidecar rows picks them), inner-joined
+    * back on (file, pos) — how a deletion-vector commit folds as a
+    * NEGATIVE delta without rescanning the table. None when the
+    * sidecars touch nothing in scope. */
+  private def dvCoveredRows(s: SparkSession, dir: String,
+      sidecars: Seq[String], scope: Set[String]): Option[DataFrame] = {
+    if (sidecars.isEmpty || scope.isEmpty) return None
+    val dv = dvPairs(s, dir, sidecars)
+    val scopeKeys = scope.map(pathKey)
+    val touchedKeys = dv.select(col("__fk")).distinct()
+      .collect().map(_.getString(0)).filter(scopeKeys.contains).toSet
+    if (touchedKeys.isEmpty) return None
+    val touched = scope.filter(p => touchedKeys.contains(pathKey(p)))
+    Some(rawKeyed(s, dir, touched.toSeq.sorted)
+      .join(dv, Seq("__fk", "__pos")).drop("__fk", "__pos"))
+  }
+
+  /** The signed per-source aggregate frames of ONE transition — the
+    * DV-AWARE IVM delta rule (round 13's file-level refusal, closed):
+    *
+    *  - files ADDED contribute their rows NET of the destination
+    *    version's vectors (a mergeMor's own update files are clean, but
+    *    a stacked later vector may already cover an added file);
+    *  - files REMOVED subtract what was VISIBLE of them at the source
+    *    version — their content net of the source's vectors (a CoW
+    *    rewrite of a DV-covered file must not subtract rows the view
+    *    never held);
+    *  - sidecars ADDED over carried files subtract exactly the rows
+    *    their (file, pos) entries cover — a scoped read of only the
+    *    DV'd files, never the table (positions are recorded against the
+    *    DV-applied view, so they never overlap an earlier vector);
+    *  - sidecars DROPPED over carried files add those rows back (no
+    *    current writer produces this — optimize removes every file it
+    *    un-vectors — but the algebra is kept total for soundness).
+    *
+    * Each term reads only changed/covered files, so a transition's fold
+    * cost tracks the commit size, not the table — the property that
+    * makes incremental maintenance worth having at 100 TB. */
+  private def ivmDeltaFrames(s: SparkSession, dir: String,
+      d: VersionDelta): Seq[DataFrame] = {
+    val added =
+      if (d.addedFiles.isEmpty) None
+      else Some(ivmSignedAgg(
+        readKeyed(s, dir, d.addedFiles.toSeq.sorted, d.dvTo)
+          .drop("__fk", "__pos"), 1L))
+    val removed =
+      if (d.removedFiles.isEmpty) None
+      else Some(ivmSignedAgg(
+        readKeyed(s, dir, d.removedFiles.toSeq.sorted, d.dvFrom)
+          .drop("__fk", "__pos"), -1L))
+    val vectored = dvCoveredRows(s, dir, d.sidecarsAdded, d.carriedFiles)
+      .map(ivmSignedAgg(_, -1L))
+    val unvectored = dvCoveredRows(s, dir, d.sidecarsDropped, d.carriedFiles)
+      .map(ivmSignedAgg(_, 1L))
+    (added ++ removed ++ vectored ++ unvectored).toSeq
+  }
+
+  /** Every transition's signed frames across (fromV, toV] — the shared
+    * feed of the union-spelling batch IVM (q251/q264) and the chunked
+    * streaming fold. */
+  private[graft] def ivmDeltaFramesBetween(s: SparkSession, dir: String,
+      fromV: Int, toV: Int): Seq[DataFrame] =
+    versionDeltas(s, dir, fromV, toV).flatMap(ivmDeltaFrames(s, dir, _))
 
   /** Fold the manifest deltas of versions (fromV, toV] into a carried
     * per-source (n_docs, char_sum) state — q251's IVM step as a
@@ -1650,33 +1736,37 @@ object SnapTable {
     if (toV <= 0) return keep(state) // empty table: benign no-op
     val f = fs(s, dir)
     var st = state
-    def fold(paths: Set[String], sign: Long): Unit =
-      ivmSourceAgg(s, dir, paths).foreach(_.collect().foreach { r =>
+    def merge(frame: DataFrame): Unit =
+      frame.collect().foreach { r =>
         val k = r.getString(0)
         val dch = if (r.isNullAt(2)) 0L else r.getLong(2)
         val (n0, c0) = st.getOrElse(k, (0L, 0L))
-        st = st.updated(k, (n0 + sign * r.getLong(1), c0 + sign * dch))
-      })
+        st = st.updated(k, (n0 + r.getLong(1), c0 + dch))
+      }
     var base = fromV
+    var seed: Option[DataFrame] = None
     if (base <= 0 || !f.exists(manifestPath(dir, base))) {
       val r = oldestRetainedVersion(s, dir)
       require(r >= 1 && r <= toV,
         s"SnapTable: no retained manifest ≤ v$toV under $dir")
-      // a whole-table re-seed from a DV-carrying snapshot would count
-      // rows the vectors deleted — same blindness manifestDeltas
-      // refuses; a post-OPTIMIZE (vector-free) manifest re-seeds fine
-      require(deleteFilesOf(s, dir, r).isEmpty,
-        s"SnapTable: v$r of $dir carries merge-on-read deletion " +
-          "vectors — file-level IVM cannot re-seed from it; OPTIMIZE " +
-          "to fold them away first")
       st = Map.empty // stale carried state cannot be advanced delta-wise
-      fold(readEntries(s, dir, r).map(entryPath).toSet, 1L)
+      // a whole-table re-seed reads the retained snapshot UNDER its
+      // deletion vectors (readScoped), so a DV-carrying manifest seeds
+      // exactly the visible rows — round 13's refusal, closed
+      seed = Some(ivmSignedAgg(
+        readScoped(s, dir, readManifest(s, dir, r), r), 1L))
       base = r
     }
-    manifestDeltas(s, dir, base, toV).foreach { case (added, removed) =>
-      fold(added, 1L)
-      fold(removed, -1L)
-    }
+    // chunked fold: union up to IvmUnionMaxVersions-worth of signed
+    // frames per job instead of one blocking collect per delta — a deep
+    // window (a restart's re-seed walk) pays V/16 jobs, not 2V, while
+    // each per-frame result stays #sources-bounded on the driver
+    (seed.toSeq ++ ivmDeltaFramesBetween(s, dir, base, toV))
+      .grouped(IvmUnionMaxVersions).foreach { g =>
+        merge(g.reduce(_ unionByName _)
+          .groupBy(col("source"))
+          .agg(sum(col("dn")).as("dn"), sum(col("dchars")).as("dchars")))
+      }
     keep(st)
   }
 
@@ -2197,7 +2287,78 @@ object SnapTable {
       |WHERE doc_id % 10 <> 8
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** The DV-IVM fixture, once per (session, dir): a 6-version history
+    * interleaving every commit kind the fold must account — v1 create
+    * (evens), v2 append (odds), v3 MoR delete (doc_id % 10 == 3, a pure
+    * sidecar commit: file delta = ∅), v4 MoR MERGE (doc_id % 9 == 4 →
+    * source='upserted', n_chars + 1000: sidecar over OLD files + new
+    * update files in one commit), v5 append (doc_id % 1000 == 7 →
+    * 'restated'), v6 a second MoR delete (source='src2' ∧ doc_id % 5
+    * == 0) whose sidecar stacks over everything. Closed-form predicates
+    * throughout, so the DuckDB oracle recomputes the final view from
+    * raw parquet. */
+  private val ivmDvCache = new graft.ops.SessionMemo[String]
+  private def ivmDvDocs(s: SparkSession, dir: String): String =
+    ivmDvCache.getOrBuild(s, dir) {
+      val d = graft.ops.TempDirs.create("graft_snap_ivmdv_") // JVM-exit cleaned
+      val docs = graft.tables.Tables.documents(s, dir)
+      create(docs.filter(col("doc_id") % 2 === 0), d)
+      append(docs.filter(col("doc_id") % 2 =!= 0), d)
+      deleteWhereMor(s, d, col("doc_id") % 10 === 3)
+      mergeMor(docs.filter(col("doc_id") % 9 === 4)
+        .withColumn("source", lit("upserted"))
+        .withColumn("n_chars", col("n_chars") + 1000L), d, "doc_id")
+      append(docs.filter(col("doc_id") % 1000 === 7)
+        .withColumn("source", lit("restated")), d)
+      deleteWhereMor(s, d,
+        col("source") === "src2" && col("doc_id") % 5 === 0)
+      d
+    }
+
+  /** q264 — DV-AWARE INCREMENTAL VIEW MAINTENANCE under the value gate:
+    * the per-source aggregate at the current version computed by folding
+    * each transition's DV-aware delta ([[ivmDeltaFrames]]) across a
+    * history where two deletes and a merge's delete arm exist ONLY as
+    * deletion-vector sidecars — the round-13 refusal (file-level folds
+    * are blind to row-level deletes) closed by folding each sidecar's
+    * (file, pos) rows as a NEGATIVE delta via a scoped read of only the
+    * DV'd files. At 100 TB this is what makes MoR and IVM compose: a
+    * GDPR delete costs the downstream view one sidecar-sized fold, not
+    * the OPTIMIZE-then-rescan the refusal used to force. The oracle is
+    * the full-rescan closed form, so the gate proves fold ≡ rescan
+    * value-exactly across append, MoR delete, MoR merge, and a stacked
+    * vector. */
+  def snapshotIvmDvStats(s: SparkSession, dir: String): DataFrame = {
+    val d = ivmDvDocs(s, dir)
+    val frames = ivmDeltaFramesBetween(s, d, 0, currentVersion(s, d))
+    require(frames.nonEmpty, s"SnapTable: $d holds no foldable deltas")
+    frames
+      .reduce(_ unionByName _)
+      .groupBy(col("source"))
+      .agg(sum(col("dn")).as("n_docs"),
+        sum(col("dchars")).as("total_chars"))
+      .filter(col("n_docs") > 0)
+      .orderBy(col("source"))
+  }
+
+  val snapshotIvmDvStatsSql: String =
+    """WITH live AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE doc_id % 10 <> 3 AND doc_id % 9 <> 4
+      |  UNION ALL
+      |  SELECT doc_id, 'upserted' AS source, n_chars + 1000 AS n_chars
+      |  FROM documents WHERE doc_id % 9 = 4
+      |  UNION ALL
+      |  SELECT doc_id, 'restated' AS source, n_chars FROM documents
+      |  WHERE doc_id % 1000 = 7)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM live
+      |WHERE NOT (source = 'src2' AND doc_id % 5 = 0)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_ivm_dv" -> (snapshotIvmDvStats _),
     "q261_mor_delete" -> (snapshotMorStats _),
     "q262_mor_time_travel" -> (morTimeTravelAudit _),
     "q263_mor_merge" -> (snapshotMorMergeStats _),
@@ -2214,6 +2375,7 @@ object SnapTable {
     "q251_snapshot_ivm" -> (snapshotIvmStats _))
 
   val oracles: Map[String, String] = Map(
+    "q264_ivm_dv" -> snapshotIvmDvStatsSql,
     "q261_mor_delete" -> snapshotMorStatsSql,
     "q262_mor_time_travel" -> morTimeTravelAuditSql,
     "q263_mor_merge" -> snapshotMorMergeStatsSql,

@@ -1003,21 +1003,89 @@ class SnapTableSpec extends SparkSpec {
     assert(rows.size === 19) // 0..19 minus {10} (5 re-inserted)
   }
 
-  test("file-level IVM/CDC deltas refuse a DV-carrying history and " +
-      "resume after optimize folds the vectors") {
+  // ---- DV-aware IVM/CDC folds (the round-13 refusal, closed) -------------
+
+  /** Rescan closed form the fold must match. */
+  private def rescanStats(d: String): Map[String, (Long, Long)] =
+    SnapTable.read(spark, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("cs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("IVM folds a stacked-DV window: MoR deletes and a MoR merge " +
+      "fold as negative sidecar deltas, equal to the full rescan") {
     val d = tmp()
-    SnapTable.create(Seq((1L, "a", 10L)).toDF("doc_id", "source", "n_chars"), d)
-    SnapTable.deleteWhereMor(spark, d, col("doc_id") === 99L) // no-op, v stays 1
-    SnapTable.append(Seq((2L, "a", 20L)).toDF("doc_id", "source", "n_chars"), d)
-    SnapTable.deleteWhereMor(spark, d, col("doc_id") === 1L) // v3: DV
-    val e = intercept[IllegalArgumentException](
-      SnapTable.manifestDeltas(spark, d, 0, SnapTable.currentVersion(spark, d)))
-    assert(e.getMessage.contains("deletion"), e.getMessage)
-    // fold-away-then-reseed: after optimize the walk from the clean
-    // version works again
-    SnapTable.optimize(spark, d, targetFiles = 1) // v4: folds
-    val deltas = SnapTable.manifestDeltas(spark, d, 4,
-      SnapTable.currentVersion(spark, d))
-    assert(deltas.isEmpty) // nothing after v4 yet — and no refusal
+    SnapTable.create((0L until 60L).map(i => (i, s"s${i % 3}", 10L))
+      .toDF("doc_id", "source", "n_chars")
+      .repartitionByRange(3, col("doc_id")), d)
+    SnapTable.deleteWhereMor(spark, d, col("doc_id") % 10 === 3)  // v2: DV
+    SnapTable.deleteWhereMor(spark, d, col("doc_id") % 10 === 7)  // v3 stacks
+    SnapTable.mergeMor((0L until 60L by 9L).map(i => (i, "up", 500L))
+      .toDF("doc_id", "source", "n_chars"), d, "doc_id")          // v4: both arms
+    SnapTable.append(Seq((1000L, "late", 7L))
+      .toDF("doc_id", "source", "n_chars"), d)                    // v5 carries
+    val folded = SnapTable.ivmFoldSourceStats(spark, d, 0,
+      SnapTable.currentVersion(spark, d), Map.empty)
+    assert(folded === rescanStats(d), "DV-aware fold drifted from rescan")
+    // incremental advance: fold ONLY the new version after another
+    // stacked MoR delete — the sidecar folds as a negative delta
+    val v0 = SnapTable.currentVersion(spark, d)
+    SnapTable.deleteWhereMor(spark, d, col("source") === "up" &&
+      col("doc_id") % 2 === 0)                                    // v6 stacks
+    val advanced = SnapTable.ivmFoldSourceStats(spark, d, v0,
+      SnapTable.currentVersion(spark, d), folded)
+    assert(advanced === rescanStats(d), "incremental DV fold drifted")
+    // and the batch union spelling agrees with the fold
+    val union = SnapTable.snapshotIvmStatsOf(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(union === advanced, "union spelling drifted from the fold")
+  }
+
+  test("IVM re-seeds from a DV-carrying retained manifest after vacuum " +
+      "(reads the snapshot under its vectors) and a CoW rewrite of a " +
+      "DV-covered file subtracts only the visible rows") {
+    val d = tmp()
+    SnapTable.create((0L until 40L).map(i => (i, s"s${i % 2}", 10L))
+      .toDF("doc_id", "source", "n_chars")
+      .repartitionByRange(2, col("doc_id")), d)
+    SnapTable.deleteWhereMor(spark, d, col("doc_id") % 4 === 1)  // v2: DV
+    // CoW delete rewrites a DV-covered file: the removed file's OLD
+    // visible content (net of v2's vector) must subtract, not its full
+    // parquet contents
+    SnapTable.deleteWhere(spark, d, col("doc_id") === 6L)        // v3: rewrite
+    SnapTable.append(Seq((100L, "s0", 5L))
+      .toDF("doc_id", "source", "n_chars"), d)                   // v4
+    assert(SnapTable.ivmFoldSourceStats(spark, d, 0,
+      SnapTable.currentVersion(spark, d), Map.empty) === rescanStats(d))
+    // vacuum away v1/v2 so a fresh fold MUST re-seed from a retained
+    // manifest; v3 still carries the (partially dangling) vector meta
+    SnapTable.vacuum(spark, d, retain = 2)
+    assert(SnapTable.deleteFilesOf(spark, d, 3).nonEmpty,
+      "fixture: the retained re-seed manifest should carry a vector")
+    assert(SnapTable.ivmFoldSourceStats(spark, d, 0,
+      SnapTable.currentVersion(spark, d), Map.empty) === rescanStats(d),
+      "re-seed from a DV-carrying manifest drifted from rescan")
+  }
+
+  test("CDC counts see a DV transition: a MoR delete diffs as deletes, " +
+      "a MoR merge as updates + inserts") {
+    val d = tmp()
+    SnapTable.create((0L until 20L).map(i => (i, s"v$i")).toDF("id", "s"), d)
+    SnapTable.deleteWhereMor(spark, d, col("id") < 3L)           // v2: DV
+    SnapTable.mergeMor(Seq((5L, "NEW5"), (100L, "NEW100"))
+      .toDF("id", "s"), d, "id")                                 // v3: DV+files
+    def diff(a: Int, b: Int): (Long, Long, Long) = {
+      val fa = SnapTable.read(spark, d, Some(a))
+        .select(col("id"), col("s").as("sa"))
+      val fb = SnapTable.read(spark, d, Some(b))
+        .select(col("id"), col("s").as("sb"))
+      val j = fa.join(fb, Seq("id"), "full_outer").collect()
+      (j.count(r => r.isNullAt(1)),                       // inserted
+        j.count(r => r.isNullAt(2)),                      // deleted
+        j.count(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+          r.getString(1) != r.getString(2)))              // updated
+    }
+    assert(diff(1, 2) === (0L, 3L, 0L), "MoR delete must diff as deletes")
+    assert(diff(2, 3) === (1L, 0L, 1L), "MoR merge must diff as upsert")
   }
 }
