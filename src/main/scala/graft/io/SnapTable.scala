@@ -326,6 +326,7 @@ object SnapTable {
       addDeleteFiles: Seq[String] = Seq.empty,
       dropDeleteFiles: Set[String] = Set.empty): Option[Int] = {
     val baseCols = statsColsOf(spark, dir, baseV)
+    val baseBloom = bloomDeclOf(spark, dir, baseV)
     val declared = Seq(meta.get("stats_col"), meta.get("stats_col2")).flatten
     val readPaths = readSet.map(entryPath)
     val baseDel = deleteFilesOf(spark, dir, baseV)
@@ -356,10 +357,11 @@ object SnapTable {
           s"SnapTable: concurrent commit rewrote ${lost.size} file(s) " +
             s"this writer read under $dir (v$baseV→v$cur) — re-plan " +
             "against the current snapshot and retry")
-        if (statsColsOf(spark, dir, cur) != baseCols)
+        if (statsColsOf(spark, dir, cur) != baseCols ||
+            bloomDeclOf(spark, dir, cur) != baseBloom)
           throw new ConcurrentWriteException(
-            s"SnapTable: the stats-column declaration changed " +
-              s"(v$baseV→v$cur) under $dir — this writer's positional " +
+            s"SnapTable: a layout declaration (stats/bloom columns) " +
+              s"changed (v$baseV→v$cur) under $dir — this writer's " +
               "annotations would be misread; re-plan and retry")
         // per-claim SEMANTIC validation of the interloper-added entries
         // (merge's key-disjointness): throws ConcurrentWriteException
@@ -418,7 +420,8 @@ object SnapTable {
     * dirs are unreferenced by any manifest and invisible to readers;
     * they cost disk until manually swept. */
   private[graft] def writeData(df: DataFrame, dir: String, v: Int,
-      statsCols: Seq[String] = Seq.empty): Seq[String] = {
+      statsCols: Seq[String] = Seq.empty,
+      bloom: Option[(String, Int, String)] = None): Seq[String] = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"data/w$v%05d-$token"
     val target = s"$dir/$rel"
@@ -426,7 +429,7 @@ object SnapTable {
     val f = fs(df.sparkSession, dir)
     val rels = f.listStatus(new Path(target)).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
-    if (statsCols.isEmpty) rels
+    val withStats = if (statsCols.isEmpty) rels
     else {
       // per-file [min, max] of EACH stats column (1 for range layouts,
       // 2 for Z-order), one grouped scan of the just-written files —
@@ -448,6 +451,37 @@ object SnapTable {
           case None => r
         }
       }
+    }
+    bloom match {
+      case None => withStats
+      case Some((c, bits, tp)) =>
+        // per-file bloom bits over the declared column: k positions per
+        // row, OR'd into 64-bit words per (file, word) — one scan of the
+        // just-written files + a #files·(bits/64)-bounded shuffle, the
+        // write-side cost of equality skipping. A NULL value hashes to
+        // seed-only positions (spurious bits: extra reads possible,
+        // wrong skips impossible — an equality probe never matches NULL
+        // rows anyway).
+        val ann = df.sparkSession.read.parquet(target)
+          .select(input_file_name().as("f"),
+            array(bloomPositions(col(c).cast(tp), bits): _*).as("ps"))
+          .select(col("f"), explode(col("ps")).as("p"))
+          .select(col("f"), (col("p") / 64).cast("int").as("w"),
+            expr("shiftleft(1L, CAST(pmod(p, 64) AS INT))").as("b"))
+          .groupBy(col("f"), col("w")).agg(bit_or(col("b")).as("word"))
+          .collect()
+          .groupBy(r => pathKey(r.getString(0)))
+          .map { case (fk, rs) =>
+            val arr = new Array[Long](bits / 64)
+            rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+            fk -> arr.map(w => f"$w%016x").mkString
+          }
+        withStats.map { e =>
+          ann.get(pathKey(entryPath(e))) match {
+            case Some(hex) => s"$e\tbf:$hex"
+            case None => e // e.g. a 0-row file: unannotated, always read
+          }
+        }
     }
   }
 
@@ -475,17 +509,88 @@ object SnapTable {
     cols.take(1).map("stats_col" -> _).toMap ++
       cols.drop(1).take(1).map("stats_col2" -> _).toMap
 
+  // ---- per-file bloom bits (equality skipping) ---------------------------
+
+  /** Hash count k of the per-file bloom filters. With m/n ≈ 10+ bits
+    * per distinct value (the default 1024 bits vs the ~100-2000 rows a
+    * well-sized file holds per high-cardinality key), k = 4 keeps the
+    * false-positive rate under ~2% — and a false positive only costs
+    * reading one extra file, never a wrong result (the residual
+    * equality filter stays). */
+  private[graft] final val BloomHashes = 4
+
+  /** Default bloom width in bits (must be a multiple of 64; 1024 bits
+    * = 16 manifest-hex longs = 256 chars per file entry). */
+  private[graft] final val BloomBitsDefault = 1024
+
+  /** The table's bloom declaration (column, bits, Spark type name) —
+    * set at [[create]], carried in every commit's meta like the stats
+    * declaration. The TYPE is recorded because the probe must hash a
+    * literal of the same Spark type the writer hashed (xxhash64 of an
+    * int and of the equal long differ). */
+  private[graft] def bloomDeclOf(spark: SparkSession, dir: String,
+      v: Int): Option[(String, Int, String)] =
+    if (v == 0) None
+    else {
+      val m = manifestMeta(spark, dir, v)
+      m.get("bloom_col").map(c => (c,
+        m.getOrElse("bloom_bits", BloomBitsDefault.toString).toInt,
+        m.getOrElse("bloom_type", "bigint")))
+    }
+
+  private def bloomMetaFor(
+      decl: Option[(String, Int, String)]): Map[String, String] =
+    decl.map { case (c, bits, tp) =>
+      Map("bloom_col" -> c, "bloom_bits" -> bits.toString,
+        "bloom_type" -> tp)
+    }.getOrElse(Map.empty)
+
+  /** Stats + bloom declaration carry — what every appending/rewriting
+    * commit re-passes so both layout declarations survive any writer. */
+  private[graft] def layoutMeta(spark: SparkSession, dir: String,
+      v: Int): Map[String, String] =
+    statsMeta(spark, dir, v) ++ bloomMetaFor(bloomDeclOf(spark, dir, v))
+
+  /** The k bloom bit positions of a value expression — ONE spelling
+    * shared by the write-side per-file aggregation and the probe (the
+    * probe runs it through a 1-row job, so there is no driver-side
+    * hash reimplementation to drift). */
+  private def bloomPositions(value: Column, bits: Int): Seq[Column] =
+    (0 until BloomHashes).map(i =>
+      pmod(xxhash64(value, lit(i)), lit(bits.toLong)))
+
+  /** The numeric stat fields of a manifest entry — everything between
+    * the path and the first TAGGED field (`bf:<hex>` bloom bits carry a
+    * ':' that no stats long can). */
+  private def statFields(e: String): Array[String] =
+    e.split('\t').drop(1).takeWhile(f => !f.contains(':'))
+
+  private def bloomHexOf(e: String): Option[String] =
+    e.split('\t').find(_.startsWith("bf:")).map(_.stripPrefix("bf:"))
+
   /** Create snapshot v1 from `df` (dir must hold no table yet).
     * `statsCol` (an integral column) turns on per-file min/max stats in
     * every manifest from here on — the metadata [[readPruned]] skips
-    * files with. */
+    * files with. `bloomCol` turns on per-file bloom bits for EQUALITY
+    * probes on a high-cardinality key ([[readPrunedEq]]) — the skipping
+    * min/max cannot give a point lookup (every hash-laid-out file spans
+    * the full range; even perfect clustering bounds, not identifies). */
   def create(df: DataFrame, dir: String,
-      statsCol: Option[String] = None): Unit = {
+      statsCol: Option[String] = None,
+      bloomCol: Option[String] = None,
+      bloomBits: Int = BloomBitsDefault): Unit = {
     require(currentVersion(df.sparkSession, dir) == 0,
       s"SnapTable: $dir already holds a table — use append/deleteWhere")
+    require(bloomBits > 0 && bloomBits % 64 == 0,
+      s"SnapTable: bloomBits must be a positive multiple of 64, got $bloomBits")
+    val decl = bloomCol.map { c =>
+      require(df.columns.contains(c),
+        s"SnapTable: bloom column '$c' is not in ${df.columns.toSeq}")
+      (c, bloomBits, df.schema(c).dataType.catalogString)
+    }
     commitManifest(df.sparkSession, dir, 1,
-      writeData(df, dir, 1, statsCol.toSeq),
-      statsMetaFor(statsCol.toSeq))
+      writeData(df, dir, 1, statsCol.toSeq, decl),
+      statsMetaFor(statsCol.toSeq) ++ bloomMetaFor(decl))
   }
 
   /** Append `df`'s rows as a new snapshot: previous files carry over by
@@ -500,8 +605,9 @@ object SnapTable {
     // commit — the write-dir name carries the PLANNED version, which
     // may trail the committed one after a rebase; the token keeps it
     // unique and manifests reference it either way)
-    val added = writeData(df, dir, v + 1, statsColsOf(s, dir, v))
-    occCommit(s, dir, v, Set.empty, Set.empty, added, statsMeta(s, dir, v))
+    val added = writeData(df, dir, v + 1, statsColsOf(s, dir, v),
+      bloomDeclOf(s, dir, v))
+    occCommit(s, dir, v, Set.empty, Set.empty, added, layoutMeta(s, dir, v))
   }
 
   /** Copy-on-write delete: rows matching `pred` disappear in the new
@@ -551,9 +657,9 @@ object SnapTable {
     val newFiles = writeData(
       readKeyed(spark, dir, touched.map(entryPath), delFiles)
         .filter(!coalesce(pred, lit(false))).drop("__fk", "__pos"),
-      dir, v + 1, statsColsOf(spark, dir, v))
+      dir, v + 1, statsColsOf(spark, dir, v), bloomDeclOf(spark, dir, v))
     occCommit(spark, dir, v, entries.toSet, touched.toSet, newFiles,
-      statsMeta(spark, dir, v))
+      layoutMeta(spark, dir, v))
   }
 
   /** MERGE-ON-READ delete: rows matching `pred` disappear in the new
@@ -620,7 +726,7 @@ object SnapTable {
     // only retires files listed in retired manifests, so without this
     // cleanup every conflicted/retried delete leaks its sidecar forever
     try occCommit(spark, dir, v, touched.toSet, Set.empty, Seq.empty,
-      statsMeta(spark, dir, v), addDeleteFiles = parts)
+      layoutMeta(spark, dir, v), addDeleteFiles = parts)
     catch {
       case scala.util.control.NonFatal(e) =>
         f.delete(new Path(s"$dir/$rel"), true)
@@ -766,8 +872,9 @@ object SnapTable {
     // the base read), so a concurrent rewrite of it conflicts exactly
     // when its REPLACEMENT files clash — which the guard checks.
     occCommit(s, dir, v, touched.toSet, touched.toSet,
-      writeData(survivors, dir, v + 1, statsColsOf(s, dir, v)),
-      statsMeta(s, dir, v),
+      writeData(survivors, dir, v + 1, statsColsOf(s, dir, v),
+        bloomDeclOf(s, dir, v)),
+      layoutMeta(s, dir, v),
       interloperGuard = mergeKeyGuard(s, dir, files.toSet, updKeys, key))
   }
 
@@ -820,13 +927,14 @@ object SnapTable {
     if (touchedKeys.isEmpty) f.delete(new Path(s"$dir/$rel"), true)
     val touched =
       entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
-    val newFiles = writeData(updates, dir, v + 1, statsColsOf(s, dir, v))
+    val newFiles = writeData(updates, dir, v + 1, statsColsOf(s, dir, v),
+      bloomDeclOf(s, dir, v))
     // same sidecar-leak rule as deleteWhereMorFrom: a conflicted commit
     // leaves the vector AND the just-written update files unreferenced
     // (vacuum only retires files listed in retired manifests, so both
     // would leak forever); both paths are known here — delete both
     try occCommit(s, dir, v, touched.toSet, Set.empty, newFiles,
-      statsMeta(s, dir, v),
+      layoutMeta(s, dir, v),
       addDeleteFiles = (if (touchedKeys.isEmpty) Seq.empty else parts),
       interloperGuard = mergeKeyGuard(s, dir, files.toSet, updKeys, key))
     catch {
@@ -873,12 +981,13 @@ object SnapTable {
     val s = df.sparkSession
     if (lastAppliedBatch(s, dir) >= batchId) return false
     val v0 = currentVersion(s, dir)
-    val added = writeData(df, dir, v0 + 1, statsColsOf(s, dir, v0))
+    val added = writeData(df, dir, v0 + 1, statsColsOf(s, dir, v0),
+      bloomDeclOf(s, dir, v0))
     // a pure-append occCommit whose skipIf rechecks the stamp before
     // every claim: the commit this writer lost to may have BEEN this
     // very batch (two racing sink instances)
     occCommit(s, dir, v0, Set.empty, Set.empty, added,
-      Map("batch_id" -> batchId.toString) ++ statsMeta(s, dir, v0),
+      Map("batch_id" -> batchId.toString) ++ layoutMeta(s, dir, v0),
       skipIf = () => lastAppliedBatch(s, dir) >= batchId).isDefined
   }
 
@@ -906,13 +1015,13 @@ object SnapTable {
     val v = asOf.getOrElse(currentVersion(spark, dir))
     require(v > 0, s"SnapTable: no snapshot to read under $dir")
     readEntries(spark, dir, v).filter { e =>
-      val parts = e.split('\t')
-      val nPairs = (parts.length - 1) / 2
+      val st = statFields(e) // numeric stats only (bloom tags excluded)
+      val nPairs = st.length / 2
       if (nPairs == 0) true // unannotated: must read
       else ranges.zipWithIndex.forall {
         case (Some((lo, hi)), i) if i < nPairs =>
-          val mn = parts(1 + 2 * i).toLong
-          val mx = parts(2 + 2 * i).toLong
+          val mn = st(2 * i).toLong
+          val mx = st(2 * i + 1).toLong
           !(mx < lo || mn > hi)
         case _ => true // unconstrained dim, or stats missing for it
       }
@@ -955,6 +1064,58 @@ object SnapTable {
       .filter(residual)
   }
 
+  /** The manifest entries a bloom EQUALITY probe on `value` cannot
+    * skip: bloom-annotated files where every one of the probe's k bit
+    * positions is set, plus any unannotated file (no bits → must
+    * read). The probe's positions come from the SAME expression the
+    * writer hashed with, run through one 1-row job — no driver-side
+    * hash reimplementation to drift. Exposed so the spec can assert
+    * the skipping is real (strict subset). */
+  private[graft] def bloomPrunedPaths(spark: SparkSession, dir: String,
+      value: Any, v: Int): Seq[String] = {
+    val (_, bits, tp) = bloomDeclOf(spark, dir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: SnapTable: $dir carries no bloom column " +
+          "— readPrunedEq needs a table created with bloomCol"))
+    val pos = spark.range(1)
+      .select(array(bloomPositions(lit(value).cast(tp), bits): _*).as("ps"))
+      .head().getSeq[Long](0)
+    readEntries(spark, dir, v).filter { e =>
+      bloomHexOf(e) match {
+        case None => true // unannotated: must read
+        case Some(hex) => pos.forall { p =>
+          val w = (p / 64).toInt
+          val word = java.lang.Long.parseUnsignedLong(
+            hex.substring(w * 16, w * 16 + 16), 16)
+          (word & (1L << (p % 64).toInt)) != 0L
+        }
+      }
+    }.map(entryPath)
+  }
+
+  /** BLOOM-PRUNED equality scan: rows with bloomCol = `value`, reading
+    * only the files whose per-file bloom bits admit the probe — the
+    * point-lookup complement of [[readPruned]]'s min/max ranges (a
+    * doc_id equality probe over a hash-laid-out or even perfectly
+    * range-clustered 100 TB table prunes little by min/max; bloom bits
+    * identify the handful of candidate files from the DRIVER, before
+    * any task schedules). False positives cost extra file reads only;
+    * the residual row-level filter keeps the result exactly
+    * `read(...).filter(col === value)` — q265 gates that equality. */
+  def readPrunedEq(spark: SparkSession, dir: String, value: Any,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(spark, dir))
+    require(v > 0, s"SnapTable: no snapshot to read under $dir")
+    val (c, _, tp) = bloomDeclOf(spark, dir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: SnapTable: $dir carries no bloom column " +
+          "— readPrunedEq needs a table created with bloomCol"))
+    val chosen = bloomPrunedPaths(spark, dir, value, v)
+    if (chosen.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
+    else readScoped(spark, dir, chosen, v) // DV-aware, like read()
+      .filter(col(c) === lit(value).cast(tp))
+  }
+
   /** OPTIMIZE — compact and re-cluster the current snapshot: rewrite
     * ALL live data into `targetFiles` files, range-clustered on the
     * stats column when the table has one (tight disjoint [min, max]
@@ -982,7 +1143,8 @@ object SnapTable {
     // files carry no deleted rows — the vectors FOLD AWAY here: drop
     // them all, and every subsequent read is a plain scan again
     occCommit(spark, dir, v, entries.toSet, entries.toSet,
-      writeData(clustered, dir, v + 1, cs), statsMeta(spark, dir, v),
+      writeData(clustered, dir, v + 1, cs, bloomDeclOf(spark, dir, v)),
+      layoutMeta(spark, dir, v),
       dropDeleteFiles = deleteFilesOf(spark, dir, v).toSet)
   }
 
@@ -1060,8 +1222,9 @@ object SnapTable {
     val entries = readEntries(spark, dir, v)
     // full DV-applied rewrite, same as optimize: vectors fold away
     occCommit(spark, dir, v, entries.toSet, entries.toSet,
-      writeData(clustered, dir, v + 1, Seq(c1, c2)),
-      statsMetaFor(Seq(c1, c2)),
+      writeData(clustered, dir, v + 1, Seq(c1, c2),
+        bloomDeclOf(spark, dir, v)),
+      statsMetaFor(Seq(c1, c2)) ++ bloomMetaFor(bloomDeclOf(spark, dir, v)),
       dropDeleteFiles = deleteFilesOf(spark, dir, v).toSet)
   }
 
@@ -1100,7 +1263,8 @@ object SnapTable {
   def stage(df: DataFrame, dir: String, tag: String = ""): String = {
     val s = df.sparkSession
     val v = currentVersion(s, dir) // v == 0 is fine: publish creates v1
-    val files = writeData(df, dir, v + 1, statsColsOf(s, dir, v))
+    val files = writeData(df, dir, v + 1, statsColsOf(s, dir, v),
+      bloomDeclOf(s, dir, v))
     val id = java.util.UUID.randomUUID().toString.take(12)
     val f = fs(s, dir)
     f.mkdirs(new Path(dir, "_staged"))
@@ -1272,7 +1436,7 @@ object SnapTable {
     var swept = false
     val committed = occCommit(spark, dir, base, Set.empty, Set.empty,
       entries,
-      extraMeta ++ Map("staged_id" -> id) ++ statsMeta(spark, dir, base),
+      extraMeta ++ Map("staged_id" -> id) ++ layoutMeta(spark, dir, base),
       skipIf = () => {
         if (alreadyLive() || idPublished()) {
           stale = true; true
@@ -2287,6 +2451,41 @@ object SnapTable {
       |WHERE doc_id % 10 <> 8
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** A bloom-enabled snapshot of the corpus, HASH-partitioned into 8
+    * files deliberately (every file spans the full doc_id range — the
+    * worst case for min/max skipping, and exactly where per-file bloom
+    * bits still prune a point lookup to ~1 file). */
+  private val bloomSnapCache = new graft.ops.SessionMemo[String]
+  private def bloomSnap(s: SparkSession, dir: String): String =
+    bloomSnapCache.getOrBuild(s, dir) {
+      val d = graft.ops.TempDirs.create("graft_snap_bloom_") // JVM-exit cleaned
+      create(graft.tables.Tables.documents(s, dir).repartition(8), d,
+        statsCol = None, bloomCol = Some("doc_id"))
+      d
+    }
+
+  /** q265 — BLOOM-BIT equality skipping under the value gate: three
+    * doc_id point lookups served through [[readPrunedEq]] (only files
+    * whose manifest bloom bits admit the probe are read; on the
+    * hash-laid-out fixture min/max would prune NOTHING) must equal the
+    * raw-parquet oracle's plain IN-list WHERE. SnapTableSpec separately
+    * asserts the file subset is strict and that a miss probe returns
+    * empty without wrong skips. */
+  def snapshotBloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val d = bloomSnap(s, dir)
+    Seq(3L, 57L, 191L).map(id =>
+      readPrunedEq(s, d, id)
+        .select(col("doc_id"), col("source"), col("n_chars")))
+      .reduce(_ unionByName _)
+      .orderBy(col("doc_id"))
+  }
+
+  val snapshotBloomLookupSql: String =
+    """SELECT doc_id, source, n_chars
+      |FROM documents
+      |WHERE doc_id IN (3, 57, 191)
+      |ORDER BY doc_id""".stripMargin
+
   /** The DV-IVM fixture, once per (session, dir): a 6-version history
     * interleaving every commit kind the fold must account — v1 create
     * (evens), v2 append (odds), v3 MoR delete (doc_id % 10 == 3, a pure
@@ -2358,6 +2557,7 @@ object SnapTable {
       |GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_bloom_lookup" -> (snapshotBloomLookup _),
     "q264_ivm_dv" -> (snapshotIvmDvStats _),
     "q261_mor_delete" -> (snapshotMorStats _),
     "q262_mor_time_travel" -> (morTimeTravelAudit _),
@@ -2375,6 +2575,7 @@ object SnapTable {
     "q251_snapshot_ivm" -> (snapshotIvmStats _))
 
   val oracles: Map[String, String] = Map(
+    "q265_bloom_lookup" -> snapshotBloomLookupSql,
     "q264_ivm_dv" -> snapshotIvmDvStatsSql,
     "q261_mor_delete" -> snapshotMorStatsSql,
     "q262_mor_time_travel" -> morTimeTravelAuditSql,

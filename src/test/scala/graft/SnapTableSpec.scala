@@ -1067,6 +1067,80 @@ class SnapTableSpec extends SparkSpec {
       "re-seed from a DV-carrying manifest drifted from rescan")
   }
 
+  // ---- per-file bloom bits (equality skipping) ---------------------------
+
+  test("bloom equality skipping: a point lookup reads a STRICT subset " +
+      "of files on a hash-laid-out table, the result equals the plain " +
+      "filtered read, and a miss probe returns empty") {
+    val d = tmp()
+    // hash layout: every file spans the full id range — min/max stats
+    // would prune NOTHING here; only the bloom bits can
+    SnapTable.create((0L until 400L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(8, col("id")), d, bloomCol = Some("id"))
+    val all = SnapTable.readManifest(spark, d,
+      SnapTable.currentVersion(spark, d))
+    val pruned = SnapTable.bloomPrunedPaths(spark, d, 137L,
+      SnapTable.currentVersion(spark, d))
+    assert(pruned.toSet.subsetOf(all.toSet))
+    assert(pruned.size < all.size,
+      s"bloom pruned nothing: ${pruned.size}/${all.size} files")
+    assert(pruned.nonEmpty, "the containing file must survive the probe")
+    val hit = SnapTable.readPrunedEq(spark, d, 137L).collect()
+    assert(hit.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((137L, "v137")))
+    // miss probe: no wrong skips, just an empty (possibly 0-file) read
+    assert(SnapTable.readPrunedEq(spark, d, 100137L).count() === 0)
+  }
+
+  test("bloom bits survive append/delete/optimize (new files get their " +
+      "own bits), compose with deletion vectors, and a bloom-less " +
+      "table refuses readPrunedEq") {
+    val d = tmp()
+    SnapTable.create((0L until 100L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(4, col("id")), d, bloomCol = Some("id"))
+    SnapTable.append(Seq((500L, "late")).toDF("id", "s"), d)
+    assert(SnapTable.readPrunedEq(spark, d, 500L).collect()
+      .map(_.getString(1)).toSeq === Seq("late"),
+      "an appended file must be bloom-probed too")
+    // the append's file should be prunable away for a v1-range probe:
+    // every annotated file is judged by its OWN bits
+    val pruned = SnapTable.bloomPrunedPaths(spark, d, 500L,
+      SnapTable.currentVersion(spark, d))
+    assert(pruned.size < SnapTable.readManifest(spark, d,
+      SnapTable.currentVersion(spark, d)).size)
+    // MoR delete: the equality scan applies the vectors (DV-aware)
+    SnapTable.deleteWhereMor(spark, d, col("id") === 42L)
+    assert(SnapTable.readPrunedEq(spark, d, 42L).count() === 0,
+      "readPrunedEq must apply deletion vectors")
+    // optimize rewrites everything and re-derives bloom bits
+    SnapTable.optimize(spark, d, targetFiles = 2)
+    assert(SnapTable.readPrunedEq(spark, d, 77L).collect()
+      .map(_.getString(1)).toSeq === Seq("v77"))
+    assert(SnapTable.readPrunedEq(spark, d, 42L).count() === 0)
+    // a table created without bloomCol refuses with the remedy named
+    val d2 = tmp()
+    SnapTable.create(Seq((1L, "a")).toDF("id", "s"), d2)
+    val e = intercept[IllegalArgumentException](
+      SnapTable.readPrunedEq(spark, d2, 1L))
+    assert(e.getMessage.contains("bloom"), e.getMessage)
+  }
+
+  test("bloom and min/max stats coexist on one table: range scans " +
+      "prune by stats, point probes by bloom, values agree with plain " +
+      "reads") {
+    val d = tmp()
+    SnapTable.create((0L until 200L).map(i => (i, i * 3))
+      .toDF("id", "x").repartitionByRange(4, col("id")), d,
+      statsCol = Some("id"), bloomCol = Some("id"))
+    // range scan via stats (bloom tag must not confuse the stats parse)
+    assert(SnapTable.readPruned(spark, d, 50L, 59L).collect()
+      .map(_.getLong(0)).sorted.toSeq === (50L until 60L))
+    assert(SnapTable.prunedPaths(spark, d, 50L, 59L).size === 1)
+    // point probe via bloom
+    assert(SnapTable.readPrunedEq(spark, d, 123L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((123L, 369L)))
+  }
+
   test("CDC counts see a DV transition: a MoR delete diffs as deletes, " +
       "a MoR merge as updates + inserts") {
     val d = tmp()
