@@ -112,7 +112,8 @@ object SparkEntry {
     "q262_mor_time_travel",    // unique per-version key; free order pin
     "q263_mor_merge",          // unique per-source key; free order pin
     "q264_ivm_dv",             // unique per-source key; free order pin
-    "q265_bloom_lookup")       // unique per-doc key; free order pin
+    "q265_bloom_lookup",       // unique per-doc key; free order pin
+    "q266_col_rename")         // unique per-source key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -203,11 +203,13 @@ object SnapTable {
       .select(col("file_key").as("__fk"), col("pos").as("__pos"))
 
   private[graft] def readKeyed(spark: SparkSession, dir: String,
-      rels: Seq[String], delFiles: Seq[String]): DataFrame = {
+      rels: Seq[String], delFiles: Seq[String],
+      colMap: Map[String, String] = Map.empty): DataFrame = {
     val base = rawKeyed(spark, dir, rels)
-    if (delFiles.isEmpty) base
+    val scoped = if (delFiles.isEmpty) base
     else base.join(dvPairs(spark, dir, delFiles),
       Seq("__fk", "__pos"), "left_anti")
+    toLogical(scoped, colMap) // logical view; __fk/__pos names reserved
   }
 
   /** Scoped table read under snapshot `v`'s deletion vectors; the plan
@@ -217,9 +219,11 @@ object SnapTable {
   private def readScoped(spark: SparkSession, dir: String,
       rels: Seq[String], v: Int): DataFrame = {
     val delFiles = deleteFilesOf(spark, dir, v)
-    if (delFiles.isEmpty) spark.read.option("mergeSchema", "true")
+    val base = if (delFiles.isEmpty) spark.read
+      .option("mergeSchema", "true")
       .parquet(rels.map(r => s"$dir/$r"): _*)
     else readKeyed(spark, dir, rels, delFiles).drop("__fk", "__pos")
+    toLogical(base, colMapOf(spark, dir, v)) // renamed columns read back
   }
 
   /** A writer lost an optimistic-concurrency race it cannot rebase
@@ -327,6 +331,7 @@ object SnapTable {
       dropDeleteFiles: Set[String] = Set.empty): Option[Int] = {
     val baseCols = statsColsOf(spark, dir, baseV)
     val baseBloom = bloomDeclOf(spark, dir, baseV)
+    val baseColMap = colMapOf(spark, dir, baseV)
     val declared = Seq(meta.get("stats_col"), meta.get("stats_col2")).flatten
     val readPaths = readSet.map(entryPath)
     val baseDel = deleteFilesOf(spark, dir, baseV)
@@ -358,11 +363,13 @@ object SnapTable {
             s"this writer read under $dir (v$baseV→v$cur) — re-plan " +
             "against the current snapshot and retry")
         if (statsColsOf(spark, dir, cur) != baseCols ||
-            bloomDeclOf(spark, dir, cur) != baseBloom)
+            bloomDeclOf(spark, dir, cur) != baseBloom ||
+            colMapOf(spark, dir, cur) != baseColMap)
           throw new ConcurrentWriteException(
-            s"SnapTable: a layout declaration (stats/bloom columns) " +
+            s"SnapTable: a layout declaration (stats/bloom/column-map) " +
               s"changed (v$baseV→v$cur) under $dir — this writer's " +
-              "annotations would be misread; re-plan and retry")
+              "annotations or schema mapping would be misread; " +
+              "re-plan and retry")
         // per-claim SEMANTIC validation of the interloper-added entries
         // (merge's key-disjointness): throws ConcurrentWriteException
         // when carrying them by reference would break this writer's
@@ -549,7 +556,8 @@ object SnapTable {
     * commit re-passes so both layout declarations survive any writer. */
   private[graft] def layoutMeta(spark: SparkSession, dir: String,
       v: Int): Map[String, String] =
-    statsMeta(spark, dir, v) ++ bloomMetaFor(bloomDeclOf(spark, dir, v))
+    statsMeta(spark, dir, v) ++ bloomMetaFor(bloomDeclOf(spark, dir, v)) ++
+      colMapMetaFor(colMapOf(spark, dir, v))
 
   /** The k bloom bit positions of a value expression — ONE spelling
     * shared by the write-side per-file aggregation and the probe (the
@@ -567,6 +575,39 @@ object SnapTable {
 
   private def bloomHexOf(e: String): Option[String] =
     e.split('\t').find(_.startsWith("bf:")).map(_.stripPrefix("bf:"))
+
+  // ---- column mapping (rename without rewrite) ---------------------------
+
+  /** The snapshot's COLUMN MAP (physical file-schema name → current
+    * logical name), from the manifest's `col_map` meta — Iceberg's
+    * column-mapping idea: a rename is one metadata commit, ZERO data
+    * rewritten; files keep their physical names forever and every
+    * reader applies the map at the boundary. Empty for never-renamed
+    * tables (readers keep their original plans). */
+  private[graft] def colMapOf(spark: SparkSession, dir: String,
+      v: Int): Map[String, String] =
+    if (v == 0) Map.empty
+    else manifestMeta(spark, dir, v).get("col_map").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .map { pair =>
+        val Array(ph, lo) = pair.split(":", 2)
+        ph -> lo
+      }.toMap
+
+  private def colMapMetaFor(m: Map[String, String]): Map[String, String] =
+    if (m.isEmpty) Map.empty
+    else Map("col_map" -> m.toSeq.sorted
+      .map { case (ph, lo) => s"$ph:$lo" }.mkString(","))
+
+  /** Physical file schema → the logical view callers see. */
+  private def toLogical(df: DataFrame, m: Map[String, String]): DataFrame =
+    m.foldLeft(df) { case (d, (ph, lo)) => d.withColumnRenamed(ph, lo) }
+
+  /** Logical caller schema → the physical names files store — what
+    * every writer applies before writing, so the PHYSICAL schema stays
+    * stable across renames and old/new files never fork. */
+  private def toPhysical(df: DataFrame, m: Map[String, String]): DataFrame =
+    m.foldLeft(df) { case (d, (ph, lo)) => d.withColumnRenamed(lo, ph) }
 
   /** Create snapshot v1 from `df` (dir must hold no table yet).
     * `statsCol` (an integral column) turns on per-file min/max stats in
@@ -605,8 +646,8 @@ object SnapTable {
     // commit — the write-dir name carries the PLANNED version, which
     // may trail the committed one after a rebase; the token keeps it
     // unique and manifests reference it either way)
-    val added = writeData(df, dir, v + 1, statsColsOf(s, dir, v),
-      bloomDeclOf(s, dir, v))
+    val added = writeData(toPhysical(df, colMapOf(s, dir, v)), dir,
+      v + 1, statsColsOf(s, dir, v), bloomDeclOf(s, dir, v))
     occCommit(s, dir, v, Set.empty, Set.empty, added, layoutMeta(s, dir, v))
   }
 
@@ -639,7 +680,9 @@ object SnapTable {
     // survivors rewritten through the narrower schema would silently
     // lose the evolved column (or the predicate would fail to resolve)
     // bounded driver action: one distinct over ≤#files values
-    val touchedKeys = readKeyed(spark, dir, entries.map(entryPath), delFiles)
+    val cmap = colMapOf(spark, dir, v)
+    val touchedKeys = readKeyed(spark, dir, entries.map(entryPath),
+        delFiles, cmap)
       .filter(pred).select(col("__fk"))
       .distinct().collect().map(_.getString(0)).toSet
     val touched =
@@ -655,8 +698,9 @@ object SnapTable {
     // the rewritten files dangle harmlessly (their keys match nothing);
     // untouched files keep their vectors, carried by occCommit.
     val newFiles = writeData(
-      readKeyed(spark, dir, touched.map(entryPath), delFiles)
-        .filter(!coalesce(pred, lit(false))).drop("__fk", "__pos"),
+      toPhysical(readKeyed(spark, dir, touched.map(entryPath), delFiles,
+          cmap)
+        .filter(!coalesce(pred, lit(false))).drop("__fk", "__pos"), cmap),
       dir, v + 1, statsColsOf(spark, dir, v), bloomDeclOf(spark, dir, v))
     occCommit(spark, dir, v, entries.toSet, touched.toSet, newFiles,
       layoutMeta(spark, dir, v))
@@ -697,7 +741,8 @@ object SnapTable {
     // selective delete's positions are small by definition); a delete
     // so broad that single-writer sidecar output hurts should be the
     // copy-on-write [[deleteWhere]] anyway — it is rewriting the table
-    val matches = readKeyed(spark, dir, entries.map(entryPath), delFiles)
+    val matches = readKeyed(spark, dir, entries.map(entryPath), delFiles,
+        colMapOf(spark, dir, v))
       .filter(coalesce(pred, lit(false)))
       .select(col("__fk").as("file_key"), col("__pos").as("pos"))
       .repartition(1)
@@ -786,10 +831,13 @@ object SnapTable {
     * duplicate would land both copies next to each other). Returns the
     * distinct update-key relation. */
   private def mergeValidate(updates: DataFrame, dir: String,
-      files: Seq[String], key: String): DataFrame = {
+      files: Seq[String], key: String,
+      colMap: Map[String, String] = Map.empty): DataFrame = {
     val s = updates.sparkSession
-    val curSchema = s.read.option("mergeSchema", "true")
-      .parquet(files.map(r => s"$dir/$r"): _*)
+    // batches carry the LOGICAL schema: the physical file schema maps
+    // through the column map before the comparison
+    val curSchema = toLogical(s.read.option("mergeSchema", "true")
+      .parquet(files.map(r => s"$dir/$r"): _*), colMap)
     require(updates.columns.toSet == curSchema.columns.toSet,
       s"SnapTable: merge batch columns ${updates.columns.toSeq.sorted}" +
         s" must equal the table's ${curSchema.columns.toSeq.sorted}")
@@ -811,14 +859,16 @@ object SnapTable {
     * (e.g. an interloper append lacking the key column) also abort:
     * either way the rebase is unverifiable. */
   private def mergeKeyGuard(s: SparkSession, dir: String,
-      basePaths: Set[String], updKeys: DataFrame, key: String)
+      basePaths: Set[String], updKeys: DataFrame, key: String,
+      colMap: Map[String, String] = Map.empty)
       : Seq[String] => Unit = { interlopers =>
     val newEntries = interlopers.filterNot(e =>
       basePaths.contains(entryPath(e)))
     if (newEntries.nonEmpty) {
       val clash = try {
-        s.read.option("mergeSchema", "true")
-          .parquet(newEntries.map(e => s"$dir/${entryPath(e)}"): _*)
+        toLogical(s.read.option("mergeSchema", "true")
+          .parquet(newEntries.map(e => s"$dir/${entryPath(e)}"): _*),
+          colMap)
           .join(broadcast(updKeys), Seq(key), "left_semi")
           .limit(1).count()
       } catch {
@@ -842,13 +892,14 @@ object SnapTable {
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     val entries = readEntries(s, dir, v)
     val files = entries.map(entryPath)
-    val updKeys = mergeValidate(updates, dir, files, key)
+    val cmap = colMapOf(s, dir, v)
+    val updKeys = mergeValidate(updates, dir, files, key, cmap)
     // DV-AWARE probe and survivor reads (readKeyed): on a table with
     // merge-on-read vectors a raw scan would probe/rewrite rows the
     // vectors already deleted — a merge of an already-MoR-deleted key
     // must INSERT it, not resurrect the old row next to it
     val delFiles = deleteFilesOf(s, dir, v)
-    val cur = readKeyed(s, dir, files, delFiles)
+    val cur = readKeyed(s, dir, files, delFiles, cmap)
     val touchedKeys = cur.join(broadcast(updKeys), Seq(key))
       .select(col("__fk"))
       .distinct().collect().map(_.getString(0)).toSet
@@ -856,7 +907,7 @@ object SnapTable {
       entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
     val survivors =
       if (touched.isEmpty) updates
-      else readKeyed(s, dir, touched.map(entryPath), delFiles)
+      else readKeyed(s, dir, touched.map(entryPath), delFiles, cmap)
         .join(broadcast(updKeys), Seq(key), "left_anti")
         .select(updates.columns.map(col): _*)
         .unionByName(updates)
@@ -872,10 +923,11 @@ object SnapTable {
     // the base read), so a concurrent rewrite of it conflicts exactly
     // when its REPLACEMENT files clash — which the guard checks.
     occCommit(s, dir, v, touched.toSet, touched.toSet,
-      writeData(survivors, dir, v + 1, statsColsOf(s, dir, v),
-        bloomDeclOf(s, dir, v)),
+      writeData(toPhysical(survivors, cmap), dir, v + 1,
+        statsColsOf(s, dir, v), bloomDeclOf(s, dir, v)),
       layoutMeta(s, dir, v),
-      interloperGuard = mergeKeyGuard(s, dir, files.toSet, updKeys, key))
+      interloperGuard =
+        mergeKeyGuard(s, dir, files.toSet, updKeys, key, cmap))
   }
 
   /** MERGE-ON-READ upsert: matched keys' OLD rows are deleted via a
@@ -904,10 +956,11 @@ object SnapTable {
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     val entries = readEntries(s, dir, v)
     val files = entries.map(entryPath)
-    val updKeys = mergeValidate(updates, dir, files, key)
+    val cmap = colMapOf(s, dir, v)
+    val updKeys = mergeValidate(updates, dir, files, key, cmap)
     val delFiles = deleteFilesOf(s, dir, v)
     // the old rows of matched keys, as (file, position) — the DV rows
-    val matches = readKeyed(s, dir, files, delFiles)
+    val matches = readKeyed(s, dir, files, delFiles, cmap)
       .join(broadcast(updKeys), Seq(key))
       .select(col("__fk").as("file_key"), col("__pos").as("pos"))
       .repartition(1)
@@ -927,8 +980,8 @@ object SnapTable {
     if (touchedKeys.isEmpty) f.delete(new Path(s"$dir/$rel"), true)
     val touched =
       entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
-    val newFiles = writeData(updates, dir, v + 1, statsColsOf(s, dir, v),
-      bloomDeclOf(s, dir, v))
+    val newFiles = writeData(toPhysical(updates, cmap), dir, v + 1,
+      statsColsOf(s, dir, v), bloomDeclOf(s, dir, v))
     // same sidecar-leak rule as deleteWhereMorFrom: a conflicted commit
     // leaves the vector AND the just-written update files unreferenced
     // (vacuum only retires files listed in retired manifests, so both
@@ -936,7 +989,8 @@ object SnapTable {
     try occCommit(s, dir, v, touched.toSet, Set.empty, newFiles,
       layoutMeta(s, dir, v),
       addDeleteFiles = (if (touchedKeys.isEmpty) Seq.empty else parts),
-      interloperGuard = mergeKeyGuard(s, dir, files.toSet, updKeys, key))
+      interloperGuard =
+        mergeKeyGuard(s, dir, files.toSet, updKeys, key, cmap))
     catch {
       case scala.util.control.NonFatal(e) =>
         if (touchedKeys.nonEmpty) f.delete(new Path(s"$dir/$rel"), true)
@@ -981,8 +1035,8 @@ object SnapTable {
     val s = df.sparkSession
     if (lastAppliedBatch(s, dir) >= batchId) return false
     val v0 = currentVersion(s, dir)
-    val added = writeData(df, dir, v0 + 1, statsColsOf(s, dir, v0),
-      bloomDeclOf(s, dir, v0))
+    val added = writeData(toPhysical(df, colMapOf(s, dir, v0)), dir,
+      v0 + 1, statsColsOf(s, dir, v0), bloomDeclOf(s, dir, v0))
     // a pure-append occCommit whose skipIf rechecks the stamp before
     // every claim: the commit this writer lost to may have BEEN this
     // very batch (two racing sink instances)
@@ -1116,6 +1170,46 @@ object SnapTable {
       .filter(col(c) === lit(value).cast(tp))
   }
 
+  /** RENAME a column — ONE metadata commit, zero data rewritten (the
+    * Iceberg column-mapping move): the manifest's `col_map` meta gains
+    * a physical→logical entry, every reader applies it at the scan
+    * boundary, every writer maps logical batches back to the stable
+    * physical file schema, and time travel to a pre-rename version
+    * shows the old name (its manifest carries the old map). Declared
+    * stats/bloom columns refuse to rename — their declarations name
+    * physical columns that annotation scans must keep resolving —
+    * and concurrent renames/writers serialize through the layout-drift
+    * OCC conflict (a rebase would silently revert the rename via the
+    * interloper's carried meta). */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Unit = {
+    val v = currentVersion(spark, dir)
+    require(v > 0, s"SnapTable: $dir holds no table — create first")
+    require(from != to, "SnapTable: rename to the same name is a no-op")
+    Seq("__fk", "__pos").foreach(c => require(to != c,
+      s"SnapTable: '$c' is reserved for the row-identity machinery"))
+    val m = colMapOf(spark, dir, v)
+    val phys = spark.read.option("mergeSchema", "true")
+      .parquet(readManifest(spark, dir, v).map(r => s"$dir/$r"): _*)
+      .columns.toSeq
+    val logical = phys.map(p => m.getOrElse(p, p))
+    require(logical.contains(from),
+      s"SnapTable: no column '$from' in $dir (columns: $logical)")
+    require(!logical.contains(to),
+      s"SnapTable: column '$to' already exists in $dir")
+    val shielded = statsColsOf(spark, dir, v) ++
+      bloomDeclOf(spark, dir, v).map(_._1)
+    require(!shielded.contains(from),
+      s"SnapTable: '$from' is a declared stats/bloom column — its " +
+        "annotations name the physical column; drop/redeclare the " +
+        "layout before renaming")
+    val ph = m.find(_._2 == from).map(_._1).getOrElse(from)
+    val m2 = if (ph == to) m - ph else m.updated(ph, to)
+    occCommit(spark, dir, v, Set.empty, Set.empty, Seq.empty,
+      statsMeta(spark, dir, v) ++
+        bloomMetaFor(bloomDeclOf(spark, dir, v)) ++ colMapMetaFor(m2))
+  }
+
   /** OPTIMIZE — compact and re-cluster the current snapshot: rewrite
     * ALL live data into `targetFiles` files, range-clustered on the
     * stats column when the table has one (tight disjoint [min, max]
@@ -1143,7 +1237,8 @@ object SnapTable {
     // files carry no deleted rows — the vectors FOLD AWAY here: drop
     // them all, and every subsequent read is a plain scan again
     occCommit(spark, dir, v, entries.toSet, entries.toSet,
-      writeData(clustered, dir, v + 1, cs, bloomDeclOf(spark, dir, v)),
+      writeData(toPhysical(clustered, colMapOf(spark, dir, v)), dir,
+        v + 1, cs, bloomDeclOf(spark, dir, v)),
       layoutMeta(spark, dir, v),
       dropDeleteFiles = deleteFilesOf(spark, dir, v).toSet)
   }
@@ -1187,6 +1282,15 @@ object SnapTable {
       targetFiles: Int, c1: String, c2: String, v: Int): Unit = {
     require(targetFiles >= 1, "SnapTable: targetFiles must be >= 1")
     require(v > 0, s"SnapTable: $dir holds no table — create first")
+    // the stats declaration records names writeData reads from PHYSICAL
+    // files, so Z-ordering on a column the map touches (either side of
+    // any rename) would declare stats nothing can compute — refuse with
+    // the remedy named
+    Seq(c1, c2).foreach(c => require(
+      !colMapOf(spark, dir, v).exists { case (ph, lo) =>
+        ph == c || lo == c },
+      s"SnapTable: cannot Z-order $dir on '$c' — the column map " +
+        "touches it; rename it back to its physical name first"))
     val snap = read(spark, dir, Some(v))
     val mm = snap.agg(
       min(col(c1)).cast("long"), max(col(c1)).cast("long"),
@@ -1222,9 +1326,11 @@ object SnapTable {
     val entries = readEntries(spark, dir, v)
     // full DV-applied rewrite, same as optimize: vectors fold away
     occCommit(spark, dir, v, entries.toSet, entries.toSet,
-      writeData(clustered, dir, v + 1, Seq(c1, c2),
-        bloomDeclOf(spark, dir, v)),
-      statsMetaFor(Seq(c1, c2)) ++ bloomMetaFor(bloomDeclOf(spark, dir, v)),
+      writeData(toPhysical(clustered, colMapOf(spark, dir, v)), dir,
+        v + 1, Seq(c1, c2), bloomDeclOf(spark, dir, v)),
+      statsMetaFor(Seq(c1, c2)) ++
+        bloomMetaFor(bloomDeclOf(spark, dir, v)) ++
+        colMapMetaFor(colMapOf(spark, dir, v)),
       dropDeleteFiles = deleteFilesOf(spark, dir, v).toSet)
   }
 
@@ -1263,8 +1369,8 @@ object SnapTable {
   def stage(df: DataFrame, dir: String, tag: String = ""): String = {
     val s = df.sparkSession
     val v = currentVersion(s, dir) // v == 0 is fine: publish creates v1
-    val files = writeData(df, dir, v + 1, statsColsOf(s, dir, v),
-      bloomDeclOf(s, dir, v))
+    val files = writeData(toPhysical(df, colMapOf(s, dir, v)), dir,
+      v + 1, statsColsOf(s, dir, v), bloomDeclOf(s, dir, v))
     val id = java.util.UUID.randomUUID().toString.take(12)
     val f = fs(s, dir)
     f.mkdirs(new Path(dir, "_staged"))
@@ -1365,8 +1471,9 @@ object SnapTable {
       s"SnapTable: staging '$id' is EMPTY (a 0-row stage writes no " +
         "files, so there is no schema to read) — check stagedIsEmpty " +
         "and skip the read; publish still works and stamps its meta")
-    spark.read.option("mergeSchema", "true")
-      .parquet(entries.map(e => s"$dir/${entryPath(e)}"): _*)
+    toLogical(spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(e => s"$dir/${entryPath(e)}"): _*),
+      colMapOf(spark, dir, currentVersion(spark, dir)))
   }
 
   /** Does this staging hold zero files? A 0-row batch stages an empty
@@ -2486,6 +2593,49 @@ object SnapTable {
       |WHERE doc_id IN (3, 57, 191)
       |ORDER BY doc_id""".stripMargin
 
+  /** The column-mapping fixture, once per (session, dir): v1 = even
+    * doc_ids; v2 = RENAME n_chars → char_count (pure meta, zero files);
+    * v3 = append of the odd docs under the NEW logical name (written
+    * back to the stable physical schema); v4 = a CoW delete whose
+    * predicate uses the new name, rewriting files across both vintages
+    * through the map. Closed-form predicates, so the oracle recomputes
+    * from raw parquet. */
+  private val renameCache = new graft.ops.SessionMemo[String]
+  private def renameDocs(s: SparkSession, dir: String): String =
+    renameCache.getOrBuild(s, dir) {
+      val d = graft.ops.TempDirs.create("graft_snap_rename_") // JVM-exit cleaned
+      val docs = graft.tables.Tables.documents(s, dir)
+      create(docs.filter(col("doc_id") % 2 === 0), d)
+      renameColumn(s, d, "n_chars", "char_count")
+      append(docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumnRenamed("n_chars", "char_count"), d)
+      deleteWhere(s, d, col("char_count") < 50)
+      d
+    }
+
+  /** q266 — COLUMN MAPPING under the value gate: per-source stats over
+    * the renamed column from the current snapshot — the rename itself
+    * (pure meta), a post-rename append under the logical name, and a
+    * CoW delete predicated on it must all be value-invisible and the
+    * output must carry the NEW name. SnapTableSpec separately asserts
+    * zero data files changed at the rename commit and that time travel
+    * to v1 still serves `n_chars`. */
+  def snapshotRenameStats(s: SparkSession, dir: String): DataFrame =
+    read(s, renameDocs(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("char_count")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+
+  val snapshotRenameStatsSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  max(doc_id) AS max_doc_id
+      |FROM documents
+      |WHERE NOT (n_chars < 50)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** The DV-IVM fixture, once per (session, dir): a 6-version history
     * interleaving every commit kind the fold must account — v1 create
     * (evens), v2 append (odds), v3 MoR delete (doc_id % 10 == 3, a pure
@@ -2558,6 +2708,7 @@ object SnapTable {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q265_bloom_lookup" -> (snapshotBloomLookup _),
+    "q266_col_rename" -> (snapshotRenameStats _),
     "q264_ivm_dv" -> (snapshotIvmDvStats _),
     "q261_mor_delete" -> (snapshotMorStats _),
     "q262_mor_time_travel" -> (morTimeTravelAudit _),
@@ -2576,6 +2727,7 @@ object SnapTable {
 
   val oracles: Map[String, String] = Map(
     "q265_bloom_lookup" -> snapshotBloomLookupSql,
+    "q266_col_rename" -> snapshotRenameStatsSql,
     "q264_ivm_dv" -> snapshotIvmDvStatsSql,
     "q261_mor_delete" -> snapshotMorStatsSql,
     "q262_mor_time_travel" -> morTimeTravelAuditSql,

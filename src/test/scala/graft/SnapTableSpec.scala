@@ -1141,6 +1141,82 @@ class SnapTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((123L, 369L)))
   }
 
+  // ---- column mapping (rename without rewrite) ---------------------------
+
+  test("renameColumn is pure metadata: zero data files change, the new " +
+      "name reads back, time travel shows the old name, and writers " +
+      "speak the logical schema") {
+    val d = tmp()
+    SnapTable.create((0L until 20L).map(i => (i, s"v$i", i * 2))
+      .toDF("id", "s", "x"), d)
+    val v1Files = dataEntries(d, 1)
+    SnapTable.renameColumn(spark, d, "x", "score")
+    assert(SnapTable.currentVersion(spark, d) === 2)
+    assert(dataEntries(d, 2) === v1Files,
+      "a rename must not touch the data-file set")
+    assert(SnapTable.read(spark, d).columns.toSeq === Seq("id", "s", "score"))
+    assert(SnapTable.read(spark, d, Some(1)).columns.toSeq ===
+      Seq("id", "s", "x"), "pre-rename time travel must keep the old name")
+    // append under the LOGICAL name: physical files stay uniform
+    SnapTable.append(Seq((100L, "late", 7L)).toDF("id", "s", "score"), d)
+    assert(SnapTable.read(spark, d).filter(col("id") === 100L)
+      .head().getLong(2) === 7L)
+    // CoW delete predicated on the logical name, across both vintages
+    SnapTable.deleteWhere(spark, d, col("score") < 6L)
+    assert(SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+      .toSeq === ((3L until 20L) :+ 100L))
+    // merge under the logical schema replaces + inserts
+    SnapTable.merge(Seq((5L, "NEW", 999L), (200L, "ins", 1L))
+      .toDF("id", "s", "score"), d, "id")
+    val rows = SnapTable.read(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(5L) === 999L && rows(200L) === 1L)
+    // MoR delete through the mapping
+    SnapTable.deleteWhereMor(spark, d, col("score") === 999L)
+    assert(SnapTable.read(spark, d).filter(col("id") === 5L).count() === 0)
+    // rename BACK to the physical name empties the map
+    SnapTable.renameColumn(spark, d, "score", "x")
+    assert(SnapTable.read(spark, d).columns.toSeq === Seq("id", "s", "x"))
+    assert(SnapTable.manifestMeta(spark, d,
+      SnapTable.currentVersion(spark, d)).get("col_map").isEmpty,
+      "renaming back to the physical name must drop the map entry")
+  }
+
+  test("rename refusals: unknown column, collision, declared stats/" +
+      "bloom columns, reserved names; a writer racing a rename " +
+      "conflicts instead of reverting it") {
+    val d = tmp()
+    SnapTable.create((0L until 10L).map(i => (i, i * 3))
+      .toDF("id", "x").repartitionByRange(2, col("id")), d,
+      statsCol = Some("id"), bloomCol = Some("id"))
+    intercept[IllegalArgumentException](
+      SnapTable.renameColumn(spark, d, "nope", "y"))
+    intercept[IllegalArgumentException](
+      SnapTable.renameColumn(spark, d, "x", "id")) // collision
+    intercept[IllegalArgumentException](
+      SnapTable.renameColumn(spark, d, "id", "key")) // stats+bloom col
+    intercept[IllegalArgumentException](
+      SnapTable.renameColumn(spark, d, "x", "__pos")) // reserved
+    // an append planned BEFORE a rename landed must conflict (its
+    // carried meta would silently revert the map) — re-plan then works
+    val base = SnapTable.currentVersion(spark, d)
+    SnapTable.renameColumn(spark, d, "x", "y")
+    intercept[SnapTable.ConcurrentWriteException] {
+      SnapTable.occCommit(spark, d, base, Set.empty, Set.empty,
+        SnapTable.writeData(Seq((50L, 1L)).toDF("id", "x"), d, base + 1,
+          Seq("id"), SnapTable.bloomDeclOf(spark, d, base)),
+        SnapTable.layoutMeta(spark, d, base))
+    }
+    SnapTable.append(Seq((50L, 1L)).toDF("id", "y"), d)
+    assert(SnapTable.read(spark, d).count() === 11)
+    // post-rename: stats range pruning AND bloom point probes still
+    // serve (their columns were shielded from the rename)
+    assert(SnapTable.readPruned(spark, d, 2L, 4L).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 4L))
+    assert(SnapTable.readPrunedEq(spark, d, 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 21L)))
+  }
+
   test("CDC counts see a DV transition: a MoR delete diffs as deletes, " +
       "a MoR merge as updates + inserts") {
     val d = tmp()
