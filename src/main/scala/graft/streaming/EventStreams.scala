@@ -121,7 +121,32 @@ object EventStreams {
   def purchasesWithSignupOuter(events: DataFrame): DataFrame =
     purchaseSignupJoin(events, "left_outer")
 
+  /** Stream-stream FULL OUTER interval join — BOTH unmatched arms emit
+    * at watermark expiry: a signup-less purchase emits one NULL-signup
+    * row exactly as in [[purchasesWithSignupOuter]], AND a
+    * purchase-less signup emits one NULL-purchase row once the
+    * watermark passes ITS horizon. The two horizons differ by the
+    * interval's asymmetry: a purchase at t can only match signups in
+    * [t − 1h, t], so its state closes when the watermark passes t; a
+    * signup at t can match any purchase in [t, t + 1h], so its state —
+    * and its NULL emission — waits a full extra hour. Both NULL arms
+    * ARE the state-eviction path (no state beyond the inner join's);
+    * late rows on either side discard without resurrecting an
+    * already-NULL-emitted partner. `user_id` is coalesced across the
+    * sides so the signup arm keeps its user. */
+  def purchasesWithSignupFull(events: DataFrame): DataFrame =
+    purchaseSignupJoinRaw(events, "full_outer")
+      .select(col("p_id"),
+        coalesce(col("user_id"), col("s_user")).as("user_id"),
+        col("p_ts"), col("s_id"), col("s_ts"))
+
   private def purchaseSignupJoin(events: DataFrame,
+      joinType: String): DataFrame =
+    purchaseSignupJoinRaw(events, joinType)
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_id"),
+        col("s_ts"))
+
+  private def purchaseSignupJoinRaw(events: DataFrame,
       joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
@@ -135,8 +160,6 @@ object EventStreams {
       col("user_id") === col("s_user") &&
         col("s_ts") <= col("p_ts") &&
         col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"), joinType)
-      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_id"),
-        col("s_ts"))
   }
 
   /** Running per-user totals through a `foreachBatch` sink — the

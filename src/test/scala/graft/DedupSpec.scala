@@ -144,6 +144,38 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("not converged"))
   }
 
+  test("distributed CC long-path stress: a diameter-20 chain converges " +
+      "in O(diameter) rounds, and the converged-AT-cap confirm round " +
+      "accepts instead of refusing") {
+    // label 0 propagates exactly one hop per min-label round, so a
+    // 0-1-...-20 chain needs 20 improving rounds — far past the 2-3
+    // rounds the real dup-graph fixtures converge in; a side component
+    // proves labels don't bleed across components on the way
+    val deep = ((0L until 20L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L))).toDF("a_id", "b_id")
+    val expected = ((0L to 20L).map(_ -> 0L) ++
+      Seq(100L -> 100L, 101L -> 100L)).toMap
+    // headroom case: cap comfortably above the diameter
+    val got = Dedup.connectedComponents(deep, driverLimit = -1L,
+      maxRounds = 25).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected, "deep chain mislabeled under a loose cap")
+    // CONVERGED-AT-CAP: the loop exits on the very round that applied
+    // the last improvement (round 20 of maxRounds = 20, changed > 0) —
+    // the one-round confirm pass must accept the converged labels, not
+    // throw the refusal meant for genuinely-unconverged graphs
+    val atCap = Dedup.connectedComponents(deep, driverLimit = -1L,
+      maxRounds = 20).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atCap === expected, "converged-at-cap labels drifted")
+    // one deeper link flips the same cap into the refusal: the bound is
+    // tight, not approximate
+    val deeper = (deep.as[(Long, Long)].collect().toSeq :+ (21L, 22L)
+      :+ (20L, 21L)).toDF("a_id", "b_id")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(deeper, driverLimit = -1L, maxRounds = 20)
+    }
+    assert(ex.getMessage.contains("maxRounds=20"), ex.getMessage)
+  }
+
   test("link prior: the hub of a star outranks the leaves, exactly") {
     // star 1-{2,3,4,5}: hand-computed 1-round values — hub receives the
     // leaves' whole ranks (4·10^6), leaves receive a quarter share each;

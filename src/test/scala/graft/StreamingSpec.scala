@@ -207,6 +207,116 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream-stream FULL OUTER interval join: matched rows emit " +
+      "eagerly, BOTH NULL arms emit exactly once at their own horizon " +
+      "expiry (across a restart), late rows discard, final set equals " +
+      "the batch full-outer join") {
+    import java.sql.Timestamp
+    val srcDir = Files.createTempDirectory("graft-ssfj-src").toString
+    val ckpt = Files.createTempDirectory("graft-ssfj-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-ssfj-out").toString
+    def t(min: Long) = new Timestamp(3600L * 1000L + min * 60000L)
+    def write(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def start() = EventStreams.purchasesWithSignupFull(
+        EventStreams.readEventStream(spark, srcDir))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }.start()
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    def pairs(): Set[(Option[Long], Option[Long])] =
+      spark.read.parquet(outDir).select("p_id", "s_id").collect()
+        .map(r => (opt(r, 0), opt(r, 1))).toSet
+
+    // wave 1: u1 matched pair; u2 purchase with NO signup (left NULL
+    // arm pending); u3 signup with NO purchase (right NULL arm
+    // pending). Watermark after the wave = t(90) − 10 = t(80): u2's
+    // purchase horizon (t(90)) and u3's signup horizon (t(80) + 1h)
+    // are both still open — NEITHER NULL row may emit yet.
+    write(Seq(
+      (101L, t(60), 1L, "signup", 0.0),
+      (201L, t(90), 1L, "purchase", 5.0),
+      (202L, t(90), 2L, "purchase", 7.0),
+      (102L, t(80), 3L, "signup", 0.0)))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      val e1 = pairs()
+      assert(e1.contains((Some(201L), Some(101L))),
+        s"matched pair must emit eagerly: $e1")
+      assert(!e1.contains((Some(202L), None)),
+        s"purchase NULL arm emitted before its horizon closed: $e1")
+      assert(!e1.contains((None, Some(102L))),
+        s"signup NULL arm emitted before its horizon closed: $e1")
+    } finally q1.stop()
+
+    // wave 2 lands while the query is DOWN: far-future events on BOTH
+    // sides push the watermark past every open horizon — the restarted
+    // query must emit u2's NULL-signup row AND u3's NULL-purchase row,
+    // each exactly once
+    write(Seq(
+      (901L, t(60 * 24), 8L, "signup", 0.0),
+      (902L, t(60 * 24), 9L, "purchase", 0.0)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val e2 = pairs()
+      assert(e2.contains((Some(202L), None)),
+        s"left NULL arm missing after the horizon closed: $e2")
+      assert(e2.contains((None, Some(102L))),
+        s"right NULL arm missing after the horizon closed: $e2")
+      // the signup arm keeps its user through the coalesce
+      val u3 = spark.read.parquet(outDir)
+        .filter(col("s_id") === 102L).select("user_id").head().getLong(0)
+      assert(u3 === 3L, "the signup NULL arm lost its user_id")
+
+      // wave 3: late rows on BOTH sides, inside their partners' windows
+      // but far behind the watermark — discarded, resurrecting nothing
+      write(Seq(
+        (103L, t(85), 2L, "signup", 0.0),
+        (203L, t(95), 3L, "purchase", 0.0)))
+      q2.processAllAvailable()
+      val e3 = pairs()
+      assert(e3.contains((Some(202L), None)) &&
+        !e3.contains((Some(202L), Some(103L))),
+        s"a late signup resurrected a NULL-emitted purchase: $e3")
+      assert(e3.contains((None, Some(102L))) &&
+        !e3.contains((Some(203L), Some(102L))),
+        s"a late purchase resurrected a NULL-emitted signup: $e3")
+
+      // batch equivalence on the closed horizon: streamed rows among
+      // wave-1 events equal the batch FULL OUTER interval join over the
+      // non-late events (the far-future pair's own horizons stay open,
+      // so the stream rightly withholds their unmatched rows)
+      val ev = spark.read.parquet(srcDir)
+        .filter(col("event_id") =!= 103L && col("event_id") =!= 203L)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val s = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"))
+      val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        "full_outer")
+        .filter(coalesce(col("p_id"), lit(0L)) < 900L &&
+          coalesce(col("s_id"), lit(0L)) < 900L)
+        .select("p_id", "s_id").collect()
+        .map(r => (opt(r, 0), opt(r, 1))).toSet
+      val streamedClosed = e3.filter { case (pp, ss) =>
+        pp.forall(_ < 900L) && ss.forall(_ < 900L) }
+      assert(streamedClosed === batch)
+    } finally q2.stop()
+  }
+
   test("checkpointed stream restarts exactly-once (no dupes, no loss)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
