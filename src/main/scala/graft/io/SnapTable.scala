@@ -131,6 +131,45 @@ object SnapTable {
       v: Int): Map[String, String] =
     metaOfText(readText(spark, dir, v))
 
+  /** One-fetch parse of a snapshot's manifest: the entry list, the
+    * meta map, and every layout declaration derived from the SAME
+    * text. The per-aspect helpers (readEntries/statsColsOf/bloomDeclOf/
+    * colMapOf/deleteFilesOf) delegate here for single-aspect callers,
+    * but every multi-aspect path (commits, scoped reads, rewrites)
+    * holds ONE Manifest per version — on HDFS/object stores each
+    * manifest fetch is a NameNode/HEAD round-trip, and a commit that
+    * re-fetched per aspect would pay ~10 where 1-2 suffice. */
+  private[graft] case class Manifest(entries: Seq[String],
+      meta: Map[String, String]) {
+    def paths: Seq[String] = entries.map(entryPath)
+    def statsCols: Seq[String] =
+      meta.get("stats_col").toSeq ++ meta.get("stats_col2")
+    def bloomDecl: Option[(String, Int, String)] =
+      meta.get("bloom_col").map(c => (c,
+        meta.getOrElse("bloom_bits", BloomBitsDefault.toString).toInt,
+        meta.getOrElse("bloom_type", "bigint")))
+    def colMap: Map[String, String] =
+      meta.get("col_map").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .map { pair =>
+          val Array(ph, lo) = pair.split(":", 2)
+          ph -> lo
+        }.toMap
+    def delFiles: Seq[String] = delFilesOfMeta(meta)
+    /** The declaration carry every commit re-passes. */
+    def layoutMeta: Map[String, String] =
+      statsMetaFor(statsCols) ++ bloomMetaFor(bloomDecl) ++
+        colMapMetaFor(colMap)
+  }
+
+  private[graft] def manifestAt(spark: SparkSession, dir: String,
+      v: Int): Manifest =
+    if (v <= 0) Manifest(Seq.empty, Map.empty)
+    else {
+      val t = readText(spark, dir, v)
+      Manifest(entriesOfText(t), metaOfText(t))
+    }
+
   /** The manifest-relative two-component key of a data file
     * ("wNNNNN-token/part-....parquet") — how absolute/URI paths from
     * `input_file_name()` are matched back to manifest entries. */
@@ -151,9 +190,7 @@ object SnapTable {
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   private[graft] def deleteFilesOf(spark: SparkSession, dir: String,
-      v: Int): Seq[String] =
-    if (v == 0) Seq.empty
-    else delFilesOfMeta(manifestMeta(spark, dir, v))
+      v: Int): Seq[String] = manifestAt(spark, dir, v).delFiles
 
   /** [[pathKey]] as a codegen'd column over the hidden `_metadata`
     * file-source column — the join key that matches scanned rows back
@@ -217,13 +254,12 @@ object SnapTable {
     * DVs (no metadata projection, no join — DV support costs existing
     * tables nothing). */
   private def readScoped(spark: SparkSession, dir: String,
-      rels: Seq[String], v: Int): DataFrame = {
-    val delFiles = deleteFilesOf(spark, dir, v)
-    val base = if (delFiles.isEmpty) spark.read
+      rels: Seq[String], mf: Manifest): DataFrame = {
+    val base = if (mf.delFiles.isEmpty) spark.read
       .option("mergeSchema", "true")
       .parquet(rels.map(r => s"$dir/$r"): _*)
-    else readKeyed(spark, dir, rels, delFiles).drop("__fk", "__pos")
-    toLogical(base, colMapOf(spark, dir, v)) // renamed columns read back
+    else readKeyed(spark, dir, rels, mf.delFiles).drop("__fk", "__pos")
+    toLogical(base, mf.colMap) // renamed columns read back
   }
 
   /** A writer lost an optimistic-concurrency race it cannot rebase
@@ -329,12 +365,11 @@ object SnapTable {
       interloperGuard: Seq[String] => Unit = _ => (),
       addDeleteFiles: Seq[String] = Seq.empty,
       dropDeleteFiles: Set[String] = Set.empty): Option[Int] = {
-    val baseCols = statsColsOf(spark, dir, baseV)
-    val baseBloom = bloomDeclOf(spark, dir, baseV)
-    val baseColMap = colMapOf(spark, dir, baseV)
+    val baseMf = manifestAt(spark, dir, baseV) // ONE fetch for all aspects
+    val baseCols = baseMf.statsCols
     val declared = Seq(meta.get("stats_col"), meta.get("stats_col2")).flatten
     val readPaths = readSet.map(entryPath)
-    val baseDel = deleteFilesOf(spark, dir, baseV)
+    val baseDel = baseMf.delFiles
     var attempt = 0
     var lastSeen = -1
     while (true) {
@@ -351,8 +386,8 @@ object SnapTable {
       // progress), so the counter resets; only repeated losses at the
       // same version — a stuck claim — exhaust it
       if (cur != lastSeen) { attempt = 0; lastSeen = cur }
-      val curEntries =
-        if (cur == 0) Seq.empty else readEntries(spark, dir, cur)
+      val curMf = manifestAt(spark, dir, cur) // ONE fetch per claim
+      val curEntries = curMf.entries
       if (cur != baseV) {
         if (strict) throw new ConcurrentWriteException(
           s"SnapTable: $dir moved v$baseV→v$cur under a strict writer — " +
@@ -362,9 +397,9 @@ object SnapTable {
           s"SnapTable: concurrent commit rewrote ${lost.size} file(s) " +
             s"this writer read under $dir (v$baseV→v$cur) — re-plan " +
             "against the current snapshot and retry")
-        if (statsColsOf(spark, dir, cur) != baseCols ||
-            bloomDeclOf(spark, dir, cur) != baseBloom ||
-            colMapOf(spark, dir, cur) != baseColMap)
+        if (curMf.statsCols != baseCols ||
+            curMf.bloomDecl != baseMf.bloomDecl ||
+            curMf.colMap != baseMf.colMap)
           throw new ConcurrentWriteException(
             s"SnapTable: a layout declaration (stats/bloom/column-map) " +
               s"changed (v$baseV→v$cur) under $dir — this writer's " +
@@ -389,7 +424,7 @@ object SnapTable {
       // writer replaces (a rebase would silently strand that delete),
       // and symmetrically this writer's drops were planned against
       // baseV's vectors, not the interloper's.
-      val curDel = deleteFilesOf(spark, dir, cur)
+      val curDel = curMf.delFiles
       if (cur != baseV && curDel != baseDel &&
           (removed.nonEmpty || dropDeleteFiles.nonEmpty))
         throw new ConcurrentWriteException(
@@ -436,59 +471,55 @@ object SnapTable {
     val f = fs(df.sparkSession, dir)
     val rels = f.listStatus(new Path(target)).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
-    val withStats = if (statsCols.isEmpty) rels
-    else {
-      // per-file [min, max] of EACH stats column (1 for range layouts,
-      // 2 for Z-order), one grouped scan of the just-written files —
-      // the data-skipping metadata; a file where any stats column is
-      // all-NULL stays unannotated (always read, never wrongly skipped)
-      val aggs = statsCols.flatMap(c => Seq(
-        min(col(c)).cast("long"), max(col(c)).cast("long")))
-      val stats = df.sparkSession.read.parquet(target)
-        .groupBy(input_file_name().as("f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .filterNot(r => (1 until 1 + 2 * statsCols.size).exists(r.isNullAt))
-        .map(r => pathKey(r.getString(0)) ->
-          (1 until 1 + 2 * statsCols.size).map(r.getLong).mkString("\t"))
-        .toMap
-      rels.map { r =>
-        stats.get(pathKey(r)) match {
-          case Some(pairs) => s"$r\t$pairs"
-          case None => r
-        }
+    if (statsCols.isEmpty && bloom.isEmpty) return rels
+    // ONE grouped scan of the just-written files computes BOTH
+    // annotation kinds: per-file [min, max] of each stats column (a
+    // file where any stats column is all-NULL stays stats-unannotated —
+    // always read, never wrongly skipped) AND, when a bloom column is
+    // declared, the per-file bloom words — each word w as
+    // bit_or(per-row OR of shiftleft(1, p % 64) over the row's k
+    // positions falling in word w). A NULL value hashes to seed-only
+    // positions (spurious bits: extra reads possible, wrong skips
+    // impossible — an equality probe never matches NULL rows anyway).
+    val statAggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val words = bloom.map(_._2 / 64).getOrElse(0)
+    val wordAggs = bloom.toSeq.flatMap { case (c, bits, tp) =>
+      val posArr = array(bloomPositions(col(c).cast(tp), bits): _*)
+      (0 until words).map { w =>
+        bit_or(aggregate(posArr, lit(0L), (acc, pc) =>
+          acc.bitwiseOR(when((pc / 64).cast("int") === lit(w),
+            call_function("shiftleft", lit(1L),
+              pmod(pc, lit(64L)).cast("int")))
+            .otherwise(lit(0L)))))
       }
     }
-    bloom match {
-      case None => withStats
-      case Some((c, bits, tp)) =>
-        // per-file bloom bits over the declared column: k positions per
-        // row, OR'd into 64-bit words per (file, word) — one scan of the
-        // just-written files + a #files·(bits/64)-bounded shuffle, the
-        // write-side cost of equality skipping. A NULL value hashes to
-        // seed-only positions (spurious bits: extra reads possible,
-        // wrong skips impossible — an equality probe never matches NULL
-        // rows anyway).
-        val ann = df.sparkSession.read.parquet(target)
-          .select(input_file_name().as("f"),
-            array(bloomPositions(col(c).cast(tp), bits): _*).as("ps"))
-          .select(col("f"), explode(col("ps")).as("p"))
-          .select(col("f"), (col("p") / 64).cast("int").as("w"),
-            expr("shiftleft(1L, CAST(pmod(p, 64) AS INT))").as("b"))
-          .groupBy(col("f"), col("w")).agg(bit_or(col("b")).as("word"))
-          .collect()
-          .groupBy(r => pathKey(r.getString(0)))
-          .map { case (fk, rs) =>
-            val arr = new Array[Long](bits / 64)
-            rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
-            fk -> arr.map(w => f"$w%016x").mkString
-          }
-        withStats.map { e =>
-          ann.get(pathKey(entryPath(e))) match {
-            case Some(hex) => s"$e\tbf:$hex"
-            case None => e // e.g. a 0-row file: unannotated, always read
-          }
-        }
+    val aggs = statAggs ++ wordAggs
+    val rows = df.sparkSession.read.parquet(target)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val nStat = 2 * statsCols.size
+    val stats = rows
+      .filterNot(r => (1 to nStat).exists(r.isNullAt))
+      .map(r => pathKey(r.getString(0)) ->
+        (1 to nStat).map(r.getLong).mkString("\t"))
+      .toMap
+    val blooms = rows.map { r =>
+      pathKey(r.getString(0)) ->
+        (1 + nStat until 1 + nStat + words)
+          .map(i => f"${r.getLong(i)}%016x").mkString
+    }.toMap
+    rels.map { r =>
+      val k = pathKey(r)
+      val withStats = stats.get(k) match {
+        case Some(pairs) => s"$r\t$pairs"
+        case None => r
+      }
+      blooms.get(k) match {
+        case Some(hex) if words > 0 => s"$withStats\tbf:$hex"
+        case _ => withStats // e.g. a 0-row file: unannotated, always read
+      }
     }
   }
 
@@ -497,12 +528,7 @@ object SnapTable {
     * the table keeps no file stats, one column for range layouts, two
     * after a Z-order optimize. */
   private[graft] def statsColsOf(spark: SparkSession, dir: String,
-      v: Int): Seq[String] =
-    if (v == 0) Seq.empty
-    else {
-      val m = manifestMeta(spark, dir, v)
-      m.get("stats_col").toSeq ++ m.get("stats_col2")
-    }
+      v: Int): Seq[String] = manifestAt(spark, dir, v).statsCols
 
   private[graft] def statsColOf(spark: SparkSession, dir: String,
       v: Int): Option[String] =
@@ -537,13 +563,7 @@ object SnapTable {
     * int and of the equal long differ). */
   private[graft] def bloomDeclOf(spark: SparkSession, dir: String,
       v: Int): Option[(String, Int, String)] =
-    if (v == 0) None
-    else {
-      val m = manifestMeta(spark, dir, v)
-      m.get("bloom_col").map(c => (c,
-        m.getOrElse("bloom_bits", BloomBitsDefault.toString).toInt,
-        m.getOrElse("bloom_type", "bigint")))
-    }
+    manifestAt(spark, dir, v).bloomDecl
 
   private def bloomMetaFor(
       decl: Option[(String, Int, String)]): Map[String, String] =
@@ -555,9 +575,7 @@ object SnapTable {
   /** Stats + bloom declaration carry — what every appending/rewriting
     * commit re-passes so both layout declarations survive any writer. */
   private[graft] def layoutMeta(spark: SparkSession, dir: String,
-      v: Int): Map[String, String] =
-    statsMeta(spark, dir, v) ++ bloomMetaFor(bloomDeclOf(spark, dir, v)) ++
-      colMapMetaFor(colMapOf(spark, dir, v))
+      v: Int): Map[String, String] = manifestAt(spark, dir, v).layoutMeta
 
   /** The k bloom bit positions of a value expression — ONE spelling
     * shared by the write-side per-file aggregation and the probe (the
@@ -585,14 +603,7 @@ object SnapTable {
     * reader applies the map at the boundary. Empty for never-renamed
     * tables (readers keep their original plans). */
   private[graft] def colMapOf(spark: SparkSession, dir: String,
-      v: Int): Map[String, String] =
-    if (v == 0) Map.empty
-    else manifestMeta(spark, dir, v).get("col_map").toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-      .map { pair =>
-        val Array(ph, lo) = pair.split(":", 2)
-        ph -> lo
-      }.toMap
+      v: Int): Map[String, String] = manifestAt(spark, dir, v).colMap
 
   private def colMapMetaFor(m: Map[String, String]): Map[String, String] =
     if (m.isEmpty) Map.empty
@@ -646,9 +657,10 @@ object SnapTable {
     // commit — the write-dir name carries the PLANNED version, which
     // may trail the committed one after a rebase; the token keeps it
     // unique and manifests reference it either way)
-    val added = writeData(toPhysical(df, colMapOf(s, dir, v)), dir,
-      v + 1, statsColsOf(s, dir, v), bloomDeclOf(s, dir, v))
-    occCommit(s, dir, v, Set.empty, Set.empty, added, layoutMeta(s, dir, v))
+    val mf = manifestAt(s, dir, v) // ONE fetch for every aspect below
+    val added = writeData(toPhysical(df, mf.colMap), dir,
+      v + 1, mf.statsCols, mf.bloomDecl)
+    occCommit(s, dir, v, Set.empty, Set.empty, added, mf.layoutMeta)
   }
 
   /** Copy-on-write delete: rows matching `pred` disappear in the new
@@ -669,8 +681,9 @@ object SnapTable {
   private[graft] def deleteWhereFrom(spark: SparkSession, dir: String,
       pred: Column, v: Int): Unit = {
     require(v > 0, s"SnapTable: $dir holds no table — create first")
-    val entries = readEntries(spark, dir, v)
-    val delFiles = deleteFilesOf(spark, dir, v)
+    val mf = manifestAt(spark, dir, v)
+    val entries = mf.entries
+    val delFiles = mf.delFiles
     // DV-AWARE rewrite-path reads (readKeyed): on a table with
     // merge-on-read vectors, a raw file scan would see rows the
     // vectors already deleted — the touched probe would rewrite files
@@ -680,7 +693,7 @@ object SnapTable {
     // survivors rewritten through the narrower schema would silently
     // lose the evolved column (or the predicate would fail to resolve)
     // bounded driver action: one distinct over ≤#files values
-    val cmap = colMapOf(spark, dir, v)
+    val cmap = mf.colMap
     val touchedKeys = readKeyed(spark, dir, entries.map(entryPath),
         delFiles, cmap)
       .filter(pred).select(col("__fk"))
@@ -701,9 +714,9 @@ object SnapTable {
       toPhysical(readKeyed(spark, dir, touched.map(entryPath), delFiles,
           cmap)
         .filter(!coalesce(pred, lit(false))).drop("__fk", "__pos"), cmap),
-      dir, v + 1, statsColsOf(spark, dir, v), bloomDeclOf(spark, dir, v))
+      dir, v + 1, mf.statsCols, mf.bloomDecl)
     occCommit(spark, dir, v, entries.toSet, touched.toSet, newFiles,
-      layoutMeta(spark, dir, v))
+      mf.layoutMeta)
   }
 
   /** MERGE-ON-READ delete: rows matching `pred` disappear in the new
@@ -733,8 +746,9 @@ object SnapTable {
   private[graft] def deleteWhereMorFrom(spark: SparkSession, dir: String,
       pred: Column, v: Int): Unit = {
     require(v > 0, s"SnapTable: $dir holds no table — create first")
-    val entries = readEntries(spark, dir, v)
-    val delFiles = deleteFilesOf(spark, dir, v)
+    val mf = manifestAt(spark, dir, v)
+    val entries = mf.entries
+    val delFiles = mf.delFiles
     // delete ⇔ pred is TRUE (NULL keeps the row), same as the CoW path.
     // repartition(1): ONE sidecar file per delete commit — the scan
     // stays fully parallel (only the matched positions shuffle, and a
@@ -742,7 +756,7 @@ object SnapTable {
     // so broad that single-writer sidecar output hurts should be the
     // copy-on-write [[deleteWhere]] anyway — it is rewriting the table
     val matches = readKeyed(spark, dir, entries.map(entryPath), delFiles,
-        colMapOf(spark, dir, v))
+        mf.colMap)
       .filter(coalesce(pred, lit(false)))
       .select(col("__fk").as("file_key"), col("__pos").as("pos"))
       .repartition(1)
@@ -771,7 +785,7 @@ object SnapTable {
     // only retires files listed in retired manifests, so without this
     // cleanup every conflicted/retried delete leaks its sidecar forever
     try occCommit(spark, dir, v, touched.toSet, Set.empty, Seq.empty,
-      layoutMeta(spark, dir, v), addDeleteFiles = parts)
+      mf.layoutMeta, addDeleteFiles = parts)
     catch {
       case scala.util.control.NonFatal(e) =>
         f.delete(new Path(s"$dir/$rel"), true)
@@ -890,15 +904,16 @@ object SnapTable {
       key: String, v: Int): Unit = {
     val s = updates.sparkSession
     require(v > 0, s"SnapTable: $dir holds no table — create first")
-    val entries = readEntries(s, dir, v)
-    val files = entries.map(entryPath)
-    val cmap = colMapOf(s, dir, v)
+    val mf = manifestAt(s, dir, v)
+    val entries = mf.entries
+    val files = mf.paths
+    val cmap = mf.colMap
     val updKeys = mergeValidate(updates, dir, files, key, cmap)
     // DV-AWARE probe and survivor reads (readKeyed): on a table with
     // merge-on-read vectors a raw scan would probe/rewrite rows the
     // vectors already deleted — a merge of an already-MoR-deleted key
     // must INSERT it, not resurrect the old row next to it
-    val delFiles = deleteFilesOf(s, dir, v)
+    val delFiles = mf.delFiles
     val cur = readKeyed(s, dir, files, delFiles, cmap)
     val touchedKeys = cur.join(broadcast(updKeys), Seq(key))
       .select(col("__fk"))
@@ -924,8 +939,8 @@ object SnapTable {
     // when its REPLACEMENT files clash — which the guard checks.
     occCommit(s, dir, v, touched.toSet, touched.toSet,
       writeData(toPhysical(survivors, cmap), dir, v + 1,
-        statsColsOf(s, dir, v), bloomDeclOf(s, dir, v)),
-      layoutMeta(s, dir, v),
+        mf.statsCols, mf.bloomDecl),
+      mf.layoutMeta,
       interloperGuard =
         mergeKeyGuard(s, dir, files.toSet, updKeys, key, cmap))
   }
@@ -954,11 +969,12 @@ object SnapTable {
       key: String, v: Int): Unit = {
     val s = updates.sparkSession
     require(v > 0, s"SnapTable: $dir holds no table — create first")
-    val entries = readEntries(s, dir, v)
-    val files = entries.map(entryPath)
-    val cmap = colMapOf(s, dir, v)
+    val mf = manifestAt(s, dir, v)
+    val entries = mf.entries
+    val files = mf.paths
+    val cmap = mf.colMap
     val updKeys = mergeValidate(updates, dir, files, key, cmap)
-    val delFiles = deleteFilesOf(s, dir, v)
+    val delFiles = mf.delFiles
     // the old rows of matched keys, as (file, position) — the DV rows
     val matches = readKeyed(s, dir, files, delFiles, cmap)
       .join(broadcast(updKeys), Seq(key))
@@ -981,13 +997,13 @@ object SnapTable {
     val touched =
       entries.filter(e => touchedKeys.contains(pathKey(entryPath(e))))
     val newFiles = writeData(toPhysical(updates, cmap), dir, v + 1,
-      statsColsOf(s, dir, v), bloomDeclOf(s, dir, v))
+      mf.statsCols, mf.bloomDecl)
     // same sidecar-leak rule as deleteWhereMorFrom: a conflicted commit
     // leaves the vector AND the just-written update files unreferenced
     // (vacuum only retires files listed in retired manifests, so both
     // would leak forever); both paths are known here — delete both
     try occCommit(s, dir, v, touched.toSet, Set.empty, newFiles,
-      layoutMeta(s, dir, v),
+      mf.layoutMeta,
       addDeleteFiles = (if (touchedKeys.isEmpty) Seq.empty else parts),
       interloperGuard =
         mergeKeyGuard(s, dir, files.toSet, updKeys, key, cmap))
@@ -1035,13 +1051,14 @@ object SnapTable {
     val s = df.sparkSession
     if (lastAppliedBatch(s, dir) >= batchId) return false
     val v0 = currentVersion(s, dir)
-    val added = writeData(toPhysical(df, colMapOf(s, dir, v0)), dir,
-      v0 + 1, statsColsOf(s, dir, v0), bloomDeclOf(s, dir, v0))
+    val mf0 = manifestAt(s, dir, v0)
+    val added = writeData(toPhysical(df, mf0.colMap), dir,
+      v0 + 1, mf0.statsCols, mf0.bloomDecl)
     // a pure-append occCommit whose skipIf rechecks the stamp before
     // every claim: the commit this writer lost to may have BEEN this
     // very batch (two racing sink instances)
     occCommit(s, dir, v0, Set.empty, Set.empty, added,
-      Map("batch_id" -> batchId.toString) ++ layoutMeta(s, dir, v0),
+      Map("batch_id" -> batchId.toString) ++ mf0.layoutMeta,
       skipIf = () => lastAppliedBatch(s, dir) >= batchId).isDefined
   }
 
@@ -1054,7 +1071,8 @@ object SnapTable {
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(spark, dir))
     require(v > 0, s"SnapTable: no snapshot to read under $dir")
-    readScoped(spark, dir, readManifest(spark, dir, v), v)
+    val mf = manifestAt(spark, dir, v)
+    readScoped(spark, dir, mf.paths, mf)
   }
 
   /** The manifest entries a conjunction of per-stats-column [lo, hi]
@@ -1068,7 +1086,12 @@ object SnapTable {
       asOf: Option[Int] = None): Seq[String] = {
     val v = asOf.getOrElse(currentVersion(spark, dir))
     require(v > 0, s"SnapTable: no snapshot to read under $dir")
-    readEntries(spark, dir, v).filter { e =>
+    prunedPathsOf(manifestAt(spark, dir, v), ranges)
+  }
+
+  private def prunedPathsOf(mf: Manifest,
+      ranges: Seq[Option[(Long, Long)]]): Seq[String] =
+    mf.entries.filter { e =>
       val st = statFields(e) // numeric stats only (bloom tags excluded)
       val nPairs = st.length / 2
       if (nPairs == 0) true // unannotated: must read
@@ -1080,7 +1103,6 @@ object SnapTable {
         case _ => true // unconstrained dim, or stats missing for it
       }
     }.map(entryPath)
-  }
 
   private[graft] def prunedPaths(spark: SparkSession, dir: String,
       lo: Long, hi: Long, asOf: Option[Int] = None): Seq[String] =
@@ -1097,24 +1119,25 @@ object SnapTable {
   def readPruned(spark: SparkSession, dir: String, lo: Long, hi: Long,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(spark, dir))
-    require(statsColsOf(spark, dir, v).nonEmpty,
+    val mf = manifestAt(spark, dir, v)
+    require(mf.statsCols.nonEmpty,
       s"SnapTable: $dir carries no stats column — readPruned needs " +
         "a table created with statsCol")
-    readPrunedRanges(spark, dir, Seq(Some((lo, hi))), v)
+    readPrunedRanges(spark, dir, Seq(Some((lo, hi))), v, mf)
   }
 
   /** Shared pruned-scan core: skip by [[prunedPathsBox]], then apply
     * the residual row-level range filters, so the result is exactly
     * `read(...).filter(<ranges>)` regardless of dimension count. */
   private def readPrunedRanges(spark: SparkSession, dir: String,
-      ranges: Seq[Option[(Long, Long)]], v: Int): DataFrame = {
-    val cs = statsColsOf(spark, dir, v)
-    val chosen = prunedPathsBox(spark, dir, ranges, Some(v))
-    val residual = cs.zip(ranges).collect {
+      ranges: Seq[Option[(Long, Long)]], v: Int,
+      mf: Manifest): DataFrame = {
+    val chosen = prunedPathsOf(mf, ranges)
+    val residual = mf.statsCols.zip(ranges).collect {
       case (c, Some((lo, hi))) => col(c).between(lo, hi)
     }.reduce(_ && _)
     if (chosen.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
-    else readScoped(spark, dir, chosen, v) // DV-aware, like read()
+    else readScoped(spark, dir, chosen, mf) // DV-aware, like read()
       .filter(residual)
   }
 
@@ -1125,16 +1148,27 @@ object SnapTable {
     * writer hashed with, run through one 1-row job — no driver-side
     * hash reimplementation to drift. Exposed so the spec can assert
     * the skipping is real (strict subset). */
+  /** The bloom declaration, or THE refusal (shared by every bloom
+    * entry point so the wording cannot drift). */
+  private def bloomDeclRequired(mf: Manifest,
+      dir: String): (String, Int, String) =
+    mf.bloomDecl.getOrElse(throw new IllegalArgumentException(
+      s"requirement failed: SnapTable: $dir carries no bloom column " +
+        "— readPrunedEq needs a table created with bloomCol"))
+
   private[graft] def bloomPrunedPaths(spark: SparkSession, dir: String,
       value: Any, v: Int): Seq[String] = {
-    val (_, bits, tp) = bloomDeclOf(spark, dir, v).getOrElse(
-      throw new IllegalArgumentException(
-        s"requirement failed: SnapTable: $dir carries no bloom column " +
-          "— readPrunedEq needs a table created with bloomCol"))
+    val mf = manifestAt(spark, dir, v)
+    bloomPrunedPathsOf(spark, dir, mf, bloomDeclRequired(mf, dir), value)
+  }
+
+  private def bloomPrunedPathsOf(spark: SparkSession, dir: String,
+      mf: Manifest, decl: (String, Int, String), value: Any): Seq[String] = {
+    val (_, bits, tp) = decl
     val pos = spark.range(1)
       .select(array(bloomPositions(lit(value).cast(tp), bits): _*).as("ps"))
       .head().getSeq[Long](0)
-    readEntries(spark, dir, v).filter { e =>
+    mf.entries.filter { e =>
       bloomHexOf(e) match {
         case None => true // unannotated: must read
         case Some(hex) => pos.forall { p =>
@@ -1160,13 +1194,11 @@ object SnapTable {
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(spark, dir))
     require(v > 0, s"SnapTable: no snapshot to read under $dir")
-    val (c, _, tp) = bloomDeclOf(spark, dir, v).getOrElse(
-      throw new IllegalArgumentException(
-        s"requirement failed: SnapTable: $dir carries no bloom column " +
-          "— readPrunedEq needs a table created with bloomCol"))
-    val chosen = bloomPrunedPaths(spark, dir, value, v)
+    val mf = manifestAt(spark, dir, v)
+    val decl @ (c, _, tp) = bloomDeclRequired(mf, dir)
+    val chosen = bloomPrunedPathsOf(spark, dir, mf, decl, value)
     if (chosen.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
-    else readScoped(spark, dir, chosen, v) // DV-aware, like read()
+    else readScoped(spark, dir, chosen, mf) // DV-aware, like read()
       .filter(col(c) === lit(value).cast(tp))
   }
 
@@ -1186,28 +1218,43 @@ object SnapTable {
     val v = currentVersion(spark, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
     require(from != to, "SnapTable: rename to the same name is a no-op")
+    // the new name rides the manifest header's `phys:logical` CSV — a
+    // ',' ':' or newline in it would corrupt the col_map parse (or the
+    // manifest line structure) for EVERY later operation, with no API
+    // path to repair; restrict to identifier characters up front
+    require(to.matches("[A-Za-z0-9_]+"),
+      s"SnapTable: rename target '$to' must match [A-Za-z0-9_]+ — the " +
+        "name is serialized into the manifest's col_map metadata")
     Seq("__fk", "__pos").foreach(c => require(to != c,
       s"SnapTable: '$c' is reserved for the row-identity machinery"))
-    val m = colMapOf(spark, dir, v)
+    val mf = manifestAt(spark, dir, v)
+    val m = mf.colMap
     val phys = spark.read.option("mergeSchema", "true")
-      .parquet(readManifest(spark, dir, v).map(r => s"$dir/$r"): _*)
+      .parquet(mf.paths.map(r => s"$dir/$r"): _*)
       .columns.toSeq
     val logical = phys.map(p => m.getOrElse(p, p))
     require(logical.contains(from),
       s"SnapTable: no column '$from' in $dir (columns: $logical)")
     require(!logical.contains(to),
       s"SnapTable: column '$to' already exists in $dir")
-    val shielded = statsColsOf(spark, dir, v) ++
-      bloomDeclOf(spark, dir, v).map(_._1)
+    val ph = m.find(_._2 == from).map(_._1).getOrElse(from)
+    // the rename folds (toLogical/toPhysical) apply entry-by-entry, so
+    // logical names must stay DISJOINT from every other physical name:
+    // renaming b→c while physical c exists (mapped away as c→x) would
+    // make withColumnRenamed("b","c") produce a duplicate 'c' that the
+    // c→x rename then captures — two 'x' columns, every read ambiguous
+    require(!phys.contains(to) || to == ph,
+      s"SnapTable: '$to' is the PHYSICAL name of another column in " +
+        s"$dir — a logical name may not shadow a physical one")
+    val shielded = mf.statsCols ++ mf.bloomDecl.map(_._1)
     require(!shielded.contains(from),
       s"SnapTable: '$from' is a declared stats/bloom column — its " +
         "annotations name the physical column; drop/redeclare the " +
         "layout before renaming")
-    val ph = m.find(_._2 == from).map(_._1).getOrElse(from)
     val m2 = if (ph == to) m - ph else m.updated(ph, to)
     occCommit(spark, dir, v, Set.empty, Set.empty, Seq.empty,
-      statsMeta(spark, dir, v) ++
-        bloomMetaFor(bloomDeclOf(spark, dir, v)) ++ colMapMetaFor(m2))
+      statsMetaFor(mf.statsCols) ++ bloomMetaFor(mf.bloomDecl) ++
+        colMapMetaFor(m2))
   }
 
   /** OPTIMIZE — compact and re-cluster the current snapshot: rewrite
@@ -1223,24 +1270,24 @@ object SnapTable {
     require(targetFiles >= 1, "SnapTable: targetFiles must be >= 1")
     val v = currentVersion(spark, dir)
     require(v > 0, s"SnapTable: $dir holds no table — create first")
-    val cs = statsColsOf(spark, dir, v)
+    val mf = manifestAt(spark, dir, v)
+    val cs = mf.statsCols
     // pin the snapshot being compacted: read(..., Some(v)) — reading
     // "current" again at job time could see a concurrent commit and
     // compact rows the OCC read-set below doesn't cover
+    val snap = readScoped(spark, dir, mf.paths, mf)
     val clustered = cs.headOption match {
-      case Some(sc) =>
-        read(spark, dir, Some(v)).repartitionByRange(targetFiles, col(sc))
-      case None => read(spark, dir, Some(v)).repartition(targetFiles)
+      case Some(sc) => snap.repartitionByRange(targetFiles, col(sc))
+      case None => snap.repartition(targetFiles)
     }
-    val entries = readEntries(spark, dir, v)
     // the compaction read DV-applied rows (read() above), so the new
     // files carry no deleted rows — the vectors FOLD AWAY here: drop
     // them all, and every subsequent read is a plain scan again
-    occCommit(spark, dir, v, entries.toSet, entries.toSet,
-      writeData(toPhysical(clustered, colMapOf(spark, dir, v)), dir,
-        v + 1, cs, bloomDeclOf(spark, dir, v)),
-      layoutMeta(spark, dir, v),
-      dropDeleteFiles = deleteFilesOf(spark, dir, v).toSet)
+    occCommit(spark, dir, v, mf.entries.toSet, mf.entries.toSet,
+      writeData(toPhysical(clustered, mf.colMap), dir,
+        v + 1, cs, mf.bloomDecl),
+      mf.layoutMeta,
+      dropDeleteFiles = mf.delFiles.toSet)
   }
 
   /** Morton bit-spread: the 16 low bits of `x` spaced out to even bit
@@ -1282,16 +1329,16 @@ object SnapTable {
       targetFiles: Int, c1: String, c2: String, v: Int): Unit = {
     require(targetFiles >= 1, "SnapTable: targetFiles must be >= 1")
     require(v > 0, s"SnapTable: $dir holds no table — create first")
+    val mf = manifestAt(spark, dir, v)
     // the stats declaration records names writeData reads from PHYSICAL
     // files, so Z-ordering on a column the map touches (either side of
     // any rename) would declare stats nothing can compute — refuse with
     // the remedy named
     Seq(c1, c2).foreach(c => require(
-      !colMapOf(spark, dir, v).exists { case (ph, lo) =>
-        ph == c || lo == c },
+      !mf.colMap.exists { case (ph, lo) => ph == c || lo == c },
       s"SnapTable: cannot Z-order $dir on '$c' — the column map " +
         "touches it; rename it back to its physical name first"))
-    val snap = read(spark, dir, Some(v))
+    val snap = readScoped(spark, dir, mf.paths, mf)
     val mm = snap.agg(
       min(col(c1)).cast("long"), max(col(c1)).cast("long"),
       min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
@@ -1323,15 +1370,13 @@ object SnapTable {
     val clustered = snap.withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))
       .drop("__z")
-    val entries = readEntries(spark, dir, v)
     // full DV-applied rewrite, same as optimize: vectors fold away
-    occCommit(spark, dir, v, entries.toSet, entries.toSet,
-      writeData(toPhysical(clustered, colMapOf(spark, dir, v)), dir,
-        v + 1, Seq(c1, c2), bloomDeclOf(spark, dir, v)),
-      statsMetaFor(Seq(c1, c2)) ++
-        bloomMetaFor(bloomDeclOf(spark, dir, v)) ++
-        colMapMetaFor(colMapOf(spark, dir, v)),
-      dropDeleteFiles = deleteFilesOf(spark, dir, v).toSet)
+    occCommit(spark, dir, v, mf.entries.toSet, mf.entries.toSet,
+      writeData(toPhysical(clustered, mf.colMap), dir,
+        v + 1, Seq(c1, c2), mf.bloomDecl),
+      statsMetaFor(Seq(c1, c2)) ++ bloomMetaFor(mf.bloomDecl) ++
+        colMapMetaFor(mf.colMap),
+      dropDeleteFiles = mf.delFiles.toSet)
   }
 
   /** 2-D STATS-PRUNED box scan: rows with c1 ∈ [lo1, hi1] AND c2 ∈
@@ -1343,12 +1388,12 @@ object SnapTable {
       lo1: Long, hi1: Long, lo2: Long, hi2: Long,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(spark, dir))
-    val cs = statsColsOf(spark, dir, v)
-    require(cs.size == 2,
-      s"SnapTable: $dir carries ${cs.size} stats column(s) — " +
+    val mf = manifestAt(spark, dir, v)
+    require(mf.statsCols.size == 2,
+      s"SnapTable: $dir carries ${mf.statsCols.size} stats column(s) — " +
         "readPrunedBox needs a Z-ordered table (optimizeZorder)")
     readPrunedRanges(spark, dir,
-      Seq(Some((lo1, hi1)), Some((lo2, hi2))), v)
+      Seq(Some((lo1, hi1)), Some((lo2, hi2))), v, mf)
   }
 
   // ---- write-audit-publish ---------------------------------------------
@@ -1369,8 +1414,9 @@ object SnapTable {
   def stage(df: DataFrame, dir: String, tag: String = ""): String = {
     val s = df.sparkSession
     val v = currentVersion(s, dir) // v == 0 is fine: publish creates v1
-    val files = writeData(toPhysical(df, colMapOf(s, dir, v)), dir,
-      v + 1, statsColsOf(s, dir, v), bloomDeclOf(s, dir, v))
+    val mf = manifestAt(s, dir, v)
+    val files = writeData(toPhysical(df, mf.colMap), dir,
+      v + 1, mf.statsCols, mf.bloomDecl)
     val id = java.util.UUID.randomUUID().toString.take(12)
     val f = fs(s, dir)
     f.mkdirs(new Path(dir, "_staged"))
@@ -2022,10 +2068,15 @@ object SnapTable {
         s"SnapTable: no retained manifest ≤ v$toV under $dir")
       st = Map.empty // stale carried state cannot be advanced delta-wise
       // a whole-table re-seed reads the retained snapshot UNDER its
-      // deletion vectors (readScoped), so a DV-carrying manifest seeds
-      // exactly the visible rows — round 13's refusal, closed
+      // deletion vectors, so a DV-carrying manifest seeds exactly the
+      // visible rows — round 13's refusal, closed. PHYSICAL names
+      // (readKeyed without the column map), like every delta frame:
+      // the fold must not fork behavior on whether it took the re-seed
+      // branch when the table was renamed
+      val rMf = manifestAt(s, dir, r)
       seed = Some(ivmSignedAgg(
-        readScoped(s, dir, readManifest(s, dir, r), r), 1L))
+        readKeyed(s, dir, rMf.paths, rMf.delFiles)
+          .drop("__fk", "__pos"), 1L))
       base = r
     }
     // chunked fold: union up to IvmUnionMaxVersions-worth of signed

@@ -1197,6 +1197,24 @@ class SnapTableSpec extends SparkSpec {
       SnapTable.renameColumn(spark, d, "id", "key")) // stats+bloom col
     intercept[IllegalArgumentException](
       SnapTable.renameColumn(spark, d, "x", "__pos")) // reserved
+    // col_map serialization metacharacters would brick every later
+    // parse — refused up front, not discovered at the next read
+    intercept[IllegalArgumentException](
+      SnapTable.renameColumn(spark, d, "x", "a,b"))
+    intercept[IllegalArgumentException](
+      SnapTable.renameColumn(spark, d, "x", "a:b"))
+    // a logical name may not shadow another column's PHYSICAL name:
+    // with physical [x, w] and w renamed away (w→z), renaming x→w
+    // would make the rename folds produce duplicate columns
+    val dShadow = tmp()
+    SnapTable.create(Seq((1L, 2L, 3L)).toDF("id", "x", "w"), dShadow)
+    SnapTable.renameColumn(spark, dShadow, "w", "z")
+    intercept[IllegalArgumentException](
+      SnapTable.renameColumn(spark, dShadow, "x", "w"))
+    // renaming w's logical name BACK to w (its own physical) is fine
+    SnapTable.renameColumn(spark, dShadow, "z", "w")
+    assert(SnapTable.read(spark, dShadow).columns.toSeq ===
+      Seq("id", "x", "w"))
     // an append planned BEFORE a rename landed must conflict (its
     // carried meta would silently revert the map) — re-plan then works
     val base = SnapTable.currentVersion(spark, d)
