@@ -1528,6 +1528,16 @@ class StreamingSpec extends SparkSpec {
     try q4.processAllAvailable() finally q4.stop()
     assert(reports.last._3 === rescan(),
       "restarted view diverged after vacuum retired the fold base")
+    // a MERGE-ON-READ delete commits out-of-band: the DV-aware fold
+    // (round 14) must account its sidecar as a negative delta — this
+    // exact window was a hard refusal (OPTIMIZE-then-reseed) before
+    SnapTable.deleteWhereMor(spark, table, col("doc_id") % 9 === 1)
+    docs.filter(col("doc_id") % 9 === 5).limit(20).coalesce(1)
+      .write.mode("append").parquet(dropsDir)
+    val q5 = start()
+    try q5.processAllAvailable() finally q5.stop()
+    assert(reports.last._3 === rescan(),
+      "view diverged after an out-of-band MoR delete (DV fold)")
   }
 
   test("audited streaming ingest: failing drops discard invisibly, " +
