@@ -472,6 +472,28 @@ object SnapTable {
     val rels = f.listStatus(new Path(target)).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
     if (statsCols.isEmpty && bloom.isEmpty) return rels
+    // SCHEMA-EVOLVED batches may lack a declared layout column
+    // (mergeSchema admits narrower appends): annotating would crash the
+    // scan below AFTER the files landed (orphan litter + an unhelpful
+    // unresolved-column error), so absent-column annotation kinds are
+    // SKIPPED instead — the files stay unannotated (always read, never
+    // wrongly skipped). Stats skip all-or-nothing: the manifest fields
+    // are positional under the declaration, so a partial annotation
+    // would be misread as the wrong column's bounds.
+    val writtenCols = df.columns.toSet // == the written file schema
+    val statsCols2 =
+      if (statsCols.forall(writtenCols.contains)) statsCols else Seq.empty
+    val bloom2 = bloom.filter { case (c, _, _) => writtenCols.contains(c) }
+    return writeAnnotations(df.sparkSession, target, rels,
+      statsCols2, bloom2)
+  }
+
+  /** The per-file annotation pass of [[writeData]], over columns known
+    * to exist in the written files. */
+  private def writeAnnotations(s: SparkSession, target: String,
+      rels: Seq[String], statsCols: Seq[String],
+      bloom: Option[(String, Int, String)]): Seq[String] = {
+    if (statsCols.isEmpty && bloom.isEmpty) return rels
     // ONE grouped scan of the just-written files computes BOTH
     // annotation kinds: per-file [min, max] of each stats column (a
     // file where any stats column is all-NULL stays stats-unannotated —
@@ -495,7 +517,7 @@ object SnapTable {
       }
     }
     val aggs = statAggs ++ wordAggs
-    val rows = df.sparkSession.read.parquet(target)
+    val rows = s.read.parquet(target)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.SnapTable
+
+/** Seeded randomized op-sequence fuzz for the DV-aware IVM fold — the
+  * RulesPropertySpec discipline applied to the round-14 flagship: for
+  * ANY interleaving of appends, CoW deletes, merge-on-read deletes,
+  * CoW merges, MoR merges, and optimizes, the incremental fold must
+  * equal a full rescan at every version, the from-scratch fold must
+  * agree, and a vacuum mid-history must only force a re-seed, never a
+  * wrong answer. The fixtures (q264 etc.) pin one curated history;
+  * this pins the ALGEBRA — added-net-of-dvTo, removed-net-of-dvFrom,
+  * sidecar-negative, stacked vectors — against histories nobody
+  * hand-picked. */
+class SnapTablePropertySpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-snapfuzz").toString + "/t"
+
+  private def rescan(d: String): Map[String, (Long, Long)] =
+    SnapTable.read(spark, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("cs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  /** One random op; returns a short label for failure messages. */
+  private def randomOp(rnd: scala.util.Random, d: String,
+      nextId: () => Long): String = {
+    def rows(n: Int) = (0 until n).map { _ =>
+      (nextId(), s"s${rnd.nextInt(4)}", 1L + rnd.nextInt(100))
+    }
+    def df(rs: Seq[(Long, String, Long)]) =
+      rs.toDF("id", "source", "n_chars")
+    def existingIds(k: Int): Seq[Long] = {
+      val ids = SnapTable.read(spark, d).select(col("id"))
+        .limit(200).collect().map(_.getLong(0)).distinct
+      rnd.shuffle(ids.toSeq).take(k)
+    }
+    rnd.nextInt(6) match {
+      case 0 =>
+        SnapTable.append(df(rows(3 + rnd.nextInt(5))), d); "append"
+      case 1 =>
+        val m = 3 + rnd.nextInt(5)
+        SnapTable.deleteWhere(spark, d, col("id") % m === rnd.nextInt(m))
+        s"deleteWhere(%$m)"
+      case 2 =>
+        val m = 3 + rnd.nextInt(5)
+        SnapTable.deleteWhereMor(spark, d,
+          col("id") % m === rnd.nextInt(m))
+        s"deleteWhereMor(%$m)"
+      case 3 =>
+        val upd = existingIds(2).map(i =>
+          (i, "merged", 500L + rnd.nextInt(50))) ++ rows(1)
+        if (upd.nonEmpty) SnapTable.merge(df(upd), d, "id")
+        "merge"
+      case 4 =>
+        val upd = existingIds(2).map(i =>
+          (i, "upserted", 700L + rnd.nextInt(50))) ++ rows(1)
+        if (upd.nonEmpty) SnapTable.mergeMor(df(upd), d, "id")
+        "mergeMor"
+      case 5 =>
+        SnapTable.optimize(spark, d, 1 + rnd.nextInt(3)); "optimize"
+    }
+  }
+
+  for (seed <- Seq(11, 47)) {
+    test(s"fold ≡ rescan under a random 10-op history (seed $seed), " +
+        "incrementally at every version and from scratch at the end") {
+      val rnd = new scala.util.Random(seed)
+      val d = tmp()
+      var id = 0L
+      def nextId() = { id += 1; id }
+      SnapTable.create(
+        (0 until 12).map(_ => (nextId(), s"s${rnd.nextInt(4)}",
+          1L + rnd.nextInt(100))).toDF("id", "source", "n_chars")
+          .repartition(2), d)
+      var state = Map.empty[String, (Long, Long)]
+      var foldedV = 0
+      val trace = new StringBuilder
+      (1 to 10).foreach { step =>
+        val label = randomOp(rnd, d, () => nextId())
+        trace ++= s" $step:$label"
+        val cur = SnapTable.currentVersion(spark, d)
+        state = SnapTable.ivmFoldSourceStats(spark, d, foldedV, cur, state)
+        foldedV = cur
+        assert(state === rescan(d),
+          s"incremental fold diverged after$trace (v$cur)")
+      }
+      // from-scratch fold over the whole history agrees
+      val fresh = SnapTable.ivmFoldSourceStats(spark, d, 0,
+        SnapTable.currentVersion(spark, d), Map.empty)
+      assert(fresh === rescan(d), s"from-scratch fold diverged:$trace")
+      // vacuum away most of the history: a fresh fold must re-seed
+      // from the oldest retained manifest (possibly DV-carrying) and
+      // still agree
+      SnapTable.vacuum(spark, d, retain = 2)
+      val reseeded = SnapTable.ivmFoldSourceStats(spark, d, 0,
+        SnapTable.currentVersion(spark, d), Map.empty)
+      assert(reseeded === rescan(d), s"post-vacuum re-seed diverged:$trace")
+    }
+  }
+}

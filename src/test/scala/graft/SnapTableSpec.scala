@@ -1125,6 +1125,48 @@ class SnapTableSpec extends SparkSpec {
     assert(e.getMessage.contains("bloom"), e.getMessage)
   }
 
+  test("a schema-evolved append LACKING the declared stats/bloom " +
+      "column commits with unannotated files (always read) instead of " +
+      "crashing after the data landed") {
+    val d = tmp()
+    SnapTable.create((0L until 20L).map(i => (i, s"v$i"))
+      .toDF("id", "s").repartitionByRange(2, col("id")), d,
+      statsCol = Some("id"), bloomCol = Some("id"))
+    // narrower batch: no 'id' at all — mergeSchema admits it; the
+    // annotation pass must SKIP, not throw unresolved-column
+    SnapTable.append(Seq("orphan_row").toDF("s"), d)
+    assert(SnapTable.read(spark, d).count() === 21)
+    // pruned reads stay CORRECT: the unannotated file is always read,
+    // so the range scan still equals the plain filtered read...
+    assert(SnapTable.readPruned(spark, d, 5L, 8L).collect()
+      .map(_.getLong(0)).sorted.toSeq === (5L to 8L))
+    // ...and a bloom probe still finds its row (plus reads the
+    // unannotated file, harmlessly)
+    assert(SnapTable.readPrunedEq(spark, d, 7L).collect()
+      .map(_.getString(1)).toSeq === Seq("v7"))
+    // annotated batches after the narrow one annotate again
+    SnapTable.append(Seq((100L, "late")).toDF("id", "s"), d)
+    val pruned = SnapTable.bloomPrunedPaths(spark, d, 100L,
+      SnapTable.currentVersion(spark, d))
+    assert(pruned.size < SnapTable.readManifest(spark, d,
+      SnapTable.currentVersion(spark, d)).size,
+      "post-evolution batches must resume bloom annotation")
+  }
+
+  test("bloom on a STRING column: the declared type rides the meta and " +
+      "the probe hashes the same type the writer did") {
+    val d = tmp()
+    SnapTable.create((0L until 60L).map(i => (i, s"key_$i"))
+      .toDF("id", "k").repartition(6, col("k")), d,
+      bloomCol = Some("k"))
+    val hit = SnapTable.readPrunedEq(spark, d, "key_37").collect()
+    assert(hit.map(_.getLong(0)).toSeq === Seq(37L))
+    val pruned = SnapTable.bloomPrunedPaths(spark, d, "key_37",
+      SnapTable.currentVersion(spark, d))
+    assert(pruned.size < 6, s"string bloom pruned nothing: ${pruned.size}")
+    assert(SnapTable.readPrunedEq(spark, d, "no_such_key").count() === 0)
+  }
+
   test("bloom and min/max stats coexist on one table: range scans " +
       "prune by stats, point probes by bloom, values agree with plain " +
       "reads") {
