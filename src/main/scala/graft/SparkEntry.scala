@@ -113,7 +113,8 @@ object SparkEntry {
     "q263_mor_merge",          // unique per-source key; free order pin
     "q264_ivm_dv",             // unique per-source key; free order pin
     "q265_bloom_lookup",       // unique per-doc key; free order pin
-    "q266_col_rename")         // unique per-source key; free order pin
+    "q266_col_rename",         // unique per-source key; free order pin
+    "q267_cdc_incremental")    // unique per-transition key; free pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1990,6 +1990,88 @@ object SnapTable {
       fromV: Int, toV: Int): Seq[DataFrame] =
     versionDeltas(s, dir, fromV, toV).flatMap(ivmDeltaFrames(s, dir, _))
 
+  /** One transition's (+rows, −rows) as ROW relations — the same four
+    * DV-aware terms as [[ivmDeltaFrames]], kept un-aggregated for
+    * key-level consumers (the incremental CDC): + = added files net of
+    * the destination's vectors plus dropped-sidecar resurrections; − =
+    * removed files net of the source's vectors plus newly-vectored
+    * rows on carried files. None = the transition touched nothing on
+    * that side. */
+  private def deltaRows(s: SparkSession, dir: String, d: VersionDelta)
+      : (Option[DataFrame], Option[DataFrame]) = {
+    def scan(files: Set[String], dv: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(readKeyed(s, dir, files.toSeq.sorted, dv)
+        .drop("__fk", "__pos"))
+    def opt(dfs: Seq[DataFrame]) = dfs.reduceOption(_ unionByName _)
+    val plus = opt(scan(d.addedFiles, d.dvTo).toSeq ++
+      dvCoveredRows(s, dir, d.sidecarsDropped, d.carriedFiles))
+    val minus = opt(scan(d.removedFiles, d.dvFrom).toSeq ++
+      dvCoveredRows(s, dir, d.sidecarsAdded, d.carriedFiles))
+    (plus, minus)
+  }
+
+  /** MANIFEST-SCOPED incremental CDC: per version transition in
+    * (fromV, toV], key-level (n_inserted, n_deleted, n_updated)
+    * computed from ONLY the files/sidecar rows each commit touched —
+    * the delta ROW relations full-outer-joined on the key, where a key
+    * present on both sides with IDENTICAL content is a pure file move
+    * (a compaction/rewrite carrying the row) and counts as nothing.
+    * This is the feed [[snapshotCdc]]'s semantic spelling specifies by
+    * joining FULL snapshots per transition; at 100 TB the semantic
+    * spelling reads corpus × versions where this reads each commit's
+    * drop-sized delta (an OPTIMIZE transition still reads the table —
+    * its delta IS the table). DV transitions diff exactly: a MoR
+    * delete's sidecar rows surface as deletes, a MoR merge's as
+    * updates/inserts. One action for the whole window (transitions
+    * union before the single aggregate); transitions that touched
+    * nothing emit no row. Keys are assumed unique per snapshot (the
+    * format's merge contract). q267 gates value-equality with the
+    * semantic spelling's closed-form oracle on the same history. */
+  def cdcIncremental(s: SparkSession, dir: String, key: String,
+      cols: Seq[String], fromV: Int, toV: Int): DataFrame = {
+    val transitions = versionDeltas(s, dir, fromV, toV).zipWithIndex
+      .flatMap { case (d, i) =>
+        val fv = fromV + i
+        def side(df: DataFrame, tag: String) =
+          df.select(col(key) +: lit(1L).as(s"${tag}_present") +:
+            cols.map(c => col(c).as(s"${tag}_$c")): _*)
+        val (plus, minus) = deltaRows(s, dir, d)
+        val joined = (plus, minus) match {
+          case (None, None) => None
+          case (Some(p), None) => Some(side(p, "b").select(
+            col(key), lit(null).cast("long").as("a_present"),
+            col("b_present"), lit(false).as("differs")))
+          case (None, Some(m)) => Some(side(m, "a").select(
+            col(key), col("a_present"),
+            lit(null).cast("long").as("b_present"),
+            lit(false).as("differs")))
+          case (Some(p), Some(m)) =>
+            // null-SAFE content compare, like snapshotCdc: a column
+            // transitioning NULL↔value is an update
+            Some(side(m, "a").join(side(p, "b"), Seq(key), "full_outer")
+              .select(col(key), col("a_present"), col("b_present"),
+                cols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+                  .reduce(_ || _).as("differs")))
+        }
+        joined.map(_.select(lit(fv.toLong).as("from_v"),
+          lit(fv + 1L).as("to_v"), col("a_present"), col("b_present"),
+          col("differs")))
+      }
+    require(transitions.nonEmpty,
+      s"SnapTable: no changed transitions in ($fromV, $toV] under $dir")
+    transitions.reduce(_ unionByName _)
+      .groupBy(col("from_v"), col("to_v"))
+      .agg(
+        sum(when(col("a_present").isNull, 1L).otherwise(0L))
+          .as("n_inserted"),
+        sum(when(col("b_present").isNull, 1L).otherwise(0L))
+          .as("n_deleted"),
+        sum(when(col("a_present").isNotNull && col("b_present").isNotNull
+          && col("differs"), 1L).otherwise(0L)).as("n_updated"))
+      .orderBy(col("from_v"))
+  }
+
   /** Fold the manifest deltas of versions (fromV, toV] into a carried
     * per-source (n_docs, char_sum) state — q251's IVM step as a
     * REUSABLE primitive for maintained views (the streaming twin folds
@@ -2779,7 +2861,21 @@ object SnapTable {
       |WHERE NOT (source = 'src2' AND doc_id % 5 = 0)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q267 — MANIFEST-SCOPED CDC under the value gate: the incremental
+    * per-transition inserted/deleted/updated counts ([[cdcIncremental]]
+    * — reads only each commit's delta, the feed a downstream consumer
+    * subscribes to) over q236's append→CoW-delete→MERGE history must
+    * equal q239's closed-form oracle — the SAME oracle SQL, so the two
+    * spellings (full-snapshot semantic joins vs manifest-diff-scoped
+    * reads) are proven interchangeable on this history; SnapTableSpec
+    * additionally pins the incremental spelling on a deletion-vector
+    * history against read()-level diffs. */
+  def snapshotCdcIncremental(s: SparkSession, dir: String): DataFrame =
+    cdcIncremental(s, snapDocs(s, dir), "doc_id",
+      Seq("text", "lang", "source", "n_chars"), 1, 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_cdc_incremental" -> (snapshotCdcIncremental _),
     "q265_bloom_lookup" -> (snapshotBloomLookup _),
     "q266_col_rename" -> (snapshotRenameStats _),
     "q264_ivm_dv" -> (snapshotIvmDvStats _),
@@ -2799,6 +2895,7 @@ object SnapTable {
     "q251_snapshot_ivm" -> (snapshotIvmStats _))
 
   val oracles: Map[String, String] = Map(
+    "q267_cdc_incremental" -> snapshotCdcSql,
     "q265_bloom_lookup" -> snapshotBloomLookupSql,
     "q266_col_rename" -> snapshotRenameStatsSql,
     "q264_ivm_dv" -> snapshotIvmDvStatsSql,

@@ -1297,5 +1297,19 @@ class SnapTableSpec extends SparkSpec {
     }
     assert(diff(1, 2) === (0L, 3L, 0L), "MoR delete must diff as deletes")
     assert(diff(2, 3) === (1L, 0L, 1L), "MoR merge must diff as upsert")
+    // the MANIFEST-SCOPED incremental CDC (reads only each commit's
+    // delta) must report the same counts over the same DV history
+    val inc = SnapTable.cdcIncremental(spark, d, "id", Seq("s"), 1, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(inc === Map((1L, 2L) -> (0L, 3L, 0L), (2L, 3L) -> (1L, 0L, 1L)),
+      s"incremental CDC drifted from the read-level diff: $inc")
+    // an OPTIMIZE transition (delta = the whole table, all rows carried
+    // content-equal) reports ZERO changes — a pure file move is not CDC
+    SnapTable.optimize(spark, d, targetFiles = 1)
+    val inc2 = SnapTable.cdcIncremental(spark, d, "id", Seq("s"), 3, 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(inc2.toSeq === Seq((0L, 0L, 0L)),
+      s"a compaction leaked phantom CDC events: ${inc2.toSeq}")
   }
 }
