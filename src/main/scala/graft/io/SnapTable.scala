@@ -657,6 +657,10 @@ object SnapTable {
       s"SnapTable: $dir already holds a table — use append/deleteWhere")
     require(bloomBits > 0 && bloomBits % 64 == 0,
       s"SnapTable: bloomBits must be a positive multiple of 64, got $bloomBits")
+    statsCol.foreach(c => require(df.columns.contains(c),
+      s"SnapTable: stats column '$c' is not in ${df.columns.toSeq} — " +
+        "a misdeclared column would commit a declaration nothing can " +
+        "ever annotate"))
     val decl = bloomCol.map { c =>
       require(df.columns.contains(c),
         s"SnapTable: bloom column '$c' is not in ${df.columns.toSeq}")
@@ -1260,6 +1264,12 @@ object SnapTable {
     require(!logical.contains(to),
       s"SnapTable: column '$to' already exists in $dir")
     val ph = m.find(_._2 == from).map(_._1).getOrElse(from)
+    // the PHYSICAL name rides the same phys:logical CSV (parquet allows
+    // ':' in field names) — an unvalidated ph would corrupt the parse
+    // just like an unvalidated target
+    require(ph.matches("[A-Za-z0-9_]+"),
+      s"SnapTable: physical column name '$ph' cannot be serialized " +
+        "into col_map metadata — it must match [A-Za-z0-9_]+")
     // the rename folds (toLogical/toPhysical) apply entry-by-entry, so
     // logical names must stay DISJOINT from every other physical name:
     // renaming b→c while physical c exists (mapped away as c→x) would
@@ -1702,8 +1712,10 @@ object SnapTable {
     // Deletion-vector sidecars follow the same rule as data files:
     // retained while any kept manifest's delete_files references them,
     // retired with the last snapshot that did.
-    def filesOfVersion(v: Int): Seq[String] =
-      readManifest(spark, dir, v) ++ deleteFilesOf(spark, dir, v)
+    def filesOfVersion(v: Int): Seq[String] = {
+      val m = manifestAt(spark, dir, v) // ONE fetch: paths AND sidecars
+      m.paths ++ m.delFiles
+    }
     val keepFiles = keepVs
       .filter(v => f.exists(manifestPath(dir, v)))
       .flatMap(filesOfVersion).toSet
@@ -2011,6 +2023,39 @@ object SnapTable {
     (plus, minus)
   }
 
+  /** Tag one CDC side: (key, <tag>_present = 1, <tag>_<col>…). A
+    * column ABSENT from the relation (schema-evolved narrow delta
+    * files) reads as NULL — matching what a mergeSchema full-snapshot
+    * read serves, so the incremental and semantic spellings stay
+    * interchangeable on evolved histories. */
+  private def cdcSide(df: DataFrame, key: String, cols: Seq[String],
+      tag: String): DataFrame =
+    df.select(col(key) +: lit(1L).as(s"${tag}_present") +:
+      cols.map(c => (if (df.columns.contains(c)) col(c)
+        else lit(null)).as(s"${tag}_$c")): _*)
+
+  /** Null-safe any-column-differs predicate over tagged sides (a
+    * column transitioning NULL↔value is an update); an EMPTY cols list
+    * means presence-only CDC — updates are always 0 then. */
+  private def cdcDiffers(cols: Seq[String]): Column =
+    cols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** THE CDC count aggregate over the tagged transition union —
+    * shared by the semantic (q239) and manifest-scoped (q267)
+    * spellings so the insert/delete/update rule cannot fork. */
+  private def cdcCounts(tagged: DataFrame): DataFrame =
+    tagged
+      .groupBy(col("from_v"), col("to_v"))
+      .agg(
+        sum(when(col("a_present").isNull, 1L).otherwise(0L))
+          .as("n_inserted"),
+        sum(when(col("b_present").isNull, 1L).otherwise(0L))
+          .as("n_deleted"),
+        sum(when(col("a_present").isNotNull && col("b_present").isNotNull
+          && col("differs"), 1L).otherwise(0L)).as("n_updated"))
+      .orderBy(col("from_v"))
+
   /** MANIFEST-SCOPED incremental CDC: per version transition in
     * (fromV, toV], key-level (n_inserted, n_deleted, n_updated)
     * computed from ONLY the files/sidecar rows each commit touched —
@@ -2033,26 +2078,21 @@ object SnapTable {
     val transitions = versionDeltas(s, dir, fromV, toV).zipWithIndex
       .flatMap { case (d, i) =>
         val fv = fromV + i
-        def side(df: DataFrame, tag: String) =
-          df.select(col(key) +: lit(1L).as(s"${tag}_present") +:
-            cols.map(c => col(c).as(s"${tag}_$c")): _*)
         val (plus, minus) = deltaRows(s, dir, d)
         val joined = (plus, minus) match {
           case (None, None) => None
-          case (Some(p), None) => Some(side(p, "b").select(
+          case (Some(p), None) => Some(cdcSide(p, key, cols, "b").select(
             col(key), lit(null).cast("long").as("a_present"),
             col("b_present"), lit(false).as("differs")))
-          case (None, Some(m)) => Some(side(m, "a").select(
+          case (None, Some(m)) => Some(cdcSide(m, key, cols, "a").select(
             col(key), col("a_present"),
             lit(null).cast("long").as("b_present"),
             lit(false).as("differs")))
           case (Some(p), Some(m)) =>
-            // null-SAFE content compare, like snapshotCdc: a column
-            // transitioning NULL↔value is an update
-            Some(side(m, "a").join(side(p, "b"), Seq(key), "full_outer")
+            Some(cdcSide(m, key, cols, "a")
+              .join(cdcSide(p, key, cols, "b"), Seq(key), "full_outer")
               .select(col(key), col("a_present"), col("b_present"),
-                cols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
-                  .reduce(_ || _).as("differs")))
+                cdcDiffers(cols).as("differs")))
         }
         joined.map(_.select(lit(fv.toLong).as("from_v"),
           lit(fv + 1L).as("to_v"), col("a_present"), col("b_present"),
@@ -2060,16 +2100,7 @@ object SnapTable {
       }
     require(transitions.nonEmpty,
       s"SnapTable: no changed transitions in ($fromV, $toV] under $dir")
-    transitions.reduce(_ unionByName _)
-      .groupBy(col("from_v"), col("to_v"))
-      .agg(
-        sum(when(col("a_present").isNull, 1L).otherwise(0L))
-          .as("n_inserted"),
-        sum(when(col("b_present").isNull, 1L).otherwise(0L))
-          .as("n_deleted"),
-        sum(when(col("a_present").isNotNull && col("b_present").isNotNull
-          && col("differs"), 1L).otherwise(0L)).as("n_updated"))
-      .orderBy(col("from_v"))
+    cdcCounts(transitions.reduce(_ unionByName _))
   }
 
   /** Fold the manifest deltas of versions (fromV, toV] into a carried
@@ -2238,31 +2269,19 @@ object SnapTable {
     // sets by definition, counted in one aggregate over the union of
     // the three tagged transitions. Scale shape unchanged: one keyed
     // shuffle per transition (strictly fewer than the previous three).
+    // the tagging, null-safe differs, and count aggregate are the
+    // SHARED cdcSide/cdcDiffers/cdcCounts spellings q267's
+    // manifest-scoped twin uses — the two CDC paths cannot fork
     val cols = Seq("text", "lang", "source", "n_chars")
     val transitions = (1 to 3).map { v =>
-      def side(df: DataFrame, tag: String) =
-        df.select(col("doc_id") +: lit(1L).as(s"${tag}_present") +:
-          cols.map(c => col(c).as(s"${tag}_$c")): _*)
-      side(read(s, d, Some(v)), "a")
-        .join(side(read(s, d, Some(v + 1)), "b"), Seq("doc_id"), "full_outer")
+      cdcSide(read(s, d, Some(v)), "doc_id", cols, "a")
+        .join(cdcSide(read(s, d, Some(v + 1)), "doc_id", cols, "b"),
+          Seq("doc_id"), "full_outer")
         .select(lit(v.toLong).as("from_v"), lit(v + 1L).as("to_v"),
           col("a_present"), col("b_present"),
-          // null-SAFE comparisons: a column transitioning NULL↔value is
-          // an update; plain =!= evaluates NULL there and the row would
-          // drop out of the count
-          cols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
-            .reduce(_ || _).as("differs"))
+          cdcDiffers(cols).as("differs"))
     }
-    transitions.reduce(_ unionByName _)
-      .groupBy(col("from_v"), col("to_v"))
-      .agg(
-        sum(when(col("a_present").isNull, 1L).otherwise(0L))
-          .as("n_inserted"),
-        sum(when(col("b_present").isNull, 1L).otherwise(0L))
-          .as("n_deleted"),
-        sum(when(col("a_present").isNotNull && col("b_present").isNotNull
-          && col("differs"), 1L).otherwise(0L)).as("n_updated"))
-      .orderBy(col("from_v"))
+    cdcCounts(transitions.reduce(_ unionByName _))
   }
 
   val snapshotCdcSql: String =

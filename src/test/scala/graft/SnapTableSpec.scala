@@ -1311,5 +1311,22 @@ class SnapTableSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(inc2.toSeq === Seq((0L, 0L, 0L)),
       s"a compaction leaked phantom CDC events: ${inc2.toSeq}")
+    // presence-only CDC (no content columns): inserts/deletes count,
+    // updates are definitionally 0 — must not crash on empty cols
+    val pres = SnapTable.cdcIncremental(spark, d, "id", Seq.empty, 1, 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(pres.toSeq === Seq((0L, 3L, 0L), (1L, 0L, 0L)),
+      s"presence-only CDC drifted: ${pres.toSeq}")
+    // schema-evolved narrow append: delta files LACK a requested
+    // column — it must read as NULL (as a mergeSchema snapshot read
+    // would serve), not crash unresolved
+    val d2 = tmp()
+    SnapTable.create(Seq((1L, "a", 9L)).toDF("id", "s", "extra"), d2)
+    SnapTable.append(Seq((2L, "b")).toDF("id", "s"), d2) // no 'extra'
+    val evo = SnapTable.cdcIncremental(spark, d2, "id",
+      Seq("s", "extra"), 1, 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(evo.toSeq === Seq((1L, 0L, 0L)),
+      s"evolved-schema incremental CDC drifted: ${evo.toSeq}")
   }
 }
