@@ -429,6 +429,53 @@ object DocStreams {
       .start()
   }
 
+  /** One emitted CDC event row: the key-level change counts of a
+    * single snapshot-version transition. */
+  case class CdcEvent(fromV: Long, toV: Long, nInserted: Long,
+      nDeleted: Long, nUpdated: Long)
+
+  /** EXACTLY-ONCE streaming ingest + MANIFEST-SCOPED CDC FEED: each
+    * micro-batch commits via [[graft.io.SnapTable.appendOnce]], then
+    * every snapshot transition since the last fed version — the
+    * batch's own commit AND any OUT-OF-BAND maintenance commit
+    * (a GDPR MoR delete, a merge, a compaction) that landed between
+    * batches — is diffed with the DV-aware
+    * [[graft.io.SnapTable.cdcIncremental]] and handed to the consumer
+    * as per-transition [[CdcEvent]]s. This is what a downstream index
+    * maintainer/replica subscribes to at 100 TB: each event is derived
+    * from ONLY the files/sidecar rows its commit touched (a compaction
+    * transition correctly feeds zero events — pure file moves are not
+    * changes), never from re-reading the table.
+    *
+    * Replay safety mirrors the IVM twin: redelivered batches no-op in
+    * the commit (batch stamp) AND the feed (the version cursor does
+    * not advance, so nothing re-emits); a RESTART passes the last fed
+    * version as `fromVersion` to resume without re-emitting history
+    * (0 feeds the whole retained history, v1's create included).
+    * `onFeed` receives (batchId, committed, events). */
+  def maintainSnapshotCdcFeed(docStream: DataFrame, tableDir: String,
+      checkpointDir: String, key: String, cols: Seq[String],
+      fromVersion: Int = 0)(
+      onFeed: (Long, Boolean, Seq[CdcEvent]) => Unit): StreamingQuery = {
+    var fedV = fromVersion
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import graft.io.SnapTable
+        val committed = SnapTable.appendOnce(batch, tableDir, batchId)
+        val cur = SnapTable.currentVersion(s, tableDir)
+        val events =
+          if (cur <= fedV) Seq.empty
+          else SnapTable.cdcIncremental(s, tableDir, key, cols, fedV, cur)
+            .collect().toSeq.map(r => CdcEvent(r.getLong(0), r.getLong(1),
+              r.getLong(2), r.getLong(3), r.getLong(4)))
+        fedV = cur
+        onFeed(batchId, committed, events)
+      }
+      .start()
+  }
+
   /** AUDITED exactly-once streaming ingest — [[maintainSnapshotIngest]]
     * with a WRITE-AUDIT-PUBLISH gate per micro-batch: the drop lands as
     * a STAGED batch (invisible to readers), `audit` judges exactly the

@@ -65,6 +65,57 @@ class SnapTablePropertySpec extends SparkSpec {
     }
   }
 
+  test("threaded OCC fuzz: four writers race appends, MoR deletes and " +
+      "merges with re-plan-on-conflict; every intended op lands exactly " +
+      "once and the DV-aware fold equals the rescan") {
+    val d = tmp()
+    SnapTable.create((0L until 20L).map(i => (i, "s0", 10L))
+      .toDF("id", "source", "n_chars").repartition(2), d)
+    // caller-level re-plan + retry is the documented contract for every
+    // ConcurrentWriteException; anything else propagates and fails the test
+    def retry(op: () => Unit): Unit = {
+      var attempts = 0
+      while (attempts < 40) {
+        try { op(); return }
+        catch {
+          case _: SnapTable.ConcurrentWriteException =>
+            attempts += 1; Thread.sleep(10L * attempts)
+        }
+      }
+      fail("an op conflicted 40 times — livelock")
+    }
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 4).map { i =>
+      val base = 1000L * (i + 1)
+      new Thread(() => try {
+        def df(rs: Seq[(Long, String, Long)]) =
+          rs.toDF("id", "source", "n_chars")
+        retry(() => SnapTable.append(
+          df((0 until 5).map(k => (base + k, s"s${i + 1}", 10L))), d))
+        retry(() => SnapTable.deleteWhereMor(spark, d,
+          col("id") === base + 1))
+        retry(() => SnapTable.merge(
+          df(Seq((base + 2, "merged", 99L))), d, "id"))
+      } catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    val rows = SnapTable.read(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val expected = (0L until 20L).map(_ -> ("s0", 10L)).toMap ++
+      (0 until 4).flatMap { i =>
+        val base = 1000L * (i + 1)
+        Seq(base -> (s"s${i + 1}", 10L), base + 2 -> ("merged", 99L),
+          base + 3 -> (s"s${i + 1}", 10L), base + 4 -> (s"s${i + 1}", 10L))
+      }.toMap
+    assert(rows === expected,
+      "racing writers lost/duplicated/resurrected rows")
+    // the DV-aware fold agrees with the rescan over the raced history
+    val folded = SnapTable.ivmFoldSourceStats(spark, d, 0,
+      SnapTable.currentVersion(spark, d), Map.empty)
+    assert(folded === rescan(d), "fold diverged over the raced history")
+  }
+
   for (seed <- Seq(11, 47)) {
     test(s"fold ≡ rescan under a random 10-op history (seed $seed), " +
         "incrementally at every version and from scratch at the end") {

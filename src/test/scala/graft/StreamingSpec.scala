@@ -1540,6 +1540,68 @@ class StreamingSpec extends SparkSpec {
       "view diverged after an out-of-band MoR delete (DV fold)")
   }
 
+  test("streaming CDC feed over snapshot ingest: per-wave events equal " +
+      "read-level diffs, out-of-band MoR deletes surface as deletes, " +
+      "restart resumes from the fed version, redelivery emits nothing") {
+    import graft.io.SnapTable
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.CdcEvent
+    val docs = Tables.documents(spark, sf)
+      .filter(col("n_chars").isNotNull).localCheckpoint(eager = false)
+    def slice(i: Int) = docs.filter(col("doc_id") % 3 === i)
+    val dropsDir = Files.createTempDirectory("graft-cdcf-drops").toString
+    val ckpt = Files.createTempDirectory("graft-cdcf-ckpt").toString
+    val table = Files.createTempDirectory("graft-cdcf-table").toString
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val feed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Seq[CdcEvent])]
+    def start(fromV: Int, ck: String) = DocStreams.maintainSnapshotCdcFeed(
+      DocStreams.readDocStream(spark, dropsDir, maxFilesPerTrigger = 1),
+      table, ck, "doc_id", cols, fromV) { (id, c, ev) =>
+      this.synchronized { feed += ((id, c, ev)) }
+    }
+    slice(0).coalesce(1).write.mode("overwrite").parquet(dropsDir)
+    slice(1).coalesce(1).write.mode("append").parquet(dropsDir)
+    val q1 = start(0, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    // two committed waves, each feeding exactly its own insert-only
+    // transition with the drop's row count
+    assert(feed.size >= 2 && feed.forall(_._2), s"waves: $feed")
+    val evs1 = feed.flatMap(_._3)
+    assert(evs1.map(_.nInserted).sum === slice(0).count() + slice(1).count())
+    assert(evs1.forall(e => e.nDeleted == 0 && e.nUpdated == 0),
+      s"append-only waves fed non-insert events: $evs1")
+    val fed1 = SnapTable.currentVersion(spark, table)
+
+    // OUT-OF-BAND maintenance between batches: a MoR delete lands
+    // while the stream is down; the restarted feed (resuming from the
+    // last fed version) must surface it as deletes alongside the next
+    // drop's inserts — without re-emitting the already-fed history
+    val delPred = col("doc_id") % 9 === 0
+    val nDel = SnapTable.read(spark, table).filter(delPred).count()
+    SnapTable.deleteWhereMor(spark, table, delPred)
+    slice(2).coalesce(1).write.mode("append").parquet(dropsDir)
+    feed.clear()
+    val q2 = start(fed1, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val evs2 = feed.flatMap(_._3)
+    assert(evs2.map(_.nDeleted).sum === nDel,
+      s"the out-of-band MoR delete did not feed as deletes: $evs2")
+    assert(evs2.map(_.nInserted).sum === slice(2).count())
+    assert(evs2.map(_.fromV).min === fed1,
+      s"the feed re-emitted already-fed history: $evs2")
+
+    // redelivery (fresh checkpoint, same drops): commits no-op AND the
+    // feed emits nothing — the version cursor never advances
+    val fed2 = SnapTable.currentVersion(spark, table)
+    feed.clear()
+    val ckpt2 = Files.createTempDirectory("graft-cdcf-ckpt2").toString
+    val q3 = start(fed2, ckpt2)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(feed.nonEmpty && feed.forall(r => !r._2 && r._3.isEmpty),
+      s"a redelivered wave re-fed events: $feed")
+  }
+
   test("audited streaming ingest: failing drops discard invisibly, " +
       "passing drops publish exactly-once, restart redelivery no-ops") {
     import graft.io.SnapTable
