@@ -2065,14 +2065,17 @@ object SnapTable {
     * This is the feed [[snapshotCdc]]'s semantic spelling specifies by
     * joining FULL snapshots per transition; at 100 TB the semantic
     * spelling reads corpus × versions where this reads each commit's
-    * drop-sized delta (an OPTIMIZE transition still reads the table —
-    * its delta IS the table). DV transitions diff exactly: a MoR
+    * drop-sized delta. CAVEAT — an OPTIMIZE transition's delta IS the
+    * table (every file removed + rewritten), so such a window pays one
+    * full scan + self-join and reports one all-zero event row; budget
+    * compactions accordingly. DV transitions diff exactly: a MoR
     * delete's sidecar rows surface as deletes, a MoR merge's as
     * updates/inserts. One action for the whole window (transitions
-    * union before the single aggregate); transitions that touched
-    * nothing emit no row. Keys are assumed unique per snapshot (the
-    * format's merge contract). q267 gates value-equality with the
-    * semantic spelling's closed-form oracle on the same history. */
+    * union before the single aggregate); file-level-unchanged
+    * transitions (pure metadata) emit no row, and an all-metadata
+    * window returns an EMPTY frame. Keys are assumed unique per
+    * snapshot (the format's merge contract). q267 gates value-equality
+    * with the semantic spelling's closed-form oracle. */
   def cdcIncremental(s: SparkSession, dir: String, key: String,
       cols: Seq[String], fromV: Int, toV: Int): DataFrame = {
     val transitions = versionDeltas(s, dir, fromV, toV).zipWithIndex
@@ -2098,9 +2101,15 @@ object SnapTable {
           lit(fv + 1L).as("to_v"), col("a_present"), col("b_present"),
           col("differs")))
       }
-    require(transitions.nonEmpty,
-      s"SnapTable: no changed transitions in ($fromV, $toV] under $dir")
-    cdcCounts(transitions.reduce(_ unionByName _))
+    // an all-metadata window (e.g. a lone rename) has NO changed
+    // transitions — that is an EMPTY feed, not an error (a require here
+    // would kill a streaming consumer whose window happened to cover
+    // only maintenance commits)
+    if (transitions.isEmpty)
+      s.range(0).select(col("id").as("from_v"), col("id").as("to_v"),
+        col("id").as("n_inserted"), col("id").as("n_deleted"),
+        col("id").as("n_updated"))
+    else cdcCounts(transitions.reduce(_ unionByName _))
   }
 
   /** Fold the manifest deltas of versions (fromV, toV] into a carried

@@ -443,15 +443,24 @@ object DocStreams {
     * [[graft.io.SnapTable.cdcIncremental]] and handed to the consumer
     * as per-transition [[CdcEvent]]s. This is what a downstream index
     * maintainer/replica subscribes to at 100 TB: each event is derived
-    * from ONLY the files/sidecar rows its commit touched (a compaction
-    * transition correctly feeds zero events — pure file moves are not
-    * changes), never from re-reading the table.
+    * from ONLY the files/sidecar rows its commit touched — with one
+    * documented exception: an out-of-band OPTIMIZE's delta IS the
+    * table, so that window pays a full diff and feeds one all-zero
+    * event (pure file moves are not changes); metadata-only commits
+    * (a rename) feed nothing.
     *
     * Replay safety mirrors the IVM twin: redelivered batches no-op in
     * the commit (batch stamp) AND the feed (the version cursor does
     * not advance, so nothing re-emits); a RESTART passes the last fed
     * version as `fromVersion` to resume without re-emitting history
-    * (0 feeds the whole retained history, v1's create included).
+    * (0 feeds the whole history back to v1's create). UNLIKE the IVM
+    * twin — whose carried aggregate can always re-seed from a
+    * whole-table read — CDC EVENTS of vacuum-retired transitions are
+    * unreconstructible, so a feed window reaching behind the retention
+    * horizon REFUSES loudly (per batch, so a vacuum racing one diff
+    * surfaces on the batch retry as the same clear refusal): keep
+    * retention longer than feed downtime, or re-bootstrap the consumer
+    * from a snapshot read and resume from the current version.
     * `onFeed` receives (batchId, committed, events). */
   def maintainSnapshotCdcFeed(docStream: DataFrame, tableDir: String,
       checkpointDir: String, key: String, cols: Seq[String],
@@ -467,9 +476,23 @@ object DocStreams {
         val cur = SnapTable.currentVersion(s, tableDir)
         val events =
           if (cur <= fedV) Seq.empty
-          else SnapTable.cdcIncremental(s, tableDir, key, cols, fedV, cur)
-            .collect().toSeq.map(r => CdcEvent(r.getLong(0), r.getLong(1),
-              r.getLong(2), r.getLong(3), r.getLong(4)))
+          else {
+            val oldest = SnapTable.oldestRetainedVersion(s, tableDir)
+            // the walk reads manifest(fedV) as its base (fedV = 0 needs
+            // none); a retired base means retired TRANSITIONS — their
+            // events are gone, and silently skipping them would feed a
+            // consumer a hole
+            if ((fedV == 0 && oldest > 1) || (fedV > 0 && fedV < oldest))
+              throw new IllegalStateException(
+                s"SnapTable CDC feed: versions ≤ $oldest of $tableDir " +
+                  s"were vacuumed but the feed cursor is at v$fedV — " +
+                  "the retired transitions' events are unreconstructible;" +
+                  " re-bootstrap the consumer from a snapshot read and " +
+                  "resume from the current version")
+            SnapTable.cdcIncremental(s, tableDir, key, cols, fedV, cur)
+              .collect().toSeq.map(r => CdcEvent(r.getLong(0),
+                r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          }
         fedV = cur
         onFeed(batchId, committed, events)
       }

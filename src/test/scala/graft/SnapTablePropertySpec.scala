@@ -99,6 +99,7 @@ class SnapTablePropertySpec extends SparkSpec {
       } catch { case t: Throwable => failures.add(t) })
     }
     threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "a writer thread hung past 120s")
     assert(failures.isEmpty, s"writer died: ${failures.peek()}")
     val rows = SnapTable.read(spark, d).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap

@@ -1600,6 +1600,37 @@ class StreamingSpec extends SparkSpec {
     try q3.processAllAvailable() finally q3.stop()
     assert(feed.nonEmpty && feed.forall(r => !r._2 && r._3.isEmpty),
       s"a redelivered wave re-fed events: $feed")
+
+    // a METADATA-ONLY out-of-band commit (rename) in the window must
+    // feed nothing for its transition — not kill the stream on an
+    // empty-changes window
+    SnapTable.renameColumn(spark, table, "lang", "language")
+    docs.filter(col("doc_id") % 9 === 2).limit(10).coalesce(1)
+      .write.mode("append").parquet(dropsDir)
+    feed.clear()
+    val q4 = start(fed2, ckpt)
+    try q4.processAllAvailable() finally q4.stop()
+    val evs4 = feed.flatMap(_._3)
+    assert(evs4.map(_.nInserted).sum === 10 &&
+      evs4.forall(e => e.nDeleted == 0 && e.nUpdated == 0),
+      s"a rename transition leaked CDC events: $evs4")
+
+    // VACUUM-retired transitions are unreconstructible: a feed whose
+    // cursor reaches behind the retention horizon refuses loudly with
+    // the re-bootstrap remedy (never silently skips the hole)
+    SnapTable.vacuum(spark, table, retain = 1)
+    docs.filter(col("doc_id") % 9 === 7).limit(5).coalesce(1)
+      .write.mode("append").parquet(dropsDir)
+    val ckpt3 = Files.createTempDirectory("graft-cdcf-ckpt3").toString
+    val q5 = start(fed2, ckpt3) // cursor far behind the horizon
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q5.processAllAvailable() finally q5.stop()
+    }
+    val msgs = Iterator.iterate(died: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("re-bootstrap"),
+      s"the feed did not refuse the vacuumed window loudly: $msgs")
   }
 
   test("audited streaming ingest: failing drops discard invisibly, " +
