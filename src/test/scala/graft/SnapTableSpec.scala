@@ -1183,6 +1183,43 @@ class SnapTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((123L, 369L)))
   }
 
+  test("plan shapes: a DV-free read plans a PLAIN parquet scan (no " +
+      "metadata projection, no join — DV support costs existing tables " +
+      "nothing), a DV read plans the anti-join, and pruned scans list " +
+      "ONLY their chosen files") {
+    val d = tmp()
+    SnapTable.create((0L until 100L).map(i => (i, i * 2))
+      .toDF("id", "x").repartitionByRange(4, col("id")), d,
+      statsCol = Some("id"), bloomCol = Some("id"))
+    val clean = SnapTable.read(spark, d)
+    val cleanPlan = clean.queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("Join") && !cleanPlan.contains("__fk"),
+      s"a DV-free read paid the DV machinery:\n$cleanPlan")
+    // pruned reads expose their file lists: strictly the chosen subset
+    val allFiles = clean.inputFiles.toSet
+    assert(allFiles.size === 4)
+    // repartitionByRange samples its boundaries, so the window may
+    // straddle a file edge — strict subset is the contract, not 1 file
+    val rangeFiles = SnapTable.readPruned(spark, d, 10L, 29L).inputFiles.toSet
+    assert(rangeFiles.size < 4 && rangeFiles.subsetOf(allFiles),
+      s"range scan read ${rangeFiles.size}/4 files")
+    val eqFiles = SnapTable.readPrunedEq(spark, d, 57L).inputFiles.toSet
+    assert(eqFiles.size < 4 && eqFiles.subsetOf(allFiles),
+      s"bloom scan read ${eqFiles.size}/4 files")
+    // after a MoR delete the read pays exactly one anti-join
+    SnapTable.deleteWhereMor(spark, d, col("id") === 3L)
+    val dvPlan = SnapTable.read(spark, d).queryExecution
+      .executedPlan.toString
+    assert(dvPlan.contains("LeftAnti"),
+      s"a DV read must anti-join the vectors:\n$dvPlan")
+    // ...and optimize returns the table to the plain-scan plan
+    SnapTable.optimize(spark, d, targetFiles = 2)
+    val foldedPlan = SnapTable.read(spark, d).queryExecution
+      .executedPlan.toString
+    assert(!foldedPlan.contains("Join"),
+      s"post-optimize read still pays the DV machinery:\n$foldedPlan")
+  }
+
   // ---- column mapping (rename without rewrite) ---------------------------
 
   test("renameColumn is pure metadata: zero data files change, the new " +
