@@ -114,7 +114,12 @@ object SparkEntry {
     "q264_ivm_dv",             // unique per-source key; free order pin
     "q265_bloom_lookup",       // unique per-doc key; free order pin
     "q266_col_rename",         // unique per-source key; free order pin
-    "q267_cdc_incremental")    // unique per-transition key; free pin
+    "q267_cdc_incremental",    // unique per-transition key; free pin
+    "q268_time_travel_ts",     // unique per-version key; free order pin
+    "q269_dv_compact",         // unique per-source key; free order pin
+    "q270_cdc_rows",           // unique (v, type, doc) key; free pin
+    "q271_plan_pruned",        // unique per-source key; free order pin
+    "q272_source_format")      // unique per-source key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

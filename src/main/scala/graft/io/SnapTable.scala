@@ -14,22 +14,32 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   <dir>/data/w00001/part-*.parquet    one write-dir per commit
-  *   <dir>/_snapshots/v00001.manifest    newline-separated file list
+  *   <dir>/data/w00001-<tok>/part-*.parquet   one write-dir per commit
+  *   <dir>/_snapshots/v00001.manifest         HEAD: `# k=v` meta +
+  *                                            `@<seg>` pointers
+  *   <dir>/_snapshots/seg/s00001-<tok>.seg    immutable entry segments
   * }}}
   *
-  * A manifest is the COMPLETE list of data files visible in that
-  * snapshot (relative paths). Commit protocol — the standard
-  * write-ahead rename dance:
+  * A snapshot's visible file set is the union of its head's SEGMENTS
+  * (each an immutable newline list of entries, shared across commits
+  * by reference — the Iceberg manifest-list/manifest split). Commit
+  * protocol — the standard write-ahead rename dance:
   *  1. new data files land in a fresh write-dir (never referenced yet);
-  *  2. the manifest is written to `v<N>.manifest.inprogress` and
+  *  2. the commit's new/changed entries land in ONE new segment file
+  *     (also unreferenced yet); untouched segments carry by pointer;
+  *  3. the head is written to `v<N>.manifest.<tok>.inprogress` and
   *     RENAMED into place — a reader either sees the whole manifest or
   *     none of it, so a killed writer leaves only unreferenced orphans;
-  *  3. the current version is the highest committed manifest, so
+  *  4. the current version is the highest committed manifest, so
   *     readers never coordinate with writers (snapshot isolation).
   *
-  * Scale shape: the manifest lists files, not rows — O(#files) driver
-  * text; all row work is Spark jobs over exactly the listed files.
+  * Scale shape: a commit writes O(its own delta) manifest bytes — an
+  * append or 1-row MoR delete on a ~1M-file table writes a drop-sized
+  * segment (or none) plus a one-line-per-segment head, never the full
+  * entry list; manifests list files, not rows, and all row work is
+  * Spark jobs over exactly the listed files. Segments being immutable,
+  * readers cache their parses JVM-wide and the version-delta walk
+  * expands only segments that changed hands.
   * Copy-on-write `deleteWhere` touches ONLY the files that actually
   * contain matching rows (found with one `input_file_name()` distinct —
   * a real lakehouse prunes by column stats first; file granularity is
@@ -92,12 +102,23 @@ object SnapTable {
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
   }
 
-  /** The non-comment entry lines of a manifest's text — THE entry
+  /** The INLINE entry lines of a manifest/segment text — THE entry
     * parse, shared by every reader of a fetched manifest (readEntries,
-    * the delta walk) so no caller can drift on comment/blank handling. */
+    * the delta walk) so no caller can drift on comment/blank handling.
+    * `#` lines are meta, `@` lines are segment pointers (resolved by
+    * [[manifestAt]]); everything else is an entry. */
   private def entriesOfText(text: String): Seq[String] =
     text.split("\n").map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("@"))
+      .toSeq
+
+  /** The `@<relpath>` SEGMENT pointers of a manifest's head text — the
+    * manifest-list half of the Iceberg-style split: the head is small
+    * (meta + one line per segment), the entry lists live in immutable,
+    * commit-shared segment files. */
+  private def segRefsOfText(text: String): Seq[String] =
+    text.split("\n").map(_.trim)
+      .filter(_.startsWith("@")).map(_.drop(1)).toSeq
 
   /** The `# key=value` header map of a manifest's text — THE meta
     * parse, shared by manifestMeta and the delta walk (a literal-prefix
@@ -112,11 +133,51 @@ object SnapTable {
         }
       }.toMap
 
+  // ---- manifest segments ---------------------------------------------------
+
+  /** Relative directory of the immutable entry-list segments. */
+  private val SegDirRel = "_snapshots/seg"
+
+  /** JVM-wide parsed-segment cache, LRU-bounded. Segments are IMMUTABLE
+    * once committed (a commit only ever writes NEW segment files), so a
+    * cache hit can never serve stale entries; vacuum-deleted segments
+    * simply stop being requested. This is what makes repeated manifest
+    * expansion O(changed segments) in FS round-trips: a deep delta walk
+    * or a hot read path re-fetches only segments it has never seen. */
+  private val segCache: java.util.Map[String, Seq[String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+          size() > 1024
+      })
+
+  /** The entry lines of one segment file (cached — see [[segCache]]). */
+  private def readSegment(spark: SparkSession, dir: String,
+      rel: String): Seq[String] = {
+    val k = s"$dir/$rel"
+    val hit = segCache.get(k)
+    if (hit != null) return hit
+    val f = fs(spark, dir)
+    val in = f.open(new Path(dir, rel))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val es = entriesOfText(text)
+    segCache.put(k, es)
+    es
+  }
+
+  /** The head manifest's segment pointers — exposed for the
+    * segmentation specs (commit-bytes and carry-by-reference gates). */
+  private[graft] def segmentRefs(spark: SparkSession, dir: String,
+      v: Int): Seq[String] =
+    segRefsOfText(readText(spark, dir, v))
+
   /** Raw manifest entries: `path` or `path\tmin\tmax` when the table
     * carries per-file column stats (the data-skipping metadata). */
   private[graft] def readEntries(spark: SparkSession, dir: String,
       v: Int): Seq[String] =
-    entriesOfText(readText(spark, dir, v))
+    manifestAt(spark, dir, v).entries
 
   private def entryPath(e: String): String = e.split('\t').head
 
@@ -139,8 +200,10 @@ object SnapTable {
     * holds ONE Manifest per version — on HDFS/object stores each
     * manifest fetch is a NameNode/HEAD round-trip, and a commit that
     * re-fetched per aspect would pay ~10 where 1-2 suffice. */
-  private[graft] case class Manifest(entries: Seq[String],
-      meta: Map[String, String]) {
+  private[graft] case class Manifest(segs: Seq[(String, Seq[String])],
+      inline: Seq[String], meta: Map[String, String]) {
+    /** Full entry list: segment expansion + legacy inline entries. */
+    lazy val entries: Seq[String] = segs.flatMap(_._2) ++ inline
     def paths: Seq[String] = entries.map(entryPath)
     def statsCols: Seq[String] =
       meta.get("stats_col").toSeq ++ meta.get("stats_col2")
@@ -148,26 +211,29 @@ object SnapTable {
       meta.get("bloom_col").map(c => (c,
         meta.getOrElse("bloom_bits", BloomBitsDefault.toString).toInt,
         meta.getOrElse("bloom_type", "bigint")))
-    def colMap: Map[String, String] =
-      meta.get("col_map").toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-        .map { pair =>
-          val Array(ph, lo) = pair.split(":", 2)
-          ph -> lo
-        }.toMap
+    def colMap: Map[String, String] = colMapOfMeta(meta)
     def delFiles: Seq[String] = delFilesOfMeta(meta)
-    /** The declaration carry every commit re-passes. */
+    /** The declaration carry every commit re-passes. The recorded
+      * physical schema and commit timestamp are NOT part of it:
+      * [[occCommit]] re-derives both per claim (schema unions with the
+      * current snapshot's, the timestamp stays monotonic), so a writer
+      * passing a stale carried copy could never clobber an
+      * interloper's evolution. */
     def layoutMeta: Map[String, String] =
       statsMetaFor(statsCols) ++ bloomMetaFor(bloomDecl) ++
         colMapMetaFor(colMap)
+    /** Wall-clock commit timestamp (ms), 0 for pre-feature manifests. */
+    def ts: Long = meta.get("ts").map(_.toLong).getOrElse(0L)
   }
 
   private[graft] def manifestAt(spark: SparkSession, dir: String,
       v: Int): Manifest =
-    if (v <= 0) Manifest(Seq.empty, Map.empty)
+    if (v <= 0) Manifest(Seq.empty, Seq.empty, Map.empty)
     else {
       val t = readText(spark, dir, v)
-      Manifest(entriesOfText(t), metaOfText(t))
+      Manifest(
+        segRefsOfText(t).map(r => r -> readSegment(spark, dir, r)),
+        entriesOfText(t), metaOfText(t))
     }
 
   /** The manifest-relative two-component key of a data file
@@ -188,6 +254,16 @@ object SnapTable {
   private def delFilesOfMeta(meta: Map[String, String]): Seq[String] =
     meta.get("delete_files").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** THE col_map meta parse (physical → logical), shared by Manifest
+    * and the delta walk so the spellings cannot drift. */
+  private def colMapOfMeta(meta: Map[String, String]): Map[String, String] =
+    meta.get("col_map").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .map { pair =>
+        val Array(ph, lo) = pair.split(":", 2)
+        ph -> lo
+      }.toMap
 
   private[graft] def deleteFilesOf(spark: SparkSession, dir: String,
       v: Int): Seq[String] = manifestAt(spark, dir, v).delFiles
@@ -217,9 +293,14 @@ object SnapTable {
     * terms (which need an INNER join against vector positions, not the
     * anti-join). */
   private def rawKeyed(spark: SparkSession, dir: String,
-      rels: Seq[String]): DataFrame = {
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(rels.map(r => s"$dir/$r"): _*)
+      rels: Seq[String]): DataFrame =
+    rawKeyedOver(spark.read.option("mergeSchema", "true")
+      .parquet(rels.map(r => s"$dir/$r"): _*), dir)
+
+  /** The row-identity projection over any parquet-backed scan (the
+    * mergeSchema rewrite-path read, or the index-backed front-door
+    * scan — both resolve `_metadata`). */
+  private def rawKeyedOver(raw: DataFrame, dir: String): DataFrame = {
     // the row-identity columns are internal; a user column of the same
     // name would be silently OVERWRITTEN here and then dropped by every
     // caller — refuse loudly instead of corrupting reads/rewrites
@@ -249,16 +330,49 @@ object SnapTable {
     toLogical(scoped, colMap) // logical view; __fk/__pos names reserved
   }
 
+  /** The manifest-backed [[org.apache.spark.sql.graft.SnapFileIndex]]
+    * over a snapshot scope — the front door's planning core: Catalyst
+    * pushes the query's data filters into `listFiles`, which consults
+    * the manifest stats/bloom via the SAME `prunedPathsOfEntries` /
+    * `bloomPrunedPathsOfEntries` spellings the explicit `readPruned*`
+    * APIs use, so plan-driven and driver-side skipping cannot drift. */
+  private def snapIndex(spark: SparkSession, dir: String,
+      rels: Seq[String], mf: Manifest)
+      : org.apache.spark.sql.graft.SnapFileIndex = {
+    val byPath = mf.entries.iterator.map(e => entryPath(e) -> e).toMap
+    val chosen = rels.map(r => byPath.getOrElse(r, r))
+    val files = chosen.map(e => entryPath(e) -> sizeOfEntry(spark, dir, e))
+    val decl = mf.bloomDecl
+    new org.apache.spark.sql.graft.SnapFileIndex(
+      dir, files, mf.statsCols, decl.map(_._1),
+      ranges => prunedPathsOfEntries(chosen, ranges).toSet,
+      v => decl.map(d =>
+        bloomPrunedPathsOfEntries(spark, chosen, d, v).toSet)
+        .getOrElse(files.map(_._1).toSet))
+  }
+
+  /** Plan-driven scoped scan: Spark's NATIVE parquet relation
+    * (vectorized reader, codegen, `_metadata` columns) over
+    * [[snapIndex]] — so a plain `read(...).filter(...)` skips files
+    * from the manifest automatically, no explicit pruning API needed. */
+  private def indexedScan(spark: SparkSession, dir: String,
+      rels: Seq[String], mf: Manifest): DataFrame =
+    org.apache.spark.sql.graft.SnapRelation.dataFrame(spark,
+      snapIndex(spark, dir, rels, mf), physicalSchemaOf(spark, dir, mf))
+
   /** Scoped table read under snapshot `v`'s deletion vectors; the plan
-    * is the original plain parquet scan when the snapshot carries no
-    * DVs (no metadata projection, no join — DV support costs existing
-    * tables nothing). */
+    * is a plain (index-backed) parquet scan when the snapshot carries
+    * no DVs (no metadata projection, no join — DV support costs
+    * existing tables nothing). Data filters above either shape push
+    * into the scan and drive manifest skipping ([[snapIndex]]); on the
+    * DV shape they push through the anti-join's left side. */
   private def readScoped(spark: SparkSession, dir: String,
       rels: Seq[String], mf: Manifest): DataFrame = {
-    val base = if (mf.delFiles.isEmpty) spark.read
-      .option("mergeSchema", "true")
-      .parquet(rels.map(r => s"$dir/$r"): _*)
-    else readKeyed(spark, dir, rels, mf.delFiles).drop("__fk", "__pos")
+    val base = if (mf.delFiles.isEmpty) indexedScan(spark, dir, rels, mf)
+    else rawKeyedOver(indexedScan(spark, dir, rels, mf), dir)
+      .join(dvPairs(spark, dir, mf.delFiles),
+        Seq("__fk", "__pos"), "left_anti")
+      .drop("__fk", "__pos")
     toLogical(base, mf.colMap) // renamed columns read back
   }
 
@@ -274,6 +388,15 @@ object SnapTable {
     * writer committed, so the system as a whole makes progress). */
   private val OccMaxRetries = 8
 
+  /** Head-manifest growth bound: when a commit would carry this many
+    * segments, the smallest ones fold into its new segment down to
+    * [[SegmentFoldTarget]] — Iceberg's manifest-merge idea. The head
+    * stays O(SegmentFoldThreshold) lines regardless of commit count,
+    * and the fold cost is amortized: small segments merge early (cheap),
+    * big merged segments are re-folded rarely. */
+  private val SegmentFoldThreshold = 48
+  private val SegmentFoldTarget = 24
+
   /** JVM commit locks, STRIPED by table-dir hash: the exists-check +
     * rename claim below is atomic cross-process only where the FS's
     * no-overwrite rename is (HDFS — the deployment target); POSIX
@@ -285,23 +408,48 @@ object SnapTable {
     * tables sharing a stripe merely serialize their claims. */
   private val commitLocks = Array.fill(64)(new Object)
 
-  /** Try to claim snapshot `v` with `files` (relative paths): write the
-    * manifest aside and rename it into place. Returns false if some
-    * other writer committed `v` first — the OCC loss signal. */
+  /** Try to claim snapshot `v`: write this commit's NEW entries into
+    * one immutable segment file, then write the small HEAD manifest
+    * (meta + pointers to `carrySegs` ++ the new segment) aside and
+    * rename it into place — a reader either sees the whole manifest or
+    * none of it. Returns false if some other writer committed `v`
+    * first — the OCC loss signal (the orphaned segment is deleted with
+    * the tmp head).
+    *
+    * This is the Iceberg manifest-list/manifest split, and THE property
+    * that keeps commits O(delta) at 100 TB: carried segments ride by
+    * reference exactly like data files, so an append or a 1-row MoR
+    * delete on a ~1M-file table writes a drop-sized segment (or none)
+    * plus a head of one line per segment — never the full entry list
+    * (~100 MB) the pre-split format serialized per commit. */
   private def tryCommitManifest(spark: SparkSession, dir: String, v: Int,
-      files: Seq[String], meta: Map[String, String] = Map.empty): Boolean = {
+      carrySegs: Seq[String], newEntries: Seq[String],
+      meta: Map[String, String] = Map.empty): Boolean = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val fin = manifestPath(dir, v)
-    // token-unique tmp name: two racers writing the SAME .inprogress
+    // token-unique tmp/segment names: two racers writing the SAME
     // path would interleave bytes before either renames
     val token = java.util.UUID.randomUUID().toString.take(8)
+    val sortedNew = newEntries.sorted
+    val segRel: Option[String] =
+      if (sortedNew.isEmpty) None
+      else {
+        val rel = f"$SegDirRel/s$v%05d-$token.seg"
+        f.mkdirs(new Path(dir, SegDirRel))
+        val out = f.create(new Path(dir, rel), true)
+        try out.write((sortedNew.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        Some(rel)
+      }
     val tmp = new Path(manifestDir(dir),
       f"v$v%05d.manifest.$token.inprogress")
     val out = f.create(tmp, true)
     val header = meta.toSeq.sortBy(_._1)
       .map { case (k, v2) => s"# $k=$v2\n" }.mkString
-    try out.write((header + files.sorted.mkString("\n") + "\n")
+    try out.write((header +
+      (carrySegs ++ segRel).sorted.map("@" + _).mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val lock = commitLocks(
@@ -309,14 +457,20 @@ object SnapTable {
     lock.synchronized {
       if (f.exists(fin) || !f.rename(tmp, fin)) {
         f.delete(tmp, false)
+        segRel.foreach(r => f.delete(new Path(dir, r), false))
         false
-      } else true
+      } else {
+        // a committed segment is immutable from here — warm the cache
+        // with exactly what a re-parse of its file would yield
+        segRel.foreach(r => segCache.put(s"$dir/$r", sortedNew))
+        true
+      }
     }
   }
 
   private def commitManifest(spark: SparkSession, dir: String, v: Int,
       files: Seq[String], meta: Map[String, String] = Map.empty): Unit =
-    if (!tryCommitManifest(spark, dir, v, files, meta))
+    if (!tryCommitManifest(spark, dir, v, Seq.empty, files, meta))
       throw new ConcurrentWriteException(
         s"SnapTable: lost the commit race for v$v under $dir")
 
@@ -437,13 +591,53 @@ object SnapTable {
       val delMeta =
         if (newDel.isEmpty) Map.empty[String, String]
         else Map("delete_files" -> newDel.mkString(","))
-      val carried = curEntries.filterNot(removed.contains)
-      // declaration-changing commit (optimizeZorder): interloper
-      // entries were annotated under the OLD columns — strip to paths
+      // SEGMENT-AWARE carry: a segment none of whose entries this
+      // commit removes rides by reference (one head line); a touched
+      // segment spills its survivors into this commit's new segment —
+      // so a CoW delete's manifest cost tracks the segments it touched,
+      // and an append/DV-only commit writes O(delta) bytes total. A
+      // declaration-changing commit (optimizeZorder) spills EVERYTHING
+      // stripped to bare paths: carried entries were annotated under
+      // the OLD columns and would be misread as the new columns' bounds.
+      val declChanged = declared != baseCols
+      val (carriedSegs, spilledSegs) = curMf.segs.partition {
+        case (_, es) => !declChanged && !es.exists(removed.contains)
+      }
+      // head-growth bound: past the threshold, fold the SMALLEST
+      // carried segments into this commit's new segment (pure
+      // relocation — same entries, so readers and the delta walk see
+      // no file change). Without this an append-per-micro-batch ingest
+      // grows one head line per commit forever.
+      val (keptSegs, foldedSegs) =
+        if (carriedSegs.size < SegmentFoldThreshold) (carriedSegs, Seq.empty)
+        else {
+          val bySize = carriedSegs.sortBy { case (rel, es) => (es.size, rel) }
+          val nFold = carriedSegs.size - SegmentFoldTarget
+          (bySize.drop(nFold), bySize.take(nFold))
+        }
+      val spilled = (spilledSegs ++ foldedSegs).flatMap(_._2) ++ curMf.inline
+      val carried = spilled.filterNot(removed.contains)
       val carriedSafe =
-        if (declared != baseCols) carried.map(entryPath) else carried
-      if (tryCommitManifest(spark, dir, cur + 1, carriedSafe ++ added,
-          meta ++ delMeta))
+        if (declChanged) carried.map(entryPath) else carried
+      // recorded-schema carry, re-derived per claim against the CURRENT
+      // snapshot: a data-adding writer contributes its batch schema
+      // (unioned in), every other writer carries cur's unchanged — so a
+      // rebase can never clobber an interloper's schema evolution. A
+      // legacy table (no recorded schema) STAYS legacy: emitting only
+      // the batch's schema would record an incomplete union and every
+      // later reader would silently drop the missing columns.
+      val schemaMeta: Map[String, String] =
+        (if (cur == 0) meta.get("schema")
+         else curMf.meta.get("schema")
+           .map(cs => unionSchemaJson(cs, meta.get("schema"))))
+          .map("schema" -> _).toMap
+      // monotonic commit timestamp: wall clock, bumped past the current
+      // snapshot's stamp so `asOfTimestamp` resolution is total even
+      // across clock skew between writers
+      val tsMeta = Map("ts" ->
+        math.max(System.currentTimeMillis(), curMf.ts + 1L).toString)
+      if (tryCommitManifest(spark, dir, cur + 1, keptSegs.map(_._1),
+          carriedSafe ++ added, meta ++ delMeta ++ schemaMeta ++ tsMeta))
         return Some(cur + 1)
       attempt += 1
       if (attempt > OccMaxRetries) throw new ConcurrentWriteException(
@@ -469,9 +663,17 @@ object SnapTable {
     val target = s"$dir/$rel"
     df.write.mode("errorifexists").parquet(target)
     val f = fs(df.sparkSession, dir)
-    val rels = f.listStatus(new Path(target)).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
-    if (statsCols.isEmpty && bloom.isEmpty) return rels
+    // byte sizes ride the manifest as `sz:` tags: scan PLANNING (split
+    // computation) then needs zero per-file FS round-trips — at 1M
+    // files the getFileStatus storm is the planning bottleneck
+    val parts = f.listStatus(new Path(target))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).toSeq
+    val sizes = parts.map(s0 => s0.getPath.getName -> s0.getLen).toMap
+    val rels = parts.map(s0 => s"$rel/${s0.getPath.getName}")
+    def szTag(r: String): String = s"sz:${sizes(r.split('/').last)}"
+    if (statsCols.isEmpty && bloom.isEmpty)
+      return rels.map(r => s"$r\t${szTag(r)}")
     // SCHEMA-EVOLVED batches may lack a declared layout column
     // (mergeSchema admits narrower appends): annotating would crash the
     // scan below AFTER the files landed (orphan litter + an unhelpful
@@ -485,7 +687,7 @@ object SnapTable {
       if (statsCols.forall(writtenCols.contains)) statsCols else Seq.empty
     val bloom2 = bloom.filter { case (c, _, _) => writtenCols.contains(c) }
     return writeAnnotations(df.sparkSession, target, rels,
-      statsCols2, bloom2)
+      statsCols2, bloom2).map(e => s"$e\t${szTag(entryPath(e))}")
   }
 
   /** The per-file annotation pass of [[writeData]], over columns known
@@ -616,6 +818,29 @@ object SnapTable {
   private def bloomHexOf(e: String): Option[String] =
     e.split('\t').find(_.startsWith("bf:")).map(_.stripPrefix("bf:"))
 
+  /** The entry's recorded byte size (`sz:` tag); pre-feature entries
+    * fall back to one getFileStatus round-trip. */
+  private def sizeOfEntry(spark: SparkSession, dir: String,
+      e: String): Long =
+    e.split('\t').find(_.startsWith("sz:")) match {
+      case Some(t) => t.stripPrefix("sz:").toLong
+      case None =>
+        fs(spark, dir).getFileStatus(new Path(dir, entryPath(e))).getLen
+    }
+
+  /** Entry stripped of POSITIONAL stats (a declaration change makes
+    * them misreadable) but keeping declaration-independent tags (`sz:`
+    * byte size — losing it would re-introduce planning RPCs). The
+    * bloom tag is dropped with the stats: a declaration change may
+    * have switched the bloom column too. */
+  private def stripStats(e: String): String = {
+    val p = entryPath(e)
+    e.split('\t').find(_.startsWith("sz:")) match {
+      case Some(t) => s"$p\t$t"
+      case None => p
+    }
+  }
+
   // ---- column mapping (rename without rewrite) ---------------------------
 
   /** The snapshot's COLUMN MAP (physical file-schema name → current
@@ -638,9 +863,62 @@ object SnapTable {
 
   /** Logical caller schema → the physical names files store — what
     * every writer applies before writing, so the PHYSICAL schema stays
-    * stable across renames and old/new files never fork. */
-  private def toPhysical(df: DataFrame, m: Map[String, String]): DataFrame =
+    * stable across renames and old/new files never fork. Refuses a
+    * batch that carries a column literally named like a MAPPED-AWAY
+    * physical name: after rename x→score, a batch with a fresh column
+    * 'x' would silently merge into the renamed column's physical
+    * storage and read back under 'score' — the write-side twin of
+    * renameColumn's logical-shadows-physical refusal. */
+  private def toPhysical(df: DataFrame, m: Map[String, String]): DataFrame = {
+    m.foreach { case (ph, lo) =>
+      require(!df.columns.contains(ph),
+        s"SnapTable: batch column '$ph' is the PHYSICAL storage name " +
+          s"of the renamed column '$lo' — write those values under " +
+          s"'$lo' (or rename the table column back first)")
+    }
     m.foldLeft(df) { case (d, (ph, lo)) => d.withColumnRenamed(lo, ph) }
+  }
+
+  // ---- recorded physical schema ------------------------------------------
+
+  private def structFromJson(j: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** The `schema` meta a data-adding writer contributes: its batch's
+    * PHYSICAL schema as one-line JSON. [[occCommit]] unions it with the
+    * current snapshot's recorded schema per claim, so the manifest
+    * always records the full union-by-name physical schema — what a
+    * mergeSchema footer scan would infer, without reading any footer
+    * (at 1M files the footer scan is the most expensive "metadata"
+    * operation in the format). */
+  private def schemaMetaFor(df: DataFrame): Map[String, String] =
+    Map("schema" -> df.schema.json)
+
+  /** Union-by-name of two recorded schemas (base fields win on a name
+    * clash — schema evolution adds columns, never retypes them). */
+  private def unionSchemaJson(base: String, add: Option[String]): String =
+    add match {
+      case None => base
+      case Some(a) =>
+        val bf = structFromJson(base).fields
+        val have = bf.map(_.name).toSet
+        org.apache.spark.sql.types.StructType(
+          bf.toSeq ++ structFromJson(a).fields.filterNot(f => have(f.name))).json
+    }
+
+  /** The snapshot's PHYSICAL file schema: the manifest-recorded union
+    * schema when present (one meta lookup, zero file reads), else the
+    * legacy mergeSchema footer scan over every live file. */
+  private[graft] def physicalSchemaOf(spark: SparkSession, dir: String,
+      mf: Manifest): org.apache.spark.sql.types.StructType =
+    mf.meta.get("schema").map(structFromJson).getOrElse {
+      require(mf.paths.nonEmpty,
+        s"SnapTable: snapshot under $dir lists no data files and " +
+          "records no schema — nothing to derive a physical schema from")
+      spark.read.option("mergeSchema", "true")
+        .parquet(mf.paths.map(r => s"$dir/$r"): _*).schema
+    }
 
   /** Create snapshot v1 from `df` (dir must hold no table yet).
     * `statsCol` (an integral column) turns on per-file min/max stats in
@@ -668,7 +946,9 @@ object SnapTable {
     }
     commitManifest(df.sparkSession, dir, 1,
       writeData(df, dir, 1, statsCol.toSeq, decl),
-      statsMetaFor(statsCol.toSeq) ++ bloomMetaFor(decl))
+      statsMetaFor(statsCol.toSeq) ++ bloomMetaFor(decl) ++
+        schemaMetaFor(df) ++
+        Map("ts" -> System.currentTimeMillis().toString))
   }
 
   /** Append `df`'s rows as a new snapshot: previous files carry over by
@@ -684,9 +964,10 @@ object SnapTable {
     // may trail the committed one after a rebase; the token keeps it
     // unique and manifests reference it either way)
     val mf = manifestAt(s, dir, v) // ONE fetch for every aspect below
-    val added = writeData(toPhysical(df, mf.colMap), dir,
-      v + 1, mf.statsCols, mf.bloomDecl)
-    occCommit(s, dir, v, Set.empty, Set.empty, added, mf.layoutMeta)
+    val phys = toPhysical(df, mf.colMap)
+    val added = writeData(phys, dir, v + 1, mf.statsCols, mf.bloomDecl)
+    occCommit(s, dir, v, Set.empty, Set.empty, added,
+      mf.layoutMeta ++ schemaMetaFor(phys))
   }
 
   /** Copy-on-write delete: rows matching `pred` disappear in the new
@@ -819,6 +1100,58 @@ object SnapTable {
     }
   }
 
+  /** DV MINOR COMPACTION: merge every live deletion-vector sidecar
+    * into ONE, rewriting ZERO data files — a pure layout commit. A
+    * delete-heavy MoR table otherwise stacks one sidecar per commit and
+    * every read anti-joins their UNION until a full [[optimize]]
+    * rewrite folds them; this caps the read-side cost at one sidecar
+    * scan for the price of re-writing only the vectors (KBs, not the
+    * table). Sound because vectors never overlap — positions are
+    * recorded against the DV-APPLIED view, so their union is a plain
+    * concatenation and the merged sidecar anti-joins to exactly the
+    * same rows (the spec asserts value identity and that the plan still
+    * carries exactly one anti-join). Time travel is untouched: old
+    * manifests keep referencing the original sidecars, which vacuum
+    * retires with them. Concurrency: the OCC read set is the files the
+    * vectors cover (a concurrent rewrite of one strands positions), and
+    * the rewrite-vs-DV rule refuses a concurrent vector change (this
+    * writer's drop set was planned against the base's vectors). */
+  def compactDeletionVectors(spark: SparkSession, dir: String): Unit = {
+    val v = currentVersion(spark, dir)
+    require(v > 0, s"SnapTable: $dir holds no table — create first")
+    val mf = manifestAt(spark, dir, v)
+    if (mf.delFiles.size <= 1) return // nothing to fold — no version churn
+    val merged = dvPairs(spark, dir, mf.delFiles)
+      .select(col("__fk").as("file_key"), col("__pos").as("pos"))
+      .repartition(1)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"_deletes/c${v + 1}%05d-$token"
+    merged.write.mode("errorifexists").parquet(s"$dir/$rel")
+    val f = fs(spark, dir)
+    val parts = f.listStatus(new Path(s"$dir/$rel")).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
+    val touchedKeys = spark.read.parquet(parts.map(r => s"$dir/$r"): _*)
+      .select(col("file_key")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched =
+      entriesTouchedBy(mf, touchedKeys)
+    // conflicted commit: the merged sidecar is referenced by nothing —
+    // delete it (the deleteWhereMor litter rule)
+    try occCommit(spark, dir, v, touched, Set.empty, Seq.empty,
+      mf.layoutMeta, addDeleteFiles = parts,
+      dropDeleteFiles = mf.delFiles.toSet)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        f.delete(new Path(s"$dir/$rel"), true)
+        throw e
+    }
+  }
+
+  /** The manifest entries whose file keys appear in `keys`. */
+  private def entriesTouchedBy(mf: Manifest,
+      keys: Set[String]): Set[String] =
+    mf.entries.filter(e => keys.contains(pathKey(entryPath(e)))).toSet
+
   /** MERGE (upsert) by key: rows of `updates` whose `key` exists in the
     * current snapshot REPLACE the old rows; new keys insert. One atomic
     * commit — the copy-on-write delete of matched keys and the append
@@ -871,16 +1204,16 @@ object SnapTable {
     * duplicate would land both copies next to each other). Returns the
     * distinct update-key relation. */
   private def mergeValidate(updates: DataFrame, dir: String,
-      files: Seq[String], key: String,
-      colMap: Map[String, String] = Map.empty): DataFrame = {
+      mf: Manifest, key: String): DataFrame = {
     val s = updates.sparkSession
-    // batches carry the LOGICAL schema: the physical file schema maps
-    // through the column map before the comparison
-    val curSchema = toLogical(s.read.option("mergeSchema", "true")
-      .parquet(files.map(r => s"$dir/$r"): _*), colMap)
-    require(updates.columns.toSet == curSchema.columns.toSet,
+    // batches carry the LOGICAL schema: the recorded physical schema
+    // (one meta lookup on schema-recording tables; the legacy footer
+    // scan otherwise) maps through the column map before the comparison
+    val curCols = physicalSchemaOf(s, dir, mf)
+      .map(f => mf.colMap.getOrElse(f.name, f.name))
+    require(updates.columns.toSet == curCols.toSet,
       s"SnapTable: merge batch columns ${updates.columns.toSeq.sorted}" +
-        s" must equal the table's ${curSchema.columns.toSeq.sorted}")
+        s" must equal the table's ${curCols.sorted}")
     val (updN, updDistinct) = {
       val r = updates.agg(count(lit(1)), count_distinct(col(key))).head()
       (r.getLong(0), r.getLong(1))
@@ -934,7 +1267,7 @@ object SnapTable {
     val entries = mf.entries
     val files = mf.paths
     val cmap = mf.colMap
-    val updKeys = mergeValidate(updates, dir, files, key, cmap)
+    val updKeys = mergeValidate(updates, dir, mf, key)
     // DV-AWARE probe and survivor reads (readKeyed): on a table with
     // merge-on-read vectors a raw scan would probe/rewrite rows the
     // vectors already deleted — a merge of an already-MoR-deleted key
@@ -999,7 +1332,7 @@ object SnapTable {
     val entries = mf.entries
     val files = mf.paths
     val cmap = mf.colMap
-    val updKeys = mergeValidate(updates, dir, files, key, cmap)
+    val updKeys = mergeValidate(updates, dir, mf, key)
     val delFiles = mf.delFiles
     // the old rows of matched keys, as (file, position) — the DV rows
     val matches = readKeyed(s, dir, files, delFiles, cmap)
@@ -1078,13 +1411,14 @@ object SnapTable {
     if (lastAppliedBatch(s, dir) >= batchId) return false
     val v0 = currentVersion(s, dir)
     val mf0 = manifestAt(s, dir, v0)
-    val added = writeData(toPhysical(df, mf0.colMap), dir,
-      v0 + 1, mf0.statsCols, mf0.bloomDecl)
+    val phys = toPhysical(df, mf0.colMap)
+    val added = writeData(phys, dir, v0 + 1, mf0.statsCols, mf0.bloomDecl)
     // a pure-append occCommit whose skipIf rechecks the stamp before
     // every claim: the commit this writer lost to may have BEEN this
     // very batch (two racing sink instances)
     occCommit(s, dir, v0, Set.empty, Set.empty, added,
-      Map("batch_id" -> batchId.toString) ++ mf0.layoutMeta,
+      Map("batch_id" -> batchId.toString) ++ mf0.layoutMeta ++
+        schemaMetaFor(phys),
       skipIf = () => lastAppliedBatch(s, dir) >= batchId).isDefined
   }
 
@@ -1099,6 +1433,74 @@ object SnapTable {
     require(v > 0, s"SnapTable: no snapshot to read under $dir")
     val mf = manifestAt(spark, dir, v)
     readScoped(spark, dir, mf.paths, mf)
+  }
+
+  /** Resolve a wall-clock timestamp to the newest RETAINED snapshot
+    * committed at or before it — what "as of yesterday 14:00" audits
+    * ask for, where version numbers are an internal detail. Every
+    * commit stamps a MONOTONIC `ts` (wall clock bumped past the
+    * previous commit's stamp, so writer clock skew cannot make
+    * resolution ambiguous). Refuses a timestamp older than the oldest
+    * retained commit — silently serving the oldest snapshot would
+    * misrepresent pre-history (or a vacuumed window) as table state.
+    * Pre-feature manifests carry no stamp and are skipped (they are
+    * unreachable by timestamp, exactly like vacuumed versions). */
+  def versionAtTimestamp(spark: SparkSession, dir: String,
+      ts: Long): Int = {
+    val f = fs(spark, dir)
+    var v = currentVersion(spark, dir)
+    require(v > 0, s"SnapTable: no snapshot to read under $dir")
+    // descending walk, head-manifest meta only: the newest stamped
+    // version ≤ ts wins, so the scan stops at the first hit (on a
+    // current read that is O(1) manifests, not O(history))
+    while (v >= 1) {
+      if (f.exists(manifestPath(dir, v))) {
+        val t = manifestMeta(spark, dir, v).get("ts").map(_.toLong)
+        if (t.exists(_ <= ts)) return v
+      }
+      v -= 1
+    }
+    throw new IllegalArgumentException(
+      s"requirement failed: SnapTable: no retained snapshot of $dir " +
+        s"was committed at or before ts=$ts — the timestamp predates " +
+        "the table (or its retained window after a vacuum); oldest " +
+        s"retained version: v${oldestRetainedVersion(spark, dir)}")
+  }
+
+  /** [[read]] addressed by wall-clock time instead of version. */
+  def readAsOfTimestamp(spark: SparkSession, dir: String,
+      ts: Long): DataFrame =
+    read(spark, dir, Some(versionAtTimestamp(spark, dir, ts)))
+
+  /** The `spark.read.format("graftsnap")` relation (see
+    * [[org.apache.spark.sql.graft.GraftSnapSource]]): the snapshot's
+    * manifest-backed file index wrapped in Spark's native parquet
+    * relation, so pushed-down filters drive manifest skipping with no
+    * SnapTable API in sight. Options: `versionAsOf`, `timestampAsOf`.
+    * DV-carrying and column-mapped snapshots refuse — a BaseRelation
+    * can express neither the (file, pos) anti-join nor the rename
+    * projection; [[read]] serves those. */
+  def baseRelation(spark: SparkSession,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graftsnap: a table path is " +
+        "required — spark.read.format(\"graftsnap\").load(<dir>)"))
+    val v = parameters.get("versionAsOf").map(_.toInt)
+      .orElse(parameters.get("timestampAsOf")
+        .map(t => versionAtTimestamp(spark, dir, t.toLong)))
+      .getOrElse(currentVersion(spark, dir))
+    require(v > 0, s"SnapTable: no snapshot to read under $dir")
+    val mf = manifestAt(spark, dir, v)
+    require(mf.delFiles.isEmpty,
+      s"graftsnap: snapshot v$v of $dir carries deletion vectors — " +
+        "this relation cannot express the (file, pos) anti-join; " +
+        "read it via SnapTable.read (or OPTIMIZE to fold the vectors)")
+    require(mf.colMap.isEmpty,
+      s"graftsnap: snapshot v$v of $dir carries a column map — this " +
+        "relation serves physical names only; read it via SnapTable.read")
+    org.apache.spark.sql.graft.SnapRelation.relation(spark,
+      snapIndex(spark, dir, mf.paths, mf), physicalSchemaOf(spark, dir, mf))
   }
 
   /** The manifest entries a conjunction of per-stats-column [lo, hi]
@@ -1117,7 +1519,11 @@ object SnapTable {
 
   private def prunedPathsOf(mf: Manifest,
       ranges: Seq[Option[(Long, Long)]]): Seq[String] =
-    mf.entries.filter { e =>
+    prunedPathsOfEntries(mf.entries, ranges)
+
+  private def prunedPathsOfEntries(entries: Seq[String],
+      ranges: Seq[Option[(Long, Long)]]): Seq[String] =
+    entries.filter { e =>
       val st = statFields(e) // numeric stats only (bloom tags excluded)
       val nPairs = st.length / 2
       if (nPairs == 0) true // unannotated: must read
@@ -1189,12 +1595,17 @@ object SnapTable {
   }
 
   private def bloomPrunedPathsOf(spark: SparkSession, dir: String,
-      mf: Manifest, decl: (String, Int, String), value: Any): Seq[String] = {
+      mf: Manifest, decl: (String, Int, String), value: Any): Seq[String] =
+    bloomPrunedPathsOfEntries(spark, mf.entries, decl, value)
+
+  private def bloomPrunedPathsOfEntries(spark: SparkSession,
+      entries: Seq[String], decl: (String, Int, String),
+      value: Any): Seq[String] = {
     val (_, bits, tp) = decl
     val pos = spark.range(1)
       .select(array(bloomPositions(lit(value).cast(tp), bits): _*).as("ps"))
       .head().getSeq[Long](0)
-    mf.entries.filter { e =>
+    entries.filter { e =>
       bloomHexOf(e) match {
         case None => true // unannotated: must read
         case Some(hex) => pos.forall { p =>
@@ -1255,9 +1666,12 @@ object SnapTable {
       s"SnapTable: '$c' is reserved for the row-identity machinery"))
     val mf = manifestAt(spark, dir, v)
     val m = mf.colMap
-    val phys = spark.read.option("mergeSchema", "true")
-      .parquet(mf.paths.map(r => s"$dir/$r"): _*)
-      .columns.toSeq
+    // the recorded union schema (one meta lookup) replaces the legacy
+    // per-file footer scan — at 1M files that scan made a "zero-data"
+    // rename the most expensive metadata op in the format; an
+    // everything-deleted SCHEMA-RECORDING snapshot still renames fine
+    // (pure meta), while a legacy one refuses inside physicalSchemaOf
+    val phys = physicalSchemaOf(spark, dir, mf).map(_.name).toSeq
     val logical = phys.map(p => m.getOrElse(p, p))
     require(logical.contains(from),
       s"SnapTable: no column '$from' in $dir (columns: $logical)")
@@ -1447,14 +1861,18 @@ object SnapTable {
     val s = df.sparkSession
     val v = currentVersion(s, dir) // v == 0 is fine: publish creates v1
     val mf = manifestAt(s, dir, v)
-    val files = writeData(toPhysical(df, mf.colMap), dir,
-      v + 1, mf.statsCols, mf.bloomDecl)
+    val phys = toPhysical(df, mf.colMap)
+    val files = writeData(phys, dir, v + 1, mf.statsCols, mf.bloomDecl)
     val id = java.util.UUID.randomUUID().toString.take(12)
     val f = fs(s, dir)
     f.mkdirs(new Path(dir, "_staged"))
     val out = f.create(stagedPath(dir, id), true)
     val tagLine = if (tag.nonEmpty) s"# tag=$tag\n" else ""
+    // the batch's physical schema rides the staged list so publish can
+    // contribute it to the manifest's recorded union schema (a staged
+    // batch may be schema-evolved wider than the table)
     try out.write((s"# base=$v\n" + tagLine +
+      s"# schema=${phys.schema.json}\n" +
       files.sorted.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1514,7 +1932,7 @@ object SnapTable {
   }
 
   private def stagedEntries(spark: SparkSession, dir: String,
-      id: String): (Int, Seq[String]) =
+      id: String): (Int, Seq[String], Option[String]) =
     stagedEntriesOpt(spark, dir, id).getOrElse(
       throw new IllegalArgumentException(
         s"requirement failed: SnapTable: no staged batch $id under $dir"))
@@ -1525,7 +1943,7 @@ object SnapTable {
     * stream-killing exception (the exists-then-read TOCTOU window). A
     * list deleted between exists() and open() lands here too. */
   private def stagedEntriesOpt(spark: SparkSession, dir: String,
-      id: String): Option[(Int, Seq[String])] = {
+      id: String): Option[(Int, Seq[String], Option[String])] = {
     val f = fs(spark, dir)
     val p = stagedPath(dir, id)
     val text = try {
@@ -1538,13 +1956,15 @@ object SnapTable {
       .map(_.stripPrefix("# base=").toInt)
       .getOrElse(throw new IllegalStateException(
         s"SnapTable: staged list $id carries no base version"))
-    Some((base, lines.filterNot(_.startsWith("#")).toSeq))
+    val schema = lines.find(_.startsWith("# schema="))
+      .map(_.stripPrefix("# schema="))
+    Some((base, lines.filterNot(_.startsWith("#")).toSeq, schema))
   }
 
   /** The staged rows, for the AUDIT step — exactly the batch's files,
     * never the table. */
   def readStaged(spark: SparkSession, dir: String, id: String): DataFrame = {
-    val (_, entries) = stagedEntries(spark, dir, id)
+    val (_, entries, _) = stagedEntries(spark, dir, id)
     require(entries.nonEmpty,
       s"SnapTable: staging '$id' is EMPTY (a 0-row stage writes no " +
         "files, so there is no schema to read) — check stagedIsEmpty " +
@@ -1590,7 +2010,7 @@ object SnapTable {
   def publish(spark: SparkSession, dir: String, id: String,
       extraMeta: Map[String, String] = Map.empty,
       skipIf: () => Boolean = () => false): Option[Int] = {
-    val (base, entries) = stagedEntries(spark, dir, id)
+    val (base, entries, stagedSchema) = stagedEntries(spark, dir, id)
     // a vacuum that retired the staging's base manifest leaves nothing
     // to anchor the stats-declaration continuity check on (statsMeta
     // and occCommit both read it); failing HERE with the remedy named
@@ -1621,7 +2041,8 @@ object SnapTable {
     var swept = false
     val committed = occCommit(spark, dir, base, Set.empty, Set.empty,
       entries,
-      extraMeta ++ Map("staged_id" -> id) ++ layoutMeta(spark, dir, base),
+      extraMeta ++ Map("staged_id" -> id) ++ layoutMeta(spark, dir, base) ++
+        stagedSchema.map("schema" -> _).toMap,
       skipIf = () => {
         if (alreadyLive() || idPublished()) {
           stale = true; true
@@ -1649,7 +2070,7 @@ object SnapTable {
     val f = fs(spark, dir)
     stagedEntriesOpt(spark, dir, id) match {
       case None => // already swept (publish's stale path, or a twin)
-      case Some((_, entries)) =>
+      case Some((_, entries, _)) =>
         entries.map(e => entryPath(e).split('/').dropRight(1).mkString("/"))
           .distinct
           .foreach(d0 => f.delete(new Path(s"$dir/$d0"), true))
@@ -1681,7 +2102,7 @@ object SnapTable {
     stagedIds(spark, dir).foreach { case (id, tag) =>
       val abandoned = scala.util.Try(tag.toLong).toOption.exists(_ <= upToBatch)
       if (abandoned) stagedEntriesOpt(spark, dir, id).foreach {
-        case (base, entries) => // None = a racing twin swept it first
+        case (base, entries, _) => // None = a racing twin swept it first
           val paths = entries.map(entryPath).toSet
           val cur = currentVersion(spark, dir)
           val live = cur > 0 && readEntries(spark, dir, cur)
@@ -1712,9 +2133,13 @@ object SnapTable {
     // Deletion-vector sidecars follow the same rule as data files:
     // retained while any kept manifest's delete_files references them,
     // retired with the last snapshot that did.
+    // SEGMENTS retire exactly like data files: kept while any retained
+    // manifest's head references them, deleted with the last snapshot
+    // that did (they are carried by reference across commits the same
+    // way)
     def filesOfVersion(v: Int): Seq[String] = {
       val m = manifestAt(spark, dir, v) // ONE fetch: paths AND sidecars
-      m.paths ++ m.delFiles
+      m.paths ++ m.delFiles ++ m.segs.map(_._1)
     }
     val keepFiles = keepVs
       .filter(v => f.exists(manifestPath(dir, v)))
@@ -1893,9 +2318,17 @@ object SnapTable {
     * added/removed/carried, plus both endpoints' deletion-vector sets —
     * everything the IVM/CDC fold needs to account row-level (sidecar)
     * deletes alongside file-level changes. */
-  private[graft] case class VersionDelta(addedFiles: Set[String],
-      removedFiles: Set[String], carriedFiles: Set[String],
-      dvFrom: Seq[String], dvTo: Seq[String]) {
+  private[graft] final class VersionDelta(
+      val addedFiles: Set[String], val removedFiles: Set[String],
+      carriedF: () => Set[String],
+      val dvFrom: Seq[String], val dvTo: Seq[String],
+      val colMapFrom: Map[String, String] = Map.empty,
+      val colMapTo: Map[String, String] = Map.empty) {
+    /** LAZY: the carried set is the near-whole table on every
+      * transition, but only the DV-fold terms (a sidecar landing over
+      * carried files) ever need it — the common append/rewrite delta is
+      * computed from changed segments alone. */
+    lazy val carriedFiles: Set[String] = carriedF()
     def sidecarsAdded: Seq[String] = dvTo.filterNot(dvFrom.toSet)
     def sidecarsDropped: Seq[String] = dvFrom.filterNot(dvTo.toSet)
   }
@@ -1912,19 +2345,40 @@ object SnapTable {
   private[graft] def versionDeltas(s: SparkSession, dir: String,
       fromV: Int, toV: Int): Seq[VersionDelta] = {
     if (fromV >= toV) return Seq.empty // no-op walk reads no manifest
-    def parse(v: Int): (Set[String], Seq[String]) =
-      if (v <= 0) (Set.empty, Seq.empty)
+    // SEGMENT-IDENTITY delta: a segment referenced by both endpoints
+    // contributed no file change (segments are immutable), so each
+    // transition expands ONLY the segments that changed hands — the
+    // walk's cost tracks commit sizes, not the table. Survivor spills
+    // (a touched segment's entries relocating into the new segment)
+    // cancel out of added/removed via the candidate intersection, and
+    // land in the carried set instead.
+    def parse(v: Int)
+        : (Seq[String], Seq[String], Seq[String], Map[String, String]) =
+      if (v <= 0) (Seq.empty, Seq.empty, Seq.empty, Map.empty)
       else {
         val text = readText(s, dir, v)
-        (entriesOfText(text).map(entryPath).toSet,
-          delFilesOfMeta(metaOfText(text)))
+        val meta = metaOfText(text)
+        (segRefsOfText(text), entriesOfText(text).map(entryPath),
+          delFilesOfMeta(meta), colMapOfMeta(meta))
       }
-    var (prevFiles, prevDv) = parse(fromV)
+    var (prevRefs, prevInline, prevDv, prevCm) = parse(fromV)
     (fromV + 1 to toV).map { v =>
-      val (curFiles, curDv) = parse(v)
-      val d = VersionDelta(curFiles -- prevFiles, prevFiles -- curFiles,
-        curFiles intersect prevFiles, prevDv, curDv)
-      prevFiles = curFiles; prevDv = curDv
+      val (curRefs, curInline, curDv, curCm) = parse(v)
+      val prevSet = prevRefs.toSet
+      val curSet = curRefs.toSet
+      def expand(refs: Seq[String]): Seq[String] =
+        refs.flatMap(readSegment(s, dir, _)).map(entryPath)
+      val addedCand =
+        (expand(curRefs.filterNot(prevSet)) ++ curInline).toSet
+      val removedCand =
+        (expand(prevRefs.filterNot(curSet)) ++ prevInline).toSet
+      val shared = curRefs.filter(prevSet)
+      val d = new VersionDelta(addedCand -- removedCand,
+        removedCand -- addedCand,
+        () => expand(shared).toSet ++ (addedCand intersect removedCand),
+        prevDv, curDv, prevCm, curCm)
+      prevRefs = curRefs; prevInline = curInline
+      prevDv = curDv; prevCm = curCm
       d
     }
   }
@@ -2011,15 +2465,24 @@ object SnapTable {
     * that side. */
   private def deltaRows(s: SparkSession, dir: String, d: VersionDelta)
       : (Option[DataFrame], Option[DataFrame]) = {
-    def scan(files: Set[String], dv: Seq[String]): Option[DataFrame] =
+    // each side serves its endpoint's LOGICAL view (the names read()
+    // serves there) — a physical-name side on a renamed table would
+    // silently NULL every mapped column through cdcSide's evolution
+    // fallback (differs=false, updates undercounted). A single commit
+    // cannot rename AND change data, so within one transition the two
+    // maps only differ when the transition IS the (row-less) rename.
+    def scan(files: Set[String], dv: Seq[String],
+        cm: Map[String, String]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(readKeyed(s, dir, files.toSeq.sorted, dv)
-        .drop("__fk", "__pos"))
+      else Some(toLogical(readKeyed(s, dir, files.toSeq.sorted, dv)
+        .drop("__fk", "__pos"), cm))
     def opt(dfs: Seq[DataFrame]) = dfs.reduceOption(_ unionByName _)
-    val plus = opt(scan(d.addedFiles, d.dvTo).toSeq ++
-      dvCoveredRows(s, dir, d.sidecarsDropped, d.carriedFiles))
-    val minus = opt(scan(d.removedFiles, d.dvFrom).toSeq ++
-      dvCoveredRows(s, dir, d.sidecarsAdded, d.carriedFiles))
+    val plus = opt(scan(d.addedFiles, d.dvTo, d.colMapTo).toSeq ++
+      dvCoveredRows(s, dir, d.sidecarsDropped, d.carriedFiles)
+        .map(toLogical(_, d.colMapTo)))
+    val minus = opt(scan(d.removedFiles, d.dvFrom, d.colMapFrom).toSeq ++
+      dvCoveredRows(s, dir, d.sidecarsAdded, d.carriedFiles)
+        .map(toLogical(_, d.colMapFrom)))
     (plus, minus)
   }
 
@@ -2029,10 +2492,18 @@ object SnapTable {
     * read serves, so the incremental and semantic spellings stay
     * interchangeable on evolved histories. */
   private def cdcSide(df: DataFrame, key: String, cols: Seq[String],
-      tag: String): DataFrame =
+      tag: String,
+      types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
+      : DataFrame =
     df.select(col(key) +: lit(1L).as(s"${tag}_present") +:
-      cols.map(c => (if (df.columns.contains(c)) col(c)
-        else lit(null)).as(s"${tag}_$c")): _*)
+      cols.map { c =>
+        val base =
+          if (df.columns.contains(c)) col(c)
+          // typed NULL when the consumer needs union-compatible sides
+          // (the row-level feed's event structs); bare NULL otherwise
+          else types.get(c).map(t => lit(null).cast(t)).getOrElse(lit(null))
+        base.as(s"${tag}_$c")
+      }: _*)
 
   /** Null-safe any-column-differs predicate over tagged sides (a
     * column transitioning NULL↔value is an update); an EMPTY cols list
@@ -2040,6 +2511,25 @@ object SnapTable {
   private def cdcDiffers(cols: Seq[String]): Column =
     cols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Refuse CDC column requests that match NOTHING in the table: the
+    * absent-as-NULL fallback in [[cdcSide]] exists for schema-EVOLVED
+    * delta files (a column the table has that an old file lacks), not
+    * for typos or physical names of renamed columns — both of which
+    * would silently read as NULL on both sides (differs=false,
+    * n_updated undercounts) instead of failing. Validated against the
+    * window END's logical schema, what read() serves there. */
+  private def validateCdcColumns(s: SparkSession, dir: String,
+      key: String, cols: Seq[String], toV: Int): Unit = {
+    val mf = manifestAt(s, dir, toV)
+    val logical = physicalSchemaOf(s, dir, mf)
+      .map(f => mf.colMap.getOrElse(f.name, f.name))
+    val missing = (key +: cols).filterNot(logical.contains)
+    require(missing.isEmpty,
+      s"SnapTable: CDC column(s) ${missing.mkString(", ")} are not in " +
+        s"$dir's schema at v$toV (columns: ${logical.sorted.mkString(", ")})" +
+        " — on a renamed table pass the LOGICAL name")
+  }
 
   /** THE CDC count aggregate over the tagged transition union —
     * shared by the semantic (q239) and manifest-scoped (q267)
@@ -2078,6 +2568,7 @@ object SnapTable {
     * with the semantic spelling's closed-form oracle. */
   def cdcIncremental(s: SparkSession, dir: String, key: String,
       cols: Seq[String], fromV: Int, toV: Int): DataFrame = {
+    validateCdcColumns(s, dir, key, cols, toV)
     val transitions = versionDeltas(s, dir, fromV, toV).zipWithIndex
       .flatMap { case (d, i) =>
         val fv = fromV + i
@@ -2110,6 +2601,161 @@ object SnapTable {
         col("id").as("n_inserted"), col("id").as("n_deleted"),
         col("id").as("n_updated"))
     else cdcCounts(transitions.reduce(_ unionByName _))
+  }
+
+  /** ROW-LEVEL incremental CDC: the keyed change rows of every
+    * transition in (fromV, toV], computed from ONLY the files/sidecar
+    * rows each commit touched — what [[cdcIncremental]] counts, kept as
+    * rows: the feed a replica or index maintainer actually applies
+    * (Delta's `_change_type` table-changes contract). Output columns:
+    * (from_v, to_v, _change_type ∈ {insert, delete, update_preimage,
+    * update_postimage}, <key>, <cols…>) — an update emits BOTH images,
+    * a pure file move (compaction) emits nothing, a metadata-only
+    * window an empty frame. One `explode` over the per-transition
+    * full-outer join, so each transition is a single keyed shuffle of
+    * delta-sized inputs (the insert-only / delete-only transitions skip
+    * even the join). On renamed tables the feed speaks LOGICAL names
+    * (requested columns validate against the window end's schema). */
+  def cdcRows(s: SparkSession, dir: String, key: String,
+      cols: Seq[String], fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    validateCdcColumns(s, dir, key, cols, toV)
+    val mfTo = manifestAt(s, dir, toV)
+    val logicalTypes = physicalSchemaOf(s, dir, mfTo).fields
+      .map(f => (mfTo.colMap.getOrElse(f.name, f.name), f.dataType)).toMap
+    def evStruct(tp: String, tag: String): Column =
+      struct(lit(tp).as("_change_type") +:
+        cols.map(c => col(s"${tag}_$c").as(c)): _*)
+    def out(df: DataFrame, fv: Int, changeType: Column,
+        valueOf: String => Column): DataFrame =
+      df.select(Seq(lit(fv.toLong).as("from_v"), lit(fv + 1L).as("to_v"),
+        changeType.as("_change_type"), col(key)) ++
+        cols.map(c => valueOf(c).as(c)): _*)
+    val transitions = versionDeltas(s, dir, fromV, toV).zipWithIndex
+      .flatMap { case (d, i) =>
+        val fv = fromV + i
+        val (plus, minus) = deltaRows(s, dir, d)
+        def tagged(df: DataFrame, tag: String) =
+          cdcSide(df, key, cols, tag, logicalTypes)
+        (plus, minus) match {
+          case (None, None) => None
+          case (Some(p), None) => // pure append: every row an insert
+            Some(out(tagged(p, "b"), fv, lit("insert"), c => col(s"b_$c")))
+          case (None, Some(m)) => // pure delete
+            Some(out(tagged(m, "a"), fv, lit("delete"), c => col(s"a_$c")))
+          case (Some(p), Some(m)) =>
+            val j = tagged(m, "a").join(tagged(p, "b"), Seq(key),
+              "full_outer").withColumn("__differs", cdcDiffers(cols))
+            val both =
+              col("a_present").isNotNull && col("b_present").isNotNull
+            val evs = array(
+              when(col("a_present").isNull, evStruct("insert", "b")),
+              when(col("b_present").isNull, evStruct("delete", "a")),
+              when(both && col("__differs"),
+                evStruct("update_preimage", "a")),
+              when(both && col("__differs"),
+                evStruct("update_postimage", "b")))
+            Some(j
+              .select(lit(fv.toLong).as("from_v"), lit(fv + 1L).as("to_v"),
+                col(key), explode(array_compact(evs)).as("__e"))
+              .select(Seq(col("from_v"), col("to_v"),
+                col("__e._change_type").as("_change_type"), col(key)) ++
+                cols.map(c => col(s"__e.$c").as(c)): _*))
+        }
+      }
+    if (transitions.nonEmpty) transitions.reduce(_ unionByName _)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("from_v", LongType, nullable = false),
+        StructField("to_v", LongType, nullable = false),
+        StructField("_change_type", StringType, nullable = false),
+        StructField(key, logicalTypes(key))) ++
+        cols.map(c => StructField(c, logicalTypes(c)))))
+  }
+
+  /** Highest source version a REPLICA table has applied (the `cdc_v`
+    * commit stamp), 0 if none — the restart cursor of
+    * [[applyCdcRows]]/the streaming replica maintainer, persisted IN
+    * the replica's own commits so no caller-carried state exists. Same
+    * descending-scan shape as [[lastAppliedBatch]]. */
+  def lastAppliedCdcVersion(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    var v = currentVersion(spark, dir)
+    while (v >= 1) {
+      if (f.exists(manifestPath(dir, v))) {
+        manifestMeta(spark, dir, v).get("cdc_v") match {
+          case Some(b) => return b.toInt
+          case None => ()
+        }
+      }
+      v -= 1
+    }
+    0
+  }
+
+  /** Apply ONE source transition's [[cdcRows]] batch to a replica
+    * table as a single atomic merge-on-read commit — deletes and
+    * update PREIMAGES become a deletion-vector sidecar, inserts and
+    * update POSTIMAGES append as new files — stamped with the source
+    * version (`cdc_v`) for exactly-once application: a redelivered or
+    * restarted apply of an already-stamped transition is a no-op
+    * (returns false), exactly the [[appendOnce]] contract. The first
+    * transition (replica not yet created) bootstraps the table from
+    * the batch's inserts. The replica then provably equals
+    * `read(source)` after each applied transition — the consumer
+    * contract the streaming replica maintainer gates in its spec. */
+  def applyCdcRows(s: SparkSession, dir: String, changes: DataFrame,
+      key: String, sourceV: Int): Boolean = {
+    if (lastAppliedCdcVersion(s, dir) >= sourceV) return false
+    val ins = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type", "from_v", "to_v")
+    val v0 = currentVersion(s, dir)
+    if (v0 == 0)
+      return occCommit(s, dir, 0, Set.empty, Set.empty,
+        writeData(ins, dir, 1),
+        Map("cdc_v" -> sourceV.toString) ++ schemaMetaFor(ins),
+        skipIf = () => lastAppliedCdcVersion(s, dir) >= sourceV).isDefined
+    val mf = manifestAt(s, dir, v0)
+    val cmap = mf.colMap
+    val delKeys = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(key)).distinct()
+    // the doomed rows' (file, position) pairs against the DV-applied
+    // view — mergeMorFrom's capture, reused for the delete arm
+    val matches = readKeyed(s, dir, mf.paths, mf.delFiles, cmap)
+      .join(broadcast(delKeys), Seq(key))
+      .select(col("__fk").as("file_key"), col("__pos").as("pos"))
+      .repartition(1)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"_deletes/d${v0 + 1}%05d-$token"
+    matches.write.mode("errorifexists").parquet(s"$dir/$rel")
+    val f = fs(s, dir)
+    val parts = f.listStatus(new Path(s"$dir/$rel")).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
+    val touchedKeys =
+      if (parts.isEmpty) Set.empty[String]
+      else s.read.parquet(parts.map(r => s"$dir/$r"): _*)
+        .select(col("file_key")).distinct()
+        .collect().map(_.getString(0)).toSet
+    if (touchedKeys.isEmpty) f.delete(new Path(s"$dir/$rel"), true)
+    val insPhys = toPhysical(ins, cmap)
+    val newFiles = writeData(insPhys, dir, v0 + 1,
+      mf.statsCols, mf.bloomDecl)
+    try occCommit(s, dir, v0, entriesTouchedBy(mf, touchedKeys),
+      Set.empty, newFiles,
+      Map("cdc_v" -> sourceV.toString) ++ mf.layoutMeta ++
+        schemaMetaFor(insPhys),
+      addDeleteFiles = (if (touchedKeys.isEmpty) Seq.empty else parts),
+      skipIf = () => lastAppliedCdcVersion(s, dir) >= sourceV).isDefined
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (touchedKeys.nonEmpty) f.delete(new Path(s"$dir/$rel"), true)
+        newFiles.map(p =>
+          entryPath(p).split('/').dropRight(1).mkString("/")).distinct
+          .foreach(d0 => f.delete(new Path(s"$dir/$d0"), true))
+        throw e
+    }
   }
 
   /** Fold the manifest deltas of versions (fromV, toV] into a carried
@@ -2218,9 +2864,15 @@ object SnapTable {
       // the fold must not fork behavior on whether it took the re-seed
       // branch when the table was renamed
       val rMf = manifestAt(s, dir, r)
-      seed = Some(ivmSignedAgg(
-        readKeyed(s, dir, rMf.paths, rMf.delFiles)
-          .drop("__fk", "__pos"), 1L))
+      // an everything-deleted retained snapshot lists no data files:
+      // it seeds NOTHING (a parquet read over zero paths would die on
+      // an unhelpful unable-to-infer error), and the walk continues
+      // delta-wise from it
+      seed =
+        if (rMf.paths.isEmpty) None
+        else Some(ivmSignedAgg(
+          readKeyed(s, dir, rMf.paths, rMf.delFiles)
+            .drop("__fk", "__pos"), 1L))
       base = r
     }
     // chunked fold: union up to IvmUnionMaxVersions-worth of signed
@@ -2902,7 +3554,125 @@ object SnapTable {
     cdcIncremental(s, snapDocs(s, dir), "doc_id",
       Seq("text", "lang", "source", "n_chars"), 1, 4)
 
+  /** q268 — TIMESTAMP time travel under the value gate: q237's
+    * per-version audit addressed by each commit's recorded wall-clock
+    * stamp ([[readAsOfTimestamp]]) instead of its version number — the
+    * monotonic `ts` meta, the descending resolution walk, and the
+    * stamp-to-version mapping must reproduce exactly the
+    * version-addressed reads, so the SAME oracle gates both. */
+  def timeTravelTsAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = snapDocs(s, dir)
+    (1 to 3).map { v =>
+      val ts = manifestMeta(s, d, v)("ts").toLong
+      readAsOfTimestamp(s, d, ts).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("char_sum"))
+        .select(lit(v.toLong).as("version"), col("n_docs"), col("id_sum"),
+          col("char_sum"))
+    }.reduce(_ unionAll _).orderBy(col("version"))
+  }
+
+  /** The DV-compaction fixture, once per (session, dir): the q261 MoR
+    * chain (create → two stacked MoR deletes → append) followed by
+    * [[compactDeletionVectors]] — two sidecars fold into one, zero
+    * data files rewritten. */
+  private val dvCompactCache = new graft.ops.SessionMemo[String]
+  private def dvCompactDocs(s: SparkSession, dir: String): String =
+    dvCompactCache.getOrBuild(s, dir) {
+      val d = graft.ops.TempDirs.create("graft_snap_dvc_") // JVM-exit cleaned
+      val docs = graft.tables.Tables.documents(s, dir)
+      create(docs, d)
+      deleteWhereMor(s, d, col("doc_id") % 10 === 3)
+      deleteWhereMor(s, d,
+        col("source") === "src4" && col("doc_id") % 7 === 2)
+      append(docs.filter(col("doc_id") % 1000 === 7)
+        .withColumn("source", lit("restated")), d)
+      compactDeletionVectors(s, d)
+      d
+    }
+
+  /** q269 — DV MINOR COMPACTION under the value gate: per-source stats
+    * after folding q261's stacked sidecars into one — the compaction is
+    * pure layout (one sidecar, zero data rewrites; the spec asserts
+    * both), so the SAME closed-form oracle as q261 must gate it. */
+  def snapshotDvCompactStats(s: SparkSession, dir: String): DataFrame =
+    read(s, dvCompactDocs(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+
+  /** q270 — ROW-LEVEL CDC under the value gate: the full keyed change
+    * feed ([[cdcRows]], reading only each commit's delta) over q236's
+    * append→CoW-delete→MERGE history must equal the closed-form
+    * per-transition rows from raw parquet — inserts/deletes carry the
+    * changed rows, updates BOTH images, carried-identical rows (file
+    * moves) nothing. */
+  def snapshotCdcRows(s: SparkSession, dir: String): DataFrame =
+    cdcRows(s, snapDocs(s, dir), "doc_id",
+      Seq("text", "lang", "source", "n_chars"), 1, 4)
+      .select(col("from_v"), col("to_v"), col("_change_type"),
+        col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("from_v"), col("_change_type"), col("doc_id"))
+
+  val snapshotCdcRowsSql: String =
+    """WITH feed AS (
+      |  SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
+      |    'insert' AS _change_type, doc_id, source, n_chars
+      |  FROM documents WHERE doc_id % 2 <> 0
+      |  UNION ALL
+      |  SELECT 2, 3, 'delete', doc_id, source, n_chars
+      |  FROM documents WHERE doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT 3, 4, 'insert', doc_id, 'merged', n_chars
+      |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT 3, 4, 'update_preimage', doc_id, source, n_chars
+      |  FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id % 10 <> 3 AND source <> 'merged'
+      |  UNION ALL
+      |  SELECT 3, 4, 'update_postimage', doc_id, 'merged', n_chars
+      |  FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id % 10 <> 3 AND source <> 'merged')
+      |SELECT * FROM feed
+      |ORDER BY from_v, _change_type, doc_id""".stripMargin
+
+  /** q271 — PLAN-DRIVEN manifest skipping under the value gate: the
+    * SAME range scan as q240, spelled as a plain
+    * `read(...).filter(between)` — no explicit pruning API — served
+    * through the manifest-backed file index ([[snapIndex]]): Catalyst
+    * pushes the filter to the scan, `listFiles` consults the manifest
+    * stats, and the result must equal the raw-parquet oracle
+    * (SnapTableSpec separately asserts the scan's file metric shrank). */
+  def snapshotPlanPruned(s: SparkSession, dir: String): DataFrame =
+    read(s, statsSnap(s, dir))
+      .filter(col("doc_id").between(100L, 299L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+
+  /** q272 — the REGISTERED SOURCE front door under the value gate:
+    * `spark.read.format("graftsnap").load(dir)` over the same snapshot
+    * and filter as q271 — the DataSource registration, relation build,
+    * recorded-schema wiring, and pushdown-driven skipping must be
+    * value-invisible against the same oracle. */
+  def snapshotSourceFormat(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftsnap").load(statsSnap(s, dir))
+      .filter(col("doc_id").between(100L, 299L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_time_travel_ts" -> (timeTravelTsAudit _),
+    "q269_dv_compact" -> (snapshotDvCompactStats _),
+    "q270_cdc_rows" -> (snapshotCdcRows _),
+    "q271_plan_pruned" -> (snapshotPlanPruned _),
+    "q272_source_format" -> (snapshotSourceFormat _),
     "q267_cdc_incremental" -> (snapshotCdcIncremental _),
     "q265_bloom_lookup" -> (snapshotBloomLookup _),
     "q266_col_rename" -> (snapshotRenameStats _),
@@ -2923,6 +3693,11 @@ object SnapTable {
     "q251_snapshot_ivm" -> (snapshotIvmStats _))
 
   val oracles: Map[String, String] = Map(
+    "q268_time_travel_ts" -> timeTravelAuditSql,
+    "q269_dv_compact" -> snapshotMorStatsSql,
+    "q270_cdc_rows" -> snapshotCdcRowsSql,
+    "q271_plan_pruned" -> snapshotSkipStatsSql,
+    "q272_source_format" -> snapshotSkipStatsSql,
     "q267_cdc_incremental" -> snapshotCdcSql,
     "q265_bloom_lookup" -> snapshotBloomLookupSql,
     "q266_col_rename" -> snapshotRenameStatsSql,

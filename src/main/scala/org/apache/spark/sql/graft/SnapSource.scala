@@ -1,0 +1,188 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, LessThan,
+  LessThanOrEqual, Literal}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+  RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** PLAN-DRIVEN manifest skipping for `graft.io.SnapTable` — the
+  * format's DataSource front door (VERDICT r14 #2): a custom
+  * [[FileIndex]] whose `listFiles` consults the snapshot manifest's
+  * per-file min/max stats and bloom bits against the data filters
+  * Catalyst pushes down. With it, a plain
+  * `SnapTable.read(...).filter(col("doc_id") === x)` schedules tasks
+  * for ONLY the admissible files — skipping is no longer an opt-in
+  * explicit API (`readPruned*`), it is what the planner does. This is
+  * how Delta's TahoeFileIndex and Iceberg's planning hook into Spark's
+  * native parquet scan: swap the file listing, keep the vectorized
+  * reader, whole-stage codegen, and `_metadata` columns.
+  *
+  * Lives in the org.apache.spark.sql namespace solely for access to
+  * the `private[sql]` datasource internals; the pruning DECISIONS stay
+  * in `graft.io.SnapTable` (passed in as closures over the manifest),
+  * so the driver-side and plan-driven paths share one spelling and
+  * cannot drift.
+  *
+  * @param files       (relative path, byte size) of every live file in
+  *                    the scanned snapshot scope — sizes come from the
+  *                    manifest's `sz:` tags, so planning needs NO
+  *                    per-file FS round-trip
+  * @param statsCols   the table's declared stats columns (physical
+  *                    names — the scan's output attributes)
+  * @param bloomCol    the declared bloom column, if any
+  * @param pruneRanges manifest min/max pruning: per-stats-col ranges →
+  *                    surviving relative paths
+  * @param pruneEq     manifest bloom pruning: probe value → surviving
+  *                    relative paths
+  */
+class SnapFileIndex(
+    tableDir: String,
+    files: Seq[(String, Long)],
+    statsCols: Seq[String],
+    bloomCol: Option[String],
+    pruneRanges: Seq[Option[(Long, Long)]] => Set[String],
+    pruneEq: Any => Set[String]) extends FileIndex {
+
+  private val statuses: Seq[(String, FileStatus)] = files.map {
+    case (rel, len) =>
+      rel -> new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+        new Path(s"$tableDir/$rel"))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tableDir))
+  override def partitionSchema: StructType = new StructType()
+  override def sizeInBytes: Long = files.map(_._2).sum
+  override def inputFiles: Array[String] =
+    files.map { case (rel, _) => s"$tableDir/$rel" }.toArray
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val chosen = chosenFor(dataFilters)
+    Seq(PartitionDirectory(InternalRow.empty,
+      statuses.collect { case (rel, st) if chosen(rel) => st }.toArray))
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def longOf(l: Literal): Option[Long] = l.value match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case i: java.lang.Long => Some(i.longValue)
+    case i: java.lang.Short => Some(i.longValue)
+    case i: java.lang.Byte => Some(i.longValue)
+    case _ => None
+  }
+
+  /** The file subset the pushed filters admit: every skippable
+    * conjunct INTERSECTS the survivor set (conjunction semantics), and
+    * any conjunct this extractor does not understand simply prunes
+    * nothing — the residual row-level filter still applies, so an
+    * unrecognized shape costs reads, never correctness. */
+  private def chosenFor(filters: Seq[Expression]): Set[String] = {
+    val all = files.map(_._1).toSet
+    var chosen = all
+    // per-stats-column conjunctive range, tightened across conjuncts
+    val lo = Array.fill(statsCols.size)(Long.MinValue)
+    val hi = Array.fill(statsCols.size)(Long.MaxValue)
+    var anyRange = false
+    def tighten(name: String, newLo: Long, newHi: Long): Unit = {
+      val i = statsCols.indexOf(name)
+      if (i >= 0) {
+        lo(i) = math.max(lo(i), newLo)
+        hi(i) = math.min(hi(i), newHi)
+        anyRange = true
+      }
+    }
+    filters.flatMap(conjuncts).foreach {
+      case EqualTo(a: Attribute, l: Literal) =>
+        longOf(l).foreach(v => tighten(a.name, v, v))
+        if (bloomCol.contains(a.name) && l.value != null)
+          chosen = chosen intersect pruneEq(l.value)
+      case EqualTo(l: Literal, a: Attribute) =>
+        longOf(l).foreach(v => tighten(a.name, v, v))
+        if (bloomCol.contains(a.name) && l.value != null)
+          chosen = chosen intersect pruneEq(l.value)
+      case GreaterThan(a: Attribute, l: Literal) =>
+        longOf(l).foreach(v => tighten(a.name, v + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        longOf(l).foreach(v => tighten(a.name, v, Long.MaxValue))
+      case LessThan(a: Attribute, l: Literal) =>
+        longOf(l).foreach(v => tighten(a.name, Long.MinValue, v - 1))
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        longOf(l).foreach(v => tighten(a.name, Long.MinValue, v))
+      case GreaterThan(l: Literal, a: Attribute) => // lit > a  ≡  a < lit
+        longOf(l).foreach(v => tighten(a.name, Long.MinValue, v - 1))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        longOf(l).foreach(v => tighten(a.name, Long.MinValue, v))
+      case LessThan(l: Literal, a: Attribute) =>
+        longOf(l).foreach(v => tighten(a.name, v + 1, Long.MaxValue))
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        longOf(l).foreach(v => tighten(a.name, v, Long.MaxValue))
+      case In(a: Attribute, vs) if bloomCol.contains(a.name) &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        // a point-lookup IN list: the UNION of the per-value bloom
+        // survivors admits the disjunction
+        chosen = chosen intersect
+          vs.collect { case Literal(v, _) if v != null => pruneEq(v) }
+            .foldLeft(Set.empty[String])(_ union _)
+      case _ => () // unrecognized conjunct: prunes nothing
+    }
+    if (anyRange)
+      chosen = chosen intersect pruneRanges(
+        statsCols.indices.map(i =>
+          if (lo(i) == Long.MinValue && hi(i) == Long.MaxValue) None
+          else Some((lo(i), hi(i)))))
+    chosen
+  }
+}
+
+/** `private[sql]`-access builders for the SnapTable front door. */
+object SnapRelation {
+
+  /** A DataFrame over a manifest-backed [[SnapFileIndex]] — Spark's
+    * native parquet scan (vectorized reader, codegen, `_metadata`
+    * support) with SnapTable's manifest as the file listing. */
+  def dataFrame(spark: SparkSession, index: FileIndex,
+      dataSchema: StructType): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      LogicalRelation(relation(spark, index, dataSchema),
+        isStreaming = false))
+
+  /** The bare HadoopFsRelation (a BaseRelation) — what the DSv1
+    * RelationProvider returns for `spark.read.format("graftsnap")`.
+    * The data schema is forced NULLABLE, as Spark's own file-source
+    * resolution does: a recorded non-null field would make the
+    * vectorized reader refuse schema-evolved files that lack the
+    * column ("Required column is missing") instead of null-filling. */
+  def relation(spark: SparkSession, index: FileIndex,
+      dataSchema: StructType): HadoopFsRelation =
+    HadoopFsRelation(index, new StructType(), dataSchema.asNullable, None,
+      new ParquetFileFormat, Map.empty)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+}
+
+/** `spark.read.format("graftsnap").load(dir)` — the registered
+  * DataSource spelling of the front door (DataSourceRegister via
+  * META-INF/services). Options: `versionAsOf` (int) for time travel,
+  * `timestampAsOf` (epoch millis) for wall-clock time travel.
+  * Snapshots carrying deletion vectors or a column map REFUSE here
+  * (a BaseRelation cannot express the DV anti-join or the rename
+  * projection) — `SnapTable.read` serves those. */
+class GraftSnapSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graftsnap"
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    graft.io.SnapTable.baseRelation(sqlContext.sparkSession, parameters)
+}

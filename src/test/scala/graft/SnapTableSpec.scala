@@ -14,6 +14,12 @@ class SnapTableSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_snap_spec_").toString
 
+  /** The POSITIONAL stats fields of a manifest entry (tagged fields —
+    * `bf:` bloom bits, `sz:` byte sizes — excluded, mirroring
+    * SnapTable's own parse). */
+  private def statFieldsOf(e: String): Array[String] =
+    e.split('\t').drop(1).takeWhile(f => !f.contains(':'))
+
   test("create/append/read: current snapshot is the running union") {
     val d = tmp()
     SnapTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), d)
@@ -307,7 +313,7 @@ class SnapTableSpec extends SparkSpec {
       .withColumn("s", lit("w")), d, 0L))
     val entries = SnapTable.readEntries(spark, d,
       SnapTable.currentVersion(spark, d))
-    assert(entries.forall(_.split('\t').length == 3),
+    assert(entries.forall(statFieldsOf(_).length == 2),
       s"a commit dropped the stats annotation: $entries")
     assert(idsOfPruned(0, 300) ===
       ((0L until 120L) ++ (200L until 210L)).filter(_ != 15L).sorted)
@@ -339,8 +345,8 @@ class SnapTableSpec extends SparkSpec {
     // every row survived, stats re-derived and DISJOINT (range clustering)
     assert(SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
       .toSeq === (0L until 100L))
-    val ranges = after.map(_.split('\t')).collect {
-      case Array(_, lo, hi) => (lo.toLong, hi.toLong)
+    val ranges = after.map(statFieldsOf).collect {
+      case Array(lo, hi) => (lo.toLong, hi.toLong)
     }.sortBy(_._1)
     assert(ranges.size === after.size, "optimize dropped stats annotations")
     ranges.sliding(2).foreach {
@@ -508,9 +514,10 @@ class SnapTableSpec extends SparkSpec {
     // every carried (non-zorder) entry is a bare path: 1-D [a] bounds
     // must NOT survive into a manifest whose declaration is [a, b]
     val entries = SnapTable.readEntries(spark, d, v)
-    val (annotated, bare) = entries.partition(_.contains("\t"))
+    val (annotated, bare) =
+      entries.partition(statFieldsOf(_).nonEmpty)
     assert(bare.nonEmpty, "the interloper's entry should be carried bare")
-    assert(annotated.forall(_.split('\t').length === 5),
+    assert(annotated.forall(statFieldsOf(_).length === 4),
       "zorder entries carry exactly two [min,max] pairs")
     // no rows lost, and the box scan still sees the appended rows
     // (their file is unannotated → always read)
@@ -1365,5 +1372,275 @@ class SnapTableSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(evo.toSeq === Seq((1L, 0L, 0L)),
       s"evolved-schema incremental CDC drifted: ${evo.toSeq}")
+  }
+
+  test("write-side shadow guard: a batch column named like a " +
+      "mapped-away PHYSICAL name refuses, naming the logical name") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, 10L)).toDF("id", "x"), d)
+    SnapTable.renameColumn(spark, d, "x", "score")
+    // after x→score, a batch carrying a fresh column literally named
+    // 'x' would silently merge into the renamed column's physical
+    // storage and read back under 'score'
+    val e = intercept[IllegalArgumentException](
+      SnapTable.append(Seq((2L, 5L, 6L)).toDF("id", "score", "x"), d))
+    assert(e.getMessage.contains("score") && e.getMessage.contains("'x'"))
+    // the logical spelling still appends fine
+    SnapTable.append(Seq((2L, 5L)).toDF("id", "score"), d)
+    assert(SnapTable.read(spark, d).count() === 2)
+  }
+
+  test("recorded physical schema: the manifest's union schema tracks " +
+      "evolution, and CDC refuses typo'd / physical column names") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a", 9L)).toDF("id", "s", "extra"), d)
+    SnapTable.append(Seq((2L, "b")).toDF("id", "s"), d) // narrower batch
+    val meta = SnapTable.manifestMeta(spark, d, 2)
+    assert(meta.contains("schema"), "commits must record the schema")
+    assert(meta("schema").contains("extra"),
+      "a narrower append must not shrink the recorded union schema")
+    // a typo'd CDC column fails loudly instead of silently reading
+    // NULL on both sides (differs=false, updates undercounted)
+    val e = intercept[IllegalArgumentException](
+      SnapTable.cdcIncremental(spark, d, "id", Seq("s", "extrra"), 1, 2))
+    assert(e.getMessage.contains("extrra"))
+    // on a renamed table, CDC under the LOGICAL name counts updates;
+    // the mapped-away physical name refuses
+    val d2 = tmp()
+    SnapTable.create((0L until 10L).map(i => (i, s"v$i", i))
+      .toDF("id", "s", "x"), d2)
+    SnapTable.renameColumn(spark, d2, "x", "score")            // v2
+    SnapTable.merge((0L until 3L).map(i => (i, s"v$i", i + 100L))
+      .toDF("id", "s", "score"), d2, "id")                     // v3
+    val counts = SnapTable.cdcIncremental(spark, d2, "id",
+      Seq("s", "score"), 1, 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(counts.toSeq === Seq((0L, 0L, 3L)),
+      s"renamed-column CDC must see the updates: ${counts.toSeq}")
+    intercept[IllegalArgumentException](
+      SnapTable.cdcIncremental(spark, d2, "id", Seq("x"), 1, 3))
+  }
+
+  test("DV minor compaction folds stacked sidecars into ONE: zero data " +
+      "rewrites, value identity, a single anti-join plan, time travel " +
+      "intact, and no phantom IVM/CDC events") {
+    val d = tmp()
+    SnapTable.create((0L until 100L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id")), d)
+    SnapTable.deleteWhereMor(spark, d, col("id") % 10 === 3)
+    SnapTable.deleteWhereMor(spark, d, col("id") % 7 === 2)
+    SnapTable.mergeMor(Seq((5L, "NEW5")).toDF("id", "s"), d, "id")
+    val v0 = SnapTable.currentVersion(spark, d)
+    assert(SnapTable.deleteFilesOf(spark, d, v0).size === 3)
+    val before = dataEntries(d, v0)
+    val preRows = SnapTable.read(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    SnapTable.compactDeletionVectors(spark, d)
+    val v = SnapTable.currentVersion(spark, d)
+    assert(v === v0 + 1)
+    assert(SnapTable.deleteFilesOf(spark, d, v).size === 1,
+      "compaction must leave exactly one sidecar")
+    assert(dataEntries(d, v) === before,
+      "compaction must rewrite zero data files")
+    assert(SnapTable.read(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === preRows,
+      "compaction must be value-invisible")
+    val plan = SnapTable.read(spark, d).queryExecution
+      .executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size === 1,
+      s"the compacted read must pay exactly one anti-join:\n$plan")
+    // pre-compaction versions still read their stacked vectors
+    assert(SnapTable.read(spark, d, Some(v0)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === preRows)
+    // idempotent: one sidecar → no version churn
+    SnapTable.compactDeletionVectors(spark, d)
+    assert(SnapTable.currentVersion(spark, d) === v)
+    // the compaction transition is invisible to the CDC feed (the
+    // un-vectored resurrection cancels the re-vectored delta exactly)
+    val inc = SnapTable.cdcIncremental(spark, d, "id", Seq("s"), v0, v)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(inc.toSeq === Seq((0L, 0L, 0L)),
+      s"DV compaction leaked phantom CDC events: ${inc.toSeq}")
+  }
+
+  test("row-level CDC reproduces read-level diffs (updates emit BOTH " +
+      "images); applyCdcRows maintains a replica exactly-once") {
+    val d = tmp()
+    SnapTable.create((0L until 20L).map(i => (i, s"v$i")).toDF("id", "s"), d)
+    SnapTable.deleteWhereMor(spark, d, col("id") < 3L)              // v2
+    SnapTable.mergeMor(Seq((5L, "NEW5"), (100L, "NEW100"))
+      .toDF("id", "s"), d, "id")                                    // v3
+    val rows = SnapTable.cdcRows(spark, d, "id", Seq("s"), 1, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(rows === Set(
+      (1L, "delete", 0L, "v0"), (1L, "delete", 1L, "v1"),
+      (1L, "delete", 2L, "v2"),
+      (2L, "insert", 100L, "NEW100"),
+      (2L, "update_preimage", 5L, "v5"),
+      (2L, "update_postimage", 5L, "NEW5")), s"row feed drifted: $rows")
+    // a replica replaying the feed transition-by-transition equals the
+    // source at every version
+    val rep = tmp()
+    (0 until 3).foreach { fv =>
+      assert(SnapTable.applyCdcRows(spark, rep,
+        SnapTable.cdcRows(spark, d, "id", Seq("s"), fv, fv + 1),
+        "id", fv + 1), s"transition $fv->${fv + 1} did not apply")
+      val got = SnapTable.read(spark, rep).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = SnapTable.read(spark, d, Some(fv + 1)).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === want, s"replica diverged at v${fv + 1}")
+    }
+    // exactly-once: a redelivered transition no-ops on the stamp
+    assert(!SnapTable.applyCdcRows(spark, rep,
+      SnapTable.cdcRows(spark, d, "id", Seq("s"), 1, 2), "id", 2))
+    assert(SnapTable.lastAppliedCdcVersion(spark, rep) === 3)
+    // a metadata-only window yields an EMPTY typed frame, not an error
+    SnapTable.renameColumn(spark, d, "s", "label")
+    val empty = SnapTable.cdcRows(spark, d, "id", Seq("label"), 3, 4)
+    assert(empty.count() === 0 &&
+      empty.columns.toSeq ===
+        Seq("from_v", "to_v", "_change_type", "id", "label"))
+  }
+
+  test("plan-driven manifest skipping: a PLAIN read().filter prunes " +
+      "the scan to manifest-admissible files (range via stats, point " +
+      "via bloom, through the DV anti-join); the registered source " +
+      "serves the same and refuses DV/col-mapped snapshots") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val d = tmp()
+    SnapTable.create(
+      spark.range(400).select(col("id"), (col("id") * 2).as("x"))
+        .repartitionByRange(8, col("id")), d,
+      statsCol = Some("id"), bloomCol = Some("id"))
+    def nf(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // metrics populate after the action
+      df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.schema.fieldNames.contains("x") => // data scan, not DV
+          sc.metrics("numFiles").value
+      }.sum
+    }
+    val all = nf(SnapTable.read(s2, d))
+    assert(all === 8)
+    val ranged = SnapTable.read(s2, d).filter(col("id").between(10L, 59L))
+    assert(nf(ranged) < all, "range filter did not prune the plain read")
+    assert(ranged.collect().map(_.getLong(0)).sorted.toSeq ===
+      (10L to 59L), "pruning must be value-invisible")
+    assert(nf(SnapTable.read(s2, d).filter(col("id") === 57L)) < all,
+      "bloom equality filter did not prune the plain read")
+    assert(nf(SnapTable.read(s2, d).filter(col("id").isin(3L, 57L))) < all,
+      "bloom IN-list filter did not prune the plain read")
+    // an unrecognized predicate prunes nothing but stays correct
+    assert(SnapTable.read(s2, d).filter(col("x") % 100 === 0).count()
+      === 8)
+    // …and the filter keeps pruning THROUGH the DV anti-join
+    SnapTable.deleteWhereMor(s2, d, col("id") === 11L)
+    val dvRanged = SnapTable.read(s2, d).filter(col("id").between(10L, 59L))
+    assert(nf(dvRanged) < all, "pruning lost under the DV anti-join")
+    assert(dvRanged.collect().map(_.getLong(0)).sorted.toSeq ===
+      (10L to 59L).filter(_ != 11L))
+    // the registered source refuses the DV snapshot with the remedy…
+    val e = intercept[IllegalArgumentException](
+      s2.read.format("graftsnap").load(d))
+    assert(e.getMessage.contains("deletion vectors"))
+    // …serves the pre-DV version via versionAsOf, pruned and pushed
+    val v1 = s2.read.format("graftsnap").option("versionAsOf", "1").load(d)
+    assert(v1.count() === 400)
+    val v1Ranged = v1.filter(col("id").between(10L, 59L))
+    assert(nf(v1Ranged) < all && v1Ranged.count() === 50)
+    // …resolves timestampAsOf through the commit stamps
+    val ts1 = SnapTable.manifestMeta(s2, d, 1)("ts")
+    assert(s2.read.format("graftsnap").option("timestampAsOf", ts1)
+      .load(d).count() === 400)
+    // …and refuses a column-mapped snapshot
+    val d2 = tmp()
+    SnapTable.create(Seq((1L, 2L)).toDF("id", "x"), d2)
+    SnapTable.renameColumn(spark, d2, "x", "score")
+    val e2 = intercept[IllegalArgumentException](
+      s2.read.format("graftsnap").load(d2))
+    assert(e2.getMessage.contains("column map"))
+  }
+
+  test("manifest segmentation: commits write O(delta) manifest bytes — " +
+      "appends add one segment, DV-only commits none, untouched " +
+      "segments carry by reference, CoW spills only touched segments") {
+    val d = tmp()
+    SnapTable.create((0L until 6400L).toDF("id").repartition(64), d)
+    val s1 = SnapTable.segmentRefs(spark, d, 1)
+    assert(s1.size === 1, s"create must write one segment: $s1")
+    SnapTable.append(Seq(10000L).toDF("id"), d)
+    val s2 = SnapTable.segmentRefs(spark, d, 2)
+    assert(s2.size === 2 && s1.forall(s2.contains),
+      "an append must add ONE segment and carry v1's by reference")
+    def len(rel: String): Long = new java.io.File(s"$d/$rel").length
+    val newSeg = (s2.toSet -- s1.toSet).head
+    assert(len("_snapshots/v00002.manifest") + len(newSeg) < len(s1.head),
+      "an append's manifest bytes (head + new segment) must be smaller " +
+        "than the full entry list it no longer serializes")
+    // a deletion-vector commit is pure meta at the manifest level:
+    // same segment set, no new segment
+    SnapTable.deleteWhereMor(spark, d, col("id") === 5L)
+    assert(SnapTable.segmentRefs(spark, d, 3).toSet === s2.toSet,
+      "a DV-only commit must write no segment")
+    // a CoW delete retires exactly the segments it touched
+    SnapTable.deleteWhere(spark, d, col("id") === 10000L)
+    val s4 = SnapTable.segmentRefs(spark, d, 4)
+    assert(s4.contains(s1.head), "the untouched segment must carry")
+    assert(!s4.contains(newSeg), "the touched segment must retire")
+    // value identity + time travel across the segmented history
+    assert(SnapTable.read(spark, d).count() === 6399)
+    assert(SnapTable.read(spark, d, Some(1)).count() === 6400)
+    assert(SnapTable.read(spark, d, Some(2)).count() === 6401)
+  }
+
+  test("segment fold policy bounds the head; vacuum retires segments " +
+      "with their last referencing manifest") {
+    val d = tmp()
+    SnapTable.create(Seq(0L).toDF("id"), d)
+    (1 to 60).foreach(i => SnapTable.append(Seq(i.toLong).toDF("id"), d))
+    val cur = SnapTable.currentVersion(spark, d)
+    assert(SnapTable.segmentRefs(spark, d, cur).size <= 48,
+      "the head must stay bounded under append-per-commit ingest")
+    assert(SnapTable.read(spark, d).collect().map(_.getLong(0)).sorted
+      .toSeq === (0L to 60L), "segment folding must be value-invisible")
+    SnapTable.vacuum(spark, d, retain = 2)
+    val live = (SnapTable.oldestRetainedVersion(spark, d) to cur)
+      .flatMap(v => SnapTable.segmentRefs(spark, d, v))
+      .map(_.split('/').last).toSet
+    val onDisk = new java.io.File(s"$d/_snapshots/seg").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet // crc shadows
+    assert(onDisk === live,
+      s"segments on disk must be exactly the retained heads' references" +
+        s" (orphans: ${onDisk -- live}, missing: ${live -- onDisk})")
+  }
+
+  test("timestamp time travel: monotonic commit stamps resolve " +
+      "'as of <time>' to the right version; pre-history refuses") {
+    val d = tmp()
+    SnapTable.create(Seq((1L, "a")).toDF("id", "s"), d)
+    SnapTable.append(Seq((2L, "b")).toDF("id", "s"), d)
+    SnapTable.deleteWhere(spark, d, col("id") === 1L)
+    val ts = (1 to 3).map(v =>
+      SnapTable.manifestMeta(spark, d, v)("ts").toLong)
+    assert(ts(0) < ts(1) && ts(1) < ts(2),
+      s"commit timestamps must be strictly monotonic: $ts")
+    assert(SnapTable.versionAtTimestamp(spark, d, ts(1)) === 2)
+    assert(SnapTable.versionAtTimestamp(spark, d, ts(2) - 1) === 2,
+      "a timestamp between commits resolves to the older one")
+    assert(SnapTable.versionAtTimestamp(spark, d,
+      System.currentTimeMillis() + 60000L) === 3)
+    assert(SnapTable.readAsOfTimestamp(spark, d, ts(1)).count() === 2)
+    assert(SnapTable.readAsOfTimestamp(spark, d, ts(2)).count() === 1)
+    val e = intercept[IllegalArgumentException](
+      SnapTable.versionAtTimestamp(spark, d, ts(0) - 1))
+    assert(e.getMessage.contains("predates"))
+    // vacuum moves the refusal horizon with the retained window
+    SnapTable.vacuum(spark, d, retain = 1)
+    intercept[IllegalArgumentException](
+      SnapTable.versionAtTimestamp(spark, d, ts(1)))
   }
 }
