@@ -152,6 +152,11 @@ object SnapTable {
           size() > 1024
       })
 
+  /** Test hook: drop the segment cache, simulating a fresh JVM or an
+    * LRU eviction under concurrent load. Correctness must never depend
+    * on a cache hit — the vacuum-retry spec exercises exactly that. */
+  private[graft] def dropSegCacheForTest(): Unit = segCache.clear()
+
   /** The entry lines of one segment file (cached — see [[segCache]]). */
   private def readSegment(spark: SparkSession, dir: String,
       rel: String): Seq[String] = {
@@ -341,7 +346,7 @@ object SnapTable {
       : org.apache.spark.sql.graft.SnapFileIndex = {
     val byPath = mf.entries.iterator.map(e => entryPath(e) -> e).toMap
     val chosen = rels.map(r => byPath.getOrElse(r, r))
-    val files = chosen.map(e => entryPath(e) -> sizeOfEntry(spark, dir, e))
+    val files = sizesOf(spark, dir, chosen)
     val decl = mf.bloomDecl
     new org.apache.spark.sql.graft.SnapFileIndex(
       dir, files, mf.statsCols, decl.map(_._1),
@@ -618,7 +623,7 @@ object SnapTable {
       val spilled = (spilledSegs ++ foldedSegs).flatMap(_._2) ++ curMf.inline
       val carried = spilled.filterNot(removed.contains)
       val carriedSafe =
-        if (declChanged) carried.map(entryPath) else carried
+        if (declChanged) carried.map(stripStats) else carried
       // recorded-schema carry, re-derived per claim against the CURRENT
       // snapshot: a data-adding writer contributes its batch schema
       // (unioned in), every other writer carries cur's unchanged — so a
@@ -818,15 +823,31 @@ object SnapTable {
   private def bloomHexOf(e: String): Option[String] =
     e.split('\t').find(_.startsWith("bf:")).map(_.stripPrefix("bf:"))
 
-  /** The entry's recorded byte size (`sz:` tag); pre-feature entries
-    * fall back to one getFileStatus round-trip. */
-  private def sizeOfEntry(spark: SparkSession, dir: String,
-      e: String): Long =
-    e.split('\t').find(_.startsWith("sz:")) match {
-      case Some(t) => t.stripPrefix("sz:").toLong
-      case None =>
-        fs(spark, dir).getFileStatus(new Path(dir, entryPath(e))).getLen
+  /** Each entry's byte size from its `sz:` tag; entries written before
+    * the tag existed are resolved with ONE `listStatus` per write dir —
+    * never one `getFileStatus` per file, which on a legacy ~1M-file
+    * table would turn every read's planning into ~1M serial driver
+    * RPCs. */
+  private def sizesOf(spark: SparkSession, dir: String,
+      es: Seq[String]): Seq[(String, Long)] = {
+    val tagged = es.map(e => entryPath(e) -> e.split('\t')
+      .find(_.startsWith("sz:")).map(_.stripPrefix("sz:").toLong))
+    if (tagged.forall(_._2.isDefined)) tagged.map { case (p, s) => p -> s.get }
+    else {
+      val f = fs(spark, dir)
+      val listed: Map[Path, Long] = tagged
+        .collect { case (p, None) => f.makeQualified(new Path(dir, p)) }
+        .map(_.getParent).distinct
+        .flatMap(par => f.listStatus(par).map(st => st.getPath -> st.getLen))
+        .toMap
+      tagged.map {
+        case (p, Some(s)) => p -> s
+        case (p, None) =>
+          val q = f.makeQualified(new Path(dir, p))
+          p -> listed.getOrElse(q, f.getFileStatus(q).getLen)
+      }
     }
+  }
 
   /** Entry stripped of POSITIONAL stats (a declaration change makes
     * them misreadable) but keeping declaration-independent tags (`sz:`
@@ -2144,14 +2165,24 @@ object SnapTable {
     val keepFiles = keepVs
       .filter(v => f.exists(manifestPath(dir, v)))
       .flatMap(filesOfVersion).toSet
-    (1 until cutoff).foreach { v =>
-      val p = manifestPath(dir, v)
-      if (f.exists(p)) {
-        filesOfVersion(v)
-          .filterNot(keepFiles.contains)
-          .foreach(r => f.delete(new Path(s"$dir/$r"), false))
-        f.delete(p, false)
-      }
+    // Materialize every retired version's file list BEFORE deleting
+    // anything: retired versions share segment files by reference, so
+    // deleting v1's segments and then calling manifestAt(v2) — which
+    // must READ those shared segments — would throw mid-loop. A retired
+    // version whose segments a PREVIOUS crashed vacuum already removed
+    // is unreadable; treat its files as unknown (they leak, bounded by
+    // that crash window) rather than wedging every later vacuum.
+    val retired = (1 until cutoff)
+      .filter(v => f.exists(manifestPath(dir, v)))
+      .map(v => v -> scala.util.Try(filesOfVersion(v)).getOrElse(Nil))
+    // Manifests first, then files: a crash mid-run then leaves orphaned
+    // data/segment files (harmless, skipped above on retry) instead of
+    // live manifests pointing at deleted segments.
+    retired.foreach { case (v, _) => f.delete(manifestPath(dir, v), false) }
+    retired.foreach { case (_, files) =>
+      files
+        .filterNot(keepFiles.contains)
+        .foreach(r => f.delete(new Path(s"$dir/$r"), false))
     }
   }
 
@@ -2721,24 +2752,33 @@ object SnapTable {
     val delKeys = changes
       .filter(col("_change_type").isin("delete", "update_preimage"))
       .select(col(key)).distinct()
-    // the doomed rows' (file, position) pairs against the DV-applied
-    // view — mergeMorFrom's capture, reused for the delete arm
-    val matches = readKeyed(s, dir, mf.paths, mf.delFiles, cmap)
-      .join(broadcast(delKeys), Seq(key))
-      .select(col("__fk").as("file_key"), col("__pos").as("pos"))
-      .repartition(1)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"_deletes/d${v0 + 1}%05d-$token"
-    matches.write.mode("errorifexists").parquet(s"$dir/$rel")
     val f = fs(s, dir)
-    val parts = f.listStatus(new Path(s"$dir/$rel")).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
-    val touchedKeys =
-      if (parts.isEmpty) Set.empty[String]
-      else s.read.parquet(parts.map(r => s"$dir/$r"): _*)
-        .select(col("file_key")).distinct()
-        .collect().map(_.getString(0)).toSet
-    if (touchedKeys.isEmpty) f.delete(new Path(s"$dir/$rel"), true)
+    // an append-only micro-batch — the streaming replica's dominant
+    // case — must not pay a replica-wide keyed join plus a sidecar
+    // write/read-back/delete cycle: probe the DELTA-SIZED delete arm
+    // first and capture (file, position) pairs against the full view
+    // (mergeMorFrom's capture) only when it is non-empty
+    val (parts, touchedKeys) =
+      if (delKeys.isEmpty) (Seq.empty[String], Set.empty[String])
+      else {
+        val matches = readKeyed(s, dir, mf.paths, mf.delFiles, cmap)
+          .join(broadcast(delKeys), Seq(key))
+          .select(col("__fk").as("file_key"), col("__pos").as("pos"))
+          .repartition(1)
+        matches.write.mode("errorifexists").parquet(s"$dir/$rel")
+        val ps = f.listStatus(new Path(s"$dir/$rel"))
+          .map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
+        val tk =
+          if (ps.isEmpty) Set.empty[String]
+          else s.read.parquet(ps.map(r => s"$dir/$r"): _*)
+            .select(col("file_key")).distinct()
+            .collect().map(_.getString(0)).toSet
+        if (tk.isEmpty) f.delete(new Path(s"$dir/$rel"), true)
+        (ps, tk)
+      }
     val insPhys = toPhysical(ins, cmap)
     val newFiles = writeData(insPhys, dir, v0 + 1,
       mf.statsCols, mf.bloomDecl)

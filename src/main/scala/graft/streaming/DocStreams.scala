@@ -462,37 +462,53 @@ object DocStreams {
     * retention longer than feed downtime, or re-bootstrap the consumer
     * from a snapshot read and resume from the current version.
     * `onFeed` receives (batchId, committed, events). */
-  /** The CDC feed's PERSISTED cursor (last fed version), kept as one
-    * tiny file under the checkpoint dir: a restart with the default
-    * `fromVersion = 0` resumes where the previous run left off instead
-    * of re-feeding history from v1 (or dying on the vacuum refusal).
-    * Written AFTER each successful delivery, so the cross-restart
-    * contract matches the in-run one: at-least-once (a crash between
-    * onFeed and the write re-feeds that window on restart). */
-  private def feedCursorPath(ckpt: String) =
-    new org.apache.hadoop.fs.Path(ckpt, "graft_cdc_cursor")
+  /** The CDC feed's PERSISTED cursor (last fed version), kept under
+    * the checkpoint dir: a restart with the default `fromVersion = 0`
+    * resumes where the previous run left off instead of re-feeding
+    * history from v1 (or dying on the vacuum refusal). Written AFTER
+    * each successful delivery, so the cross-restart contract matches
+    * the in-run one: at-least-once (a crash between onFeed and the
+    * write re-feeds that window on restart).
+    *
+    * Each advance is a NEW file `graft_cdc_cursor.v<N>` claimed by the
+    * same write-then-rename dance as manifests — never an in-place
+    * overwrite, which a crash could leave truncated and turn every
+    * restart into a parse failure. Older cursor files are removed only
+    * AFTER the new one is in place, so a crash at any point leaves at
+    * least one intact cursor; read takes the max. */
+  private def feedCursorPath(ckpt: String, v: Int) =
+    new org.apache.hadoop.fs.Path(ckpt, s"graft_cdc_cursor.v$v")
+
+  private val CursorName = """graft_cdc_cursor\.v(\d+)""".r
 
   private def readFeedCursor(s: org.apache.spark.sql.SparkSession,
       ckpt: String): Option[Int] = {
-    val p = feedCursorPath(ckpt)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-      finally in.close()
-    }
+    val d = new org.apache.hadoop.fs.Path(ckpt)
+    val f = d.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(d)) None
+    else f.listStatus(d).toSeq
+      .map(_.getPath.getName)
+      .collect { case CursorName(n) => n.toInt }
+      .maxOption
   }
 
   private def writeFeedCursor(s: org.apache.spark.sql.SparkSession,
       ckpt: String, v: Int): Unit = {
-    val p = feedCursorPath(ckpt)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = f.create(p, true) // single writer per checkpoint dir
+    val fin = feedCursorPath(ckpt, v)
+    val tmp = new org.apache.hadoop.fs.Path(ckpt,
+      s"graft_cdc_cursor.v$v.tmp")
+    val f = fin.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = f.create(tmp, true) // single writer per checkpoint dir
     try out.write(v.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!f.rename(tmp, fin)) f.delete(tmp, false)
+    // retire superseded cursors only once the new one is durable
+    f.listStatus(new org.apache.hadoop.fs.Path(ckpt)).toSeq
+      .map(_.getPath)
+      .filter(p => CursorName.findFirstMatchIn(p.getName)
+        .exists(_.group(1).toInt < v))
+      .foreach(p => f.delete(p, false))
   }
 
   def maintainSnapshotCdcFeed(docStream: DataFrame, tableDir: String,
@@ -523,7 +539,7 @@ object DocStreams {
             // consumer a hole
             if ((fedV == 0 && oldest > 1) || (fedV > 0 && fedV < oldest))
               throw new IllegalStateException(
-                s"SnapTable CDC feed: versions ≤ $oldest of $tableDir " +
+                s"SnapTable CDC feed: versions < $oldest of $tableDir " +
                   s"were vacuumed but the feed cursor is at v$fedV — " +
                   "the retired transitions' events are unreconstructible;" +
                   " re-bootstrap the consumer from a snapshot read and " +
@@ -583,7 +599,7 @@ object DocStreams {
         val oldest = SnapTable.oldestRetainedVersion(s, sourceDir)
         if ((applied == 0 && oldest > 1) || (applied > 0 && applied < oldest))
           throw new IllegalStateException(
-            s"SnapTable replica: source versions ≤ $oldest of $sourceDir " +
+            s"SnapTable replica: source versions < $oldest of $sourceDir " +
               s"were vacuumed but the replica has applied only v$applied " +
               "— the retired transitions are unreconstructible; " +
               "re-bootstrap the replica from a snapshot read and resume " +

@@ -1643,4 +1643,69 @@ class SnapTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       SnapTable.versionAtTimestamp(spark, d, ts(1)))
   }
+
+  test("vacuum materializes retired versions' file lists before " +
+      "deleting: shared segments survive the walk cache-cold") {
+    val d = tmp()
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i * 2)).toDF("a", "b")
+    SnapTable.create(batch(0, 20), d)   // v1 → seg s1
+    SnapTable.append(batch(20, 40), d)  // v2 → carries s1, adds s2
+    SnapTable.append(batch(40, 60), d)  // v3 → carries s1+s2, adds s3
+    // v4: declaration change spills every carried segment, so retained
+    // heads stop referencing s1..s3 and vacuum will retire them —
+    // s1 is shared by retired v1/v2/v3, the exact interleaving where
+    // delete-as-you-walk breaks manifestAt(v2) mid-loop
+    SnapTable.optimizeZorder(spark, d, targetFiles = 2, "a", "b")
+    SnapTable.append(batch(60, 80), d)  // v5
+    SnapTable.dropSegCacheForTest()     // v2/v3 expansion must re-READ s1
+    SnapTable.vacuum(spark, d, retain = 2) // retires v1..v3
+    assert(SnapTable.read(spark, d).count() === 80)
+    assert(SnapTable.read(spark, d, Some(4)).count() === 60)
+  }
+
+  test("vacuum retries past a previous crashed run: a retired version " +
+      "whose segment is already gone is skipped, not a wedge") {
+    val d = tmp()
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i * 2)).toDF("a", "b")
+    SnapTable.create(batch(0, 20), d)   // v1 → seg s1
+    SnapTable.append(batch(20, 40), d)  // v2
+    SnapTable.optimizeZorder(spark, d, targetFiles = 2, "a", "b") // v3
+    SnapTable.append(batch(40, 60), d)  // v4
+    // simulate a vacuum that died after deleting v1/v2's shared
+    // segment but before their manifests: s1 gone, manifests remain
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val segDir = new org.apache.hadoop.fs.Path(s"$d/_snapshots/seg")
+    val s1 = f.listStatus(segDir).map(_.getPath)
+      .filter(_.getName.startsWith("s00001")).head
+    f.delete(s1, false)
+    SnapTable.dropSegCacheForTest()
+    // the retry must not wedge on the unreadable retired versions
+    SnapTable.vacuum(spark, d, retain = 2) // retires v1, v2
+    assert(SnapTable.read(spark, d).count() === 60)
+    assert(SnapTable.read(spark, d, Some(3)).count() === 40)
+  }
+
+  test("a declaration-change spill keeps carried entries' sz: byte-" +
+      "size tags (planning must not regress to per-file RPCs)") {
+    val d = tmp()
+    SnapTable.create(
+      (0L until 32L).map(i => (i, i * 3, s"r$i")).toDF("a", "b", "s"), d,
+      statsCol = Some("a"))
+    val planBase = SnapTable.currentVersion(spark, d)
+    SnapTable.append(
+      (500L until 516L).map(i => (i, i + 7, s"x$i")).toDF("a", "b", "s"), d)
+    // rebase over the interloper: its [a]-annotated entry is carried
+    // STRIPPED of positional stats — but the declaration-independent
+    // sz: tag must survive the strip
+    SnapTable.optimizeZorderFrom(spark, d, 4, "a", "b", planBase)
+    val entries = SnapTable.readEntries(spark, d,
+      SnapTable.currentVersion(spark, d))
+    assert(entries.nonEmpty)
+    assert(entries.forall(_.split('\t').exists(_.startsWith("sz:"))),
+      s"an entry lost its sz: tag: ${entries.filterNot(
+        _.split('\t').exists(_.startsWith("sz:"))).mkString(", ")}")
+  }
 }

@@ -1585,7 +1585,12 @@ class StreamingSpec extends SparkSpec {
     // restart with NO explicit cursor (fromVersion = 0): the feed's
     // checkpoint-persisted cursor must resume from fed1 on its own —
     // VERDICT r14 #5 (a hand-carried fromVersion used to be required,
-    // else the restart re-fed history or hit the vacuum refusal)
+    // else the restart re-fed history or hit the vacuum refusal).
+    // A crash mid-cursor-write leaves a truncated .tmp beside the
+    // durable cursor files — the restart must ignore it, not die
+    // parsing an empty file
+    java.nio.file.Files.write(java.nio.file.Paths.get(ckpt,
+      s"graft_cdc_cursor.v${fed1 + 7}.tmp"), Array.empty[Byte])
     val q2 = start(0, ckpt)
     try q2.processAllAvailable() finally q2.stop()
     val evs2 = feed.flatMap(_._3)
