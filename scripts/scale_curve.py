@@ -29,7 +29,7 @@ QUERIES = ("q22,q24,q49,q51,q98,q18,q97,q153,q197,"
            "q236,q237,q238,q239,q240,q241,q242,q243,q244,q245,q246,"
            "q247,q248,q249,q250,q251,q252,q253,q254,q255,q256,q257,"
            "q258,q259,q260,q261,q262,q263,q264,q265,q266,q267,"
-           "q268,q269,q270,q271,q272")
+           "q268,q269,q270,q271,q272,q273,q274")
 SFS = [("0.001", 0.001), ("0.01", 0.01), ("0.1", 0.1)]
 THRESH = 3.0
 

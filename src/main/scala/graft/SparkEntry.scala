@@ -119,7 +119,9 @@ object SparkEntry {
     "q269_dv_compact",         // unique per-source key; free order pin
     "q270_cdc_rows",           // unique (v, type, doc) key; free pin
     "q271_plan_pruned",        // unique per-source key; free order pin
-    "q272_source_format")      // unique per-source key; free order pin
+    "q272_source_format",      // unique per-source key; free order pin
+    "q273_source_mor",         // unique per-source key; free order pin
+    "q274_source_rename")      // unique per-source key; free order pin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

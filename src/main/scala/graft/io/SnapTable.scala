@@ -1498,9 +1498,11 @@ object SnapTable {
     * manifest-backed file index wrapped in Spark's native parquet
     * relation, so pushed-down filters drive manifest skipping with no
     * SnapTable API in sight. Options: `versionAsOf`, `timestampAsOf`.
-    * DV-carrying and column-mapped snapshots refuse — a BaseRelation
-    * can express neither the (file, pos) anti-join nor the rename
-    * projection; [[read]] serves those. */
+    * DV-carrying and column-mapped snapshots serve through the
+    * [[org.apache.spark.sql.graft.SnapScopedRelation]] fallback tier
+    * (scoped read under the relation, logical names, filters
+    * re-applied inside so skipping still fires); clean snapshots keep
+    * the native codegen path. */
   def baseRelation(spark: SparkSession,
       parameters: Map[String, String])
       : org.apache.spark.sql.sources.BaseRelation = {
@@ -1513,15 +1515,26 @@ object SnapTable {
       .getOrElse(currentVersion(spark, dir))
     require(v > 0, s"SnapTable: no snapshot to read under $dir")
     val mf = manifestAt(spark, dir, v)
-    require(mf.delFiles.isEmpty,
-      s"graftsnap: snapshot v$v of $dir carries deletion vectors — " +
-        "this relation cannot express the (file, pos) anti-join; " +
-        "read it via SnapTable.read (or OPTIMIZE to fold the vectors)")
-    require(mf.colMap.isEmpty,
-      s"graftsnap: snapshot v$v of $dir carries a column map — this " +
-        "relation serves physical names only; read it via SnapTable.read")
-    org.apache.spark.sql.graft.SnapRelation.relation(spark,
-      snapIndex(spark, dir, mf.paths, mf), physicalSchemaOf(spark, dir, mf))
+    if (mf.delFiles.isEmpty && mf.colMap.isEmpty)
+      // clean tier: Spark's native parquet relation over the manifest
+      // index — vectorized reader + end-to-end codegen
+      org.apache.spark.sql.graft.SnapRelation.relation(spark,
+        snapIndex(spark, dir, mf.paths, mf), physicalSchemaOf(spark, dir, mf))
+    else {
+      // DV / column-mapped tier: the relation delegates to the scoped
+      // read (anti-join + rename projection), re-applying the pushed
+      // filters there so manifest skipping still fires in the inner
+      // plan. The schema serves LOGICAL names, like [[read]].
+      val phys = physicalSchemaOf(spark, dir, mf)
+      val logical = org.apache.spark.sql.types.StructType(phys.fields.map(
+        f => f.copy(name = mf.colMap.getOrElse(f.name, f.name))))
+      new org.apache.spark.sql.graft.SnapScopedRelation(spark,
+        logical, filters => {
+          val base = readScoped(spark, dir, mf.paths, mf)
+          filters.flatMap(org.apache.spark.sql.graft.SnapFilters.toColumn)
+            .foldLeft(base)(_.filter(_))
+        })
+    }
   }
 
   /** The manifest entries a conjunction of per-stats-column [lo, hi]
@@ -2184,6 +2197,60 @@ object SnapTable {
         .filterNot(keepFiles.contains)
         .foreach(r => f.delete(new Path(s"$dir/$r"), false))
     }
+  }
+
+  /** ORPHAN-FILE cleanup (Iceberg's `remove_orphan_files`): delete
+    * files under the table dir that NO retained manifest, referenced
+    * segment, or staged WAP batch references. Orphans accrue from the
+    * crash windows the protocols deliberately leak rather than wedge
+    * on — a writer that died between writing data and claiming its
+    * manifest, a commit-race loser killed before its cleanup, a
+    * `.inprogress` head tmp, a [[vacuum]] interrupted after deleting
+    * manifests but before files. They are invisible to every reader;
+    * this reclaims their storage.
+    *
+    * The `olderThanMs` horizon (default 24 h) is the safety rail for
+    * IN-FLIGHT writers: a just-written, not-yet-committed file is
+    * younger than it and never touched. It must exceed the longest
+    * plausible write-to-commit gap — shrink it only in tests. A
+    * racing vacuum is benign (a manifest vanishing mid-walk is
+    * skipped; its files are either retired or referenced elsewhere).
+    * Cost: one recursive listing plus the retained-manifest walk —
+    * O(files on disk), the floor for any orphan scan. Returns the
+    * deleted relative paths. */
+  def removeOrphanFiles(spark: SparkSession, dir: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    require(olderThanMs >= 0,
+      "SnapTable: the orphan horizon cannot be negative")
+    val f = fs(spark, dir)
+    val root = f.makeQualified(new Path(dir))
+    if (!f.exists(root)) return Seq.empty
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val live = scala.collection.mutable.Set.empty[String]
+    listVersions(spark, dir).foreach { v =>
+      live += f"_snapshots/v$v%05d.manifest"
+      scala.util.Try(manifestAt(spark, dir, v)).foreach { m =>
+        live ++= m.paths
+        live ++= m.delFiles
+        live ++= m.segs.map(_._1)
+      }
+    }
+    stagedIds(spark, dir).foreach { case (id, _) =>
+      live += s"_staged/$id.list"
+      stagedEntriesOpt(spark, dir, id).foreach { case (_, es, _) =>
+        live ++= es.map(entryPath)
+      }
+    }
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = root.toUri.relativize(st.getPath.toUri).getPath
+      if (!live.contains(rel) && st.getModificationTime < horizon &&
+          f.delete(st.getPath, false))
+        deleted += rel
+    }
+    deleted.toSeq
   }
 
   // ---- q236/q237: the format under the oracle gate -------------------------
@@ -3707,12 +3774,39 @@ object SnapTable {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"))
 
+  /** q273 — the front door's DELETION-VECTOR tier under the value
+    * gate: `spark.read.format("graftsnap")` over the MoR fixture (two
+    * stacked sidecars + an append) — the fallback relation's scoped
+    * read and (file, pos) anti-join must reproduce q261's closed-form
+    * oracle exactly, where this spelling previously REFUSED. */
+  def snapshotSourceMor(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftsnap").load(morDocs(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+
+  /** q274 — the front door's COLUMN-MAP tier under the value gate:
+    * the renamed fixture through the registered source must serve the
+    * LOGICAL name (`char_count`) with filters applying to it, and
+    * reproduce q266's oracle. */
+  def snapshotSourceRename(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftsnap").load(renameDocs(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("char_count")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q268_time_travel_ts" -> (timeTravelTsAudit _),
     "q269_dv_compact" -> (snapshotDvCompactStats _),
     "q270_cdc_rows" -> (snapshotCdcRows _),
     "q271_plan_pruned" -> (snapshotPlanPruned _),
     "q272_source_format" -> (snapshotSourceFormat _),
+    "q273_source_mor" -> (snapshotSourceMor _),
+    "q274_source_rename" -> (snapshotSourceRename _),
     "q267_cdc_incremental" -> (snapshotCdcIncremental _),
     "q265_bloom_lookup" -> (snapshotBloomLookup _),
     "q266_col_rename" -> (snapshotRenameStats _),
@@ -3738,6 +3832,8 @@ object SnapTable {
     "q270_cdc_rows" -> snapshotCdcRowsSql,
     "q271_plan_pruned" -> snapshotSkipStatsSql,
     "q272_source_format" -> snapshotSkipStatsSql,
+    "q273_source_mor" -> snapshotMorStatsSql,
+    "q274_source_rename" -> snapshotRenameStatsSql,
     "q267_cdc_incremental" -> snapshotCdcSql,
     "q265_bloom_lookup" -> snapshotBloomLookupSql,
     "q266_col_rename" -> snapshotRenameStatsSql,

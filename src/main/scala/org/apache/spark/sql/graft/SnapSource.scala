@@ -173,13 +173,77 @@ object SnapRelation {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 }
 
+/** The front door's FALLBACK tier for snapshots a bare
+  * [[HadoopFsRelation]] cannot express — deletion vectors (the
+  * (file, pos) anti-join) and column maps (the rename projection).
+  * A [[org.apache.spark.sql.sources.PrunedFilteredScan]] whose
+  * `buildScan` delegates to the format's own scoped read (DV-applied,
+  * logically named): the pushed column prunes and filters re-apply on
+  * that inner DataFrame, so manifest skipping still fires through its
+  * [[SnapFileIndex]] — at the cost of a row-conversion boundary
+  * instead of the clean tier's end-to-end codegen. Every filter is
+  * left in `unhandledFilters` (the [[BaseRelation]] default), so a
+  * conjunct the converter cannot express costs reads, never
+  * correctness.
+  *
+  * @param scan pushed filters (logical names) → the scoped DataFrame
+  *             with those filters applied */
+class SnapScopedRelation(
+    ss: SparkSession,
+    rawSchema: StructType,
+    scan: Seq[org.apache.spark.sql.sources.Filter]
+      => DataFrame) extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  // nullable like every file-source resolution (see [[SnapRelation]])
+  override val schema: StructType = rawSchema.asNullable
+  override def sqlContext: SQLContext = ss.sqlContext
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val df = scan(filters.toSeq)
+    df.select(requiredColumns.toSeq
+      .map(org.apache.spark.sql.functions.col): _*).rdd
+  }
+}
+
+/** `org.apache.spark.sql.sources.Filter` → `Column`, best-effort: a
+  * shape the translator does not cover returns None and is simply not
+  * applied to the inner scan (Spark re-applies ALL pushed filters
+  * above a [[SnapScopedRelation]], so omission is safe). */
+object SnapFilters {
+  import org.apache.spark.sql.{sources => sf}
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.Column
+
+  def toColumn(f: sf.Filter): Option[Column] = f match {
+    case sf.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sf.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sf.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sf.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sf.LessThan(a, v) => Some(col(a) < lit(v))
+    case sf.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sf.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case sf.IsNull(a) => Some(col(a).isNull)
+    case sf.IsNotNull(a) => Some(col(a).isNotNull)
+    case sf.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sf.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sf.StringContains(a, v) => Some(col(a).contains(v))
+    case sf.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sf.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sf.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}
+
 /** `spark.read.format("graftsnap").load(dir)` — the registered
   * DataSource spelling of the front door (DataSourceRegister via
   * META-INF/services). Options: `versionAsOf` (int) for time travel,
-  * `timestampAsOf` (epoch millis) for wall-clock time travel.
-  * Snapshots carrying deletion vectors or a column map REFUSE here
-  * (a BaseRelation cannot express the DV anti-join or the rename
-  * projection) — `SnapTable.read` serves those. */
+  * `timestampAsOf` (epoch millis) for wall-clock time travel. Clean
+  * snapshots serve through the native parquet relation; snapshots
+  * carrying deletion vectors or a column map fall back to
+  * [[SnapScopedRelation]] over the format's scoped read. */
 class GraftSnapSource extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "graftsnap"
   override def createRelation(sqlContext: SQLContext,

@@ -1508,7 +1508,8 @@ class SnapTableSpec extends SparkSpec {
   test("plan-driven manifest skipping: a PLAIN read().filter prunes " +
       "the scan to manifest-admissible files (range via stats, point " +
       "via bloom, through the DV anti-join); the registered source " +
-      "serves the same and refuses DV/col-mapped snapshots") {
+      "serves the same, incl. DV/col-mapped snapshots via the " +
+      "fallback tier") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     val d = tmp()
@@ -1543,10 +1544,17 @@ class SnapTableSpec extends SparkSpec {
     assert(nf(dvRanged) < all, "pruning lost under the DV anti-join")
     assert(dvRanged.collect().map(_.getLong(0)).sorted.toSeq ===
       (10L to 59L).filter(_ != 11L))
-    // the registered source refuses the DV snapshot with the remedy…
-    val e = intercept[IllegalArgumentException](
-      s2.read.format("graftsnap").load(d))
-    assert(e.getMessage.contains("deletion vectors"))
+    // the registered source serves the DV snapshot through the
+    // fallback tier: the anti-join applies under the relation, filters
+    // re-apply inside it, values match the explicit read
+    val dvSrc = s2.read.format("graftsnap").load(d)
+    assert(dvSrc.count() === 399)
+    assert(dvSrc.filter(col("id").between(10L, 59L))
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      (10L to 59L).filter(_ != 11L))
+    assert(dvSrc.agg(sum(col("x"))).head.getLong(0) ===
+      SnapTable.read(s2, d).agg(sum(col("x"))).head.getLong(0),
+      "DV fallback tier diverged from SnapTable.read")
     // …serves the pre-DV version via versionAsOf, pruned and pushed
     val v1 = s2.read.format("graftsnap").option("versionAsOf", "1").load(d)
     assert(v1.count() === 400)
@@ -1556,13 +1564,16 @@ class SnapTableSpec extends SparkSpec {
     val ts1 = SnapTable.manifestMeta(s2, d, 1)("ts")
     assert(s2.read.format("graftsnap").option("timestampAsOf", ts1)
       .load(d).count() === 400)
-    // …and refuses a column-mapped snapshot
+    // …and serves a column-mapped snapshot under its LOGICAL name
     val d2 = tmp()
-    SnapTable.create(Seq((1L, 2L)).toDF("id", "x"), d2)
+    SnapTable.create(Seq((1L, 2L), (2L, 9L)).toDF("id", "x"), d2)
     SnapTable.renameColumn(spark, d2, "x", "score")
-    val e2 = intercept[IllegalArgumentException](
-      s2.read.format("graftsnap").load(d2))
-    assert(e2.getMessage.contains("column map"))
+    val mapped = s2.read.format("graftsnap").load(d2)
+    assert(mapped.columns.toSeq === Seq("id", "score"),
+      s"column-mapped source must serve logical names: " +
+        mapped.columns.mkString(","))
+    assert(mapped.filter(col("score") > 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2L, 9L)))
   }
 
   test("manifest segmentation: commits write O(delta) manifest bytes — " +
@@ -1686,6 +1697,46 @@ class SnapTableSpec extends SparkSpec {
     SnapTable.vacuum(spark, d, retain = 2) // retires v1, v2
     assert(SnapTable.read(spark, d).count() === 60)
     assert(SnapTable.read(spark, d, Some(3)).count() === 40)
+  }
+
+  test("removeOrphanFiles reclaims crash-window leftovers but never " +
+      "touches live, staged, or younger-than-horizon files") {
+    val d = tmp()
+    SnapTable.create((0L until 40L).toDF("id"), d)
+    SnapTable.append((40L until 80L).toDF("id"), d)
+    val stagedId = SnapTable.stage((100L until 110L).toDF("id"), d)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def plant(rel: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$d/$rel")
+      f.mkdirs(p.getParent)
+      val o = f.create(p, true); o.write("x".getBytes); o.close()
+    }
+    // the three crash-window shapes: an uncommitted data file, a
+    // leaked segment, a head tmp — plus one YOUNG uncommitted file
+    val dead = Seq("data/w-dead99/part-00000.parquet",
+      "_snapshots/seg/s99999-dead.seg",
+      "_snapshots/v00099.manifest.dead.inprogress")
+    (dead :+ "data/w-young/part-00000.parquet").foreach(plant)
+    dead.foreach(rel => f.setTimes(
+      new org.apache.hadoop.fs.Path(s"$d/$rel"), 1000L, -1))
+    val gone = SnapTable.removeOrphanFiles(spark, d, olderThanMs = 60000L)
+    assert(gone.toSet === dead.toSet, s"deleted: $gone")
+    // live snapshots and time travel untouched
+    assert(SnapTable.read(spark, d).count() === 80)
+    assert(SnapTable.read(spark, d, Some(1)).count() === 40)
+    // the young orphan survives the age guard
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$d/data/w-young/part-00000.parquet")))
+    // a zero horizon lets the reference set alone protect: the young
+    // orphan goes, the staged batch's files SURVIVE and still publish
+    val gone2 = SnapTable.removeOrphanFiles(spark, d, olderThanMs = 0L)
+    // write-marker _SUCCESS files are unreferenced too — fair game
+    assert(gone2.filterNot(_.endsWith("_SUCCESS")) ===
+      Seq("data/w-young/part-00000.parquet"), s"deleted: $gone2")
+    SnapTable.publish(spark, d, stagedId)
+    assert(SnapTable.read(spark, d).count() === 90,
+      "the staged batch lost files to the orphan sweep")
   }
 
   test("a declaration-change spill keeps carried entries' sz: byte-" +
