@@ -2658,9 +2658,13 @@ object SnapTable {
     * full scan + self-join and reports one all-zero event row; budget
     * compactions accordingly. DV transitions diff exactly: a MoR
     * delete's sidecar rows surface as deletes, a MoR merge's as
-    * updates/inserts. One action for the whole window (transitions
-    * union before the single aggregate); file-level-unchanged
-    * transitions (pure metadata) emit no row, and an all-metadata
+    * updates/inserts. One action for a drip-fed window (transitions
+    * union before the single aggregate); a DEEP catch-up window past
+    * [[IvmUnionMaxVersions]] transitions chunks instead — one bounded
+    * job per chunk, the q264 fold's grouping, so neither the plan nor
+    * the driver pays O(window) at once (per-chunk results are count
+    * rows, ≤ the output itself). File-level-unchanged transitions
+    * (pure metadata) emit no row, and an all-metadata
     * window returns an EMPTY frame. Keys are assumed unique per
     * snapshot (the format's merge contract). q267 gates value-equality
     * with the semantic spelling's closed-form oracle. */
@@ -2698,7 +2702,23 @@ object SnapTable {
       s.range(0).select(col("id").as("from_v"), col("id").as("to_v"),
         col("id").as("n_inserted"), col("id").as("n_deleted"),
         col("id").as("n_updated"))
-    else cdcCounts(transitions.reduce(_ unionByName _))
+    else if (transitions.size <= IvmUnionMaxVersions)
+      cdcCounts(transitions.reduce(_ unionByName _))
+    else {
+      // DEEP catch-up window: a single plan unioning hundreds of
+      // per-transition joins is a planning/driver cost that tracks the
+      // WINDOW, not the commits — chunk it (the q264 fold's grouping):
+      // one job per IvmUnionMaxVersions transitions, each yielding ≤ chunk-many
+      // count rows, so the driver merge is bounded by #transitions
+      // (already the output size) and no single plan exceeds the chunk
+      val chunks = transitions.grouped(IvmUnionMaxVersions).toSeq
+      val rows = chunks.flatMap(ch =>
+        cdcCounts(ch.reduce(_ unionByName _)).collect().toSeq)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        cdcCounts(transitions.head).schema).orderBy(col("from_v"))
+    }
   }
 
   /** ROW-LEVEL incremental CDC: the keyed change rows of every

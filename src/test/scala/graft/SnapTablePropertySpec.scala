@@ -153,4 +153,54 @@ class SnapTablePropertySpec extends SparkSpec {
       assert(reseeded === rescan(d), s"post-vacuum re-seed diverged:$trace")
     }
   }
+
+  for (seed <- Seq(13, 29)) {
+    test(s"front door ≡ explicit read under a random history and " +
+        s"random filters (DV + rename fallback tier, seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val d = tmp()
+      var id = 0L
+      val nextId = () => { id += 1; id }
+      SnapTable.create((0 until 8).map(_ =>
+        (nextId(), s"s${rnd.nextInt(4)}", 1L + rnd.nextInt(100)))
+        .toDF("id", "source", "n_chars"), d)
+      val trace = (1 to 6).map(_ => randomOp(rnd, d, nextId))
+        .mkString(", ")
+      // rename LAST (the producer ops above speak the old name), then
+      // stack one more sidecar so the end state carries a col map AND
+      // (usually) deletion vectors — the fallback tier's territory
+      SnapTable.renameColumn(spark, d, "n_chars", "chars")
+      SnapTable.deleteWhereMor(spark, d, col("id") % 3 === 1)
+      val src = spark.read.format("graftsnap").load(d)
+      val ref = SnapTable.read(spark, d)
+      assert(src.columns.toSeq === ref.columns.toSeq,
+        s"front-door schema diverged: ${src.columns.mkString(",")} vs " +
+          s"${ref.columns.mkString(",")} ($trace)")
+      // random predicates mixing translatable shapes (range, equality,
+      // IN, startsWith — re-applied inside the fallback scan) and
+      // untranslatable ones (modulo — must cost reads, not rows)
+      def leaf(): org.apache.spark.sql.Column = rnd.nextInt(6) match {
+        case 0 => col("id") % (2 + rnd.nextInt(5)) === rnd.nextInt(5)
+        case 1 => col("chars").between(
+          rnd.nextInt(200).toLong, rnd.nextInt(1000).toLong)
+        case 2 => col("source") === s"s${rnd.nextInt(5)}"
+        case 3 => col("id") > rnd.nextInt(40).toLong
+        case 4 => col("source").startsWith("s")
+        case 5 => col("chars").isin(
+          Seq.fill(3)(1L + rnd.nextInt(100)): _*)
+      }
+      def pred(): org.apache.spark.sql.Column = rnd.nextInt(3) match {
+        case 0 => leaf()
+        case 1 => leaf() && leaf()
+        case 2 => leaf() || !leaf()
+      }
+      (1 to 12).foreach { i =>
+        val p = pred()
+        val a = src.filter(p).collect().map(_.mkString("|")).sorted.toSeq
+        val b = ref.filter(p).collect().map(_.mkString("|")).sorted.toSeq
+        assert(a === b,
+          s"filter #$i diverged (seed $seed; history: $trace; pred: $p)")
+      }
+    }
+  }
 }

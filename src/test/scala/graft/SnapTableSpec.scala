@@ -1463,6 +1463,38 @@ class SnapTableSpec extends SparkSpec {
       s"DV compaction leaked phantom CDC events: ${inc.toSeq}")
   }
 
+  test("a deep CDC catch-up window chunks into bounded jobs and " +
+      "equals the drip-fed per-transition counts") {
+    val d = tmp()
+    // 21 transitions (> IvmUnionMaxVersions = 16): create + 19 appends
+    // of i rows each + one CoW delete — the chunked path must cross a
+    // chunk boundary and agree with per-transition (drip-fed) windows
+    SnapTable.create((0L until 5L).map(i => (i, s"v$i")).toDF("id", "s"), d)
+    (1 to 19).foreach { w =>
+      val base = 100L * w
+      SnapTable.append((base until base + w).map(i => (i, s"v$i"))
+        .toDF("id", "s"), d)
+    }
+    SnapTable.deleteWhere(spark, d, col("id") === 100L) // v21
+    val cur = SnapTable.currentVersion(spark, d)
+    assert(cur === 21 && cur > SnapTable.IvmUnionMaxVersions)
+    val deep = SnapTable.cdcIncremental(spark, d, "id", Seq("s"), 0, cur)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // drip-fed truth: one single-transition window at a time
+    val drip = (0 until cur).flatMap(v =>
+      SnapTable.cdcIncremental(spark, d, "id", Seq("s"), v, v + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))))
+    assert(deep === drip,
+      s"chunked deep window diverged from drip-fed counts:\n$deep\n$drip")
+    // closed form spot checks: the create inserts 5, append w inserts
+    // w, the delete deletes exactly one
+    assert(deep.head === ((0L, 1L, 5L, 0L, 0L)))
+    assert(deep(7) === ((7L, 8L, 7L, 0L, 0L)))
+    assert(deep.last === ((20L, 21L, 0L, 1L, 0L)))
+  }
+
   test("row-level CDC reproduces read-level diffs (updates emit BOTH " +
       "images); applyCdcRows maintains a replica exactly-once") {
     val d = tmp()
