@@ -1529,7 +1529,8 @@ object SnapTable {
       val logical = org.apache.spark.sql.types.StructType(phys.fields.map(
         f => f.copy(name = mf.colMap.getOrElse(f.name, f.name))))
       new org.apache.spark.sql.graft.SnapScopedRelation(spark,
-        logical, filters => {
+        logical, sizesOf(spark, dir, mf.entries).map(_._2).sum,
+        filters => {
           val base = readScoped(spark, dir, mf.paths, mf)
           filters.flatMap(org.apache.spark.sql.graft.SnapFilters.toColumn)
             .foldLeft(base)(_.filter(_))
@@ -2213,11 +2214,18 @@ object SnapTable {
     * IN-FLIGHT writers: a just-written, not-yet-committed file is
     * younger than it and never touched. It must exceed the longest
     * plausible write-to-commit gap — shrink it only in tests. A
-    * racing vacuum is benign (a manifest vanishing mid-walk is
-    * skipped; its files are either retired or referenced elsewhere).
-    * Cost: one recursive listing plus the retained-manifest walk —
-    * O(files on disk), the floor for any orphan scan. Returns the
-    * deleted relative paths. */
+    * racing VACUUM is benign: a manifest vanishing mid-walk is
+    * skipped (its files are either retired or referenced elsewhere),
+    * and a directory vanishing mid-LISTING ends the sweep early with
+    * what was reclaimed so far (idempotent — re-run for the rest). A
+    * racing PUBLISH is closed out by ordering: staged lists are read
+    * BEFORE the manifest walk, so a batch published in between is
+    * covered by whichever side the race lands on. Any OTHER read
+    * failure on a retained manifest aborts the sweep — guessing at a
+    * live set it could not fully read would turn a transient IO error
+    * into deleted live data. Cost: one recursive listing plus the
+    * retained-manifest walk — O(files on disk), the floor for any
+    * orphan scan. Returns the deleted relative paths. */
   def removeOrphanFiles(spark: SparkSession, dir: String,
       olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     require(olderThanMs >= 0,
@@ -2227,28 +2235,42 @@ object SnapTable {
     if (!f.exists(root)) return Seq.empty
     val horizon = System.currentTimeMillis() - olderThanMs
     val live = scala.collection.mutable.Set.empty[String]
-    listVersions(spark, dir).foreach { v =>
-      live += f"_snapshots/v$v%05d.manifest"
-      scala.util.Try(manifestAt(spark, dir, v)).foreach { m =>
-        live ++= m.paths
-        live ++= m.delFiles
-        live ++= m.segs.map(_._1)
-      }
-    }
+    // staged lists FIRST: publish commits the manifest and THEN deletes
+    // its staged list, so a publish racing this sweep either leaves the
+    // list (files live via the staged walk) or has already committed a
+    // manifest the LATER version walk will see — never neither
     stagedIds(spark, dir).foreach { case (id, _) =>
       live += s"_staged/$id.list"
       stagedEntriesOpt(spark, dir, id).foreach { case (_, es, _) =>
         live ++= es.map(entryPath)
       }
     }
+    listVersions(spark, dir).foreach { v =>
+      live += f"_snapshots/v$v%05d.manifest"
+      // recover ONLY a concurrently-vacuumed manifest (FNFE); any other
+      // failure must abort — silently dropping a retained snapshot from
+      // the live set would delete its live files
+      try {
+        val m = manifestAt(spark, dir, v)
+        live ++= m.paths
+        live ++= m.delFiles
+        live ++= m.segs.map(_._1)
+      } catch { case _: java.io.FileNotFoundException => () }
+    }
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = f.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = root.toUri.relativize(st.getPath.toUri).getPath
-      if (!live.contains(rel) && st.getModificationTime < horizon &&
-          f.delete(st.getPath, false))
-        deleted += rel
+    try {
+      val it = f.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = root.toUri.relativize(st.getPath.toUri).getPath
+        if (!live.contains(rel) && st.getModificationTime < horizon &&
+            f.delete(st.getPath, false))
+          deleted += rel
+      }
+    } catch {
+      // a racing vacuum deleted a directory mid-listing: end the sweep
+      // with what was reclaimed — the next run picks up the rest
+      case _: java.io.FileNotFoundException => ()
     }
     deleted.toSeq
   }
@@ -2711,13 +2733,12 @@ object SnapTable {
       // one job per IvmUnionMaxVersions transitions, each yielding ≤ chunk-many
       // count rows, so the driver merge is bounded by #transitions
       // (already the output size) and no single plan exceeds the chunk
-      val chunks = transitions.grouped(IvmUnionMaxVersions).toSeq
-      val rows = chunks.flatMap(ch =>
-        cdcCounts(ch.reduce(_ unionByName _)).collect().toSeq)
+      val chunkDfs = transitions.grouped(IvmUnionMaxVersions)
+        .map(ch => cdcCounts(ch.reduce(_ unionByName _))).toSeq
+      val rows = chunkDfs.flatMap(_.collect().toSeq)
       s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        cdcCounts(transitions.head).schema).orderBy(col("from_v"))
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+        chunkDfs.head.schema).orderBy(col("from_v"))
     }
   }
 

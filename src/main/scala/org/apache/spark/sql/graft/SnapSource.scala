@@ -191,18 +191,25 @@ object SnapRelation {
 class SnapScopedRelation(
     ss: SparkSession,
     rawSchema: StructType,
+    tableBytes: Long,
     scan: Seq[org.apache.spark.sql.sources.Filter]
       => DataFrame) extends BaseRelation
     with org.apache.spark.sql.sources.PrunedFilteredScan {
   // nullable like every file-source resolution (see [[SnapRelation]])
   override val schema: StructType = rawSchema.asNullable
   override def sqlContext: SQLContext = ss.sqlContext
+  // manifest-derived (`sz:` tags) — without this the default
+  // (defaultSizeInBytes ≈ Long.MaxValue) makes a small dimension that
+  // happens to carry one sidecar ineligible for auto-broadcast, a
+  // silent shuffle-join regression vs the clean tier
+  override def sizeInBytes: Long = tableBytes
   override def buildScan(requiredColumns: Array[String],
       filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     val df = scan(filters.toSeq)
     df.select(requiredColumns.toSeq
-      .map(org.apache.spark.sql.functions.col): _*).rdd
+      .map(n => org.apache.spark.sql.functions.col(SnapFilters.quote(n)))
+      : _*).rdd
   }
 }
 
@@ -212,8 +219,15 @@ class SnapScopedRelation(
   * above a [[SnapScopedRelation]], so omission is safe). */
 object SnapFilters {
   import org.apache.spark.sql.{sources => sf}
-  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.functions.lit
   import org.apache.spark.sql.Column
+
+  /** Backtick-quote a pushed attribute name: a top-level column named
+    * `a.b` must not resolve as field b of struct a. */
+  def quote(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  private def col(n: String): Column =
+    org.apache.spark.sql.functions.col(quote(n))
 
   def toColumn(f: sf.Filter): Option[Column] = f match {
     case sf.EqualTo(a, v) => Some(col(a) === lit(v))
