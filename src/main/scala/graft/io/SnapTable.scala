@@ -1538,6 +1538,97 @@ object SnapTable {
     }
   }
 
+  // ---- streaming source (readStream.format("graftsnap")) -----------------
+
+  /** The logical schema the snapshot STREAM serves — fixed at stream
+    * start: the current snapshot's column-mapped schema (renames
+    * mid-stream refuse in [[streamBatch]], like every schema change). */
+  def streamLogicalSchema(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType = {
+    val v = currentVersion(spark, dir)
+    require(v > 0, s"SnapTable: no snapshot to stream under $dir")
+    val mf = manifestAt(spark, dir, v)
+    org.apache.spark.sql.types.StructType(
+      physicalSchemaOf(spark, dir, mf).fields.map(f =>
+        f.copy(name = mf.colMap.getOrElse(f.name, f.name))))
+  }
+
+  /** Project `df` onto `schema`'s columns in order, null-filling any
+    * the frame lacks (schema-evolved old files) — the streaming
+    * source's fixed-schema contract. */
+  private def alignTo(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  /** One micro-batch of the snapshot STREAM (versions as offsets).
+    * `fromV = 0` serves the FULL snapshot at `toV` — the bootstrap
+    * batch, Delta's readStream initial-snapshot semantics; every later
+    * window serves ONLY the rows its transitions appended (each
+    * commit's drop-sized files, never a rescan — the scale shape that
+    * lets a 100 TB table stream its ingest). A NON-append transition
+    * in the window (delete / update / compaction / rename) REFUSES
+    * loudly by default: silently serving rewritten files would
+    * duplicate rows, and silently skipping them would hide changes —
+    * the consumer must choose: `skipChangeCommits = true` to skip
+    * change transitions wholesale (appends keep flowing), or the
+    * row-level CDC APIs ([[cdcRows]] / the replica maintainer) to
+    * consume the changes themselves. A vacuumed recovery window
+    * refuses with the re-bootstrap remedy (the retired transitions are
+    * unreconstructible). Deterministic for a fixed (fromV, toV]:
+    * manifests are immutable, so the engine's restart re-execution of
+    * a committed batch reads identical rows — the exactly-once leg. */
+  def streamBatch(spark: SparkSession, dir: String, fromV: Int, toV: Int,
+      schema: org.apache.spark.sql.types.StructType,
+      skipChangeCommits: Boolean = false): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (fromV >= toV) return empty
+    if (fromV == 0) return alignTo(read(spark, dir, Some(toV)), schema)
+    val deltas = try versionDeltas(spark, dir, fromV, toV) catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"SnapTable stream: versions < " +
+            s"${oldestRetainedVersion(spark, dir)} of $dir were vacuumed " +
+            s"inside the stream's recovery window (v$fromV, v$toV] — the " +
+            "retired transitions are unreconstructible; re-bootstrap the " +
+            "stream from a fresh checkpoint")
+    }
+    val served = deltas.zipWithIndex.filter { case (d, i) =>
+      val appendOnly = d.removedFiles.isEmpty && d.sidecarsAdded.isEmpty &&
+        d.sidecarsDropped.isEmpty && d.colMapFrom == d.colMapTo
+      if (!appendOnly && !skipChangeCommits)
+        throw new IllegalStateException(
+          s"SnapTable stream: transition v${fromV + i}->v${fromV + i + 1} " +
+            s"of $dir is not append-only (a delete/update/compaction/" +
+            "rename landed mid-stream) — serving it would duplicate or " +
+            "hide rows. Set skipChangeCommits=true to skip change " +
+            "transitions, or consume row-level changes via cdcRows / " +
+            "maintainSnapshotReplica")
+      appendOnly
+    }.map(_._1)
+    val files = served.flatMap(_.addedFiles.toSeq.sorted)
+    if (files.isEmpty) empty
+    else {
+      val out = toLogical(spark.read.option("mergeSchema", "true")
+        .parquet(files.map(r => s"$dir/$r"): _*), served.last.colMapTo)
+      // a column OUTSIDE the stream's fixed schema means the table's
+      // schema moved mid-stream (a skipped rename's new logical name,
+      // or an additive evolution) — alignTo would silently null-fill
+      // the old name and DROP the data; fail like Delta does and make
+      // the consumer restart onto the new schema
+      val extra = out.columns.filterNot(schema.fieldNames.contains)
+      if (extra.nonEmpty) throw new IllegalStateException(
+        s"SnapTable stream: the table's schema changed mid-stream " +
+          s"(column(s) ${extra.mkString(", ")} are not in the stream's " +
+          "fixed schema) — restart the stream from the current snapshot " +
+          "to pick up the new schema")
+      alignTo(out, schema)
+    }
+  }
+
   /** The manifest entries a conjunction of per-stats-column [lo, hi]
     * range predicates CANNOT skip: annotated files where EVERY given
     * range intersects its column's [min, max], plus any unannotated

@@ -251,16 +251,86 @@ object SnapFilters {
   }
 }
 
+/** The snapshot table as a STRUCTURED STREAMING SOURCE — versions are
+  * the offsets. The first batch serves the full snapshot at the
+  * triggering version (the bootstrap, Delta's initial-snapshot
+  * semantics); every later batch serves only the rows its window's
+  * transitions APPENDED, read from each commit's drop-sized files —
+  * never a rescan. `getBatch` is deterministic for a fixed window
+  * (manifests are immutable), so the engine's checkpointed offsets
+  * give exactly-once across restarts for free. Non-append transitions
+  * and schema changes refuse with the remedy named (or are skipped
+  * wholesale under `skipChangeCommits`); see
+  * [[graft.io.SnapTable.streamBatch]] for the full contract. */
+class SnapStreamSource(
+    ss: org.apache.spark.sql.classic.SparkSession,
+    dir: String,
+    skipChangeCommits: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  override val schema: StructType =
+    graft.io.SnapTable.streamLogicalSchema(ss, dir).asNullable
+
+  override def getOffset
+      : Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val v = graft.io.SnapTable.currentVersion(ss, dir)
+    if (v <= 0) None else Some(LongOffset(v.toLong))
+  }
+
+  private def vOf(
+      o: org.apache.spark.sql.execution.streaming.Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case other => other.json.trim.toInt // SerializedOffset after restart
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val batch = graft.io.SnapTable.streamBatch(ss, dir,
+      start.map(vOf).getOrElse(0), vOf(end), schema, skipChangeCommits)
+    ss.internalCreateDataFrame(
+      batch.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}
+
 /** `spark.read.format("graftsnap").load(dir)` — the registered
   * DataSource spelling of the front door (DataSourceRegister via
   * META-INF/services). Options: `versionAsOf` (int) for time travel,
   * `timestampAsOf` (epoch millis) for wall-clock time travel. Clean
   * snapshots serve through the native parquet relation; snapshots
   * carrying deletion vectors or a column map fall back to
-  * [[SnapScopedRelation]] over the format's scoped read. */
-class GraftSnapSource extends RelationProvider with DataSourceRegister {
+  * [[SnapScopedRelation]] over the format's scoped read.
+  * `spark.readStream.format("graftsnap").load(dir)` serves the table
+  * as a streaming source ([[SnapStreamSource]]; option
+  * `skipChangeCommits` to skip non-append transitions). */
+class GraftSnapSource extends RelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graftsnap"
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     graft.io.SnapTable.baseRelation(sqlContext.sparkSession, parameters)
+
+  private def dirOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graftsnap: a table path is required — " +
+        "spark.readStream.format(\"graftsnap\").load(<dir>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), graft.io.SnapTable.streamLogicalSchema(
+      sqlContext.sparkSession, dirOf(parameters)).asNullable)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new SnapStreamSource(
+      sqlContext.sparkSession
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      dirOf(parameters),
+      parameters.get("skipChangeCommits").exists(_.toBoolean))
 }

@@ -1762,4 +1762,63 @@ class StreamingSpec extends SparkSpec {
     assert(results.toSeq.last._2 === true,
       s"empty drop should report published=true — got $results")
   }
+
+  test("graftsnap STREAMING SOURCE: bootstrap snapshot then per-append " +
+      "micro-batches, exactly-once across restart, non-append refusal, " +
+      "skipChangeCommits resumes past the change") {
+    import graft.io.SnapTable
+    val d = Files.createTempDirectory("graft-snapstream-t").toString + "/t"
+    val ck = Files.createTempDirectory("graft-snapstream-ck").toString
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"v$i")).toDF("id", "s")
+    SnapTable.create(batch(0, 10), d)
+    SnapTable.append(batch(10, 15), d)
+    // batchId-keyed accumulation: a restart's redelivery of the last
+    // uncommitted batch overwrites its own slot (idempotent), so the
+    // flattened view IS the exactly-once contract under test
+    val seen = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    def start(skip: Boolean = false) = {
+      val r = spark.readStream.format("graftsnap")
+      (if (skip) r.option("skipChangeCommits", "true") else r).load(d)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = b.collect().map(_.getLong(0)).toSeq
+          this.synchronized { seen(id) = rows }
+        }.start()
+    }
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(seen.values.flatten.toSeq.sorted === (0L until 15L),
+      s"bootstrap batch must serve the full current snapshot: $seen")
+    // appends while the stream is down: the restarted stream serves
+    // ONLY them (versions as offsets), no re-serve of the bootstrap
+    SnapTable.append(batch(15, 20), d)
+    SnapTable.append(batch(20, 25), d)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all2 = seen.values.flatten.toSeq
+    assert(all2.sorted === (0L until 25L),
+      s"restart lost or duplicated rows: ${all2.sorted}")
+    // a non-append commit (CoW delete) mid-stream refuses loudly
+    SnapTable.deleteWhere(spark, d, col("id") === 3L)
+    SnapTable.append(batch(25, 30), d)
+    val q3 = start()
+    val died = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    val msgs = Iterator.iterate(died: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("not append-only"),
+      s"the stream did not refuse the delete transition: $msgs")
+    // skipChangeCommits: same checkpoint, the delete transition skips
+    // wholesale and the append behind it flows — id 3 stays in the
+    // stream's served history (the skip contract: changes are hidden,
+    // never retracted)
+    val q4 = start(skip = true)
+    try q4.processAllAvailable() finally q4.stop()
+    assert(seen.values.flatten.toSeq.sorted === (0L until 30L),
+      s"skipChangeCommits lost the post-delete append: $seen")
+  }
 }
