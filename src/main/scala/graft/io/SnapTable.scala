@@ -1525,9 +1525,8 @@ object SnapTable {
       // read (anti-join + rename projection), re-applying the pushed
       // filters there so manifest skipping still fires in the inner
       // plan. The schema serves LOGICAL names, like [[read]].
-      val phys = physicalSchemaOf(spark, dir, mf)
-      val logical = org.apache.spark.sql.types.StructType(phys.fields.map(
-        f => f.copy(name = mf.colMap.getOrElse(f.name, f.name))))
+      val logical =
+        logicalSchemaOf(physicalSchemaOf(spark, dir, mf), mf.colMap)
       new org.apache.spark.sql.graft.SnapScopedRelation(spark,
         logical, sizesOf(spark, dir, mf.entries).map(_._2).sum,
         filters => {
@@ -1540,6 +1539,16 @@ object SnapTable {
 
   // ---- streaming source (readStream.format("graftsnap")) -----------------
 
+  /** Physical file schema + column map → the LOGICAL schema readers
+    * see — THE one spelling of the rule (the batch front door and the
+    * streaming source both call it, so they cannot drift). */
+  private def logicalSchemaOf(
+      phys: org.apache.spark.sql.types.StructType,
+      colMap: Map[String, String])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(phys.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
+
   /** The logical schema the snapshot STREAM serves — fixed at stream
     * start: the current snapshot's column-mapped schema (renames
     * mid-stream refuse in [[streamBatch]], like every schema change). */
@@ -1548,20 +1557,35 @@ object SnapTable {
     val v = currentVersion(spark, dir)
     require(v > 0, s"SnapTable: no snapshot to stream under $dir")
     val mf = manifestAt(spark, dir, v)
-    org.apache.spark.sql.types.StructType(
-      physicalSchemaOf(spark, dir, mf).fields.map(f =>
-        f.copy(name = mf.colMap.getOrElse(f.name, f.name))))
+    logicalSchemaOf(physicalSchemaOf(spark, dir, mf), mf.colMap)
   }
 
   /** Project `df` onto `schema`'s columns in order, null-filling any
     * the frame lacks (schema-evolved old files) — the streaming
-    * source's fixed-schema contract. */
+    * source's fixed-schema contract. Names are backtick-quoted: a
+    * top-level column named `a.b` must not resolve as a struct path. */
   private def alignTo(df: DataFrame,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     df.select(schema.fields.toSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
+      if (df.columns.contains(f.name))
+        col(org.apache.spark.sql.graft.SnapFilters.quote(f.name))
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+
+  /** Refuse a frame carrying columns OUTSIDE the stream's fixed
+    * schema: the table's schema moved mid-stream (a rename's new
+    * logical name, or an additive evolution) and [[alignTo]] would
+    * silently drop the data — fail like Delta does and make the
+    * consumer restart onto the new schema. */
+  private def refuseSchemaDrift(df: DataFrame, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val extra = df.columns.filterNot(schema.fieldNames.contains)
+    if (extra.nonEmpty) throw new IllegalStateException(
+      s"SnapTable stream: the table's schema changed mid-stream " +
+        s"(column(s) ${extra.mkString(", ")} of $dir are not in the " +
+        "stream's fixed schema) — restart the stream from the current " +
+        "snapshot to pick up the new schema")
+  }
 
   /** One micro-batch of the snapshot STREAM (versions as offsets).
     * `fromV = 0` serves the FULL snapshot at `toV` — the bootstrap
@@ -1586,9 +1610,19 @@ object SnapTable {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     if (fromV >= toV) return empty
-    if (fromV == 0) return alignTo(read(spark, dir, Some(toV)), schema)
+    if (fromV == 0) {
+      // the bootstrap needs the drift refusal too: an evolution commit
+      // between stream start and the first trigger would otherwise
+      // silently drop the new column from rows served exactly once
+      val out = read(spark, dir, Some(toV))
+      refuseSchemaDrift(out, dir, schema)
+      return alignTo(out, schema)
+    }
+    // a retired manifest surfaces as readText's "no snapshot v" require
+    // (FileNotFoundException only in a narrow mid-read race) — match
+    // the full vacuum signature, not one exception class
     val deltas = try versionDeltas(spark, dir, fromV, toV) catch {
-      case _: java.io.FileNotFoundException =>
+      case scala.util.control.NonFatal(e) if vacuumRaceSignature(e) =>
         throw new IllegalStateException(
           s"SnapTable stream: versions < " +
             s"${oldestRetainedVersion(spark, dir)} of $dir were vacuumed " +
@@ -1614,17 +1648,7 @@ object SnapTable {
     else {
       val out = toLogical(spark.read.option("mergeSchema", "true")
         .parquet(files.map(r => s"$dir/$r"): _*), served.last.colMapTo)
-      // a column OUTSIDE the stream's fixed schema means the table's
-      // schema moved mid-stream (a skipped rename's new logical name,
-      // or an additive evolution) — alignTo would silently null-fill
-      // the old name and DROP the data; fail like Delta does and make
-      // the consumer restart onto the new schema
-      val extra = out.columns.filterNot(schema.fieldNames.contains)
-      if (extra.nonEmpty) throw new IllegalStateException(
-        s"SnapTable stream: the table's schema changed mid-stream " +
-          s"(column(s) ${extra.mkString(", ")} are not in the stream's " +
-          "fixed schema) — restart the stream from the current snapshot " +
-          "to pick up the new schema")
+      refuseSchemaDrift(out, dir, schema)
       alignTo(out, schema)
     }
   }

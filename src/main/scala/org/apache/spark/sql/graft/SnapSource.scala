@@ -265,12 +265,10 @@ object SnapFilters {
 class SnapStreamSource(
     ss: org.apache.spark.sql.classic.SparkSession,
     dir: String,
+    override val schema: StructType,
     skipChangeCommits: Boolean)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-
-  override val schema: StructType =
-    graft.io.SnapTable.streamLogicalSchema(ss, dir).asNullable
 
   override def getOffset
       : Option[org.apache.spark.sql.execution.streaming.Offset] = {
@@ -318,19 +316,33 @@ class GraftSnapSource extends RelationProvider with DataSourceRegister
       "graftsnap: a table path is required — " +
         "spark.readStream.format(\"graftsnap\").load(<dir>)"))
 
+  /** Refuse a user-specified `.schema(...)`: the table's own schema is
+    * authoritative (silently overriding the user's declaration would
+    * surface as confusing downstream analysis errors — Delta refuses
+    * the same way). */
+  private def refuseUserSchema(schema: Option[StructType]): Unit =
+    require(schema.isEmpty,
+      "graftsnap: do not pass a schema to readStream — the table's " +
+        "own (column-mapped) schema is served")
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
+      parameters: Map[String, String]): (String, StructType) = {
+    refuseUserSchema(schema)
     (shortName(), graft.io.SnapTable.streamLogicalSchema(
       sqlContext.sparkSession, dirOf(parameters)).asNullable)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
-      : org.apache.spark.sql.execution.streaming.Source =
-    new SnapStreamSource(
-      sqlContext.sparkSession
-        .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      dirOf(parameters),
+      : org.apache.spark.sql.execution.streaming.Source = {
+    refuseUserSchema(schema)
+    val ss = sqlContext.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val dir = dirOf(parameters)
+    new SnapStreamSource(ss, dir,
+      graft.io.SnapTable.streamLogicalSchema(ss, dir).asNullable,
       parameters.get("skipChangeCommits").exists(_.toBoolean))
+  }
 }

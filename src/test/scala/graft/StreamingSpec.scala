@@ -1820,5 +1820,20 @@ class StreamingSpec extends SparkSpec {
     try q4.processAllAvailable() finally q4.stop()
     assert(seen.values.flatten.toSeq.sorted === (0L until 30L),
       s"skipChangeCommits lost the post-delete append: $seen")
+    // VACUUM retires the stream's recovery window (the checkpointed
+    // offset now points below the retained horizon): the restart must
+    // refuse with the re-bootstrap remedy, not a raw require failure
+    SnapTable.append(batch(30, 32), d)
+    SnapTable.vacuum(spark, d, retain = 1)
+    val q5 = start(skip = true)
+    val died2 = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q5.processAllAvailable() finally q5.stop()
+    }
+    val msgs2 = Iterator.iterate(died2: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs2.contains("re-bootstrap"),
+      s"the stream did not refuse the vacuumed window loudly: $msgs2")
   }
 }
