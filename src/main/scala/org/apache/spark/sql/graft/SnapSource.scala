@@ -266,14 +266,26 @@ class SnapStreamSource(
     ss: org.apache.spark.sql.classic.SparkSession,
     dir: String,
     override val schema: StructType,
-    skipChangeCommits: Boolean)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Int]) extends
+    org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  /** The newest version this source has HANDED OUT (via getBatch) —
+    * the base `maxVersionsPerTrigger` admission control caps against.
+    * None until the first getBatch: a brand-new stream's first window
+    * is the bootstrap (one snapshot batch, inherently uncapped), and
+    * a restarted stream's recovery replay seeds it from the
+    * checkpointed window before the first capped getOffset. */
+  private var lastEnd: Option[Int] = None
 
   override def getOffset
       : Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val v = graft.io.SnapTable.currentVersion(ss, dir)
-    if (v <= 0) None else Some(LongOffset(v.toLong))
+    if (v <= 0) return None
+    val capped = (for (b <- lastEnd; m <- maxVersionsPerTrigger)
+      yield math.min(v, b + m)).getOrElse(v)
+    Some(LongOffset(capped.toLong))
   }
 
   private def vOf(
@@ -285,8 +297,12 @@ class SnapStreamSource(
   override def getBatch(
       start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val endV = vOf(end)
+    this.synchronized {
+      lastEnd = Some(math.max(endV, lastEnd.getOrElse(0)))
+    }
     val batch = graft.io.SnapTable.streamBatch(ss, dir,
-      start.map(vOf).getOrElse(0), vOf(end), schema, skipChangeCommits)
+      start.map(vOf).getOrElse(0), endV, schema, skipChangeCommits)
     ss.internalCreateDataFrame(
       batch.queryExecution.toRdd, schema, isStreaming = true)
   }
@@ -303,7 +319,9 @@ class SnapStreamSource(
   * [[SnapScopedRelation]] over the format's scoped read.
   * `spark.readStream.format("graftsnap").load(dir)` serves the table
   * as a streaming source ([[SnapStreamSource]]; option
-  * `skipChangeCommits` to skip non-append transitions). */
+  * `skipChangeCommits` to skip non-append transitions,
+  * `maxVersionsPerTrigger` to pace a deep catch-up into bounded
+  * per-trigger windows instead of one giant batch). */
 class GraftSnapSource extends RelationProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graftsnap"
@@ -341,8 +359,14 @@ class GraftSnapSource extends RelationProvider with DataSourceRegister
     val ss = sqlContext.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val dir = dirOf(parameters)
+    val maxV = parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.toInt
+      require(n >= 1,
+        s"graftsnap: maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
     new SnapStreamSource(ss, dir,
       graft.io.SnapTable.streamLogicalSchema(ss, dir).asNullable,
-      parameters.get("skipChangeCommits").exists(_.toBoolean))
+      parameters.get("skipChangeCommits").exists(_.toBoolean), maxV)
   }
 }
