@@ -26,6 +26,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // AQE coalescing floor (guide §2.2/§2.5): the default 1 MB floor
+      // coalesces any sub-32MB shuffle below the core count, serializing
+      // CPU-dense reduce stages (array intersections, LSH scoring) whose
+      // cost is per-row, not per-byte. Scale-neutral: at production sizes
+      // bytes/parallelism >> 1 MB and the floor never binds; it only
+      // governs how small shuffles spread over idle cores. Parameterized
+      // for ops that want the stock floor back.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
       // same extensions the gate (Verify) runs under: the optimizer-rule
       // tier (declarative → kernel rewrites) must be IN the measurement
       .withExtensions(new GraftExtensions)

@@ -19,6 +19,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep the correctness gate on the SAME plans Bench measures: the
+      // AQE coalescing floor is value-invariant but plan-affecting
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
       // the engine's deployment contract: sessions are built with the
       // extensions, so the optimizer-rule tier (declarative → kernel
       // rewrites) is load-bearing in the correctness gate itself

@@ -127,7 +127,7 @@ object Corpus {
     * q89's reconciliation join. */
   private[graft] def scrubbed(s: SparkSession, dir: String): DataFrame = {
     // words feeds grams and the final scrub — 2 consumers
-    val words = Tables.documents(s, dir)
+    val words = graft.ops.Par.fan(Tables.documents(s, dir))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_tok"))
       .localCheckpoint(eager = false)
@@ -565,7 +565,7 @@ object Corpus {
   /** [[importanceWeights]] over any (doc_id, text, lang) frame — split
     * out so the spec can plant target-only and offtarget-only docs. */
   def importanceWeightsOf(docs: DataFrame): DataFrame = {
-    val f = docs.filter(col("text").isNotNull)
+    val f = graft.ops.Par.fan(docs.filter(col("text").isNotNull))
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
       // barrier: CollapseProject would inline split() into the gram
       // lambda (O(L²) re-split per element)

@@ -72,7 +72,7 @@ object Dedup {
   /** doc_id + signature, with words/shingles/hashes staged as separate
     * projections so each is computed once. */
   def signatures(docs: DataFrame): DataFrame =
-    docs
+    graft.ops.Par.fan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       // barrier: CollapseProject otherwise inlines split() into the
       // shingle lambda's element_at calls — O(L²) re-split per element
@@ -184,7 +184,7 @@ object Dedup {
     * [[portableSignatures]] (DedupSpec asserts it), fused into a single
     * expression evaluation per document. */
   def portableSignaturesFast(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), Shim.column(
+    graft.ops.Par.fan(docs).select(col("doc_id"), Shim.column(
       org.apache.spark.sql.graft.PortableMinHash(
         Shim.expression(col("text")), perms.toSeq, MersennePrime)).as("sig"))
 
@@ -257,7 +257,7 @@ object Dedup {
     * minhash computation, not just row counts (q48). The xxhash64 variant
     * above stays the production path (no md5 string cost). */
   def portableSignatures(docs: DataFrame): DataFrame =
-    docs
+    graft.ops.Par.fan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .localCheckpoint(eager = false) // split-inlining barrier (as above)
       .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
@@ -330,7 +330,8 @@ object Dedup {
     * fingerprint (64 bits, no md5 string cost). Spec-verified. */
   def simhashPairsOf(docs: DataFrame, maxDist: Int = 3): DataFrame =
     hammingPairs(
-      docs.select(col("doc_id"), simhash64(col("text")).as("fp")),
+      graft.ops.Par.fan(docs)
+        .select(col("doc_id"), simhash64(col("text")).as("fp")),
       chunks = 4, chunkBits = 16, maxDist = maxDist)
 
   // ---- engine-portable SimHash (md5 token hash, pure built-ins) ----------
@@ -1696,7 +1697,7 @@ object Dedup {
     // the split projection is load-bearing too — CollapseProject inlines
     // split() into the shingle lambda (O(L²) re-split per element;
     // measured 7.5 s → 0.85 s for this stage at sf0.1)
-    val idx = docs
+    val idx = graft.ops.Par.fan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .localCheckpoint(eager = false)
       .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
@@ -1866,8 +1867,8 @@ object Dedup {
     // ever verified; measured ~0.6 s of q140's 2.7 s at sf0.1, and at
     // 100 TB it is the difference between corpus-wide state of 256
     // bytes/doc and corpus-wide state of the whole token payload
-    val words = Tables.documents(s, dir)
-      .filter(col("text").isNotNull)
+    val words = graft.ops.Par.fan(Tables.documents(s, dir)
+        .filter(col("text").isNotNull))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .localCheckpoint(eager = false) // split-inlining barrier; feeds
     // the sig pass AND the candidate-only hset re-pass

@@ -710,7 +710,11 @@ object Model {
     * downstream consumers — the merge table AND any apply chain —
     * never re-run training). */
   private def bpeFit(wrapped: DataFrame, rounds: Int): Seq[DataFrame] = {
-    var cur = wrapped
+    // fan ONCE before round 0: every round's pair-count scan and merge
+    // rewrite inherits this partitioning through the per-round
+    // checkpoints, so a single-split corpus otherwise serializes all k
+    // rounds on one core
+    var cur = graft.ops.Par.fan(wrapped)
     var bests: Seq[DataFrame] = Nil
     for (r <- 0 until rounds) {
       val toks = cur.select(
@@ -760,7 +764,7 @@ object Model {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("source"), col("text"), seedCol.as("seed"))
     val bests = seedFit(s, dir)
-    var hold = docs.filter(!col("seed"))
+    var hold = graft.ops.Par.fan(docs.filter(!col("seed")))
       .select(col("source"),
         size(split(col("text"), " ")).cast("long").as("tok_before"),
         wrapToks(col("text")).as("w"))

@@ -40,7 +40,7 @@ object Multimodal {
   /** A media table synthesized over the corpus: document text bytes stand
     * in for the media payload (the harness ships no real binaries). */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    graft.ops.Par.fan(Tables.documents(s, dir)).select(
       col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
@@ -300,7 +300,7 @@ object Multimodal {
     * middle. */
   def imageHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    graft.ops.Par.fan(Tables.documents(s, dir).select(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false)
         ids.map { id =>
@@ -553,7 +553,7 @@ object Multimodal {
     * never shuffle); one fixed-width row per video leaves the scan. */
   def videoShotStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    graft.ops.Par.fan(Tables.documents(s, dir).select(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val nf = (id % 24 + 2).toInt
@@ -660,8 +660,8 @@ object Multimodal {
   private[graft] def videoFrameHashesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs
-      .filter(col("doc_id") % 8 === 0)   // Column filter: reaches the scan
+    graft.ops.Par.fan(docs
+      .filter(col("doc_id") % 8 === 0))  // Column filter: reaches the scan
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>

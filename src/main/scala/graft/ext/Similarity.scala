@@ -165,7 +165,7 @@ object Similarity {
     * the maintainable index state — streaming ingest appends new
     * vectors' rows ([[graft.streaming.DocStreams.maintainAnnIndex]])
     * and [[knnLshServe]] probes whatever the index currently holds. */
-  def lshIndexOf(e: DataFrame): DataFrame = e.select(
+  def lshIndexOf(e: DataFrame): DataFrame = graft.ops.Par.fan(e).select(
     col("vec_id"), col("embedding"),
     posexplode(array(lshPlanes.map(tp =>
       signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
@@ -236,7 +236,8 @@ object Similarity {
     * stores filter columns inside the index rows (the design point every
     * production vector store converges on), so a predicate can join as
     * part of the bucket key instead of post-filtering results. */
-  private def lshLabeledIndexOf(e: DataFrame): DataFrame = e.select(
+  private def lshLabeledIndexOf(e: DataFrame): DataFrame =
+    graft.ops.Par.fan(e).select(
     col("vec_id"), col("embedding"), col("label"),
     posexplode(array(lshPlanes.map(tp =>
       signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
@@ -617,10 +618,11 @@ object Similarity {
   /** Band rows of `e` under the q235 (ndPlanes) tables — the mutual-kNN
     * graph's index schema (vec_id, embedding, tbl, bucket); the carried
     * state of [[graft.streaming.DocStreams.maintainMutualKnn]]. */
-  private[graft] def ndIndexOf(e: DataFrame): DataFrame = e.select(
-    col("vec_id"), col("embedding"),
-    posexplode(array(ndPlanes.map(tp =>
-      signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
+  private[graft] def ndIndexOf(e: DataFrame): DataFrame =
+    graft.ops.Par.fan(e).select(
+      col("vec_id"), col("embedding"),
+      posexplode(array(ndPlanes.map(tp =>
+        signature(col("embedding"), tp)): _*)).as(Seq("tbl", "bucket")))
 
   /** Top-[[MutualK]] lists from an EXPLICIT band index, restricted to
     * the `queryIds` (vec_id) relation: each restricted query ranks the
@@ -932,6 +934,10 @@ object Similarity {
     * projection (the lambda re-evaluation rule — see the Dedup scaladoc). */
   /** (vec_id, q: array<long>) int8-quantized normalized vectors — shared
     * by q54 (CSV dump) and q56 (per-label centroids). */
+  // NOT fanned (Par.fan): the quantization fold is cheap relative to its
+  // consumers, and the IVF/PQ family downstream is many small iterative
+  // stages — fanning here multiplied their per-stage task overhead
+  // (q97 1.27 s → 2.07 s sentinel-normalized at sf0.1) for no win
   def quantizedVectors(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding").cast("array<double>").as("de"))
       .select(col("vec_id"), col("de"),

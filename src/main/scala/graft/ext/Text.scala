@@ -544,7 +544,7 @@ object Text {
     * are GC-cleaned by the ContextCleaner once the consuming DataFrame
     * is dropped — the cache lifecycle follows the caller automatically. */
   private[graft] def ngramIndexOf(docs: DataFrame, n: Int): DataFrame =
-    docs
+    graft.ops.Par.fan(docs)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       // barrier BEFORE the n-gram lambda: CollapseProject otherwise
       // inlines split() into every element_at of the transform — an

@@ -933,23 +933,30 @@ object Advanced {
     * cardinality arm is the priced q117-style audit join, aggregated
     * to ONE count per join — nothing corpus-sized is materialized. */
   def q199CardinalityAudit(s: SparkSession, dir: String): DataFrame = {
+    // ONE materialized key-column projection per table, shared across
+    // every arm (guide §1.2): lineitem/orders/events each fed multiple
+    // stats sides AND actual-cardinality joins before, re-scanning the
+    // table per use (lineitem 4×, orders 3×, events 3× per run).
+    // events still goes through Tables.events (vintage-normalized ts) —
+    // the q148 rule, even though only the key column is read today.
+    val keyCols: Map[String, Seq[String]] =
+      CardJoins.flatMap { case (_, lt, rt, lk, rk) => Seq(lt -> lk, rt -> rk) }
+        .groupBy(_._1).map { case (t, ks) => t -> ks.map(_._2).distinct }
+    val shared: Map[String, DataFrame] = keyCols.map { case (t, ks) =>
+      val rel = if (t == "events") Tables.events(s, dir)
+                else Tables.load(s, dir, t)
+      t -> rel.select(ks.map(col): _*).localCheckpoint(eager = false)
+    }
     val arms = CardJoins.map { case (name, lt, rt, lk, rk) =>
-      def side(t: String, k: String) = {
-        val rel = if (t == "events") Tables.events(s, dir)
-                  else Tables.load(s, dir, t)
-        rel.groupBy(col(k)).agg(count(lit(1)).as("c"))
+      def side(t: String, k: String) =
+        shared(t).groupBy(col(k)).agg(count(lit(1)).as("c"))
           .agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"))
-      }
       val l = side(lt, lk).select(col("n").as("n_left"),
         col("ndv").as("ndv_left"))
       val r = side(rt, rk).select(col("n").as("n_right"),
         col("ndv").as("ndv_right"))
-      // events through Tables.events (vintage-normalized ts) — the q148
-      // rule, even though only the key column is read today
-      def rel(t: String) = if (t == "events") Tables.events(s, dir)
-                           else Tables.load(s, dir, t)
-      val actual = rel(lt).select(col(lk).as("k"))
-        .join(rel(rt).select(col(rk).as("k")), Seq("k"))
+      val actual = shared(lt).select(col(lk).as("k"))
+        .join(shared(rt).select(col(rk).as("k")), Seq("k"))
         .agg(count(lit(1)).as("actual_rows"))
       l.crossJoin(r).crossJoin(actual)
         .select(lit(name).as("join_name"),

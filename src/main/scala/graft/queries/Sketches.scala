@@ -25,7 +25,16 @@ object Sketches {
     * both HLL++ and percentile_approx are deterministic per input, so the
     * flags are stable across runs and scale factors. */
   def q36Approx(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // ONE materialized scan (4 needed columns only) shared by all five
+    // aggregation passes below — the sketch arm, two two-phase exact
+    // distincts and the exact median each re-scanned lineitem before
+    // (5 full decodes per run; guide §1.2 "don't compute things twice").
+    // Par.fan spreads the single-split local file over the executor the
+    // same way the other CPU-dense pipelines do.
+    val li = graft.ops.Par.fan(Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice")))
+      .localCheckpoint(eager = false)
     // Sketch side: one pass, fixed memory — the production aggregation.
     val approx = li.groupBy(col("l_returnflag"))
       .agg(
